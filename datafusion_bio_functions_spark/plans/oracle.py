@@ -1,0 +1,293 @@
+"""ANSI-SQL oracle formulations of every interval operator.
+
+These strings are the *generic-SQL semantics contract*: DuckDB runs them
+side-by-side with the Spark operators (driver CORRECTNESS gate + pytest).
+They intentionally use only portable constructs (windows, greatest/least,
+row_number) so the same text also documents what each operator computes.
+
+Each builder takes table names (or subquery text) + the 3 interval column
+names and returns a SELECT.  ``filter_op`` follows the reference semantics
+(weak = 1-based closed ``<=``, strict = ``<``; merge boundary per
+``merge.rs:290-297``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+DEFAULT_COLS = ("contig", "pos_start", "pos_end")
+
+
+def _c3(cols: Sequence[str] | None) -> tuple[str, str, str]:
+    c, s, e = cols or DEFAULT_COLS
+    return c, s, e
+
+
+def _ov(lc, ls, le, rc, rs, re, op: str) -> str:
+    lt = "<=" if op == "weak" else "<"
+    gt = ">=" if op == "weak" else ">"
+    return f"{lc} = {rc} AND {ls} {lt} {re} AND {le} {gt} {rs}"
+
+
+def overlap_sql(
+    l: str,
+    r: str,
+    l_cols: Sequence[str] | None = None,
+    r_cols: Sequence[str] | None = None,
+    l_all: Sequence[str] | None = None,
+    r_all: Sequence[str] | None = None,
+    filter_op: str = "weak",
+) -> str:
+    lc, ls, le = _c3(l_cols)
+    rc, rs, re = _c3(r_cols)
+    l_all = list(l_all or (lc, ls, le))
+    r_all = list(r_all or (rc, rs, re))
+    proj = ", ".join(
+        [f"l.{c} AS left_{c}" for c in l_all] + [f"r.{c} AS right_{c}" for c in r_all]
+    )
+    return (
+        f"SELECT {proj} FROM ({l}) l JOIN ({r}) r ON "
+        + _ov(f"l.{lc}", f"l.{ls}", f"l.{le}", f"r.{rc}", f"r.{rs}", f"r.{re}", filter_op)
+    )
+
+
+def _islands_cte(t: str, c: str, s: str, e: str, min_dist: int, filter_op: str) -> str:
+    """Shared gaps-and-islands CTE body producing (c, s, e, island, ...)."""
+    brk_cmp = ">" if filter_op == "weak" else ">="  # break when NOT merged
+    return f"""
+  __w AS (
+    SELECT *, max({e}) OVER (PARTITION BY {c} ORDER BY {s}, {e}
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS __prev_max
+    FROM ({t})
+  ),
+  __i AS (
+    SELECT *, sum(CASE WHEN __prev_max IS NULL OR {s} {brk_cmp} __prev_max + {min_dist}
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY {c} ORDER BY {s}, {e}
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __island
+    FROM __w
+  )"""
+
+
+def merge_sql(
+    t: str, cols: Sequence[str] | None = None, min_dist: int = 0, filter_op: str = "weak"
+) -> str:
+    c, s, e = _c3(cols)
+    return f"""WITH {_islands_cte(t, c, s, e, min_dist, filter_op)}
+SELECT {c} AS contig, CAST(min({s}) AS BIGINT) AS pos_start,
+       CAST(max({e}) AS BIGINT) AS pos_end, count(*) AS n_intervals
+FROM __i GROUP BY {c}, __island"""
+
+
+def cluster_sql(
+    t: str,
+    cols: Sequence[str] | None = None,
+    all_cols: Sequence[str] | None = None,
+    min_dist: int = 0,
+    filter_op: str = "weak",
+) -> str:
+    c, s, e = _c3(cols)
+    all_cols = list(all_cols or (c, s, e))
+    proj = ", ".join(all_cols)
+    return f"""WITH {_islands_cte(t, c, s, e, min_dist, filter_op)},
+__a AS (
+  SELECT *, CAST(min({s}) OVER (PARTITION BY {c}, __island) AS BIGINT) AS cluster_start,
+            CAST(max({e}) OVER (PARTITION BY {c}, __island) AS BIGINT) AS cluster_end
+  FROM __i
+)
+SELECT {proj},
+       CAST(dense_rank() OVER (ORDER BY {c}, cluster_start, __island) AS BIGINT) AS cluster,
+       cluster_start, cluster_end
+FROM __a"""
+
+
+def count_overlaps_sql(
+    l: str,
+    r: str,
+    l_cols: Sequence[str] | None = None,
+    r_cols: Sequence[str] | None = None,
+    r_all: Sequence[str] | None = None,
+    filter_op: str = "weak",
+) -> str:
+    lc, ls, le = _c3(l_cols)
+    rc, rs, re = _c3(r_cols)
+    r_all = list(r_all or (rc, rs, re))
+    proj = ", ".join(f"rr.{c}" for c in r_all)
+    grp = ", ".join(["rr.__rid"] + [f"rr.{c}" for c in r_all])
+    return f"""WITH rr AS (SELECT *, row_number() OVER () AS __rid FROM ({r}))
+SELECT {proj}, CAST(count(ll.{lc}) AS BIGINT) AS count
+FROM rr LEFT JOIN ({l}) ll
+  ON {_ov(f'll.{lc}', f'll.{ls}', f'll.{le}', f'rr.{rc}', f'rr.{rs}', f'rr.{re}', filter_op)}
+GROUP BY {grp}"""
+
+
+def coverage_sql(
+    l: str,
+    r: str,
+    l_cols: Sequence[str] | None = None,
+    r_cols: Sequence[str] | None = None,
+    r_all: Sequence[str] | None = None,
+    filter_op: str = "weak",
+) -> str:
+    lc, ls, le = _c3(l_cols)
+    rc, rs, re = _c3(r_cols)
+    r_all = list(r_all or (rc, rs, re))
+    proj = ", ".join(f"rr.{c}" for c in r_all)
+    grp = ", ".join(["rr.__rid"] + [f"rr.{c}" for c in r_all])
+    plus = "+ 1" if filter_op == "weak" else ""
+    merged = merge_sql(l, (lc, ls, le), 0, filter_op)
+    return f"""WITH rr AS (SELECT *, row_number() OVER () AS __rid FROM ({r})),
+mm AS ({merged})
+SELECT {proj},
+       CAST(coalesce(sum(CASE WHEN mm.pos_start IS NULL THEN NULL
+            ELSE least(mm.pos_end, rr.{re}) - greatest(mm.pos_start, rr.{rs}) {plus} END), 0) AS BIGINT) AS coverage
+FROM rr LEFT JOIN mm
+  ON {_ov('mm.contig', 'mm.pos_start', 'mm.pos_end', f'rr.{rc}', f'rr.{rs}', f'rr.{re}', filter_op)}
+GROUP BY {grp}"""
+
+
+def complement_sql(
+    t: str,
+    view: str | None = None,
+    cols: Sequence[str] | None = None,
+    view_cols: Sequence[str] | None = None,
+    min_dist: int = 0,
+    filter_op: str = "weak",
+) -> str:
+    c, s, e = _c3(cols)
+    vc, vs, ve = _c3(view_cols)
+    merged = merge_sql(t, cols, min_dist, filter_op)
+    if view is None:
+        bounds = (
+            "SELECT contig, CAST(0 AS BIGINT) AS __vstart, "
+            "CAST(9223372036854775807 AS BIGINT) AS __vend "
+            "FROM (SELECT DISTINCT contig FROM mm)"
+        )
+        whole = ""
+    else:
+        bounds = (
+            f"SELECT {vc} AS contig, CAST({vs} AS BIGINT) AS __vstart, "
+            f"CAST({ve} AS BIGINT) AS __vend FROM ({view})"
+        )
+        whole = """
+UNION ALL
+SELECT b.contig, b.__vstart AS pos_start, b.__vend AS pos_end
+FROM bounds b LEFT JOIN (SELECT DISTINCT contig FROM mm) o USING (contig)
+WHERE o.contig IS NULL"""
+    return f"""WITH mm AS ({merged}),
+bounds AS ({bounds}),
+mb AS (
+  SELECT mm.*, b.__vstart, b.__vend,
+         lag(mm.pos_end) OVER (PARTITION BY mm.contig ORDER BY mm.pos_start, mm.pos_end) AS __prev_end,
+         row_number() OVER (PARTITION BY mm.contig ORDER BY mm.pos_start DESC, mm.pos_end DESC) AS __rn_desc
+  FROM mm JOIN bounds b ON mm.contig = b.contig
+  WHERE mm.pos_start <= b.__vend AND mm.pos_end >= b.__vstart
+)
+SELECT contig, pos_start, pos_end FROM (
+  SELECT contig,
+         greatest(coalesce(__prev_end + 1, __vstart), __vstart) AS pos_start,
+         least(pos_start - 1, __vend) AS pos_end
+  FROM mb
+  UNION ALL
+  SELECT contig, greatest(pos_end + 1, __vstart) AS pos_start, __vend AS pos_end
+  FROM mb WHERE __rn_desc = 1{whole}
+) WHERE pos_start <= pos_end"""
+
+
+def subtract_sql(
+    l: str,
+    r: str,
+    l_cols: Sequence[str] | None = None,
+    r_cols: Sequence[str] | None = None,
+    l_all: Sequence[str] | None = None,
+    filter_op: str = "weak",
+) -> str:
+    lc, ls, le = _c3(l_cols)
+    rc, rs, re = _c3(r_cols)
+    l_all = list(l_all or (lc, ls, le))
+    other = [c for c in l_all if c not in (ls, le)]
+    proj_other = "".join(f"lw.{c}, " for c in other)
+    merged = merge_sql(r, (rc, rs, re), 0, filter_op)
+    sel = ", ".join(
+        [c for c in other] + [f"CAST({ls} AS BIGINT) AS {ls}", f"CAST({le} AS BIGINT) AS {le}"]
+    )
+    out_cols = ", ".join(l_all)
+    return f"""WITH lw AS (SELECT *, row_number() OVER () AS __lid FROM ({l})),
+mm AS ({merged}),
+j AS (
+  SELECT lw.*, mm.pos_start AS __ms, mm.pos_end AS __me,
+         greatest(mm.pos_start, lw.{ls}) AS __cs, least(mm.pos_end, lw.{le}) AS __ce
+  FROM lw LEFT JOIN mm
+    ON {_ov('mm.contig', 'mm.pos_start', 'mm.pos_end', f'lw.{lc}', f'lw.{ls}', f'lw.{le}', filter_op)}
+),
+ovl AS (
+  SELECT *, lag(__ce) OVER (PARTITION BY __lid ORDER BY __cs) AS __prev_ce,
+         row_number() OVER (PARTITION BY __lid ORDER BY __cs DESC) AS __rn_desc
+  FROM j WHERE __ms IS NOT NULL
+),
+frags AS (
+  SELECT {', '.join(f'{c}' for c in other)}, {ls}, {le} FROM (
+    SELECT {proj_other}lw.{ls}, lw.{le} FROM (SELECT * FROM j WHERE __ms IS NULL) lw
+    UNION ALL
+    SELECT {''.join(f'{c}, ' for c in other)}coalesce(__prev_ce + 1, {ls}) AS {ls}, __cs - 1 AS {le} FROM ovl
+    UNION ALL
+    SELECT {''.join(f'{c}, ' for c in other)}__ce + 1 AS {ls}, {le} FROM ovl WHERE __rn_desc = 1
+  ) WHERE {ls} <= {le}
+)
+SELECT {sel} FROM frags""".replace("SELECT , ", "SELECT ")
+
+
+def nearest_sql(
+    l: str,
+    r: str,
+    l_cols: Sequence[str] | None = None,
+    r_cols: Sequence[str] | None = None,
+    l_all: Sequence[str] | None = None,
+    r_all: Sequence[str] | None = None,
+    k: int = 1,
+    filter_op: str = "weak",
+) -> str:
+    """Brute-force k-nearest oracle: per probe (right) row rank all same-
+    contig left intervals by (distance, start, end).  O(n·m) — oracle only."""
+    lc, ls, le = _c3(l_cols)
+    rc, rs, re = _c3(r_cols)
+    l_all = list(l_all or (lc, ls, le))
+    r_all = list(r_all or (rc, rs, re))
+    shrink = 0 if filter_op == "weak" else 1
+    proj = ", ".join(
+        [f"ll.{c} AS left_{c}" for c in l_all]
+        + [f"rr.{c} AS right_{c}" for c in r_all]
+        + [f"CAST(greatest(ll.{ls} - (rr.{re} - {shrink}), (rr.{rs} + {shrink}) - ll.{le}, 0) AS BIGINT) AS distance"]
+    )
+    return f"""WITH rr AS (SELECT *, row_number() OVER () AS __rid FROM ({r})),
+cand AS (
+  SELECT {proj}, rr.__rid,
+         row_number() OVER (
+           PARTITION BY rr.__rid
+           ORDER BY greatest(ll.{ls} - (rr.{re} - {shrink}), (rr.{rs} + {shrink}) - ll.{le}, 0) NULLS LAST,
+                    ll.{ls}, ll.{le}) AS __rn
+  FROM rr LEFT JOIN ({l}) ll ON ll.{lc} = rr.{rc}
+)
+SELECT * EXCLUDE (__rid, __rn) FROM cand WHERE __rn <= {k}"""
+
+
+def depth_blocks_sql(alignments: str, chrom: str = "chrom", start: str = "start", ref_len: str = "ref_len") -> str:
+    """Coverage blocks oracle for simple all-match alignments: the input
+    subquery must expose (chrom, start [1-based], ref_len) of reads that pass
+    filters.  Event algebra: +1 at start, −1 at start+ref_len; running sum;
+    RLE blocks between consecutive breakpoints with coverage > 0."""
+    return f"""WITH ev AS (
+  SELECT {chrom} AS contig, {start} AS pos, 1 AS delta FROM ({alignments})
+  UNION ALL
+  SELECT {chrom} AS contig, {start} + {ref_len} AS pos, -1 AS delta FROM ({alignments})
+),
+agg AS (SELECT contig, pos, sum(delta) AS delta FROM ev GROUP BY contig, pos),
+cum AS (
+  SELECT contig, pos,
+         CAST(sum(delta) OVER (PARTITION BY contig ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS coverage,
+         lead(pos) OVER (PARTITION BY contig ORDER BY pos) AS next_pos
+  FROM agg
+)
+SELECT contig, CAST(pos AS BIGINT) AS pos_start, CAST(next_pos - 1 AS BIGINT) AS pos_end, coverage
+FROM cum WHERE coverage > 0 AND next_pos IS NOT NULL"""

@@ -1,0 +1,75 @@
+"""SparkSession helpers for the bio-functions engine.
+
+The reference builds a custom DataFusion ``SessionContext`` with its own
+physical-optimizer rule list (``datafusion/bio-function-ranges/src/
+session_context.rs:29-70``).  On Spark we do not need a custom planner:
+Catalyst + AQE already perform join selection, predicate pushdown, column
+pruning and partition pruning; our operators emit the plan shape we want
+directly from the DataFrame API (SURVEY.md §3.1).
+
+``create_bio_session`` mirrors ``register_ranges_functions`` /
+``register_vep_functions`` by registering the scalar allele UDFs so they
+are callable from ``spark.sql`` just like the reference's SQL surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Config key mirroring the reference's ``SET bio.interval_join_algorithm``
+#: (session_context.rs:48-70).  Values: ``auto | binned | sql | broadcast``.
+INTERVAL_JOIN_ALGORITHM_KEY = "spark.bio.intervalJoin.algorithm"
+#: Genome-bin width used by the binned interval-join strategy.
+INTERVAL_JOIN_BIN_WIDTH_KEY = "spark.bio.intervalJoin.binWidth"
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_or_create_session(
+    app_name: str = "datafusion-bio-functions-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a SparkSession tuned for this engine.
+
+    At 100 TB these settings live in the cluster conf; here they make
+    local[] behave like a small cluster (AQE coalescing, skew handling,
+    Arrow-batched pandas UDFs).
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    return spark
+
+
+def create_bio_session(spark: SparkSession | None = None) -> SparkSession:
+    """Register the bio SQL surface (scalar UDFs) on a session.
+
+    Mirrors the reference's ``register_vep_functions`` which registers the
+    5 scalar UDFs match_allele / match_allele_relaxed / vep_allele /
+    vep_norm_start / vep_norm_end (bio-function-vep/src/lib.rs).
+    """
+    if spark is None:
+        spark = get_or_create_session()
+    from .functions.alleles import register_allele_udfs
+
+    register_allele_udfs(spark)
+    return spark

@@ -1,0 +1,262 @@
+"""Interval algebra correctness vs the DuckDB oracle formulations.
+
+Ports the shape of the reference's integration suite
+(``bio-function-ranges/tests/integration_test.rs``): happy paths, strict vs
+weak boundary semantics, point-interval containment, empty inputs, one-sided
+contigs, extra-column preservation, partition-count invariance, and
+algorithm interchangeability (binned / sql / broadcast).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import datafusion_bio_functions_spark as bio
+from datafusion_bio_functions_spark.plans import oracle as osql
+from tests.conftest import COLS, assert_frames_match
+
+
+@pytest.mark.parametrize("algorithm", ["binned", "sql", "broadcast"])
+@pytest.mark.parametrize("filter_op", ["weak", "strict"])
+def test_overlap_join_matches_oracle(spark, reads, targets, oracle, algorithm, filter_op):
+    got = bio.overlap(reads, targets, filter_op=filter_op, algorithm=algorithm)
+    want = oracle.sql(
+        osql.overlap_sql("SELECT * FROM reads", "SELECT * FROM targets", filter_op=filter_op)
+    )
+    assert_frames_match(got, want)
+
+
+def test_overlap_point_interval_containment(spark, reads, targets):
+    # chr1 22000-22300 (read) contains the point target 22100-22100
+    got = (
+        bio.overlap(reads, targets)
+        .filter((F.col("right_pos_start") == 22100) & (F.col("right_pos_end") == 22100))
+        .collect()
+    )
+    assert len(got) == 1
+    assert got[0]["left_pos_start"] == 22000
+
+
+def test_overlap_strict_drops_touching(spark):
+    # adjacent closed intervals share exactly one base: weak keeps, strict drops
+    l = spark.createDataFrame([("chr1", 100, 200)], COLS)
+    r = spark.createDataFrame([("chr1", 200, 300)], COLS)
+    assert bio.overlap(l, r, filter_op="weak").count() == 1
+    assert bio.overlap(l, r, filter_op="strict").count() == 0
+
+
+def test_overlap_output_modes(spark, reads, targets):
+    join_n = bio.overlap(reads, targets, output="join").count()
+    left_all = bio.overlap(reads, targets, output="left_all")
+    assert left_all.columns == reads.columns
+    assert left_all.count() == join_n
+    left_distinct = bio.overlap(reads, targets, output="left_distinct")
+    assert left_distinct.count() == left_distinct.distinct().count()
+    # every distinct-left row must actually have a match
+    assert left_distinct.count() <= reads.count()
+
+
+def test_overlap_empty_input(spark, targets):
+    empty = spark.createDataFrame([], "contig string, pos_start long, pos_end long")
+    assert bio.overlap(empty, targets).count() == 0
+    assert bio.count_overlaps(empty, targets).agg(F.sum("count")).collect()[0][0] == 0
+
+
+@pytest.mark.parametrize("algorithm", ["join", "broadcast"])
+def test_count_overlaps_matches_oracle(spark, reads, targets, oracle, algorithm):
+    got = bio.count_overlaps(reads, targets, algorithm=algorithm)
+    want = oracle.sql(
+        osql.count_overlaps_sql("SELECT * FROM reads", "SELECT * FROM targets")
+    )
+    assert_frames_match(got, want)
+
+
+@pytest.mark.parametrize("algorithm", ["join", "broadcast"])
+def test_coverage_matches_oracle(spark, reads, targets, oracle, algorithm):
+    got = bio.coverage(reads, targets, algorithm=algorithm)
+    want = oracle.sql(osql.coverage_sql("SELECT * FROM reads", "SELECT * FROM targets"))
+    assert_frames_match(got, want)
+
+
+def test_coverage_merges_left_first(spark):
+    # two identical reads over one target: coverage counts bases once
+    l = spark.createDataFrame([("chr1", 100, 150), ("chr1", 100, 150)], COLS)
+    r = spark.createDataFrame([("chr1", 90, 200)], COLS)
+    row = bio.coverage(l, r).collect()[0]
+    assert row["coverage"] == 51  # closed interval: 150-100+1
+
+
+@pytest.mark.parametrize("min_dist", [0, 2, 100])
+@pytest.mark.parametrize("filter_op", ["weak", "strict"])
+def test_merge_matches_oracle(spark, merge_input, oracle, min_dist, filter_op):
+    got = bio.merge(merge_input, min_dist=min_dist, filter_op=filter_op)
+    want = oracle.sql(
+        osql.merge_sql("SELECT * FROM merge_input", min_dist=min_dist, filter_op=filter_op)
+    )
+    assert_frames_match(got, want)
+
+
+def test_merge_touching_weak_vs_strict(spark):
+    df = spark.createDataFrame([("chr1", 1, 5), ("chr1", 5, 10)], COLS)
+    assert bio.merge(df, filter_op="weak").count() == 1  # share base 5 → merge
+    # strict: s < prev_end + 0 → 5 < 5 false → separate
+    assert bio.merge(df, filter_op="strict").count() == 2
+    adj = spark.createDataFrame([("chr1", 1, 5), ("chr1", 6, 10)], COLS)
+    assert bio.merge(adj, filter_op="weak").count() == 2  # adjacent, no shared base
+    assert bio.merge(adj, min_dist=1, filter_op="weak").count() == 1
+
+
+@pytest.mark.parametrize("min_dist", [0, 10])
+def test_cluster_matches_oracle(spark, merge_input, oracle, min_dist):
+    got = bio.cluster(merge_input, min_dist=min_dist)
+    want = oracle.sql(
+        osql.cluster_sql(
+            "SELECT * FROM merge_input", all_cols=COLS, min_dist=min_dist
+        )
+    )
+    assert_frames_match(got, want)
+
+
+def test_cluster_preserves_extra_columns(spark):
+    df = spark.createDataFrame(
+        [("chr1", 100, 200, "a"), ("chr1", 150, 250, "b"), ("chr1", 500, 600, "c")],
+        COLS + ["tag"],
+    )
+    out = bio.cluster(df).orderBy("pos_start").collect()
+    assert [r["tag"] for r in out] == ["a", "b", "c"]
+    assert out[0]["cluster"] == out[1]["cluster"] != out[2]["cluster"]
+    assert out[0]["cluster_start"] == 100 and out[0]["cluster_end"] == 250
+
+
+def test_complement_with_view_matches_oracle(spark, merge_input, oracle):
+    view_rows = [("chr1", 1, 50000), ("chr2", 1, 1000), ("chr3", 1, 1000), ("chrM", 1, 16000)]
+    view = spark.createDataFrame(view_rows, COLS)
+    oracle.register("chromsizes", pd.DataFrame(view_rows, columns=COLS))
+    got = bio.complement(merge_input, view=view)
+    want = oracle.sql(
+        osql.complement_sql("SELECT * FROM merge_input", view="SELECT * FROM chromsizes")
+    )
+    assert_frames_match(got, want)
+    # chrM appears only in the view → emitted whole
+    assert got.filter("contig = 'chrM'").collect()[0]["pos_end"] == 16000
+
+
+def test_complement_default_view_bounds(spark):
+    df = spark.createDataFrame([("chr1", 100, 200)], COLS)
+    out = bio.complement(df).orderBy("pos_start").collect()
+    # reference default bounds (0, i64::MAX) per observed contig
+    assert (out[0]["pos_start"], out[0]["pos_end"]) == (0, 99)
+    assert (out[1]["pos_start"], out[1]["pos_end"]) == (201, 9223372036854775807)
+
+
+def test_subtract_matches_oracle(spark, reads, targets, oracle):
+    got = bio.subtract(reads, targets)
+    want = oracle.sql(osql.subtract_sql("SELECT * FROM reads", "SELECT * FROM targets"))
+    assert_frames_match(got, want)
+
+
+def test_subtract_fragments_and_preserves_columns(spark):
+    l = spark.createDataFrame([("chr1", 100, 300, "x")], COLS + ["tag"])
+    r = spark.createDataFrame([("chr1", 150, 160), ("chr1", 200, 250)], COLS)
+    out = bio.subtract(l, r).orderBy("pos_start").collect()
+    assert [(o["pos_start"], o["pos_end"], o["tag"]) for o in out] == [
+        (100, 149, "x"),
+        (161, 199, "x"),
+        (251, 300, "x"),
+    ]
+    # right interval swallowing the left entirely → no fragments
+    r2 = spark.createDataFrame([("chr1", 50, 400)], COLS)
+    assert bio.subtract(l, r2).count() == 0
+    # no overlap → left row unchanged
+    r3 = spark.createDataFrame([("chr2", 50, 400)], COLS)
+    assert bio.subtract(l, r3).collect()[0]["pos_end"] == 300
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_nearest_matches_oracle(spark, reads, targets, oracle, k):
+    got = bio.nearest(reads, targets, k=k)
+    want = oracle.sql(
+        osql.nearest_sql("SELECT * FROM reads", "SELECT * FROM targets", k=k)
+    )
+    assert_frames_match(got, want)
+
+
+def test_nearest_no_candidate_contig(spark, reads):
+    r = spark.createDataFrame([("chrZ", 100, 200)], COLS)
+    out = bio.nearest(reads, r).collect()
+    assert len(out) == 1
+    assert out[0]["left_contig"] is None and out[0]["distance"] is None
+
+
+def test_nearest_distance_semantics(spark):
+    l = spark.createDataFrame([("chr1", 100, 200), ("chr1", 500, 600)], COLS)
+    r = spark.createDataFrame(
+        [("chr1", 150, 180), ("chr1", 300, 310), ("chr1", 450, 460)], COLS
+    )
+    out = {
+        (row["right_pos_start"]): (row["left_pos_start"], row["distance"])
+        for row in bio.nearest(l, r).collect()
+    }
+    assert out[150] == (100, 0)  # overlap → distance 0
+    assert out[300] == (100, 100)  # 300 - 200 (closer than 500 - 310 = 190)
+    assert out[450] == (500, 40)  # 500 - 460 < 450 - 200
+
+
+def test_nearest_tie_break(spark):
+    # equidistant left intervals: tie-break by (start, end)
+    l = spark.createDataFrame([("chr1", 300, 310), ("chr1", 90, 100)], COLS)
+    r = spark.createDataFrame([("chr1", 200, 200)], COLS)
+    row = bio.nearest(l, r).collect()[0]
+    assert row["distance"] == 100
+    assert row["left_pos_start"] == 90  # smaller start wins the tie
+
+
+def test_nearest_exclude_overlaps(spark):
+    l = spark.createDataFrame([("chr1", 100, 200), ("chr1", 400, 500)], COLS)
+    r = spark.createDataFrame([("chr1", 150, 180)], COLS)
+    row = bio.nearest(l, r, include_overlaps=False).collect()[0]
+    assert row["left_pos_start"] == 400 and row["distance"] == 220
+
+
+def test_partition_invariance(spark, merge_input, reads, targets):
+    """Mirror of the reference's partition-count invariance tests
+    (integration_test.rs:3709-3758): results identical across partitionings."""
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for n in (1, 4, 16):
+        assert canon(bio.merge(merge_input.repartition(n))) == canon(bio.merge(merge_input))
+        assert canon(
+            bio.overlap(reads.repartition(n), targets.repartition(max(1, n // 2)))
+        ) == canon(bio.overlap(reads, targets))
+        assert canon(bio.count_overlaps(reads.repartition(n), targets)) == canon(
+            bio.count_overlaps(reads, targets)
+        )
+
+
+def test_interval_join_left_outer(spark, reads, targets):
+    out = bio.interval_join(reads, targets, how="left")
+    # every read appears; unmatched reads carry NULL right columns
+    assert out.count() >= reads.count()
+    unmatched = out.filter(F.col("right_contig").isNull())
+    assert unmatched.count() == 1  # chr3 234-300 misses target chr3 100-200
+    assert unmatched.collect()[0]["left_pos_start"] == 234
+
+
+def test_binned_join_long_interval_fallback(spark, targets):
+    # one interval far longer than long_interval_factor * bin_width
+    l = spark.createDataFrame([("chr1", 1, 5_000_000), ("chr1", 150, 250)], COLS)
+    got = bio.interval_join(l, targets, algorithm="binned", bin_width=100, long_interval_factor=4)
+    want = bio.interval_join(l, targets, algorithm="sql")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_custom_column_names(spark):
+    l = spark.createDataFrame([("chr1", 100, 200)], ["chrom", "s", "e"])
+    r = spark.createDataFrame([("chr1", 150, 250)], ["c", "b", "f"])
+    out = bio.interval_join(l, r, cols_left=("chrom", "s", "e"), cols_right=("c", "b", "f"))
+    assert out.count() == 1
+    assert set(out.columns) == {"left_chrom", "left_s", "left_e", "right_c", "right_b", "right_f"}
