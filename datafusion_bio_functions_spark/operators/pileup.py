@@ -1,0 +1,189 @@
+"""Depth-of-coverage (pileup) from alignment tables.
+
+Re-expresses the reference's ``datafusion-bio-function-pileup`` crate
+(``/root/reference/datafusion/bio-function-pileup/src/``) with the event
+algebra it itself ports from SeQuiLa (reference ``README.md:670-680``) — so
+this is the algorithm returning to its original Spark formulation:
+
+* event generation — every CIGAR M/=/X run contributes ``+1`` at its
+  reference start and ``-1`` one past its end; D/N consume reference
+  silently; I/S/H/P consume none (reference ``events.rs:175-232``,
+  ``cigar.rs:78-133``).
+* accumulation — ``groupBy(chrom, pos).sum(delta)`` then a per-contig
+  running sum gives the coverage between consecutive breakpoints; RLE
+  blocks fall out of ``lead(pos)`` (reference dense/sparse merge,
+  ``physical_exec.rs:367-470``, block emission ``coverage.rs:93-360``).
+
+The CIGAR walk for string CIGARs runs **JVM-side** as a SQL ``aggregate``
+over ``regexp_extract_all`` — no Python in the hot path; binary packed
+CIGARs (4-byte LE ops, reference ``cigar.rs:177-260``) decode in a
+vectorized pandas UDF (``np.frombuffer`` bit ops).
+
+Alignment input contract (reference ``schema.rs:6-11``):
+``chrom string, start int, flags int, cigar string|binary,
+mapping_quality int``.  SAM-flag filter default 1796 =
+UNMAP|SECONDARY|QCFAIL|DUP (reference ``filter.rs:1-34``).
+
+Scale: the only per-contig serial step is the running-sum window — the
+same shape as the reference's single-emit-partition merge
+(``physical_exec.rs:159-185``) but here the heavy work (event gen + partial
+aggregation) is fully shuffle-parallel and map-side combined; the window
+sees one row per breakpoint, not per read.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: SAM flag filter: UNMAP(4) | SECONDARY(256) | QCFAIL(512) | DUP(1024)
+DEFAULT_FLAG_MASK = 1796
+DEFAULT_ALN_COLS = ("chrom", "start", "flags", "cigar", "mapping_quality")
+
+_SEG_TYPE = "ARRAY<STRUCT<s: BIGINT, e: BIGINT>>"
+#: BAM binary CIGAR opcode order (SAM spec; reference cigar.rs:177-260)
+_BAM_OPS = "MIDNSHP=X"
+
+
+def _cigar_segments_sql(start_1based: str, cigar: str) -> str:
+    """SQL expression: walk a CIGAR string, returning the array of 1-based
+    closed reference segments consumed by M/=/X runs."""
+    num = "CAST(substring(x, 1, length(x) - 1) AS BIGINT)"
+    op = "right(x, 1)"
+    return f"""
+    aggregate(
+      regexp_extract_all({cigar}, '(\\\\d+)([MIDNSHP=X])', 0),
+      named_struct('pos', CAST({start_1based} AS BIGINT),
+                   'segs', CAST(array() AS {_SEG_TYPE})),
+      (acc, x) -> CASE
+        WHEN {op} IN ('M', '=', 'X') THEN named_struct(
+          'pos', acc.pos + {num},
+          'segs', array_append(acc.segs,
+                               named_struct('s', acc.pos, 'e', acc.pos + {num} - 1)))
+        WHEN {op} IN ('D', 'N') THEN named_struct('pos', acc.pos + {num}, 'segs', acc.segs)
+        ELSE acc
+      END,
+      acc -> acc.segs
+    )"""
+
+
+def _binary_cigar_segments_udf():
+    """Vectorized decode of packed binary CIGARs: little-endian u32 per op,
+    ``len = v >> 4``, ``op = _BAM_OPS[v & 0xF]`` (reference cigar.rs:177-260)."""
+    import numpy as np
+
+    @F.pandas_udf(_SEG_TYPE.replace("STRUCT<s: BIGINT, e: BIGINT>", "STRUCT<s: LONG, e: LONG>"))
+    def decode(start: pd.Series, cigar: pd.Series) -> pd.Series:
+        out = []
+        for pos, raw in zip(start, cigar):
+            if raw is None or pos is None:
+                out.append(None)
+                continue
+            ops = np.frombuffer(raw, dtype="<u4")
+            lens = (ops >> 4).astype(np.int64)
+            codes = ops & 0xF
+            segs = []
+            p = int(pos)
+            for ln, code in zip(lens, codes):
+                ch = _BAM_OPS[code]
+                if ch in ("M", "=", "X"):
+                    segs.append({"s": p, "e": p + int(ln) - 1})
+                    p += int(ln)
+                elif ch in ("D", "N"):
+                    p += int(ln)
+            out.append(segs)
+        return pd.Series(out)
+
+    return decode
+
+
+def depth(
+    alignments: DataFrame,
+    zero_based: bool = False,
+    per_base: bool = False,
+    flag_mask: int = DEFAULT_FLAG_MASK,
+    min_mapq: int = 0,
+    cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Pileup depth — the reference ``depth()`` UDTF
+    (``bio-function-pileup/src/table_function.rs:79-158``).
+
+    Block mode (default): RLE runs ``(contig, pos_start, pos_end, coverage)``
+    of equal coverage, zero-coverage gaps omitted (reference
+    ``schema.rs:28-41``).  ``per_base=True``: one row per position
+    ``(contig, pos, coverage)`` for covered positions (``schema.rs:48-60``) —
+    expanded from blocks via ``sequence()``; row explosion is bounded by
+    actual covered bases.
+
+    ``zero_based``: input ``start`` is 0-based (BAM convention); output
+    blocks are then emitted 0-based half-open.  Default: 1-based closed in
+    and out.
+    """
+    c, s, fl, cg, mq = cols or DEFAULT_ALN_COLS
+    df = alignments.filter(
+        (F.col(fl).cast("int").bitwiseAND(F.lit(flag_mask)) == 0)
+        & (F.col(mq).cast("int") >= min_mapq)
+    )
+    start_1b = f"{s} + 1" if zero_based else s
+
+    cigar_type = dict(df.dtypes).get(cg, "string")
+    if cigar_type == "binary":
+        one_based = (F.col(s) + 1) if zero_based else F.col(s)
+        df = df.withColumn("__segs", _binary_cigar_segments_udf()(one_based.cast("long"), F.col(cg)))
+    else:
+        df = df.withColumn("__segs", F.expr(_cigar_segments_sql(start_1b, cg)))
+
+    seg = df.select(F.col(c).alias("contig"), F.explode("__segs").alias("__seg"))
+    events = seg.select(
+        "contig",
+        F.explode(
+            F.array(
+                F.struct(F.col("__seg.s").alias("pos"), F.lit(1).alias("delta")),
+                F.struct((F.col("__seg.e") + 1).alias("pos"), F.lit(-1).alias("delta")),
+            )
+        ).alias("ev"),
+    ).select("contig", F.col("ev.pos").alias("pos"), F.col("ev.delta").alias("delta"))
+
+    # partial aggregation is map-side combined by Catalyst; the running sum
+    # then sees one row per breakpoint per contig
+    # net-zero breakpoints (e.g. two abutting M runs) would split an RLE run
+    # of equal coverage — drop them so blocks are maximal runs
+    agg = (
+        events.groupBy("contig", "pos")
+        .agg(F.sum("delta").alias("delta"))
+        .filter(F.col("delta") != 0)
+    )
+    w = Window.partitionBy("contig").orderBy("pos")
+    cum = agg.withColumn(
+        "coverage", F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("next_pos", F.lead("pos").over(w))
+
+    blocks = cum.filter((F.col("coverage") > 0) & F.col("next_pos").isNotNull()).select(
+        "contig",
+        F.col("pos").alias("pos_start"),
+        (F.col("next_pos") - 1).alias("pos_end"),
+        F.col("coverage").cast(T.IntegerType()).alias("coverage"),
+    )
+    if zero_based:
+        # back to 0-based half-open: [start-1, end)
+        blocks = blocks.select(
+            "contig",
+            (F.col("pos_start") - 1).alias("pos_start"),
+            F.col("pos_end").alias("pos_end"),
+            "coverage",
+        )
+
+    if not per_base:
+        return blocks
+
+    if zero_based:
+        pos_seq = F.sequence(F.col("pos_start"), F.col("pos_end") - 1)
+    else:
+        pos_seq = F.sequence(F.col("pos_start"), F.col("pos_end"))
+    return blocks.select(
+        "contig", F.explode(pos_seq).alias("pos"), F.col("coverage")
+    )

@@ -281,7 +281,8 @@ def depth_blocks_sql(alignments: str, chrom: str = "chrom", start: str = "start"
   UNION ALL
   SELECT {chrom} AS contig, {start} + {ref_len} AS pos, -1 AS delta FROM ({alignments})
 ),
-agg AS (SELECT contig, pos, sum(delta) AS delta FROM ev GROUP BY contig, pos),
+agg AS (SELECT contig, pos, sum(delta) AS delta FROM ev GROUP BY contig, pos
+        HAVING sum(delta) <> 0),
 cum AS (
   SELECT contig, pos,
          CAST(sum(delta) OVER (PARTITION BY contig ORDER BY pos

@@ -1,0 +1,123 @@
+"""Pileup depth tests: hand-computed expectations per FIXTURES.md F4/F9 and
+the reference's own unit-test style (physical_exec.rs:570-1043)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_bio_functions_spark.operators.pileup import depth
+
+ALN_COLS = ["chrom", "start", "flags", "cigar", "mapping_quality"]
+
+
+def aln(spark, rows):
+    return spark.createDataFrame(rows, ALN_COLS)
+
+
+def blocks_of(df):
+    return sorted(
+        (r["contig"], r["pos_start"], r["pos_end"], r["coverage"]) for r in df.collect()
+    )
+
+
+def test_two_overlapping_reads(spark):
+    # FIXTURES F9: 100M@100 + 100M@150 (0-based starts)
+    df = aln(spark, [("chr1", 100, 0, "100M", 60), ("chr1", 150, 0, "100M", 60)])
+    got = blocks_of(depth(df, zero_based=True))
+    assert got == [
+        ("chr1", 100, 150, 1),
+        ("chr1", 150, 200, 2),
+        ("chr1", 200, 250, 1),
+    ]
+
+
+def test_one_based_default(spark):
+    df = aln(spark, [("chr1", 101, 0, "50M", 60)])
+    assert blocks_of(depth(df)) == [("chr1", 101, 150, 1)]
+
+
+def test_cigar_insertion_softclip(spark):
+    # 10M2I5M: insertion consumes no reference → one 15-base block;
+    # 10S90M: soft clip consumes no reference
+    df = aln(spark, [("chr1", 100, 0, "10M2I5M", 60), ("chr2", 100, 0, "10S90M", 60)])
+    assert blocks_of(depth(df)) == [("chr1", 100, 114, 1), ("chr2", 100, 189, 1)]
+
+
+def test_cigar_deletion_and_skip(spark):
+    # 50M10D50M: deletion consumes reference but not coverage → gap in depth?
+    # No: D consumes reference silently → two M runs 100-149 and 160-209,
+    # the 10 deleted bases have no coverage contribution from this read.
+    df = aln(spark, [("chr1", 100, 0, "50M10D50M", 60)])
+    assert blocks_of(depth(df)) == [("chr1", 100, 149, 1), ("chr1", 160, 209, 1)]
+    # 20M1000N20M: intron skip — far apart blocks
+    df2 = aln(spark, [("chr1", 100, 0, "20M1000N20M", 60)])
+    assert blocks_of(depth(df2)) == [("chr1", 100, 119, 1), ("chr1", 1120, 1139, 1)]
+
+
+def test_flag_and_mapq_filters(spark):
+    df = aln(
+        spark,
+        [
+            ("chr1", 100, 0, "50M", 60),
+            ("chr1", 100, 1024, "50M", 60),  # DUP → filtered by default 1796
+            ("chr1", 100, 0, "50M", 5),  # low MAPQ
+        ],
+    )
+    assert blocks_of(depth(df, min_mapq=20)) == [("chr1", 100, 149, 1)]
+    # flag filter disabled → DUP counts
+    assert blocks_of(depth(df, flag_mask=0, min_mapq=0))[0][3] == 3
+
+
+def test_per_base_mode(spark):
+    df = aln(spark, [("chr1", 100, 0, "3M", 60), ("chr1", 101, 0, "3M", 60)])
+    rows = sorted((r["contig"], r["pos"], r["coverage"]) for r in depth(df, per_base=True).collect())
+    assert rows == [
+        ("chr1", 100, 1),
+        ("chr1", 101, 2),
+        ("chr1", 102, 2),
+        ("chr1", 103, 1),
+    ]
+
+
+def test_binary_cigar(spark):
+    # 100M packed as little-endian u32: (100 << 4) | 0 (M)
+    raw = struct.pack("<I", (100 << 4) | 0)
+    raw2 = struct.pack("<II", (10 << 4) | 0, (5 << 4) | 2)  # 10M5D → only 10M covers
+    df = spark.createDataFrame(
+        [("chr1", 100, 0, bytearray(raw), 60), ("chr2", 100, 0, bytearray(raw2), 60)],
+        "chrom string, start int, flags int, cigar binary, mapping_quality int",
+    )
+    got = blocks_of(depth(df))
+    assert got == [("chr1", 100, 199, 1), ("chr2", 100, 109, 1)]
+
+
+def test_partition_invariance(spark):
+    rows = [("chr%d" % (i % 3 + 1), 100 + 7 * i, 0, "%dM" % (20 + i % 50), 60) for i in range(200)]
+    df = aln(spark, rows)
+    base = blocks_of(depth(df))
+    for n in (1, 4, 16):
+        assert blocks_of(depth(df.repartition(n))) == base
+
+
+def test_depth_matches_duckdb_oracle(spark, oracle):
+    """Simple all-M alignments: oracle computes the same event algebra in SQL."""
+    import pandas as pd
+
+    from datafusion_bio_functions_spark.plans.oracle import depth_blocks_sql
+
+    rows = [("chr%d" % (i % 2 + 1), 50 + 13 * i, 0, "%dM" % (30 + (i * 7) % 40), 60) for i in range(100)]
+    df = aln(spark, rows)
+    got = blocks_of(depth(df))
+    pdf = pd.DataFrame(
+        [(c, st, 30 + (i * 7) % 40) for i, (c, st, _, _, _) in enumerate(rows)],
+        columns=["chrom", "start", "ref_len"],
+    )
+    oracle.register("aln_simple", pdf)
+    want = oracle.sql(depth_blocks_sql("SELECT * FROM aln_simple")).df()
+    want_rows = sorted(
+        (r.contig, int(r.pos_start), int(r.pos_end), int(r.coverage)) for r in want.itertuples()
+    )
+    assert got == want_rows
