@@ -1,38 +1,317 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator from SURVEY.md §2 that is implemented so far is exposed here
+twice: as a Spark DataFrame pipeline (``queries()``) and as the equivalent
+ANSI SQL for DuckDB (``oracle_sql()``).  The genomic operators run on
+*derived interval views* of the TPC-H-ish testdata (pure integer arithmetic
+over keys, identical in both engines); the LLM-pipeline operators run on the
+``documents`` / ``embeddings`` tables directly.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import datafusion_bio_functions_spark as bio
+from datafusion_bio_functions_spark.functions.text import lang_id as _lang_id
+from datafusion_bio_functions_spark.functions.text import text_stats as _text_stats
+from datafusion_bio_functions_spark.operators.dedup import exact_dedup, minhash_dedup
+from datafusion_bio_functions_spark.operators.pileup import depth
+from datafusion_bio_functions_spark.operators.similarity import cosine_topk
+from datafusion_bio_functions_spark.operators.vep import lookup_variants
+from datafusion_bio_functions_spark.plans import oracle as osql
+
+# ---------------------------------------------------------------------------
+# derived views: identical integer arithmetic in Spark and DuckDB.
+# Interval geometry note: widths are chosen so merge/cluster actually merge
+# (lineitem view width ≤300 vs stride ~?), and join outputs stay bounded.
+# ---------------------------------------------------------------------------
+
+READS_SQL = (
+    "SELECT concat('chr', CAST(o_orderkey % 4 + 1 AS VARCHAR)) AS contig, "
+    "CAST((o_orderkey * 37) % 100000 + 1 AS BIGINT) AS pos_start, "
+    "CAST((o_orderkey * 37) % 100000 + 1 + (o_orderkey % 97) AS BIGINT) AS pos_end "
+    "FROM orders"
+)
+TARGETS_SQL = (
+    "SELECT concat('chr', CAST(c_custkey % 4 + 1 AS VARCHAR)) AS contig, "
+    "CAST((c_custkey * 53) % 100000 + 1 AS BIGINT) AS pos_start, "
+    "CAST((c_custkey * 53) % 100000 + 1 + (c_custkey % 211) AS BIGINT) AS pos_end "
+    "FROM customer"
+)
+INTERVALS_M_SQL = (
+    "SELECT concat('chr', CAST(l_orderkey % 4 + 1 AS VARCHAR)) AS contig, "
+    "CAST((l_orderkey * 37 + l_linenumber * 11) % 100000 + 1 AS BIGINT) AS pos_start, "
+    "CAST((l_orderkey * 37 + l_linenumber * 11) % 100000 + 1 + (l_partkey % 300) AS BIGINT) AS pos_end "
+    "FROM lineitem"
+)
+CHROMSIZES_SQL = (
+    "SELECT * FROM (VALUES ('chr1', CAST(1 AS BIGINT), CAST(100500 AS BIGINT)), "
+    "('chr2', 1, 100500), ('chr3', 1, 100500), ('chr4', 1, 100500), "
+    "('chrM', 1, 16000)) AS t(contig, pos_start, pos_end)"
+)
+ALIGNMENTS_SQL = (  # (chrom, start, ref_len) of reads passing flag+mapq filters
+    "SELECT concat('chr', CAST(o_orderkey % 4 + 1 AS VARCHAR)) AS chrom, "
+    "CAST((o_orderkey * 37) % 100000 + 1 AS BIGINT) AS start, "
+    "CAST((o_orderkey % 97) + 1 AS BIGINT) AS ref_len "
+    "FROM orders WHERE o_orderkey % 50 <> 0 AND 60 - (o_orderkey % 30) >= 20"
+)
+VCF_SQL = (
+    "SELECT CAST(s_suppkey % 3 + 1 AS VARCHAR) AS chrom, "
+    "CAST((s_suppkey * 97) % 5000 + 1 AS BIGINT) AS start, "
+    "CAST((s_suppkey * 97) % 5000 + 1 AS BIGINT) AS \"end\", "
+    "substr('ACGT', CAST(s_suppkey % 4 + 1 AS INT), 1) AS ref, "
+    "substr('ACGT', CAST((s_suppkey + 1) % 4 + 1 AS INT), 1) AS alt "
+    "FROM supplier"
+)
+VAR_CACHE_SQL = (
+    "SELECT CAST(p_partkey % 3 + 1 AS VARCHAR) AS chrom, "
+    "CAST((p_partkey * 89) % 5000 + 1 AS BIGINT) AS start, "
+    "CAST((p_partkey * 89) % 5000 + 1 AS BIGINT) AS \"end\", "
+    "concat('rs', CAST(p_partkey AS VARCHAR)) AS variation_name, "
+    "concat(substr('ACGT', CAST(p_partkey % 4 + 1 AS INT), 1), '/', "
+    "substr('ACGT', CAST((p_partkey + 1) % 4 + 1 AS INT), 1)) AS allele_string, "
+    "CASE WHEN p_partkey % 3 = 0 THEN 'benign' WHEN p_partkey % 3 = 1 THEN 'pathogenic' "
+    "ELSE NULL END AS clin_sig "
+    "FROM part"
+)
+DOCS_DUP_SQL = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0"
+)
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _reads(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    ps = (F.col("o_orderkey") * 37) % 100000 + 1
+    return o.select(
+        F.concat(F.lit("chr"), (F.col("o_orderkey") % 4 + 1).cast("string")).alias("contig"),
+        ps.cast("long").alias("pos_start"),
+        (ps + F.col("o_orderkey") % 97).cast("long").alias("pos_end"),
+    )
+
+
+def _targets(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer")
+    ps = (F.col("c_custkey") * 53) % 100000 + 1
+    return c.select(
+        F.concat(F.lit("chr"), (F.col("c_custkey") % 4 + 1).cast("string")).alias("contig"),
+        ps.cast("long").alias("pos_start"),
+        (ps + F.col("c_custkey") % 211).cast("long").alias("pos_end"),
+    )
+
+
+def _intervals_m(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    ps = (F.col("l_orderkey") * 37 + F.col("l_linenumber") * 11) % 100000 + 1
+    return li.select(
+        F.concat(F.lit("chr"), (F.col("l_orderkey") % 4 + 1).cast("string")).alias("contig"),
+        ps.cast("long").alias("pos_start"),
+        (ps + F.col("l_partkey") % 300).cast("long").alias("pos_end"),
+    )
+
+
+def _chromsizes(spark):
+    rows = [("chr1", 1, 100500), ("chr2", 1, 100500), ("chr3", 1, 100500),
+            ("chr4", 1, 100500), ("chrM", 1, 16000)]
+    return spark.createDataFrame(rows, "contig string, pos_start long, pos_end long")
+
+
+def _alignments(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    ps = (F.col("o_orderkey") * 37) % 100000 + 1
+    return o.select(
+        F.concat(F.lit("chr"), (F.col("o_orderkey") % 4 + 1).cast("string")).alias("chrom"),
+        ps.cast("long").alias("start"),
+        F.when(F.col("o_orderkey") % 50 == 0, 1024).otherwise(0).alias("flags"),
+        F.concat((F.col("o_orderkey") % 97 + 1).cast("string"), F.lit("M")).alias("cigar"),
+        (60 - F.col("o_orderkey") % 30).cast("int").alias("mapping_quality"),
+    )
+
+
+def _vcf(spark, sf_dir):
+    s = _read(spark, sf_dir, "supplier")
+    ps = ((F.col("s_suppkey") * 97) % 5000 + 1).cast("long")
+    return s.select(
+        (F.col("s_suppkey") % 3 + 1).cast("string").alias("chrom"),
+        ps.alias("start"),
+        ps.alias("end"),
+        F.substring(F.lit("ACGT"), (F.col("s_suppkey") % 4 + 1).cast("int"), 1).alias("ref"),
+        F.substring(F.lit("ACGT"), ((F.col("s_suppkey") + 1) % 4 + 1).cast("int"), 1).alias("alt"),
+    )
+
+
+def _var_cache(spark, sf_dir):
+    p = _read(spark, sf_dir, "part")
+    ps = ((F.col("p_partkey") * 89) % 5000 + 1).cast("long")
+    ref = F.substring(F.lit("ACGT"), (F.col("p_partkey") % 4 + 1).cast("int"), 1)
+    alt = F.substring(F.lit("ACGT"), ((F.col("p_partkey") + 1) % 4 + 1).cast("int"), 1)
+    return p.select(
+        (F.col("p_partkey") % 3 + 1).cast("string").alias("chrom"),
+        ps.alias("start"),
+        ps.alias("end"),
+        F.concat(F.lit("rs"), F.col("p_partkey").cast("string")).alias("variation_name"),
+        F.concat(ref, F.lit("/"), alt).alias("allele_string"),
+        F.when(F.col("p_partkey") % 3 == 0, "benign")
+        .when(F.col("p_partkey") % 3 == 1, "pathogenic")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("clin_sig"),
+    )
+
+
+def _docs_dup(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dup)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interval overlap join (binned strategy) on sf0.001, rolled
+    up to per-contig pair counts + mean overlap length."""
+    sf_dir = "/root/testdata/sf0.001"
+    pairs = bio.overlap(_reads(spark, sf_dir), _targets(spark, sf_dir))
+    return pairs.groupBy("left_contig").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.least("left_pos_end", "right_pos_end")
+            - F.greatest("left_pos_start", "right_pos_start")
+            + 1
+        ).alias("overlap_bases"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q["overlap_join"] = lambda spark, sf: bio.overlap(_reads(spark, sf), _targets(spark, sf))
+    q["overlap_strict"] = lambda spark, sf: bio.overlap(
+        _reads(spark, sf), _targets(spark, sf), filter_op="strict", algorithm="sql"
+    )
+    q["count_overlaps"] = lambda spark, sf: bio.count_overlaps(
+        _reads(spark, sf), _targets(spark, sf)
+    )
+    q["coverage"] = lambda spark, sf: bio.coverage(_reads(spark, sf), _targets(spark, sf))
+    q["merge"] = lambda spark, sf: bio.merge(_intervals_m(spark, sf))
+    q["merge_min_dist"] = lambda spark, sf: bio.merge(_intervals_m(spark, sf), min_dist=10)
+    q["cluster"] = lambda spark, sf: bio.cluster(_intervals_m(spark, sf))
+    q["complement"] = lambda spark, sf: bio.complement(
+        _intervals_m(spark, sf), view=_chromsizes(spark)
+    )
+    q["subtract"] = lambda spark, sf: bio.subtract(_reads(spark, sf), _targets(spark, sf))
+    q["nearest"] = lambda spark, sf: bio.nearest(_reads(spark, sf), _targets(spark, sf), k=1)
+    q["depth_blocks"] = lambda spark, sf: depth(_alignments(spark, sf), min_mapq=20).select(
+        "contig", "pos_start", "pos_end", F.col("coverage").cast("long").alias("coverage")
+    )
+    q["lookup_variants"] = lambda spark, sf: lookup_variants(
+        _vcf(spark, sf), _var_cache(spark, sf)
+    )
+
+    def _tpch_pricing(spark, sf):
+        li = _read(spark, sf, "lineitem")
+        cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+        disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("count_order"),
+                F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                F.sum(cents).alias("sum_base_cents"),
+                F.sum(cents * (100 - disc_pct)).alias("sum_disc_micro"),
+            )
+        )
+
+    q["tpch_pricing"] = _tpch_pricing
+
+    def _events_hourly(spark, sf):
+        # events.ts is parquet TIMESTAMP(NANOS): read as raw long nanos
+        # (timezone-free) and bucket by exact integer division
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = _read(spark, sf, "events")
+        hour = F.expr("ts div 3600000000000") * 3600  # exact integer division
+        return ev.groupBy(hour.alias("hour_epoch"), "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+
+    q["events_hourly"] = _events_hourly
+
+    q["dedup_exact"] = lambda spark, sf: exact_dedup(_docs_dup(spark, sf), output="groups")
+    q["text_stats"] = lambda spark, sf: _text_stats(_read(spark, sf, "documents")).select(
+        "doc_id", "n_chars", "n_tokens", "n_alpha", "distinct_ratio",
+        "mean_token_len", "quality_score",
+    )
+    q["lang_id"] = lambda spark, sf: _read(spark, sf, "documents").select(
+        "doc_id", _lang_id("text").alias("lang_pred")
+    )
+    q["similarity_topk"] = lambda spark, sf: cosine_topk(
+        _read(spark, sf, "embeddings").filter(F.col("vec_id") < 50),
+        _read(spark, sf, "embeddings"),
+        k=10,
+    )
+    # non-SQL-expressible (hash-internal) op: rows-only check by the driver
+    # r=8 banding: S-curve cutoff (1/8)^(1/8) ≈ 0.77 for the 0.9 threshold
+    q["minhash_pairs"] = lambda spark, sf: minhash_dedup(
+        _docs_dup(spark, sf), threshold=0.9, num_perm=64, bands=8
+    )
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o["overlap_join"] = osql.overlap_sql(READS_SQL, TARGETS_SQL)
+    o["overlap_strict"] = osql.overlap_sql(READS_SQL, TARGETS_SQL, filter_op="strict")
+    o["count_overlaps"] = osql.count_overlaps_sql(READS_SQL, TARGETS_SQL)
+    o["coverage"] = osql.coverage_sql(READS_SQL, TARGETS_SQL)
+    o["merge"] = osql.merge_sql(INTERVALS_M_SQL)
+    o["merge_min_dist"] = osql.merge_sql(INTERVALS_M_SQL, min_dist=10)
+    o["cluster"] = osql.cluster_sql(INTERVALS_M_SQL)
+    o["complement"] = osql.complement_sql(INTERVALS_M_SQL, view=CHROMSIZES_SQL)
+    o["subtract"] = osql.subtract_sql(READS_SQL, TARGETS_SQL)
+    o["nearest"] = osql.nearest_sql(READS_SQL, TARGETS_SQL, k=1)
+    o["depth_blocks"] = osql.depth_blocks_sql(ALIGNMENTS_SQL)
+    o["lookup_variants"] = f"""
+WITH v AS ({VCF_SQL}), c AS ({VAR_CACHE_SQL})
+SELECT v.chrom, v.start, v."end", v.ref, v.alt,
+       c.variation_name, c.allele_string, c.clin_sig,
+       (c.variation_name IS NOT NULL) AS matched
+FROM v LEFT JOIN c
+  ON v.chrom = c.chrom AND v.start = c.start AND v."end" = c."end"
+ AND c.allele_string = concat(v.ref, '/', v.alt)"""
+    o["tpch_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS count_order,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_micro
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+    o["events_hourly"] = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2"""
+    o["dedup_exact"] = osql.exact_dedup_groups_sql(DOCS_DUP_SQL)
+    o["text_stats"] = osql.text_stats_sql("SELECT * FROM documents")
+    o["lang_id"] = osql.lang_id_sql("SELECT * FROM documents")
+    o["similarity_topk"] = osql.cosine_topk_sql(
+        "SELECT * FROM embeddings WHERE vec_id < 50", "SELECT * FROM embeddings", k=10
+    )
+    return o

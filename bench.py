@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Benchmark runner: executes the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:  {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries are materialized through the noop sink (full execution, no driver
+collect).  Each query runs once after a session warm-up query so JVM/codegen
+startup is not billed to the first workload.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datafusion_bio_functions_spark.session import get_or_create_session
+
+import __spark_entry__ as entrymod
+
+BENCH_QUERIES = [
+    "overlap_join",
+    "count_overlaps",
+    "coverage",
+    "merge",
+    "cluster",
+    "complement",
+    "subtract",
+    "nearest",
+    "depth_blocks",
+    "lookup_variants",
+    "tpch_pricing",
+    "events_hourly",
+    "dedup_exact",
+    "text_stats",
+    "lang_id",
+    "similarity_topk",
+    "minhash_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+
+    spark = get_or_create_session(app_name="bio-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm up JVM / codegen / parquet footer caches
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        # absorb accumulated JVM garbage between queries so a full-GC pause
+        # doesn't bill ~1min to whichever query happens to be running
+        spark.sparkContext._jvm.System.gc()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num if sf_num is not None else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -21,10 +21,23 @@ joins around them stay JVM-side.
 
 from __future__ import annotations
 
+import sys
+
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType, LongType, StringType
+
+# Spark's python workers don't inherit the driver's sys.path; serialize this
+# module's functions by value so the UDFs run wherever the package isn't
+# importable (e.g. a driver launched from another cwd, or real executors
+# without the package shipped).
+try:
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover - best effort
+    pass
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,113 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All hot-path functions are pure Spark Column expressions (JVM-side,
+whole-stage-codegen friendly) with deterministic semantics that the DuckDB
+oracle can reproduce exactly — see ``plans/oracle.py`` ``text_stats_sql`` /
+``lang_id_sql``.
+
+* ``token_count``       — single-space tokenization count
+* ``text_stats``        — n_chars / n_tokens / n_alpha / distinct-token and
+                          mean-token-length based ``quality_score``
+* ``lang_id``           — stopword-hit n-gram heuristic over a fixed
+                          language → marker-word profile table
+* ``doc_fingerprint``   — md5 of whitespace-normalized lowercased text
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: language → marker words (order = deterministic tie priority).  The
+#: heuristic is intentionally oracle-reproducible: score(lang) = number of
+#: marker words contained as whole tokens; argmax wins, ties go to the
+#: earlier entry; all-zero → 'und'.
+DEFAULT_LANG_PROFILES: list[tuple[str, list[str]]] = [
+    ("en", ["the", "and", "of", "is"]),
+    ("de", ["der", "die", "und", "nicht"]),
+    ("fr", ["le", "la", "et", "les"]),
+    ("es", ["el", "los", "que", "como"]),
+    ("pl", ["nie", "jest", "to", "czy"]),
+]
+
+
+def token_count(col: Column | str) -> Column:
+    """Number of single-space-separated tokens; 0 for empty/blank text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(c, " "))
+    ).cast("long")
+
+
+def _padded(c: Column) -> Column:
+    return F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+
+
+def lang_score(col: Column | str, words: list[str]) -> Column:
+    """Whole-token marker-word hit count."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = _padded(c)
+    score = F.lit(0)
+    for w in words:
+        score = score + F.when(p.contains(f" {w} "), 1).otherwise(0)
+    return score.cast("long")
+
+
+def lang_id(
+    col: Column | str, profiles: list[tuple[str, list[str]]] | None = None
+) -> Column:
+    """Language id via marker-word scores; deterministic argmax with
+    first-entry tie priority, 'und' when nothing matches."""
+    profiles = profiles or DEFAULT_LANG_PROFILES
+    c = F.col(col) if isinstance(col, str) else col
+    scores = [(lang, lang_score(c, words)) for lang, words in profiles]
+    # strict '>' + forward order: earlier profile wins ties; 'und' when all 0
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang, s in scores:
+        is_better = s > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """md5 of lowercased, whitespace-collapsed, trimmed text — the exact-dedup
+    key."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append n_chars, n_tokens, n_alpha, distinct_ratio, mean_token_len,
+    quality_score.  All double math is a fixed expression tree so the DuckDB
+    oracle reproduces values bit-for-bit; quality_score is rounded to 6 dp."""
+    c = F.col(text_col)
+    toks = token_count(c)
+    n_chars = F.length(c).cast("long")
+    n_alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", "")).cast("long")
+    n_distinct = F.size(F.array_distinct(F.split(c, " "))).cast("long")
+    out = (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", toks)
+        .withColumn("n_alpha", n_alpha)
+        .withColumn(
+            "distinct_ratio",
+            F.when(F.col("n_tokens") > 0, n_distinct / F.col("n_tokens")).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "mean_token_len",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.length(F.replace(c, F.lit(" "), F.lit(""))) / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    # NOT rounded: the raw double is bit-reproducible from the fixed
+    # expression tree, while round() tie behavior differs across engines
+    quality = (
+        F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0)) * 0.3
+        + F.col("distinct_ratio") * 0.4
+        + F.least(F.col("mean_token_len") / F.lit(8.0), F.lit(1.0)) * 0.3
+    )
+    return out.withColumn("quality_score", quality)

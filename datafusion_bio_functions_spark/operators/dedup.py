@@ -1,0 +1,336 @@
+"""Document deduplication operators for training-data pipelines.
+
+Four families, all shuffle-parallel DataFrame plans (no driver-side loops):
+
+* ``exact_dedup``          — hash-groupBy on a normalized fingerprint.
+* ``minhash_lsh_*``        — char-shingles → minhash signature → banded LSH
+  bucket join → exact Jaccard verification.  The banding join reuses the
+  same equi-join-on-derived-key skeleton as the genomic binned interval
+  join: explode to (band, band_hash) keys, self-join, verify exactly.
+* ``simhash_dedup``        — 64-bit simhash + chunked-bands Hamming join.
+* ``embedding near-dups``  — see ``operators/similarity.py`` (cosine > t).
+
+Everything up to verification is built-in JVM expressions (xxhash64,
+transform/aggregate higher-order functions); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint
+
+#: Mersenne prime 2^31-1: universal-hash modulus.  Coefficients and reduced
+#: hash values stay below 2^31 so ``a*h + b`` peaks at ~2^62 — inside the
+#: positive Long range even with Spark's ANSI overflow checking.  31-bit
+#: minhash space is ample (collision odds ~n²/2^32 per permutation).
+_MERSENNE = (1 << 31) - 1
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    output: str = "kept",
+) -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint.
+
+    ``output='kept'``   → original rows, one representative (min id) per group.
+    ``output='groups'`` → ``(fingerprint, keep_id, n_dups)`` summary.
+    """
+    fp = df.withColumn("fingerprint", doc_fingerprint(text_col))
+    if output == "groups":
+        return fp.groupBy("fingerprint").agg(
+            F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+        )
+    if output == "kept":
+        w = Window.partitionBy("fingerprint").orderBy(id_col)
+        return (
+            fp.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "fingerprint")
+        )
+    raise ValueError(f"unknown output mode {output!r}")
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _norm_text(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def _shingles_of(norm: Column, k: int) -> Column:
+    """Distinct xxhash64 of k-char shingles.  ``norm`` MUST be a plain
+    column reference (materialize the normalization first!) — any expression
+    placed here is re-evaluated once per character by the lambda."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.xxhash64(norm.substr(i, F.lit(k)))))
+
+
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Distinct xxhash64 values of the k-char shingles of the normalized
+    text.  Prefer ``minhash_signature`` which materializes the normalized
+    text first; this convenience Column re-normalizes per shingle."""
+    return _shingles_of(_norm_text(col), k)
+
+
+def _perm_lambda(a: int, b: int):
+    """Single-arg lambda factory: PySpark binds higher-order-function lambda
+    variables by the Python lambda's arity, so coefficients must be closed
+    over, never default args."""
+    return lambda h: F.pmod(F.lit(a) * F.pmod(h, F.lit(_MERSENNE)) + F.lit(b), F.lit(_MERSENNE))
+
+
+def _perm_coeffs(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_perm)]
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Append ``shingles`` (array<long>) and ``signature`` (array<long>,
+    ``num_perm`` minimums of universal hashes a*h+b mod 2^31-1)."""
+    out = (
+        df.withColumn("__norm", _norm_text(text_col))
+        .withColumn("shingles", _shingles_of(F.col("__norm"), shingle_k))
+        .drop("__norm")
+    )
+    coeffs = _perm_coeffs(num_perm, seed)
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("shingles"), _perm_lambda(a, b))) for a, b in coeffs]
+    )
+    return out.withColumn("signature", sig)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two shingle arrays (already distinct)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate pairs via banded LSH: signature sliced into ``bands`` bands
+    of ``r = num_perm / bands`` rows; pairs sharing any band bucket,
+    ``id_a < id_b``, distinct.  Output: (id_a, id_b) ONLY — shingle arrays
+    are joined back later so the (possibly huge) candidate shuffle carries
+    two longs per row, not two multi-KB arrays.  Pick ``bands`` for the
+    target threshold: the banding S-curve midpoint is ``(1/bands)^(1/r)``
+    (r=8, b=8 → ≈0.77 — right for near-dup thresholds ≥0.8)."""
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    rows = num_perm // bands
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.slice(F.col("signature"), b * rows + 1, rows)),
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.select(F.col("id").alias("id_a"), "band", "band_hash")
+    right = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
+    return (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 42,
+    output: str = "pairs",
+) -> DataFrame:
+    """MinHash-LSH near-duplicate detection with exact Jaccard verification.
+
+    ``output='pairs'`` → verified ``(id_a, id_b, jaccard)`` pairs ≥ threshold.
+    ``output='kept'``  → rows whose id is not dominated by a smaller-id
+    near-duplicate (single-pass representative: min neighbor id; documented
+    approximation of full connected components — transitive chains collapse
+    to their minimum via the dominance rule applied once).
+    """
+    # shingling + signatures are the expensive stage and feed three
+    # consumers (band join + two shingle joins) — materialize once
+    sigs = minhash_signature(df, text_col, num_perm, shingle_k, seed).persist()
+    cand = minhash_lsh_candidates(sigs, id_col, num_perm, bands)
+    shingle_side = sigs.select(F.col(id_col), F.col("shingles"))
+    verified = (
+        cand.join(
+            shingle_side.select(
+                F.col(id_col).alias("id_a"), F.col("shingles").alias("shingles_a")
+            ),
+            "id_a",
+        )
+        .join(
+            shingle_side.select(
+                F.col(id_col).alias("id_b"), F.col("shingles").alias("shingles_b")
+            ),
+            "id_b",
+        )
+        .withColumn("jaccard", jaccard(F.col("shingles_a"), F.col("shingles_b")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    if output == "pairs":
+        return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    if output == "kept":
+        dominated = verified.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(dominated, id_col, "left_anti")
+    raise ValueError(f"unknown output mode {output!r}")
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_bit_sum(hashes: Column, i: int) -> Column:
+    """Sum of ±1 over token hashes for bit position ``i`` (python literal —
+    shiftright requires a literal shift amount)."""
+
+    def step(acc: Column, h: Column) -> Column:
+        return acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+    return F.aggregate(hashes, F.lit(0), step)
+
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash of the token multiset, entirely in JVM expressions:
+    per-token xxhash64, then for each of the 64 bit positions the sign of
+    the ±1 token vote sum (positions unrolled Python-side into one
+    expression tree; bit 63 is Long's sign bit)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        mask = (1 << i) if i < 63 else -(1 << 63)  # signed-long top bit
+        out = out.bitwiseOR(
+            F.when(_simhash_bit_sum(hashes, i) > 0, F.lit(mask).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: pairs agreeing on ≥1 of ``chunks`` 16-bit
+    chunks (pigeonhole-complete for hamming ≤ chunks-1) verified by exact
+    Hamming distance.  Output: (id_a, id_b, hamming)."""
+    width = 64 // chunks
+    sh = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("simhash"))
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("chunk", "chunk_val"),
+    )
+    l = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "chunk_val")
+    r = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "chunk_val")
+    pairs = (
+        l.join(r, ["chunk", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("sh_a").alias("sh_a"), F.first("sh_b").alias("sh_b"))
+        .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# word n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Word n-gram Jaccard near-dup pairs, LSH-accelerated: shingles are
+    xxhash64 of word n-grams instead of char k-grams; same band join +
+    exact verification.  Output: (id_a, id_b, jaccard)."""
+    # materialize the token array: expressions inside the transform lambda
+    # are re-evaluated per n-gram
+    with_toks = df.withColumn("__toks", F.split(_norm_text(text_col), " "))
+    toks = F.col("__toks")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))))
+    )
+    with_sh = with_toks.withColumn("shingles", grams).drop("__toks")
+    coeffs = _perm_coeffs(num_perm, seed)
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("shingles"), _perm_lambda(a, b))) for a, b in coeffs]
+    )
+    sigs = with_sh.withColumn("signature", sig)
+    cand = minhash_lsh_candidates(sigs, id_col, num_perm, bands)
+    shingle_side = sigs.select(F.col(id_col), F.col("shingles"))
+    return (
+        cand.join(
+            shingle_side.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("shingles_a")),
+            "id_a",
+        )
+        .join(
+            shingle_side.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("shingles_b")),
+            "id_b",
+        )
+        .withColumn("jaccard", jaccard(F.col("shingles_a"), F.col("shingles_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,194 @@
+"""Approximate & exact nearest-neighbor search over embedding columns.
+
+* ``cosine_topk``      — exact brute-force top-k: query × corpus join with a
+  JVM-side ``zip_with``/``aggregate`` dot product (double precision, strict
+  left-to-right summation so the DuckDB oracle reproduces values exactly)
+  + window rank.  The baseline and the oracle path.
+* ``lsh_cosine_topk``  — random-hyperplane LSH: sign-bit bucket join with
+  multiprobe (Hamming-1 neighbors), exact rerank within buckets.  The scale
+  path: corpus shuffles once on bucket id, queries probe only matching
+  buckets.
+* ``cosine_near_dup_pairs`` — embedding near-duplicate pairs above a cosine
+  threshold (LSH-bucketed self-join).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Strict sequential double dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: output (query_id, neighbor_id, cosine_sim, rank).
+
+    Brute force O(|Q|·|C|) — the correctness baseline; Catalyst broadcasts
+    the smaller side.  Ties broken by neighbor id ascending; self-matches
+    (same id) excluded.  ``cosine_sim`` is the raw double — the strict
+    left-to-right summation makes it bit-reproducible by the SQL oracle.
+    """
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv"))
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv"))
+    sim = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__sim", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("__sim").alias("cosine_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit i = 1 iff dot(vec, plane_i) > 0."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(x) for x in p]))
+        bucket = bucket.bitwiseOR(F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long"))
+    return bucket
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    multiprobe: bool = True,
+    seed: int = 7,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: ``n_tables`` independent random-hyperplane tables
+    of ``n_planes`` sign bits each; equi-join on (table, bucket) — queries
+    additionally probe all Hamming-1 buckets per table when ``multiprobe`` —
+    then exact cosine rerank over the unioned candidates.
+
+    Recall ≈ 1-(1-p^k)^L for per-plane agreement p = 1-θ/π; tune
+    (n_planes, n_tables) to the similarity regime.  The exact
+    ``cosine_topk`` is the oracle.  At scale: the corpus is written
+    ``n_tables`` times (bounded, explicit), shuffled once on the
+    (table, bucket) key; each query probes ``n_tables * (1 + n_planes)``
+    buckets instead of scanning the corpus.
+    """
+    tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    c0 = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv"))
+    c = c0.select(
+        "neighbor_id",
+        "__cv",
+        F.posexplode(
+            F.array(*[_bucket_expr(F.col("__cv"), planes) for planes in tables])
+        ).alias("table", "bucket"),
+    )
+    q0 = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv"))
+    probe_cols = []
+    for t, planes in enumerate(tables):
+        b0 = _bucket_expr(F.col("__qv"), planes)
+        probe_cols.append(F.struct(F.lit(t).alias("table"), b0.alias("bucket")))
+        if multiprobe:
+            probe_cols.extend(
+                F.struct(F.lit(t).alias("table"), b0.bitwiseXOR(F.lit(1 << i)).alias("bucket"))
+                for i in range(n_planes)
+            )
+    qp = q0.select(
+        "query_id", "__qv", F.explode(F.array(*probe_cols)).alias("__p")
+    ).select("query_id", "__qv", F.col("__p.table").alias("table"), F.col("__p.bucket").alias("bucket"))
+    cand = (
+        qp.join(c, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "__qv", "neighbor_id", "__cv")
+        .distinct()
+    )
+    sim = cand.withColumn("__sim", cosine(F.col("__qv"), F.col("__cv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("__sim").alias("cosine_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ threshold) via LSH-bucketed
+    self-join + exact verification.  Multiprobes Hamming-1 buckets so pairs
+    split by a single sign flip are still found; output (id_a, id_b,
+    cosine_sim), id_a < id_b."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")).withColumn(
+        "__b0", _bucket_expr(F.col("__v"), planes)
+    )
+    probes = F.array(
+        F.col("__b0"), *[F.col("__b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    )
+    l = v.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"), F.explode(probes).alias("bucket"))
+    r = v.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__b0").alias("bucket"))
+    pairs = (
+        l.join(r, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("__va").alias("__va"), F.first("__vb").alias("__vb"))
+        .withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))

@@ -292,3 +292,106 @@ cum AS (
 )
 SELECT contig, CAST(pos AS BIGINT) AS pos_start, CAST(next_pos - 1 AS BIGINT) AS pos_end, coverage
 FROM cum WHERE coverage > 0 AND next_pos IS NOT NULL"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operator oracles (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+
+def text_stats_sql(t: str, text_col: str = "text", keep: Sequence[str] = ("doc_id",)) -> str:
+    """Mirror of ``functions.text.text_stats`` — identical expression tree so
+    doubles match bit-for-bit (DuckDB regexp_replace needs the 'g' flag to
+    match Spark's replace-all)."""
+    c = text_col
+    keep_proj = ", ".join(keep)
+    return f"""WITH s AS (
+  SELECT {keep_proj},
+         CAST(length({c}) AS BIGINT) AS n_chars,
+         CAST(CASE WHEN length(trim({c})) = 0 THEN 0
+              ELSE len(string_split({c}, ' ')) END AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace({c}, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         len(list_distinct(string_split({c}, ' '))) AS __nd,
+         length(replace({c}, ' ', '')) AS __nsp
+  FROM ({t})
+)
+SELECT {keep_proj}, n_chars, n_tokens, n_alpha,
+       CASE WHEN n_tokens > 0 THEN __nd / n_tokens ELSE 0.0 END AS distinct_ratio,
+       CASE WHEN n_tokens > 0 THEN __nsp / n_tokens ELSE 0.0 END AS mean_token_len,
+       least(n_tokens / 50.0, 1.0) * 0.3
+       + (CASE WHEN n_tokens > 0 THEN __nd / n_tokens ELSE 0.0 END) * 0.4
+       + least((CASE WHEN n_tokens > 0 THEN __nsp / n_tokens ELSE 0.0 END) / 8.0, 1.0) * 0.3
+         AS quality_score
+FROM s"""
+
+
+def lang_id_sql(
+    t: str,
+    text_col: str = "text",
+    keep: Sequence[str] = ("doc_id",),
+    profiles: Sequence[tuple[str, Sequence[str]]] | None = None,
+) -> str:
+    """Mirror of ``functions.text.lang_id``: first profile reaching the max
+    marker-word score wins; all-zero → 'und'."""
+    if profiles is None:
+        from ..functions.text import DEFAULT_LANG_PROFILES as profiles  # type: ignore
+    keep_proj = ", ".join(keep)
+
+    def score(words):
+        hits = " + ".join(
+            f"(CASE WHEN contains(' ' || lower({text_col}) || ' ', ' {w} ') THEN 1 ELSE 0 END)"
+            for w in words
+        )
+        return f"({hits})"
+
+    scores = ", ".join(f"{score(words)} AS s_{lang}" for lang, words in profiles)
+    gmax = "greatest(" + ", ".join(f"s_{lang}" for lang, _ in profiles) + ")"
+    chain = " ".join(f"WHEN s_{lang} = __m THEN '{lang}'" for lang, _ in profiles)
+    return f"""WITH s AS (SELECT {keep_proj}, {scores} FROM ({t})),
+m AS (SELECT *, {gmax} AS __m FROM s)
+SELECT {keep_proj}, CASE WHEN __m = 0 THEN 'und' {chain} END AS lang_pred FROM m"""
+
+
+def exact_dedup_groups_sql(t: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    """Mirror of ``operators.dedup.exact_dedup(output='groups')``."""
+    fp = f"md5(lower(trim(regexp_replace({text_col}, '\\s+', ' ', 'g'))))"
+    return f"""SELECT {fp} AS fingerprint, min({id_col}) AS keep_id, count(*) AS n_dups
+FROM ({t}) GROUP BY {fp}"""
+
+
+def cosine_topk_sql(
+    queries: str,
+    corpus: str,
+    k: int = 10,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    """Mirror of ``operators.similarity.cosine_topk``: sequential double dot
+    product (list_zip + list_transform + list_sum), rank by raw double with
+    neighbor-id tie-break, self-matches excluded, raw double sim (bit-reproducible)."""
+    dotexpr = (
+        "list_sum(list_transform(list_zip(q.__qv, c.__cv), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+
+    def norm(alias, col):
+        return (
+            f"sqrt(list_sum(list_transform({alias}.{col}, "
+            f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
+
+    return f"""WITH q AS (SELECT {query_id} AS query_id, {vec} AS __qv FROM ({queries})),
+c AS (SELECT {corpus_id} AS neighbor_id, {vec} AS __cv FROM ({corpus})),
+sim AS (
+  SELECT q.query_id, c.neighbor_id,
+         {dotexpr} / ({norm('q', '__qv')} * {norm('c', '__cv')}) AS __sim
+  FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY __sim DESC, neighbor_id ASC) AS rank
+  FROM sim
+)
+SELECT query_id, neighbor_id, __sim AS cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}"""

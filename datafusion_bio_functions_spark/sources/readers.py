@@ -1,0 +1,122 @@
+"""Source readers / sinks.
+
+Reference surface (SURVEY.md §2.1):
+
+* S2 VCF read/write  — here: text parse of the standard 8-column body into
+  the VCF contract frame; write back as VCF text lines.
+* S3 CSV/Parquet     — ``spark.read.csv/parquet`` 1:1; thin helpers with the
+  interval/alignment schemas pre-applied.
+* S4 per-chrom partitioned cache — ``partitionBy("chrom")`` parquet;
+  ``write_partitioned_cache`` / plain ``spark.read.parquet`` with automatic
+  partition pruning replaces the reference's manual per-chrom registration
+  (``partitioned_cache.rs:1-40``).
+* S6 cache builder   — ``build_sorted_cache``: range-repartition by
+  (chrom, start) + sortWithinPartitions so row-group min/max statistics give
+  data skipping — the Spark analogue of the reference's sorted row-group
+  tuned cache (``cache_builder.rs:1-41``).
+* S1 BAM             — no JVM-free BAM codec exists in this environment;
+  ``read_bam`` raises with guidance and ``read_alignments_parquet`` reads
+  the pre-converted contract frame (the reference's own unit tests feed the
+  same in-memory contract, ``physical_exec.rs:570-642``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+INTERVAL_SCHEMA = T.StructType(
+    [
+        T.StructField("contig", T.StringType(), False),
+        T.StructField("pos_start", T.LongType(), False),
+        T.StructField("pos_end", T.LongType(), False),
+    ]
+)
+
+ALIGNMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("chrom", T.StringType(), False),
+        T.StructField("start", T.LongType(), False),
+        T.StructField("flags", T.IntegerType(), False),
+        T.StructField("cigar", T.StringType(), False),
+        T.StructField("mapping_quality", T.IntegerType(), False),
+    ]
+)
+
+
+def read_interval_csv(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
+    """contig,pos_start,pos_end CSV (the reference's testing/data layout)."""
+    return spark.read.csv(path, header=header, schema=INTERVAL_SCHEMA)
+
+
+def read_alignments_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_bam(spark: SparkSession, path: str) -> DataFrame:
+    raise NotImplementedError(
+        "no BAM codec is available in this environment; convert BAM to parquet "
+        "with the alignment contract (chrom, start, flags, cigar, "
+        "mapping_quality) — e.g. via pysam in an ingest job — then use "
+        "read_alignments_parquet()"
+    )
+
+
+def read_vcf(spark: SparkSession, path: str) -> DataFrame:
+    """Parse a (possibly bgzip-less) VCF text file into the VCF contract
+    frame (chrom, start, end, id, ref, alt, qual, filter, info).  ``end`` is
+    ``start + len(ref) - 1`` (1-based closed, reference
+    ``variant_lookup_exec.rs:941-952``)."""
+    lines = spark.read.text(path).filter(~F.col("value").startswith("#"))
+    p = F.split(F.col("value"), "\t")
+    return lines.select(
+        p.getItem(0).alias("chrom"),
+        p.getItem(1).cast("long").alias("start"),
+        (p.getItem(1).cast("long") + F.length(p.getItem(3)) - 1).alias("end"),
+        p.getItem(2).alias("id"),
+        p.getItem(3).alias("ref"),
+        p.getItem(4).alias("alt"),
+        p.getItem(5).alias("qual"),
+        p.getItem(6).alias("filter"),
+        p.getItem(7).alias("info"),
+    )
+
+
+def write_vcf(df: DataFrame, path: str, info_col: str | None = None) -> None:
+    """Serialize the VCF contract frame back to VCF body text (one part per
+    partition; the reference's vcf_sink streams batch-wise the same way,
+    ``vcf_sink.rs:1-60``)."""
+    info = F.col(info_col) if info_col else F.lit(".")
+    out = df.select(
+        F.concat_ws(
+            "\t",
+            F.col("chrom"),
+            F.col("start").cast("string"),
+            F.coalesce(F.col("id"), F.lit(".")),
+            F.col("ref"),
+            F.col("alt"),
+            F.coalesce(F.col("qual"), F.lit(".")),
+            F.coalesce(F.col("filter"), F.lit(".")),
+            info,
+        ).alias("value")
+    )
+    out.write.mode("overwrite").text(path)
+
+
+def write_partitioned_cache(df: DataFrame, path: str, chrom_col: str = "chrom") -> None:
+    """Per-chromosome partitioned parquet (reference S4 layout); partition
+    pruning then applies to any chrom-filtered read automatically."""
+    df.write.mode("overwrite").partitionBy(chrom_col).parquet(path)
+
+
+def build_sorted_cache(
+    df: DataFrame, path: str, chrom_col: str = "chrom", pos_col: str = "start", partitions: int | None = None
+) -> None:
+    """Reference S6 cache-builder analogue: range-partition by (chrom, pos),
+    sort within partitions, write per-chrom parquet — row-group min/max
+    statistics then provide point-lookup data skipping."""
+    rp = df.repartitionByRange(
+        *( [partitions] if partitions else [] ), F.col(chrom_col), F.col(pos_col)
+    ).sortWithinPartitions(chrom_col, pos_col)
+    rp.write.mode("overwrite").partitionBy(chrom_col).parquet(path)

@@ -1,0 +1,279 @@
+"""Tests for the LLM-data-pipeline operators: text analysis, dedup families,
+similarity search, multimodal plumbing — on the real documents/embeddings
+parquet plus constructed edge cases."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_bio_functions_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    text_stats,
+    token_count,
+)
+from datafusion_bio_functions_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+)
+from datafusion_bio_functions_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    sample_frames,
+)
+from datafusion_bio_functions_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from datafusion_bio_functions_spark.plans import oracle as osql
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'")
+    yield con
+    con.close()
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame([("a b c",), ("",), ("  ",), ("one",)], ["text"])
+    got = [r[0] for r in df.select(token_count("text")).collect()]
+    assert got == [3, 0, 0, 1]
+
+
+def test_text_stats_matches_oracle(spark, documents, duck):
+    from tests.conftest import assert_frames_match
+
+    got = text_stats(documents).select(
+        "doc_id", "n_chars", "n_tokens", "n_alpha", "distinct_ratio",
+        "mean_token_len", "quality_score",
+    )
+    want = duck.sql(osql.text_stats_sql("SELECT * FROM documents"))
+    assert_frames_match(got, want)
+
+
+def test_lang_id_matches_oracle(spark, documents, duck):
+    from tests.conftest import assert_frames_match
+
+    got = documents.select("doc_id", lang_id("text").alias("lang_pred"))
+    want = duck.sql(osql.lang_id_sql("SELECT * FROM documents"))
+    assert_frames_match(got, want)
+
+
+def test_lang_id_behavior(spark):
+    rows = [
+        ("the cat and the dog of house is big",),  # en
+        ("der hund und die katze nicht hier",),  # de
+        ("xyz qqq www",),  # und
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    assert [r[0] for r in df.select(lang_id("text")).collect()] == ["en", "de", "und"]
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "Hello   World"),  # same after normalization
+            (3, "different"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = exact_dedup(df)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+    groups = exact_dedup(df, output="groups")
+    g = {r["keep_id"]: r["n_dups"] for r in groups.collect()}
+    assert g == {1: 2, 3: 1}
+
+
+def test_exact_dedup_matches_oracle(spark, documents, duck):
+    from tests.conftest import assert_frames_match
+
+    # derive duplicates: every 3rd doc re-appears with doc_id + 10000
+    dup = documents.select((F.col("doc_id") + 10000).alias("doc_id"), "text").filter(
+        F.col("doc_id") % 3 == 10000 % 3
+    )
+    corpus = documents.select("doc_id", "text").unionByName(dup)
+    got = exact_dedup(corpus, output="groups")
+    want = duck.sql(
+        osql.exact_dedup_groups_sql(
+            "SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 10000, text FROM documents WHERE doc_id % 3 = 0"
+        )
+    )
+    assert_frames_match(got, want)
+
+
+def test_minhash_dedup_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    rows = [
+        (1, base),
+        (2, base.replace("lazy", "sleepy")),  # near-dup
+        (3, "completely different content about database query engines and joins"),
+        (4, base),  # exact dup
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = minhash_dedup(df, threshold=0.5, num_perm=32, bands=16)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 4) in found  # exact dup certain
+    assert (1, 2) in found or (2, 4) in found  # near-dup found
+    assert not any(3 in p for p in found)
+    kept = minhash_dedup(df, threshold=0.5, num_perm=32, bands=16, output="kept")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert 3 in ids and 1 in ids and 4 not in ids
+
+
+def test_minhash_jaccard_exact_values(spark):
+    # identical docs → jaccard 1.0
+    df = spark.createDataFrame([(1, "aaaa bbbb cccc"), (2, "aaaa bbbb cccc")], ["doc_id", "text"])
+    rows = minhash_dedup(df, threshold=0.9, num_perm=16, bands=8).collect()
+    assert len(rows) == 1 and rows[0]["jaccard"] == 1.0
+
+
+def test_simhash_dedup(spark):
+    words = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (1, words),
+        (2, words + " extra"),  # tiny change → small hamming
+        (3, " ".join(f"z{i}" for i in range(60))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = simhash_dedup(df, max_hamming=8)
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert (1, 2) in found
+    assert all(3 not in p for p in found)
+
+
+def test_ngram_jaccard_dedup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " lambda"), (3, "mu nu xi omicron pi rho sigma tau")],
+        ["doc_id", "text"],
+    )
+    pairs = ngram_jaccard_dedup(df, n=3, threshold=0.5)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert found == {(1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_topk_matches_oracle(spark, embeddings, duck):
+    from tests.conftest import assert_frames_match
+
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    got = cosine_topk(queries, embeddings, k=5)
+    want = duck.sql(
+        osql.cosine_topk_sql(
+            "SELECT * FROM embeddings WHERE vec_id < 10", "SELECT * FROM embeddings", k=5
+        )
+    )
+    assert_frames_match(got, want)
+
+
+def test_cosine_topk_self_excluded(spark, embeddings):
+    out = cosine_topk(embeddings.limit(3), embeddings, k=3)
+    assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    assert out.groupBy("query_id").count().agg(F.max("count")).first()[0] == 3
+
+
+def test_lsh_recall_vs_exact(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(queries, embeddings, k=1)
+    approx = lsh_cosine_topk(queries, embeddings, k=1, dim=64, n_planes=4, n_tables=8)
+    e = {r["query_id"]: r["neighbor_id"] for r in exact.collect()}
+    a = {r["query_id"]: r["neighbor_id"] for r in approx.collect()}
+    hits = sum(1 for qid, nid in e.items() if a.get(qid) == nid)
+    # multiprobe LSH with 6 planes on 64-dim should recover most true NNs
+    assert hits >= len(e) * 0.5, f"LSH recall too low: {hits}/{len(e)}"
+
+
+def test_cosine_near_dup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = cosine_near_dup_pairs(df, threshold=0.99, dim=4, n_planes=4)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert found == {(1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, bytearray(b"\x89PNG fake image bytes"), "image"),
+        (2, bytearray(b"RIFF fake audio bytes"), "audio"),
+        (3, bytearray(b"\x00\x00ftyp fake video bytes"), "video"),
+    ]
+    return spark.createDataFrame(rows, "media_id long, content binary, media_type string")
+
+
+def test_decode_media_deterministic(spark, media):
+    a = decode_media(media).select("media_id", "media_meta").collect()
+    b = decode_media(media.repartition(3)).select("media_id", "media_meta").collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    meta = {r["media_id"]: r["media_meta"] for r in a}
+    assert meta[2]["sample_rate"] > 0 and meta[1]["sample_rate"] == 0
+    assert meta[3]["n_frames"] > 1 and meta[1]["n_frames"] == 1
+    assert all(m["byte_size"] > 0 for m in meta.values())
+
+
+def test_decode_media_real_raises(spark, media):
+    with pytest.raises(NotImplementedError):
+        decode_media(media, decode="real")
+
+
+def test_extract_features_unit_vectors(spark, media):
+    import numpy as np
+
+    rows = extract_features(media, feature_dim=16).select("media_id", "features").collect()
+    for r in rows:
+        v = np.array(r["features"])
+        assert len(v) == 16
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+
+def test_sample_frames(spark, media):
+    out = sample_frames(decode_media(media), every_nth=10)
+    rows = out.collect()
+    assert all(r["media_meta"]["media_type"] == "video" for r in rows)
+    assert len(rows) >= 1
+    assert all(r["frame_idx"] % 10 == 0 for r in rows)

@@ -1,0 +1,182 @@
+"""VEP phase-A tests: allele library semantics (vs reference allele.rs
+behavior), lookup_variants join semantics per FIXTURES.md F5/F6, annotate_vep
+phase-A output shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_bio_functions_spark.functions.alleles import (
+    allele_matches,
+    allele_matches_relaxed,
+    trim_sequences_ensembl,
+    vcf_to_vep_allele,
+    vep_allele_string,
+    vep_norm_end,
+    vep_norm_start,
+)
+from datafusion_bio_functions_spark.operators.vep import annotate_vep, lookup_variants
+
+
+# ---------------------------------------------------------------------------
+# allele library (pure python)
+# ---------------------------------------------------------------------------
+
+
+def test_vcf_to_vep_allele():
+    assert vcf_to_vep_allele("A", "T") == ("A", "T")  # SNV untouched
+    assert vcf_to_vep_allele("AT", "A") == ("T", "-")  # deletion
+    assert vcf_to_vep_allele("A", "AT") == ("-", "T")  # insertion
+    # MNV: prefix trimmed, suffix NOT trimmed (same-length alleles)
+    assert vcf_to_vep_allele("CAT", "CGT") == ("AT", "GT")
+    assert vcf_to_vep_allele("ACT", "AGT") == ("CT", "GT")
+    assert vcf_to_vep_allele("GCC", "GCCCA") == ("-", "CA")
+
+
+def test_vep_norm_coordinates():
+    # SNV at 100: unchanged
+    assert (vep_norm_start(100, "A", "G"), vep_norm_end(100, "A", "G")) == (100, 100)
+    # deletion CT>C at 100: start 101, end 101
+    assert (vep_norm_start(100, "CT", "C"), vep_norm_end(100, "CT", "C")) == (101, 101)
+    # insertion C>CT at 100: start 101 > end 100 (VEP convention)
+    assert (vep_norm_start(100, "C", "CT"), vep_norm_end(100, "C", "CT")) == (101, 100)
+
+
+def test_trim_sequences_ensembl():
+    r, a, s, e, changed = trim_sequences_ensembl("TACGT", "TAGGT", 100)
+    assert (r, a, s, e, changed) == ("C", "G", 102, 102, True)
+    r, a, s, e, changed = trim_sequences_ensembl("AAA", "AAA", 50)
+    assert (r, a) == ("-", "-") and changed
+
+
+def test_allele_matches():
+    assert allele_matches("A", "T", "A/T")
+    assert allele_matches("A", "T", "A/G/T")  # multi-alt cache
+    assert not allele_matches("A", "T", "A/G")
+    assert allele_matches("A", "T|G", "A/G")  # pipe multi-alt VCF
+    assert allele_matches("AT", "A", "T/-")  # deletion normalized
+    assert allele_matches("GCC", "GCCCA", "-/CA")  # insertion normalized
+    # bidirectional representation: cache stores the untrimmed form whose
+    # right-first trim equals the VCF's left-first normalization
+    assert allele_matches("A", "AA", "AG/AAG")
+
+
+def test_allele_matches_relaxed():
+    # same-length deletion events deleting *different* bases: strict fails,
+    # relaxed matches on event class + length
+    assert not allele_matches("CAT", "C", "GTC/G")
+    assert allele_matches_relaxed("CAT", "C", "GTC/G")  # 2-base deletions both
+    assert not allele_matches_relaxed("CAT", "C", "GA/G")  # different del length
+    assert not allele_matches_relaxed("A", "T", "A/G")  # SNVs never relaxed
+
+
+# ---------------------------------------------------------------------------
+# lookup_variants (FIXTURES F5 × F6 pairings)
+# ---------------------------------------------------------------------------
+
+VCF_COLS = ["chrom", "start", "end", "ref", "alt"]
+CACHE_COLS = ["chrom", "start", "end", "variation_name", "allele_string", "clin_sig", "source_release"]
+
+
+@pytest.fixture(scope="module")
+def vcf(spark):
+    return spark.createDataFrame(
+        [
+            ("1", 100, 100, "A", "T"),  # exact SNV hit
+            ("1", 200, 201, "AT", "A"),  # deletion → cache stores T/- at 201
+            ("1", 300, 300, "G", "C"),  # position hit, allele mismatch
+            ("1", 400, 400, "A", "G"),  # no cache row at all
+            ("2", 100, 100, "A", "T"),  # other chrom, exact hit
+        ],
+        VCF_COLS,
+    )
+
+
+@pytest.fixture(scope="module")
+def cache(spark):
+    return spark.createDataFrame(
+        [
+            ("1", 100, 100, "rs1", "A/T", "benign", "r115"),
+            ("1", 201, 201, "rs2", "T/-", "pathogenic", "r115"),
+            ("1", 300, 300, "rs3", "G/A", None, "r115"),  # co-located, different alt
+            ("2", 100, 100, "rs4", "A/T", None, "r115"),
+        ],
+        CACHE_COLS,
+    )
+
+
+def test_lookup_exact_matches(spark, vcf, cache):
+    out = lookup_variants(vcf, cache)
+    rows = {(r["chrom"], r["start"]): r for r in out.collect()}
+    assert len(rows) == 5  # every VCF row present exactly once (left join)
+    assert rows[("1", 100)]["variation_name"] == "rs1"
+    assert rows[("1", 100)]["clin_sig"] == "benign"
+    assert rows[("1", 200)]["variation_name"] == "rs2"  # normalized deletion hit
+    assert rows[("1", 300)]["variation_name"] is None  # allele mismatch → NULL
+    assert rows[("1", 400)]["variation_name"] is None
+    assert rows[("2", 100)]["variation_name"] == "rs4"
+    assert rows[("1", 100)]["matched"] and not rows[("1", 300)]["matched"]
+    # source_* columns excluded by default projection
+    assert "source_release" not in out.columns
+
+
+def test_lookup_column_projection(spark, vcf, cache):
+    out = lookup_variants(vcf, cache, columns=["clin_sig"])
+    assert set(out.columns) == set(VCF_COLS + ["variation_name", "clin_sig", "matched"])
+
+
+def test_lookup_extended_probes(spark):
+    # shifted deletion: VCF at 500 (AAT>A), cache stored at neighboring coords
+    vcf = spark.createDataFrame([("1", 500, 502, "AAT", "A")], VCF_COLS)
+    cache = spark.createDataFrame(
+        [("1", 502, 503, "rs9", "AT/-", None, "r")],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string, clin_sig string, source_release string",
+    )
+    exact = lookup_variants(vcf, cache, match_mode="relaxed")
+    assert exact.collect()[0]["variation_name"] is None  # coords differ
+    ext = lookup_variants(vcf, cache, match_mode="relaxed", extended_probes=True)
+    assert ext.collect()[0]["variation_name"] == "rs9"
+
+
+def test_lookup_contract_errors(spark, vcf):
+    bad = spark.createDataFrame([("1", 1, 1)], ["chrom", "start", "end"])
+    with pytest.raises(ValueError, match="required columns"):
+        lookup_variants(vcf, bad)
+    with pytest.raises(ValueError, match="match_mode"):
+        lookup_variants(vcf, vcf.withColumn("variation_name", F.lit("x")).withColumn("allele_string", F.lit("A/T")), match_mode="fuzzy")
+
+
+# ---------------------------------------------------------------------------
+# annotate_vep phase A
+# ---------------------------------------------------------------------------
+
+
+def test_annotate_vep_no_context(spark, vcf, cache):
+    out = annotate_vep(vcf, cache)
+    assert {"CSQ", "most_severe_consequence", "existing_variation"} <= set(out.columns)
+    rows = {(r["chrom"], r["start"]): r for r in out.collect()}
+    assert rows[("1", 100)]["existing_variation"] == "rs1"
+    assert rows[("1", 100)]["CSQ"].startswith("T|sequence_variant|rs1")
+    assert rows[("1", 400)]["existing_variation"] == ""
+
+
+def test_annotate_vep_with_transcripts(spark, vcf, cache):
+    transcripts = spark.createDataFrame(
+        [
+            ("ENST1", "1", 90, 150, 1, "protein_coding", "ENSG1", "GENE1"),
+            ("ENST2", "1", 390, 450, -1, "lncRNA", "ENSG2", "GENE2"),
+            # upstream window for chr1:200 variant (+strand: start-5000..start)
+            ("ENST3", "1", 2000, 2500, 1, "protein_coding", "ENSG3", "GENE3"),
+        ],
+        ["transcript_id", "chrom", "start", "end", "strand", "biotype", "gene_stable_id", "gene_symbol"],
+    )
+    out = annotate_vep(vcf, cache, transcripts=transcripts)
+    rows = {(r["chrom"], r["start"]): r for r in out.collect()}
+    assert rows[("1", 100)]["most_severe_consequence"] == "coding_transcript_variant"
+    assert "GENE1" in rows[("1", 100)]["CSQ"]
+    assert rows[("1", 400)]["most_severe_consequence"] == "non_coding_transcript_variant"
+    assert rows[("1", 200)]["most_severe_consequence"] == "upstream_gene_variant"
+    assert rows[("2", 100)]["most_severe_consequence"] == "intergenic_variant"
+    assert out.count() == vcf.count()  # one row per variant preserved
