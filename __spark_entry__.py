@@ -20,12 +20,19 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import datafusion_bio_functions_spark as bio
+from datafusion_bio_functions_spark.functions.text import doc_fingerprint, token_count
 from datafusion_bio_functions_spark.functions.text import lang_id as _lang_id
 from datafusion_bio_functions_spark.functions.text import text_stats as _text_stats
-from datafusion_bio_functions_spark.operators.dedup import exact_dedup, minhash_dedup
+from datafusion_bio_functions_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+)
+from datafusion_bio_functions_spark.operators.multimodal import extract_features
 from datafusion_bio_functions_spark.operators.pileup import depth
-from datafusion_bio_functions_spark.operators.similarity import cosine_topk
-from datafusion_bio_functions_spark.operators.vep import lookup_variants
+from datafusion_bio_functions_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from datafusion_bio_functions_spark.operators.vep import annotate_vep, lookup_variants
 from datafusion_bio_functions_spark.plans import oracle as osql
 
 # ---------------------------------------------------------------------------
@@ -170,6 +177,35 @@ def _var_cache(spark, sf_dir):
     )
 
 
+def _transcripts(spark, sf_dir):
+    """Synthetic transcript context over the VCF view's coordinate space
+    (chrom 1-3, pos 1..5000): one transcript per nation row."""
+    n = _read(spark, sf_dir, "nation")
+    start = ((F.col("n_nationkey") * 701) % 4000 + 200).cast("long")
+    return n.select(
+        F.concat(F.lit("TX"), F.col("n_nationkey").cast("string")).alias("transcript_id"),
+        (F.col("n_nationkey") % 3 + 1).cast("string").alias("chrom"),
+        start.alias("start"),
+        (start + 600).alias("end"),
+        F.when(F.col("n_nationkey") % 2 == 0, 1).otherwise(-1).alias("strand"),
+        F.when(F.col("n_nationkey") % 5 == 0, "lincRNA").otherwise("protein_coding").alias(
+            "biotype"
+        ),
+        F.concat(F.lit("G"), F.col("n_nationkey").cast("string")).alias("gene_stable_id"),
+        F.col("n_name").alias("gene_symbol"),
+        (start + 100).alias("cds_start"),
+        (start + 500).alias("cds_end"),
+    )
+
+
+def _tx_exons(spark, sf_dir):
+    """Two exons per transcript: [start, start+250] and [start+350, end]."""
+    t = _transcripts(spark, sf_dir)
+    e1 = t.select("transcript_id", F.col("start"), (F.col("start") + 250).alias("end"))
+    e2 = t.select("transcript_id", (F.col("start") + 350).alias("start"), F.col("end"))
+    return e1.unionByName(e2)
+
+
 def _docs_dup(spark, sf_dir):
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
     dup = d.filter(F.col("doc_id") % 3 == 0).select(
@@ -217,6 +253,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["subtract"] = lambda spark, sf: bio.subtract(_reads(spark, sf), _targets(spark, sf))
     q["nearest"] = lambda spark, sf: bio.nearest(_reads(spark, sf), _targets(spark, sf), k=1)
+    q["nearest_k3"] = lambda spark, sf: bio.nearest(_reads(spark, sf), _targets(spark, sf), k=3)
+    q["overlap_left_semi"] = lambda spark, sf: bio.overlap(
+        _reads(spark, sf), _targets(spark, sf), output="left_distinct"
+    )
+    q["depth_per_base"] = lambda spark, sf: depth(
+        _alignments(spark, sf), min_mapq=20, per_base=True
+    ).select("contig", "pos", F.col("coverage").cast("long").alias("coverage"))
     q["depth_blocks"] = lambda spark, sf: depth(_alignments(spark, sf), min_mapq=20).select(
         "contig", "pos_start", "pos_end", F.col("coverage").cast("long").alias("coverage")
     )
@@ -254,6 +297,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_hourly"] = _events_hourly
 
     q["dedup_exact"] = lambda spark, sf: exact_dedup(_docs_dup(spark, sf), output="groups")
+    q["doc_tokens"] = lambda spark, sf: _read(spark, sf, "documents").select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
     q["text_stats"] = lambda spark, sf: _text_stats(_read(spark, sf, "documents")).select(
         "doc_id", "n_chars", "n_tokens", "n_alpha", "distinct_ratio",
         "mean_token_len", "quality_score",
@@ -271,6 +319,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_pairs"] = lambda spark, sf: minhash_dedup(
         _docs_dup(spark, sf), threshold=0.9, num_perm=64, bands=8
     )
+    # codon-level consequence engine: rows-only check (genetic-code logic
+    # is not expressible in ANSI SQL); correctness gated by
+    # tests/test_consequence.py truth tables instead
+    q["annotate_vep"] = lambda spark, sf: annotate_vep(
+        _vcf(spark, sf),
+        _var_cache(spark, sf),
+        transcripts=_transcripts(spark, sf),
+        exons=_tx_exons(spark, sf),
+    )
+    # hash-internal ops: rows-only checks; pairwise semantics gated by
+    # tests/test_pipeline_ops.py
+    q["simhash_pairs"] = lambda spark, sf: simhash_dedup(
+        _docs_dup(spark, sf), max_hamming=3
+    )
+    q["ngram_jaccard_pairs"] = lambda spark, sf: ngram_jaccard_dedup(
+        _docs_dup(spark, sf), n=3, threshold=0.8
+    )
+    q["lsh_ann_topk"] = lambda spark, sf: lsh_cosine_topk(
+        _read(spark, sf, "embeddings").filter(F.col("vec_id") < 50),
+        _read(spark, sf, "embeddings"),
+        k=10,
+        n_planes=8,
+    )
+    # multimodal plumbing: binary column + deterministic fake feature
+    # extraction (decoders stubbed per spec — no media libs in container)
+    q["media_features"] = lambda spark, sf: extract_features(
+        _read(spark, sf, "documents").select(
+            "doc_id",
+            F.encode(F.col("text"), "utf-8").alias("content"),
+            F.lit("image").alias("media_type"),
+        )
+    )
     return q
 
 
@@ -286,7 +366,23 @@ def oracle_sql() -> dict[str, str]:
     o["complement"] = osql.complement_sql(INTERVALS_M_SQL, view=CHROMSIZES_SQL)
     o["subtract"] = osql.subtract_sql(READS_SQL, TARGETS_SQL)
     o["nearest"] = osql.nearest_sql(READS_SQL, TARGETS_SQL, k=1)
+    o["nearest_k3"] = osql.nearest_sql(READS_SQL, TARGETS_SQL, k=3)
+    o["overlap_left_semi"] = (
+        f"SELECT DISTINCT l.contig, l.pos_start, l.pos_end FROM ({READS_SQL}) l "
+        f"JOIN ({TARGETS_SQL}) r ON l.contig = r.contig "
+        "AND l.pos_start <= r.pos_end AND l.pos_end >= r.pos_start"
+    )
     o["depth_blocks"] = osql.depth_blocks_sql(ALIGNMENTS_SQL)
+    o["depth_per_base"] = f"""
+WITH blocks AS ({osql.depth_blocks_sql(ALIGNMENTS_SQL)})
+SELECT contig, CAST(unnest(generate_series(pos_start, pos_end)) AS BIGINT) AS pos, coverage
+FROM blocks"""
+    o["doc_tokens"] = """
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tokens,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+FROM documents"""
     o["lookup_variants"] = f"""
 WITH v AS ({VCF_SQL}), c AS ({VAR_CACHE_SQL})
 SELECT v.chrom, v.start, v."end", v.ref, v.alt,

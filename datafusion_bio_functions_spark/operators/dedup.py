@@ -105,19 +105,76 @@ def minhash_signature(
     num_perm: int = 64,
     shingle_k: int = 5,
     seed: int = 42,
+    method: str = "arrow",
 ) -> DataFrame:
-    """Append ``shingles`` (array<long>) and ``signature`` (array<long>,
-    ``num_perm`` minimums of universal hashes a*h+b mod 2^31-1)."""
-    out = (
-        df.withColumn("__norm", _norm_text(text_col))
-        .withColumn("shingles", _shingles_of(F.col("__norm"), shingle_k))
-        .drop("__norm")
-    )
+    """Append ``shingles`` (array<long>, distinct k-gram hashes) and
+    ``signature`` (array<long>, ``num_perm`` minimums of universal hashes
+    ``a*h+b mod 2^31-1``).
+
+    ``method='arrow'`` (default): shingling + signature in ONE vectorized
+    numpy pandas UDF.  Catalyst higher-order functions (``transform`` /
+    ``aggregate``) are *interpreted*, not codegen'd — evaluating
+    num_perm × n_shingles lambda calls per document row-at-a-time is ~20×
+    slower than the Arrow batch path at sf0.1 (48 s → ~2 s).
+    ``method='sql'``: the all-JVM expression formulation (kept as the
+    dependency-free oracle; xxhash64-based shingle values, so shingle VALUES
+    differ between methods while all set relations agree)."""
+    if method == "sql":
+        out = (
+            df.withColumn("__norm", _norm_text(text_col))
+            .withColumn("shingles", _shingles_of(F.col("__norm"), shingle_k))
+            .drop("__norm")
+        )
+        coeffs = _perm_coeffs(num_perm, seed)
+        sig = F.array(
+            *[F.array_min(F.transform(F.col("shingles"), _perm_lambda(a, b))) for a, b in coeffs]
+        )
+        return out.withColumn("signature", sig)
+    if method != "arrow":
+        raise ValueError(f"method must be 'arrow' or 'sql', got {method!r}")
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     coeffs = _perm_coeffs(num_perm, seed)
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("shingles"), _perm_lambda(a, b))) for a, b in coeffs]
+    a_np = np.array([a for a, _ in coeffs], dtype=np.uint64)[:, None]
+    b_np = np.array([b for _, b in coeffs], dtype=np.uint64)[:, None]
+    m_np = np.uint64(_MERSENNE)
+    base = np.uint64(1099511628211)  # FNV-1a prime as polynomial base
+    pows = base ** np.arange(shingle_k, dtype=np.uint64)  # mod-2^64 wrap is fine
+    k = shingle_k
+
+    res_type = T.StructType(
+        [
+            T.StructField("shingles", T.ArrayType(T.LongType()), False),
+            T.StructField("signature", T.ArrayType(T.LongType()), False),
+        ]
     )
-    return out.withColumn("signature", sig)
+
+    @F.pandas_udf(res_type, F.PandasUDFType.SCALAR)
+    def _shingle_sig(texts):
+        sh_out, sig_out = [], []
+        for txt in texts:
+            norm = " ".join(str(txt or "").lower().split())
+            raw = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8)
+            if len(raw) < k:
+                raw = np.pad(raw, (0, k - len(raw)))
+            win = np.lib.stride_tricks.sliding_window_view(raw, k)
+            grams = np.unique((win.astype(np.uint64) * pows).sum(axis=1, dtype=np.uint64))
+            hm = grams % m_np
+            sig = ((a_np * hm[None, :] + b_np) % m_np).min(axis=1)
+            sh_out.append(grams.view(np.int64))
+            sig_out.append(sig.astype(np.int64))
+        return pd.DataFrame({"shingles": sh_out, "signature": sig_out})
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return (
+        df.withColumn("__ss", _shingle_sig(c))
+        .withColumn("shingles", F.col("__ss.shingles"))
+        .withColumn("signature", F.col("__ss.signature"))
+        .drop("__ss")
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:

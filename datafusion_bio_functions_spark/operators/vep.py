@@ -146,76 +146,57 @@ def lookup_variants(
     return joined.select(*out_cols)
 
 
-#: Severity-ranked Sequence Ontology terms (public SO/VEP severity order;
-#: reference so_terms.rs:5-299 rank 1..41, impact HIGH..MODIFIER).  Phase A
-#: uses only the tail entries; the full table ships now so phase B plugs in.
-SO_TERMS_BY_RANK: list[tuple[str, str]] = [
-    ("transcript_ablation", "HIGH"),
-    ("splice_acceptor_variant", "HIGH"),
-    ("splice_donor_variant", "HIGH"),
-    ("stop_gained", "HIGH"),
-    ("frameshift_variant", "HIGH"),
-    ("stop_lost", "HIGH"),
-    ("start_lost", "HIGH"),
-    ("transcript_amplification", "HIGH"),
-    ("feature_elongation", "HIGH"),
-    ("feature_truncation", "HIGH"),
-    ("inframe_insertion", "MODERATE"),
-    ("inframe_deletion", "MODERATE"),
-    ("missense_variant", "MODERATE"),
-    ("protein_altering_variant", "MODERATE"),
-    ("splice_donor_5th_base_variant", "LOW"),
-    ("splice_region_variant", "LOW"),
-    ("splice_donor_region_variant", "LOW"),
-    ("splice_polypyrimidine_tract_variant", "LOW"),
-    ("incomplete_terminal_codon_variant", "LOW"),
-    ("start_retained_variant", "LOW"),
-    ("stop_retained_variant", "LOW"),
-    ("synonymous_variant", "LOW"),
-    ("coding_sequence_variant", "MODIFIER"),
-    ("mature_miRNA_variant", "MODIFIER"),
-    ("5_prime_UTR_variant", "MODIFIER"),
-    ("3_prime_UTR_variant", "MODIFIER"),
-    ("non_coding_transcript_exon_variant", "MODIFIER"),
-    ("intron_variant", "MODIFIER"),
-    ("NMD_transcript_variant", "MODIFIER"),
-    ("non_coding_transcript_variant", "MODIFIER"),
-    ("coding_transcript_variant", "MODIFIER"),
-    ("upstream_gene_variant", "MODIFIER"),
-    ("downstream_gene_variant", "MODIFIER"),
-    ("TFBS_ablation", "MODIFIER"),
-    ("TFBS_amplification", "MODIFIER"),
-    ("TF_binding_site_variant", "MODIFIER"),
-    ("regulatory_region_ablation", "MODIFIER"),
-    ("regulatory_region_amplification", "MODIFIER"),
-    ("regulatory_region_variant", "MODIFIER"),
-    ("intergenic_variant", "MODIFIER"),
-    ("sequence_variant", "MODIFIER"),
-]
-
-SO_RANK = {term: i + 1 for i, (term, _) in enumerate(SO_TERMS_BY_RANK)}
+#: Severity-ranked Sequence Ontology terms — single source of truth lives in
+#: ``functions.consequence`` (reference so_terms.rs:5-299).
+from ..functions.consequence import SO_RANK, SO_TERMS_BY_RANK  # noqa: E402,F401
 
 
 def annotate_vep(
     vcf: DataFrame,
     cache: DataFrame,
     transcripts: DataFrame | None = None,
+    exons: DataFrame | None = None,
     match_mode: str = "exact",
     extended_probes: bool = False,
     upstream_distance: int = 5000,
     downstream_distance: int = 500,
+    engine: str = "auto",
 ) -> DataFrame:
-    """Phase-A annotation pipeline: known-variant lookup + a coarse
-    positional consequence classifier when a ``transcripts`` context table
-    (``transcript_id, chrom, start, end, strand, biotype, gene_stable_id,
-    gene_symbol``) is given.
+    """Annotation pipeline: known-variant lookup + consequence assignment.
 
-    Output: VCF columns + ``CSQ`` (pipe-joined ``Allele|Consequence|
-    Existing_variation|SYMBOL|Gene``) + ``most_severe_consequence`` +
-    ``existing_variation``.  Phase B replaces the positional classifier with
-    the full transcript consequence engine (codon-level; reference
-    ``transcript_consequence.rs:801-1124``) behind the same API.
+    ``engine='positional'`` (or no ``transcripts``): phase-A coarse classes
+    (inside transcript / up / downstream).  ``engine='codon'`` (default via
+    ``'auto'`` when ``transcripts`` is given): the phase-B transcript
+    consequence engine (``functions.consequence``; reference
+    ``transcript_consequence.rs:801-1124``) — splice windows, UTR/intron,
+    codon-accurate SNV effects, frameshift/inframe indels, HGVS g./c./p. —
+    evaluated per (variant, transcript) pair inside an Arrow-batched pandas
+    UDF; the variant×transcript pairing itself is a broadcast interval join
+    so the hot path stays JVM-side.
+
+    ``transcripts`` columns: ``transcript_id chrom start end strand biotype
+    gene_stable_id gene_symbol`` + optional ``cds_start cds_end
+    cds_sequence`` (reference context contract
+    ``annotate_provider.rs:2511-2563``).  ``exons``: ``transcript_id start
+    end`` (``annotate_provider.rs:2893-2899``); omitted → single-exon model.
+
+    Output: VCF columns + ``CSQ`` (comma-joined per-transcript entries
+    ``Allele|Consequence|IMPACT|SYMBOL|Gene|Feature|HGVSc|HGVSp``) +
+    ``most_severe_consequence`` + ``existing_variation``.
     """
+    if engine == "auto":
+        engine = "codon" if transcripts is not None else "positional"
+    if engine == "codon":
+        if transcripts is None:
+            raise ValueError("engine='codon' requires a transcripts DataFrame")
+        looked = lookup_variants(
+            vcf, cache, match_mode=match_mode, extended_probes=extended_probes
+        )
+        return _annotate_codon(
+            looked, vcf.columns, transcripts, exons, upstream_distance, downstream_distance
+        )
+    if engine != "positional":
+        raise ValueError(f"engine must be 'auto', 'codon' or 'positional', got {engine!r}")
     looked = lookup_variants(
         vcf, cache, match_mode=match_mode, extended_probes=extended_probes
     )
@@ -291,3 +272,190 @@ def annotate_vep(
         ),
     )
     return out.drop("__all_csq", "__symbols", "__genes")
+
+
+# ---------------------------------------------------------------------------
+# phase B: codon-level consequence engine
+# ---------------------------------------------------------------------------
+
+
+def _annotate_codon(
+    looked: DataFrame,
+    vcf_cols: Sequence[str],
+    transcripts: DataFrame,
+    exons: DataFrame | None,
+    upstream_distance: int,
+    downstream_distance: int,
+) -> DataFrame:
+    """Variant×transcript pairing (broadcast range join on chrom) + per-pair
+    classification through ``functions.consequence.classify`` in one
+    Arrow-batched pandas UDF, then per-variant CSQ/most-severe rollup."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..functions import consequence as cq
+
+    t = transcripts
+    opt = {c: (c in t.columns) for c in ("cds_start", "cds_end", "cds_sequence", "gene_symbol")}
+    tsel = [
+        F.col("transcript_id").alias("__t_id"),
+        F.col("chrom").alias("__t_chrom"),
+        F.col("start").cast("long").alias("__t_start"),
+        F.col("end").cast("long").alias("__t_end"),
+        F.col("strand").cast("int").alias("__t_strand"),
+        F.col("biotype").alias("__t_biotype"),
+        F.col("gene_stable_id").alias("__t_gene"),
+        (F.col("gene_symbol") if opt["gene_symbol"] else F.lit("")).alias("__t_symbol"),
+        (F.col("cds_start").cast("long") if opt["cds_start"] else F.lit(None).cast("long")).alias(
+            "__t_cds_start"
+        ),
+        (F.col("cds_end").cast("long") if opt["cds_end"] else F.lit(None).cast("long")).alias(
+            "__t_cds_end"
+        ),
+        (F.col("cds_sequence") if opt["cds_sequence"] else F.lit(None).cast("string")).alias(
+            "__t_cds_seq"
+        ),
+    ]
+    tctx = t.select(*tsel)
+    if exons is not None:
+        packed = exons.groupBy(F.col("transcript_id").alias("__t_id")).agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("start").cast("long").alias("s"), F.col("end").cast("long").alias("e"))
+                )
+            ).alias("__t_exons")
+        )
+        tctx = tctx.join(packed, "__t_id", "left")
+    else:
+        tctx = tctx.withColumn(
+            "__t_exons", F.lit(None).cast("array<struct<s:bigint,e:bigint>>")
+        )
+
+    pad = max(upstream_distance, downstream_distance)
+    pos = F.col("start").cast("long")
+    vend = pos + F.greatest(F.length("ref") - 1, F.lit(0))
+    paired = looked.join(
+        F.broadcast(tctx),
+        (F.col("chrom") == F.col("__t_chrom"))
+        & (pos <= F.col("__t_end") + pad)
+        & (vend >= F.col("__t_start") - pad),
+        "left",
+    )
+
+    res_type = T.StructType(
+        [
+            T.StructField("terms", T.ArrayType(T.StringType()), True),
+            T.StructField("impact", T.StringType(), True),
+            T.StructField("hgvsc", T.StringType(), True),
+            T.StructField("hgvsp", T.StringType(), True),
+        ]
+    )
+
+    # no type hints: scalar pandas UDF (Series... -> DataFrame for a struct
+    # return); string hints would fail to resolve against the local import
+    @F.pandas_udf(res_type, F.PandasUDFType.SCALAR)
+    def _classify(
+        pos_s, ref_s, alt_s, tid,
+        ts, te, strand, biotype,
+        cds_s, cds_e, cds_seq, exlist,
+    ):
+        out = {"terms": [], "impact": [], "hgvsc": [], "hgvsp": []}
+        for i in range(len(pos_s)):
+            if tid.iloc[i] is None or pd.isna(ts.iloc[i]):
+                out["terms"].append(None)
+                out["impact"].append(None)
+                out["hgvsc"].append(None)
+                out["hgvsp"].append(None)
+                continue
+            ex = exlist.iloc[i]
+            exs = (
+                [(int(d["s"]), int(d["e"])) for d in ex]
+                if ex is not None and len(ex) > 0
+                else []
+            )
+            tr = cq.Transcript(
+                transcript_id=str(tid.iloc[i]),
+                chrom="",
+                start=int(ts.iloc[i]),
+                end=int(te.iloc[i]),
+                strand=int(strand.iloc[i]),
+                biotype=str(biotype.iloc[i]),
+                exons=exs,
+                cds_start=None if pd.isna(cds_s.iloc[i]) else int(cds_s.iloc[i]),
+                cds_end=None if pd.isna(cds_e.iloc[i]) else int(cds_e.iloc[i]),
+                cds_sequence=None if cds_seq.iloc[i] is None else str(cds_seq.iloc[i]),
+            )
+            p, r, a = int(pos_s.iloc[i]), str(ref_s.iloc[i]), str(alt_s.iloc[i])
+            terms = cq.classify(tr, p, r, a)
+            ms = cq.most_severe(terms)
+            out["terms"].append(terms if terms else None)
+            out["impact"].append(cq.SO_IMPACT.get(ms) if ms else None)
+            out["hgvsc"].append(cq.hgvs_c(tr, p, r, a))
+            out["hgvsp"].append(cq.hgvs_p(tr, p, r, a))
+        return pd.DataFrame(out)
+
+    paired = paired.withColumn(
+        "__res",
+        _classify(
+            pos, F.col("ref"), F.col("alt"), F.col("__t_id"),
+            F.col("__t_start"), F.col("__t_end"), F.col("__t_strand"),
+            F.col("__t_biotype"), F.col("__t_cds_start"), F.col("__t_cds_end"),
+            F.col("__t_cds_seq"), F.col("__t_exons"),
+        ),
+    )
+    # a transcript within the ±pad window can still yield no term (e.g. on
+    # the wrong strand side beyond its distance cutoff) — treat as unpaired
+    paired = paired.withColumn(
+        "__terms",
+        F.when(F.size(F.col("__res.terms")) > 0, F.col("__res.terms")).otherwise(
+            F.lit(None).cast("array<string>")
+        ),
+    )
+
+    rank_map = F.map_from_arrays(
+        F.array(*[F.lit(term) for term, _ in SO_TERMS_BY_RANK]),
+        F.array(*[F.lit(i + 1) for i in range(len(SO_TERMS_BY_RANK))]),
+    )
+    entry_csq = F.concat_ws(
+        "|",
+        F.col("alt"),
+        F.concat_ws("&", F.col("__terms")),
+        F.col("__res.impact"),
+        F.coalesce(F.col("__t_symbol"), F.lit("")),
+        F.coalesce(F.col("__t_gene"), F.lit("")),
+        F.coalesce(F.col("__t_id"), F.lit("")),
+        F.coalesce(F.col("__res.hgvsc"), F.lit("")),
+        F.coalesce(F.col("__res.hgvsp"), F.lit("")),
+    )
+    with_entry = paired.withColumn(
+        "__entry", F.when(F.col("__terms").isNotNull(), entry_csq)
+    ).withColumn(
+        # rank-prefixed term so a plain min() picks the most severe one
+        "__best_term",
+        F.when(
+            F.col("__terms").isNotNull(),
+            F.array_min(
+                F.transform(
+                    F.col("__terms"),
+                    lambda x: F.format_string("%02d|%s", rank_map[x], x),
+                )
+            ),
+        ),
+    )
+
+    looked_cols = list(looked.columns)
+    grouped = with_entry.groupBy(*[F.col(c) for c in looked_cols]).agg(
+        F.substring_index(F.min("__best_term"), "|", -1).alias("__ms"),
+        F.concat_ws(",", F.array_sort(F.collect_list("__entry"))).alias("CSQ"),
+    )
+    intergenic = F.lit("intergenic_variant")
+    return grouped.select(
+        *looked_cols,
+        F.coalesce(F.col("__ms"), intergenic).alias("most_severe_consequence"),
+        F.coalesce(F.col("variation_name"), F.lit("")).alias("existing_variation"),
+        F.when(
+            F.col("CSQ") == "", F.concat_ws("|", F.col("alt"), intergenic, F.lit("MODIFIER"))
+        )
+        .otherwise(F.col("CSQ"))
+        .alias("CSQ"),
+    )

@@ -1,0 +1,295 @@
+"""Consequence engine (phase B) — library-level truth tables + the Spark
+``annotate_vep`` codon path on a hand-built transcript model.
+
+Expected terms hand-derived from the published Ensembl VEP / Sequence
+Ontology definitions (mirrors the reference's in-module rule tests,
+``transcript_consequence.rs``; severity table ``so_terms.rs:5-299``).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_bio_functions_spark.functions import consequence as cq
+from datafusion_bio_functions_spark.operators.vep import annotate_vep
+
+# ---------------------------------------------------------------------------
+# model: a 2-exon forward gene
+#   exon1 100-129, intron 130-169, exon2 170-219
+#   CDS 110..199 (UTR5 100-109, UTR3 200-219)
+#   spliced CDS = genomic 110-129 (20nt) + 170-199 (30nt) → 50nt? Needs %3==0:
+#   use CDS 110..130? 130 is intronic. Use exon1 110-129 (20) + exon2 170-200
+#   (31) = 51nt = 17 codons.  cds_end therefore 200.
+# ---------------------------------------------------------------------------
+
+# 17 codons: ATG, 7×Ala, 7×Trp, Glu, TAA stop = 51 nt.
+CDS = "ATG" + "GCT" * 7 + "TGG" * 7 + "GAA" + "TAA"
+assert len(CDS) == 51
+
+
+def fwd_tx(**kw):
+    base = dict(
+        transcript_id="T1",
+        chrom="chr1",
+        start=100,
+        end=219,
+        strand=1,
+        biotype="protein_coding",
+        exons=[(100, 129), (170, 219)],
+        cds_start=110,
+        cds_end=200,
+        cds_sequence=CDS,
+    )
+    base.update(kw)
+    return cq.Transcript(**base)
+
+
+def rev_tx(**kw):
+    """Reverse-strand gene on 100-219: CDS genomic 110..200; spliced CDS is
+    the revcomp of genomic [exon segments]."""
+    # genomic coding sequence (plus strand) must equal revcomp(CDS) laid into
+    # the same exon structure: exon2-part(170..200, 31nt) then exon1-part
+    # (110..129, 20nt) reading 5'→3' on minus strand = revcomp of CDS.
+    base = dict(
+        transcript_id="T2",
+        chrom="chr1",
+        start=100,
+        end=219,
+        strand=-1,
+        biotype="protein_coding",
+        exons=[(100, 129), (170, 219)],
+        cds_start=110,
+        cds_end=200,
+        cds_sequence=CDS,
+    )
+    base.update(kw)
+    return cq.Transcript(**base)
+
+
+def plus_strand_base(off: int) -> str:
+    """Plus-strand base at CDS offset ``off`` of the forward gene."""
+    return CDS[off]
+
+
+class TestLibraryForward:
+    def test_translate(self):
+        assert cq.translate(CDS) == "M" + "A" * 7 + "W" * 7 + "E*"
+
+    def test_synonymous(self):
+        # codon 2 GCT(Ala) at genomic 113-115; GCT->GCC still Ala: change 115 T->C
+        assert cq.classify(fwd_tx(), 115, "T", "C") == ["synonymous_variant"]
+
+    def test_missense(self):
+        # GCT->GTT (A->V): genomic 114 C->T
+        assert cq.classify(fwd_tx(), 114, "C", "T") == ["missense_variant"]
+
+    def test_stop_gained(self):
+        # TGG(W)->TGA(*): third base of a W codon. W codons start at CDS
+        # offset 24 (8th codon). offsets 24..26 → genomic: offset<20 in exon1
+        # (110+o), else exon2 170+(o-20). o=26 → 176. G->A gives TGA.
+        assert cq.classify(fwd_tx(), 176, "G", "A") == ["stop_gained"]
+
+    def test_stop_lost(self):
+        # stop codon TAA at CDS offsets 48-50 → genomic 170+28..30=198..200
+        assert cq.classify(fwd_tx(), 198, "T", "C") == ["stop_lost"]
+
+    def test_stop_retained(self):
+        # TAA->TAG still stop: genomic 200 A->G
+        assert cq.classify(fwd_tx(), 200, "A", "G") == ["stop_retained_variant"]
+
+    def test_start_lost(self):
+        # ATG start at genomic 110-112; A->G
+        assert cq.classify(fwd_tx(), 110, "A", "G") == ["start_lost"]
+
+    def test_frameshift(self):
+        assert cq.classify(fwd_tx(), 114, "C", "") == ["frameshift_variant"]
+        assert cq.classify(fwd_tx(), 114, "", "CT") == ["frameshift_variant"]
+
+    def test_inframe(self):
+        assert cq.classify(fwd_tx(), 114, "", "CTG") == ["inframe_insertion"]
+        assert cq.classify(fwd_tx(), 114, "CTG", "") == ["inframe_deletion"]
+
+    def test_utr(self):
+        assert cq.classify(fwd_tx(), 105, "A", "T") == ["5_prime_UTR_variant"]
+        assert cq.classify(fwd_tx(), 210, "A", "T") == ["3_prime_UTR_variant"]
+
+    def test_intron_deep(self):
+        assert cq.classify(fwd_tx(), 150, "A", "T") == ["intron_variant"]
+
+    def test_splice_donor(self):
+        # intron 130-169; donor = 130-131 on + strand
+        got = cq.classify(fwd_tx(), 130, "G", "A")
+        assert "splice_donor_variant" in got and "intron_variant" in got
+
+    def test_splice_acceptor(self):
+        got = cq.classify(fwd_tx(), 169, "G", "A")
+        assert "splice_acceptor_variant" in got
+
+    def test_splice_donor_5th(self):
+        got = cq.classify(fwd_tx(), 134, "A", "T")
+        assert "splice_donor_5th_base_variant" in got
+        assert "splice_region_variant" in got  # 3-8 intronic window
+
+    def test_polypyrimidine(self):
+        # acceptor-side 3-17 intronic: 169-16 .. 169-2 = 153..167
+        got = cq.classify(fwd_tx(), 160, "T", "C")
+        assert got == ["splice_polypyrimidine_tract_variant", "intron_variant"]
+
+    def test_exonic_splice_region(self):
+        # last 3 bases of exon1 (127-129)
+        got = cq.classify(fwd_tx(), 128, "C", "G")
+        assert "splice_region_variant" in got
+
+    def test_upstream_downstream(self):
+        assert cq.classify(fwd_tx(), 50, "A", "T") == ["upstream_gene_variant"]
+        assert cq.classify(fwd_tx(), 400, "A", "T") == ["downstream_gene_variant"]
+        assert cq.classify(fwd_tx(), 6000, "A", "T") == []  # beyond both windows
+
+    def test_noncoding(self):
+        t = fwd_tx(biotype="lincRNA", cds_start=None, cds_end=None, cds_sequence=None)
+        got = cq.classify(t, 115, "T", "C")
+        assert got == ["non_coding_transcript_exon_variant", "non_coding_transcript_variant"]
+
+    def test_nmd(self):
+        t = fwd_tx(biotype="nonsense_mediated_decay")
+        got = cq.classify(t, 150, "A", "T")
+        assert "NMD_transcript_variant" in got and "intron_variant" in got
+
+    def test_most_severe(self):
+        assert cq.most_severe(["intron_variant", "splice_donor_variant"]) == (
+            "splice_donor_variant"
+        )
+        assert cq.most_severe([]) is None
+
+
+class TestLibraryReverse:
+    def test_reverse_synonymous_missense(self):
+        # On minus strand CDS offset o maps to genomic: first 31 CDS bases in
+        # exon2 (200 down to 170), rest in exon1 (129 down to 110).
+        # codon2 GCT at CDS offsets 3..5 → genomic 197,196,195.
+        # GCT->GCC: CDS base 5 T->C ⇒ genomic 195 plus-strand A->G.
+        assert cq.classify(rev_tx(), 195, "A", "G") == ["synonymous_variant"]
+        # GCT->GTT: CDS base 4 C->T ⇒ genomic 196 G->A
+        assert cq.classify(rev_tx(), 196, "G", "A") == ["missense_variant"]
+
+    def test_reverse_start_lost(self):
+        # ATG at CDS 0..2 → genomic 200,199,198; A at genomic 200 is
+        # plus-strand T.  T->C kills the start (ATG->GTG is A->G on minus =
+        # T->C on plus at 200).
+        assert cq.classify(rev_tx(), 200, "T", "C") == ["start_lost"]
+
+    def test_reverse_splice_orientation(self):
+        # minus strand: donor side of intron 130-169 is at the high end
+        got = cq.classify(rev_tx(), 169, "G", "A")
+        assert "splice_donor_variant" in got
+        got = cq.classify(rev_tx(), 130, "G", "A")
+        assert "splice_acceptor_variant" in got
+
+    def test_reverse_updown(self):
+        assert cq.classify(rev_tx(), 300, "A", "T") == ["upstream_gene_variant"]
+        assert cq.classify(rev_tx(), 90, "A", "T") == ["downstream_gene_variant"]
+
+    def test_reverse_utr(self):
+        # genomic 210 > cds_end: 5' side on minus strand
+        assert cq.classify(rev_tx(), 210, "A", "T") == ["5_prime_UTR_variant"]
+        assert cq.classify(rev_tx(), 105, "A", "T") == ["3_prime_UTR_variant"]
+
+
+class TestHGVS:
+    def test_g(self):
+        assert cq.hgvs_g("chr1", 114, "C", "T") == "chr1:g.114C>T"
+        assert cq.hgvs_g("chr1", 114, "CT", "") == "chr1:g.114_115del"
+        assert cq.hgvs_g("chr1", 114, "", "GG") == "chr1:g.114_115insGG"
+        assert cq.hgvs_g("chr1", 114, "CT", "AA") == "chr1:g.114_115delinsAA"
+
+    def test_c_forward(self):
+        # genomic 114 = CDS offset 4 → c.5
+        assert cq.hgvs_c(fwd_tx(), 114, "C", "T") == "T1:c.5C>T"
+
+    def test_c_exon2(self):
+        # genomic 176 = CDS offset 26 → c.27
+        assert cq.hgvs_c(fwd_tx(), 176, "G", "A") == "T1:c.27G>A"
+
+    def test_p(self):
+        assert cq.hgvs_p(fwd_tx(), 114, "C", "T") == "T1:p.Ala2Val"
+        assert cq.hgvs_p(fwd_tx(), 115, "T", "C") == "T1:p.Ala2="
+        assert cq.hgvs_p(fwd_tx(), 176, "G", "A") == "T1:p.Trp9Ter"
+
+    def test_p_reverse(self):
+        assert cq.hgvs_p(rev_tx(), 196, "G", "A") == "T2:p.Ala2Val"
+
+
+@pytest.fixture(scope="module")
+def vep_frames(spark):
+    vcf = spark.createDataFrame(
+        [
+            ("chr1", 114, 114, "C", "T"),     # missense
+            ("chr1", 115, 115, "T", "C"),     # synonymous
+            ("chr1", 150, 150, "A", "T"),     # intron
+            ("chr1", 105, 105, "A", "T"),     # 5' UTR
+            ("chr1", 50, 50, "A", "T"),       # upstream
+            ("chr2", 999, 999, "G", "C"),     # intergenic (no transcript)
+        ],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [("chr1", 114, 114, "rs1", "C/T", "pathogenic")],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string, clin_sig string",
+    )
+    tx = spark.createDataFrame(
+        [("T1", "chr1", 100, 219, 1, "protein_coding", "G1", "GENE1", 110, 200, CDS)],
+        "transcript_id string, chrom string, start long, end long, strand int, "
+        "biotype string, gene_stable_id string, gene_symbol string, "
+        "cds_start long, cds_end long, cds_sequence string",
+    )
+    ex = spark.createDataFrame(
+        [("T1", 100, 129), ("T1", 170, 219)],
+        "transcript_id string, start long, end long",
+    )
+    return vcf, cache, tx, ex
+
+
+class TestAnnotateVepCodon:
+    def test_end_to_end(self, spark, vep_frames):
+        vcf, cache, tx, ex = vep_frames
+        out = annotate_vep(vcf, cache, transcripts=tx, exons=ex).collect()
+        by_pos = {(r.chrom, r.start): r for r in out}
+        assert len(out) == 6
+
+        r = by_pos[("chr1", 114)]
+        assert r.most_severe_consequence == "missense_variant"
+        assert r.existing_variation == "rs1"
+        assert "T|missense_variant|MODERATE|GENE1|G1|T1|T1:c.5C>T|T1:p.Ala2Val" == r.CSQ
+        assert r.matched is True
+
+        assert by_pos[("chr1", 115)].most_severe_consequence == "synonymous_variant"
+        assert by_pos[("chr1", 150)].most_severe_consequence == "intron_variant"
+        assert by_pos[("chr1", 105)].most_severe_consequence == "5_prime_UTR_variant"
+        assert by_pos[("chr1", 50)].most_severe_consequence == "upstream_gene_variant"
+
+        ig = by_pos[("chr2", 999)]
+        assert ig.most_severe_consequence == "intergenic_variant"
+        assert ig.CSQ == "C|intergenic_variant|MODIFIER"
+        assert ig.matched is False
+
+    def test_multi_transcript_rollup(self, spark, vep_frames):
+        vcf, cache, tx, ex = vep_frames
+        tx2 = tx.unionByName(
+            spark.createDataFrame(
+                [("T9", "chr1", 100, 219, 1, "lincRNA", "G9", "GENE9", None, None, None)],
+                tx.schema,
+            )
+        )
+        out = annotate_vep(vcf, cache, transcripts=tx2, exons=ex)
+        r = {(x.chrom, x.start): x for x in out.collect()}[("chr1", 114)]
+        # two CSQ entries, most severe across both transcripts is missense
+        assert r.most_severe_consequence == "missense_variant"
+        assert len(r.CSQ.split(",")) == 2
+
+    def test_positional_engine_still_works(self, spark, vep_frames):
+        vcf, cache, tx, _ = vep_frames
+        out = annotate_vep(vcf, cache, transcripts=tx, engine="positional")
+        r = {(x.chrom, x.start): x for x in out.collect()}[("chr1", 114)]
+        assert r.most_severe_consequence == "coding_transcript_variant"

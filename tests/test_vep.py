@@ -172,7 +172,7 @@ def test_annotate_vep_with_transcripts(spark, vcf, cache):
         ],
         ["transcript_id", "chrom", "start", "end", "strand", "biotype", "gene_stable_id", "gene_symbol"],
     )
-    out = annotate_vep(vcf, cache, transcripts=transcripts)
+    out = annotate_vep(vcf, cache, transcripts=transcripts, engine="positional")
     rows = {(r["chrom"], r["start"]): r for r in out.collect()}
     assert rows[("1", 100)]["most_severe_consequence"] == "coding_transcript_variant"
     assert "GENE1" in rows[("1", 100)]["CSQ"]
@@ -180,3 +180,13 @@ def test_annotate_vep_with_transcripts(spark, vcf, cache):
     assert rows[("1", 200)]["most_severe_consequence"] == "upstream_gene_variant"
     assert rows[("2", 100)]["most_severe_consequence"] == "intergenic_variant"
     assert out.count() == vcf.count()  # one row per variant preserved
+
+    # same context through the codon engine (no CDS → coding catch-all for
+    # protein_coding, exon-level term for non-coding biotypes)
+    out2 = annotate_vep(vcf, cache, transcripts=transcripts, engine="codon")
+    rows2 = {(r["chrom"], r["start"]): r for r in out2.collect()}
+    assert rows2[("1", 100)]["most_severe_consequence"] == "coding_transcript_variant"
+    assert rows2[("1", 400)]["most_severe_consequence"] == "non_coding_transcript_exon_variant"
+    assert rows2[("1", 200)]["most_severe_consequence"] == "upstream_gene_variant"
+    assert rows2[("2", 100)]["most_severe_consequence"] == "intergenic_variant"
+    assert out2.count() == vcf.count()
