@@ -31,8 +31,17 @@ from datafusion_bio_functions_spark.operators.dedup import (
 )
 from datafusion_bio_functions_spark.operators.multimodal import extract_features
 from datafusion_bio_functions_spark.operators.pileup import depth
-from datafusion_bio_functions_spark.operators.similarity import cosine_topk, lsh_cosine_topk
-from datafusion_bio_functions_spark.operators.vep import annotate_vep, lookup_variants
+from datafusion_bio_functions_spark.functions.text import bpe_token_count
+from datafusion_bio_functions_spark.operators.similarity import (
+    cosine_near_dup_exact,
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from datafusion_bio_functions_spark.operators.vep import (
+    annotate_vep,
+    consequence_regions,
+    lookup_variants,
+)
 from datafusion_bio_functions_spark.plans import oracle as osql
 
 # ---------------------------------------------------------------------------
@@ -88,6 +97,17 @@ VAR_CACHE_SQL = (
     "CASE WHEN p_partkey % 3 = 0 THEN 'benign' WHEN p_partkey % 3 = 1 THEN 'pathogenic' "
     "ELSE NULL END AS clin_sig "
     "FROM part"
+)
+TRANSCRIPTS_SQL = (
+    "SELECT concat('TX', CAST(n_nationkey AS VARCHAR)) AS transcript_id, "
+    "CAST(n_nationkey % 3 + 1 AS VARCHAR) AS chrom, "
+    "CAST((n_nationkey * 701) % 4000 + 200 AS BIGINT) AS start, "
+    "CAST((n_nationkey * 701) % 4000 + 800 AS BIGINT) AS \"end\", "
+    "CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE -1 END AS strand, "
+    "CASE WHEN n_nationkey % 5 = 0 THEN 'lincRNA' ELSE 'protein_coding' END AS biotype, "
+    "CAST((n_nationkey * 701) % 4000 + 300 AS BIGINT) AS cds_start, "
+    "CAST((n_nationkey * 701) % 4000 + 700 AS BIGINT) AS cds_end "
+    "FROM nation"
 )
 DOCS_DUP_SQL = (
     "SELECT doc_id, text FROM documents UNION ALL "
@@ -257,6 +277,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["overlap_left_semi"] = lambda spark, sf: bio.overlap(
         _reads(spark, sf), _targets(spark, sf), output="left_distinct"
     )
+    q["overlap_left_all"] = lambda spark, sf: bio.overlap(
+        _reads(spark, sf), _targets(spark, sf), output="left_all"
+    )
+    q["count_overlaps_strict"] = lambda spark, sf: bio.count_overlaps(
+        _reads(spark, sf), _targets(spark, sf), filter_op="strict"
+    )
+    q["coverage_strict"] = lambda spark, sf: bio.coverage(
+        _reads(spark, sf), _targets(spark, sf), filter_op="strict"
+    )
+    q["cluster_min_dist"] = lambda spark, sf: bio.cluster(_intervals_m(spark, sf), min_dist=10)
     q["depth_per_base"] = lambda spark, sf: depth(
         _alignments(spark, sf), min_mapq=20, per_base=True
     ).select("contig", "pos", F.col("coverage").cast("long").alias("coverage"))
@@ -313,6 +343,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(spark, sf, "embeddings").filter(F.col("vec_id") < 50),
         _read(spark, sf, "embeddings"),
         k=10,
+    )
+    q["near_dup_cosine"] = lambda spark, sf: cosine_near_dup_exact(
+        _read(spark, sf, "embeddings"), threshold=0.45
+    )
+    q["bpe_tokens"] = lambda spark, sf: _read(spark, sf, "documents").select(
+        "doc_id", bpe_token_count("text").alias("n_bpe_tokens")
+    )
+    q["consequence_regions"] = lambda spark, sf: consequence_regions(
+        _vcf(spark, sf), _transcripts(spark, sf).drop("gene_stable_id", "gene_symbol")
     )
     # non-SQL-expressible (hash-internal) op: rows-only check by the driver
     # r=8 banding: S-curve cutoff (1/8)^(1/8) ≈ 0.77 for the 0.9 threshold
@@ -372,6 +411,21 @@ def oracle_sql() -> dict[str, str]:
         f"JOIN ({TARGETS_SQL}) r ON l.contig = r.contig "
         "AND l.pos_start <= r.pos_end AND l.pos_end >= r.pos_start"
     )
+    o["overlap_left_all"] = (
+        f"SELECT l.contig, l.pos_start, l.pos_end FROM ({READS_SQL}) l "
+        f"JOIN ({TARGETS_SQL}) r ON l.contig = r.contig "
+        "AND l.pos_start <= r.pos_end AND l.pos_end >= r.pos_start"
+    )
+    o["count_overlaps_strict"] = osql.count_overlaps_sql(
+        READS_SQL, TARGETS_SQL, filter_op="strict"
+    )
+    o["coverage_strict"] = osql.coverage_sql(READS_SQL, TARGETS_SQL, filter_op="strict")
+    o["cluster_min_dist"] = osql.cluster_sql(INTERVALS_M_SQL, min_dist=10)
+    o["near_dup_cosine"] = osql.cosine_near_dup_sql(
+        "SELECT * FROM embeddings", threshold=0.45
+    )
+    o["bpe_tokens"] = osql.bpe_tokens_sql("SELECT * FROM documents")
+    o["consequence_regions"] = osql.consequence_regions_sql(VCF_SQL, TRANSCRIPTS_SQL)
     o["depth_blocks"] = osql.depth_blocks_sql(ALIGNMENTS_SQL)
     o["depth_per_base"] = f"""
 WITH blocks AS ({osql.depth_blocks_sql(ALIGNMENTS_SQL)})

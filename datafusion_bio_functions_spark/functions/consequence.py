@@ -400,47 +400,149 @@ def hgvs_g(chrom: str, pos: int, ref: str, alt: str) -> str:
     return f"{chrom}:g.{span}delins{alt}"
 
 
+def _cds_first_offset(t: Transcript, pos: int, ref_len: int) -> int | None:
+    """0-based CDS offset of the *transcript-orientation first* affected
+    base of a ref span [pos, pos+ref_len-1] (on − strand the genomic
+    rightmost base is transcript-first)."""
+    g = pos if t.strand >= 0 else pos + max(ref_len, 1) - 1
+    return _genomic_to_cds_offset(t, g)
+
+
+def _shift3(cds: str, start0: int, seq: str) -> tuple[int, str]:
+    """HGVS 3'-rule: roll a del/ins event rightward while the base following
+    the event equals its first base (``hgvs.rs`` 3'-shifting; published HGVS
+    recommendation).  Returns (new start0, rotated event sequence)."""
+    s, rot = start0, list(seq)
+    ln = len(rot)
+    while ln and s + ln < len(cds) and cds[s + ln] == rot[0]:
+        rot.append(rot.pop(0))
+        s += 1
+    return s, "".join(rot)
+
+
 def hgvs_c(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
-    off = _genomic_to_cds_offset(t, pos)
-    if off is None:
-        return None
+    """cDNA notation: substitutions, del/ins/dup/delins with 3'-shifting and
+    dup detection when ``cds_sequence`` context is available (reference
+    ``hgvs.rs:17-45``)."""
     ref = "" if ref in ("-", None) else ref
     alt = "" if alt in ("-", None) else alt
+    off = _cds_first_offset(t, pos, len(ref))
+    if off is None:
+        return None
     r = ref if t.strand >= 0 else revcomp(ref)
     a = alt if t.strand >= 0 else revcomp(alt)
+    cds = t.cds_sequence.upper() if t.cds_sequence else None
     cpos = off + 1
     if len(r) == 1 and len(a) == 1:
         return f"{t.transcript_id}:c.{cpos}{r}>{a}"
-    if len(r) == 0:
-        return f"{t.transcript_id}:c.{cpos}_{cpos + 1}ins{a}"
+    if len(r) == 0:  # pure insertion between the two flanking bases
+        # 0-based CDS index the inserted seq lands before: the anchor base
+        # (genomic pos) is the 5' flank on +, the 3' flank on −
+        ins_at = off + 1 if t.strand >= 0 else off
+        seq = a.upper()
+        if cds is not None:
+            ins_at, seq = _shift3(cds, cpos, seq)
+            # dup: inserted seq equals the bases immediately 5' of the site
+            ln = len(seq)
+            if ins_at - ln >= 0 and cds[ins_at - ln : ins_at] == seq:
+                span = f"{ins_at - ln + 1}_{ins_at}" if ln > 1 else f"{ins_at}"
+                return f"{t.transcript_id}:c.{span}dup"
+        return f"{t.transcript_id}:c.{ins_at}_{ins_at + 1}ins{seq}"
+    if len(a) == 0:  # pure deletion
+        start0, seq = (off, r.upper())
+        if cds is not None and cds[start0 : start0 + len(seq)] == seq:
+            start0, seq = _shift3(cds, start0, seq)
+        cstart, cend = start0 + 1, start0 + len(seq)
+        span = f"{cstart}_{cend}" if cend > cstart else f"{cstart}"
+        return f"{t.transcript_id}:c.{span}del"
     cend = cpos + len(r) - 1
     span = f"{cpos}_{cend}" if cend > cpos else f"{cpos}"
-    if len(a) == 0:
-        return f"{t.transcript_id}:c.{span}del"
     return f"{t.transcript_id}:c.{span}delins{a}"
 
 
+def _aa3(aa: str) -> str:
+    return AA3.get(aa, "Xaa")
+
+
 def hgvs_p(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
-    """Protein notation for simple substitutions (None otherwise)."""
-    if t.cds_sequence is None or len(ref or "") != len(alt or "") or not ref or ref == "-":
+    """Protein notation: substitutions, synonymous (=), stop gained (Ter),
+    inframe del/ins/delins, frameshift (``fsTer#``), and stop-lost extension
+    (``extTer#``) — reference ``hgvs.rs`` frameshift/extension notation."""
+    if t.cds_sequence is None:
         return None
-    off = _genomic_to_cds_offset(t, pos)
+    ref = "" if ref in ("-", None) else ref
+    alt = "" if alt in ("-", None) else alt
+    if not ref and not alt:
+        return None
+    off = _cds_first_offset(t, pos, len(ref))
     if off is None:
         return None
     cds = t.cds_sequence.upper()
     var_ref = ref.upper() if t.strand >= 0 else revcomp(ref.upper())
     var_alt = alt.upper() if t.strand >= 0 else revcomp(alt.upper())
-    if t.strand < 0:
-        off = off - (len(var_ref) - 1)
-    if off < 0 or off + len(var_ref) > len(cds) or cds[off : off + len(var_ref)] != var_ref:
+    if off + len(var_ref) > len(cds) or (var_ref and cds[off : off + len(var_ref)] != var_ref):
         return None
-    new_cds = cds[:off] + var_alt + cds[off + len(var_ref) :]
-    ci = off // 3
-    aa_old = translate(cds[ci * 3 : ci * 3 + 3])
-    aa_new = translate(new_cds[ci * 3 : ci * 3 + 3])
-    if not aa_old or not aa_new:
+    # pure insertions land after the 5'-flank (transcript sense): genomic
+    # anchor pos is the 5' flank on +, the 3' flank on −
+    ins_point = off if var_ref else (off + 1 if t.strand >= 0 else off)
+    new_cds = cds[:ins_point] + var_alt + cds[ins_point + len(var_ref) :]
+    prot_old = translate(cds)
+    prot_new = translate(new_cds)
+    tid = t.transcript_id
+
+    if len(var_ref) == len(var_alt):  # substitution / MNV
+        ci = off // 3
+        if ci >= len(prot_old):
+            return None
+        aa_old = prot_old[ci]
+        aa_new = prot_new[ci] if ci < len(prot_new) else ""
+        if not aa_new:
+            return None
+        if aa_old == aa_new:
+            return f"{tid}:p.{_aa3(aa_old)}{ci + 1}="
+        return f"{tid}:p.{_aa3(aa_old)}{ci + 1}{_aa3(aa_new)}"
+
+    # indel: diff the proteins
+    i = 0
+    lim = min(len(prot_old), len(prot_new))
+    while i < lim and prot_old[i] == prot_new[i]:
+        i += 1
+    if i == lim and len(prot_old) == len(prot_new):
+        ci = min(off // 3, len(prot_old) - 1)
+        return f"{tid}:p.{_aa3(prot_old[ci])}{ci + 1}="
+
+    if (len(var_alt) - len(var_ref)) % 3 == 0:  # inframe
+        k = (len(var_ref) - len(var_alt)) // 3
+        if k > 0 and prot_new == prot_old[:i] + prot_old[i + k :]:  # clean deletion
+            if k == 1:
+                return f"{tid}:p.{_aa3(prot_old[i])}{i + 1}del"
+            return f"{tid}:p.{_aa3(prot_old[i])}{i + 1}_{_aa3(prot_old[i + k - 1])}{i + k}del"
+        if k < 0 and prot_old == prot_new[:i] + prot_new[i - k :]:  # clean insertion
+            ins = "".join(_aa3(x) for x in prot_new[i : i - k])
+            if i == 0:
+                return f"{tid}:p.{_aa3(prot_new[i - k - 1])}?ins{ins}"
+            return f"{tid}:p.{_aa3(prot_old[i - 1])}{i}_{_aa3(prot_old[i])}{i + 1}ins{ins}"
+        # delins: first..last changed old aa replaced
+        j_old, j_new = len(prot_old) - 1, len(prot_new) - 1
+        while j_old > i and j_new > i and prot_old[j_old] == prot_new[j_new]:
+            j_old -= 1
+            j_new -= 1
+        ins = "".join(_aa3(x) for x in prot_new[i : j_new + 1])
+        span = f"{_aa3(prot_old[i])}{i + 1}"
+        if j_old > i:
+            span += f"_{_aa3(prot_old[j_old])}{j_old + 1}"
+        return f"{tid}:p.{span}delins{ins}"
+
+    # frameshift
+    if i >= len(prot_old) or i >= len(prot_new):
         return None
-    o3, n3 = AA3.get(aa_old, "Xaa"), AA3.get(aa_new, "Xaa")
-    if aa_old == aa_new:
-        return f"{t.transcript_id}:p.{o3}{ci + 1}="
-    return f"{t.transcript_id}:p.{o3}{ci + 1}{n3}"
+    aa_old, aa_new = prot_old[i], prot_new[i]
+    if aa_old == "*":  # stop lost → extension
+        stop = prot_new.find("*", i)
+        ext = stop - i if stop >= 0 else "?"
+        return f"{tid}:p.Ter{i + 1}{_aa3(aa_new)}extTer{ext}"
+    if aa_new == "*":
+        return f"{tid}:p.{_aa3(aa_old)}{i + 1}Ter"
+    stop = prot_new.find("*", i)
+    fs = f"Ter{stop - i + 1}" if stop >= 0 else "Ter?"
+    return f"{tid}:p.{_aa3(aa_old)}{i + 1}{_aa3(aa_new)}fs{fs}"

@@ -39,6 +39,21 @@ def token_count(col: Column | str) -> Column:
     ).cast("long")
 
 
+#: BPE-ish pre-tokenizer regex (GPT-2 style, simplified to the subset with
+#: identical semantics in Java regex and RE2 — no lookahead, ASCII classes):
+#: contraction suffixes, space-prefixed letter runs, digit runs, punctuation
+#: runs.  Whitespace itself is not counted as a token.
+BPE_TOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Approximate BPE token count: number of matches of the GPT-2-style
+    pre-tokenizer regex.  A much closer LLM-token proxy than whitespace
+    splitting (punctuation and contractions count separately)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0))).cast("long")
+
+
 def _padded(c: Column) -> Column:
     return F.concat(F.lit(" "), F.lower(c), F.lit(" "))
 

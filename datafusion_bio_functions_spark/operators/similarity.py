@@ -161,6 +161,28 @@ def lsh_cosine_topk(
     )
 
 
+def cosine_near_dup_exact(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs: all (id_a < id_b) pairs with
+    cosine ≥ threshold.  Brute-force O(n²) self-join — the correctness
+    baseline and DuckDB-oracle path for ``cosine_near_dup_pairs`` (the LSH
+    variant is the scale path).  ``cosine_sim`` is the raw double from the
+    strict sequential summation (bit-reproducible by the oracle)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -459,3 +459,91 @@ def _annotate_codon(
         .otherwise(F.col("CSQ"))
         .alias("CSQ"),
     )
+
+
+def consequence_regions(
+    vcf: DataFrame,
+    transcripts: DataFrame,
+    upstream_distance: int = 5000,
+    downstream_distance: int = 500,
+) -> DataFrame:
+    """Strictly positional variant-vs-transcript region classification —
+    the SQL-expressible core of the consequence engine (the codon-level
+    engine in ``functions.consequence`` refines these classes with sequence
+    context).  Pure JVM expressions end-to-end: interval join on
+    ``chrom`` + distance window, then a CASE cascade.  Strand-aware
+    up/downstream (reference ``transcript_consequence.rs`` up/downstream
+    distances are configurable, default 5 kb / 500 bp).
+
+    Terms emitted: ``upstream_gene_variant``, ``downstream_gene_variant``,
+    ``non_coding_transcript_variant`` (biotype != protein_coding),
+    ``5_prime_UTR_variant``, ``3_prime_UTR_variant``,
+    ``coding_sequence_variant``.
+
+    Output: vcf cols + ``transcript_id`` + ``region_term``.
+    """
+    _check_contract(vcf, VCF_REQUIRED, "vcf")
+    _check_contract(
+        transcripts, ("transcript_id", "chrom", "start", "end", "strand"), "transcripts"
+    )
+    v = vcf
+    reach = max(upstream_distance, downstream_distance)
+    t = transcripts.select(
+        F.col("chrom").alias("__tc"),
+        F.col("start").alias("__ts"),
+        F.col("end").alias("__te"),
+        F.col("strand").alias("__strand"),
+        F.col("biotype").alias("__biotype")
+        if "biotype" in transcripts.columns
+        else F.lit("protein_coding").alias("__biotype"),
+        F.col("cds_start").alias("__cs")
+        if "cds_start" in transcripts.columns
+        else F.col("start").alias("__cs"),
+        F.col("cds_end").alias("__ce")
+        if "cds_end" in transcripts.columns
+        else F.col("end").alias("__ce"),
+        "transcript_id",
+    )
+    joined = v.join(
+        F.broadcast(t),
+        (F.col("chrom") == F.col("__tc"))
+        & (F.col("end") >= F.col("__ts") - reach)
+        & (F.col("start") <= F.col("__te") + reach),
+        "inner",
+    )
+    fwd = F.col("__strand") >= 0
+    inside = (F.col("end") >= F.col("__ts")) & (F.col("start") <= F.col("__te"))
+    before = F.col("end") < F.col("__ts")  # 5' side on + strand
+    dist_before = F.col("__ts") - F.col("end")
+    dist_after = F.col("start") - F.col("__te")
+    term = (
+        F.when(
+            inside,
+            F.when(F.col("__biotype") != "protein_coding", "non_coding_transcript_variant")
+            .when(
+                F.col("end") < F.col("__cs"),
+                F.when(fwd, "5_prime_UTR_variant").otherwise("3_prime_UTR_variant"),
+            )
+            .when(
+                F.col("start") > F.col("__ce"),
+                F.when(fwd, "3_prime_UTR_variant").otherwise("5_prime_UTR_variant"),
+            )
+            .otherwise("coding_sequence_variant"),
+        )
+        .when(
+            before,
+            F.when(fwd & (dist_before <= upstream_distance), "upstream_gene_variant").when(
+                ~fwd & (dist_before <= downstream_distance), "downstream_gene_variant"
+            ),
+        )
+        .otherwise(
+            F.when(fwd & (dist_after <= downstream_distance), "downstream_gene_variant").when(
+                ~fwd & (dist_after <= upstream_distance), "upstream_gene_variant"
+            )
+        )
+    )
+    return (
+        joined.withColumn("region_term", term)
+        .filter(F.col("region_term").isNotNull())
+        .select(*vcf.columns, "transcript_id", "region_term")
+    )

@@ -395,3 +395,80 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, __sim AS cosine_sim, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}"""
+
+
+def cosine_near_dup_sql(
+    t: str, threshold: float, id_col: str = "vec_id", vec: str = "embedding"
+) -> str:
+    """Mirror of ``operators.similarity.cosine_near_dup_exact``."""
+    dotexpr = (
+        "list_sum(list_transform(list_zip(a.__va, b.__vb), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+
+    def norm(alias, col):
+        return (
+            f"sqrt(list_sum(list_transform({alias}.{col}, "
+            f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
+
+    return f"""WITH a AS (SELECT {id_col} AS id_a, {vec} AS __va FROM ({t})),
+b AS (SELECT {id_col} AS id_b, {vec} AS __vb FROM ({t})),
+sim AS (
+  SELECT id_a, id_b, {dotexpr} / ({norm('a', '__va')} * {norm('b', '__vb')}) AS cosine_sim
+  FROM a CROSS JOIN b WHERE id_a < id_b
+)
+SELECT id_a, id_b, cosine_sim FROM sim WHERE cosine_sim >= {threshold}"""
+
+
+def bpe_tokens_sql(t: str, text_col: str = "text", keep: Sequence[str] = ("doc_id",)) -> str:
+    """Mirror of ``functions.text.bpe_token_count`` (same RE2/Java-compatible
+    regex; DuckDB string literal doubles the apostrophe)."""
+    keep_proj = ", ".join(keep)
+    pat = "''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+"
+    return (
+        f"SELECT {keep_proj}, CAST(len(regexp_extract_all({text_col}, '{pat}')) AS BIGINT)"
+        f" AS n_bpe_tokens FROM ({t})"
+    )
+
+
+def consequence_regions_sql(
+    vcf: str,
+    transcripts: str,
+    upstream_distance: int = 5000,
+    downstream_distance: int = 500,
+) -> str:
+    """Mirror of ``operators.vep.consequence_regions`` — identical CASE
+    cascade over the chrom + distance-window join."""
+    reach = max(upstream_distance, downstream_distance)
+    return f"""WITH v AS ({vcf}), t AS ({transcripts})
+SELECT * FROM (
+SELECT v.chrom, v.start, v."end", v.ref, v.alt, t.transcript_id,
+  CASE
+    WHEN v."end" >= t.start AND v.start <= t."end" THEN
+      CASE
+        WHEN t.biotype <> 'protein_coding' THEN 'non_coding_transcript_variant'
+        WHEN v."end" < t.cds_start THEN
+          CASE WHEN t.strand >= 0 THEN '5_prime_UTR_variant' ELSE '3_prime_UTR_variant' END
+        WHEN v.start > t.cds_end THEN
+          CASE WHEN t.strand >= 0 THEN '3_prime_UTR_variant' ELSE '5_prime_UTR_variant' END
+        ELSE 'coding_sequence_variant'
+      END
+    WHEN v."end" < t.start THEN
+      CASE
+        WHEN t.strand >= 0 AND t.start - v."end" <= {upstream_distance}
+          THEN 'upstream_gene_variant'
+        WHEN t.strand < 0 AND t.start - v."end" <= {downstream_distance}
+          THEN 'downstream_gene_variant'
+      END
+    ELSE
+      CASE
+        WHEN t.strand >= 0 AND v.start - t."end" <= {downstream_distance}
+          THEN 'downstream_gene_variant'
+        WHEN t.strand < 0 AND v.start - t."end" <= {upstream_distance}
+          THEN 'upstream_gene_variant'
+      END
+  END AS region_term
+FROM v JOIN t ON v.chrom = t.chrom
+  AND v."end" >= t.start - {reach} AND v.start <= t."end" + {reach}
+) WHERE region_term IS NOT NULL"""

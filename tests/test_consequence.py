@@ -293,3 +293,36 @@ class TestAnnotateVepCodon:
         out = annotate_vep(vcf, cache, transcripts=tx, engine="positional")
         r = {(x.chrom, x.start): x for x in out.collect()}[("chr1", 114)]
         assert r.most_severe_consequence == "coding_transcript_variant"
+
+
+class TestHGVSExtensions:
+    """3'-shifting, dup detection, rev-strand spans, frameshift/extension."""
+
+    def test_c_del_3prime_shift(self):
+        # delete one GCT from the 7×GCT run (CDS offsets 3-23): the 3' rule
+        # rolls the deletion to the last repeat copy → c.22_24del
+        assert cq.hgvs_c(fwd_tx(), 113, "GCT", "") == "T1:c.22_24del"
+
+    def test_c_ins_dup(self):
+        # insert GCT inside the run → shifted to the run end, detected as dup
+        assert cq.hgvs_c(fwd_tx(), 115, "", "GCT") == "T1:c.19_21dup"
+
+    def test_c_del_reverse_span(self):
+        # minus strand: genomic [195,196] = transcript CDS offsets 4-5
+        assert cq.hgvs_c(rev_tx(), 195, "AG", "") == "T2:c.5_6del"
+
+    def test_p_inframe_del(self):
+        assert cq.hgvs_p(fwd_tx(), 113, "GCT", "") == "T1:p.Ala8del"
+
+    def test_p_inframe_ins(self):
+        assert cq.hgvs_p(fwd_tx(), 115, "", "GCT") == "T1:p.Ala8_Trp9insAla"
+
+    def test_p_frameshift(self):
+        import re
+
+        got = cq.hgvs_p(fwd_tx(), 113, "G", "")
+        assert got is not None and re.fullmatch(r"T1:p\.Ala2\w{3}fsTer(\d+|\?)", got), got
+
+    def test_p_stop_change(self):
+        # TAA stop at CDS 48-50 (genomic 198-200); 199 A>C → TCA = Ser
+        assert cq.hgvs_p(fwd_tx(), 199, "A", "C") == "T1:p.Ter17Ser"

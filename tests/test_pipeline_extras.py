@@ -1,0 +1,86 @@
+"""Unit tests for the round-1 extension operators: BPE-ish token counting,
+exact embedding near-dup pairs, and the positional consequence-region
+classifier (the SQL-expressible core of the VEP engine)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from datafusion_bio_functions_spark.functions.text import bpe_token_count
+from datafusion_bio_functions_spark.operators.similarity import cosine_near_dup_exact
+from datafusion_bio_functions_spark.operators.vep import consequence_regions
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, world! It's 42."),
+            (2, ""),
+            (3, "a b c"),
+            (4, "don't stop believing"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["n"] for r in df.select("id", bpe_token_count("text").alias("n")).collect()}
+    # Hello | , | ' world' | ! | ' It' | 's | ' 42' | .
+    assert got[1] == 8
+    assert got[2] == 0
+    assert got[3] == 3
+    # don | 't | ' stop' | ' believing'
+    assert got[4] == 4
+
+
+def test_cosine_near_dup_exact(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),     # orthogonal
+        (4, [-1.0, 0.0, 0.0]),    # opposite
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = cosine_near_dup_exact(df, threshold=0.95).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+    expected = 0.999 / math.sqrt(0.999**2 + 0.01**2)
+    assert abs(rows[0].cosine_sim - expected) < 1e-9
+
+
+def _tx(spark, strand=1, biotype="protein_coding"):
+    # transcript [1000, 2000], CDS [1200, 1800]
+    return spark.createDataFrame(
+        [("TX1", "1", 1000, 2000, strand, biotype, 1200, 1800)],
+        "transcript_id string, chrom string, start long, end long, strand int, "
+        "biotype string, cds_start long, cds_end long",
+    )
+
+
+def _v(spark, pos, ref="A", alt="T"):
+    return spark.createDataFrame(
+        [("1", pos, pos, ref, alt)],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+
+
+def test_consequence_regions_truth_table(spark):
+    def term(pos, strand=1, biotype="protein_coding"):
+        rows = consequence_regions(_v(spark, pos), _tx(spark, strand, biotype)).collect()
+        return rows[0].region_term if rows else None
+
+    assert term(1500) == "coding_sequence_variant"
+    assert term(1100) == "5_prime_UTR_variant"
+    assert term(1900) == "3_prime_UTR_variant"
+    assert term(1100, strand=-1) == "3_prime_UTR_variant"
+    assert term(1900, strand=-1) == "5_prime_UTR_variant"
+    assert term(1500, biotype="lincRNA") == "non_coding_transcript_variant"
+    # upstream/downstream distances: 5000 up, 500 down (strand-aware)
+    assert term(900) == "upstream_gene_variant"
+    assert term(2100) == "downstream_gene_variant"
+    assert term(900, strand=-1) == "downstream_gene_variant"
+    assert term(2100, strand=-1) == "upstream_gene_variant"
+    # beyond the windows → no row
+    assert term(2000 + 501) is None            # fwd downstream limit 500
+    assert term(1000 - 5001) is None           # fwd upstream limit 5000
+    assert term(1000 - 501, strand=-1) is None  # rev downstream limit 500
+    assert term(2000 + 5000, strand=-1) == "upstream_gene_variant"
+    assert term(2000 + 5001, strand=-1) is None
