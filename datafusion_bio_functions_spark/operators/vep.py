@@ -547,3 +547,60 @@ def consequence_regions(
         .filter(F.col("region_term").isNotNull())
         .select(*vcf.columns, "transcript_id", "region_term")
     )
+
+
+#: miss-worklist constants (reference ``miss_worklist.rs:8-12``)
+MISS_COALESCE_GAP = 1_000_000
+MISS_MAX_INTERVALS = 50
+
+
+def miss_worklist(
+    looked: DataFrame,
+    matched_col: str = "matched",
+    coalesce_gap: int = MISS_COALESCE_GAP,
+    max_intervals: int = MISS_MAX_INTERVALS,
+) -> DataFrame:
+    """Context-load scoping intervals for cache-miss variants (reference
+    ``miss_worklist.rs:1-60``): take the unmatched rows of a
+    ``lookup_variants`` result, coalesce per-chrom intervals whose gaps are
+    < ``coalesce_gap`` (1 Mb), and — when a chromosome still exceeds
+    ``max_intervals`` (50) — collapse it to a single chrom-wide bound, so
+    the downstream context-table read stays a bounded OR-of-ranges filter.
+
+    Spark-side these intervals become min/max predicates on the
+    chrom-partitioned context parquet: partition pruning eliminates other
+    chromosomes, row-group statistics skip ranges outside the worklist —
+    the same pruning the reference achieves with generated SQL filters.
+
+    Output: ``(chrom, start, end, n_variants)`` one row per interval.
+    """
+    from .intervals import merge as _merge
+
+    misses = looked.filter(~F.col(matched_col)).select(
+        F.col("chrom").alias("contig"),
+        F.col("start").cast("long").alias("pos_start"),
+        F.col("end").cast("long").alias("pos_end"),
+    )
+    merged = _merge(misses, min_dist=coalesce_gap)
+    counts = merged.groupBy("contig").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("pos_start").alias("__lo"),
+        F.max("pos_end").alias("__hi"),
+        F.sum("n_intervals").alias("__nv"),
+    )
+    kept = (
+        merged.join(counts.filter(F.col("__n") <= max_intervals), "contig")
+        .select(
+            F.col("contig").alias("chrom"),
+            F.col("pos_start").alias("start"),
+            F.col("pos_end").alias("end"),
+            F.col("n_intervals").alias("n_variants"),
+        )
+    )
+    collapsed = counts.filter(F.col("__n") > max_intervals).select(
+        F.col("contig").alias("chrom"),
+        F.col("__lo").alias("start"),
+        F.col("__hi").alias("end"),
+        F.col("__nv").alias("n_variants"),
+    )
+    return kept.unionByName(collapsed)

@@ -1,0 +1,156 @@
+"""Sources (S2 VCF read/write, S4 partitioned cache, S6 sorted cache
+builder), the V10 miss worklist, and the Structured Streaming extensions."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_bio_functions_spark.operators.vep import lookup_variants, miss_worklist
+from datafusion_bio_functions_spark.sources.readers import (
+    build_sorted_cache,
+    read_vcf,
+    write_partitioned_cache,
+    write_vcf,
+)
+from datafusion_bio_functions_spark.streaming.depth_stream import (
+    streaming_depth_events,
+    streaming_event_counts,
+)
+
+VCF_BODY = """##fileformat=VCFv4.2
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO
+1\t100\trs1\tA\tT\t50\tPASS\tDP=10
+1\t200\t.\tAC\tA\t.\t.\t.
+2\t300\trs3\tG\tGTT\t99\tPASS\tAF=0.5
+"""
+
+
+def test_vcf_roundtrip(spark, tmp_path):
+    src = tmp_path / "in.vcf"
+    src.write_text(VCF_BODY)
+    df = read_vcf(spark, str(src))
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 3
+    assert rows["rs1"].chrom == "1" and rows["rs1"].start == 100 and rows["rs1"].end == 100
+    # deletion AC>A spans two reference bases
+    assert rows["."].end == 201
+    out = tmp_path / "out_vcf"
+    write_vcf(df, str(out), info_col="info")
+    back = read_vcf(spark, str(out))
+    a = sorted(df.select("chrom", "start", "ref", "alt", "info").collect())
+    b = sorted(back.select("chrom", "start", "ref", "alt", "info").collect())
+    assert a == b
+
+
+def test_partitioned_cache_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(c, i, i, f"rs{c}{i}") for c in ("1", "2", "3") for i in range(100)],
+        "chrom string, start long, end long, variation_name string",
+    )
+    path = str(tmp_path / "cache")
+    write_partitioned_cache(df, path)
+    assert {"chrom=1", "chrom=2", "chrom=3"} <= set(os.listdir(path))
+    back = spark.read.parquet(path).filter(F.col("chrom") == "2")
+    assert back.count() == 100
+    # partition pruning: the chrom predicate lands in PartitionFilters of the
+    # parquet scan, not in a post-scan Filter
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "chrom" in pf and "2" in pf
+
+
+def test_build_sorted_cache_skipping(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("1", (i * 7919) % 100000, f"v{i}") for i in range(5000)],
+        "chrom string, start long, name string",
+    )
+    path = str(tmp_path / "sorted")
+    build_sorted_cache(df, path, partitions=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 5000
+    got = back.filter((F.col("start") >= 500) & (F.col("start") < 600)).count()
+    want = df.filter((F.col("start") >= 500) & (F.col("start") < 600)).count()
+    assert got == want
+
+
+def test_miss_worklist(spark):
+    vcf = spark.createDataFrame(
+        [("1", 100, 100, "A", "T"), ("1", 500_000, 500_000, "G", "C"),
+         ("1", 5_000_000, 5_000_000, "T", "A"), ("2", 42, 42, "C", "G")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [("1", 100, 100, "rs1", "A/T")],
+        "chrom string, start long, end long, variation_name string, allele_string string",
+    )
+    looked = lookup_variants(vcf, cache)
+    wl = {(r.chrom, r.start, r.end): r.n_variants for r in miss_worklist(looked).collect()}
+    # chr1 misses at 500k and 5M: gap 4.5M > 1Mb → two intervals; chr2 one
+    assert wl == {
+        ("1", 500_000, 500_000): 1,
+        ("1", 5_000_000, 5_000_000): 1,
+        ("2", 42, 42): 1,
+    }
+    # below-gap misses coalesce into one interval
+    vcf2 = spark.createDataFrame(
+        [("1", 1000, 1000, "A", "T"), ("1", 900_000, 900_000, "G", "C")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    wl2 = miss_worklist(lookup_variants(vcf2, cache)).collect()
+    assert len(wl2) == 1 and wl2[0].start == 1000 and wl2[0].end == 900_000
+    assert wl2[0].n_variants == 2
+
+
+def _drain(stream_df, tmp_path, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if name == "depth_ev" else "complete")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_depth_events(spark, tmp_path):
+    aln = spark.createDataFrame(
+        [("chr1", 100, 0, "10M", 60), ("chr1", 105, 0, "5M2D3M", 60)],
+        "chrom string, start long, flags int, cigar string, mapping_quality int",
+    )
+    src = str(tmp_path / "aln")
+    aln.write.parquet(src)
+    stream = spark.readStream.schema(aln.schema).parquet(src)
+    _drain(streaming_depth_events(stream), tmp_path, "depth_ev")
+    got: dict[tuple[str, int], int] = {}
+    for r in spark.sql("SELECT * FROM depth_ev").collect():
+        got[(r.contig, r.pos)] = got.get((r.contig, r.pos), 0) + r.delta
+    # read1: +1@100 −1@110 ; read2: 5M@105-109 (+1@105,−1@110), 2D skips
+    # 110-111, 3M@112-114 (+1@112,−1@115)
+    assert got[("chr1", 100)] == 1 and got[("chr1", 105)] == 1
+    assert got[("chr1", 110)] == -2
+    assert got[("chr1", 112)] == 1 and got[("chr1", 115)] == -1
+    assert sum(got.values()) == 0  # events balance
+
+
+def test_streaming_event_counts(spark, tmp_path):
+    ev = spark.createDataFrame(
+        [("2026-01-01 10:05:00", "click", 1.0), ("2026-01-01 10:55:00", "click", 2.0),
+         ("2026-01-01 11:05:00", "view", 5.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "events")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    _drain(streaming_event_counts(stream), tmp_path, "ev_counts")
+    rows = {
+        (str(r.window_start), r.event_type): (r.n, r.value_sum)
+        for r in spark.sql("SELECT * FROM ev_counts").collect()
+    }
+    assert rows[("2026-01-01 10:00:00", "click")] == (2, 3.0)
+    assert rows[("2026-01-01 11:00:00", "view")] == (1, 5.0)
