@@ -444,12 +444,33 @@ def _annotate_codon(
     )
 
     looked_cols = list(looked.columns)
-    grouped = with_entry.groupBy(*[F.col(c) for c in looked_cols]).agg(
-        F.substring_index(F.min("__best_term"), "|", -1).alias("__ms"),
-        F.concat_ws(",", F.array_sort(F.collect_list("__entry"))).alias("CSQ"),
+    best_struct = F.when(
+        F.col("__terms").isNotNull(),
+        F.struct(
+            F.col("__t_id").alias("feature"),
+            F.col("__t_gene").alias("gene"),
+            F.col("__t_symbol").alias("symbol"),
+            F.col("__t_biotype").alias("biotype"),
+            F.col("__res.impact").alias("impact"),
+            F.col("__res.hgvsc").alias("hgvsc"),
+            F.col("__res.hgvsp").alias("hgvsp"),
+            F.col("__terms").alias("terms"),
+        ),
+    )
+    grouped = (
+        with_entry.withColumn("__best_struct", best_struct)
+        .groupBy(*[F.col(c) for c in looked_cols])
+        .agg(
+            F.substring_index(F.min("__best_term"), "|", -1).alias("__ms"),
+            F.concat_ws(",", F.array_sort(F.collect_list("__entry"))).alias("CSQ"),
+            # typed columns of the most-severe transcript entry: min_by on
+            # the rank-prefixed term (reference emits ~80 typed columns,
+            # annotate_provider.rs:2270-2296; this is the high-value subset)
+            F.min_by("__best_struct", "__best_term").alias("__best"),
+        )
     )
     intergenic = F.lit("intergenic_variant")
-    return grouped.select(
+    out = grouped.select(
         *looked_cols,
         F.coalesce(F.col("__ms"), intergenic).alias("most_severe_consequence"),
         F.coalesce(F.col("variation_name"), F.lit("")).alias("existing_variation"),
@@ -458,7 +479,16 @@ def _annotate_codon(
         )
         .otherwise(F.col("CSQ"))
         .alias("CSQ"),
+        F.coalesce(F.col("__best.impact"), F.lit("MODIFIER")).alias("impact"),
+        F.col("__best.symbol").alias("gene_symbol"),
+        F.col("__best.gene").alias("gene_stable_id"),
+        F.col("__best.feature").alias("feature"),
+        F.col("__best.biotype").alias("biotype"),
+        F.col("__best.terms").alias("consequence_terms"),
+        F.col("__best.hgvsc").alias("hgvsc"),
+        F.col("__best.hgvsp").alias("hgvsp"),
     )
+    return out
 
 
 def consequence_regions(

@@ -263,6 +263,15 @@ class TestAnnotateVepCodon:
         assert r.existing_variation == "rs1"
         assert "T|missense_variant|MODERATE|GENE1|G1|T1|T1:c.5C>T|T1:p.Ala2Val" == r.CSQ
         assert r.matched is True
+        # typed columns of the most-severe transcript entry
+        assert (r.impact, r.gene_symbol, r.gene_stable_id, r.feature) == (
+            "MODERATE", "GENE1", "G1", "T1"
+        )
+        assert r.biotype == "protein_coding"
+        assert r.hgvsc == "T1:c.5C>T" and r.hgvsp == "T1:p.Ala2Val"
+        assert r.consequence_terms == ["missense_variant"]
+        ig0 = by_pos[("chr2", 999)]
+        assert ig0.impact == "MODIFIER" and ig0.feature is None
 
         assert by_pos[("chr1", 115)].most_severe_consequence == "synonymous_variant"
         assert by_pos[("chr1", 150)].most_severe_consequence == "intron_variant"
