@@ -41,6 +41,7 @@ from datafusion_bio_functions_spark.operators.vep import (
     annotate_vep,
     consequence_regions,
     lookup_variants,
+    regulatory_features,
 )
 from datafusion_bio_functions_spark.plans import oracle as osql
 
@@ -108,6 +109,14 @@ TRANSCRIPTS_SQL = (
     "CAST((n_nationkey * 701) % 4000 + 300 AS BIGINT) AS cds_start, "
     "CAST((n_nationkey * 701) % 4000 + 700 AS BIGINT) AS cds_end "
     "FROM nation"
+)
+REGULATORY_SQL = (
+    "SELECT CAST(r_regionkey % 3 + 1 AS VARCHAR) AS chrom, "
+    "CAST((r_regionkey * 997) % 4500 + 1 AS BIGINT) AS start, "
+    "CAST((r_regionkey * 997) % 4500 + 401 AS BIGINT) AS \"end\", "
+    "concat('ENSR', CAST(r_regionkey AS VARCHAR)) AS feature_id, "
+    "CASE WHEN r_regionkey % 2 = 0 THEN 'promoter' ELSE 'TF_binding_site' END AS feature_type "
+    "FROM region"
 )
 DOCS_DUP_SQL = (
     "SELECT doc_id, text FROM documents UNION ALL "
@@ -224,6 +233,20 @@ def _tx_exons(spark, sf_dir):
     e1 = t.select("transcript_id", F.col("start"), (F.col("start") + 250).alias("end"))
     e2 = t.select("transcript_id", (F.col("start") + 350).alias("start"), F.col("end"))
     return e1.unionByName(e2)
+
+
+def _regulatory(spark, sf_dir):
+    r = _read(spark, sf_dir, "region")
+    start = ((F.col("r_regionkey") * 997) % 4500 + 1).cast("long")
+    return r.select(
+        (F.col("r_regionkey") % 3 + 1).cast("string").alias("chrom"),
+        start.alias("start"),
+        (start + 400).alias("end"),
+        F.concat(F.lit("ENSR"), F.col("r_regionkey").cast("string")).alias("feature_id"),
+        F.when(F.col("r_regionkey") % 2 == 0, "promoter")
+        .otherwise("TF_binding_site")
+        .alias("feature_type"),
+    )
 
 
 def _docs_dup(spark, sf_dir):
@@ -353,6 +376,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["consequence_regions"] = lambda spark, sf: consequence_regions(
         _vcf(spark, sf), _transcripts(spark, sf).drop("gene_stable_id", "gene_symbol")
     )
+    q["regulatory_features"] = lambda spark, sf: regulatory_features(
+        _vcf(spark, sf), _regulatory(spark, sf)
+    )
     # non-SQL-expressible (hash-internal) op: rows-only check by the driver
     # r=8 banding: S-curve cutoff (1/8)^(1/8) ≈ 0.77 for the 0.9 threshold
     q["minhash_pairs"] = lambda spark, sf: minhash_dedup(
@@ -426,6 +452,12 @@ def oracle_sql() -> dict[str, str]:
     )
     o["bpe_tokens"] = osql.bpe_tokens_sql("SELECT * FROM documents")
     o["consequence_regions"] = osql.consequence_regions_sql(VCF_SQL, TRANSCRIPTS_SQL)
+    o["regulatory_features"] = f"""
+WITH v AS ({VCF_SQL}), r AS ({REGULATORY_SQL})
+SELECT v.chrom, v.start, v."end", v.ref, v.alt, r.feature_id,
+       CASE WHEN r.feature_type = 'TF_binding_site' THEN 'TF_binding_site_variant'
+            ELSE 'regulatory_region_variant' END AS feature_term
+FROM v JOIN r ON v.chrom = r.chrom AND v.start <= r."end" AND v."end" >= r.start"""
     o["depth_blocks"] = osql.depth_blocks_sql(ALIGNMENTS_SQL)
     o["depth_per_base"] = f"""
 WITH blocks AS ({osql.depth_blocks_sql(ALIGNMENTS_SQL)})

@@ -634,3 +634,69 @@ def miss_worklist(
         F.col("__nv").alias("n_variants"),
     )
     return kept.unionByName(collapsed)
+
+
+def regulatory_features(
+    vcf: DataFrame,
+    regulatory: DataFrame | None = None,
+    motifs: DataFrame | None = None,
+) -> DataFrame:
+    """Regulatory/motif feature annotation (the regulatory arm of the
+    reference's ``annotate_vep`` options, ``annotate_provider.rs`` regulatory
+    / motif context tables): overlap each variant with
+
+    * ``regulatory`` ``(chrom, start, end, feature_id [, feature_type])`` →
+      ``regulatory_region_variant`` (feature_type ``TF_binding_site`` →
+      ``TF_binding_site_variant``),
+    * ``motifs`` ``(chrom, start, end, feature_id)`` →
+      ``TF_binding_site_variant``.
+
+    Both context tables broadcast (they are genome-annotation sized, not
+    data-sized).  Output: vcf cols + ``feature_id`` + ``feature_term``; one
+    row per (variant, overlapped feature).
+    """
+    _check_contract(vcf, VCF_REQUIRED, "vcf")
+    if regulatory is None and motifs is None:
+        raise ValueError("at least one of regulatory/motifs is required")
+    pos, vend = F.col("start").cast("long"), F.col("end").cast("long")
+    parts = []
+    if regulatory is not None:
+        _check_contract(regulatory, ("chrom", "start", "end", "feature_id"), "regulatory")
+        has_type = "feature_type" in regulatory.columns
+        reg = regulatory.select(
+            F.col("chrom").alias("__fc"),
+            F.col("start").cast("long").alias("__fs"),
+            F.col("end").cast("long").alias("__fe"),
+            F.col("feature_id").alias("feature_id"),
+            (F.col("feature_type") if has_type else F.lit("regulatory_region")).alias("__ft"),
+        )
+        parts.append(
+            vcf.join(
+                F.broadcast(reg),
+                (F.col("chrom") == F.col("__fc")) & (pos <= F.col("__fe")) & (vend >= F.col("__fs")),
+            ).select(
+                *vcf.columns,
+                "feature_id",
+                F.when(F.col("__ft") == "TF_binding_site", "TF_binding_site_variant")
+                .otherwise("regulatory_region_variant")
+                .alias("feature_term"),
+            )
+        )
+    if motifs is not None:
+        _check_contract(motifs, ("chrom", "start", "end", "feature_id"), "motifs")
+        mot = motifs.select(
+            F.col("chrom").alias("__fc"),
+            F.col("start").cast("long").alias("__fs"),
+            F.col("end").cast("long").alias("__fe"),
+            F.col("feature_id").alias("feature_id"),
+        )
+        parts.append(
+            vcf.join(
+                F.broadcast(mot),
+                (F.col("chrom") == F.col("__fc")) & (pos <= F.col("__fe")) & (vend >= F.col("__fs")),
+            ).select(*vcf.columns, "feature_id", F.lit("TF_binding_site_variant").alias("feature_term"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -190,3 +190,33 @@ def test_annotate_vep_with_transcripts(spark, vcf, cache):
     assert rows2[("1", 200)]["most_severe_consequence"] == "upstream_gene_variant"
     assert rows2[("2", 100)]["most_severe_consequence"] == "intergenic_variant"
     assert out2.count() == vcf.count()
+
+
+def test_regulatory_features(spark):
+    from datafusion_bio_functions_spark.operators.vep import regulatory_features
+
+    vcf = spark.createDataFrame(
+        [("1", 100, 100, "A", "T"), ("1", 500, 500, "G", "C"), ("2", 100, 100, "C", "G")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    reg = spark.createDataFrame(
+        [("1", 50, 150, "ENSR1", "promoter"), ("1", 450, 550, "ENSR2", "TF_binding_site")],
+        "chrom string, start long, end long, feature_id string, feature_type string",
+    )
+    mot = spark.createDataFrame(
+        [("1", 90, 110, "MOTIF1")],
+        "chrom string, start long, end long, feature_id string",
+    )
+    got = {
+        (r.chrom, r.start, r.feature_id): r.feature_term
+        for r in regulatory_features(vcf, reg, mot).collect()
+    }
+    assert got == {
+        ("1", 100, "ENSR1"): "regulatory_region_variant",
+        ("1", 500, "ENSR2"): "TF_binding_site_variant",
+        ("1", 100, "MOTIF1"): "TF_binding_site_variant",
+    }
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        regulatory_features(vcf)
