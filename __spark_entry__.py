@@ -35,6 +35,7 @@ from datafusion_bio_functions_spark.functions.text import bpe_token_count
 from datafusion_bio_functions_spark.operators.similarity import (
     cosine_near_dup_exact,
     cosine_topk,
+    ivf_cosine_topk,
     lsh_cosine_topk,
 )
 from datafusion_bio_functions_spark.operators.vep import (
@@ -400,6 +401,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["ngram_jaccard_pairs"] = lambda spark, sf: ngram_jaccard_dedup(
         _docs_dup(spark, sf), n=3, threshold=0.8
+    )
+    q["ivf_ann_topk"] = lambda spark, sf: ivf_cosine_topk(
+        _read(spark, sf, "embeddings").filter(F.col("vec_id") < 50),
+        _read(spark, sf, "embeddings"),
+        k=10,
+        n_centroids=8,
+        nprobe=4,
     )
     q["lsh_ann_topk"] = lambda spark, sf: lsh_cosine_topk(
         _read(spark, sf, "embeddings").filter(F.col("vec_id") < 50),

@@ -84,3 +84,40 @@ def test_consequence_regions_truth_table(spark):
     assert term(1000 - 501, strand=-1) is None  # rev downstream limit 500
     assert term(2000 + 5000, strand=-1) == "upstream_gene_variant"
     assert term(2000 + 5001, strand=-1) is None
+
+
+def test_ivf_cosine_topk_recall(spark):
+    import random as _rnd
+
+    rnd = _rnd.Random(123)
+    # 4 well-separated clusters in 8d, 50 points each
+    centers = [[10 if j == c * 2 else 0 for j in range(8)] for c in range(4)]
+    rows = []
+    i = 0
+    for c in range(4):
+        for _ in range(50):
+            rows.append((i, [centers[c][j] + rnd.gauss(0, 1) for j in range(8)]))
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from datafusion_bio_functions_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    q = df.filter(F.col("vec_id") % 25 == 0)  # 8 queries across clusters
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id for r in cosine_topk(q, df, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_cosine_topk(q, df, k=5, n_centroids=4, nprobe=2, dim=8).collect()
+    }
+    hits = sum(1 for key, nid in exact.items() if approx.get(key) == nid)
+    recall = hits / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall} too low"
+    # determinism: same seed → identical result set
+    again = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_cosine_topk(q, df, k=5, n_centroids=4, nprobe=2, dim=8).collect()
+    }
+    assert approx == again
