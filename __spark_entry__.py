@@ -350,6 +350,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly"] = _events_hourly
 
+    def _sessionize_q(spark, sf):
+        from datafusion_bio_functions_spark.operators.sessions import sessionize
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = _read(spark, sf, "events").select(
+            "user_id",
+            F.timestamp_seconds(F.expr("ts div 1000000000")).alias("ts"),
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+        s = sessionize(ev, gap_seconds=1800, value_col="value_cents")
+        return s.select(
+            "user_id",
+            F.unix_timestamp("session_start").alias("session_start_epoch"),
+            F.unix_timestamp("session_end").alias("session_end_epoch"),
+            "n_events",
+            F.col("value_sum").alias("value_cents_sum"),
+        )
+
+    q["sessionize"] = _sessionize_q
     q["dedup_exact"] = lambda spark, sf: exact_dedup(_docs_dup(spark, sf), output="groups")
     q["doc_tokens"] = lambda spark, sf: _read(spark, sf, "documents").select(
         "doc_id",
@@ -498,6 +517,17 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
        count(*) AS n,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2"""
+    o["sessionize"] = """
+WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+w AS (SELECT *, CASE WHEN lag(ep) OVER (PARTITION BY user_id ORDER BY ep) IS NULL
+                       OR ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ep) > 1800
+                     THEN 1 ELSE 0 END AS brk FROM e),
+i AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ep
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM w)
+SELECT user_id, min(ep) AS session_start_epoch, max(ep) AS session_end_epoch,
+       count(*) AS n_events, CAST(sum(vc) AS BIGINT) AS value_cents_sum
+FROM i GROUP BY user_id, sess"""
     o["dedup_exact"] = osql.exact_dedup_groups_sql(DOCS_DUP_SQL)
     o["text_stats"] = osql.text_stats_sql("SELECT * FROM documents")
     o["lang_id"] = osql.lang_id_sql("SELECT * FROM documents")

@@ -154,3 +154,57 @@ def test_streaming_event_counts(spark, tmp_path):
     }
     assert rows[("2026-01-01 10:00:00", "click")] == (2, 3.0)
     assert rows[("2026-01-01 11:00:00", "view")] == (1, 5.0)
+
+
+def test_sessionize_batch(spark):
+    from datafusion_bio_functions_spark.operators.sessions import sessionize
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2026-01-01 10:00:00", 1.0),
+            (1, "2026-01-01 10:10:00", 2.0),   # same session (gap 600s)
+            (1, "2026-01-01 11:30:00", 3.0),   # new session (gap 4800s)
+            (2, "2026-01-01 10:00:00", 4.0),
+        ],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sessionize(ev, gap_seconds=1800)
+    rows = sorted(
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.value_sum)
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, "2026-01-01 10:00:00", "2026-01-01 10:10:00", 2, 3.0),
+        (1, "2026-01-01 11:30:00", "2026-01-01 11:30:00", 1, 3.0),
+        (2, "2026-01-01 10:00:00", "2026-01-01 10:00:00", 1, 4.0),
+    ]
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    from datafusion_bio_functions_spark.operators.sessions import streaming_sessionize
+
+    ev = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00", 1.0), (1, "2026-01-01 10:10:00", 2.0),
+         (1, "2026-01-01 11:30:00", 3.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "sev")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        streaming_sessionize(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.user_id, str(r.session_start)): (str(r.session_end), r.n_events, r.value_sum)
+        for r in spark.sql("SELECT * FROM sess").collect()
+    }
+    # session_window closes gap after the LAST event
+    assert rows[(1, "2026-01-01 10:00:00")] == ("2026-01-01 10:40:00", 2, 3.0)
+    assert rows[(1, "2026-01-01 11:30:00")] == ("2026-01-01 12:00:00", 1, 3.0)
