@@ -120,3 +120,23 @@ def build_sorted_cache(
         *( [partitions] if partitions else [] ), F.col(chrom_col), F.col(pos_col)
     ).sortWithinPartitions(chrom_col, pos_col)
     rp.write.mode("overwrite").partitionBy(chrom_col).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    n_buckets: int = 64,
+    bucket_col: str = "contig",
+    sort_cols: tuple[str, ...] = ("contig", "pos_start"),
+    path: str | None = None,
+) -> None:
+    """Write a bucketed + sorted table (Hive-style bucketing): two tables
+    bucketed identically on the join key co-locate, so contig-keyed joins
+    (the ``algorithm='sql'`` interval join, per-chrom context joins) run
+    WITHOUT a shuffle — the 100 TB answer to 'this join re-shuffles the same
+    cache every query'.  Spark requires ``saveAsTable`` for bucket metadata;
+    pass ``path`` to keep the data external to the warehouse."""
+    w = df.write.mode("overwrite").format("parquet")
+    if path is not None:
+        w = w.option("path", path)
+    w.bucketBy(n_buckets, bucket_col).sortBy(*sort_cols).saveAsTable(table_name)

@@ -208,3 +208,25 @@ def test_streaming_sessionize(spark, tmp_path):
     # session_window closes gap after the LAST event
     assert rows[(1, "2026-01-01 10:00:00")] == ("2026-01-01 10:40:00", 2, 3.0)
     assert rows[(1, "2026-01-01 11:30:00")] == ("2026-01-01 12:00:00", 1, 3.0)
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    from datafusion_bio_functions_spark.operators.intervals import interval_join
+    from datafusion_bio_functions_spark.sources.readers import write_bucketed_table
+
+    df = spark.createDataFrame(
+        [(f"chr{i % 4 + 1}", i * 10, i * 10 + 15) for i in range(2000)],
+        "contig string, pos_start long, pos_end long",
+    )
+    write_bucketed_table(df, "b_reads", n_buckets=8, path=str(tmp_path / "br"))
+    write_bucketed_table(df, "b_targets", n_buckets=8, path=str(tmp_path / "bt"))
+    l, r = spark.table("b_reads"), spark.table("b_targets")
+    joined = interval_join(l, r, algorithm="sql")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # both sides bucketed on contig with equal bucket counts: the
+    # contig-keyed join needs NO Exchange
+    assert "Exchange hashpartitioning(left_contig" not in plan
+    assert "Exchange hashpartitioning(right_contig" not in plan
+    assert joined.count() > 0
+    spark.sql("DROP TABLE IF EXISTS b_reads")
+    spark.sql("DROP TABLE IF EXISTS b_targets")
