@@ -40,6 +40,12 @@ BENCH_QUERIES = [
     "lang_id",
     "similarity_topk",
     "minhash_pairs",
+    "sessionize",
+    "consequence_regions",
+    "regulatory_features",
+    "near_dup_cosine",
+    "bpe_tokens",
+    "annotate_vep",
 ]
 
 

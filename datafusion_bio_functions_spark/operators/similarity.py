@@ -61,12 +61,20 @@ def cosine_topk(
     (same id) excluded.  ``cosine_sim`` is the raw double — the strict
     left-to-right summation makes it bit-reproducible by the SQL oracle.
     """
-    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv"))
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv"))
+    # norms are per-row, not per-pair: compute them once on each side
+    # (O(|Q|+|C|) instead of O(|Q|·|C|) norm passes)
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     sim = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("__sim", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "__sim", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
     return (
@@ -149,7 +157,10 @@ def lsh_cosine_topk(
         .select("query_id", "__qv", "neighbor_id", "__cv")
         .distinct()
     )
-    sim = cand.withColumn("__sim", cosine(F.col("__qv"), F.col("__cv")))
+    sim = cand.withColumn(
+        "__sim",
+        dot(F.col("__qv"), F.col("__cv")) / (l2_norm(F.col("__qv")) * l2_norm(F.col("__cv"))),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
     return (
         sim.withColumn("rank", F.row_number().over(w))
@@ -174,12 +185,19 @@ def cosine_near_dup_exact(
     baseline and DuckDB-oracle path for ``cosine_near_dup_pairs`` (the LSH
     variant is the scale path).  ``cosine_sim`` is the raw double from the
     strict sequential summation (bit-reproducible by the oracle)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")).withColumn(
+        "__na", l2_norm(F.col("__va"))
+    )
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")).withColumn(
+        "__nb", l2_norm(F.col("__vb"))
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
@@ -306,11 +324,13 @@ def ivf_cosine_topk(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
     ).withColumn("centroid_id", F.explode(make_assign(nprobe)(F.col("__qv"))))
     cand = (
-        q.join(c, "centroid_id")
+        q.join(c.withColumn("__cn", l2_norm(F.col("__cv"))), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "__qv", "neighbor_id", "__cv")
+        .select("query_id", "__qv", "neighbor_id", "__cv", "__cn")
     )
-    sim = cand.withColumn("__sim", cosine(F.col("__qv"), F.col("__cv")))
+    sim = cand.withColumn(
+        "__sim", dot(F.col("__qv"), F.col("__cv")) / (l2_norm(F.col("__qv")) * F.col("__cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
     return (
         sim.withColumn("rank", F.row_number().over(w))
