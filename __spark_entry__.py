@@ -337,6 +337,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_pricing"] = _tpch_pricing
 
+    def _tpch_shipping_priority(spark, sf):
+        # TPC-H Q3 shape: 3-way join, filters on both sides, exact cents
+        c = _read(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+        o = _read(spark, sf, "orders")
+        li = _read(spark, sf, "lineitem")
+        cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+        disc = F.round(F.col("l_discount") * 100).cast("long")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(cents * (100 - disc)).alias("revenue_micro"))
+        )
+
+    q["tpch_shipping_priority"] = _tpch_shipping_priority
+
+    def _tpch_region_volume(spark, sf):
+        # TPC-H Q5 shape: 6-way join through nation/region, broadcast dims
+        r = _read(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+        n = _read(spark, sf, "nation")
+        c = _read(spark, sf, "customer")
+        s = _read(spark, sf, "supplier")
+        o = _read(spark, sf, "orders")
+        li = _read(spark, sf, "lineitem")
+        cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+        disc = F.round(F.col("l_discount") * 100).cast("long")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .filter(c.c_nationkey == s.s_nationkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.sum(cents * (100 - disc)).alias("revenue_micro"))
+        )
+
+    q["tpch_region_volume"] = _tpch_region_volume
+
     def _events_hourly(spark, sf):
         # events.ts is parquet TIMESTAMP(NANOS): read as raw long nanos
         # (timezone-free) and bucket by exact integer division
@@ -512,6 +551,27 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_micro
 FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+    o["tpch_shipping_priority"] = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_micro
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority"""
+    o["tpch_region_volume"] = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_micro
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name"""
     o["events_hourly"] = """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
        count(*) AS n,
