@@ -158,7 +158,24 @@ def interval_join(
     cond = _overlap_cond(lc, ls, le, rc, rs, re_, filter_op)
 
     if algorithm == "auto":
-        algorithm = "binned" if how == "inner" else "sql"
+        # session-level override, mirror of the reference's
+        # ``SET bio.interval_join_algorithm`` (session_context.rs:48-70)
+        from ..session import INTERVAL_JOIN_ALGORITHM_KEY, INTERVAL_JOIN_BIN_WIDTH_KEY
+
+        conf = left.sparkSession.conf
+        configured = conf.get(INTERVAL_JOIN_ALGORITHM_KEY, None)
+        if configured and configured != "auto":
+            if configured not in ("binned", "sql", "broadcast"):
+                raise ValueError(
+                    f"{INTERVAL_JOIN_ALGORITHM_KEY} must be auto|binned|sql|broadcast,"
+                    f" got {configured!r}"
+                )
+            algorithm = configured
+        else:
+            algorithm = "binned" if how == "inner" else "sql"
+        bw = conf.get(INTERVAL_JOIN_BIN_WIDTH_KEY, None)
+        if bw:
+            bin_width = int(bw)
 
     if how in ("left", "left_semi", "left_anti") or algorithm in ("sql", "broadcast"):
         lj = F.broadcast(l) if algorithm == "broadcast" else l
@@ -478,27 +495,107 @@ def merge(
     min_dist: int = 0,
     cols: Sequence[str] | None = None,
     filter_op: str = "weak",
+    algorithm: str = "window",
+    chunk_width: int = 10_000_000,
 ) -> DataFrame:
     """Merge overlapping (and within ``min_dist``) intervals per contig.
     Output: ``contig, pos_start, pos_end, n_intervals`` (Int64), the
     reference's fixed schema (``merge.rs:43-48``).
 
-    Pure gaps-and-islands window SQL — one shuffle on contig, streaming
-    running-max frame; unlike the reference's collect-per-contig
-    (``grouped_stream.rs:24-124``) nothing is materialized per group.
+    ``algorithm='window'`` (default): pure gaps-and-islands window SQL — one
+    shuffle on contig, streaming running-max frame; unlike the reference's
+    collect-per-contig (``grouped_stream.rs:24-124``) nothing is
+    materialized per group.  Caveat at extreme scale: the window sorts each
+    contig in ONE task, so a billion-interval chromosome serializes.
+
+    ``algorithm='chunked'``: the 100 TB path.  Phase 1 merges locally within
+    ``(contig, floor(start / chunk_width))`` — shuffle-parallel across
+    genome chunks, no per-contig task.  Phase 2 decides finality from a
+    bucket-level summary (prefix max end over *previous* buckets — rows =
+    #buckets, not #intervals): a local merge is final iff it cannot extend
+    past its right bucket edge and cannot be reached from any earlier
+    bucket.  Only the boundary-crossing remainder — O(#buckets), not
+    O(#intervals) — goes through the global per-contig window.  Equality
+    with the window path is property-tested.
     """
     _check_filter_op(filter_op)
     df, (c, s, e) = _normalize(df, cols)
-    isl = _with_island(df.select(c, s, e), c, s, e, min_dist, filter_op)
-    return (
-        isl.groupBy(F.col(c).alias("contig"), F.col("__island"))
+    if algorithm == "window":
+        isl = _with_island(df.select(c, s, e), c, s, e, min_dist, filter_op)
+        return (
+            isl.groupBy(F.col(c).alias("contig"), F.col("__island"))
+            .agg(
+                F.min(s).cast(T.LongType()).alias("pos_start"),
+                F.max(e).cast(T.LongType()).alias("pos_end"),
+                F.count(F.lit(1)).alias("n_intervals"),
+            )
+            .drop("__island")
+        )
+    if algorithm != "chunked":
+        raise ValueError(f"merge algorithm must be 'window' or 'chunked', got {algorithm!r}")
+
+    d = df.select(
+        F.col(c).alias("contig"),
+        F.col(s).cast(T.LongType()).alias("pos_start"),
+        F.col(e).cast(T.LongType()).alias("pos_end"),
+    ).withColumn("__b", (F.col("pos_start") / chunk_width).cast("long"))
+    # phase 1: local islands within (contig, bucket)
+    wloc = Window.partitionBy("contig", "__b").orderBy("pos_start", "pos_end")
+    prev_max = F.max("pos_end").over(wloc.rowsBetween(Window.unboundedPreceding, -1))
+    boundary = prev_max + F.lit(min_dist)
+    merges = (
+        (F.col("pos_start") <= boundary)
+        if filter_op == "weak"
+        else (F.col("pos_start") < boundary)
+    )
+    isl = d.withColumn(
+        "__island",
+        F.sum(F.when(prev_max.isNull() | ~merges, 1).otherwise(0)).over(
+            wloc.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    local = isl.groupBy("contig", "__b", "__island").agg(
+        F.min("pos_start").alias("pos_start"),
+        F.max("pos_end").alias("pos_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+    # bucket summary: max end per bucket, prefix-max over previous buckets.
+    # This window runs over #buckets rows — negligible at any scale.
+    summ = local.groupBy("contig", "__b").agg(F.max("pos_end").alias("__bmax"))
+    wsum = (
+        Window.partitionBy("contig")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    summ = summ.withColumn("__prev_max", F.max("__bmax").over(wsum)).select(
+        "contig", "__b", "__prev_max"
+    )
+    cand = local.join(summ, ["contig", "__b"], "left")
+    # conservative (>=) finality test for both filter_ops: over-approximating
+    # the non-final set is safe — phase 2 re-merges it exactly
+    right_edge = (F.col("__b") + 1) * chunk_width
+    can_extend_right = F.col("pos_end") + min_dist >= right_edge
+    reachable_left = F.coalesce(
+        F.col("__prev_max") + min_dist >= F.col("pos_start"), F.lit(False)
+    )
+    nonfinal = cand.filter(can_extend_right | reachable_left).drop(
+        "__b", "__prev_max", "__island"
+    )
+    final = cand.filter(~(can_extend_right | reachable_left)).drop(
+        "__b", "__prev_max", "__island"
+    )
+    # phase 2: exact global merge over the small boundary-crossing remainder
+    isl2 = _with_island(nonfinal, "contig", "pos_start", "pos_end", min_dist, filter_op)
+    merged2 = (
+        isl2.groupBy("contig", "__island")
         .agg(
-            F.min(s).cast(T.LongType()).alias("pos_start"),
-            F.max(e).cast(T.LongType()).alias("pos_end"),
-            F.count(F.lit(1)).alias("n_intervals"),
+            F.min("pos_start").alias("pos_start"),
+            F.max("pos_end").alias("pos_end"),
+            F.sum("n_intervals").alias("n_intervals"),
         )
         .drop("__island")
     )
+    return final.unionByName(merged2)
 
 
 def cluster(

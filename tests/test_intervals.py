@@ -260,3 +260,33 @@ def test_custom_column_names(spark):
     out = bio.interval_join(l, r, cols_left=("chrom", "s", "e"), cols_right=("c", "b", "f"))
     assert out.count() == 1
     assert set(out.columns) == {"left_chrom", "left_s", "left_e", "right_c", "right_b", "right_f"}
+
+def test_merge_chunked_equals_window(spark):
+    """The chunked (100 TB) merge path must produce exactly the window
+    path's result — including long intervals bridging many chunks, min_dist
+    gaps, and strict/weak boundary semantics."""
+    import random as _r
+
+    rnd = _r.Random(7)
+    rows = []
+    for contig in ("chr1", "chr2"):
+        for _ in range(400):
+            s = rnd.randrange(1, 100_000)
+            ln = rnd.choice([rnd.randrange(1, 50), rnd.randrange(1, 30_000)])
+            rows.append((contig, s, s + ln))
+    # exact chunk-edge touchers
+    rows += [("chr1", 9_999, 10_000), ("chr1", 10_000, 10_001), ("chr1", 20_000, 20_000)]
+    df = spark.createDataFrame(rows, "contig string, pos_start long, pos_end long")
+
+    def canon(out):
+        return sorted((r.contig, r.pos_start, r.pos_end, r.n_intervals) for r in out.collect())
+
+    for fo in ("weak", "strict"):
+        for md in (0, 100):
+            want = canon(bio.merge(df, min_dist=md, filter_op=fo))
+            got = canon(
+                bio.merge(df, min_dist=md, filter_op=fo, algorithm="chunked", chunk_width=10_000)
+            )
+            assert got == want, (fo, md)
+    with pytest.raises(ValueError):
+        bio.merge(df, algorithm="quantum")

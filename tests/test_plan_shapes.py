@@ -74,3 +74,20 @@ def test_whole_stage_codegen_active(spark, pq):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "WholeStageCodegen" in s and "Found 0 WholeStageCodegen" not in s
+
+
+def test_session_algorithm_override(spark, pq):
+    from datafusion_bio_functions_spark.session import INTERVAL_JOIN_ALGORITHM_KEY
+
+    l, r = pq
+    spark.conf.set(INTERVAL_JOIN_ALGORITHM_KEY, "sql")
+    try:
+        plan = _plan(bio.overlap(l, r))  # algorithm left at 'auto'
+        assert "__lbin" not in plan  # binning disabled by session override
+        spark.conf.set(INTERVAL_JOIN_ALGORITHM_KEY, "banana")
+        with pytest.raises(ValueError):
+            bio.overlap(l, r)
+    finally:
+        spark.conf.set(INTERVAL_JOIN_ALGORITHM_KEY, "auto")
+    # override off again → binned path returns
+    assert "__lbin" in str(bio.overlap(l, r)._jdf.queryExecution().analyzed().toString())
