@@ -108,6 +108,8 @@ def depth(
     flag_mask: int = DEFAULT_FLAG_MASK,
     min_mapq: int = 0,
     cols: Sequence[str] | None = None,
+    algorithm: str = "window",
+    chunk_width: int = 10_000_000,
 ) -> DataFrame:
     """Pileup depth — the reference ``depth()`` UDTF
     (``bio-function-pileup/src/table_function.rs:79-158``).
@@ -122,7 +124,18 @@ def depth(
     ``zero_based``: input ``start`` is 0-based (BAM convention); output
     blocks are then emitted 0-based half-open.  Default: 1-based closed in
     and out.
+
+    ``algorithm='window'`` (default): one running-sum window per contig —
+    one row per breakpoint, but one task per contig at the window.
+    ``algorithm='chunked'``: two-phase parallel prefix sum — local running
+    sums per ``(contig, pos / chunk_width)`` genome chunk, bucket offsets
+    from a prefix sum over the per-chunk totals (rows = #chunks), coverage
+    = local + offset.  Removes the per-contig serialization for
+    hundreds-of-millions-of-breakpoints chromosomes; equality with the
+    window path is property-tested.
     """
+    if algorithm not in ("window", "chunked"):
+        raise ValueError(f"depth algorithm must be 'window' or 'chunked', got {algorithm!r}")
     c, s, fl, cg, mq = cols or DEFAULT_ALN_COLS
     df = alignments.filter(
         (F.col(fl).cast("int").bitwiseAND(F.lit(flag_mask)) == 0)
@@ -157,10 +170,38 @@ def depth(
         .agg(F.sum("delta").alias("delta"))
         .filter(F.col("delta") != 0)
     )
-    w = Window.partitionBy("contig").orderBy("pos")
-    cum = agg.withColumn(
-        "coverage", F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    ).withColumn("next_pos", F.lead("pos").over(w))
+    if algorithm == "window":
+        w = Window.partitionBy("contig").orderBy("pos")
+        cum = agg.withColumn(
+            "coverage", F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        ).withColumn("next_pos", F.lead("pos").over(w))
+    else:
+        # two-phase parallel prefix sum over genome chunks
+        a2 = agg.withColumn("__b", (F.col("pos") / chunk_width).cast("long"))
+        wloc = Window.partitionBy("contig", "__b").orderBy("pos")
+        a2 = a2.withColumn(
+            "__cum", F.sum("delta").over(wloc.rowsBetween(Window.unboundedPreceding, 0))
+        ).withColumn("__next", F.lead("pos").over(wloc))
+        # per-chunk totals + first breakpoint; the prefix window below runs
+        # over #chunks rows (tiny), never over breakpoints
+        summ = a2.groupBy("contig", "__b").agg(
+            F.sum("delta").alias("__tot"), F.min("pos").alias("__first")
+        )
+        wsum = Window.partitionBy("contig").orderBy("__b")
+        summ = summ.withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__tot").over(wsum.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        ).withColumn("__next_first", F.lead("__first").over(wsum))
+        cum = (
+            a2.join(
+                summ.select("contig", "__b", "__off", "__next_first"), ["contig", "__b"]
+            )
+            .withColumn("coverage", F.col("__cum") + F.col("__off"))
+            .withColumn("next_pos", F.coalesce(F.col("__next"), F.col("__next_first")))
+        )
 
     blocks = cum.filter((F.col("coverage") > 0) & F.col("next_pos").isNotNull()).select(
         "contig",

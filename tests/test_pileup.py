@@ -121,3 +121,32 @@ def test_depth_matches_duckdb_oracle(spark, oracle):
         (r.contig, int(r.pos_start), int(r.pos_end), int(r.coverage)) for r in want.itertuples()
     )
     assert got == want_rows
+
+
+def test_depth_chunked_equals_window(spark):
+    """The chunked (parallel prefix sum) depth path must equal the window
+    path exactly — including blocks spanning chunk edges."""
+    import random as _r
+
+    rnd = _r.Random(11)
+    rows = []
+    for contig in ("chr1", "chr2"):
+        for _ in range(500):
+            s = rnd.randrange(1, 50_000)
+            rows.append((contig, s, 0, f"{rnd.randrange(1, 300)}M", 60))
+    df = spark.createDataFrame(
+        rows, "chrom string, start long, flags int, cigar string, mapping_quality int"
+    )
+
+    def canon(out):
+        return sorted(map(tuple, out.collect()))
+
+    want = canon(depth(df))
+    got = canon(depth(df, algorithm="chunked", chunk_width=1000))
+    assert got == want
+    # per-base expansion identical too
+    assert canon(depth(df, per_base=True, algorithm="chunked", chunk_width=1000)) == canon(
+        depth(df, per_base=True)
+    )
+    with pytest.raises(ValueError):
+        depth(df, algorithm="hyperspeed")
