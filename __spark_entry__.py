@@ -594,4 +594,9 @@ FROM i GROUP BY user_id, sess"""
     o["similarity_topk"] = osql.cosine_topk_sql(
         "SELECT * FROM embeddings WHERE vec_id < 50", "SELECT * FROM embeddings", k=10
     )
+    # exact all-pairs Jaccard ground truth for the LSH-accelerated paths: the
+    # banded-LSH candidate stage is recall-complete on this data at these
+    # thresholds (verified pair-for-pair), so hashes match the exact oracle
+    o["minhash_pairs"] = osql.jaccard_pairs_char_sql(DOCS_DUP_SQL, k=5, threshold=0.9)
+    o["ngram_jaccard_pairs"] = osql.jaccard_pairs_word_sql(DOCS_DUP_SQL, n=3, threshold=0.8)
     return o

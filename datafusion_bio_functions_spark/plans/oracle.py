@@ -472,3 +472,68 @@ SELECT v.chrom, v.start, v."end", v.ref, v.alt, t.transcript_id,
 FROM v JOIN t ON v.chrom = t.chrom
   AND v."end" >= t.start - {reach} AND v.start <= t."end" + {reach}
 ) WHERE region_term IS NOT NULL"""
+
+
+def jaccard_pairs_char_sql(
+    t: str,
+    k: int = 5,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Exact all-pairs char-k-shingle Jaccard ≥ threshold — the ground-truth
+    definition the MinHash-LSH path (``dedup.minhash_dedup``) approximates.
+    The size-ratio prune is lossless: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|)."""
+    return f"""
+WITH all_docs AS ({t}),
+norm_docs AS (
+  SELECT {id_col}, lower(trim(regexp_replace({text_col}, '\\s+', ' ', 'g'))) AS norm
+  FROM all_docs
+), sh AS (
+  SELECT {id_col},
+         list_distinct([substr(norm, i, {k})
+                        FOR i IN range(1, greatest(length(norm) - {k - 1}, 1) + 1)]) AS grams
+  FROM norm_docs
+), pairs AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+         len(list_intersect(a.grams, b.grams)) AS inter,
+         len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS uni
+  FROM sh a JOIN sh b
+    ON a.{id_col} < b.{id_col}
+   AND least(len(a.grams), len(b.grams)) >= {threshold} * greatest(len(a.grams), len(b.grams))
+)
+SELECT id_a, id_b, round(inter::DOUBLE / uni, 6) AS jaccard
+FROM pairs WHERE inter::DOUBLE / uni >= {threshold}"""
+
+
+def jaccard_pairs_word_sql(
+    t: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Exact all-pairs word-n-gram Jaccard ≥ threshold — ground truth for
+    ``dedup.ngram_jaccard_dedup``.  DuckDB list slice t[i:i+n-1] is 1-based
+    inclusive → n elements."""
+    return f"""
+WITH all_docs AS ({t}),
+toks AS (
+  SELECT {id_col},
+         string_split(lower(trim(regexp_replace({text_col}, '\\s+', ' ', 'g'))), ' ') AS t
+  FROM all_docs
+), sh AS (
+  SELECT {id_col},
+         list_distinct([array_to_string(t[i:i+{n - 1}], ' ')
+                        FOR i IN range(1, greatest(len(t) - {n - 1}, 1) + 1)]) AS grams
+  FROM toks
+), pairs AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+         len(list_intersect(a.grams, b.grams)) AS inter,
+         len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS uni
+  FROM sh a JOIN sh b
+    ON a.{id_col} < b.{id_col}
+   AND least(len(a.grams), len(b.grams)) >= {threshold} * greatest(len(a.grams), len(b.grams))
+)
+SELECT id_a, id_b, round(inter::DOUBLE / uni, 6) AS jaccard
+FROM pairs WHERE inter::DOUBLE / uni >= {threshold}"""
