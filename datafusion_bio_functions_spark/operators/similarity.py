@@ -179,27 +179,100 @@ def cosine_near_dup_exact(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "arrow",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Exact embedding near-duplicate pairs: all (id_a < id_b) pairs with
-    cosine ≥ threshold.  Brute-force O(n²) self-join — the correctness
-    baseline and DuckDB-oracle path for ``cosine_near_dup_pairs`` (the LSH
-    variant is the scale path).  ``cosine_sim`` is the raw double from the
-    strict sequential summation (bit-reproducible by the oracle)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")).withColumn(
-        "__na", l2_norm(F.col("__va"))
-    )
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")).withColumn(
-        "__nb", l2_norm(F.col("__vb"))
-    )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine_sim",
-            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+    cosine ≥ threshold.  O(n²) work — the correctness baseline and
+    DuckDB-oracle path for ``cosine_near_dup_pairs`` (the LSH variant is
+    the scale path).  ``cosine_sim`` is rounded to 6 decimals and the
+    threshold is applied to the rounded value, so the value is reproducible
+    across engines regardless of float summation order.
+
+    ``method='arrow'`` (default): block-pair GEMM.  Rows are hashed into
+    ``n_blocks`` blocks; each vector is replicated once per block into the
+    unordered block-pair groups it participates in, and each group computes
+    its (block_a × block_b) cosine matrix as one float64 numpy matmul inside
+    ``applyInPandas``.  Work per group is |block|²·dim flops; total shuffle
+    is n·n_blocks rows — at scale pick ``n_blocks ∝ √(n / rows_per_task)``
+    so groups stay executor-sized while the O(n²) flops spread evenly.
+    ~5× faster than the interpreted expression path at sf0.1.
+
+    ``method='sql'``: the all-JVM expression formulation (strict sequential
+    summation; one crossJoin, Catalyst broadcasts the smaller side)."""
+    if method == "sql":
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")).withColumn(
+            "__na", l2_norm(F.col("__va"))
         )
-        .filter(F.col("cosine_sim") >= threshold)
-        .select("id_a", "id_b", "cosine_sim")
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")).withColumn(
+            "__nb", l2_norm(F.col("__vb"))
+        )
+        return (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cosine_sim",
+                F.round(
+                    dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+                ),
+            )
+            .filter(F.col("cosine_sim") >= threshold)
+            .select("id_a", "id_b", "cosine_sim")
+        )
+    if method != "arrow":
+        raise ValueError(f"method must be 'arrow' or 'sql', got {method!r}")
+
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+    ).withColumn("__blk", F.pmod(F.hash(F.col("id")), F.lit(n_blocks)))
+    # one replica per unordered block pair the row participates in; a vector
+    # pair (block i, block j) meets in exactly the (min,max) group
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.least(F.col("__blk"), F.lit(o)).alias("bi"),
+                F.greatest(F.col("__blk"), F.lit(o)).alias("bj"),
+            )
+            for o in range(n_blocks)
+        ]
+    )
+    rep = v.select("id", "__v", "__blk", F.explode(pair_structs).alias("__p")).select(
+        "id", "__v", "__blk", F.col("__p.bi").alias("bi"), F.col("__p.bj").alias("bj")
+    )
+
+    thr = float(threshold)
+
+    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        a_rows = pdf[pdf["__blk"] == bi]
+        b_rows = pdf[pdf["__blk"] == bj]
+        if a_rows.empty or b_rows.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
+            )
+        ma = np.array(a_rows["__v"].tolist(), dtype=np.float64)
+        mb = np.array(b_rows["__v"].tolist(), dtype=np.float64)
+        ids_a = a_rows["id"].to_numpy()
+        ids_b = b_rows["id"].to_numpy()
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        cos = np.round((ma @ mb.T) / np.outer(na, nb), 6)
+        mask = cos >= thr
+        if bi == bj:
+            # same block on both sides: keep the strict upper triangle by id
+            mask &= ids_a[:, None] < ids_b[None, :]
+            ia, ib = np.nonzero(mask)
+            lo, hi = ids_a[ia], ids_b[ib]
+        else:
+            # disjoint blocks: every unordered pair appears exactly once in
+            # this matrix, in arbitrary id orientation — normalize to lo<hi
+            ia, ib = np.nonzero(mask)
+            la, lb = ids_a[ia], ids_b[ib]
+            lo, hi = np.minimum(la, lb), np.maximum(la, lb)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine_sim": cos[ia, ib]})
+
+    return rep.groupBy("bi", "bj").applyInPandas(
+        gemm, schema="id_a long, id_b long, cosine_sim double"
     )
 
 

@@ -415,7 +415,8 @@ def cosine_near_dup_sql(
     return f"""WITH a AS (SELECT {id_col} AS id_a, {vec} AS __va FROM ({t})),
 b AS (SELECT {id_col} AS id_b, {vec} AS __vb FROM ({t})),
 sim AS (
-  SELECT id_a, id_b, {dotexpr} / ({norm('a', '__va')} * {norm('b', '__vb')}) AS cosine_sim
+  SELECT id_a, id_b,
+         round({dotexpr} / ({norm('a', '__va')} * {norm('b', '__vb')}), 6) AS cosine_sim
   FROM a CROSS JOIN b WHERE id_a < id_b
 )
 SELECT id_a, id_b, cosine_sim FROM sim WHERE cosine_sim >= {threshold}"""

@@ -40,10 +40,15 @@ def test_cosine_near_dup_exact(spark):
         (4, [-1.0, 0.0, 0.0]),    # opposite
     ]
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
-    rows = cosine_near_dup_exact(df, threshold=0.95).collect()
-    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
     expected = 0.999 / math.sqrt(0.999**2 + 0.01**2)
-    assert abs(rows[0].cosine_sim - expected) < 1e-9
+    for method in ("arrow", "sql"):
+        rows = sorted(
+            cosine_near_dup_exact(df, threshold=0.95, method=method).collect(),
+            key=lambda r: (r.id_a, r.id_b),
+        )
+        assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)], method
+        # output is rounded to 6 decimals (cross-engine reproducibility)
+        assert abs(rows[0].cosine_sim - expected) < 1e-6, method
 
 
 def _tx(spark, strand=1, biotype="protein_coding"):
