@@ -11,6 +11,7 @@ semantics (CIGAR walks, allele normalization, nearest-neighbor index probes).
 """
 
 from .session import create_bio_session, get_or_create_session
+from .sql_surface import bio_sql
 from .operators.intervals import (
     cluster,
     complement,
@@ -26,6 +27,7 @@ from .operators.intervals import (
 __all__ = [
     "create_bio_session",
     "get_or_create_session",
+    "bio_sql",
     "interval_join",
     "overlap",
     "count_overlaps",

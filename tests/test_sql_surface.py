@@ -1,0 +1,109 @@
+"""SQL table-function surface: the reference's UDTF call shapes
+(``table_function.rs:59-259``) routed through ``bio_sql``."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_bio_functions_spark import bio_sql, overlap, count_overlaps, merge, nearest
+from datafusion_bio_functions_spark.sql_surface import BioSqlError
+
+
+@pytest.fixture(scope="module", autouse=True)
+def views(spark, reads, targets, merge_input):
+    reads.createOrReplaceTempView("reads")
+    targets.createOrReplaceTempView("targets")
+    merge_input.createOrReplaceTempView("intervals")
+    yield
+
+
+def _sorted(df):
+    # key=repr: rows may contain NULLs (nearest emits NULL left columns)
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+def test_overlap_default(spark, reads, targets):
+    got = bio_sql(spark, "SELECT * FROM overlap('reads', 'targets')")
+    assert _sorted(got) == _sorted(overlap(reads, targets))
+
+
+def test_overlap_strict_and_mode(spark, reads, targets):
+    got = bio_sql(spark, "SELECT * FROM overlap('reads', 'targets', 'left_all', 'strict')")
+    want = overlap(reads, targets, filter_op="strict", output="left_all")
+    assert _sorted(got) == _sorted(want)
+
+
+def test_overlap_custom_cols(spark, reads, targets):
+    r2 = reads.toDF("c", "s", "e")
+    r2.createOrReplaceTempView("reads_c")
+    got = bio_sql(spark, "SELECT * FROM overlap('reads_c', 'targets', 'c', 's', 'e', "
+                         "'contig', 'pos_start', 'pos_end')")
+    want = overlap(r2, spark.table("targets"), cols_left=("c", "s", "e"))
+    assert _sorted(got) == _sorted(want)
+
+
+def test_count_overlaps_composes_with_sql(spark, reads, targets):
+    got = bio_sql(
+        spark,
+        "SELECT contig, sum(count) AS total FROM count_overlaps('reads', 'targets') "
+        "GROUP BY contig ORDER BY contig",
+    )
+    want = (
+        count_overlaps(reads, targets)
+        .groupBy("contig")
+        .agg({"count": "sum"})
+        .withColumnRenamed("sum(count)", "total")
+        .orderBy("contig")
+    )
+    assert _sorted(got) == _sorted(want)
+
+
+def test_merge_min_dist(spark, merge_input):
+    got = bio_sql(spark, "SELECT * FROM merge('intervals', 10)")
+    assert _sorted(got) == _sorted(merge(merge_input, min_dist=10))
+
+
+def test_nearest_k_and_flags(spark, reads, targets):
+    got = bio_sql(spark, "SELECT * FROM nearest('reads', 'targets', 2, false)")
+    want = nearest(reads, targets, k=2, include_overlaps=False)
+    assert _sorted(got) == _sorted(want)
+
+
+def test_cluster_complement_subtract_depth_paths(spark):
+    # smoke every remaining dispatch arm through SQL
+    for q in (
+        "SELECT * FROM cluster('intervals')",
+        "SELECT * FROM complement('intervals')",
+        "SELECT * FROM subtract('reads', 'targets')",
+    ):
+        assert bio_sql(spark, q).count() > 0
+
+
+def test_udtf_in_cte(spark, reads, targets):
+    got = bio_sql(
+        spark,
+        "WITH ov AS (SELECT * FROM overlap('reads', 'targets')) "
+        "SELECT count(*) AS n FROM ov",
+    )
+    assert got.collect()[0].n == overlap(reads, targets).count()
+
+
+def test_string_literal_not_rewritten(spark):
+    # 'overlap(' inside a string literal must not be treated as a call
+    got = bio_sql(spark, "SELECT 'overlap(x)' AS s")
+    assert got.collect()[0].s == "overlap(x)"
+
+
+def test_backtick_rejected(spark):
+    with pytest.raises(BioSqlError, match="backtick"):
+        bio_sql(spark, "SELECT * FROM overlap('rea`ds', 'targets')")
+
+
+def test_non_literal_arg_rejected(spark):
+    with pytest.raises(BioSqlError, match="literal"):
+        bio_sql(spark, "SELECT * FROM overlap(reads, 'targets')")
+
+
+def test_bad_col_count_rejected(spark):
+    with pytest.raises(BioSqlError, match="0, 3, or 6"):
+        bio_sql(spark, "SELECT * FROM overlap('reads', 'targets', 'a', 'b')")
