@@ -29,12 +29,17 @@ Argument conventions mirror ``table_function.rs:59-259``:
 * optional trailing ``'strict' | 'weak'`` everywhere,
 * depth: table name + optional ``zero_based``, ``per_base`` booleans
   (``bio-function-pileup/src/table_function.rs:98-124``),
+* annotate_vep: table names + trailing JSON options literal
+  (``bio-function-vep/src/annotate_table_function.rs:19-132``; options keys
+  here: ``match_mode, extended_probes, upstream_distance,
+  downstream_distance, engine``),
 * backticks in string args rejected (SQL-injection guard, ``:40-57``).
 """
 
 from __future__ import annotations
 
 import itertools
+import json
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,6 +60,7 @@ UDTF_NAMES = (
     "subtract",
     "depth",
     "lookup_variants",
+    "annotate_vep",
 )
 
 _DEFAULT_COLS = ("contig", "pos_start", "pos_end")
@@ -313,6 +319,36 @@ def _eval_udtf(spark: SparkSession, name: str, args: list[object]) -> DataFrame:
             raise BioSqlError("lookup_variants() unexpected extra arguments")
         return vp.lookup_variants(spark.table(vt), spark.table(ct),
                                   match_mode=match_mode, extended_probes=extended)
+
+    if name == "annotate_vep":
+        vt, ct, extra = _two_tables(args, name)
+        # trailing JSON options literal, as the reference's options_json arg
+        opts: dict[str, object] = {}
+        if extra and isinstance(extra[-1], str) and extra[-1].lstrip().startswith("{"):
+            try:
+                opts = json.loads(extra[-1])
+            except json.JSONDecodeError as e:
+                raise BioSqlError(f"annotate_vep() options_json is not valid JSON: {e}")
+            if not isinstance(opts, dict):
+                raise BioSqlError("annotate_vep() options_json must be a JSON object")
+            extra = extra[:-1]
+        tables = _strs(extra, "annotate_vep() context table names")
+        if len(tables) > 2:
+            raise BioSqlError(
+                "annotate_vep() expects ('vcf','cache'[,'transcripts'[,'exons']]"
+                "[, options_json])"
+            )
+        tdf = spark.table(tables[0]) if len(tables) >= 1 else None
+        edf = spark.table(tables[1]) if len(tables) == 2 else None
+        allowed = {"match_mode", "extended_probes", "upstream_distance",
+                   "downstream_distance", "engine"}
+        bad = set(opts) - allowed
+        if bad:
+            raise BioSqlError(
+                f"annotate_vep() unknown options_json keys: {sorted(bad)}"
+            )
+        return vp.annotate_vep(spark.table(vt), spark.table(ct), transcripts=tdf,
+                               exons=edf, **opts)
 
     raise BioSqlError(f"unknown bio UDTF {name!r}")  # pragma: no cover
 

@@ -107,3 +107,61 @@ def test_non_literal_arg_rejected(spark):
 def test_bad_col_count_rejected(spark):
     with pytest.raises(BioSqlError, match="0, 3, or 6"):
         bio_sql(spark, "SELECT * FROM overlap('reads', 'targets', 'a', 'b')")
+
+
+# ---------------------------------------------------------------------------
+# annotate_vep UDTF (annotate_table_function.rs:19-132 arg shape)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vep_views(spark):
+    vcf = spark.createDataFrame(
+        [("1", 100, 100, "A", "T"), ("1", 200, 200, "G", "C")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [("1", 100, 100, "rs1", "A/T")],
+        "chrom string, start long, end long, variation_name string, allele_string string",
+    )
+    tx = spark.createDataFrame(
+        [("ENST1", "1", 90, 150, 1, "protein_coding", "ENSG1", "GENE1")],
+        ["transcript_id", "chrom", "start", "end", "strand", "biotype",
+         "gene_stable_id", "gene_symbol"],
+    )
+    vcf.createOrReplaceTempView("sqlvcf")
+    cache.createOrReplaceTempView("sqlcache")
+    tx.createOrReplaceTempView("sqltx")
+    yield
+
+
+def test_annotate_vep_udtf(spark, vep_views):
+    got = bio_sql(spark, "SELECT * FROM annotate_vep('sqlvcf', 'sqlcache')")
+    rows = {r["start"]: r for r in got.collect()}
+    assert rows[100]["existing_variation"] == "rs1"
+    assert "most_severe_consequence" in got.columns
+
+
+def test_annotate_vep_udtf_options_json(spark, vep_views):
+    got = bio_sql(
+        spark,
+        "SELECT most_severe_consequence AS msc, start FROM annotate_vep("
+        "'sqlvcf', 'sqlcache', 'sqltx', '{\"engine\": \"positional\"}') "
+        "ORDER BY start",
+    )
+    assert [r.msc for r in got.collect()] == [
+        "coding_transcript_variant", "downstream_gene_variant"]
+
+
+def test_annotate_vep_udtf_bad_options(spark, vep_views):
+    with pytest.raises(BioSqlError, match="unknown options_json keys"):
+        bio_sql(spark, "SELECT * FROM annotate_vep('sqlvcf', 'sqlcache', '{\"nope\": 1}')")
+    with pytest.raises(BioSqlError, match="not valid JSON"):
+        bio_sql(spark, "SELECT * FROM annotate_vep('sqlvcf', 'sqlcache', '{oops')")
+
+
+def test_lookup_variants_udtf(spark, vep_views):
+    got = bio_sql(spark, "SELECT * FROM lookup_variants('sqlvcf', 'sqlcache')")
+    rows = {r["start"]: r for r in got.collect()}
+    assert rows[100]["variation_name"] == "rs1"
+    assert rows[200]["variation_name"] is None
