@@ -311,6 +311,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _reads(spark, sf), _targets(spark, sf), filter_op="strict"
     )
     q["cluster_min_dist"] = lambda spark, sf: bio.cluster(_intervals_m(spark, sf), min_dist=10)
+    # the 100 TB scale paths, through the same oracles as their window twins
+    q["merge_chunked"] = lambda spark, sf: bio.merge(
+        _intervals_m(spark, sf), algorithm="chunked", chunk_width=20_000
+    )
+    q["cluster_chunked"] = lambda spark, sf: bio.cluster(
+        _intervals_m(spark, sf), algorithm="chunked", chunk_width=20_000
+    )
     q["depth_per_base"] = lambda spark, sf: depth(
         _alignments(spark, sf), min_mapq=20, per_base=True
     ).select("contig", "pos", F.col("coverage").cast("long").alias("coverage"))
@@ -513,6 +520,8 @@ def oracle_sql() -> dict[str, str]:
     )
     o["coverage_strict"] = osql.coverage_sql(READS_SQL, TARGETS_SQL, filter_op="strict")
     o["cluster_min_dist"] = osql.cluster_sql(INTERVALS_M_SQL, min_dist=10)
+    o["merge_chunked"] = osql.merge_sql(INTERVALS_M_SQL)
+    o["cluster_chunked"] = osql.cluster_sql(INTERVALS_M_SQL)
     o["near_dup_cosine"] = osql.cosine_near_dup_sql(
         "SELECT * FROM embeddings", threshold=0.45
     )

@@ -598,36 +598,113 @@ def merge(
     return final.unionByName(merged2)
 
 
+def _global_cluster_ids(ids: DataFrame, c: str, order_cols: Sequence[str]) -> DataFrame:
+    """Add a globally-unique dense ``cluster`` Int64 id to *ids* (one row per
+    cluster) ordered by ``(contig, *order_cols)`` — WITHOUT a global
+    single-partition window.
+
+    Two-level numbering (the scalable analogue of the reference's
+    ``ClusterIdCoordinator``, ``cluster.rs:305-330``): a per-contig
+    ``row_number`` (parallel across contigs) plus a cumulative contig offset
+    computed over the tiny #contigs-row summary.
+    """
+    wct = Window.partitionBy(c).orderBy(*order_cols)
+    ranked = ids.withColumn("__rank", F.row_number().over(wct))
+    counts = ranked.groupBy(c).agg(F.count(F.lit(1)).alias("__n"))
+    # #contigs rows — a single-partition window here is negligible
+    woff = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("__off", F.coalesce(F.sum("__n").over(woff), F.lit(0)))
+    return (
+        ranked.join(F.broadcast(offsets.select(c, "__off")), c)
+        .withColumn("cluster", (F.col("__off") + F.col("__rank")).cast(T.LongType()))
+        .drop("__rank", "__off")
+    )
+
+
 def cluster(
     df: DataFrame,
     min_dist: int = 0,
     cols: Sequence[str] | None = None,
     filter_op: str = "weak",
+    algorithm: str = "window",
+    chunk_width: int = 10_000_000,
 ) -> DataFrame:
     """Like merge but annotates every input row (all columns preserved) with
     ``cluster`` (globally unique Int64 id), ``cluster_start``, ``cluster_end``
     (reference ``cluster.rs:29-977``; output schema ``cluster.rs:49-69``).
 
     Global ids: the reference needs a cross-partition ``ClusterIdCoordinator``
-    (``cluster.rs:305-330``); here the distinct (contig, island) set — tiny
-    relative to the rows — is ranked once and broadcast back, avoiding a
-    global single-partition window over the full data.
+    (``cluster.rs:305-330``); here ids come from :func:`_global_cluster_ids` —
+    per-contig ranks plus a cumulative contig-offset table, so no global
+    single-partition pass touches anything proportional to the data.
+
+    ``algorithm='window'`` (default): per-contig island sweep; one window
+    task per contig (fine up to ~100 M intervals/contig).
+
+    ``algorithm='chunked'``: the 100 TB path — cluster extents come from
+    ``merge(algorithm='chunked')`` (shuffle-parallel across genome chunks),
+    ids from the two-level numbering, and rows are assigned to their cluster
+    by a binned containment join; no per-contig serialization anywhere.
     """
     _check_filter_op(filter_op)
     df, (c, s, e) = _normalize(df, cols)
+
+    if algorithm == "chunked":
+        extents = merge(
+            df, min_dist=min_dist, cols=(c, s, e), filter_op=filter_op,
+            algorithm="chunked", chunk_width=chunk_width,
+        ).select(
+            F.col("contig").alias(c),
+            F.col("pos_start").alias("cluster_start"),
+            F.col("pos_end").alias("cluster_end"),
+        )
+        ids = _global_cluster_ids(extents, c, ["cluster_start", "cluster_end"])
+        # assignment join on the row's start point: cluster_start <= s <=
+        # cluster_end.  In weak mode extents never touch, so each row hits
+        # exactly one cluster.  In strict mode two extents can share a
+        # boundary point; the rank below reproduces the sweep's assignment
+        # (prefer the cluster containing the row's end, then the later
+        # cluster_start, then the earlier id) over the ≤2 candidates.
+        did = df.withColumn("__rid", F.monotonically_increasing_id()).withColumn(
+            "__ps", F.col(s)
+        )
+        cand = interval_join(
+            did,
+            ids,
+            cols_left=(c, s, "__ps"),  # the row's start point as a point interval
+            cols_right=(c, "cluster_start", "cluster_end"),
+            filter_op="weak",
+            how="inner",
+        )
+        pick = Window.partitionBy(_LEFT + "__rid").orderBy(
+            F.desc(F.col(_LEFT + e) <= F.col(_RIGHT + "cluster_end")),
+            F.desc(_RIGHT + "cluster_start"),
+            F.asc(_RIGHT + "cluster"),
+        )
+        out = cand.withColumn("__pk", F.row_number().over(pick)).filter(
+            F.col("__pk") == 1
+        )
+        return out.select(
+            *[F.col(_LEFT + col).alias(col) for col in df.columns],
+            F.col(_RIGHT + "cluster").alias("cluster"),
+            F.col(_RIGHT + "cluster_start").alias("cluster_start"),
+            F.col(_RIGHT + "cluster_end").alias("cluster_end"),
+        )
+
+    if algorithm != "window":
+        raise ValueError(
+            f"cluster algorithm must be 'window' or 'chunked', got {algorithm!r}"
+        )
     isl = _with_island(df, c, s, e, min_dist, filter_op)
     wc = Window.partitionBy(c, "__island")
     isl = isl.withColumn("cluster_start", F.min(s).over(wc).cast(T.LongType())).withColumn(
         "cluster_end", F.max(e).over(wc).cast(T.LongType())
     )
-    ids = (
-        isl.select(c, "__island", "cluster_start").distinct()
-        .withColumn(
-            "cluster",
-            F.row_number().over(Window.orderBy(c, "cluster_start", "__island")).cast(T.LongType()),
-        )
+    ids = _global_cluster_ids(
+        isl.select(c, "__island", "cluster_start").distinct(), c,
+        ["cluster_start", "__island"],
     )
-    out = isl.join(F.broadcast(ids.select(c, "__island", "cluster")), [c, "__island"], "inner")
+    out = isl.join(ids.select(c, "__island", "cluster"), [c, "__island"], "inner")
     return out.drop("__island").select(*df.columns, "cluster", "cluster_start", "cluster_end")
 
 

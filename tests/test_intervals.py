@@ -290,3 +290,38 @@ def test_merge_chunked_equals_window(spark):
             assert got == want, (fo, md)
     with pytest.raises(ValueError):
         bio.merge(df, algorithm="quantum")
+
+
+def test_cluster_chunked_equals_window(spark):
+    """The chunked (100 TB) cluster path — merge(chunked) extents + two-level
+    global ids + binned point-assignment join — must reproduce the window
+    path exactly: same ids, same extents, every row preserved."""
+    import random as _r
+
+    rnd = _r.Random(11)
+    rows = []
+    for contig in ("chr1", "chr2", "chr3"):
+        for _ in range(300):
+            s = rnd.randrange(1, 80_000)
+            ln = rnd.choice([rnd.randrange(1, 40), rnd.randrange(1, 25_000)])
+            rows.append((contig, s, s + ln, f"x{rnd.randrange(5)}"))
+    rows += [("chr1", 9_999, 10_000, "edge"), ("chr1", 10_000, 10_001, "edge")]
+    df = spark.createDataFrame(
+        rows, "contig string, pos_start long, pos_end long, tag string"
+    )
+
+    def canon(out):
+        return sorted(
+            (r.contig, r.pos_start, r.pos_end, r.tag, r.cluster, r.cluster_start, r.cluster_end)
+            for r in out.collect()
+        )
+
+    for fo in ("weak", "strict"):
+        for md in (0, 50):
+            want = canon(bio.cluster(df, min_dist=md, filter_op=fo))
+            got = canon(
+                bio.cluster(df, min_dist=md, filter_op=fo, algorithm="chunked", chunk_width=10_000)
+            )
+            assert got == want, (fo, md)
+    with pytest.raises(ValueError):
+        bio.cluster(df, algorithm="quantum")
