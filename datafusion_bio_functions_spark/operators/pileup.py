@@ -122,8 +122,10 @@ def depth(
     actual covered bases.
 
     ``zero_based``: input ``start`` is 0-based (BAM convention); output
-    blocks are then emitted 0-based half-open.  Default: 1-based closed in
-    and out.
+    coordinates are then 0-based too.  Blocks keep INCLUSIVE ends in both
+    modes — the reference convention (``coverage.rs:51`` sets ``pos_end =
+    pos - 1``; ``mosdepth_compat.rs:140`` expects ``(0,5,1)``).  Default:
+    1-based closed in and out.
 
     ``algorithm='window'`` (default): one running-sum window per contig —
     one row per breakpoint, but one task per contig at the window.
@@ -210,21 +212,20 @@ def depth(
         F.col("coverage").cast(T.IntegerType()).alias("coverage"),
     )
     if zero_based:
-        # back to 0-based half-open: [start-1, end)
+        # reference blocks are inclusive-end in BOTH modes (coverage.rs:51
+        # ``pos_end = pos - 1``; mosdepth_compat.rs:140 expects (0,5,1)):
+        # zero_based only shifts the origin, so subtract 1 from both bounds
         blocks = blocks.select(
             "contig",
             (F.col("pos_start") - 1).alias("pos_start"),
-            F.col("pos_end").alias("pos_end"),
+            (F.col("pos_end") - 1).alias("pos_end"),
             "coverage",
         )
 
     if not per_base:
         return blocks
 
-    if zero_based:
-        pos_seq = F.sequence(F.col("pos_start"), F.col("pos_end") - 1)
-    else:
-        pos_seq = F.sequence(F.col("pos_start"), F.col("pos_end"))
+    pos_seq = F.sequence(F.col("pos_start"), F.col("pos_end"))
     return blocks.select(
         "contig", F.explode(pos_seq).alias("pos"), F.col("coverage")
     )

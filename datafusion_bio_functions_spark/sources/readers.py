@@ -14,10 +14,11 @@ Reference surface (SURVEY.md §2.1):
   (chrom, start) + sortWithinPartitions so row-group min/max statistics give
   data skipping — the Spark analogue of the reference's sorted row-group
   tuned cache (``cache_builder.rs:1-41``).
-* S1 BAM             — no JVM-free BAM codec exists in this environment;
-  ``read_bam`` raises with guidance and ``read_alignments_parquet`` reads
-  the pre-converted contract frame (the reference's own unit tests feed the
-  same in-memory contract, ``physical_exec.rs:570-642``).
+* S1 BAM             — ``sources.bam``: pure-Python BGZF/BAM codec (public
+  SAM spec) over ``binaryFile`` + ``mapInPandas``; ``read_bam`` here
+  forwards to it.  ``read_alignments_parquet`` reads the pre-converted
+  contract frame (the reference's own unit tests feed the same in-memory
+  contract, ``physical_exec.rs:570-642``).
 """
 
 from __future__ import annotations
@@ -54,13 +55,10 @@ def read_alignments_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def read_bam(spark: SparkSession, path: str) -> DataFrame:
-    raise NotImplementedError(
-        "no BAM codec is available in this environment; convert BAM to parquet "
-        "with the alignment contract (chrom, start, flags, cigar, "
-        "mapping_quality) — e.g. via pysam in an ingest job — then use "
-        "read_alignments_parquet()"
-    )
+def read_bam(spark: SparkSession, path: str, **kwargs) -> DataFrame:
+    from .bam import read_bam as _read_bam
+
+    return _read_bam(spark, path, **kwargs)
 
 
 def read_vcf(spark: SparkSession, path: str) -> DataFrame:

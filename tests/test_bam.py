@@ -1,0 +1,85 @@
+"""S1 BAM source + mosdepth-compat pileup on the reference's real mini-BAMs
+(`bio-function-pileup/tests/data/{ovl,overlapping-pairs}.bam`), asserting the
+exact block expectations of `tests/mosdepth_compat.rs:119-242`."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_bio_functions_spark.operators.pileup import depth
+from datafusion_bio_functions_spark.sources.bam import bam_contig_lengths, read_bam
+
+OVL = "/root/reference/datafusion/bio-function-pileup/tests/data/ovl.bam"
+PAIRS = "/root/reference/datafusion/bio-function-pileup/tests/data/overlapping-pairs.bam"
+
+
+def _blocks(df, contig):
+    return sorted(
+        (r.contig, r.pos_start, r.pos_end, r.coverage)
+        for r in df.collect()
+        if r.contig == contig
+    )
+
+
+def test_read_bam_contract(spark):
+    df = read_bam(spark, OVL)
+    assert df.columns == ["chrom", "start", "flags", "cigar", "mapping_quality"]
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r.start >= 0 for r in rows)
+    assert all(set(r.cigar) <= set("0123456789MIDNSHP=X") for r in rows)
+
+
+def test_ovl_blocks_zero_based(spark):
+    """mosdepth_compat.rs:140-142: MT blocks (0,5,1), (6,41,2), (42,79,1)."""
+    bam = read_bam(spark, OVL)
+    out = depth(bam, zero_based=True)
+    mt = _blocks(out, "MT")
+    assert mt == [("MT", 0, 5, 1), ("MT", 6, 41, 2), ("MT", 42, 79, 1)]
+
+
+def test_ovl_blocks_one_based(spark):
+    """mosdepth_compat.rs:240-242: 1-based MT blocks (1,6,1), (7,42,2), (43,80,1)."""
+    bam = read_bam(spark, OVL)
+    one_based = bam.withColumn("start", bam.start + 1)
+    out = depth(one_based, zero_based=False)
+    mt = _blocks(out, "MT")
+    assert mt == [("MT", 1, 6, 1), ("MT", 7, 42, 2), ("MT", 43, 80, 1)]
+
+
+def test_overlapping_pairs_no_dedup(spark):
+    """mosdepth_compat.rs:180: overlapping mates double-count → chr1
+    (565173, 565252, 2) — no mate-overlap deduplication, unlike mosdepth's
+    default mode."""
+    bam = read_bam(spark, PAIRS)
+    out = depth(bam, zero_based=True)
+    assert _blocks(out, "1") == [("1", 565173, 565252, 2)]
+
+
+def test_ovl_per_base(spark):
+    """mosdepth_compat.rs:309-325: per-base 0-based MT coverage spot values."""
+    bam = read_bam(spark, OVL)
+    out = depth(bam, zero_based=True, per_base=True)
+    mt = {r.pos: r.coverage for r in out.collect() if r.contig == "MT"}
+    assert mt[0] == 1 and mt[5] == 1
+    assert mt[6] == 2 and mt[41] == 2
+    assert mt[42] == 1
+    assert min(mt) == 0
+
+
+def test_binary_cigar_equals_string(spark):
+    sb = read_bam(spark, OVL, cigar_type="string")
+    bb = read_bam(spark, OVL, cigar_type="binary")
+    a = _blocks(depth(sb, zero_based=True), "MT")
+    b = _blocks(depth(bb, zero_based=True), "MT")  # binary dtype auto-detected
+    assert a == b
+
+
+def test_contig_lengths(spark):
+    lens = {r.contig: r.length for r in bam_contig_lengths(spark, OVL).collect()}
+    assert lens.get("MT", 0) > 0
+
+
+def test_bad_cigar_type(spark):
+    with pytest.raises(ValueError, match="cigar_type"):
+        read_bam(spark, OVL, cigar_type="wat")

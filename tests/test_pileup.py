@@ -27,10 +27,12 @@ def test_two_overlapping_reads(spark):
     # FIXTURES F9: 100M@100 + 100M@150 (0-based starts)
     df = aln(spark, [("chr1", 100, 0, "100M", 60), ("chr1", 150, 0, "100M", 60)])
     got = blocks_of(depth(df, zero_based=True))
+    # reference block convention: inclusive ends in both modes
+    # (coverage.rs:51, mosdepth_compat.rs:140-142)
     assert got == [
-        ("chr1", 100, 150, 1),
-        ("chr1", 150, 200, 2),
-        ("chr1", 200, 250, 1),
+        ("chr1", 100, 149, 1),
+        ("chr1", 150, 199, 2),
+        ("chr1", 200, 249, 1),
     ]
 
 
