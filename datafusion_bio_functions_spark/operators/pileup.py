@@ -110,6 +110,7 @@ def depth(
     cols: Sequence[str] | None = None,
     algorithm: str = "window",
     chunk_width: int = 10_000_000,
+    contig_lengths: DataFrame | None = None,
 ) -> DataFrame:
     """Pileup depth — the reference ``depth()`` UDTF
     (``bio-function-pileup/src/table_function.rs:79-158``).
@@ -117,9 +118,13 @@ def depth(
     Block mode (default): RLE runs ``(contig, pos_start, pos_end, coverage)``
     of equal coverage, zero-coverage gaps omitted (reference
     ``schema.rs:28-41``).  ``per_base=True``: one row per position
-    ``(contig, pos, coverage)`` for covered positions (``schema.rs:48-60``) —
-    expanded from blocks via ``sequence()``; row explosion is bounded by
-    actual covered bases.
+    ``(contig, pos, coverage)`` (``schema.rs:48-60``) — expanded from blocks
+    via ``sequence()``.  Without ``contig_lengths`` only covered positions
+    are emitted; with ``contig_lengths`` (a ``(contig, length)`` frame, e.g.
+    from ``sources.bam.bam_contig_lengths``) the reference's DENSE mode is
+    reproduced: every position of every listed contig including zeros —
+    ``[0..len)`` 0-based / ``[1..len]`` 1-based (``coverage.rs:291-293``,
+    header lengths ``events.rs:219-229``).
 
     ``zero_based``: input ``start`` is 0-based (BAM convention); output
     coordinates are then 0-based too.  Blocks keep INCLUSIVE ends in both
@@ -224,6 +229,48 @@ def depth(
 
     if not per_base:
         return blocks
+
+    if contig_lengths is not None:
+        # dense mode: fill zero-coverage gaps between blocks and contig
+        # bounds with coverage-0 runs, then explode everything uniformly.
+        # The gap window runs over #blocks rows per contig — small.
+        lo = F.lit(0) if zero_based else F.lit(1)
+        lens = contig_lengths.select(
+            F.col(contig_lengths.columns[0]).alias("contig"),
+            F.col(contig_lengths.columns[1]).cast("long").alias("__len"),
+        )
+        hi = (F.col("__len") - 1) if zero_based else F.col("__len")
+        b = blocks.join(lens, "contig", "inner")
+        w = Window.partitionBy("contig").orderBy("pos_start")
+        b = b.withColumn("__prev_end", F.lag("pos_end").over(w)).withColumn(
+            "__rn_desc",
+            F.row_number().over(Window.partitionBy("contig").orderBy(F.desc("pos_start"))),
+        )
+        gap_before = b.select(
+            "contig",
+            F.coalesce(F.col("__prev_end") + 1, lo.cast("long")).alias("pos_start"),
+            (F.col("pos_start") - 1).alias("pos_end"),
+            F.lit(0).cast(T.IntegerType()).alias("coverage"),
+        ).filter(F.col("pos_start") <= F.col("pos_end"))
+        gap_tail = b.filter(F.col("__rn_desc") == 1).select(
+            "contig",
+            (F.col("pos_end") + 1).alias("pos_start"),
+            hi.cast("long").alias("pos_end"),
+            F.lit(0).cast(T.IntegerType()).alias("coverage"),
+        ).filter(F.col("pos_start") <= F.col("pos_end"))
+        # contigs in the length table with no coverage at all: one zero run
+        empty = lens.join(blocks.select("contig").distinct(), "contig", "left_anti").select(
+            "contig",
+            lo.cast("long").alias("pos_start"),
+            hi.cast("long").alias("pos_end"),
+            F.lit(0).cast(T.IntegerType()).alias("coverage"),
+        ).filter(F.col("pos_start") <= F.col("pos_end"))
+        blocks = (
+            blocks.join(lens.select("contig"), "contig", "inner")  # clip to listed contigs
+            .unionByName(gap_before)
+            .unionByName(gap_tail)
+            .unionByName(empty)
+        )
 
     pos_seq = F.sequence(F.col("pos_start"), F.col("pos_end"))
     return blocks.select(

@@ -83,3 +83,33 @@ def test_contig_lengths(spark):
 def test_bad_cigar_type(spark):
     with pytest.raises(ValueError, match="cigar_type"):
         read_bam(spark, OVL, cigar_type="wat")
+
+
+def test_per_base_dense_with_lengths(spark):
+    """Reference dense mode (header contig lengths → every position incl.
+    zeros, coverage.rs:291-293): MT emits [0..len) rows, zeros outside the
+    covered prefix."""
+    bam = read_bam(spark, OVL)
+    lens = bam_contig_lengths(spark, OVL)
+    mt_len = {r.contig: r.length for r in lens.collect()}["MT"]
+    out = depth(bam, zero_based=True, per_base=True,
+                contig_lengths=lens.filter(lens.contig == "MT"))
+    rows = {r.pos: r.coverage for r in out.collect() if r.contig == "MT"}
+    assert len(rows) == mt_len
+    assert min(rows) == 0 and max(rows) == mt_len - 1
+    assert rows[0] == 1 and rows[6] == 2 and rows[42] == 1
+    assert rows[80] == 0 and rows[mt_len - 1] == 0
+    # 1-based dense: positions [1..len]
+    one = bam.withColumn("start", bam.start + 1)
+    out1 = depth(one, per_base=True, contig_lengths=lens.filter(lens.contig == "MT"))
+    rows1 = {r.pos: r.coverage for r in out1.collect() if r.contig == "MT"}
+    assert len(rows1) == mt_len and min(rows1) == 1 and max(rows1) == mt_len
+    assert rows1[1] == 1 and rows1[7] == 2 and rows1[43] == 1
+
+
+def test_per_base_dense_uncovered_contig(spark):
+    bam = read_bam(spark, OVL)
+    lens = spark.createDataFrame([("MT", 100), ("chrZ", 5)], ["contig", "length"])
+    out = depth(bam, zero_based=True, per_base=True, contig_lengths=lens)
+    z = sorted((r.pos, r.coverage) for r in out.collect() if r.contig == "chrZ")
+    assert z == [(0, 0), (1, 0), (2, 0), (3, 0), (4, 0)]
