@@ -297,6 +297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["subtract"] = lambda spark, sf: bio.subtract(_reads(spark, sf), _targets(spark, sf))
     q["nearest"] = lambda spark, sf: bio.nearest(_reads(spark, sf), _targets(spark, sf), k=1)
+    q["nearest_radius"] = lambda spark, sf: bio.nearest(
+        _reads(spark, sf), _targets(spark, sf), k=1, algorithm="radius", radius=50_000
+    )
     q["nearest_k3"] = lambda spark, sf: bio.nearest(_reads(spark, sf), _targets(spark, sf), k=3)
     q["overlap_left_semi"] = lambda spark, sf: bio.overlap(
         _reads(spark, sf), _targets(spark, sf), output="left_distinct"
@@ -504,6 +507,7 @@ def oracle_sql() -> dict[str, str]:
     o["complement"] = osql.complement_sql(INTERVALS_M_SQL, view=CHROMSIZES_SQL)
     o["subtract"] = osql.subtract_sql(READS_SQL, TARGETS_SQL)
     o["nearest"] = osql.nearest_sql(READS_SQL, TARGETS_SQL, k=1)
+    o["nearest_radius"] = osql.nearest_sql(READS_SQL, TARGETS_SQL, k=1)
     o["nearest_k3"] = osql.nearest_sql(READS_SQL, TARGETS_SQL, k=3)
     o["overlap_left_semi"] = (
         f"SELECT DISTINCT l.contig, l.pos_start, l.pos_end FROM ({READS_SQL}) l "

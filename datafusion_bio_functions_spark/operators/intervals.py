@@ -865,6 +865,8 @@ def nearest(
     include_overlaps: bool = True,
     compute_distance: bool = True,
     filter_op: str = "weak",
+    algorithm: str = "cogroup",
+    radius: int = 1_000_000,
 ) -> DataFrame:
     """k nearest *left* intervals for every *right* (probe) row — the
     reference's genomic as-of join (``nearest.rs:29-547``).  Emits one row per
@@ -872,14 +874,23 @@ def nearest(
     (``nearest.rs:57-78``).  Distance semantics (``nearest_index.rs:252-260``):
     0 when overlapping, else the gap between the closest boundaries.
     Deterministic tie-break by (distance, left start, left end)
-    (``nearest_index.rs:245-251``).
+    (``nearest_index.rs:245-291``).
 
-    Implementation: cogrouped Arrow exchange per contig + numpy binary
-    searches — ``searchsorted`` on (start-sorted, end-sorted, prefix-max-end)
-    arrays, the same three structures as the reference's CoitreesNearest
-    index (``nearest_index.rs:24-120``).  k=1 is fully vectorized; k>1 falls
-    back to per-row partial sorts.  Scale note: one Arrow group per contig —
-    for skewed contigs pre-split by range and post-merge (TODO round 2).
+    ``algorithm='cogroup'`` (default): cogrouped Arrow exchange per contig +
+    numpy binary searches — ``searchsorted`` on (start-sorted, end-sorted,
+    prefix-max-end) arrays, the same three structures as the reference's
+    CoitreesNearest index (``nearest_index.rs:24-120``).  k=1 is fully
+    vectorized; k>1 falls back to per-row partial sorts.  One Arrow group
+    per contig — skewed contigs serialize.
+
+    ``algorithm='radius'``: the 100 TB path.  Probes are padded by
+    ``radius`` and candidates gathered through the binned interval join
+    (shuffle-parallel on genome bins); per-probe top-k via a window over the
+    small per-probe candidate sets.  Every in-radius candidate has distance
+    ≤ radius and every out-of-radius one > radius, so probes that find ≥ k
+    candidates are provably globally correct; the rest (rare in dense data)
+    are re-solved exactly through the cogroup path.  Equality with cogroup
+    is property-tested, including forced-fallback radii.
     """
     import numpy as np
     import pandas as pd
@@ -887,6 +898,13 @@ def nearest(
     _check_filter_op(filter_op)
     if k < 1:
         raise ValueError("k must be >= 1")
+    if algorithm not in ("cogroup", "radius"):
+        raise ValueError(f"nearest algorithm must be 'cogroup' or 'radius', got {algorithm!r}")
+    if algorithm == "radius":
+        return _nearest_radius(
+            left, right, k, cols_left, cols_right, include_overlaps,
+            compute_distance, filter_op, radius,
+        )
     left, (lc, ls, le) = _normalize(left, cols_left)
     right, (rc, rs, re_) = _normalize(right, cols_right)
 
@@ -1015,3 +1033,77 @@ def nearest(
         .cogroup(right.groupBy(rc))
         .applyInPandas(find_nearest, schema=out_schema)
     )
+
+
+def _nearest_radius(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    cols_left: Sequence[str] | None,
+    cols_right: Sequence[str] | None,
+    include_overlaps: bool,
+    compute_distance: bool,
+    filter_op: str,
+    radius: int,
+) -> DataFrame:
+    """Scale path for :func:`nearest` — see its docstring."""
+    if radius < 1:
+        raise ValueError("radius must be >= 1")
+    left, (lc, ls, le) = _normalize(left, cols_left)
+    right, (rc, rs, re_) = _normalize(right, cols_right)
+    shrink = 0 if filter_op == "weak" else 1
+
+    rid = right.withColumn("__pid", F.monotonically_increasing_id())
+    padded = rid.withColumn("__qs", F.col(rs) - F.lit(radius)).withColumn(
+        "__qe", F.col(re_) + F.lit(radius)
+    )
+    # bin width scaled to the padding so padded probes span only a handful
+    # of bins and stay on the binned (shuffle-parallel) path rather than
+    # tripping the long-interval escape hatch
+    cand = interval_join(
+        padded,
+        left,
+        cols_left=(rc, "__qs", "__qe"),
+        cols_right=(lc, ls, le),
+        filter_op="weak",
+        how="inner",
+        algorithm="binned",
+        bin_width=max(10_000, radius // 4),
+    )
+    # kernel distance: max(l.start - qe, qs - l.end, 0) with strict shrink
+    qs_c = F.col(_LEFT + rs) + F.lit(shrink)
+    qe_c = F.col(_LEFT + re_) - F.lit(shrink)
+    dist = F.greatest(
+        F.col(_RIGHT + ls) - qe_c, qs_c - F.col(_RIGHT + le), F.lit(0)
+    ).cast(T.LongType())
+    cand = cand.withColumn("__dist", dist)
+    if not include_overlaps:
+        cand = cand.filter(F.col("__dist") > 0)
+    wk = Window.partitionBy(_LEFT + "__pid").orderBy(
+        "__dist", F.col(_RIGHT + ls), F.col(_RIGHT + le)
+    )
+    ranked = cand.withColumn("__rk", F.row_number().over(wk))
+    topk = ranked.filter(F.col("__rk") <= k)
+    counts = topk.groupBy(F.col(_LEFT + "__pid").alias("__pid")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    solved_pids = counts.filter(F.col("__n") >= k).select("__pid")
+
+    out_cols = (
+        [F.col(_RIGHT + c).alias(_LEFT + c) for c in left.columns]
+        + [F.col(_LEFT + c).alias(_RIGHT + c) for c in right.columns]
+    )
+    if compute_distance:
+        out_cols.append(F.col("__dist").cast(T.LongType()).alias("distance"))
+    solved = topk.join(
+        solved_pids, topk[_LEFT + "__pid"] == solved_pids["__pid"], "left_semi"
+    ).select(*out_cols)
+
+    # fallback: probes with < k in-radius candidates (incl. zero) — exact
+    fb_probes = rid.join(solved_pids, "__pid", "left_anti").drop("__pid")
+    fallback = nearest(
+        left, fb_probes, k=k, cols_left=(lc, ls, le), cols_right=(rc, rs, re_),
+        include_overlaps=include_overlaps, compute_distance=compute_distance,
+        filter_op=filter_op, algorithm="cogroup",
+    )
+    return solved.unionByName(fallback)

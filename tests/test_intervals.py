@@ -325,3 +325,42 @@ def test_cluster_chunked_equals_window(spark):
             assert got == want, (fo, md)
     with pytest.raises(ValueError):
         bio.cluster(df, algorithm="quantum")
+
+
+def test_nearest_radius_equals_cogroup(spark):
+    """The radius (100 TB) nearest path — padded binned join + top-k window
+    + exact fallback — must reproduce the cogroup path for k=1/k=3,
+    weak/strict, with/without overlaps, including a radius small enough to
+    force the fallback for most probes."""
+    import random as _r
+
+    rnd = _r.Random(23)
+    lrows, rrows = [], []
+    for contig in ("chr1", "chr2"):
+        for _ in range(150):
+            s = rnd.randrange(1, 60_000)
+            lrows.append((contig, s, s + rnd.randrange(1, 300), f"L{rnd.randrange(99)}"))
+        for _ in range(100):
+            s = rnd.randrange(1, 60_000)
+            rrows.append((contig, s, s + rnd.randrange(1, 200)))
+    # a probe on a contig with no left intervals at all → NULL row
+    rrows.append(("chr9", 5, 10))
+    l = spark.createDataFrame(lrows, "contig string, pos_start long, pos_end long, name string")
+    r = spark.createDataFrame(rrows, "contig string, pos_start long, pos_end long")
+
+    def canon(df):
+        return sorted((tuple(row) for row in df.collect()), key=repr)
+
+    for k in (1, 3):
+        for fo, ov in (("weak", True), ("strict", True), ("weak", False)):
+            want = canon(bio.nearest(l, r, k=k, filter_op=fo, include_overlaps=ov))
+            for rad in (100_000, 700):  # 700 forces fallback for sparse probes
+                got = canon(
+                    bio.nearest(l, r, k=k, filter_op=fo, include_overlaps=ov,
+                                algorithm="radius", radius=rad)
+                )
+                assert got == want, (k, fo, ov, rad)
+    with pytest.raises(ValueError):
+        bio.nearest(l, r, algorithm="psychic")
+    with pytest.raises(ValueError):
+        bio.nearest(l, r, algorithm="radius", radius=0)
