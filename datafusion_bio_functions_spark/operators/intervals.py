@@ -865,7 +865,7 @@ def nearest(
     include_overlaps: bool = True,
     compute_distance: bool = True,
     filter_op: str = "weak",
-    algorithm: str = "cogroup",
+    algorithm: str = "auto",
     radius: int = 1_000_000,
 ) -> DataFrame:
     """k nearest *left* intervals for every *right* (probe) row — the
@@ -898,6 +898,15 @@ def nearest(
     _check_filter_op(filter_op)
     if k < 1:
         raise ValueError("k must be >= 1")
+    if algorithm == "auto":
+        from ..session import NEAREST_ALGORITHM_KEY, NEAREST_RADIUS_KEY
+
+        conf = left.sparkSession.conf
+        configured = conf.get(NEAREST_ALGORITHM_KEY, None)
+        algorithm = configured if configured and configured != "auto" else "cogroup"
+        r = conf.get(NEAREST_RADIUS_KEY, None)
+        if r:
+            radius = int(r)
     if algorithm not in ("cogroup", "radius"):
         raise ValueError(f"nearest algorithm must be 'cogroup' or 'radius', got {algorithm!r}")
     if algorithm == "radius":

@@ -124,6 +124,52 @@ def extract_features(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def resize_media(
+    df: DataFrame,
+    target_width: int,
+    target_height: int,
+    content_col: str = "content",
+    meta_col: str = "media_meta",
+    decode: str = "fake",
+) -> DataFrame:
+    """Resize images/frames to ``target_width x target_height``: content is
+    rewritten batch-wise through the same mapInPandas seam a real resampler
+    (PIL/cv2) would use, and the metadata struct is updated to the new
+    dimensions.  Fake mode truncates/pads the bytes to the implied size —
+    deterministic, shape-correct, obviously fake."""
+    if decode == "real":
+        raise NotImplementedError("real resize requires PIL/cv2 which are not installed")
+    if decode != "fake":
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
+    if target_width < 1 or target_height < 1:
+        raise ValueError("target dimensions must be >= 1")
+
+    out_schema = df.schema
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        size = target_width * target_height * 3  # fake RGB byte payload
+        for pdf in batches:
+            new_content, new_meta = [], []
+            for c, m in zip(pdf[content_col], pdf[meta_col]):
+                raw = bytes(c) if c is not None else b""
+                resized = (raw * (size // max(1, len(raw)) + 1))[:size]
+                new_content.append(resized)
+                meta = dict(m) if m is not None else {}
+                meta.update(
+                    width=target_width,
+                    height=target_height,
+                    byte_size=len(resized),
+                    content_hash=hashlib.sha256(resized).hexdigest()[:16],
+                )
+                new_meta.append(meta)
+            pdf = pdf.copy()
+            pdf[content_col] = new_content
+            pdf[meta_col] = new_meta
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     meta_col: str = "media_meta",

@@ -23,6 +23,12 @@ from pyspark.sql import SparkSession
 INTERVAL_JOIN_ALGORITHM_KEY = "spark.bio.intervalJoin.algorithm"
 #: Genome-bin width used by the binned interval-join strategy.
 INTERVAL_JOIN_BIN_WIDTH_KEY = "spark.bio.intervalJoin.binWidth"
+#: Nearest-join strategy (the reference selects its nearest index through
+#: the same ``SET bio.interval_join_algorithm`` knob, ``README.md:456-469``).
+#: Values: ``auto | cogroup | radius``.
+NEAREST_ALGORITHM_KEY = "spark.bio.nearest.algorithm"
+#: Search radius for the ``radius`` nearest strategy.
+NEAREST_RADIUS_KEY = "spark.bio.nearest.radius"
 
 
 def default_parallelism() -> int:

@@ -364,3 +364,21 @@ def test_nearest_radius_equals_cogroup(spark):
         bio.nearest(l, r, algorithm="psychic")
     with pytest.raises(ValueError):
         bio.nearest(l, r, algorithm="radius", radius=0)
+
+
+def test_nearest_session_config(spark, reads, targets):
+    """`spark.bio.nearest.algorithm` mirrors the reference's session-level
+    algorithm selection (CoitreesNearest via SET bio.interval_join_algorithm,
+    README.md:456-469)."""
+    want = sorted(map(repr, bio.nearest(reads, targets).collect()))
+    try:
+        spark.conf.set("spark.bio.nearest.algorithm", "radius")
+        spark.conf.set("spark.bio.nearest.radius", "5000")
+        got = sorted(map(repr, bio.nearest(reads, targets).collect()))
+        assert got == want
+        spark.conf.set("spark.bio.nearest.algorithm", "psychic")
+        with pytest.raises(ValueError, match="algorithm"):
+            bio.nearest(reads, targets)
+    finally:
+        spark.conf.unset("spark.bio.nearest.algorithm")
+        spark.conf.unset("spark.bio.nearest.radius")

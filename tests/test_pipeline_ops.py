@@ -277,3 +277,27 @@ def test_sample_frames(spark, media):
     assert all(r["media_meta"]["media_type"] == "video" for r in rows)
     assert len(rows) >= 1
     assert all(r["frame_idx"] % 10 == 0 for r in rows)
+
+
+def test_resize_media(spark, media):
+    from datafusion_bio_functions_spark.operators.multimodal import resize_media
+
+    decoded = decode_media(media)
+    out = resize_media(decoded, 32, 24)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    for r in rows.values():
+        assert r["media_meta"]["width"] == 32
+        assert r["media_meta"]["height"] == 24
+        assert r["media_meta"]["byte_size"] == 32 * 24 * 3
+        assert len(bytes(r["content"])) == 32 * 24 * 3
+    # deterministic across partitioning
+    again = {r["media_id"]: r for r in resize_media(decoded.repartition(3), 32, 24).collect()}
+    assert all(
+        rows[k]["media_meta"]["content_hash"] == again[k]["media_meta"]["content_hash"]
+        for k in rows
+    )
+    with pytest.raises(NotImplementedError):
+        resize_media(decoded, 32, 24, decode="real")
+    with pytest.raises(ValueError):
+        resize_media(decoded, 0, 24)
