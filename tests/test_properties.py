@@ -1,0 +1,121 @@
+"""Property-based interval-algebra invariants (hypothesis).
+
+The reference ships no property/randomized testing (SURVEY.md §5.1); these
+laws tie the operator family together so a bug in any one implementation
+breaks a cross-operator identity, not just a hand-picked fixture:
+
+* merge is idempotent;
+* cluster partitions the input: cluster count == merge row count and
+  per-cluster sizes == merge ``n_intervals``;
+* per-row conservation: |subtract(l, r)| + |l ∩ merge(r)| == |l| in base
+  pairs (subtract and coverage agree);
+* complement ∪ merge tiles the per-contig span exactly.
+
+Example counts are small — each example runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+import datafusion_bio_functions_spark as bio
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+interval = st.tuples(
+    st.sampled_from(["chrA", "chrB"]),
+    st.integers(min_value=1, max_value=2_000),
+    st.integers(min_value=0, max_value=150),
+)
+interval_lists = st.lists(interval, min_size=1, max_size=40)
+
+SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(c, s, s + ln) for c, s, ln in rows],
+        "contig string, pos_start long, pos_end long",
+    )
+
+
+@given(rows=interval_lists)
+@SETTINGS
+def test_merge_idempotent(spark, rows):
+    m1 = bio.merge(_df(spark, rows))
+    m2 = bio.merge(m1.select("contig", "pos_start", "pos_end"))
+    a = sorted((r.contig, r.pos_start, r.pos_end) for r in m1.collect())
+    b = sorted((r.contig, r.pos_start, r.pos_end) for r in m2.collect())
+    assert a == b
+
+
+@given(rows=interval_lists)
+@SETTINGS
+def test_cluster_partitions_input(spark, rows):
+    df = _df(spark, rows)
+    cl = bio.cluster(df).collect()
+    m = bio.merge(df).collect()
+    # every row assigned exactly once
+    assert len(cl) == len(rows)
+    # cluster extents == merge extents, sizes == n_intervals
+    sizes: dict[int, int] = {}
+    extents = {}
+    for r in cl:
+        sizes[r.cluster] = sizes.get(r.cluster, 0) + 1
+        extents[r.cluster] = (r.contig, r.cluster_start, r.cluster_end)
+    assert sorted(extents.values()) == sorted((r.contig, r.pos_start, r.pos_end) for r in m)
+    merge_sizes = sorted(r.n_intervals for r in m)
+    assert sorted(sizes.values()) == merge_sizes
+
+
+@given(lrows=interval_lists, rrows=interval_lists)
+@SETTINGS
+def test_subtract_coverage_conservation(spark, lrows, rrows):
+    """|subtract(l,r)| + covered(l by r) == |l|  (lengths in base pairs,
+    1-based closed: len = end - start + 1)."""
+    l, r = _df(spark, lrows), _df(spark, rrows)
+    sub_len = (
+        bio.subtract(l, r)
+        .agg(F.coalesce(F.sum(F.col("pos_end") - F.col("pos_start") + 1), F.lit(0)))
+        .collect()[0][0]
+    )
+    cov = (
+        bio.coverage(r, l)
+        .agg(F.coalesce(F.sum("coverage"), F.lit(0)))
+        .collect()[0][0]
+    )
+    total = sum(ln + 1 for _, _, ln in lrows)
+    assert sub_len + cov == total
+
+
+@given(rows=interval_lists)
+@SETTINGS
+def test_complement_tiles_span(spark, rows):
+    """complement ∪ merge covers each contig's [min_start, max_end] with no
+    overlap and no gap (default unbounded view clipped to observed span)."""
+    df = _df(spark, rows)
+    m = [(r.contig, r.pos_start, r.pos_end) for r in bio.merge(df).collect()]
+    comp = [
+        (r.contig, r.pos_start, r.pos_end)
+        for r in bio.complement(df).collect()
+        # default view is (0, i64::MAX): ignore the leading/trailing rays
+        if r.pos_start > 0 and r.pos_end < 4_000_000_000
+    ]
+    for contig in {c for c, _, _ in m}:
+        pieces = sorted(
+            [(s, e) for c, s, e in m if c == contig]
+            + [(s, e) for c, s, e in comp if c == contig]
+        )
+        lo = min(s for s, _ in pieces)
+        hi = max(e for _, e in pieces)
+        pos = lo
+        for s, e in pieces:
+            assert s == pos, (contig, pieces)
+            pos = e + 1
+        assert pos == hi + 1
