@@ -91,3 +91,32 @@ def test_session_algorithm_override(spark, pq):
         spark.conf.set(INTERVAL_JOIN_ALGORITHM_KEY, "auto")
     # override off again → binned path returns
     assert "__lbin" in str(bio.overlap(l, r)._jdf.queryExecution().analyzed().toString())
+
+
+def test_cluster_chunked_no_cartesian(pq):
+    l, _ = pq
+    plan = _plan(bio.cluster(l, algorithm="chunked", chunk_width=1000))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # point-assignment runs through the binned equi join
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_nearest_radius_no_cartesian(pq):
+    l, r = pq
+    plan = _plan(bio.nearest(l, r, algorithm="radius", radius=5000))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exact fallback rides along as a cogrouped Arrow exchange
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_depth_chunked_no_join(spark):
+    aln = spark.createDataFrame(
+        [("chr1", 100 + i, 0, "50M", 60) for i in range(500)],
+        "chrom string, start long, flags int, cigar string, mapping_quality int",
+    )
+    from datafusion_bio_functions_spark.operators.pileup import depth
+
+    plan = _plan(depth(aln, algorithm="chunked", chunk_width=1000))
+    assert "CartesianProduct" not in plan
