@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "complement",
     "subtract",
     "nearest",
+    "nearest_radius",
+    "cluster_chunked",
     "depth_blocks",
     "lookup_variants",
     "tpch_pricing",

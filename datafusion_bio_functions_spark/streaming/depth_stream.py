@@ -11,9 +11,15 @@ DataFrames: the same logical plan runs bounded or unbounded.
   or windowed-aggregation concern downstream).
 * ``streaming_event_counts``  — watermarked tumbling-window counts over the
   ``events`` table shape (ts, event_type, value).
+* ``streaming_dedup``         — custom stateful operator
+  (``applyInPandasWithState``): exact first-seen dedup across micro-batches,
+  state sharded by fingerprint prefix so no single group's state grows with
+  the whole corpus.
 """
 
 from __future__ import annotations
+
+from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -59,5 +65,62 @@ def streaming_event_counts(
             F.col(type_col),
             "n",
             "value_sum",
+        )
+    )
+
+
+def streaming_dedup(
+    docs: DataFrame,
+    fingerprint_col: str = "fingerprint",
+    shards: int = 64,
+) -> DataFrame:
+    """Stateful streaming exact-dedup: emit only the FIRST row ever seen for
+    each fingerprint, across micro-batches.
+
+    A custom stateful operator (``applyInPandasWithState``), not a windowed
+    aggregation: the "seen" set must live forever, so state is the point.
+    Groups are ``hash(fingerprint) % shards`` — each group's state holds only
+    its shard of fingerprints, so state is partitioned across executors and
+    no group serializes the whole corpus.  At 100 TB, raise ``shards`` with
+    the cluster (state scales per shard) and use a compact fingerprint
+    (e.g. ``text.doc_fingerprint``) rather than raw text.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    if fingerprint_col not in docs.columns:
+        raise ValueError(f"column {fingerprint_col!r} not found in input")
+
+    out_schema = docs.schema
+    cols = list(docs.columns)
+
+    def dedup(
+        key: tuple, pdfs: Iterable["pd.DataFrame"], state: "GroupState"
+    ) -> Iterator["pd.DataFrame"]:
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            fresh_mask = []
+            for fp in pdf[fingerprint_col]:
+                new = fp not in seen
+                fresh_mask.append(new)
+                if new:
+                    seen.add(fp)
+            out = pdf[pd.Series(fresh_mask, index=pdf.index)]
+            yield out[cols]
+        state.update((list(seen),))
+
+    sharded = docs.withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col(fingerprint_col)), F.lit(shards))
+    )
+    return (
+        sharded.groupBy("__shard")
+        .applyInPandasWithState(
+            dedup,
+            outputStructType=out_schema,
+            stateStructType="seen array<string>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

@@ -230,3 +230,41 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     assert joined.count() > 0
     spark.sql("DROP TABLE IF EXISTS b_reads")
     spark.sql("DROP TABLE IF EXISTS b_targets")
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: duplicates are suppressed
+    WITHIN a micro-batch and ACROSS micro-batches (state persists)."""
+    from datafusion_bio_functions_spark.streaming.depth_stream import streaming_dedup
+
+    schema = "doc_id long, fingerprint string"
+    b1 = spark.createDataFrame([(1, "fA"), (2, "fB"), (3, "fA")], schema)
+    b2 = spark.createDataFrame([(4, "fB"), (5, "fC"), (6, "fC")], schema)
+    src = str(tmp_path / "docs")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(src)
+    )
+    q = (
+        streaming_dedup(stream, shards=4)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dedup_out").collect()
+    fps = sorted(r.fingerprint for r in rows)
+    assert fps == ["fA", "fB", "fC"]  # one survivor per fingerprint
+    assert "__shard" not in spark.sql("SELECT * FROM dedup_out").columns
+
+    with pytest.raises(ValueError, match="shards"):
+        streaming_dedup(b1, shards=0)
+    with pytest.raises(ValueError, match="not found"):
+        streaming_dedup(b1, fingerprint_col="nope")
