@@ -102,6 +102,38 @@ def write_vcf(df: DataFrame, path: str, info_col: str | None = None) -> None:
     out.write.mode("overwrite").text(path)
 
 
+def annotate_to_vcf(
+    vcf: DataFrame,
+    cache: DataFrame,
+    path: str,
+    progress=None,
+    **annotate_kwargs,
+) -> int:
+    """The reference's ``annotate_to_vcf()`` (``vcf_sink.rs:1-60``): run
+    ``annotate_vep``, fold the CSQ string into the INFO column, and stream
+    the annotated rows to VCF text.  ``progress(done, total)`` is invoked
+    around the job (the reference's per-batch callback is a single-process
+    luxury; distributed writes report at job granularity).  Returns the row
+    count written."""
+    from ..operators.vep import annotate_vep
+
+    ann = annotate_vep(vcf, cache, **annotate_kwargs)
+    total = ann.count()
+    if progress is not None:
+        progress(0, total)
+    out = ann.withColumn(
+        "info",
+        F.when(F.col("CSQ") != "", F.concat(F.lit("CSQ="), F.col("CSQ"))).otherwise("."),
+    )
+    for c in ("id", "qual", "filter"):
+        if c not in out.columns:
+            out = out.withColumn(c, F.lit("."))
+    write_vcf(out, path, info_col="info")
+    if progress is not None:
+        progress(total, total)
+    return total
+
+
 def write_partitioned_cache(df: DataFrame, path: str, chrom_col: str = "chrom") -> None:
     """Per-chromosome partitioned parquet (reference S4 layout); partition
     pruning then applies to any chrom-filtered read automatically."""

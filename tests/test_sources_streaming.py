@@ -268,3 +268,29 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
         streaming_dedup(b1, shards=0)
     with pytest.raises(ValueError, match="not found"):
         streaming_dedup(b1, fingerprint_col="nope")
+
+
+def test_annotate_to_vcf_roundtrip(spark, tmp_path):
+    """annotate_to_vcf (vcf_sink.rs:1-60): annotate → CSQ in INFO → VCF text,
+    progress callback fired, round-trips through read_vcf."""
+    from datafusion_bio_functions_spark.sources.readers import annotate_to_vcf, read_vcf
+
+    vcf = spark.createDataFrame(
+        [("1", 100, 100, "A", "T"), ("1", 200, 200, "G", "C")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [("1", 100, 100, "rs1", "A/T")],
+        "chrom string, start long, end long, variation_name string, allele_string string",
+    )
+    calls = []
+    out = str(tmp_path / "out_vcf")
+    n = annotate_to_vcf(vcf, cache, out, progress=lambda d, t: calls.append((d, t)))
+    assert n == 2
+    assert calls == [(0, 2), (2, 2)]
+    back = read_vcf(spark, out)
+    rows = {r.start: r for r in back.collect()}
+    assert set(rows) == {100, 200}
+    assert rows[100].info.startswith("CSQ=") and "rs1" in rows[100].info
+    # cache misses still carry a CSQ entry (allele + empty annotation fields)
+    assert rows[200].info.startswith("CSQ=")
