@@ -720,16 +720,23 @@ def complement(
     view_cols: Sequence[str] | None = None,
     min_dist: int = 0,
     filter_op: str = "weak",
+    merge_algorithm: str = "window",
+    chunk_width: int = 10_000_000,
 ) -> DataFrame:
     """Per-contig gaps not covered by any interval, bounded by an optional
     chromsizes ``view`` table (reference ``complement.rs:27-478``).  Without a
     view the bounds default to ``(0, i64::MAX)`` per observed contig
     (``complement.rs:398-400``); contigs present only in the view are emitted
     whole (``complement.rs:429-446``).  Output: ``contig, pos_start, pos_end``.
+
+    ``merge_algorithm='chunked'`` routes the dominant merge step through the
+    shuffle-parallel chunked path; the gap window itself runs over merged
+    islands (rows bounded by genome size / min_dist, not input size).
     """
     _check_filter_op(filter_op)
     df, (c, s, e) = _normalize(df, cols)
-    m = merge(df, min_dist=min_dist, cols=(c, s, e), filter_op=filter_op)
+    m = merge(df, min_dist=min_dist, cols=(c, s, e), filter_op=filter_op,
+              algorithm=merge_algorithm, chunk_width=chunk_width)
 
     if view is not None:
         view, (vc, vs, ve) = _normalize(view, view_cols)
@@ -786,6 +793,8 @@ def subtract(
     filter_op: str = "weak",
     algorithm: str = "auto",
     bin_width: int = 10_000,
+    merge_algorithm: str = "window",
+    chunk_width: int = 10_000_000,
 ) -> DataFrame:
     """Base-pair set difference: every left interval is fragmented at the
     boundaries of (pre-merged) overlapping right intervals; extra left columns
@@ -796,12 +805,15 @@ def subtract(
     over the (disjoint, sorted) clipped overlaps emitting the gaps between
     them.  All DataFrame ops; the per-row window partitions on a synthetic
     left row id so duplicates in the left table fragment independently.
+    ``merge_algorithm='chunked'`` makes the right-side pre-merge
+    shuffle-parallel for huge right tables.
     """
     _check_filter_op(filter_op)
     left, (lc, ls, le) = _normalize(left, cols_left)
     right, (rc, rs, re_) = _normalize(right, cols_right)
 
-    m = merge(right.select(rc, rs, re_), cols=(rc, rs, re_), filter_op=filter_op).select(
+    m = merge(right.select(rc, rs, re_), cols=(rc, rs, re_), filter_op=filter_op,
+              algorithm=merge_algorithm, chunk_width=chunk_width).select(
         F.col("contig").alias("__mc"), F.col("pos_start").alias("__ms"), F.col("pos_end").alias("__me")
     )
     lw = left.withColumn("__lid", F.monotonically_increasing_id())

@@ -382,3 +382,16 @@ def test_nearest_session_config(spark, reads, targets):
     finally:
         spark.conf.unset("spark.bio.nearest.algorithm")
         spark.conf.unset("spark.bio.nearest.radius")
+
+
+def test_complement_subtract_chunked_merge(spark, reads, targets, merge_input):
+    """merge_algorithm='chunked' must not change complement/subtract results."""
+    def canon(df):
+        return sorted(map(repr, df.collect()))
+
+    assert canon(bio.complement(merge_input, merge_algorithm="chunked", chunk_width=10_000)) == canon(
+        bio.complement(merge_input)
+    )
+    assert canon(bio.subtract(reads, targets, merge_algorithm="chunked", chunk_width=10_000)) == canon(
+        bio.subtract(reads, targets)
+    )
