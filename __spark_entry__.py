@@ -327,6 +327,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["depth_blocks"] = lambda spark, sf: depth(_alignments(spark, sf), min_mapq=20).select(
         "contig", "pos_start", "pos_end", F.col("coverage").cast("long").alias("coverage")
     )
+    q["depth_chunked"] = lambda spark, sf: depth(
+        _alignments(spark, sf), min_mapq=20, algorithm="chunked", chunk_width=20_000
+    ).select(
+        "contig", "pos_start", "pos_end", F.col("coverage").cast("long").alias("coverage")
+    )
     q["lookup_variants"] = lambda spark, sf: lookup_variants(
         _vcf(spark, sf), _var_cache(spark, sf)
     )
@@ -538,6 +543,7 @@ SELECT v.chrom, v.start, v."end", v.ref, v.alt, r.feature_id,
             ELSE 'regulatory_region_variant' END AS feature_term
 FROM v JOIN r ON v.chrom = r.chrom AND v.start <= r."end" AND v."end" >= r.start"""
     o["depth_blocks"] = osql.depth_blocks_sql(ALIGNMENTS_SQL)
+    o["depth_chunked"] = osql.depth_blocks_sql(ALIGNMENTS_SQL)
     o["depth_per_base"] = f"""
 WITH blocks AS ({osql.depth_blocks_sql(ALIGNMENTS_SQL)})
 SELECT contig, CAST(unnest(generate_series(pos_start, pos_end)) AS BIGINT) AS pos, coverage
