@@ -309,15 +309,22 @@ def _eval_udtf(spark: SparkSession, name: str, args: list[object]) -> DataFrame:
         return pu.depth(spark.table(t), zero_based=zero_based, per_base=per_base)
 
     if name == "lookup_variants":
+        # reference order (table_function.rs:26,80-117):
+        # (vcf, cache [, columns_csv [, match_mode [, extended_probes]]])
         vt, ct, extra = _two_tables(args, name)
+        columns = None
         match_mode, extended = "exact", False
+        if extra and isinstance(extra[0], str):
+            col_str = extra[0].strip()
+            columns = [c.strip() for c in col_str.split(",") if c.strip()] or None
+            extra = extra[1:]
         if extra and isinstance(extra[0], str):
             match_mode, extra = extra[0], extra[1:]
         if extra and isinstance(extra[0], bool):
             extended, extra = extra[0], extra[1:]
         if extra:
             raise BioSqlError("lookup_variants() unexpected extra arguments")
-        return vp.lookup_variants(spark.table(vt), spark.table(ct),
+        return vp.lookup_variants(spark.table(vt), spark.table(ct), columns=columns,
                                   match_mode=match_mode, extended_probes=extended)
 
     if name == "annotate_vep":

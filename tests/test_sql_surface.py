@@ -165,3 +165,15 @@ def test_lookup_variants_udtf(spark, vep_views):
     rows = {r["start"]: r for r in got.collect()}
     assert rows[100]["variation_name"] == "rs1"
     assert rows[200]["variation_name"] is None
+
+
+def test_lookup_variants_udtf_columns_csv(spark, vep_views):
+    """Reference arg order: 3rd arg = comma-separated column projection
+    (table_function.rs:80-96), then match_mode, then extended_probes."""
+    got = bio_sql(
+        spark,
+        "SELECT * FROM lookup_variants('sqlvcf', 'sqlcache', 'variation_name', 'exact', false)",
+    )
+    assert "variation_name" in got.columns
+    rows = {r["start"]: r for r in got.collect()}
+    assert rows[100]["variation_name"] == "rs1"
