@@ -395,3 +395,21 @@ def test_complement_subtract_chunked_merge(spark, reads, targets, merge_input):
     assert canon(bio.subtract(reads, targets, merge_algorithm="chunked", chunk_width=10_000)) == canon(
         bio.subtract(reads, targets)
     )
+
+
+def test_partition_invariance_scale_paths(spark, merge_input, reads, targets):
+    """Partition-count invariance for the chunked/radius scale paths."""
+
+    def canon(df):
+        return sorted(map(repr, df.collect()))
+
+    base_cl = canon(bio.cluster(merge_input, algorithm="chunked", chunk_width=5_000))
+    base_nr = canon(bio.nearest(reads, targets, algorithm="radius", radius=4_000))
+    for n in (1, 4, 16):
+        assert canon(
+            bio.cluster(merge_input.repartition(n), algorithm="chunked", chunk_width=5_000)
+        ) == base_cl
+        assert canon(
+            bio.nearest(reads.repartition(n), targets.repartition(max(1, n // 2)),
+                        algorithm="radius", radius=4_000)
+        ) == base_nr
