@@ -298,7 +298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["subtract"] = lambda spark, sf: bio.subtract(_reads(spark, sf), _targets(spark, sf))
     q["nearest"] = lambda spark, sf: bio.nearest(_reads(spark, sf), _targets(spark, sf), k=1)
     q["nearest_radius"] = lambda spark, sf: bio.nearest(
-        _reads(spark, sf), _targets(spark, sf), k=1, algorithm="radius", radius=50_000
+        _reads(spark, sf), _targets(spark, sf), k=1, algorithm="radius"
     )
     q["nearest_k3"] = lambda spark, sf: bio.nearest(_reads(spark, sf), _targets(spark, sf), k=3)
     q["overlap_left_semi"] = lambda spark, sf: bio.overlap(

@@ -878,7 +878,7 @@ def nearest(
     compute_distance: bool = True,
     filter_op: str = "weak",
     algorithm: str = "auto",
-    radius: int = 1_000_000,
+    radius: int | None = None,
 ) -> DataFrame:
     """k nearest *left* intervals for every *right* (probe) row — the
     reference's genomic as-of join (``nearest.rs:29-547``).  Emits one row per
@@ -903,6 +903,12 @@ def nearest(
     candidates are provably globally correct; the rest (rare in dense data)
     are re-solved exactly through the cogroup path.  Equality with cogroup
     is property-tested, including forced-fallback radii.
+
+    ``radius=None`` (default) sizes the radius to the LEFT side's density
+    per contig — ``~4k / (intervals per base)`` — so candidate sets stay
+    O(k) regardless of how dense the data is; a fixed radius on dense data
+    would otherwise gather huge candidate sets (all-pairs in the limit).
+    The per-contig stats are one tiny aggregate (#contigs rows).
     """
     import numpy as np
     import pandas as pd
@@ -1065,19 +1071,49 @@ def _nearest_radius(
     include_overlaps: bool,
     compute_distance: bool,
     filter_op: str,
-    radius: int,
+    radius: int | None,
 ) -> DataFrame:
     """Scale path for :func:`nearest` — see its docstring."""
-    if radius < 1:
+    if radius is not None and radius < 1:
         raise ValueError("radius must be >= 1")
     left, (lc, ls, le) = _normalize(left, cols_left)
     right, (rc, rs, re_) = _normalize(right, cols_right)
     shrink = 0 if filter_op == "weak" else 1
 
     rid = right.withColumn("__pid", F.monotonically_increasing_id())
-    padded = rid.withColumn("__qs", F.col(rs) - F.lit(radius)).withColumn(
-        "__qe", F.col(re_) + F.lit(radius)
-    )
+    if radius is None:
+        # density-derived per-contig radius: ~4k candidates expected per
+        # side of each probe.  One #contigs-row aggregate; the single max
+        # sets the (literal) bin width.
+        stats = left.groupBy(F.col(lc).alias("__sc")).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(ls).alias("__lo"),
+            F.max(le).alias("__hi"),
+        )
+        stats = stats.select(
+            "__sc",
+            F.greatest(
+                F.lit(1),
+                F.ceil(
+                    (F.col("__hi") - F.col("__lo") + 1) / F.col("__n") * F.lit(4 * k)
+                ),
+            ).cast(T.LongType()).alias("__rad"),
+        )
+        mx = stats.agg(F.max("__rad")).collect()[0][0]
+        max_rad = int(mx) if mx is not None else 1
+        padded = (
+            rid.join(F.broadcast(stats), F.col(rc) == F.col("__sc"), "left")
+            .drop("__sc")
+            .withColumn("__qs", F.col(rs) - F.col("__rad"))
+            .withColumn("__qe", F.col(re_) + F.col("__rad"))
+            .drop("__rad")
+        )  # contigs absent from the left side get NULL pads → exact fallback
+        bw = max(1_000, max_rad // 4)
+    else:
+        padded = rid.withColumn("__qs", F.col(rs) - F.lit(radius)).withColumn(
+            "__qe", F.col(re_) + F.lit(radius)
+        )
+        bw = max(10_000, radius // 4)
     # bin width scaled to the padding so padded probes span only a handful
     # of bins and stay on the binned (shuffle-parallel) path rather than
     # tripping the long-interval escape hatch
@@ -1089,7 +1125,7 @@ def _nearest_radius(
         filter_op="weak",
         how="inner",
         algorithm="binned",
-        bin_width=max(10_000, radius // 4),
+        bin_width=bw,
     )
     # kernel distance: max(l.start - qe, qs - l.end, 0) with strict shrink
     qs_c = F.col(_LEFT + rs) + F.lit(shrink)

@@ -413,3 +413,14 @@ def test_partition_invariance_scale_paths(spark, merge_input, reads, targets):
             bio.nearest(reads.repartition(n), targets.repartition(max(1, n // 2)),
                         algorithm="radius", radius=4_000)
         ) == base_nr
+
+
+def test_nearest_radius_auto_density(spark, reads, targets):
+    """radius=None sizes per-contig search radii from left-side density;
+    results equal the exact path, probes on left-absent contigs fall back."""
+    r_extra = targets.unionByName(
+        spark.createDataFrame([("chrUn", 5, 9)], targets.schema)
+    )
+    want = sorted(map(repr, bio.nearest(reads, r_extra).collect()))
+    got = sorted(map(repr, bio.nearest(reads, r_extra, algorithm="radius").collect()))
+    assert got == want
