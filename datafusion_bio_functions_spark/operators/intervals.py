@@ -661,10 +661,11 @@ def cluster(
         ids = _global_cluster_ids(extents, c, ["cluster_start", "cluster_end"])
         # assignment join on the row's start point: cluster_start <= s <=
         # cluster_end.  In weak mode extents never touch, so each row hits
-        # exactly one cluster.  In strict mode two extents can share a
-        # boundary point; the rank below reproduces the sweep's assignment
-        # (prefer the cluster containing the row's end, then the later
-        # cluster_start, then the earlier id) over the ≤2 candidates.
+        # exactly one cluster and no dedupe is needed.  In strict mode two
+        # extents can share a boundary point; the rank below reproduces the
+        # sweep's assignment (prefer the cluster containing the row's end,
+        # then the later cluster_start, then the earlier id) over the ≤2
+        # candidates — a per-row-id shuffle paid only on that mode.
         did = df.withColumn("__rid", F.monotonically_increasing_id()).withColumn(
             "__ps", F.col(s)
         )
@@ -676,15 +677,16 @@ def cluster(
             filter_op="weak",
             how="inner",
         )
-        pick = Window.partitionBy(_LEFT + "__rid").orderBy(
-            F.desc(F.col(_LEFT + e) <= F.col(_RIGHT + "cluster_end")),
-            F.desc(_RIGHT + "cluster_start"),
-            F.asc(_RIGHT + "cluster"),
-        )
-        out = cand.withColumn("__pk", F.row_number().over(pick)).filter(
-            F.col("__pk") == 1
-        )
-        return out.select(
+        if filter_op != "weak":
+            pick = Window.partitionBy(_LEFT + "__rid").orderBy(
+                F.desc(F.col(_LEFT + e) <= F.col(_RIGHT + "cluster_end")),
+                F.desc(_RIGHT + "cluster_start"),
+                F.asc(_RIGHT + "cluster"),
+            )
+            cand = cand.withColumn("__pk", F.row_number().over(pick)).filter(
+                F.col("__pk") == 1
+            )
+        return cand.select(
             *[F.col(_LEFT + col).alias(col) for col in df.columns],
             F.col(_RIGHT + "cluster").alias("cluster"),
             F.col(_RIGHT + "cluster_start").alias("cluster_start"),
