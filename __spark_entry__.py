@@ -29,7 +29,7 @@ from datafusion_bio_functions_spark.operators.dedup import (
     ngram_jaccard_dedup,
     simhash_dedup,
 )
-from datafusion_bio_functions_spark.operators.multimodal import extract_features
+from datafusion_bio_functions_spark.operators.multimodal import decode_media, extract_features
 from datafusion_bio_functions_spark.operators.pileup import depth
 from datafusion_bio_functions_spark.functions.text import bpe_token_count
 from datafusion_bio_functions_spark.operators.similarity import (
@@ -497,11 +497,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("image").alias("media_type"),
         )
     )
+    # decode metadata projection — sha256-derived, fully SQL-oracle-checkable
+    q["media_meta"] = lambda spark, sf: decode_media(
+        _read(spark, sf, "documents").select(
+            "doc_id",
+            F.encode(F.col("text"), "utf-8").alias("content"),
+            F.lit("image").alias("media_type"),
+        )
+    ).select(
+        "doc_id",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.byte_size").alias("byte_size"),
+        F.col("media_meta.content_hash").alias("content_hash"),
+    )
     return q
+
+
+MEDIA_META_ORACLE = """
+WITH h AS (
+  SELECT doc_id, sha256(text) AS hx, octet_length(encode(text)) AS bs FROM documents
+), b AS (
+  SELECT doc_id, hx, bs,
+    (CASE WHEN substr(hx,1,1) BETWEEN '0' AND '9' THEN ascii(substr(hx,1,1))-48 ELSE ascii(substr(hx,1,1))-87 END)*16
+    + CASE WHEN substr(hx,2,1) BETWEEN '0' AND '9' THEN ascii(substr(hx,2,1))-48 ELSE ascii(substr(hx,2,1))-87 END AS b0,
+    (CASE WHEN substr(hx,3,1) BETWEEN '0' AND '9' THEN ascii(substr(hx,3,1))-48 ELSE ascii(substr(hx,3,1))-87 END)*16
+    + CASE WHEN substr(hx,4,1) BETWEEN '0' AND '9' THEN ascii(substr(hx,4,1))-48 ELSE ascii(substr(hx,4,1))-87 END AS b1
+  FROM h
+)
+SELECT doc_id,
+       16 * (1 + b0 % 64) AS width,
+       16 * (1 + b1 % 64) AS height,
+       bs AS byte_size,
+       substr(hx, 1, 16) AS content_hash
+FROM b
+"""
 
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
+    o["media_meta"] = MEDIA_META_ORACLE
     o["overlap_join"] = osql.overlap_sql(READS_SQL, TARGETS_SQL)
     o["overlap_strict"] = osql.overlap_sql(READS_SQL, TARGETS_SQL, filter_op="strict")
     o["count_overlaps"] = osql.count_overlaps_sql(READS_SQL, TARGETS_SQL)
