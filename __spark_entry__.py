@@ -335,6 +335,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lookup_variants"] = lambda spark, sf: lookup_variants(
         _vcf(spark, sf), _var_cache(spark, sf)
     )
+    # annotate_vep's lookup stage, value-checked through the gate (the full
+    # CSQ string is pandas-UDF territory, checked by truth-table tests)
+    q["annotate_existing"] = lambda spark, sf: annotate_vep(
+        _vcf(spark, sf), _var_cache(spark, sf)
+    ).select("chrom", "start", "end", "ref", "alt", "existing_variation")
 
     def _tpch_pricing(spark, sf):
         li = _read(spark, sf, "lineitem")
@@ -589,6 +594,13 @@ SELECT doc_id,
             ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tokens,
        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
 FROM documents"""
+    o["annotate_existing"] = f"""
+WITH v AS ({VCF_SQL}), c AS ({VAR_CACHE_SQL})
+SELECT v.chrom, v.start, v."end", v.ref, v.alt,
+       coalesce(c.variation_name, '') AS existing_variation
+FROM v LEFT JOIN c
+  ON v.chrom = c.chrom AND v.start = c.start AND v."end" = c."end"
+ AND c.allele_string = concat(v.ref, '/', v.alt)"""
     o["lookup_variants"] = f"""
 WITH v AS ({VCF_SQL}), c AS ({VAR_CACHE_SQL})
 SELECT v.chrom, v.start, v."end", v.ref, v.alt,
