@@ -119,3 +119,49 @@ def test_complement_tiles_span(spark, rows):
             assert s == pos, (contig, pieces)
             pos = e + 1
         assert pos == hi + 1
+
+
+cigar_run = st.tuples(
+    st.integers(min_value=1, max_value=30),
+    st.sampled_from("MIDNS=X"),
+)
+
+
+@st.composite
+def cigars(draw):
+    runs = draw(st.lists(cigar_run, min_size=1, max_size=5))
+    # S only legal at the ends; keep it simple: move any S runs to the edges
+    body = [(n, op) for n, op in runs if op != "S"]
+    if not body:
+        body = [(draw(st.integers(min_value=1, max_value=30)), "M")]
+    return "".join(f"{n}{op}" for n, op in body)
+
+
+@given(reads=st.lists(st.tuples(st.integers(min_value=1, max_value=5_000), cigars()),
+                      min_size=1, max_size=15))
+@SETTINGS
+def test_depth_conserves_cigar_ref_span(spark, reads):
+    """Total covered base-pairs (Σ block length × coverage) equals the sum of
+    each read's reference-consuming aligned length (M/=/X runs) — D/N gaps
+    consume reference silently, I/S never touch it (events.rs semantics)."""
+    import re as _re
+
+    from datafusion_bio_functions_spark.operators.pileup import depth
+
+    df = spark.createDataFrame(
+        [("chr1", s, 0, c, 60) for s, c in reads],
+        "chrom string, start long, flags int, cigar string, mapping_quality int",
+    )
+    out = depth(df).collect()
+    covered = sum((r.pos_end - r.pos_start + 1) * r.coverage for r in out)
+    expected = sum(
+        sum(int(n) for n, op in _re.findall(r"(\d+)([MIDNSHP=X])", c) if op in "M=X")
+        for _, c in reads
+    )
+    assert covered == expected
+    # block invariants: positive coverage, non-empty, sorted disjoint runs
+    by_start = sorted((r.pos_start, r.pos_end, r.coverage) for r in out)
+    for (s1, e1, c1), (s2, e2, c2) in zip(by_start, by_start[1:]):
+        assert e1 < s2 and s1 <= e1
+        if e1 + 1 == s2:  # adjacent runs must differ in coverage (maximal RLE)
+            assert c1 != c2
