@@ -698,15 +698,15 @@ def cluster(
             f"cluster algorithm must be 'window' or 'chunked', got {algorithm!r}"
         )
     isl = _with_island(df, c, s, e, min_dist, filter_op)
-    wc = Window.partitionBy(c, "__island")
-    isl = isl.withColumn("cluster_start", F.min(s).over(wc).cast(T.LongType())).withColumn(
-        "cluster_end", F.max(e).over(wc).cast(T.LongType())
+    # one aggregation yields extents AND the per-cluster row for id ranking —
+    # replaces two (c, island)-partitioned windows plus a distinct (3
+    # shuffles) with one agg + one join
+    ext = isl.groupBy(c, "__island").agg(
+        F.min(s).cast(T.LongType()).alias("cluster_start"),
+        F.max(e).cast(T.LongType()).alias("cluster_end"),
     )
-    ids = _global_cluster_ids(
-        isl.select(c, "__island", "cluster_start").distinct(), c,
-        ["cluster_start", "__island"],
-    )
-    out = isl.join(ids.select(c, "__island", "cluster"), [c, "__island"], "inner")
+    ids = _global_cluster_ids(ext, c, ["cluster_start", "__island"])
+    out = isl.join(ids, [c, "__island"], "inner")
     return out.drop("__island").select(*df.columns, "cluster", "cluster_start", "cluster_end")
 
 
@@ -756,8 +756,10 @@ def complement(
         (F.col("pos_start") <= F.col("__vend")) & (F.col("pos_end") >= F.col("__vstart"))
     )
     w = Window.partitionBy("contig").orderBy("pos_start", "pos_end")
+    # lead IS NULL marks the last interval per contig on the SAME ascending
+    # sort — no second (descending) window pass
     mb = mb.withColumn("__prev_end", F.lag("pos_end").over(w)).withColumn(
-        "__rn_desc", F.row_number().over(Window.partitionBy("contig").orderBy(F.desc("pos_start"), F.desc("pos_end")))
+        "__is_last", F.lead("pos_start").over(w).isNull()
     )
     # gap before this interval: from max(view_start, prev_end+1) to start-1
     gap_start = F.greatest(F.coalesce(F.col("__prev_end") + 1, F.col("__vstart")), F.col("__vstart"))
@@ -766,7 +768,7 @@ def complement(
         "contig", gap_start.alias("pos_start"), gap_end.alias("pos_end")
     ).filter(F.col("pos_start") <= F.col("pos_end"))
     # tail gap after the last interval of each contig
-    tail = mb.filter(F.col("__rn_desc") == 1).select(
+    tail = mb.filter(F.col("__is_last")).select(
         "contig",
         F.greatest(F.col("pos_end") + 1, F.col("__vstart")).alias("pos_start"),
         F.col("__vend").alias("pos_end"),
@@ -837,7 +839,7 @@ def subtract(
     w = Window.partitionBy("__lid").orderBy("__cs")
     ov = (
         ov.withColumn("__prev_ce", F.lag("__ce").over(w))
-        .withColumn("__rn_desc", F.row_number().over(Window.partitionBy("__lid").orderBy(F.desc("__cs"))))
+        .withColumn("__is_last", F.lead("__cs").over(w).isNull())
     )
     # gap before each clipped overlap
     gs = F.coalesce(F.col("__prev_ce") + 1, F.col(ls))
@@ -849,7 +851,7 @@ def subtract(
         "__lid",
     ).filter(F.col(ls) <= F.col(le))
     # tail gap after the last overlap
-    frag_tail = ov.filter(F.col("__rn_desc") == 1).select(
+    frag_tail = ov.filter(F.col("__is_last")).select(
         *[F.col(x) for x in left.columns if x not in (ls, le)],
         (F.col("__ce") + 1).alias(ls),
         F.col(le).alias(le),

@@ -243,8 +243,7 @@ def depth(
         b = blocks.join(lens, "contig", "inner")
         w = Window.partitionBy("contig").orderBy("pos_start")
         b = b.withColumn("__prev_end", F.lag("pos_end").over(w)).withColumn(
-            "__rn_desc",
-            F.row_number().over(Window.partitionBy("contig").orderBy(F.desc("pos_start"))),
+            "__is_last", F.lead("pos_start").over(w).isNull()
         )
         gap_before = b.select(
             "contig",
@@ -252,7 +251,7 @@ def depth(
             (F.col("pos_start") - 1).alias("pos_end"),
             F.lit(0).cast(T.IntegerType()).alias("coverage"),
         ).filter(F.col("pos_start") <= F.col("pos_end"))
-        gap_tail = b.filter(F.col("__rn_desc") == 1).select(
+        gap_tail = b.filter(F.col("__is_last")).select(
             "contig",
             (F.col("pos_end") + 1).alias("pos_start"),
             hi.cast("long").alias("pos_end"),
