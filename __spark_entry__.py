@@ -495,6 +495,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # multimodal plumbing: binary column + deterministic fake feature
     # extraction (decoders stubbed per spec — no media libs in container)
+    def _tpch_order_priority(spark, sf):
+        orders = _read(spark, sf, "orders")
+        late = _read(spark, sf, "lineitem").filter(
+            F.round(F.col("l_discount") * 100) >= 6  # exact on cents
+        ).select("l_orderkey")
+        return (
+            orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+        )
+
+    q["tpch_order_priority"] = _tpch_order_priority
+
+    def _events_top_users(spark, sf):
+        from pyspark.sql import Window as W
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = _read(spark, sf, "events")
+        totals = ev.groupBy("event_type", "user_id").agg(
+            F.round(F.sum("value"), 3).alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        w = W.partitionBy("event_type").orderBy(
+            F.desc("total_value"), F.asc("user_id")
+        )
+        return (
+            totals.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("event_type", "user_id", "total_value", "n_events",
+                    F.col("rnk").cast("long").alias("rnk"))
+        )
+
+    q["events_top_users"] = _events_top_users
+
     q["media_features"] = lambda spark, sf: extract_features(
         _read(spark, sf, "documents").select(
             "doc_id",
@@ -609,6 +643,24 @@ SELECT v.chrom, v.start, v."end", v.ref, v.alt,
 FROM v LEFT JOIN c
   ON v.chrom = c.chrom AND v.start = c.start AND v."end" = c."end"
  AND c.allele_string = concat(v.ref, '/', v.alt)"""
+    o["tpch_order_priority"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND round(l_discount * 100) >= 6)
+GROUP BY o_orderpriority"""
+    o["events_top_users"] = """
+WITH totals AS (
+  SELECT event_type, user_id, round(sum(value), 3) AS total_value,
+         count(*) AS n_events
+  FROM events GROUP BY event_type, user_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY total_value DESC, user_id ASC) AS rnk
+  FROM totals
+)
+SELECT event_type, user_id, total_value, n_events, rnk
+FROM ranked WHERE rnk <= 3"""
     o["tpch_pricing"] = """
 SELECT l_returnflag, l_linestatus,
        count(*) AS count_order,
