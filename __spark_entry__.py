@@ -529,6 +529,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_top_users"] = _events_top_users
 
+    def _events_rollup(spark, sf):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = _read(spark, sf, "events")
+        return ev.rollup("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+
+    q["events_rollup"] = _events_rollup
+
     q["media_features"] = lambda spark, sf: extract_features(
         _read(spark, sf, "documents").select(
             "doc_id",
@@ -649,6 +659,11 @@ FROM orders
 WHERE EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND round(l_discount * 100) >= 6)
 GROUP BY o_orderpriority"""
+    o["events_rollup"] = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY ROLLUP (event_type)"""
     o["events_top_users"] = """
 WITH totals AS (
   SELECT event_type, user_id, round(sum(value), 3) AS total_value,
