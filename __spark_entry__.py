@@ -367,7 +367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             li.join(o, li.l_orderkey == o.o_orderkey)
             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .groupBy(
+                "l_orderkey",
+                # canonical string form: engine-neutral under value hashing
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                "o_orderpriority",
+            )
             .agg(F.sum(cents * (100 - disc)).alias("revenue_micro"))
         )
 
@@ -685,7 +690,7 @@ SELECT l_returnflag, l_linestatus,
             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_micro
 FROM lineitem GROUP BY l_returnflag, l_linestatus"""
     o["tpch_shipping_priority"] = """
-SELECT l_orderkey, o_orderdate, o_orderpriority,
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_micro
 FROM lineitem
