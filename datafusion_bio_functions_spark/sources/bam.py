@@ -129,6 +129,34 @@ def read_bam(
     return files.mapInPandas(decode, schema)
 
 
+def read_sam(spark: SparkSession, path: str) -> DataFrame:
+    """Read SAM (the text form of BAM; tab-separated, ``@``-prefixed
+    headers) into the alignment contract frame.  Pure Spark text parsing —
+    columns per SAM spec §1.4: QNAME FLAG RNAME POS MAPQ CIGAR ...
+    ``start`` is converted to 0-based to match :func:`read_bam`, so
+    ``depth(df, zero_based=True)`` treats both sources identically.
+    Unmapped records (RNAME ``*``) are dropped, as in :func:`read_bam`'s
+    default.  Gzip-compressed ``.sam.gz`` works transparently (Spark's text
+    source handles the codec)."""
+    from pyspark.sql import functions as F
+
+    p = F.split(F.col("value"), "\t")
+    # F.get (null-safe) rather than getItem: Catalyst may reorder the
+    # header/size filters after column extraction, so out-of-bounds access
+    # must yield NULL (dropped below), never throw
+    lines = spark.read.text(path).filter(~F.col("value").startswith("@"))
+    return (
+        lines.select(
+            F.get(p, 2).alias("chrom"),
+            (F.get(p, 3).cast("long") - 1).alias("start"),  # SAM POS is 1-based
+            F.get(p, 1).cast("int").alias("flags"),
+            F.get(p, 5).alias("cigar"),
+            F.get(p, 4).cast("int").alias("mapping_quality"),
+        )
+        .filter(F.col("chrom").isNotNull() & (F.col("chrom") != "*") & F.col("cigar").isNotNull())
+    )
+
+
 def bam_contig_lengths(spark: SparkSession, path: str) -> DataFrame:
     """Contig name/length pairs from the BAM header(s) — the reference rides
     these in schema metadata for dense-mode pileup and uses them as the

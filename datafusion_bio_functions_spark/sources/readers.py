@@ -141,15 +141,27 @@ def write_partitioned_cache(df: DataFrame, path: str, chrom_col: str = "chrom") 
 
 
 def build_sorted_cache(
-    df: DataFrame, path: str, chrom_col: str = "chrom", pos_col: str = "start", partitions: int | None = None
+    df: DataFrame,
+    path: str,
+    chrom_col: str = "chrom",
+    pos_col: str = "start",
+    partitions: int | None = None,
+    compression: str = "zstd",
+    row_group_mb: int | None = None,
 ) -> None:
     """Reference S6 cache-builder analogue: range-partition by (chrom, pos),
     sort within partitions, write per-chrom parquet — row-group min/max
-    statistics then provide point-lookup data skipping."""
+    statistics then provide point-lookup data skipping.  ``compression``
+    defaults to zstd and ``row_group_mb`` tunes parquet block size, the two
+    knobs the reference's builder tunes for scan-time skipping
+    (``cache_builder.rs:1-41``, fjall proposal zstd/table-size targets)."""
     rp = df.repartitionByRange(
         *( [partitions] if partitions else [] ), F.col(chrom_col), F.col(pos_col)
     ).sortWithinPartitions(chrom_col, pos_col)
-    rp.write.mode("overwrite").partitionBy(chrom_col).parquet(path)
+    writer = rp.write.mode("overwrite").option("compression", compression)
+    if row_group_mb:
+        writer = writer.option("parquet.block.size", row_group_mb * 1024 * 1024)
+    writer.partitionBy(chrom_col).parquet(path)
 
 
 def write_bucketed_table(

@@ -113,3 +113,47 @@ def test_per_base_dense_uncovered_contig(spark):
     out = depth(bam, zero_based=True, per_base=True, contig_lengths=lens)
     z = sorted((r.pos, r.coverage) for r in out.collect() if r.contig == "chrZ")
     assert z == [(0, 0), (1, 0), (2, 0), (3, 0), (4, 0)]
+
+
+def test_read_sam_matches_read_bam(spark, tmp_path):
+    """SAM text rendered from the decoded BAM parses back to identical
+    alignments and identical depth blocks; gzip works transparently."""
+    import gzip as _gzip
+
+    from datafusion_bio_functions_spark.sources.bam import read_sam
+
+    bam = read_bam(spark, OVL)
+    rows = bam.collect()
+    sam_lines = ["@HD\tVN:1.6", "@SQ\tSN:MT\tLN:16569"]
+    for r in rows:
+        sam_lines.append(
+            f"q\t{r.flags}\t{r.chrom}\t{r.start + 1}\t{r.mapping_quality}\t{r.cigar}\t*\t0\t0\t*\t*"
+        )
+    plain = tmp_path / "t.sam"
+    plain.write_text("\n".join(sam_lines) + "\n")
+    gz = tmp_path / "t.sam.gz"
+    gz.write_bytes(_gzip.compress(("\n".join(sam_lines) + "\n").encode()))
+
+    for p in (plain, gz):
+        sam = read_sam(spark, str(p))
+        assert sorted(map(tuple, sam.collect())) == sorted(map(tuple, rows))
+        assert _blocks(depth(sam, zero_based=True), "MT") == _blocks(
+            depth(bam, zero_based=True), "MT"
+        )
+
+
+def test_vcf_gz_roundtrip(spark, tmp_path):
+    """read_vcf on .vcf.gz (BGZF is gzip-compatible; Spark's text source
+    decodes it transparently)."""
+    import gzip as _gzip
+
+    from datafusion_bio_functions_spark.sources.readers import read_vcf
+
+    body = "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n" \
+           "1\t100\trs1\tA\tT\t.\tPASS\t.\n1\t200\t.\tG\tC\t.\t.\t.\n"
+    p = tmp_path / "t.vcf.gz"
+    p.write_bytes(_gzip.compress(body.encode()))
+    got = read_vcf(spark, str(p))
+    rows = {r.start: r for r in got.collect()}
+    assert set(rows) == {100, 200}
+    assert rows[100].id == "rs1" and rows[100].alt == "T"
