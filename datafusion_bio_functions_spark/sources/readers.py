@@ -61,6 +61,90 @@ def read_bam(spark: SparkSession, path: str, **kwargs) -> DataFrame:
     return _read_bam(spark, path, **kwargs)
 
 
+def read_bed(
+    spark: SparkSession, path: str, one_based: bool = True
+) -> DataFrame:
+    """Read BED (browser extensible data: ``chrom  start  end  [name score
+    strand ...]``, 0-based half-open) into the interval contract frame.
+    ``one_based=True`` (default) converts to the engine's 1-based closed
+    convention (start+1, end unchanged — half-open end == closed end);
+    ``one_based=False`` keeps raw BED coordinates for ``filter_op='strict'``
+    pipelines.  Extra columns beyond the first three are preserved as
+    ``name``, ``score``, ``strand`` when present."""
+    p = F.split(F.col("value"), "\t")
+    lines = spark.read.text(path).filter(
+        ~F.col("value").startswith("#")
+        & ~F.col("value").startswith("track")
+        & ~F.col("value").startswith("browser")
+        & (F.length(F.trim(F.col("value"))) > 0)
+    )
+    start = F.get(p, 1).cast("long") + (1 if one_based else 0)
+    out = lines.select(
+        F.get(p, 0).alias("contig"),
+        start.alias("pos_start"),
+        F.get(p, 2).cast("long").alias("pos_end"),
+        F.get(p, 3).alias("name"),
+        F.get(p, 4).cast("int").alias("score"),
+        F.get(p, 5).alias("strand"),
+    )
+    return out.filter(F.col("contig").isNotNull() & F.col("pos_start").isNotNull())
+
+
+def _gtf_attr(attrs: "F.Column", key: str) -> "F.Column":
+    return F.regexp_extract(attrs, key + r' "([^"]*)"', 1)
+
+
+def read_gtf(spark: SparkSession, path: str) -> DataFrame:
+    """Read GTF/GFF2 (9 tab-separated columns, 1-based closed) into a frame
+    of ``(chrom, source, feature, start, end, score, strand, frame,
+    attributes)`` — the raw form; see :func:`gtf_transcripts` /
+    :func:`gtf_exons` for the annotate_vep context contracts."""
+    p = F.split(F.col("value"), "\t")
+    lines = spark.read.text(path).filter(
+        ~F.col("value").startswith("#") & (F.length(F.trim(F.col("value"))) > 0)
+    )
+    return lines.select(
+        F.get(p, 0).alias("chrom"),
+        F.get(p, 1).alias("source"),
+        F.get(p, 2).alias("feature"),
+        F.get(p, 3).cast("long").alias("start"),
+        F.get(p, 4).cast("long").alias("end"),
+        F.get(p, 5).alias("score"),
+        F.get(p, 6).alias("strand"),
+        F.get(p, 7).alias("frame"),
+        F.get(p, 8).alias("attributes"),
+    ).filter(F.col("feature").isNotNull())
+
+
+def gtf_transcripts(gtf: DataFrame) -> DataFrame:
+    """Project GTF ``transcript`` rows onto the annotate_vep transcripts
+    contract (``annotate_provider.rs:2511-2563`` subset)."""
+    t = gtf.filter(F.col("feature") == "transcript")
+    a = F.col("attributes")
+    return t.select(
+        _gtf_attr(a, "transcript_id").alias("transcript_id"),
+        "chrom",
+        "start",
+        "end",
+        F.when(F.col("strand") == "-", -1).otherwise(1).alias("strand"),
+        _gtf_attr(a, "transcript_biotype").alias("biotype"),
+        _gtf_attr(a, "gene_id").alias("gene_stable_id"),
+        _gtf_attr(a, "gene_name").alias("gene_symbol"),
+    )
+
+
+def gtf_exons(gtf: DataFrame) -> DataFrame:
+    """Project GTF ``exon`` rows onto the exon context contract
+    (``annotate_provider.rs:2893-2899``)."""
+    e = gtf.filter(F.col("feature") == "exon")
+    return e.select(
+        _gtf_attr(F.col("attributes"), "transcript_id").alias("transcript_id"),
+        "start",
+        "end",
+        "chrom",
+    )
+
+
 def read_vcf(spark: SparkSession, path: str) -> DataFrame:
     """Parse a (possibly bgzip-less) VCF text file into the VCF contract
     frame (chrom, start, end, id, ref, alt, qual, filter, info).  ``end`` is

@@ -294,3 +294,63 @@ def test_annotate_to_vcf_roundtrip(spark, tmp_path):
     assert rows[100].info.startswith("CSQ=") and "rs1" in rows[100].info
     # cache misses still carry a CSQ entry (allele + empty annotation fields)
     assert rows[200].info.startswith("CSQ=")
+
+
+def test_read_bed(spark, tmp_path):
+    from datafusion_bio_functions_spark.sources.readers import read_bed
+
+    body = ("browser position chr1\ntrack name=test\n"
+            "chr1\t0\t100\tfeatA\t960\t+\n"
+            "chr1\t150\t200\n"
+            "# comment\n"
+            "chr2\t10\t20\tfeatB\t0\t-\n")
+    p = tmp_path / "t.bed"
+    p.write_text(body)
+    out = read_bed(spark, str(p))
+    rows = sorted((r.contig, r.pos_start, r.pos_end, r.name) for r in out.collect())
+    # BED 0-based half-open → engine 1-based closed: start+1, end kept
+    assert rows == [("chr1", 1, 100, "featA"), ("chr1", 151, 200, None),
+                    ("chr2", 11, 20, "featB")]
+    raw = read_bed(spark, str(p), one_based=False)
+    assert sorted(r.pos_start for r in raw.collect()) == [0, 10, 150]
+
+
+def test_read_gtf_context(spark, tmp_path):
+    """GTF → transcripts/exons contracts feed annotate_vep directly."""
+    from datafusion_bio_functions_spark.operators.vep import annotate_vep
+    from datafusion_bio_functions_spark.sources.readers import (
+        gtf_exons,
+        gtf_transcripts,
+        read_gtf,
+    )
+
+    body = (
+        '#!genebuild 2024\n'
+        '1\thavana\ttranscript\t90\t150\t.\t+\t.\tgene_id "ENSG1"; transcript_id "ENST1"; '
+        'gene_name "GENE1"; transcript_biotype "protein_coding";\n'
+        '1\thavana\texon\t90\t120\t.\t+\t.\tgene_id "ENSG1"; transcript_id "ENST1"; exon_number "1";\n'
+        '1\thavana\texon\t130\t150\t.\t-\t.\tgene_id "ENSG1"; transcript_id "ENST1"; exon_number "2";\n'
+    )
+    p = tmp_path / "t.gtf"
+    p.write_text(body)
+    gtf = read_gtf(spark, str(p))
+    tx = gtf_transcripts(gtf)
+    ex = gtf_exons(gtf)
+    trow = tx.collect()[0]
+    assert (trow.transcript_id, trow.chrom, trow.start, trow.end, trow.strand,
+            trow.biotype, trow.gene_stable_id, trow.gene_symbol) == (
+        "ENST1", "1", 90, 150, 1, "protein_coding", "ENSG1", "GENE1")
+    assert ex.count() == 2
+
+    vcf = spark.createDataFrame(
+        [("1", 100, 100, "A", "T")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [("1", 100, 100, "rs1", "A/T")],
+        "chrom string, start long, end long, variation_name string, allele_string string",
+    )
+    out = annotate_vep(vcf, cache, transcripts=tx, exons=ex, engine="codon")
+    r = out.collect()[0]
+    assert r.existing_variation == "rs1"
+    assert "GENE1" in r.CSQ
