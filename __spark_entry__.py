@@ -471,12 +471,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # codon-level consequence engine: rows-only check (genetic-code logic
     # is not expressible in ANSI SQL); correctness gated by
     # tests/test_consequence.py truth tables instead
+    # array columns are flattened to JSON strings so the driver's pandas
+    # canonicalizer can sort/hash rows (same class of fix as the
+    # o_orderdate string canonicalization above)
     q["annotate_vep"] = lambda spark, sf: annotate_vep(
         _vcf(spark, sf),
         _var_cache(spark, sf),
         transcripts=_transcripts(spark, sf),
         exons=_tx_exons(spark, sf),
-    )
+    ).withColumn("consequence_terms", F.to_json("consequence_terms"))
     # hash-internal ops: rows-only checks; pairwise semantics gated by
     # tests/test_pipeline_ops.py
     q["simhash_pairs"] = lambda spark, sf: simhash_dedup(
@@ -544,12 +547,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_rollup"] = _events_rollup
 
+    # features is array<float>: project to flat, hashable columns (dim +
+    # 4-decimal-rounded JSON) for the driver's pandas canonicalizer
     q["media_features"] = lambda spark, sf: extract_features(
         _read(spark, sf, "documents").select(
             "doc_id",
             F.encode(F.col("text"), "utf-8").alias("content"),
             F.lit("image").alias("media_type"),
         )
+    ).select(
+        "doc_id",
+        "media_type",
+        F.size("features").alias("feature_dim"),
+        F.to_json(F.transform("features", lambda x: F.round(x, 4))).alias("features_json"),
     )
     # decode metadata projection — sha256-derived, fully SQL-oracle-checkable
     q["media_meta"] = lambda spark, sf: decode_media(
