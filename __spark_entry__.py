@@ -129,6 +129,23 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aware events reader.  The driver has shipped ``events.ts``
+    both as parquet TIMESTAMP(NANOS) (which Spark 4 only reads as a raw
+    long under ``nanosAsLong``) and as ``timestamp[us]`` (read as
+    TIMESTAMP_NTZ).  Normalize either physical type to a whole-second
+    TIMESTAMP in the UTC session zone so downstream arithmetic matches
+    the DuckDB oracle (``floor(epoch(ts))``) exactly."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _read(spark, sf_dir, "events")
+    dt = dict(ev.dtypes)["ts"]
+    if dt == "bigint":  # TIMESTAMP(NANOS) surfaced as raw long nanos
+        ts = F.timestamp_seconds(F.expr("ts div 1000000000"))
+    else:  # timestamp / timestamp_ntz: cast->long floors to whole seconds
+        ts = F.timestamp_seconds(F.col("ts").cast("timestamp").cast("long"))
+    return ev.withColumn("ts", ts)
+
+
 def _reads(spark, sf_dir):
     o = _read(spark, sf_dir, "orders")
     ps = (F.col("o_orderkey") * 37) % 100000 + 1
@@ -402,11 +419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_region_volume"] = _tpch_region_volume
 
     def _events_hourly(spark, sf):
-        # events.ts is parquet TIMESTAMP(NANOS): read as raw long nanos
-        # (timezone-free) and bucket by exact integer division
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev = _read(spark, sf, "events")
-        hour = F.expr("ts div 3600000000000") * 3600  # exact integer division
+        ev = _events(spark, sf)
+        hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
         return ev.groupBy(hour.alias("hour_epoch"), "event_type").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
@@ -417,10 +431,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _sessionize_q(spark, sf):
         from datafusion_bio_functions_spark.operators.sessions import sessionize
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev = _read(spark, sf, "events").select(
+        ev = _events(spark, sf).select(
             "user_id",
-            F.timestamp_seconds(F.expr("ts div 1000000000")).alias("ts"),
+            "ts",
             F.round(F.col("value") * 100).cast("long").alias("value_cents"),
         )
         s = sessionize(ev, gap_seconds=1800, value_col="value_cents")
@@ -519,8 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _events_top_users(spark, sf):
         from pyspark.sql import Window as W
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev = _read(spark, sf, "events")
+        ev = _events(spark, sf)
         totals = ev.groupBy("event_type", "user_id").agg(
             F.round(F.sum("value"), 3).alias("total_value"),
             F.count(F.lit(1)).alias("n_events"),
@@ -538,8 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_top_users"] = _events_top_users
 
     def _events_rollup(spark, sf):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev = _read(spark, sf, "events")
+        ev = _events(spark, sf)
         return ev.rollup("event_type").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
