@@ -481,38 +481,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_pairs"] = lambda spark, sf: minhash_dedup(
         _docs_dup(spark, sf), threshold=0.9, num_perm=64, bands=8
     )
-    # codon-level consequence engine: rows-only check (genetic-code logic
-    # is not expressible in ANSI SQL); correctness gated by
-    # tests/test_consequence.py truth tables instead
-    # array columns are flattened to JSON strings so the driver's pandas
-    # canonicalizer can sort/hash rows (same class of fix as the
-    # o_orderdate string canonicalization above)
+    # SQL-expressible projection of the codon-level consequence engine: on
+    # this synthetic context (SNVs, transcripts without cds_sequence) every
+    # emitted term is positional/window logic, so most_severe_consequence +
+    # impact are reproduced by a severity-rank CASE cascade in the oracle.
+    # Codon/HGVS depth is gated by tests/test_consequence.py truth tables
+    # and the rows-only annotate_vep_full twin below.
     q["annotate_vep"] = lambda spark, sf: annotate_vep(
         _vcf(spark, sf),
         _var_cache(spark, sf),
         transcripts=_transcripts(spark, sf),
         exons=_tx_exons(spark, sf),
-    ).withColumn("consequence_terms", F.to_json("consequence_terms"))
-    # hash-internal ops: rows-only checks; pairwise semantics gated by
-    # tests/test_pipeline_ops.py
+    ).select(
+        "chrom", "start", "end", "ref", "alt", "variation_name", "clin_sig",
+        "matched", "existing_variation", "most_severe_consequence", "impact",
+    )
+    # full-depth output (CSQ string, HGVS, typed best-transcript columns):
+    # array column flattened to sorted JSON for the driver's canonicalizer
+    q["annotate_vep_full"] = lambda spark, sf: annotate_vep(
+        _vcf(spark, sf),
+        _var_cache(spark, sf),
+        transcripts=_transcripts(spark, sf),
+        exons=_tx_exons(spark, sf),
+    ).withColumn("consequence_terms", F.to_json(F.array_sort("consequence_terms")))
+    # md5-derived token hashes → the DuckDB bit-vote oracle reproduces the
+    # exact simhash bit pattern; pigeonhole candidates are complete for
+    # hamming <= chunks-1 so output == the all-pairs oracle
     q["simhash_pairs"] = lambda spark, sf: simhash_dedup(
         _docs_dup(spark, sf), max_hamming=3
-    )
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
     q["ngram_jaccard_pairs"] = lambda spark, sf: ngram_jaccard_dedup(
         _docs_dup(spark, sf), n=3, threshold=0.8
     )
+    # ANN gate twins run with candidate-complete parameters (IVF probes all
+    # lists; LSH: 16 coarse 2-bit tables + multiprobe) so the exact top-k
+    # oracle applies while still exercising the full approximate machinery
+    # (assignment, bucket join, multiprobe, rerank).  Production defaults
+    # (nprobe=4, n_planes=6) are recall-tested in tests/test_pipeline_ops.py.
     q["ivf_ann_topk"] = lambda spark, sf: ivf_cosine_topk(
         _read(spark, sf, "embeddings").filter(F.col("vec_id") < 50),
         _read(spark, sf, "embeddings"),
         k=10,
         n_centroids=8,
-        nprobe=4,
+        nprobe=8,
     )
     q["lsh_ann_topk"] = lambda spark, sf: lsh_cosine_topk(
         _read(spark, sf, "embeddings").filter(F.col("vec_id") < 50),
         _read(spark, sf, "embeddings"),
         k=10,
-        n_planes=8,
+        n_planes=2,
+        n_tables=16,
     )
     # multimodal plumbing: binary column + deterministic fake feature
     # extraction (decoders stubbed per spec — no media libs in container)
@@ -558,8 +576,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_rollup"] = _events_rollup
 
-    # features is array<float>: project to flat, hashable columns (dim +
-    # 4-decimal-rounded JSON) for the driver's pandas canonicalizer
+    # features are hash-quantized (b-128)/128 float32s — exactly recoverable
+    # as integers via round(x*128), so the JSON projection is engine-neutral
+    # and fully oracle-checked (ADVICE r2: integer canonicalization)
     q["media_features"] = lambda spark, sf: extract_features(
         _read(spark, sf, "documents").select(
             "doc_id",
@@ -570,7 +589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id",
         "media_type",
         F.size("features").alias("feature_dim"),
-        F.to_json(F.transform("features", lambda x: F.round(x, 4))).alias("features_json"),
+        F.to_json(
+            F.transform("features", lambda x: F.round(x * 128).cast("int"))
+        ).alias("features_q"),
     )
     # decode metadata projection — sha256-derived, fully SQL-oracle-checkable
     q["media_meta"] = lambda spark, sf: decode_media(
@@ -609,9 +630,146 @@ FROM b
 """
 
 
+MEDIA_FEATURES_ORACLE = """
+WITH h AS (
+  SELECT doc_id, sha256(text) || sha256(text || '#1') AS hx FROM documents
+), i AS (
+  SELECT doc_id, hx, unnest(generate_series(0, 63)) AS idx FROM h
+), b AS (
+  SELECT doc_id, idx, ('0x' || substr(hx, 2*idx + 1, 2))::INT - 128 AS q FROM i
+)
+SELECT doc_id, 'image' AS media_type, 64 AS feature_dim,
+       '[' || string_agg(q::VARCHAR, ',' ORDER BY idx) || ']' AS features_q
+FROM b GROUP BY doc_id
+"""
+
+#: All-pairs simhash oracle: md5 token hashes → 64 bit-vote columns → exact
+#: Hamming; complete for the pigeonhole candidate stage (hamming <= 3).
+SIMHASH_ORACLE_TMPL = """
+WITH docs AS ({docs}),
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM docs
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+),
+bits AS (
+  SELECT doc_id, i,
+    CASE WHEN sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+         THEN 1 ELSE 0 END AS bit
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+  GROUP BY doc_id, i
+),
+sigs AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN bit = 1 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END)
+         AS UBIGINT) AS sig
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+"""
+
+#: Severity-rank cascade mirroring functions.consequence.classify for the
+#: synthetic context: SNVs, transcripts [s, s+600] with exons [s, s+250] /
+#: [s+350, s+600] (intron [s+251, s+349]), cds [s+100, s+500], no
+#: cds_sequence.  d = variant pos - transcript start.  Window constants are
+#: the published VEP splice windows instantiated on this geometry; every
+#: branch keeps classify's evaluation order via severity-rank ordering.
+ANNOTATE_VEP_ORACLE_TMPL = """
+WITH v AS ({vcf}), c AS ({cache}), t AS ({tx}),
+look AS (
+  SELECT v.chrom, v.start, v."end", v.ref, v.alt,
+         c.variation_name, c.clin_sig,
+         (c.variation_name IS NOT NULL) AS matched,
+         coalesce(c.variation_name, '') AS existing_variation
+  FROM v LEFT JOIN c
+    ON v.chrom = c.chrom AND v.start = c.start AND v."end" = c."end"
+   AND c.allele_string = concat(v.ref, '/', v.alt)
+),
+pair AS (
+  SELECT l.chrom, l.start, l."end", l.ref, l.alt,
+    CASE
+      WHEN l.start BETWEEN t.start AND t."end" THEN
+        CASE
+          WHEN (t.strand >= 0 AND l.start - t.start BETWEEN 348 AND 349)
+            OR (t.strand <  0 AND l.start - t.start BETWEEN 251 AND 252) THEN 2
+          WHEN (t.strand >= 0 AND l.start - t.start BETWEEN 251 AND 252)
+            OR (t.strand <  0 AND l.start - t.start BETWEEN 348 AND 349) THEN 3
+          WHEN l.start - t.start = CASE WHEN t.strand >= 0 THEN 255 ELSE 345 END THEN 15
+          WHEN l.start - t.start BETWEEN 253 AND 258
+            OR l.start - t.start BETWEEN 342 AND 347
+            OR l.start - t.start BETWEEN 248 AND 250
+            OR l.start - t.start BETWEEN 350 AND 352 THEN 16
+          WHEN (t.strand >= 0 AND l.start - t.start BETWEEN 333 AND 347)
+            OR (t.strand <  0 AND l.start - t.start BETWEEN 253 AND 267) THEN 18
+          WHEN t.biotype = 'protein_coding'
+           AND (l.start - t.start <= 250 OR l.start - t.start >= 350)
+           AND l.start - t.start BETWEEN 100 AND 500 THEN 23
+          WHEN t.biotype = 'protein_coding'
+           AND (l.start - t.start <= 250 OR l.start - t.start >= 350)
+           AND ((t.strand >= 0 AND l.start - t.start < 100)
+             OR (t.strand < 0 AND l.start - t.start > 500)) THEN 25
+          WHEN t.biotype = 'protein_coding'
+           AND (l.start - t.start <= 250 OR l.start - t.start >= 350) THEN 26
+          WHEN t.biotype <> 'protein_coding'
+           AND (l.start - t.start <= 250 OR l.start - t.start >= 350) THEN 27
+          WHEN l.start - t.start BETWEEN 251 AND 349 THEN 28
+        END
+      WHEN t.strand >= 0 AND l.start < t.start AND t.start - l.start <= 5000 THEN 32
+      WHEN t.strand <  0 AND l.start > t."end" AND l.start - t."end" <= 5000 THEN 32
+      WHEN t.strand >= 0 AND l.start > t."end" AND l.start - t."end" <= 500 THEN 33
+      WHEN t.strand <  0 AND l.start < t.start AND t.start - l.start <= 500 THEN 33
+    END AS rnk
+  FROM look l JOIN t ON l.chrom = t.chrom
+    AND l.start <= t."end" + 5000 AND l.start >= t.start - 5000
+),
+best AS (
+  SELECT chrom, start, "end", ref, alt, min(rnk) AS mr
+  FROM pair WHERE rnk IS NOT NULL
+  GROUP BY chrom, start, "end", ref, alt
+)
+SELECT l.chrom, l.start, l."end", l.ref, l.alt, l.variation_name, l.clin_sig,
+       l.matched, l.existing_variation,
+       CASE b.mr
+         WHEN 2 THEN 'splice_acceptor_variant'
+         WHEN 3 THEN 'splice_donor_variant'
+         WHEN 15 THEN 'splice_donor_5th_base_variant'
+         WHEN 16 THEN 'splice_region_variant'
+         WHEN 18 THEN 'splice_polypyrimidine_tract_variant'
+         WHEN 23 THEN 'coding_sequence_variant'
+         WHEN 25 THEN '5_prime_UTR_variant'
+         WHEN 26 THEN '3_prime_UTR_variant'
+         WHEN 27 THEN 'non_coding_transcript_exon_variant'
+         WHEN 28 THEN 'intron_variant'
+         WHEN 32 THEN 'upstream_gene_variant'
+         WHEN 33 THEN 'downstream_gene_variant'
+         ELSE 'intergenic_variant' END AS most_severe_consequence,
+       CASE WHEN b.mr IN (2, 3) THEN 'HIGH'
+            WHEN b.mr IN (15, 16, 18) THEN 'LOW'
+            ELSE 'MODIFIER' END AS impact
+FROM look l LEFT JOIN best b
+  ON l.chrom = b.chrom AND l.start = b.start AND l."end" = b."end"
+ AND l.ref = b.ref AND l.alt = b.alt
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o["media_meta"] = MEDIA_META_ORACLE
+    o["media_features"] = MEDIA_FEATURES_ORACLE
+    o["simhash_pairs"] = SIMHASH_ORACLE_TMPL.format(docs=DOCS_DUP_SQL, max_hamming=3)
+    o["annotate_vep"] = ANNOTATE_VEP_ORACLE_TMPL.format(
+        vcf=VCF_SQL, cache=VAR_CACHE_SQL, tx=TRANSCRIPTS_SQL
+    )
+    o["ivf_ann_topk"] = osql.cosine_topk_sql(
+        "SELECT * FROM embeddings WHERE vec_id < 50", "SELECT * FROM embeddings", k=10
+    )
+    o["lsh_ann_topk"] = osql.cosine_topk_sql(
+        "SELECT * FROM embeddings WHERE vec_id < 50", "SELECT * FROM embeddings", k=10
+    )
     o["overlap_join"] = osql.overlap_sql(READS_SQL, TARGETS_SQL)
     o["overlap_strict"] = osql.overlap_sql(READS_SQL, TARGETS_SQL, filter_op="strict")
     o["count_overlaps"] = osql.count_overlaps_sql(READS_SQL, TARGETS_SQL)

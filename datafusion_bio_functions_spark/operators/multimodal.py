@@ -97,9 +97,13 @@ def extract_features(
     feature_dim: int = 64,
     decode: str = "fake",
 ) -> DataFrame:
-    """Append a ``features array<float>`` embedding column.  Fake mode emits
-    a deterministic hash-derived unit vector — the exact batch shape a real
-    CNN/audio encoder would produce through the same mapInPandas seam."""
+    """Append a ``features array<float>`` embedding column — the exact batch
+    shape a real CNN/audio encoder would produce through the same mapInPandas
+    seam.  Fake mode emits hash-quantized values: byte ``i`` of
+    ``sha256(content)``, ``sha256(content + b'#1')``, … scaled to
+    ``(b - 128) / 128`` — exactly representable in float32, so an external
+    SQL oracle recovers the bytes via ``round(x * 128)`` bit-for-bit (a real
+    encoder would emit L2-normalized floats instead)."""
     if decode == "real":
         raise NotImplementedError("real feature extraction requires a model runtime")
 
@@ -113,10 +117,15 @@ def extract_features(
         for pdf in batches:
             feats = []
             for c in pdf[content_col]:
-                h = hashlib.sha256(bytes(c) if c is not None else b"").digest()
-                rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
-                v = rng.standard_normal(feature_dim).astype(np.float32)
-                feats.append((v / np.linalg.norm(v)).tolist())
+                raw = bytes(c) if c is not None else b""
+                buf = b""
+                j = 0
+                while len(buf) < feature_dim:
+                    suffix = b"" if j == 0 else b"#%d" % j
+                    buf += hashlib.sha256(raw + suffix).digest()
+                    j += 1
+                v = np.frombuffer(buf[:feature_dim], dtype=np.uint8).astype(np.float32)
+                feats.append(((v - 128.0) / 128.0).tolist())
             pdf = pdf.copy()
             pdf["features"] = feats
             yield pdf

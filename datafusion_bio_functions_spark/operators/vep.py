@@ -55,13 +55,19 @@ def _check_contract(df: DataFrame, required: Sequence[str], what: str) -> None:
         raise ValueError(f"{what} is missing required columns {missing} (has {df.columns})")
 
 
+#: VCF sides above this row count are not broadcast (a 4M-variant WGS VCF
+#: would blow the broadcast budget); the probe join then shuffles both sides
+#: on the chrom equi-key instead.
+VCF_BROADCAST_GUARD_ROWS = 2_000_000
+
+
 def lookup_variants(
     vcf: DataFrame,
     cache: DataFrame,
     columns: Sequence[str] | None = None,
     match_mode: str = "exact",
     extended_probes: bool = False,
-    broadcast_vcf: bool = True,
+    broadcast_vcf: bool | None = None,
 ) -> DataFrame:
     """Known-variant annotation: VCF LEFT-joined to the variation cache.
 
@@ -76,6 +82,9 @@ def lookup_variants(
       co-located-but-different variant yields NULL cache columns;
     * ``columns`` projects cache annotation columns (default: all except
       ``source_*``).
+    * ``broadcast_vcf=None`` (default) broadcasts the VCF side only when a
+      bounded ``limit(guard+1)`` probe proves it is at or under
+      ``VCF_BROADCAST_GUARD_ROWS``; pass True/False to force.
 
     Output: all VCF columns + selected cache columns (nullable) +
     ``matched`` boolean.
@@ -132,6 +141,10 @@ def lookup_variants(
     # join (+ UDF post-filter, which Catalyst pushes under the join output),
     # then restore unmatched VCF rows by left-joining hits back on a row id.
     v = v.withColumn("__vid", F.monotonically_increasing_id())
+    if broadcast_vcf is None:
+        broadcast_vcf = (
+            vcf.limit(VCF_BROADCAST_GUARD_ROWS + 1).count() <= VCF_BROADCAST_GUARD_ROWS
+        )
     probe = F.broadcast(v) if broadcast_vcf else v
     hits = (
         probe.join(c, chrom_eq & coord, "inner")
@@ -441,6 +454,14 @@ def _annotate_codon(
                 )
             ),
         ),
+    ).withColumn(
+        # deterministic min_by key: transcript_id breaks ties when two
+        # transcripts share the same most-severe term
+        "__best_key",
+        F.when(
+            F.col("__terms").isNotNull(),
+            F.concat_ws("|", F.col("__best_term"), F.col("__t_id")),
+        ),
     )
 
     looked_cols = list(looked.columns)
@@ -464,9 +485,10 @@ def _annotate_codon(
             F.substring_index(F.min("__best_term"), "|", -1).alias("__ms"),
             F.concat_ws(",", F.array_sort(F.collect_list("__entry"))).alias("CSQ"),
             # typed columns of the most-severe transcript entry: min_by on
-            # the rank-prefixed term (reference emits ~80 typed columns,
-            # annotate_provider.rs:2270-2296; this is the high-value subset)
-            F.min_by("__best_struct", "__best_term").alias("__best"),
+            # the rank-prefixed term + transcript_id (reference emits ~80
+            # typed columns, annotate_provider.rs:2270-2296; this is the
+            # high-value subset)
+            F.min_by("__best_struct", "__best_key").alias("__best"),
         )
     )
     intergenic = F.lit("intergenic_variant")

@@ -353,7 +353,10 @@ def test_nearest_radius_equals_cogroup(spark):
 
     for k in (1, 3):
         for fo, ov in (("weak", True), ("strict", True), ("weak", False)):
-            want = canon(bio.nearest(l, r, k=k, filter_op=fo, include_overlaps=ov))
+            want = canon(
+                bio.nearest(l, r, k=k, filter_op=fo, include_overlaps=ov,
+                            algorithm="cogroup")
+            )
             for rad in (100_000, 700):  # 700 forces fallback for sparse probes
                 got = canon(
                     bio.nearest(l, r, k=k, filter_op=fo, include_overlaps=ov,
@@ -421,6 +424,40 @@ def test_nearest_radius_auto_density(spark, reads, targets):
     r_extra = targets.unionByName(
         spark.createDataFrame([("chrUn", 5, 9)], targets.schema)
     )
-    want = sorted(map(repr, bio.nearest(reads, r_extra).collect()))
+    want = sorted(map(repr, bio.nearest(reads, r_extra, algorithm="cogroup").collect()))
     got = sorted(map(repr, bio.nearest(reads, r_extra, algorithm="radius").collect()))
     assert got == want
+    # 'auto' (the default) now resolves to the shuffle-parallel radius path
+    assert sorted(map(repr, bio.nearest(reads, r_extra).collect())) == want
+
+
+def test_broadcast_guard_falls_back_to_join(spark, reads, targets, monkeypatch):
+    """count_overlaps/coverage with algorithm='broadcast' must fall back to
+    the shuffle-parallel join plan when the left side exceeds the guard —
+    never collect() a data-scale table onto the driver (VERDICT r2 #4)."""
+    from datafusion_bio_functions_spark.operators import intervals as iv
+
+    def canon(df):
+        return sorted(map(repr, df.collect()))
+
+    want_cnt = canon(bio.count_overlaps(reads, targets, algorithm="join"))
+    want_cov = canon(bio.coverage(reads, targets, algorithm="join"))
+    # force the guard to report "too big": results must still be correct,
+    # via the join plan (no driver collect)
+    monkeypatch.setattr(iv, "_fits_broadcast", lambda df, guard=0: False)
+    collected = []
+    orig = iv._count_or_cover_broadcast
+    monkeypatch.setattr(
+        iv, "_count_or_cover_broadcast",
+        lambda *a, **k: collected.append(1) or orig(*a, **k),
+    )
+    assert canon(bio.count_overlaps(reads, targets, algorithm="broadcast")) == want_cnt
+    assert canon(bio.coverage(reads, targets, algorithm="broadcast")) == want_cov
+    assert collected == []  # the collect path was never taken
+
+
+def test_fits_broadcast_bounded_probe(spark, reads):
+    from datafusion_bio_functions_spark.operators.intervals import _fits_broadcast
+
+    assert _fits_broadcast(reads)  # tiny table fits the default guard
+    assert not _fits_broadcast(reads, guard=1)

@@ -261,14 +261,29 @@ def test_decode_media_real_raises(spark, media):
         decode_media(media, decode="real")
 
 
-def test_extract_features_unit_vectors(spark, media):
+def test_extract_features_hash_quantized(spark, media):
+    import hashlib
+
     import numpy as np
 
-    rows = extract_features(media, feature_dim=16).select("media_id", "features").collect()
+    rows = extract_features(media, feature_dim=16).select(
+        "media_id", "content", "features"
+    ).collect()
     for r in rows:
-        v = np.array(r["features"])
+        v = np.array(r["features"], dtype=np.float32)
         assert len(v) == 16
-        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+        assert ((-1.0 <= v) & (v < 1.0)).all()
+        # exactly the sha256 bytes scaled by 1/128 (float32-exact)
+        expect = np.frombuffer(
+            hashlib.sha256(bytes(r["content"])).digest()[:16], dtype=np.uint8
+        ).astype(np.float32)
+        assert (np.round(v * 128) + 128 == expect).all()
+
+
+def test_extract_features_multi_block(spark, media):
+    # feature_dim > 32 spans multiple sha256 blocks (content + b'#1', ...)
+    rows = extract_features(media, feature_dim=80).select("features").collect()
+    assert all(len(r["features"]) == 80 for r in rows)
 
 
 def test_sample_frames(spark, media):
