@@ -496,6 +496,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chrom", "start", "end", "ref", "alt", "variation_name", "clin_sig",
         "matched", "existing_variation", "most_severe_consequence", "impact",
     )
+    # typed best-transcript columns of the 87-column full schema: the
+    # positional subset (EXON/INTRON/cDNA/CDS/protein positions, DISTANCE,
+    # STRAND, VARIANT_CLASS) is pure geometry on this context → oracled by
+    # the same rank cascade + transcript_id tie-break in SQL
+    q["annotate_vep_typed"] = lambda spark, sf: annotate_vep(
+        _vcf(spark, sf),
+        _var_cache(spark, sf),
+        transcripts=_transcripts(spark, sf),
+        exons=_tx_exons(spark, sf),
+        full_schema=True,
+    ).select(
+        "chrom", "start", "end", "ref", "alt", "Feature", "STRAND", "EXON",
+        "INTRON", "cDNA_position", "CDS_position", "Protein_position",
+        "DISTANCE", "VARIANT_CLASS",
+    )
     # full-depth output (CSQ string, HGVS, typed best-transcript columns):
     # array column flattened to sorted JSON for the driver's canonicalizer
     q["annotate_vep_full"] = lambda spark, sf: annotate_vep(
@@ -756,10 +771,98 @@ FROM look l LEFT JOIN best b
 """
 
 
+#: Typed best-transcript columns: same rank cascade as the annotate_vep
+#: oracle + the (rank, transcript_id) tie-break, then pure coordinate
+#: arithmetic on the synthetic exon geometry (exons [0,250]/[350,600],
+#: cds [100,500] relative to transcript start; spliced lengths 502/302).
+ANNOTATE_VEP_TYPED_ORACLE_TMPL = """
+WITH v AS ({vcf}), t AS ({tx}),
+pair AS (
+  SELECT v.chrom, v.start, v."end", v.ref, v.alt,
+         t.transcript_id, t.strand, v.start - t.start AS d,
+    CASE
+      WHEN v.start BETWEEN t.start AND t."end" THEN
+        CASE
+          WHEN (t.strand >= 0 AND v.start - t.start BETWEEN 348 AND 349)
+            OR (t.strand <  0 AND v.start - t.start BETWEEN 251 AND 252) THEN 2
+          WHEN (t.strand >= 0 AND v.start - t.start BETWEEN 251 AND 252)
+            OR (t.strand <  0 AND v.start - t.start BETWEEN 348 AND 349) THEN 3
+          WHEN v.start - t.start = CASE WHEN t.strand >= 0 THEN 255 ELSE 345 END THEN 15
+          WHEN v.start - t.start BETWEEN 253 AND 258
+            OR v.start - t.start BETWEEN 342 AND 347
+            OR v.start - t.start BETWEEN 248 AND 250
+            OR v.start - t.start BETWEEN 350 AND 352 THEN 16
+          WHEN (t.strand >= 0 AND v.start - t.start BETWEEN 333 AND 347)
+            OR (t.strand <  0 AND v.start - t.start BETWEEN 253 AND 267) THEN 18
+          WHEN t.biotype = 'protein_coding'
+           AND (v.start - t.start <= 250 OR v.start - t.start >= 350)
+           AND v.start - t.start BETWEEN 100 AND 500 THEN 23
+          WHEN t.biotype = 'protein_coding'
+           AND (v.start - t.start <= 250 OR v.start - t.start >= 350)
+           AND ((t.strand >= 0 AND v.start - t.start < 100)
+             OR (t.strand < 0 AND v.start - t.start > 500)) THEN 25
+          WHEN t.biotype = 'protein_coding'
+           AND (v.start - t.start <= 250 OR v.start - t.start >= 350) THEN 26
+          WHEN t.biotype <> 'protein_coding'
+           AND (v.start - t.start <= 250 OR v.start - t.start >= 350) THEN 27
+          WHEN v.start - t.start BETWEEN 251 AND 349 THEN 28
+        END
+      WHEN t.strand >= 0 AND v.start < t.start AND t.start - v.start <= 5000 THEN 32
+      WHEN t.strand <  0 AND v.start > t."end" AND v.start - t."end" <= 5000 THEN 32
+      WHEN t.strand >= 0 AND v.start > t."end" AND v.start - t."end" <= 500 THEN 33
+      WHEN t.strand <  0 AND v.start < t.start AND t.start - v.start <= 500 THEN 33
+    END AS rnk,
+    t.start AS ts, t."end" AS te
+  FROM v JOIN t ON v.chrom = t.chrom
+    AND v.start <= t."end" + 5000 AND v.start >= t.start - 5000
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY chrom, start, "end", ref, alt
+      ORDER BY rnk, transcript_id) AS rn
+  FROM pair WHERE rnk IS NOT NULL
+),
+b AS (SELECT * FROM ranked WHERE rn = 1)
+SELECT v.chrom, v.start, v."end", v.ref, v.alt,
+  b.transcript_id AS "Feature",
+  b.strand AS "STRAND",
+  CASE WHEN b.d BETWEEN 0 AND 250
+         THEN CASE WHEN b.strand >= 0 THEN '1/2' ELSE '2/2' END
+       WHEN b.d BETWEEN 350 AND 600
+         THEN CASE WHEN b.strand >= 0 THEN '2/2' ELSE '1/2' END END AS "EXON",
+  CASE WHEN b.d BETWEEN 251 AND 349 THEN '1/1' END AS "INTRON",
+  CAST(CASE WHEN b.d BETWEEN 0 AND 250
+              THEN CASE WHEN b.strand >= 0 THEN b.d ELSE 501 - b.d END + 1
+            WHEN b.d BETWEEN 350 AND 600
+              THEN CASE WHEN b.strand >= 0 THEN b.d - 99 ELSE 600 - b.d END + 1
+       END AS BIGINT) AS "cDNA_position",
+  CAST(CASE WHEN b.d BETWEEN 100 AND 250
+              THEN CASE WHEN b.strand >= 0 THEN b.d - 99 ELSE 402 - b.d END
+            WHEN b.d BETWEEN 350 AND 500
+              THEN CASE WHEN b.strand >= 0 THEN b.d - 198 ELSE 501 - b.d END
+       END AS BIGINT) AS "CDS_position",
+  CAST(CASE WHEN b.d BETWEEN 100 AND 250
+              THEN (CASE WHEN b.strand >= 0 THEN b.d - 99 ELSE 402 - b.d END - 1) // 3 + 1
+            WHEN b.d BETWEEN 350 AND 500
+              THEN (CASE WHEN b.strand >= 0 THEN b.d - 198 ELSE 501 - b.d END - 1) // 3 + 1
+       END AS BIGINT) AS "Protein_position",
+  CAST(CASE WHEN b.rnk IN (32, 33) THEN
+         CASE WHEN v.start < b.ts THEN b.ts - v.start ELSE v.start - b.te END
+       END AS BIGINT) AS "DISTANCE",
+  'SNV' AS "VARIANT_CLASS"
+FROM v LEFT JOIN b
+  ON v.chrom = b.chrom AND v.start = b.start AND v."end" = b."end"
+ AND v.ref = b.ref AND v.alt = b.alt
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o["media_meta"] = MEDIA_META_ORACLE
     o["media_features"] = MEDIA_FEATURES_ORACLE
+    o["annotate_vep_typed"] = ANNOTATE_VEP_TYPED_ORACLE_TMPL.format(
+        vcf=VCF_SQL, tx=TRANSCRIPTS_SQL
+    )
     o["simhash_pairs"] = SIMHASH_ORACLE_TMPL.format(docs=DOCS_DUP_SQL, max_hamming=3)
     o["annotate_vep"] = ANNOTATE_VEP_ORACLE_TMPL.format(
         vcf=VCF_SQL, cache=VAR_CACHE_SQL, tx=TRANSCRIPTS_SQL

@@ -382,6 +382,123 @@ def classify(
 
 
 # ---------------------------------------------------------------------------
+# typed annotation details (reference annotate_provider.rs:145-707 —
+# transcript-level columns EXON/INTRON/cDNA_position/CDS_position/
+# Protein_position/Amino_acids/Codons/VARIANT_CLASS/DISTANCE)
+# ---------------------------------------------------------------------------
+
+
+def variant_class(ref: str, alt: str) -> str:
+    """Sequence-ontology variant class (VEP ``VARIANT_CLASS`` column)."""
+    ref = "" if ref in ("-", None) else ref
+    alt = "" if alt in ("-", None) else alt
+    if len(ref) == 1 and len(alt) == 1:
+        return "SNV"
+    if len(ref) == 0 or (len(alt) > len(ref) and alt.startswith(ref)):
+        return "insertion"
+    if len(alt) == 0 or (len(ref) > len(alt) and ref.startswith(alt)):
+        return "deletion"
+    if len(ref) == len(alt):
+        return "substitution"
+    return "indel"
+
+
+def exon_intron_numbers(t: Transcript, lo: int, hi: int) -> tuple[str | None, str | None]:
+    """VEP ``EXON`` / ``INTRON`` columns: ``"i/total"`` in transcript
+    orientation for the exon/intron overlapped by [lo, hi] (None when not
+    overlapping any).  Multi-feature spans report the first overlapped
+    feature in transcript order, matching VEP's per-feature rendering."""
+    exons = t.sorted_exons()
+    n_ex = len(exons)
+    n_in = n_ex - 1
+    ex_hit = in_hit = None
+    for i in range(n_ex):
+        es, ee = exons[i]
+        if not (hi < es or lo > ee):
+            ex_hit = i if ex_hit is None else ex_hit
+        if i < n_ex - 1:
+            is_, ie = exons[i][1] + 1, exons[i + 1][0] - 1
+            if is_ <= ie and not (hi < is_ or lo > ie):
+                in_hit = i if in_hit is None else in_hit
+    if t.strand < 0:  # transcript orientation numbers from the 3' genomic end
+        ex_hit = None if ex_hit is None else n_ex - 1 - ex_hit
+        in_hit = None if in_hit is None else n_in - 1 - in_hit
+    exon = f"{ex_hit + 1}/{n_ex}" if ex_hit is not None else None
+    intron = f"{in_hit + 1}/{n_in}" if in_hit is not None and n_in > 0 else None
+    return exon, intron
+
+
+def _genomic_to_cdna_offset(t: Transcript, pos: int) -> int | None:
+    """0-based offset of genomic ``pos`` within the spliced transcript
+    (all exons, transcript orientation), or None when intronic/outside."""
+    off = 0
+    total = 0
+    hit = None
+    for es, ee in t.sorted_exons():
+        if es <= pos <= ee:
+            hit = off + (pos - es)
+        if pos > ee:
+            off += ee - es + 1
+        total += ee - es + 1
+    if hit is None:
+        return None
+    return hit if t.strand >= 0 else total - 1 - hit
+
+
+def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
+    """Typed per-(variant, transcript) annotation columns.  Keys:
+    ``exon intron cdna_position cds_position protein_position amino_acids
+    codons distance``.  Sequence-dependent values (amino_acids, codons) are
+    None without ``cds_sequence`` — the same degradation VEP applies when
+    sequence context is missing."""
+    ref = "" if ref in ("-", None) else ref
+    alt = "" if alt in ("-", None) else alt
+    lo, hi = pos, max(pos, pos + len(ref) - 1)
+    out: dict = {
+        "exon": None, "intron": None, "cdna_position": None,
+        "cds_position": None, "protein_position": None,
+        "amino_acids": None, "codons": None, "distance": None,
+    }
+    if hi < t.start or lo > t.end:  # up/downstream: DISTANCE column
+        out["distance"] = int(t.start - hi if hi < t.start else lo - t.end)
+        return out
+    out["exon"], out["intron"] = exon_intron_numbers(t, lo, hi)
+    cdna = _genomic_to_cdna_offset(t, pos if t.strand >= 0 else hi)
+    if cdna is not None:
+        out["cdna_position"] = cdna + 1
+    off = _cds_first_offset(t, pos, len(ref))
+    if off is None:
+        return out
+    out["cds_position"] = off + 1
+    out["protein_position"] = off // 3 + 1
+    if t.cds_sequence is None or len(ref) != len(alt) or not ref:
+        return out
+    cds = t.cds_sequence.upper()
+    var_ref = ref.upper() if t.strand >= 0 else revcomp(ref.upper())
+    var_alt = alt.upper() if t.strand >= 0 else revcomp(alt.upper())
+    if off + len(var_ref) > len(cds) or cds[off : off + len(var_ref)] != var_ref:
+        return out
+    new_cds = cds[:off] + var_alt + cds[off + len(var_ref) :]
+    c0 = (off // 3) * 3
+    c1 = ((off + len(var_ref) - 1) // 3) * 3 + 3
+    old_codons = cds[c0:c1]
+    new_codons = new_cds[c0:c1]
+    # VEP renders affected bases uppercase within lowercase codons
+    def _render(codons: str) -> str:
+        rendered = []
+        for i, b in enumerate(codons):
+            g = c0 + i
+            rendered.append(b.upper() if off <= g < off + len(var_ref) else b.lower())
+        return "".join(rendered)
+
+    out["codons"] = f"{_render(old_codons)}/{_render(new_codons)}"
+    aa_old = translate(old_codons)
+    aa_new = translate(new_codons)
+    out["amino_acids"] = aa_old if aa_old == aa_new else f"{aa_old}/{aa_new}"
+    return out
+
+
+# ---------------------------------------------------------------------------
 # HGVS-lite (reference hgvs.rs:17-45; public HGVS nomenclature)
 # ---------------------------------------------------------------------------
 

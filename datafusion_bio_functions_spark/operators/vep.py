@@ -163,6 +163,62 @@ def lookup_variants(
 #: ``functions.consequence`` (reference so_terms.rs:5-299).
 from ..functions.consequence import SO_RANK, SO_TERMS_BY_RANK  # noqa: E402,F401
 
+# ---------------------------------------------------------------------------
+# full VEP annotation layout (reference annotate_provider.rs:145-707:
+# 42 transcript-level + 29 frequency + 9 variant-level + 7 cache-only
+# columns, after CSQ + most_severe_consequence)
+# ---------------------------------------------------------------------------
+
+#: output name → variation-cache column (frequency category)
+VEP_FREQUENCY_COLUMNS: list[tuple[str, str]] = [
+    ("AF", "AF"), ("AFR_AF", "AFR"), ("AMR_AF", "AMR"), ("EAS_AF", "EAS"),
+    ("EUR_AF", "EUR"), ("SAS_AF", "SAS"),
+    ("gnomADe_AF", "gnomADe"), ("gnomADe_AFR_AF", "gnomADe_AFR"),
+    ("gnomADe_AMR_AF", "gnomADe_AMR"), ("gnomADe_ASJ_AF", "gnomADe_ASJ"),
+    ("gnomADe_EAS_AF", "gnomADe_EAS"), ("gnomADe_FIN_AF", "gnomADe_FIN"),
+    ("gnomADe_MID_AF", "gnomADe_MID"), ("gnomADe_NFE_AF", "gnomADe_NFE"),
+    ("gnomADe_REMAINING_AF", "gnomADe_REMAINING"), ("gnomADe_SAS_AF", "gnomADe_SAS"),
+    ("gnomADg_AF", "gnomADg"), ("gnomADg_AFR_AF", "gnomADg_AFR"),
+    ("gnomADg_AMI_AF", "gnomADg_AMI"), ("gnomADg_AMR_AF", "gnomADg_AMR"),
+    ("gnomADg_ASJ_AF", "gnomADg_ASJ"), ("gnomADg_EAS_AF", "gnomADg_EAS"),
+    ("gnomADg_FIN_AF", "gnomADg_FIN"), ("gnomADg_MID_AF", "gnomADg_MID"),
+    ("gnomADg_NFE_AF", "gnomADg_NFE"), ("gnomADg_REMAINING_AF", "gnomADg_REMAINING"),
+    ("gnomADg_SAS_AF", "gnomADg_SAS"),
+]
+#: transcript-level columns that require external data sources not modeled
+#: here (MANE/UniProt/SIFT/PolyPhen models, …) — emitted as typed NULLs
+VEP_NULL_TRANSCRIPT_COLUMNS: list[str] = [
+    "FLAGS", "SYMBOL_SOURCE", "HGNC_ID", "MANE", "MANE_SELECT",
+    "MANE_PLUS_CLINICAL", "TSL", "APPRIS", "CCDS", "ENSP", "SWISSPROT",
+    "TREMBL", "UNIPARC", "UNIPROT_ISOFORM", "GENE_PHENO", "SIFT", "PolyPhen",
+    "DOMAINS", "miRNA",
+]
+#: variant-level columns sourced from publication/motif context tables
+VEP_NULL_VARIANT_COLUMNS: list[str] = [
+    "SOMATIC", "PHENO", "PUBMED", "MOTIF_NAME", "MOTIF_POS", "HIGH_INF_POS",
+    "MOTIF_SCORE_CHANGE", "TRANSCRIPTION_FACTORS",
+]
+#: cache-only passthrough columns (annotate_provider.rs:630-707)
+VEP_CACHE_ONLY_COLUMNS: list[str] = [
+    "clin_sig_allele", "clinical_impact", "minor_allele", "minor_allele_freq",
+    "clinvar_ids", "cosmic_ids", "dbsnp_ids",
+]
+
+
+def variant_class_col(ref, alt) -> "F.Column":
+    """SQL-expressible VEP ``VARIANT_CLASS`` (mirrors
+    ``functions.consequence.variant_class``)."""
+    r = F.when(ref.isin("-"), F.lit("")).otherwise(F.coalesce(ref, F.lit("")))
+    a = F.when(alt.isin("-"), F.lit("")).otherwise(F.coalesce(alt, F.lit("")))
+    rl, al = F.length(r), F.length(a)
+    return (
+        F.when((rl == 1) & (al == 1), "SNV")
+        .when((rl == 0) | ((al > rl) & a.startswith(r)), "insertion")
+        .when((al == 0) | ((rl > al) & r.startswith(a)), "deletion")
+        .when(rl == al, "substitution")
+        .otherwise("indel")
+    )
+
 
 def annotate_vep(
     vcf: DataFrame,
@@ -174,8 +230,16 @@ def annotate_vep(
     upstream_distance: int = 5000,
     downstream_distance: int = 500,
     engine: str = "auto",
+    full_schema: bool = False,
 ) -> DataFrame:
     """Annotation pipeline: known-variant lookup + consequence assignment.
+
+    ``full_schema=True`` (codon engine only) emits the reference's complete
+    87-column annotation layout (``annotate_provider.rs:145-707``): the
+    transcript-level columns computed by the consequence engine, frequency /
+    cache-only columns passed through from the variation cache when present
+    (typed NULLs otherwise), and MAX_AF/MAX_AF_POPS derived from whatever
+    frequency columns the cache carries.
 
     ``engine='positional'`` (or no ``transcripts``): phase-A coarse classes
     (inside transcript / up / downstream).  ``engine='codon'`` (default via
@@ -206,8 +270,11 @@ def annotate_vep(
             vcf, cache, match_mode=match_mode, extended_probes=extended_probes
         )
         return _annotate_codon(
-            looked, vcf.columns, transcripts, exons, upstream_distance, downstream_distance
+            looked, vcf.columns, transcripts, exons, upstream_distance,
+            downstream_distance, full_schema,
         )
+    if full_schema:
+        raise ValueError("full_schema=True requires the codon engine (transcripts)")
     if engine != "positional":
         raise ValueError(f"engine must be 'auto', 'codon' or 'positional', got {engine!r}")
     looked = lookup_variants(
@@ -299,6 +366,7 @@ def _annotate_codon(
     exons: DataFrame | None,
     upstream_distance: int,
     downstream_distance: int,
+    full_schema: bool = False,
 ) -> DataFrame:
     """Variant×transcript pairing (broadcast range join on chrom) + per-pair
     classification through ``functions.consequence.classify`` in one
@@ -361,7 +429,19 @@ def _annotate_codon(
             T.StructField("impact", T.StringType(), True),
             T.StructField("hgvsc", T.StringType(), True),
             T.StructField("hgvsp", T.StringType(), True),
+            T.StructField("exon", T.StringType(), True),
+            T.StructField("intron", T.StringType(), True),
+            T.StructField("cdna_position", T.LongType(), True),
+            T.StructField("cds_position", T.LongType(), True),
+            T.StructField("protein_position", T.LongType(), True),
+            T.StructField("amino_acids", T.StringType(), True),
+            T.StructField("codons", T.StringType(), True),
+            T.StructField("distance", T.LongType(), True),
         ]
+    )
+    _detail_keys = (
+        "exon", "intron", "cdna_position", "cds_position",
+        "protein_position", "amino_acids", "codons", "distance",
     )
 
     # no type hints: scalar pandas UDF (Series... -> DataFrame for a struct
@@ -373,12 +453,16 @@ def _annotate_codon(
         cds_s, cds_e, cds_seq, exlist,
     ):
         out = {"terms": [], "impact": [], "hgvsc": [], "hgvsp": []}
+        for k_ in _detail_keys:
+            out[k_] = []
         for i in range(len(pos_s)):
             if tid.iloc[i] is None or pd.isna(ts.iloc[i]):
                 out["terms"].append(None)
                 out["impact"].append(None)
                 out["hgvsc"].append(None)
                 out["hgvsp"].append(None)
+                for k_ in _detail_keys:
+                    out[k_].append(None)
                 continue
             ex = exlist.iloc[i]
             exs = (
@@ -405,6 +489,9 @@ def _annotate_codon(
             out["impact"].append(cq.SO_IMPACT.get(ms) if ms else None)
             out["hgvsc"].append(cq.hgvs_c(tr, p, r, a))
             out["hgvsp"].append(cq.hgvs_p(tr, p, r, a))
+            det = cq.annotation_details(tr, p, r, a)
+            for k_ in _detail_keys:
+                out[k_].append(det[k_])
         return pd.DataFrame(out)
 
     paired = paired.withColumn(
@@ -476,6 +563,15 @@ def _annotate_codon(
             F.col("__res.hgvsc").alias("hgvsc"),
             F.col("__res.hgvsp").alias("hgvsp"),
             F.col("__terms").alias("terms"),
+            F.col("__t_strand").alias("strand"),
+            F.col("__res.exon").alias("exon"),
+            F.col("__res.intron").alias("intron"),
+            F.col("__res.cdna_position").alias("cdna_position"),
+            F.col("__res.cds_position").alias("cds_position"),
+            F.col("__res.protein_position").alias("protein_position"),
+            F.col("__res.amino_acids").alias("amino_acids"),
+            F.col("__res.codons").alias("codons"),
+            F.col("__res.distance").alias("distance"),
         ),
     )
     grouped = (
@@ -492,25 +588,106 @@ def _annotate_codon(
         )
     )
     intergenic = F.lit("intergenic_variant")
-    out = grouped.select(
-        *looked_cols,
-        F.coalesce(F.col("__ms"), intergenic).alias("most_severe_consequence"),
-        F.coalesce(F.col("variation_name"), F.lit("")).alias("existing_variation"),
+    csq_col = (
         F.when(
             F.col("CSQ") == "", F.concat_ws("|", F.col("alt"), intergenic, F.lit("MODIFIER"))
         )
         .otherwise(F.col("CSQ"))
-        .alias("CSQ"),
-        F.coalesce(F.col("__best.impact"), F.lit("MODIFIER")).alias("impact"),
-        F.col("__best.symbol").alias("gene_symbol"),
-        F.col("__best.gene").alias("gene_stable_id"),
-        F.col("__best.feature").alias("feature"),
-        F.col("__best.biotype").alias("biotype"),
-        F.col("__best.terms").alias("consequence_terms"),
-        F.col("__best.hgvsc").alias("hgvsc"),
-        F.col("__best.hgvsp").alias("hgvsp"),
+        .alias("CSQ")
     )
-    return out
+    ms_col = F.coalesce(F.col("__ms"), intergenic).alias("most_severe_consequence")
+    if not full_schema:
+        return grouped.select(
+            *looked_cols,
+            ms_col,
+            F.coalesce(F.col("variation_name"), F.lit("")).alias("existing_variation"),
+            csq_col,
+            F.coalesce(F.col("__best.impact"), F.lit("MODIFIER")).alias("impact"),
+            F.col("__best.symbol").alias("gene_symbol"),
+            F.col("__best.gene").alias("gene_stable_id"),
+            F.col("__best.feature").alias("feature"),
+            F.col("__best.biotype").alias("biotype"),
+            F.col("__best.terms").alias("consequence_terms"),
+            F.col("__best.hgvsc").alias("hgvsc"),
+            F.col("__best.hgvsp").alias("hgvsp"),
+        )
+
+    # ── full 87-column layout (annotate_provider.rs:145-707) ──
+    def _cache(name: str, typ: str = "string") -> "F.Column":
+        return (
+            F.col(name).cast(typ) if name in looked_cols else F.lit(None).cast(typ)
+        )
+
+    freq_present = [(o, c) for o, c in VEP_FREQUENCY_COLUMNS if c in looked_cols]
+    freq_cols = [
+        (F.col(c).cast("float") if c in looked_cols else F.lit(None).cast("float")).alias(o)
+        for o, c in VEP_FREQUENCY_COLUMNS
+    ]
+    if freq_present:
+        vals = [F.col(c).cast("float") for _, c in freq_present]
+        max_af = F.greatest(*vals) if len(vals) > 1 else vals[0]
+        max_pops = F.concat_ws(
+            "&",
+            F.filter(
+                F.array(*[
+                    F.when(F.col(c).cast("float") == max_af, F.lit(o))
+                    for o, c in freq_present
+                ]),
+                lambda x: x.isNotNull(),
+            ),
+        )
+        max_af_cols = [max_af.alias("MAX_AF"), max_pops.alias("MAX_AF_POPS")]
+    else:
+        max_af_cols = [
+            F.lit(None).cast("float").alias("MAX_AF"),
+            F.lit(None).cast("string").alias("MAX_AF_POPS"),
+        ]
+    paired_tx = F.col("__best").isNotNull()
+    return grouped.select(
+        *vcf_cols,
+        csq_col,
+        ms_col,
+        # ── transcript-level (computed) ──
+        F.col("alt").alias("Allele"),
+        F.concat_ws("&", F.col("__best.terms")).alias("Consequence"),
+        F.coalesce(F.col("__best.impact"), F.lit("MODIFIER")).alias("IMPACT"),
+        F.col("__best.symbol").alias("SYMBOL"),
+        F.col("__best.gene").alias("Gene"),
+        F.when(paired_tx, F.lit("Transcript")).alias("Feature_type"),
+        F.col("__best.feature").alias("Feature"),
+        F.col("__best.biotype").alias("BIOTYPE"),
+        F.col("__best.exon").alias("EXON"),
+        F.col("__best.intron").alias("INTRON"),
+        F.col("__best.hgvsc").alias("HGVSc"),
+        F.col("__best.hgvsp").alias("HGVSp"),
+        F.col("__best.cdna_position").alias("cDNA_position"),
+        F.col("__best.cds_position").alias("CDS_position"),
+        F.col("__best.protein_position").alias("Protein_position"),
+        F.col("__best.amino_acids").alias("Amino_acids"),
+        F.col("__best.codons").alias("Codons"),
+        F.coalesce(F.col("variation_name"), F.lit("")).alias("Existing_variation"),
+        F.col("__best.distance").alias("DISTANCE"),
+        F.col("__best.strand").alias("STRAND"),
+        variant_class_col(F.col("ref"), F.col("alt")).alias("VARIANT_CLASS"),
+        _cache("canonical").alias("CANONICAL"),
+        F.lit(None).cast("long").alias("HGVS_OFFSET"),
+        # transcript-level columns needing unmodeled external sources
+        *[F.lit(None).cast("string").alias(c) for c in VEP_NULL_TRANSCRIPT_COLUMNS],
+        # ── frequency (29) ──
+        *freq_cols,
+        *max_af_cols,
+        # ── variant-level (9) ──
+        _cache("clin_sig").alias("CLIN_SIG"),
+        *[F.lit(None).cast("string").alias(c) for c in VEP_NULL_VARIANT_COLUMNS],
+        # ── cache-only passthrough (7) ──
+        _cache("clin_sig_allele").alias("clin_sig_allele"),
+        _cache("clinical_impact").alias("clinical_impact"),
+        _cache("minor_allele").alias("minor_allele"),
+        _cache("minor_allele_freq", "float").alias("minor_allele_freq"),
+        _cache("clinvar_ids").alias("clinvar_ids"),
+        _cache("cosmic_ids").alias("cosmic_ids"),
+        _cache("dbsnp_ids").alias("dbsnp_ids"),
+    )
 
 
 def consequence_regions(

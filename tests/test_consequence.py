@@ -335,3 +335,84 @@ class TestHGVSExtensions:
     def test_p_stop_change(self):
         # TAA stop at CDS 48-50 (genomic 198-200); 199 A>C → TCA = Ser
         assert cq.hgvs_p(fwd_tx(), 199, "A", "C") == "T1:p.Ter17Ser"
+
+
+# ---------------------------------------------------------------------------
+# typed annotation details (annotate_provider.rs transcript-level columns)
+# ---------------------------------------------------------------------------
+
+
+def _tx_two_exons(strand=1, cds=True, seq=None):
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    return cq.Transcript(
+        transcript_id="TXD", chrom="1", start=1000, end=1600, strand=strand,
+        biotype="protein_coding",
+        exons=[(1000, 1250), (1350, 1600)],
+        cds_start=1100 if cds else None, cds_end=1500 if cds else None,
+        cds_sequence=seq,
+    )
+
+
+def test_variant_class():
+    from datafusion_bio_functions_spark.functions.consequence import variant_class
+
+    assert variant_class("A", "G") == "SNV"
+    assert variant_class("", "GG") == "insertion"
+    assert variant_class("A", "AGG") == "insertion"
+    assert variant_class("AG", "") == "deletion"
+    assert variant_class("AGG", "A") == "deletion"
+    assert variant_class("AG", "GT") == "substitution"
+    assert variant_class("AGT", "CA") == "indel"
+
+
+def test_exon_intron_numbers_strands():
+    from datafusion_bio_functions_spark.functions.consequence import exon_intron_numbers
+
+    t = _tx_two_exons(strand=1)
+    assert exon_intron_numbers(t, 1100, 1100) == ("1/2", None)
+    assert exon_intron_numbers(t, 1400, 1400) == ("2/2", None)
+    assert exon_intron_numbers(t, 1300, 1300) == (None, "1/1")
+    tm = _tx_two_exons(strand=-1)
+    assert exon_intron_numbers(tm, 1100, 1100) == ("2/2", None)
+    assert exon_intron_numbers(tm, 1400, 1400) == ("1/2", None)
+    assert exon_intron_numbers(tm, 1300, 1300) == (None, "1/1")
+
+
+def test_annotation_details_positions():
+    from datafusion_bio_functions_spark.functions.consequence import annotation_details
+
+    t = _tx_two_exons(strand=1)
+    d = annotation_details(t, 1102, "A", "G")
+    # cdna: exon1 offset 102 → 103; cds: 1102-1100=2 → 3; protein codon 1
+    assert (d["cdna_position"], d["cds_position"], d["protein_position"]) == (103, 3, 1)
+    d2 = annotation_details(t, 1400, "A", "G")
+    # cdna: 251 + (1400-1350) = 301 → 302; cds: 151 + 50 = 201 → 202; aa 68
+    assert (d2["cdna_position"], d2["cds_position"], d2["protein_position"]) == (302, 202, 68)
+    # minus strand mirrors: spliced total 502, cds total 302
+    tm = _tx_two_exons(strand=-1)
+    dm = annotation_details(tm, 1102, "A", "G")
+    assert dm["cdna_position"] == 502 - 102  # 400
+    assert dm["cds_position"] == 302 - 2     # 300
+    # intronic: no positions, intron set
+    di = annotation_details(t, 1300, "A", "G")
+    assert di["intron"] == "1/1" and di["cds_position"] is None
+    # upstream: only distance
+    du = annotation_details(t, 900, "A", "G")
+    assert du["distance"] == 100 and du["exon"] is None
+
+
+def test_annotation_details_codons_amino_acids():
+    from datafusion_bio_functions_spark.functions.consequence import annotation_details
+
+    # CDS: ATG GCT TAA (M A *)
+    t = _tx_two_exons(strand=1, seq=None)
+    t.cds_start, t.cds_end = 1100, 1108
+    t.cds_sequence = "ATGGCTTAA"
+    d = annotation_details(t, 1103, "G", "A")  # GCT→ACT: A→T missense
+    assert d["codons"] == "Gct/Act"
+    assert d["amino_acids"] == "A/T"
+    # synonymous: GCT→GCC both Ala
+    d2 = annotation_details(t, 1105, "T", "C")
+    assert d2["codons"] == "gcT/gcC"
+    assert d2["amino_acids"] == "A"

@@ -220,3 +220,54 @@ def test_regulatory_features(spark):
 
     with _pt.raises(ValueError):
         regulatory_features(vcf)
+
+
+def test_annotate_vep_full_schema(spark):
+    """full_schema=True emits the reference's complete 87-column annotation
+    layout (annotate_provider.rs:145-707) after the VCF cols + CSQ +
+    most_severe_consequence."""
+    from datafusion_bio_functions_spark.operators.vep import (
+        VEP_CACHE_ONLY_COLUMNS,
+        VEP_FREQUENCY_COLUMNS,
+        annotate_vep,
+    )
+
+    vcf = spark.createDataFrame(
+        [("1", 1102, 1102, "A", "G"), ("1", 120, 120, "C", "T")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [("1", 1102, 1102, "rs1", "A/G", "benign", 0.25)],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string, clin_sig string, AF float",
+    )
+    tx = spark.createDataFrame(
+        [("TXF", "1", 1000, 1600, 1, "protein_coding", "G1", "GENE1", 1100, 1500)],
+        "transcript_id string, chrom string, start long, end long, strand int, "
+        "biotype string, gene_stable_id string, gene_symbol string, "
+        "cds_start long, cds_end long",
+    )
+    exons = spark.createDataFrame(
+        [("TXF", 1000, 1250), ("TXF", 1350, 1600)],
+        "transcript_id string, start long, end long",
+    )
+    out = annotate_vep(vcf, cache, transcripts=tx, exons=exons, full_schema=True)
+    # 5 vcf + CSQ + most_severe + 87 annotation columns
+    assert len(out.columns) == 5 + 2 + 87
+    rows = {r["start"]: r for r in out.collect()}
+    hit = rows[1102]
+    assert hit["Feature"] == "TXF" and hit["STRAND"] == 1
+    assert hit["EXON"] == "1/2" and hit["INTRON"] is None
+    assert (hit["cDNA_position"], hit["CDS_position"], hit["Protein_position"]) == (103, 3, 1)
+    assert hit["Existing_variation"] == "rs1" and hit["CLIN_SIG"] == "benign"
+    # cache carries AF → frequency passthrough + MAX_AF derivation
+    assert abs(hit["AF"] - 0.25) < 1e-6 and abs(hit["MAX_AF"] - 0.25) < 1e-6
+    assert hit["MAX_AF_POPS"] == "AF"
+    assert hit["gnomADe_AF"] is None  # absent cache col → typed NULL
+    assert hit["VARIANT_CLASS"] == "SNV"
+    far = rows[120]  # upstream of TXF by 880
+    assert far["DISTANCE"] == 880 and far["most_severe_consequence"] == "upstream_gene_variant"
+    # frequency layout is the reference's 27 + MAX_AF/MAX_AF_POPS
+    assert len(VEP_FREQUENCY_COLUMNS) == 27 and len(VEP_CACHE_ONLY_COLUMNS) == 7
+    with pytest.raises(ValueError):
+        annotate_vep(vcf, cache, full_schema=True)
