@@ -1145,11 +1145,13 @@ def _nearest_radius(
     right, (rc, rs, re_) = _normalize(right, cols_right)
     shrink = 0 if filter_op == "weak" else 1
 
+    import numpy as np
+    import pandas as pd
+
     rid = right.withColumn("__pid", F.monotonically_increasing_id())
     if radius is None:
         # density-derived per-contig radius: ~4k candidates expected per
-        # side of each probe.  One #contigs-row aggregate; the single max
-        # sets the (literal) bin width.
+        # side of each probe.  One #contigs-row aggregate.
         stats = left.groupBy(F.col(lc).alias("__sc")).agg(
             F.count(F.lit(1)).alias("__n"),
             F.min(ls).alias("__lo"),
@@ -1171,55 +1173,171 @@ def _nearest_radius(
             .drop("__sc")
             .withColumn("__qs", F.col(rs) - F.col("__rad"))
             .withColumn("__qe", F.col(re_) + F.col("__rad"))
-            .drop("__rad")
         )  # contigs absent from the left side get NULL pads → exact fallback
-        bw = max(1_000, max_rad // 4)
     else:
-        padded = rid.withColumn("__qs", F.col(rs) - F.lit(radius)).withColumn(
-            "__qe", F.col(re_) + F.lit(radius)
+        max_rad = radius
+        padded = (
+            rid.withColumn("__rad", F.lit(radius).cast(T.LongType()))
+            .withColumn("__qs", F.col(rs) - F.lit(radius))
+            .withColumn("__qe", F.col(re_) + F.lit(radius))
         )
-        bw = max(10_000, radius // 4)
-    # bin width scaled to the padding so padded probes span only a handful
-    # of bins and stay on the binned (shuffle-parallel) path rather than
-    # tripping the long-interval escape hatch
-    cand = interval_join(
-        padded,
-        left,
-        cols_left=(rc, "__qs", "__qe"),
-        cols_right=(lc, ls, le),
-        filter_op="weak",
-        how="inner",
-        algorithm="binned",
-        bin_width=bw,
+
+    # ── chunked cogroup: range-partition each contig into fixed-width
+    # chunks, replicate left rows into every chunk their ±radius margin
+    # touches, and run the O((n+q) log n) searchsorted kernel per
+    # (contig, chunk) cell.  Unlike a candidate join, dense data costs
+    # log(n) per probe instead of one row per overlapping pair — and unlike
+    # the plain cogroup, parallelism is #chunks, not #contigs. ──
+    cw = min(max(20_000, 4 * max_rad), 50_000_000)
+    lid = left.withColumn("__lid", F.monotonically_increasing_id())
+    lch = lid.select(
+        F.col(lc).alias("__kc"), F.col(ls), F.col(le), "__lid",
+        F.explode(
+            F.sequence(
+                F.floor((F.col(ls) - F.lit(max_rad)) / F.lit(float(cw))).cast(T.LongType()),
+                F.floor((F.col(le) + F.lit(max_rad)) / F.lit(float(cw))).cast(T.LongType()),
+            )
+        ).alias("__chunk"),
     )
-    # kernel distance: max(l.start - qe, qs - l.end, 0) with strict shrink
-    qs_c = F.col(_LEFT + rs) + F.lit(shrink)
-    qe_c = F.col(_LEFT + re_) - F.lit(shrink)
-    dist = F.greatest(
-        F.col(_RIGHT + ls) - qe_c, qs_c - F.col(_RIGHT + le), F.lit(0)
-    ).cast(T.LongType())
-    cand = cand.withColumn("__dist", dist)
-    if not include_overlaps:
-        cand = cand.filter(F.col("__dist") > 0)
-    wk = Window.partitionBy(_LEFT + "__pid").orderBy(
-        "__dist", F.col(_RIGHT + ls), F.col(_RIGHT + le)
+    pch = padded.filter(F.col("__qs").isNotNull()).select(
+        F.col(rc).alias("__kc"), F.col(rs), F.col(re_), "__pid",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__qs") / F.lit(float(cw))).cast(T.LongType()),
+                F.floor(F.col("__qe") / F.lit(float(cw))).cast(T.LongType()),
+            )
+        ).alias("__chunk"),
     )
-    ranked = cand.withColumn("__rk", F.row_number().over(wk))
-    topk = ranked.filter(F.col("__rk") <= k)
-    counts = topk.groupBy(F.col(_LEFT + "__pid").alias("__pid")).agg(
-        F.count(F.lit(1)).alias("__n")
+
+    kk, inc, shr = k, include_overlaps, shrink
+
+    def kernel(key, lpdf: "pd.DataFrame", rpdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("pid", "lid", "dist", "s", "e")}
+        )
+        if len(rpdf) == 0 or len(lpdf) == 0:
+            return empty
+        lpdf = lpdf.sort_values([ls, le], kind="mergesort")
+        starts = lpdf[ls].to_numpy(np.int64)
+        ends = lpdf[le].to_numpy(np.int64)
+        lids = lpdf["__lid"].to_numpy(np.int64)
+        n = len(starts)
+        pmax = np.maximum.accumulate(ends)
+        end_order = np.lexsort((starts, ends))
+        ends_sorted = ends[end_order]
+        qs = rpdf[rs].to_numpy(np.int64) + shr
+        qe = rpdf[re_].to_numpy(np.int64) - shr
+        pids = rpdf["__pid"].to_numpy(np.int64)
+        nq = len(qs)
+        P = 1 << int(n + 1).bit_length()
+        big = np.iinfo(np.int64).max
+
+        if kk == 1:
+            # same three-structure vectorized lookup as the cogroup kernel
+            j_last = np.searchsorted(starts, qe, "right") - 1
+            i0 = np.searchsorted(pmax, qs, "left")
+            has_ov = inc & (i0 <= j_last) & (i0 < n) & (qs <= qe + 1)
+            pos_l = np.searchsorted(ends_sorted, qs, "left") - 1
+            has_l = pos_l >= 0
+            pl = np.maximum(pos_l, 0)
+            best_end = ends_sorted[pl]
+            lcand = end_order[np.searchsorted(ends_sorted, best_end, "left")]
+            ldist = qs - best_end
+            pos_r = np.searchsorted(starts, qe, "right")
+            has_r = pos_r < n
+            pr = np.minimum(pos_r, n - 1)
+            rdist = starts[pr] - qe
+            # side choice by composite (dist, (start,end)-sorted index) key
+            keyl = np.where(has_l, ldist * P + lcand, big)
+            keyr = np.where(has_r, rdist * P + pr, big)
+            use_l = keyl <= keyr
+            side_idx = np.where(use_l, lcand, pr)
+            side_dist = np.where(use_l, ldist, rdist)
+            i0c = np.minimum(i0, n - 1)
+            sel_idx = np.where(has_ov, i0c, side_idx)
+            sel_dist = np.where(has_ov, 0, side_dist)
+            m = has_ov | has_l | has_r
+            si = sel_idx[m]
+            return pd.DataFrame(
+                {
+                    "pid": pids[m],
+                    "lid": lids[si],
+                    "dist": sel_dist[m],
+                    "s": starts[si],
+                    "e": ends[si],
+                }
+            )
+
+        # k > 1: per-probe top-k over the bounded candidate window.  Only
+        # results with dist <= radius are used downstream (the rest go to
+        # the exact fallback), and every such candidate satisfies
+        # start <= qe+rad AND lies at/after the first index whose
+        # prefix-max-end >= qs-rad — a contiguous start-sorted window of
+        # O(candidates) size, not an O(n) matrix row.
+        rad_hint = max_rad
+        lo_idx = np.searchsorted(pmax, qs - rad_hint, "left")
+        hi_idx = np.searchsorted(starts, qe + rad_hint, "right")
+        out_pid, out_lid, out_dist, out_s, out_e = [], [], [], [], []
+        for i in range(nq):
+            wlo, whi = int(lo_idx[i]), int(hi_idx[i])
+            if whi <= wlo:
+                continue
+            dw = np.maximum(
+                np.maximum(starts[wlo:whi] - qe[i], qs[i] - ends[wlo:whi]), 0
+            )
+            keyw = dw * P + np.arange(wlo, whi, dtype=np.int64)
+            if not inc:
+                keyw = np.where(dw > 0, keyw, big)
+            kmin = min(kk, whi - wlo)
+            part = np.argpartition(keyw, kmin - 1)[:kmin]
+            order = np.argsort(keyw[part], kind="stable")
+            sel = part[order]
+            sel = sel[keyw[sel] != big]
+            if not len(sel):
+                continue
+            ids = sel + wlo
+            out_pid.extend([int(pids[i])] * len(ids))
+            out_lid.extend(lids[ids].tolist())
+            out_dist.extend(dw[sel].tolist())
+            out_s.extend(starts[ids].tolist())
+            out_e.extend(ends[ids].tolist())
+        if not out_pid:
+            return empty
+        return pd.DataFrame(
+            {"pid": out_pid, "lid": out_lid, "dist": out_dist,
+             "s": out_s, "e": out_e}
+        )
+
+    res = (
+        lch.groupBy("__kc", "__chunk")
+        .cogroup(pch.groupBy("__kc", "__chunk"))
+        .applyInPandas(kernel, "pid long, lid long, dist long, s long, e long")
     )
-    solved_pids = counts.filter(F.col("__n") >= k).select("__pid")
+    # a pair met in two chunks is emitted twice with identical values
+    res = res.distinct()
+    # correctness rule: only candidates within the probe's radius are
+    # provably complete across chunks; farther results go to the fallback
+    prad = padded.select(F.col("__pid").alias("pid"), "__rad")
+    res = res.join(prad, "pid").filter(F.col("dist") <= F.col("__rad"))
+    wk = Window.partitionBy("pid").orderBy("dist", "s", "e", "lid")
+    topk = res.withColumn("__rk", F.row_number().over(wk)).filter(F.col("__rk") <= k)
+    counts = topk.groupBy("pid").agg(F.count(F.lit(1)).alias("__n"))
+    solved_pids = counts.filter(F.col("__n") >= k).select(F.col("pid").alias("__pid"))
+    winners = topk.join(
+        solved_pids, topk["pid"] == solved_pids["__pid"], "left_semi"
+    ).select(F.col("pid").alias("__pid"), F.col("lid").alias("__lid"),
+             F.col("dist").alias("__dist"))
 
     out_cols = (
-        [F.col(_RIGHT + c).alias(_LEFT + c) for c in left.columns]
-        + [F.col(_LEFT + c).alias(_RIGHT + c) for c in right.columns]
+        [F.col("__l_" + c).alias(_LEFT + c) for c in left.columns]
+        + [F.col(c).alias(_RIGHT + c) for c in right.columns]
     )
     if compute_distance:
         out_cols.append(F.col("__dist").cast(T.LongType()).alias("distance"))
-    solved = topk.join(
-        solved_pids, topk[_LEFT + "__pid"] == solved_pids["__pid"], "left_semi"
-    ).select(*out_cols)
+    lpay = lid.select(
+        F.col("__lid"), *[F.col(c).alias("__l_" + c) for c in left.columns]
+    )
+    solved = winners.join(lpay, "__lid").join(rid, "__pid").select(*out_cols)
 
     # fallback: probes with < k in-radius candidates (incl. zero) — exact
     fb_probes = rid.join(solved_pids, "__pid", "left_anti").drop("__pid")

@@ -455,8 +455,17 @@ def _annotate_codon(
         out = {"terms": [], "impact": [], "hgvsc": [], "hgvsp": []}
         for k_ in _detail_keys:
             out[k_] = []
-        for i in range(len(pos_s)):
-            if tid.iloc[i] is None or pd.isna(ts.iloc[i]):
+        # list-zip iteration + a per-batch Transcript cache: a pairing batch
+        # repeats each transcript across many variants, and .iloc-per-row
+        # access dominates otherwise (sf1 bench: 94 s → ~10 s)
+        tr_cache: dict = {}
+        rows = zip(
+            pos_s.tolist(), ref_s.tolist(), alt_s.tolist(), tid.tolist(),
+            ts.tolist(), te.tolist(), strand.tolist(), biotype.tolist(),
+            cds_s.tolist(), cds_e.tolist(), cds_seq.tolist(), exlist.tolist(),
+        )
+        for p, r, a, t_id, tsv, tev, stv, btv, csv_, cev, seqv, ex in rows:
+            if t_id is None or pd.isna(tsv):
                 out["terms"].append(None)
                 out["impact"].append(None)
                 out["hgvsc"].append(None)
@@ -464,25 +473,27 @@ def _annotate_codon(
                 for k_ in _detail_keys:
                     out[k_].append(None)
                 continue
-            ex = exlist.iloc[i]
-            exs = (
-                [(int(d["s"]), int(d["e"])) for d in ex]
-                if ex is not None and len(ex) > 0
-                else []
-            )
-            tr = cq.Transcript(
-                transcript_id=str(tid.iloc[i]),
-                chrom="",
-                start=int(ts.iloc[i]),
-                end=int(te.iloc[i]),
-                strand=int(strand.iloc[i]),
-                biotype=str(biotype.iloc[i]),
-                exons=exs,
-                cds_start=None if pd.isna(cds_s.iloc[i]) else int(cds_s.iloc[i]),
-                cds_end=None if pd.isna(cds_e.iloc[i]) else int(cds_e.iloc[i]),
-                cds_sequence=None if cds_seq.iloc[i] is None else str(cds_seq.iloc[i]),
-            )
-            p, r, a = int(pos_s.iloc[i]), str(ref_s.iloc[i]), str(alt_s.iloc[i])
+            tr = tr_cache.get(t_id)
+            if tr is None:
+                exs = (
+                    [(int(d["s"]), int(d["e"])) for d in ex]
+                    if ex is not None and len(ex) > 0
+                    else []
+                )
+                tr = cq.Transcript(
+                    transcript_id=str(t_id),
+                    chrom="",
+                    start=int(tsv),
+                    end=int(tev),
+                    strand=int(stv),
+                    biotype=str(btv),
+                    exons=exs,
+                    cds_start=None if pd.isna(csv_) else int(csv_),
+                    cds_end=None if pd.isna(cev) else int(cev),
+                    cds_sequence=None if seqv is None else str(seqv),
+                )
+                tr_cache[t_id] = tr
+            p, r, a = int(p), str(r), str(a)
             terms = cq.classify(tr, p, r, a)
             ms = cq.most_severe(terms)
             out["terms"].append(terms if terms else None)
