@@ -48,6 +48,18 @@ BENCH_QUERIES = [
     "near_dup_cosine",
     "bpe_tokens",
     "annotate_vep",
+    "annotate_vep_typed",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "ivf_ann_topk",
+    "lsh_ann_topk",
+    "media_meta",
+    "media_features",
+    "events_top_users",
+    "events_rollup",
+    "depth_per_base",
+    "tpch_shipping_priority",
+    "tpch_region_volume",
 ]
 
 

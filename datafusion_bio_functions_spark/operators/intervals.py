@@ -1342,7 +1342,11 @@ def _nearest_radius(
     prad = padded.select(F.col("__pid").alias("pid"), "__rad")
     res = res.join(prad, "pid").filter(F.col("dist") <= F.col("__rad"))
     wk = Window.partitionBy("pid").orderBy("dist", "s", "e", "lid")
-    topk = res.withColumn("__rk", F.row_number().over(wk)).filter(F.col("__rk") <= k)
+    topk = (
+        res.withColumn("__rk", F.row_number().over(wk))
+        .filter(F.col("__rk") <= k)
+        .persist()
+    )
     counts = topk.groupBy("pid").agg(F.count(F.lit(1)).alias("__n"))
     solved_pids = counts.filter(F.col("__n") >= k).select(F.col("pid").alias("__pid"))
     winners = topk.join(
@@ -1361,11 +1365,29 @@ def _nearest_radius(
     )
     solved = winners.join(lpay, "__lid").join(rid, "__pid").select(*out_cols)
 
-    # fallback: probes with < k in-radius candidates (incl. zero) — exact
+    # fallback: probes with < k in-radius candidates (incl. zero) — exact.
+    # The kernel result is cached, so checking for an EMPTY fallback costs
+    # one bounded probe; when nothing fell through (the common dense case)
+    # the full-left fallback cogroup is skipped entirely — at scale that is
+    # a whole extra scan+sort of the left table.
+    import weakref
+
     fb_probes = rid.join(solved_pids, "__pid", "left_anti").drop("__pid")
-    fallback = nearest(
-        left, fb_probes, k=k, cols_left=(lc, ls, le), cols_right=(rc, rs, re_),
-        include_overlaps=include_overlaps, compute_distance=compute_distance,
-        filter_op=filter_op, algorithm="cogroup",
-    )
-    return solved.unionByName(fallback)
+    if fb_probes.limit(1).count() == 0:
+        out = solved
+    else:
+        fallback = nearest(
+            left, fb_probes, k=k, cols_left=(lc, ls, le), cols_right=(rc, rs, re_),
+            include_overlaps=include_overlaps, compute_distance=compute_distance,
+            filter_op=filter_op, algorithm="cogroup",
+        )
+        out = solved.unionByName(fallback)
+    weakref.finalize(out, _unpersist_quietly, topk)
+    return out
+
+
+def _unpersist_quietly(df: DataFrame) -> None:
+    try:
+        df.unpersist(False)
+    except Exception:  # session already stopped
+        pass
