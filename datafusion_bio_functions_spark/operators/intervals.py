@@ -943,15 +943,19 @@ def nearest(
     (distance, sorted-index) key.  One Arrow group per contig — skewed
     contigs serialize; kept as the exact oracle/fallback path.
 
-    ``algorithm='radius'`` (default via ``'auto'``): the 100 TB path.
-    Probes are padded by
-    ``radius`` and candidates gathered through the binned interval join
-    (shuffle-parallel on genome bins); per-probe top-k via a window over the
-    small per-probe candidate sets.  Every in-radius candidate has distance
-    ≤ radius and every out-of-radius one > radius, so probes that find ≥ k
-    candidates are provably globally correct; the rest (rare in dense data)
-    are re-solved exactly through the cogroup path.  Equality with cogroup
-    is property-tested, including forced-fallback radii.
+    ``algorithm='radius'`` (default via ``'auto'``): the 100 TB path — a
+    chunked cogroup.  Each contig is range-partitioned into fixed-width
+    chunks; left rows replicate into every chunk their ±radius margin
+    touches, probes into every chunk their padded span touches, and the
+    same searchsorted kernel answers each (contig, chunk) cell in
+    O((n+q) log n) — parallelism is #chunks (no per-contig skew ceiling)
+    and, unlike a candidate join, dense data does NOT cost one row per
+    overlapping pair.  In-radius results are provably complete across
+    chunks (any candidate at distance ≤ radius shares a chunk with its
+    probe), so probes that find ≥ k in-radius candidates are globally
+    correct; the rest are re-solved exactly through the cogroup path —
+    skipped entirely when the fallback set is provably empty.  Equality
+    with cogroup is property-tested, including forced-fallback radii.
 
     ``radius=None`` (default) sizes the radius to the LEFT side's density
     per contig — ``~4k / (intervals per base)`` — so candidate sets stay
