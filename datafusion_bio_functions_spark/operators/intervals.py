@@ -191,12 +191,12 @@ def interval_join(
                 )
             algorithm = configured
         else:
-            algorithm = "binned" if how == "inner" else "sql"
+            algorithm = "binned"
         bw = conf.get(INTERVAL_JOIN_BIN_WIDTH_KEY, None)
         if bw:
             bin_width = int(bw)
 
-    if how in ("left", "left_semi", "left_anti") or algorithm in ("sql", "broadcast"):
+    if algorithm in ("sql", "broadcast"):
         lj = F.broadcast(l) if algorithm == "broadcast" else l
         joined = lj.join(r, cond, "inner" if how == "inner" else how)
         if how in ("left_semi", "left_anti"):
@@ -205,6 +205,31 @@ def interval_join(
 
     if algorithm != "binned":
         raise ValueError(f"unknown interval join algorithm {algorithm!r}")
+
+    if how != "inner":
+        # non-inner forms via the binned INNER join + row-id indirection:
+        # the SQL path sort-merges on the contig equi-key alone, which goes
+        # quadratic within a skewed contig — at scale every how must ride
+        # the same (contig, bin) shuffle as the inner join.
+        if how not in ("left", "left_semi", "left_anti"):
+            raise ValueError(f"unknown interval join how {how!r}")
+        lw = left.withColumn("__sid", F.monotonically_increasing_id())
+        pairs = interval_join(
+            lw, right, (lc0, ls0, le0), (rc0, rs0, re0), filter_op,
+            "inner", "binned", bin_width, long_interval_factor,
+        )
+        hit_ids = pairs.select(F.col(_LEFT + "__sid").alias("__sid")).distinct()
+        if how in ("left_semi", "left_anti"):
+            kept = lw.join(hit_ids, "__sid", how).drop("__sid")
+            return _prefixed(kept, _LEFT)
+        unmatched = _prefixed(lw.join(hit_ids, "__sid", "left_anti").drop("__sid"), _LEFT)
+        for f in right.schema.fields:
+            unmatched = unmatched.withColumn(
+                _RIGHT + f.name, F.lit(None).cast(f.dataType)
+            )
+        return pairs.drop(_LEFT + "__sid").unionByName(
+            unmatched.select(*[c for c in pairs.columns if c != _LEFT + "__sid"])
+        )
 
     if bin_width is None:
         bin_width = _auto_bin_width(l, ls, le, r, rs, re_)
@@ -278,7 +303,7 @@ def overlap(
         )
     if output in ("left", "left_distinct"):
         joined = interval_join(
-            left, right, cols_left, cols_right, filter_op, "left_semi", "sql", bin_width
+            left, right, cols_left, cols_right, filter_op, "left_semi", algorithm, bin_width
         )
         out = joined.select([F.col(_LEFT + c).alias(c) for c in left.columns])
         return out.distinct() if output == "left_distinct" else out

@@ -461,3 +461,21 @@ def test_fits_broadcast_bounded_probe(spark, reads):
 
     assert _fits_broadcast(reads)  # tiny table fits the default guard
     assert not _fits_broadcast(reads, guard=1)
+
+
+@pytest.mark.parametrize("how", ["left", "left_semi", "left_anti"])
+def test_interval_join_non_inner_binned_equals_sql(spark, reads, targets, how):
+    """Non-inner joins ride the binned (contig, bin) shuffle by default; the
+    SQL formulation is the semantics oracle."""
+    def canon(df):
+        return sorted(map(repr, df.collect()))
+
+    got = bio.interval_join(reads, targets, how=how)  # auto → binned
+    want = bio.interval_join(reads, targets, how=how, algorithm="sql")
+    assert canon(got) == canon(want)
+    # left outer: unmatched left rows appear exactly once with NULL rights
+    if how == "left":
+        n_unmatched = bio.interval_join(
+            reads, targets, how="left_anti"
+        ).count()
+        assert got.filter(F.col("right_contig").isNull()).count() == n_unmatched
