@@ -25,6 +25,20 @@ from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before a compute-heavy
+    per-row stage.  A small parquet table arrives as one or two file
+    partitions — without this, the signature/shingling stage runs on one
+    core regardless of cluster size (sf1 probe: the whole minhash signature
+    pass sat in a single task).  No-op when the input is already as
+    parallel as the cluster."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 #: Mersenne prime 2^31-1: universal-hash modulus.  Coefficients and reduced
 #: hash values stay below 2^31 so ``a*h + b`` peaks at ~2^62 — inside the
 #: positive Long range even with Spark's ANSI overflow checking.  31-bit
@@ -155,23 +169,57 @@ def minhash_signature(
 
     @F.pandas_udf(res_type, F.PandasUDFType.SCALAR)
     def _shingle_sig(texts):
-        sh_out, sig_out = [], []
+        # batch-vectorized: one concatenated byte buffer, k accumulation
+        # passes for the polynomial gram hashes, per-permutation
+        # minimum.reduceat for the signatures, one global lexsort for the
+        # distinct shingle sets — no per-document numpy round-trips.
+        # Identical values to the per-doc formulation (same FNV math).
+        bufs = []
         for txt in texts:
-            norm = " ".join(str(txt or "").lower().split())
-            raw = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8)
-            if len(raw) < k:
-                raw = np.pad(raw, (0, k - len(raw)))
-            win = np.lib.stride_tricks.sliding_window_view(raw, k)
-            grams = np.unique((win.astype(np.uint64) * pows).sum(axis=1, dtype=np.uint64))
-            hm = grams % m_np
-            sig = ((a_np * hm[None, :] + b_np) % m_np).min(axis=1)
-            sh_out.append(grams.view(np.int64))
-            sig_out.append(sig.astype(np.int64))
+            b = " ".join(str(txt or "").lower().split()).encode("utf-8")
+            if len(b) < k:
+                b = b + b"\x00" * (k - len(b))
+            bufs.append(b)
+        n_docs = len(bufs)
+        lens = np.array([len(b) for b in bufs], dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        raw = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        nw = len(raw) - (k - 1)  # windows incl. doc-crossing ones
+        g = np.zeros(nw, dtype=np.uint64)
+        for j in range(k):
+            g += raw[j : j + nw].astype(np.uint64) * pows[j]
+        # windows starting in doc i are valid iff start offset <= end-k
+        win_doc = np.searchsorted(starts, np.arange(nw), "right") - 1
+        valid = np.arange(nw) <= (starts + lens - k)[win_doc]
+        gm = g % m_np
+        gm_masked = np.where(valid, gm, m_np)  # M never wins a min
+        seg = starts[starts < nw]  # reduceat segment starts (per doc)
+        sig = np.empty((len(a_np), n_docs), dtype=np.uint64)
+        a_flat = a_np.ravel()
+        b_flat = b_np.ravel()
+        for p in range(len(a_flat)):
+            hp = (a_flat[p] * gm_masked + b_flat[p]) % m_np
+            hp = np.where(valid, hp, np.uint64(np.iinfo(np.int64).max))
+            sig[p, : len(seg)] = np.minimum.reduceat(hp, seg)
+        # distinct shingles per doc: one global stable sort + dedupe
+        vi = np.nonzero(valid)[0]
+        vdoc = win_doc[vi]
+        vg = g[vi]
+        order = np.lexsort((vg, vdoc))
+        sd, sg = vdoc[order], vg[order]
+        keep = np.ones(len(sd), dtype=bool)
+        keep[1:] = (sd[1:] != sd[:-1]) | (sg[1:] != sg[:-1])
+        sd, sg = sd[keep], sg[keep]
+        bounds = np.searchsorted(sd, np.arange(n_docs + 1))
+        sh_out = [
+            sg[bounds[i] : bounds[i + 1]].view(np.int64) for i in range(n_docs)
+        ]
+        sig_out = [sig[:, i].astype(np.int64) for i in range(n_docs)]
         return pd.DataFrame({"shingles": sh_out, "signature": sig_out})
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return (
-        df.withColumn("__ss", _shingle_sig(c))
+        _ensure_parallelism(df).withColumn("__ss", _shingle_sig(c))
         .withColumn("shingles", F.col("__ss.shingles"))
         .withColumn("signature", F.col("__ss.signature"))
         .drop("__ss")
@@ -410,7 +458,7 @@ def simhash_dedup(
         sim = simhash64(text_col, hash_method=hash_method)
     else:
         raise ValueError(f"method must be 'arrow' or 'sql', got {method!r}")
-    sh = df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+    sh = _ensure_parallelism(df).select(F.col(id_col).alias("id"), sim.alias("simhash"))
     banded = sh.select(
         "id",
         "simhash",
@@ -458,7 +506,9 @@ def ngram_jaccard_dedup(
     exact verification.  Output: (id_a, id_b, jaccard)."""
     # materialize the token array: expressions inside the transform lambda
     # are re-evaluated per n-gram
-    with_toks = df.withColumn("__toks", F.split(_norm_text(text_col), " "))
+    with_toks = _ensure_parallelism(df).withColumn(
+        "__toks", F.split(_norm_text(text_col), " ")
+    )
     toks = F.col("__toks")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     grams = F.array_distinct(

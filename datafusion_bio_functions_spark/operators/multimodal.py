@@ -32,6 +32,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a narrow input (e.g. one small parquet file partition) across
+    the cluster before a decode/encode-heavy mapInPandas stage; no-op when
+    already parallel."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 #: canonical media-table schema fragment
 MEDIA_META_TYPE = T.StructType(
     [
@@ -88,7 +99,7 @@ def decode_media(
             pdf["media_meta"] = metas
             yield pdf
 
-    return df.mapInPandas(run, schema=out_schema)
+    return _ensure_parallelism(df).mapInPandas(run, schema=out_schema)
 
 
 def extract_features(
@@ -130,7 +141,7 @@ def extract_features(
             pdf["features"] = feats
             yield pdf
 
-    return df.mapInPandas(run, schema=out_schema)
+    return _ensure_parallelism(df).mapInPandas(run, schema=out_schema)
 
 
 def resize_media(
@@ -176,7 +187,7 @@ def resize_media(
             pdf[meta_col] = new_meta
             yield pdf
 
-    return df.mapInPandas(run, schema=out_schema)
+    return _ensure_parallelism(df).mapInPandas(run, schema=out_schema)
 
 
 def sample_frames(
