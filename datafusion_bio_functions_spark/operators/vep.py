@@ -415,7 +415,11 @@ def _annotate_codon(
     pad = max(upstream_distance, downstream_distance)
     pos = F.col("start").cast("long")
     vend = pos + F.greatest(F.length("ref") - 1, F.lit(0))
-    paired = looked.join(
+    # classification depends only on the variant, not on which cache rows
+    # matched it — pair DISTINCT variants with transcripts so a variant
+    # with many colocated cache records costs the consequence engine once
+    variants = looked.select(*vcf_cols).distinct()
+    paired = variants.join(
         F.broadcast(tctx),
         (F.col("chrom") == F.col("__t_chrom"))
         & (pos <= F.col("__t_end") + pad)
@@ -562,7 +566,6 @@ def _annotate_codon(
         ),
     )
 
-    looked_cols = list(looked.columns)
     best_struct = F.when(
         F.col("__terms").isNotNull(),
         F.struct(
@@ -585,9 +588,9 @@ def _annotate_codon(
             F.col("__res.distance").alias("distance"),
         ),
     )
-    grouped = (
+    rolled = (
         with_entry.withColumn("__best_struct", best_struct)
-        .groupBy(*[F.col(c) for c in looked_cols])
+        .groupBy(*[F.col(c) for c in vcf_cols])
         .agg(
             F.substring_index(F.min("__best_term"), "|", -1).alias("__ms"),
             F.concat_ws(",", F.array_sort(F.collect_list("__entry"))).alias("CSQ"),
@@ -598,6 +601,10 @@ def _annotate_codon(
             F.min_by("__best_struct", "__best_key").alias("__best"),
         )
     )
+    # re-attach the per-variant rollup to every looked row (one variant may
+    # carry several colocated cache matches)
+    looked_cols = list(looked.columns)
+    grouped = looked.join(rolled, list(vcf_cols), "left")
     intergenic = F.lit("intergenic_variant")
     csq_col = (
         F.when(
