@@ -121,10 +121,18 @@ def minhash_signature(
     shingle_k: int = 5,
     seed: int = 42,
     method: str = "arrow",
+    gram: str = "char",
 ) -> DataFrame:
-    """Append ``shingles`` (array<long>, distinct k-gram hashes) and
+    """Append ``shingles`` (array<long>, distinct gram hashes) and
     ``signature`` (array<long>, ``num_perm`` minimums of universal hashes
     ``a*h+b mod 2^31-1``).
+
+    ``gram='char'``: k-char shingles of the normalized text.
+    ``gram='word'``: word ``shingle_k``-grams — on single-space-normalized
+    text every word n-gram is a contiguous substring, so the arrow path
+    hashes variable-length windows with ONE pass of wrap-around polynomial
+    prefix sums (base is odd → invertible mod 2^64, so a segment hash is
+    ``(csum[e] - csum[s-1]) * base^-s``) — no per-token Python loop.
 
     ``method='arrow'`` (default): shingling + signature in ONE vectorized
     numpy pandas UDF.  Catalyst higher-order functions (``transform`` /
@@ -134,7 +142,11 @@ def minhash_signature(
     ``method='sql'``: the all-JVM expression formulation (kept as the
     dependency-free oracle; xxhash64-based shingle values, so shingle VALUES
     differ between methods while all set relations agree)."""
+    if gram not in ("char", "word"):
+        raise ValueError(f"gram must be 'char' or 'word', got {gram!r}")
     if method == "sql":
+        if gram != "char":
+            raise ValueError("method='sql' supports gram='char' only")
         out = (
             df.withColumn("__norm", _norm_text(text_col))
             .withColumn("shingles", _shingles_of(F.col("__norm"), shingle_k))
@@ -153,12 +165,14 @@ def minhash_signature(
     from pyspark.sql import types as T
 
     coeffs = _perm_coeffs(num_perm, seed)
-    a_np = np.array([a for a, _ in coeffs], dtype=np.uint64)[:, None]
-    b_np = np.array([b for _, b in coeffs], dtype=np.uint64)[:, None]
+    a_flat = np.array([a for a, _ in coeffs], dtype=np.uint64)
+    b_flat = np.array([b for _, b in coeffs], dtype=np.uint64)
     m_np = np.uint64(_MERSENNE)
     base = np.uint64(1099511628211)  # FNV-1a prime as polynomial base
+    inv_base = np.uint64(pow(1099511628211, -1, 1 << 64))  # base is odd
     pows = base ** np.arange(shingle_k, dtype=np.uint64)  # mod-2^64 wrap is fine
     k = shingle_k
+    gram_mode = gram
 
     res_type = T.StructType(
         [
@@ -169,42 +183,80 @@ def minhash_signature(
 
     @F.pandas_udf(res_type, F.PandasUDFType.SCALAR)
     def _shingle_sig(texts):
-        # batch-vectorized: one concatenated byte buffer, k accumulation
-        # passes for the polynomial gram hashes, per-permutation
-        # minimum.reduceat for the signatures, one global lexsort for the
-        # distinct shingle sets — no per-document numpy round-trips.
-        # Identical values to the per-doc formulation (same FNV math).
+        # batch-vectorized: one concatenated byte buffer, polynomial prefix
+        # sums for the gram hashes, per-permutation minimum.reduceat for the
+        # signatures, one global lexsort for the distinct shingle sets — no
+        # per-document (or per-token) numpy round-trips.
         bufs = []
         for txt in texts:
             b = " ".join(str(txt or "").lower().split()).encode("utf-8")
-            if len(b) < k:
+            if gram_mode == "char" and len(b) < k:
                 b = b + b"\x00" * (k - len(b))
+            elif not b:
+                b = b"\x00"
             bufs.append(b)
         n_docs = len(bufs)
         lens = np.array([len(b) for b in bufs], dtype=np.int64)
-        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        dstarts = np.concatenate(([0], np.cumsum(lens)))[:-1]
         raw = np.frombuffer(b"".join(bufs), dtype=np.uint8)
-        nw = len(raw) - (k - 1)  # windows incl. doc-crossing ones
-        g = np.zeros(nw, dtype=np.uint64)
-        for j in range(k):
-            g += raw[j : j + nw].astype(np.uint64) * pows[j]
-        # windows starting in doc i are valid iff start offset <= end-k
-        win_doc = np.searchsorted(starts, np.arange(nw), "right") - 1
-        valid = np.arange(nw) <= (starts + lens - k)[win_doc]
-        gm = g % m_np
-        gm_masked = np.where(valid, gm, m_np)  # M never wins a min
-        seg = starts[starts < nw]  # reduceat segment starts (per doc)
-        sig = np.empty((len(a_np), n_docs), dtype=np.uint64)
-        a_flat = a_np.ravel()
-        b_flat = b_np.ravel()
+
+        if gram_mode == "char":
+            # fixed-width windows: k accumulation passes
+            nw = len(raw) - (k - 1)  # windows incl. doc-crossing ones
+            gv = np.zeros(nw, dtype=np.uint64)
+            for j in range(k):
+                gv += raw[j : j + nw].astype(np.uint64) * pows[j]
+            gdoc = np.searchsorted(dstarts, np.arange(nw), "right") - 1
+            # windows starting in doc i are valid iff offset <= end-k
+            valid = np.arange(nw) <= (dstarts + lens - k)[gdoc]
+            seg = dstarts[dstarts < nw]  # reduceat segment starts (per doc)
+        else:
+            # word n-grams = variable-length substrings of the normalized
+            # text; segment hash via invertible-base prefix sums:
+            # poly(s..e) = (csum[e] - csum[s-1]) * base^-s  (mod 2^64)
+            n_bytes = len(raw)
+            powg = np.full(n_bytes, base, dtype=np.uint64)
+            powg[0] = 1
+            powg = powg.cumprod()
+            invpow = np.full(n_bytes, inv_base, dtype=np.uint64)
+            invpow[0] = 1
+            invpow = invpow.cumprod()
+            cs = np.cumsum(raw.astype(np.uint64) * powg, dtype=np.uint64)
+            sp = np.nonzero(raw == 32)[0]  # spaces never end a doc
+            ts = np.unique(np.concatenate((dstarts, sp + 1)))  # token starts
+            tdoc = np.searchsorted(dstarts, ts, "right") - 1
+            next_ts = np.concatenate((ts[1:], [n_bytes]))
+            same_doc = np.concatenate((tdoc[1:] == tdoc[:-1], [False]))
+            te = np.where(same_doc, next_ts - 2, (dstarts + lens)[tdoc] - 1)
+            tok_off = np.searchsorted(tdoc, np.arange(n_docs + 1))
+            m = tok_off[1:] - tok_off[:-1]  # tokens per doc
+            mg = np.maximum(m - (k - 1), 1)  # grams per doc (short doc → 1)
+            seg = np.concatenate(([0], np.cumsum(mg)))[:-1]
+            total = int(mg.sum())
+            gdoc = np.repeat(np.arange(n_docs), mg)
+            local = np.arange(total) - np.repeat(seg, mg)
+            t0 = np.repeat(tok_off[:-1], mg) + local
+            t1 = np.minimum(t0 + (k - 1), np.repeat(tok_off[1:], mg) - 1)
+            s = ts[t0]
+            e = te[t1]
+            seg_sum = cs[e] - np.where(
+                s > 0, cs[np.maximum(s - 1, 0)], np.uint64(0)
+            )
+            gv = seg_sum * invpow[s]
+            valid = np.ones(total, dtype=bool)
+
+        gm = gv % m_np
+        big_ = np.uint64(np.iinfo(np.int64).max)
+        sig = np.empty((len(a_flat), n_docs), dtype=np.uint64)
         for p in range(len(a_flat)):
-            hp = (a_flat[p] * gm_masked + b_flat[p]) % m_np
-            hp = np.where(valid, hp, np.uint64(np.iinfo(np.int64).max))
+            hp = (a_flat[p] * gm + b_flat[p]) % m_np
+            if not valid.all():
+                hp = np.where(valid, hp, big_)
             sig[p, : len(seg)] = np.minimum.reduceat(hp, seg)
         # distinct shingles per doc: one global stable sort + dedupe
         vi = np.nonzero(valid)[0]
-        vdoc = win_doc[vi]
-        vg = g[vi]
+        vdoc = gdoc[vi]
+        vg = gv[vi]
         order = np.lexsort((vg, vdoc))
         sd, sg = vdoc[order], vg[order]
         keep = np.ones(len(sd), dtype=bool)
@@ -278,8 +330,11 @@ def minhash_dedup(
     shingle_k: int = 5,
     seed: int = 42,
     output: str = "pairs",
+    gram: str = "char",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate detection with exact Jaccard verification.
+    ``gram='word'`` shingles on word ``shingle_k``-grams instead of char
+    k-grams (the engine behind :func:`ngram_jaccard_dedup`).
 
     ``output='pairs'`` → verified ``(id_a, id_b, jaccard)`` pairs ≥ threshold.
     ``output='kept'``  → rows whose id is not dominated by a smaller-id
@@ -291,7 +346,7 @@ def minhash_dedup(
     # consumers (band join + two shingle joins) — materialize once; the
     # cache is released when the returned DataFrame is garbage-collected
     # (repeated calls in one session must not accumulate cached signatures)
-    sigs = minhash_signature(df, text_col, num_perm, shingle_k, seed).persist()
+    sigs = minhash_signature(df, text_col, num_perm, shingle_k, seed, gram=gram).persist()
     cand = minhash_lsh_candidates(sigs, id_col, num_perm, bands)
     shingle_side = sigs.select(F.col(id_col), F.col("shingles"))
     verified = (
@@ -500,10 +555,22 @@ def ngram_jaccard_dedup(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 42,
+    method: str = "arrow",
 ) -> DataFrame:
-    """Word n-gram Jaccard near-dup pairs, LSH-accelerated: shingles are
-    xxhash64 of word n-grams instead of char k-grams; same band join +
-    exact verification.  Output: (id_a, id_b, jaccard)."""
+    """Word n-gram Jaccard near-dup pairs, LSH-accelerated: same band join +
+    exact verification as :func:`minhash_dedup`, shingling on word n-grams.
+    Output: (id_a, id_b, jaccard).
+
+    ``method='arrow'`` (default): the vectorized word-gram signature engine.
+    ``method='sql'``: all-JVM expression formulation (xxhash64 gram values —
+    set relations, and therefore jaccard values, agree between methods)."""
+    if method == "arrow":
+        return minhash_dedup(
+            df, text_col, id_col, threshold, num_perm, bands,
+            shingle_k=n, seed=seed, output="pairs", gram="word",
+        )
+    if method != "sql":
+        raise ValueError(f"method must be 'arrow' or 'sql', got {method!r}")
     # materialize the token array: expressions inside the transform lambda
     # are re-evaluated per n-gram
     with_toks = _ensure_parallelism(df).withColumn(
