@@ -32,6 +32,8 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     core regardless of cluster size (sf1 probe: the whole minhash signature
     pass sat in a single task).  No-op when the input is already as
     parallel as the cluster."""
+    if df.isStreaming:
+        return df  # micro-batch parallelism is the source's concern
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
     if df.rdd.getNumPartitions() < p:

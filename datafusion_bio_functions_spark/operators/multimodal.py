@@ -36,6 +36,8 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread a narrow input (e.g. one small parquet file partition) across
     the cluster before a decode/encode-heavy mapInPandas stage; no-op when
     already parallel."""
+    if df.isStreaming:
+        return df  # micro-batch parallelism is the source's concern
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
     if df.rdd.getNumPartitions() < p:

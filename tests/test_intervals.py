@@ -479,3 +479,32 @@ def test_interval_join_non_inner_binned_equals_sql(spark, reads, targets, how):
             reads, targets, how="left_anti"
         ).count()
         assert got.filter(F.col("right_contig").isNull()).count() == n_unmatched
+
+
+def test_nearest_radius_long_intervals_and_chunk_edges(spark):
+    """Chunked radius nearest with intervals far longer than the chunk
+    width, probes exactly on chunk boundaries, and a fixed radius — all
+    must match the exact cogroup path."""
+    lrows = [
+        ("chr1", 1, 500_000, "span"),       # spans many 20k chunks
+        ("chr1", 39_990, 40_010, "edge"),   # straddles a boundary
+        ("chr1", 120_000, 120_050, "mid"),
+        ("chr2", 5, 10, "tiny"),
+    ]
+    rrows = [
+        ("chr1", 40_000, 40_000),   # exactly on a chunk boundary
+        ("chr1", 600_000, 600_100), # beyond every left end
+        ("chr1", 119_999, 120_001),
+        ("chr2", 100_000, 100_010), # far from the tiny left interval
+    ]
+    l = spark.createDataFrame(lrows, "contig string, pos_start long, pos_end long, name string")
+    r = spark.createDataFrame(rrows, "contig string, pos_start long, pos_end long")
+
+    def canon(df):
+        return sorted(map(repr, df.collect()))
+
+    for k in (1, 2):
+        want = canon(bio.nearest(l, r, k=k, algorithm="cogroup"))
+        for rad in (None, 1000, 10_000_000):
+            got = canon(bio.nearest(l, r, k=k, algorithm="radius", radius=rad))
+            assert got == want, (k, rad)
