@@ -116,17 +116,33 @@ def _overlap_len(ls: str, le: str, rs: str, re_: str, filter_op: str) -> Column:
 # ---------------------------------------------------------------------------
 
 
+_BIN_WIDTH_MEMO: dict[tuple, int] = {}
+
+
 def _auto_bin_width(l: DataFrame, ls: str, le: str, r: DataFrame, rs: str, re_: str) -> int:
     """Derive the genome-bin width from a bounded interval-width sample:
     next power of two >= 2 * p95(width), clamped to [128, 2^20].  The
-    ``limit`` keeps the stats job O(100k rows) regardless of table size."""
+    ``limit`` keeps the stats job O(100k rows) regardless of table size;
+    the per-session memo (semantic plan hash) keeps repeated joins over
+    the same frames from re-running the stats job."""
+    try:
+        key = (l.semanticHash(), ls, le, r.semanticHash(), rs, re_)
+        if key in _BIN_WIDTH_MEMO:
+            return _BIN_WIDTH_MEMO[key]
+    except Exception:  # semanticHash unavailable (e.g. connect-mode frame)
+        key = None
     samp = (
         l.select((F.col(le) - F.col(ls)).alias("w")).limit(100_000)
         .unionByName(r.select((F.col(re_) - F.col(rs)).alias("w")).limit(100_000))
     )
     row = samp.agg(F.expr("percentile_approx(w, 0.95)").alias("p")).collect()[0]
     p95 = int(row["p"] or 0)
-    return max(128, min(1 << max(2 * p95 - 1, 1).bit_length(), 1 << 20))
+    bw = max(128, min(1 << max(2 * p95 - 1, 1).bit_length(), 1 << 20))
+    if key is not None:
+        if len(_BIN_WIDTH_MEMO) > 1024:  # bound driver-side growth
+            _BIN_WIDTH_MEMO.clear()
+        _BIN_WIDTH_MEMO[key] = bw
+    return bw
 
 
 def interval_join(
