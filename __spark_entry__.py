@@ -42,6 +42,7 @@ from datafusion_bio_functions_spark.operators.vep import (
     annotate_vep,
     consequence_regions,
     lookup_variants,
+    miss_worklist,
     regulatory_features,
 )
 from datafusion_bio_functions_spark.plans import oracle as osql
@@ -476,6 +477,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["regulatory_features"] = lambda spark, sf: regulatory_features(
         _vcf(spark, sf), _regulatory(spark, sf)
     )
+    # V10 miss worklist: cache-miss variants coalesced into context-load
+    # intervals (gap/cap shrunk so both the keep and collapse branches are
+    # exercised on this coordinate space)
+    q["miss_worklist"] = lambda spark, sf: miss_worklist(
+        lookup_variants(_vcf(spark, sf), _var_cache(spark, sf)),
+        coalesce_gap=50,
+        max_intervals=40,
+    ).select(
+        "chrom", "start", "end", F.col("n_variants").cast("long").alias("n_variants")
+    )
     # non-SQL-expressible (hash-internal) op: rows-only check by the driver
     # r=8 banding: S-curve cutoff (1/8)^(1/8) ≈ 0.77 for the 0.9 threshold
     q["minhash_pairs"] = lambda spark, sf: minhash_dedup(
@@ -856,9 +867,37 @@ FROM v LEFT JOIN b
 """
 
 
+MISS_WORKLIST_ORACLE_TMPL = """
+WITH v AS ({vcf}), cch AS ({cache}),
+miss AS (
+  SELECT v.chrom AS contig, v.start AS pos_start, v."end" AS pos_end
+  FROM v LEFT JOIN cch
+    ON v.chrom = cch.chrom AND v.start = cch.start AND v."end" = cch."end"
+   AND cch.allele_string = concat(v.ref, '/', v.alt)
+  WHERE cch.variation_name IS NULL
+),
+merged AS ({merge}),
+cnt AS (
+  SELECT contig, count(*) AS n, min(pos_start) AS lo, max(pos_end) AS hi,
+         sum(n_intervals) AS nv
+  FROM merged GROUP BY contig
+)
+SELECT m.contig AS chrom, m.pos_start AS start, m.pos_end AS "end",
+       CAST(m.n_intervals AS BIGINT) AS n_variants
+FROM merged m JOIN cnt ON m.contig = cnt.contig WHERE cnt.n <= {cap}
+UNION ALL
+SELECT contig AS chrom, lo AS start, hi AS "end", CAST(nv AS BIGINT) AS n_variants
+FROM cnt WHERE n > {cap}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o["media_meta"] = MEDIA_META_ORACLE
+    o["miss_worklist"] = MISS_WORKLIST_ORACLE_TMPL.format(
+        vcf=VCF_SQL, cache=VAR_CACHE_SQL, cap=40,
+        merge=osql.merge_sql("SELECT * FROM miss", min_dist=50),
+    )
     o["media_features"] = MEDIA_FEATURES_ORACLE
     o["annotate_vep_typed"] = ANNOTATE_VEP_TYPED_ORACLE_TMPL.format(
         vcf=VCF_SQL, tx=TRANSCRIPTS_SQL
