@@ -120,6 +120,13 @@ REGULATORY_SQL = (
     "CASE WHEN r_regionkey % 2 = 0 THEN 'promoter' ELSE 'TF_binding_site' END AS feature_type "
     "FROM region"
 )
+INDELS_SQL = (
+    "SELECT CAST(s_suppkey AS BIGINT) AS vid, "
+    "CAST((s_suppkey * 97) % 5000 + 1 AS BIGINT) AS pos, "
+    "substr('ACGTACGTAC', CAST(s_suppkey % 4 + 1 AS INT), CAST(s_suppkey % 5 + 1 AS INT)) AS ref, "
+    "substr('GTCAGTCAGT', CAST((s_suppkey + 2) % 4 + 1 AS INT), CAST((s_suppkey + 1) % 4 + 1 AS INT)) AS alt "
+    "FROM supplier"
+)
 DOCS_DUP_SQL = (
     "SELECT doc_id, text FROM documents UNION ALL "
     "SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0"
@@ -265,6 +272,19 @@ def _regulatory(spark, sf_dir):
         F.when(F.col("r_regionkey") % 2 == 0, "promoter")
         .otherwise("TF_binding_site")
         .alias("feature_type"),
+    )
+
+
+def _indels(spark, sf_dir):
+    """Indel-rich variant view: ref/alt lengths 1-5/1-4 derived from keys,
+    so shared prefixes/suffixes (the VEP normalization cases) occur
+    naturally; substr semantics agree between Spark and DuckDB."""
+    sup = _read(spark, sf_dir, "supplier")
+    return sup.select(
+        F.col("s_suppkey").cast("long").alias("vid"),
+        ((F.col("s_suppkey") * 97) % 5000 + 1).cast("long").alias("pos"),
+        F.expr("substr('ACGTACGTAC', int(s_suppkey % 4 + 1), int(s_suppkey % 5 + 1))").alias("ref"),
+        F.expr("substr('GTCAGTCAGT', int((s_suppkey + 2) % 4 + 1), int((s_suppkey + 1) % 4 + 1))").alias("alt"),
     )
 
 
@@ -477,6 +497,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["regulatory_features"] = lambda spark, sf: regulatory_features(
         _vcf(spark, sf), _regulatory(spark, sf)
     )
+    # V5/V7/V8/V9 allele normalization surface on an indel-rich view:
+    # VEP-normalized coordinates (prefix/suffix trim rules) + the VEP
+    # allele string, value-checked by a SQL re-derivation of the trim rules
+    def _vep_norm_q(spark, sf):
+        from datafusion_bio_functions_spark.functions.alleles import (
+            vep_allele_udf,
+            vep_norm_end_udf,
+            vep_norm_start_udf,
+        )
+
+        v = _indels(spark, sf)
+        return v.select(
+            "vid", "pos", "ref", "alt",
+            vep_norm_start_udf(F.col("pos"), F.col("ref"), F.col("alt")).alias("norm_start"),
+            vep_norm_end_udf(F.col("pos"), F.col("ref"), F.col("alt")).alias("norm_end"),
+            vep_allele_udf(F.col("ref"), F.col("alt")).alias("vep_allele"),
+        )
+
+    q["vep_norm"] = _vep_norm_q
     # V10 miss worklist: cache-miss variants coalesced into context-load
     # intervals (gap/cap shrunk so both the keep and collapse branches are
     # exercised on this coordinate space)
@@ -891,9 +930,50 @@ FROM cnt WHERE n > {cap}
 """
 
 
+#: SQL re-derivation of the VEP prefix/suffix trim rules
+#: (allele.rs:700-768): SNVs untouched; common prefix always trimmed;
+#: suffix trimmed only when lengths differ, bounded by the remainders.
+VEP_NORM_ORACLE_TMPL = """
+WITH v AS ({indels}),
+t AS (
+  SELECT vid, pos, ref, alt,
+    CASE WHEN length(ref) = 1 AND length(alt) = 1 THEN 0
+      ELSE coalesce(
+        (SELECT min(i) - 1 FROM generate_series(1, 16) g(i)
+          WHERE i <= least(length(ref), length(alt))
+            AND substr(ref, CAST(i AS INT), 1) <> substr(alt, CAST(i AS INT), 1)),
+        least(length(ref), length(alt))) END AS p
+  FROM v
+),
+t2 AS (
+  SELECT *, CASE WHEN length(ref) = 1 AND length(alt) = 1 THEN 0
+    WHEN length(ref) = length(alt) THEN 0
+    ELSE coalesce(
+      (SELECT min(i) - 1 FROM generate_series(1, 16) g(i)
+        WHERE i <= least(length(ref) - p, length(alt) - p)
+          AND substr(ref, CAST(length(ref) - i + 1 AS INT), 1)
+           <> substr(alt, CAST(length(alt) - i + 1 AS INT), 1)),
+      least(length(ref) - p, length(alt) - p)) END AS s
+  FROM t
+)
+SELECT vid, pos, ref, alt,
+  CAST(pos + p AS BIGINT) AS norm_start,
+  CAST(pos + length(ref) - 1 - s AS BIGINT) AS norm_end,
+  concat(
+    CASE WHEN substr(ref, CAST(p + 1 AS INT), CAST(length(ref) - p - s AS INT)) = ''
+         THEN '-' ELSE substr(ref, CAST(p + 1 AS INT), CAST(length(ref) - p - s AS INT)) END,
+    '/',
+    CASE WHEN substr(alt, CAST(p + 1 AS INT), CAST(length(alt) - p - s AS INT)) = ''
+         THEN '-' ELSE substr(alt, CAST(p + 1 AS INT), CAST(length(alt) - p - s AS INT)) END
+  ) AS vep_allele
+FROM t2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o["media_meta"] = MEDIA_META_ORACLE
+    o["vep_norm"] = VEP_NORM_ORACLE_TMPL.format(indels=INDELS_SQL)
     o["miss_worklist"] = MISS_WORKLIST_ORACLE_TMPL.format(
         vcf=VCF_SQL, cache=VAR_CACHE_SQL, cap=40,
         merge=osql.merge_sql("SELECT * FROM miss", min_dist=50),
