@@ -574,12 +574,32 @@ def _with_island(
     return df.withColumn("__island", island)
 
 
+def _resolve_sweep_algorithm(df: DataFrame, algorithm: str) -> str:
+    """``auto`` resolves the merge/cluster sweep strategy from the
+    ``spark.bio.sweep.algorithm`` session conf (window | chunked), default
+    ``window`` — mirror of the reference's session-level algorithm
+    selection.  ``chunked`` is the 100 TB setting: the per-contig window
+    sort becomes a chunk-parallel two-phase sweep."""
+    if algorithm != "auto":
+        return algorithm
+    from ..session import SWEEP_ALGORITHM_KEY
+
+    configured = df.sparkSession.conf.get(SWEEP_ALGORITHM_KEY, None)
+    if configured and configured != "auto":
+        if configured not in ("window", "chunked"):
+            raise ValueError(
+                f"{SWEEP_ALGORITHM_KEY} must be auto|window|chunked, got {configured!r}"
+            )
+        return configured
+    return "window"
+
+
 def merge(
     df: DataFrame,
     min_dist: int = 0,
     cols: Sequence[str] | None = None,
     filter_op: str = "weak",
-    algorithm: str = "window",
+    algorithm: str = "auto",
     chunk_width: int = 10_000_000,
 ) -> DataFrame:
     """Merge overlapping (and within ``min_dist``) intervals per contig.
@@ -604,6 +624,7 @@ def merge(
     """
     _check_filter_op(filter_op)
     df, (c, s, e) = _normalize(df, cols)
+    algorithm = _resolve_sweep_algorithm(df, algorithm)
     if algorithm == "window":
         isl = _with_island(df.select(c, s, e), c, s, e, min_dist, filter_op)
         return (
@@ -710,7 +731,7 @@ def cluster(
     min_dist: int = 0,
     cols: Sequence[str] | None = None,
     filter_op: str = "weak",
-    algorithm: str = "window",
+    algorithm: str = "auto",
     chunk_width: int = 10_000_000,
 ) -> DataFrame:
     """Like merge but annotates every input row (all columns preserved) with
@@ -732,6 +753,7 @@ def cluster(
     """
     _check_filter_op(filter_op)
     df, (c, s, e) = _normalize(df, cols)
+    algorithm = _resolve_sweep_algorithm(df, algorithm)
 
     if algorithm == "chunked":
         extents = merge(

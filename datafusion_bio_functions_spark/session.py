@@ -29,6 +29,8 @@ INTERVAL_JOIN_BIN_WIDTH_KEY = "spark.bio.intervalJoin.binWidth"
 NEAREST_ALGORITHM_KEY = "spark.bio.nearest.algorithm"
 #: Search radius for the ``radius`` nearest strategy.
 NEAREST_RADIUS_KEY = "spark.bio.nearest.radius"
+#: merge/cluster sweep strategy for ``algorithm='auto'``: window | chunked.
+SWEEP_ALGORITHM_KEY = "spark.bio.sweep.algorithm"
 
 
 def default_parallelism() -> int:

@@ -508,3 +508,22 @@ def test_nearest_radius_long_intervals_and_chunk_edges(spark):
         for rad in (None, 1000, 10_000_000):
             got = canon(bio.nearest(l, r, k=k, algorithm="radius", radius=rad))
             assert got == want, (k, rad)
+
+
+def test_sweep_session_config(spark, merge_input):
+    """`spark.bio.sweep.algorithm` flips merge/cluster 'auto' to the
+    chunked 100 TB path; results are identical; bad values raise."""
+    def canon(df):
+        return sorted(map(repr, df.collect()))
+
+    want_m = canon(bio.merge(merge_input))
+    want_c = canon(bio.cluster(merge_input))
+    try:
+        spark.conf.set("spark.bio.sweep.algorithm", "chunked")
+        assert canon(bio.merge(merge_input)) == want_m
+        assert canon(bio.cluster(merge_input)) == want_c
+        spark.conf.set("spark.bio.sweep.algorithm", "quantum")
+        with pytest.raises(ValueError, match="sweep"):
+            bio.merge(merge_input)
+    finally:
+        spark.conf.unset("spark.bio.sweep.algorithm")
