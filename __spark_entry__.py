@@ -763,7 +763,15 @@ pair AS (
             OR (t.strand <  0 AND l.start - t.start BETWEEN 251 AND 252) THEN 2
           WHEN (t.strand >= 0 AND l.start - t.start BETWEEN 251 AND 252)
             OR (t.strand <  0 AND l.start - t.start BETWEEN 348 AND 349) THEN 3
+          WHEN t.biotype = 'protein_coding'
+           AND ((t.strand >= 0 AND l.start - t.start BETWEEN 498 AND 500)
+             OR (t.strand <  0 AND l.start - t.start BETWEEN 100 AND 102)) THEN 6
+          WHEN t.biotype = 'protein_coding'
+           AND ((t.strand >= 0 AND l.start - t.start BETWEEN 100 AND 102)
+             OR (t.strand <  0 AND l.start - t.start BETWEEN 498 AND 500)) THEN 7
           WHEN l.start - t.start = CASE WHEN t.strand >= 0 THEN 255 ELSE 345 END THEN 15
+          WHEN (t.strand >= 0 AND l.start - t.start BETWEEN 253 AND 256)
+            OR (t.strand <  0 AND l.start - t.start BETWEEN 344 AND 347) THEN 17
           WHEN l.start - t.start BETWEEN 253 AND 258
             OR l.start - t.start BETWEEN 342 AND 347
             OR l.start - t.start BETWEEN 248 AND 250
@@ -801,8 +809,11 @@ SELECT l.chrom, l.start, l."end", l.ref, l.alt, l.variation_name, l.clin_sig,
        CASE b.mr
          WHEN 2 THEN 'splice_acceptor_variant'
          WHEN 3 THEN 'splice_donor_variant'
+         WHEN 6 THEN 'stop_lost'
+         WHEN 7 THEN 'start_lost'
          WHEN 15 THEN 'splice_donor_5th_base_variant'
          WHEN 16 THEN 'splice_region_variant'
+         WHEN 17 THEN 'splice_donor_region_variant'
          WHEN 18 THEN 'splice_polypyrimidine_tract_variant'
          WHEN 23 THEN 'coding_sequence_variant'
          WHEN 25 THEN '5_prime_UTR_variant'
@@ -812,8 +823,8 @@ SELECT l.chrom, l.start, l."end", l.ref, l.alt, l.variation_name, l.clin_sig,
          WHEN 32 THEN 'upstream_gene_variant'
          WHEN 33 THEN 'downstream_gene_variant'
          ELSE 'intergenic_variant' END AS most_severe_consequence,
-       CASE WHEN b.mr IN (2, 3) THEN 'HIGH'
-            WHEN b.mr IN (15, 16, 18) THEN 'LOW'
+       CASE WHEN b.mr IN (2, 3, 6, 7) THEN 'HIGH'
+            WHEN b.mr IN (15, 16, 17, 18) THEN 'LOW'
             ELSE 'MODIFIER' END AS impact
 FROM look l LEFT JOIN best b
   ON l.chrom = b.chrom AND l.start = b.start AND l."end" = b."end"
@@ -837,7 +848,15 @@ pair AS (
             OR (t.strand <  0 AND v.start - t.start BETWEEN 251 AND 252) THEN 2
           WHEN (t.strand >= 0 AND v.start - t.start BETWEEN 251 AND 252)
             OR (t.strand <  0 AND v.start - t.start BETWEEN 348 AND 349) THEN 3
+          WHEN t.biotype = 'protein_coding'
+           AND ((t.strand >= 0 AND v.start - t.start BETWEEN 498 AND 500)
+             OR (t.strand <  0 AND v.start - t.start BETWEEN 100 AND 102)) THEN 6
+          WHEN t.biotype = 'protein_coding'
+           AND ((t.strand >= 0 AND v.start - t.start BETWEEN 100 AND 102)
+             OR (t.strand <  0 AND v.start - t.start BETWEEN 498 AND 500)) THEN 7
           WHEN v.start - t.start = CASE WHEN t.strand >= 0 THEN 255 ELSE 345 END THEN 15
+          WHEN (t.strand >= 0 AND v.start - t.start BETWEEN 253 AND 256)
+            OR (t.strand <  0 AND v.start - t.start BETWEEN 344 AND 347) THEN 17
           WHEN v.start - t.start BETWEEN 253 AND 258
             OR v.start - t.start BETWEEN 342 AND 347
             OR v.start - t.start BETWEEN 248 AND 250

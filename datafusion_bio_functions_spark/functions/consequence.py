@@ -148,8 +148,11 @@ class Transcript:
 
     ``exons``: genomic (start, end) pairs, any order.  ``cds_start``/
     ``cds_end``: genomic bounds of the coding region (None → non-coding).
-    ``cds_sequence``: spliced coding sequence 5'→3' (transcript orientation);
-    when absent, coding effects degrade to ``coding_sequence_variant``.
+    ``cds_sequence``: spliced coding sequence 5'→3' (transcript orientation,
+    may carry leading ``N`` phase padding like Ensembl's translateable seq);
+    when absent, coding effects degrade to ``coding_sequence_variant`` plus
+    the positional start/stop heuristics.  ``mature_mirna_regions``: genomic
+    spans of mature miRNA products on a ``miRNA`` transcript.
     """
 
     transcript_id: str
@@ -165,6 +168,8 @@ class Transcript:
     cds_end: int | None = None
     cds_sequence: str | None = None
     is_canonical: bool = False
+    mature_mirna_regions: list[tuple[int, int]] = field(default_factory=list)
+    cds_start_nf: bool = False  # annotated "CDS 5' incomplete"
 
     def sorted_exons(self) -> list[tuple[int, int]]:
         return sorted(self.exons) if self.exons else [(self.start, self.end)]
@@ -199,127 +204,509 @@ def _genomic_to_cds_offset(t: Transcript, pos: int) -> int | None:
 
 
 # ---------------------------------------------------------------------------
-# consequence classification
+# consequence classification — exact re-expression of the reference engine's
+# evaluation (transcript_consequence.rs:801-1360 evaluate_transcript_overlap /
+# upstream_downstream_term / add_intron_splice_terms / add_coding_terms /
+# strip_parent_terms), which itself replays Ensembl VEP release/115 predicate
+# semantics (URLs cited in the reference)
 # ---------------------------------------------------------------------------
 
+#: biotypes VEP treats as *coding* (everything else is a non-coding
+#: transcript; reference is_non_coding_biotype, transcript_consequence.rs:3020)
+_CODING_BIOTYPES = {
+    "protein_coding", "nonsense_mediated_decay", "non_stop_decay",
+    "protein_coding_LoF", "IG_C_gene", "IG_D_gene", "IG_J_gene", "IG_V_gene",
+    "TR_C_gene", "TR_D_gene", "TR_J_gene", "TR_V_gene",
+    "polymorphic_pseudogene",
+}
 
-def _splice_terms(t: Transcript, lo: int, hi: int) -> tuple[list[str], bool]:
-    """Splice-site terms for variant span [lo, hi]; returns (terms,
-    is_intronic_only).  Windows follow published VEP definitions."""
-    exons = t.sorted_exons()
-    terms: list[str] = []
-    in_exon = any(not (hi < es or lo > ee) for es, ee in exons)
 
+def is_non_coding_biotype(biotype: str) -> bool:
+    return biotype not in _CODING_BIOTYPES
+
+
+def _overlaps(a_s: int, a_e: int, b_s: int, b_e: int) -> bool:
+    return a_s <= b_e and b_s <= a_e
+
+
+def _is_start_codon(allele: str) -> bool:
+    return allele.upper() == "ATG"
+
+
+def _is_stop_codon(allele: str) -> bool:
+    return allele.upper() in ("TAA", "TAG", "TGA", "*")
+
+
+def normalize_variant(pos: int, ref: str, alt: str) -> tuple[int, int, str, str, bool]:
+    """VCF → VEP variant normalization (reference ``VariantInput::from_vcf``,
+    transcript_consequence.rs:30-110): trim the shared prefix, and — for
+    length-changing alleles only — the shared suffix.  Returns
+    ``(start, end, ref, alt, is_insertion)`` with empty-string alleles for
+    pure ins/del; a pure insertion reports ``start == end`` = the first
+    position after the anchor base (the insertion point ``P``)."""
+    ref = "" if ref in ("-", None) else str(ref)
+    alt = "" if alt in ("-", None) else str(alt)
+    prefix = 0
+    for x, y in zip(ref, alt):
+        if x != y:
+            break
+        prefix += 1
+    # identical alleles, or same-length substitution with no shared prefix:
+    # VEP leaves the variant untouched
+    if (prefix == len(ref) and prefix == len(alt)) or (
+        prefix == 0 and len(ref) == len(alt)
+    ):
+        return pos, pos + max(len(ref) - 1, 0), ref, alt, len(ref) == 0
+    r, a = ref[prefix:], alt[prefix:]
+    suffix = 0
+    if len(r) != len(a):
+        m = min(len(r), len(a))
+        while suffix < m and r[len(r) - 1 - suffix] == a[len(a) - 1 - suffix]:
+            suffix += 1
+    if suffix:
+        r, a = r[: len(r) - suffix], a[: len(a) - suffix]
+    vs = pos + prefix
+    ve = vs if not r else vs + len(r) - 1
+    return vs, ve, r, a, not r
+
+
+def _introns(exons: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    out = []
     for i in range(len(exons) - 1):
-        ie_s, ie_e = exons[i][1] + 1, exons[i + 1][0] - 1  # intron span
-        if ie_s > ie_e or hi < ie_s or lo > ie_e:
+        s, e = exons[i][1] + 1, exons[i + 1][0] - 1
+        if s <= e:
+            out.append((s, e))
+    return out
+
+
+def _feature_overlaps(is_ins: bool, vs: int, ve: int, fs: int, fe: int) -> bool:
+    """VEP within_feature semantics: an insertion requires both flanks inside
+    the feature (reference feature_overlaps, transcript_consequence.rs:2997)."""
+    if is_ins:
+        return vs > fs and vs <= fe
+    return _overlaps(vs, ve, fs, fe)
+
+
+def _variant_overlaps_intron(
+    exons: list[tuple[int, int]], vs: int, ve: int, is_ins: bool
+) -> bool:
+    """Intron-body hit for the ``intron_variant`` term: excludes frameshift
+    introns (≤13 bp) and the 2 bp splice sites at either end (reference
+    variant_hits_intron_body, transcript_consequence.rs:8123)."""
+    for is_, ie in _introns(exons):
+        if ie - is_ <= 12:
             continue
-        # orientation: donor side = 5' end of the intron in transcript sense
-        if t.strand >= 0:
-            donor = (ie_s, min(ie_s + 1, ie_e))
-            donor5 = ie_s + 4
-            acceptor = (max(ie_e - 1, ie_s), ie_e)
-            donor_region = (ie_s + 2, min(ie_s + 7, ie_e))
-            ppt = (max(ie_e - 16, ie_s), ie_e - 2)
+        inner_s, inner_e = is_ + 2, ie - 2
+        if inner_s > inner_e:
+            continue
+        if is_ins:
+            if inner_s <= vs <= inner_e + 1:
+                return True
+        elif _overlaps(vs, ve, inner_s, inner_e):
+            return True
+    return False
+
+
+def _in_frameshift_intron(exons: list[tuple[int, int]], vs: int, ve: int) -> bool:
+    return any(
+        ie - is_ <= 12 and _overlaps(vs, ve, is_, ie) for is_, ie in _introns(exons)
+    )
+
+
+def _is_complex_indel(vs: int, ve: int, exons: list[tuple[int, int]]) -> bool:
+    """Deletion extending beyond an exon into a non-frameshift intron: VEP
+    cannot map it through the CDS — ``coding_sequence_variant`` only
+    (reference is_complex_indel, transcript_consequence.rs:1849)."""
+    introns = _introns(exons)
+    for es, ee in exons:
+        if not _overlaps(vs, ve, es, ee):
+            continue
+        if vs < es or ve > ee:
+            for is_, ie in introns:
+                if (ie == es - 1 or is_ == ee + 1) and _overlaps(vs, ve, is_, ie):
+                    if ie - is_ > 12:
+                        return True
+    return False
+
+
+def _coding_segments(t: Transcript) -> list[tuple[int, int]]:
+    if t.cds_start is None or t.cds_end is None:
+        return []
+    segs = []
+    for es, ee in t.sorted_exons():
+        s, e = max(es, t.cds_start), min(ee, t.cds_end)
+        if s <= e:
+            segs.append((s, e))
+    return segs
+
+
+def _add_intron_splice_terms(
+    terms: set, t: Transcript, vs: int, ve: int, is_ins: bool
+) -> None:
+    """Splice-site terms with VEP's exact boundary windows (reference
+    add_intron_splice_terms + add_splice_for_intron_{positive,negative},
+    transcript_consequence.rs:2578-2980):
+
+    * donor = first 2 intronic bases (transcript 5' end of the intron),
+      acceptor = last 2; donor 5th base; donor region = intronic 3-6;
+      splice_region = intronic 3-8 both sides + the first/last 3 exonic
+      bases; polypyrimidine tract = intronic 3-17 of the acceptor side,
+      intronic variants only.
+    * frameshift introns (≤13 bp): skipped when the variant overlaps the
+      intron body.
+    * insertions use the point rules derived from VEP's inverted
+      (start, start-1) overlap algebra.
+    """
+    exons = t.sorted_exons()
+    if len(exons) < 2:
+        return
+    svmin, svmax = (vs, ve) if vs <= ve else (ve, vs)
+    introns = _introns(exons)
+    has_fs_intron = any(ie - is_ <= 12 for is_, ie in introns)
+    stretch = 12 if has_fs_intron else 0
+    allow_ppt = any(_overlaps(svmin, svmax, is_, ie) for is_, ie in introns) and not any(
+        _overlaps(svmin, svmax, es - stretch, ee + stretch) for es, ee in exons
+    )
+
+    for is_, ie in introns:
+        fs_intron = ie - is_ <= 12
+        if is_ins:
+            in_body = is_ < vs <= ie
         else:
-            donor = (max(ie_e - 1, ie_s), ie_e)
-            donor5 = ie_e - 4
-            acceptor = (ie_s, min(ie_s + 1, ie_e))
-            donor_region = (max(ie_e - 7, ie_s), ie_e - 2)
-            ppt = (ie_s + 2, min(ie_s + 16, ie_e))
-        if not (hi < donor[0] or lo > donor[1]):
-            terms.append("splice_donor_variant")
-        if not (hi < acceptor[0] or lo > acceptor[1]):
-            terms.append("splice_acceptor_variant")
-        if lo <= donor5 <= hi and "splice_donor_variant" not in terms:
-            terms.append("splice_donor_5th_base_variant")
-        if not (hi < donor_region[0] or lo > donor_region[1]):
-            terms.append("splice_donor_region_variant")
-        if ppt[0] <= ppt[1] and not (hi < ppt[0] or lo > ppt[1]):
-            terms.append("splice_polypyrimidine_tract_variant")
-        # generic splice_region: 3-8 intronic either side
-        for ws, we in (
-            (ie_s + 2, min(ie_s + 7, ie_e)),
-            (max(ie_e - 7, ie_s), ie_e - 2),
+            in_body = _overlaps(svmin, svmax, is_, ie)
+        if fs_intron and in_body:
+            continue
+        bmin, bmax = min(is_ - 4, ie - 8), max(ie + 3, is_ + 7)
+        if not _overlaps(svmin, svmax, bmin, bmax):
+            continue
+
+        if is_ins:
+            p = vs
+            if t.strand >= 0:
+                if p == is_ + 1:
+                    terms.add("splice_donor_variant")
+                if is_ + 3 <= p <= is_ + 5:
+                    terms.add("splice_donor_region_variant")
+                if p == ie:
+                    terms.add("splice_acceptor_variant")
+                if ie - 16 <= p <= ie - 1:
+                    terms.add("splice_polypyrimidine_tract_variant")
+            else:
+                if p == ie:
+                    terms.add("splice_donor_variant")
+                if ie - 4 <= p <= ie - 2:
+                    terms.add("splice_donor_region_variant")
+                if p == is_ + 1:
+                    terms.add("splice_acceptor_variant")
+                if is_ + 2 <= p <= is_ + 17:
+                    terms.add("splice_polypyrimidine_tract_variant")
+            if (
+                is_ + 3 <= p <= is_ + 7
+                or ie - 6 <= p <= ie - 2
+                or is_ - 2 <= p <= is_ - 1
+                or ie + 2 <= p <= ie + 3
+                or p in (is_, ie + 1, is_ + 2, ie - 1)
+            ):
+                terms.add("splice_region_variant")
+            continue
+
+        def hit(ws: int, we: int) -> bool:
+            return _overlaps(svmin, svmax, ws, we)
+
+        if t.strand >= 0:
+            if hit(is_, is_ + 1):
+                terms.add("splice_donor_variant")
+            if hit(is_ + 4, is_ + 4):
+                terms.add("splice_donor_5th_base_variant")
+            if hit(is_ + 2, is_ + 5):
+                terms.add("splice_donor_region_variant")
+            if hit(ie - 1, ie):
+                terms.add("splice_acceptor_variant")
+            if svmin >= is_ and svmax <= ie and hit(ie - 16, ie - 2):
+                terms.add("splice_polypyrimidine_tract_variant")
+        else:
+            if hit(ie - 1, ie):
+                terms.add("splice_donor_variant")
+            if hit(ie - 4, ie - 4):
+                terms.add("splice_donor_5th_base_variant")
+            if hit(ie - 5, ie - 2):
+                terms.add("splice_donor_region_variant")
+            if hit(is_, is_ + 1):
+                terms.add("splice_acceptor_variant")
+            if svmin >= is_ and svmax <= ie and hit(is_ + 2, is_ + 16):
+                terms.add("splice_polypyrimidine_tract_variant")
+        # splice_region (strand-independent): intronic 3-8 both sides +
+        # first/last 3 exonic bases
+        if (
+            hit(is_ + 2, is_ + 7)
+            or hit(ie - 7, ie - 2)
+            or hit(is_ - 3, is_ - 1)
+            or hit(ie + 1, ie + 3)
         ):
-            if ws <= we and not (hi < ws or lo > we):
-                if "splice_region_variant" not in terms:
-                    terms.append("splice_region_variant")
+            terms.add("splice_region_variant")
 
-    # exonic splice region: first/last 3 bases of an internal exon edge
-    for i, (es, ee) in enumerate(exons):
-        if i > 0 and not (hi < es or lo > es + 2):  # exon start edge (has upstream intron)
-            if "splice_region_variant" not in terms:
-                terms.append("splice_region_variant")
-        if i < len(exons) - 1 and not (hi < ee - 2 or lo > ee):
-            if "splice_region_variant" not in terms:
-                terms.append("splice_region_variant")
-    return terms, not in_exon
+    if not allow_ppt:
+        terms.discard("splice_polypyrimidine_tract_variant")
 
 
-def _coding_terms(t: Transcript, pos: int, ref: str, alt: str) -> list[str]:
-    """Codon-level terms for a variant fully inside the CDS."""
-    ref, alt = ref.upper(), alt.upper()
-    if ref == "-":
-        ref = ""
-    if alt == "-":
-        alt = ""
-    dlen = len(alt) - len(ref)
+def _upstream_downstream_term(
+    t: Transcript, vs: int, ve: int, is_ins: bool, up: int, down: int
+) -> tuple[str | None, int | None]:
+    """Up/downstream term + DISTANCE for a variant outside the transcript
+    (reference upstream_downstream_term, transcript_consequence.rs:2395).
+    Insertions evaluate against their left coordinate (``P-1``), keeping an
+    insertion at exactly start-(up+1) outside the window."""
+    check_start = vs - 1 if is_ins else vs
+    before_end = vs - 1 if is_ins else ve
+    if t.strand >= 0:
+        if t.start - up <= before_end < t.start:
+            return "upstream_gene_variant", max(t.start - ve, 0)
+        if _overlaps(check_start, ve, t.end + 1, t.end + down):
+            return "downstream_gene_variant", max(check_start - t.end, 0)
+    else:
+        if _overlaps(check_start, ve, t.end + 1, t.end + up):
+            return "upstream_gene_variant", max(check_start - t.end, 0)
+        if t.start - down <= before_end < t.start:
+            return "downstream_gene_variant", max(t.start - ve, 0)
+    return None, None
 
-    if t.cds_sequence is None:
-        if dlen == 0:
-            return ["coding_sequence_variant"]
-        return ["frameshift_variant"] if dlen % 3 else (
-            ["inframe_insertion"] if dlen > 0 else ["inframe_deletion"]
-        )
 
+def _utr_term(t: Transcript, vs: int, ve: int, is_ins: bool) -> str | None:
+    """5'/3' UTR term for an exonic variant outside the CDS (reference
+    utr_term, transcript_consequence.rs:2345-2392)."""
+    cs, ce = t.cds_start, t.cds_end
+    if cs is None or ce is None:
+        return None
+    if t.strand >= 0:
+        if (is_ins and vs <= cs) or (not is_ins and ve < cs):
+            return "5_prime_UTR_variant"
+        if (is_ins and vs >= ce) or (not is_ins and vs > ce):
+            return "3_prime_UTR_variant"
+    else:
+        if (is_ins and vs <= cs) or (not is_ins and ve < cs):
+            return "3_prime_UTR_variant"
+        if (is_ins and vs >= ce) or (not is_ins and vs > ce):
+            return "5_prime_UTR_variant"
+    return None
+
+
+def _utr_boundary_insertion_term(
+    t: Transcript, vs: int, exons: list[tuple[int, int]]
+) -> str | None:
+    """VEP _before_coding/_after_coding: an insertion at an exon boundary on
+    the UTR side of the CDS gets a UTR term even though it does not overlap
+    the exon (reference utr_boundary_insertion_term)."""
+    cs, ce = t.cds_start, t.cds_end
+    if cs is None or ce is None:
+        return None
+    if not any(vs == ee + 1 or vs == es for es, ee in exons):
+        return None
+    if t.strand >= 0:
+        if vs > ce:
+            return "3_prime_UTR_variant"
+        if vs <= cs:
+            return "5_prime_UTR_variant"
+    else:
+        if vs < cs:
+            return "3_prime_UTR_variant"
+        if vs > ce:
+            return "5_prime_UTR_variant"
+    return None
+
+
+def _start_stop_heuristic_terms(
+    terms: set, t: Transcript, vs: int, ve: int, ref: str, alt: str
+) -> None:
+    """Positional start/stop terms when no codon-level classification is
+    available (reference add_start_stop_heuristic_terms,
+    transcript_consequence.rs:2140-2260; VEP TranscriptVariationAllele
+    start_lost/stop_lost/stop_gained)."""
+    cs, ce = t.cds_start, t.cds_end
+    if cs is None or ce is None:
+        return
+    is_indel = len(ref) != len(alt)
+    if not t.cds_start_nf:
+        s, e = (cs, cs + 2) if t.strand >= 0 else (ce - 2, ce)
+        if _overlaps(vs, ve, s, e):
+            if _is_start_codon(ref) and _is_start_codon(alt):
+                terms.add("start_retained_variant")
+            elif is_indel:
+                # no cDNA context: position-based fallback — an indel whose
+                # affected bases all fall after the start codon keeps it
+                start_codon_end = cs + 2 if t.strand >= 0 else ce
+                if vs > start_codon_end:
+                    terms.add("start_retained_variant")
+                else:
+                    terms.add("start_lost")
+            else:
+                terms.add("start_lost")
+    s, e = (ce - 2, ce) if t.strand >= 0 else (cs, cs + 2)
+    if _overlaps(vs, ve, s, e):
+        if _is_stop_codon(ref) and _is_stop_codon(alt):
+            terms.add("stop_retained_variant")
+        elif not is_indel and not _is_stop_codon(ref) and _is_stop_codon(alt):
+            terms.add("stop_gained")
+        else:
+            terms.add("stop_lost")
+
+
+def _leading_n(seq: str) -> int:
+    n = 0
+    while n < len(seq) and seq[n] in "Nn":
+        n += 1
+    return n
+
+
+def _classify_substitution(t: Transcript, vs: int, ref: str, alt: str) -> set[str] | None:
+    """Codon-accurate terms for a same-length substitution fully inside the
+    CDS, given ``cds_sequence``.  None → the change could not be mapped."""
     cds = t.cds_sequence.upper()
-    protein = translate(cds)
-
-    if dlen != 0:
-        if dlen % 3 != 0:
-            return ["frameshift_variant"]
-        return ["inframe_insertion"] if dlen > 0 else ["inframe_deletion"]
-
-    # SNV / MNV substitution
-    off = _genomic_to_cds_offset(t, pos)
+    lead = _leading_n(t.cds_sequence)
+    off = _genomic_to_cds_offset(t, vs)
     if off is None:
-        return ["coding_sequence_variant"]
-    var_ref = ref if t.strand >= 0 else revcomp(ref)
-    var_alt = alt if t.strand >= 0 else revcomp(alt)
+        return None
+    off += lead
+    var_ref = ref.upper() if t.strand >= 0 else revcomp(ref.upper())
+    var_alt = alt.upper() if t.strand >= 0 else revcomp(alt.upper())
     if t.strand < 0:
         off = off - (len(var_ref) - 1)
         if off < 0:
-            return ["coding_sequence_variant"]
+            return None
     if off + len(var_ref) > len(cds):
-        return ["incomplete_terminal_codon_variant"]
+        return {"incomplete_terminal_codon_variant"}
     if var_ref and cds[off : off + len(var_ref)] != var_ref:
-        # reference mismatch — classify positionally only
-        return ["coding_sequence_variant"]
+        return None  # reference mismatch — positional classification only
     new_cds = cds[:off] + var_alt + cds[off + len(var_ref) :]
+    protein = translate(cds)
     new_protein = translate(new_cds)
 
     codon_i = off // 3
     aa_old = protein[codon_i] if codon_i < len(protein) else ""
     aa_new = new_protein[codon_i] if codon_i < len(new_protein) else ""
+    if not aa_old or not aa_new:
+        return None
 
-    terms: list[str] = []
     if codon_i == 0:
         if aa_new == aa_old == "M" and new_cds[:3] != cds[:3]:
-            return ["start_retained_variant"]
+            return {"start_retained_variant"}
         if aa_old == "M" and aa_new != "M":
-            return ["start_lost"]
+            return {"start_lost"}
     if aa_old == "*" and aa_new == "*":
-        return ["stop_retained_variant"]
+        return {"stop_retained_variant"}
     if aa_old == "*" and aa_new != "*":
-        return ["stop_lost"]
+        return {"stop_lost"}
     if aa_new == "*" and aa_old != "*":
-        return ["stop_gained"]
+        return {"stop_gained"}
     if aa_old == aa_new:
-        terms.append("synonymous_variant")
+        return {"synonymous_variant"}
+    return {"missense_variant"}
+
+
+def _add_coding_terms(
+    terms: set, t: Transcript, vs: int, ve: int, ref: str, alt: str, is_ins: bool,
+    exons: list[tuple[int, int]],
+    heur: tuple[int, int, str, str] | None = None,
+) -> bool:
+    """Coding-path terms (reference add_coding_terms,
+    transcript_consequence.rs:1915-2140).  Returns True when a codon-level
+    classification was produced (frameshift/inframe terms then survive a
+    frameshift-intron context; see classify)."""
+    terms.add("coding_sequence_variant")
+    ref_len, alt_len = len(ref), len(alt)
+
+    if not is_ins and _is_complex_indel(vs, ve, exons):
+        return False
+
+    # incomplete terminal codon: the variant's codon extends past the CDS
+    # end with only 1-2 bases (VEP partial_codon).  cds length = spliced
+    # translateable sequence (leading-N padded) when available.
+    if t.cds_sequence:
+        cds_len = len(t.cds_sequence)
+        lead = _leading_n(t.cds_sequence)
     else:
-        terms.append("missense_variant")
-    return terms
+        segs = _coding_segments(t)
+        cds_len = sum(e - s + 1 for s, e in segs) if segs else 0
+        lead = 0
+    if cds_len:
+        idx = _genomic_to_cds_offset(t, min(vs, ve))
+        if idx is not None:
+            last = cds_len - ((idx + lead) // 3) * 3
+            if 0 < last < 3:
+                terms.add("incomplete_terminal_codon_variant")
+
+    if ref_len != alt_len:
+        extends_into_utr = (
+            ref_len > alt_len
+            and t.cds_start is not None
+            and (vs < t.cds_start or ve > t.cds_end)
+        )
+        diff = abs(ref_len - alt_len)
+        if extends_into_utr:
+            pass  # VEP: no frameshift/inframe across the CDS/UTR boundary
+        elif diff % 3 == 0:
+            terms.add("inframe_insertion" if alt_len > ref_len else "inframe_deletion")
+        else:
+            terms.add("frameshift_variant")
+        if t.cds_sequence:
+            # length-based indel classification is the codon-level answer
+            # here (peptide diffing lives in hgvs_p); VEP suppresses
+            # stop/start terms alongside inframe indels
+            terms.add("protein_altering_variant")
+            return True
+        hs, he, href, halt = heur if heur is not None else (vs, ve, ref, alt)
+        _start_stop_heuristic_terms(terms, t, hs, he, href, halt)
+        terms.add("protein_altering_variant")
+        return False
+
+    if ref_len == 0:
+        return False
+
+    if t.cds_sequence:
+        got = _classify_substitution(t, vs, ref, alt)
+        if got is not None:
+            terms.update(got)
+            return True
+        return False
+
+    # no sequence context: positional start/stop heuristics + the in-frame
+    # stop-codon allele pattern.  Both run on the caller's original
+    # (pre-trim) alleles so whole-codon MNVs like TAA→TGA keep their
+    # stop-codon identity (reference tests feed the engine untrimmed codons,
+    # retained_and_gained_stop_terms_are_emitted rs:9981).
+    hs, he, href, halt = heur if heur is not None else (vs, ve, ref, alt)
+    _start_stop_heuristic_terms(terms, t, hs, he, href, halt)
+    if (
+        len(href) == len(halt)
+        and len(href) % 3 == 0
+        and len(href) > 0
+        and not _is_stop_codon(href)
+        and _is_stop_codon(halt)
+    ):
+        terms.add("stop_gained")
+    return False
+
+
+def _strip_parent_terms(terms: set) -> None:
+    """Remove parent SO terms subsumed by more specific children (reference
+    strip_parent_terms, transcript_consequence.rs:3099)."""
+    specific_coding = terms & {
+        "missense_variant", "synonymous_variant", "stop_gained", "stop_lost",
+        "start_lost", "frameshift_variant", "inframe_insertion",
+        "inframe_deletion", "stop_retained_variant", "start_retained_variant",
+    }
+    if specific_coding or "protein_altering_variant" in terms:
+        terms.discard("coding_sequence_variant")
+    if specific_coding:
+        terms.discard("protein_altering_variant")
+    if "splice_donor_5th_base_variant" in terms:
+        terms.discard("splice_donor_region_variant")
+    if terms & {
+        "splice_donor_variant", "splice_acceptor_variant",
+        "splice_donor_region_variant", "splice_donor_5th_base_variant",
+    }:
+        terms.discard("splice_region_variant")
+    if terms & {"stop_lost", "stop_gained", "stop_retained_variant"}:
+        terms.discard("incomplete_terminal_codon_variant")
 
 
 def classify(
@@ -330,55 +717,119 @@ def classify(
     upstream_distance: int = 5000,
     downstream_distance: int = 500,
 ) -> list[str]:
-    """All SO terms for one (variant, transcript) pair.  ``pos`` is the
-    1-based genomic start of ``ref``; empty/'-' alleles express pure
-    ins/del.  Mirrors the reference engine's evaluation order
-    (``transcript_consequence.rs:839-874``)."""
-    ref = "" if ref in ("-", None) else ref
-    alt = "" if alt in ("-", None) else alt
-    lo, hi = pos, max(pos, pos + len(ref) - 1)
+    """All SO terms for one (variant, transcript) pair, severity-ordered.
+    ``(pos, ref, alt)`` may be raw VCF (anchor bases included) — the VEP
+    prefix/suffix trim is applied first, so padded indels classify by their
+    truly changed bases.  Mirrors the reference engine's evaluation order
+    (``transcript_consequence.rs:1142-1360``)."""
+    if alt == "*":
+        return []  # star allele: site removed by an upstream deletion
+    vs, ve, ref_n, alt_n, is_ins = normalize_variant(pos, ref, alt)
 
-    # outside the transcript: up/downstream by strand
-    if hi < t.start or lo > t.end:
-        if t.strand >= 0:
-            before, dist_before = hi < t.start, t.start - hi
-            dist_after = lo - t.end
-        else:
-            before, dist_before = lo > t.end, lo - t.end
-            dist_after = t.start - hi
-        if before and dist_before <= upstream_distance:
-            return ["upstream_gene_variant"]
-        if not before and dist_after <= downstream_distance:
-            return ["downstream_gene_variant"]
-        return []
-
-    terms, intronic_only = _splice_terms(t, lo, hi)
-    coding_tx = t.biotype == "protein_coding" and t.cds_start is not None
-
-    if intronic_only:
-        terms.append("intron_variant")
-    elif not coding_tx:
-        # protein_coding without CDS context degrades to the coding catch-all
-        if t.biotype == "protein_coding":
-            terms.append("coding_transcript_variant")
-        else:
-            terms.append("non_coding_transcript_exon_variant")
+    if is_ins:
+        tx_overlap = t.start < vs <= t.end
     else:
-        if hi < t.cds_start or lo > t.cds_end:
-            five_side = lo < t.cds_start if t.strand >= 0 else hi > t.cds_end
-            terms.append("5_prime_UTR_variant" if five_side else "3_prime_UTR_variant")
-        elif lo >= t.cds_start and hi <= t.cds_end:
-            terms.extend(_coding_terms(t, pos, ref, alt))
-        else:
-            terms.append("coding_sequence_variant")  # straddles a CDS edge
+        tx_overlap = _overlaps(vs, ve, t.start, t.end)
+    if not tx_overlap:
+        term, _ = _upstream_downstream_term(
+            t, vs, ve, is_ins, upstream_distance, downstream_distance
+        )
+        return [term] if term else []
+
+    terms: set[str] = set()
+    exons = t.sorted_exons()
+    overlaps_exon = any(_feature_overlaps(is_ins, vs, ve, es, ee) for es, ee in exons)
+    if _variant_overlaps_intron(exons, vs, ve, is_ins):
+        terms.add("intron_variant")
+    in_fs_intron = (not overlaps_exon) and _in_frameshift_intron(exons, vs, ve)
+
+    cs, ce = t.cds_start, t.cds_end
+    has_cds = cs is not None and ce is not None
+    ov_cds = has_cds and _overlaps(vs, ve, cs, ce)
+    ins_left_in_cds = (
+        is_ins
+        and has_cds
+        and cs <= vs - 1 <= ce
+        and not (t.strand < 0 and vs - 1 == ce)
+    )
+    cds_end_boundary = (
+        ins_left_in_cds and not overlaps_exon and any(vs == ee + 1 for _, ee in exons)
+    )
+    cds_start_boundary = (
+        is_ins and ov_cds and not overlaps_exon and any(vs == es for es, _ in exons)
+    )
+
+    noncoding = is_non_coding_biotype(t.biotype)
+    if noncoding and overlaps_exon:
+        in_mirna = False
+        if t.biotype == "miRNA":
+            for ms, me in t.mature_mirna_regions:
+                if _feature_overlaps(is_ins, vs, ve, ms, me):
+                    terms.add("mature_miRNA_variant")
+                    in_mirna = True
+                    break
+        if not in_mirna:
+            terms.add("non_coding_transcript_exon_variant")
+    elif (
+        overlaps_exon or cds_end_boundary or cds_start_boundary
+        or (in_fs_intron and ov_cds)
+    ) and (ov_cds or ins_left_in_cds):
+        ref0 = "" if ref in ("-", None) else str(ref)
+        alt0 = "" if alt in ("-", None) else str(alt)
+        got_classification = _add_coding_terms(
+            terms, t, vs, ve, ref_n, alt_n, is_ins, exons,
+            heur=(pos, pos + max(len(ref0) - 1, 0), ref0, alt0),
+        )
+        if in_fs_intron and not got_classification:
+            # VEP's coding predicates guard on mappable CDS coords; inside a
+            # frameshift-intron gap only coding_sequence_variant survives
+            terms -= {
+                "frameshift_variant", "inframe_insertion", "inframe_deletion",
+                "protein_altering_variant",
+            }
+        if not is_ins and has_cds:
+            if vs < cs:
+                terms.add(
+                    "5_prime_UTR_variant" if t.strand >= 0 else "3_prime_UTR_variant"
+                )
+            if ve > ce:
+                terms.add(
+                    "3_prime_UTR_variant" if t.strand >= 0 else "5_prime_UTR_variant"
+                )
+    elif overlaps_exon:
+        u = _utr_term(t, vs, ve, is_ins)
+        if u is not None:
+            terms.add(u)
+        elif not has_cds and t.biotype == "protein_coding":
+            # protein_coding without CDS context: the coding catch-all
+            terms.add("coding_transcript_variant")
+
+    if (
+        is_ins
+        and not cds_end_boundary
+        and not cds_start_boundary
+        and "5_prime_UTR_variant" not in terms
+        and "3_prime_UTR_variant" not in terms
+    ):
+        u = _utr_boundary_insertion_term(t, vs, exons)
+        if u is not None:
+            terms.add(u)
+
+    _add_intron_splice_terms(terms, t, vs, ve, is_ins)
 
     if t.biotype == "nonsense_mediated_decay":
-        terms.append("NMD_transcript_variant")
-    if not coding_tx and t.biotype != "protein_coding":
-        if t.biotype == "miRNA" and not intronic_only:
-            terms.append("mature_miRNA_variant")
-        terms.append("non_coding_transcript_variant")
-    return terms or ["sequence_variant"]
+        terms.add("NMD_transcript_variant")
+    if noncoding:
+        # VEP omits the parent when the exon-specific / mature-miRNA term
+        # is present
+        if (
+            "non_coding_transcript_exon_variant" not in terms
+            and "mature_miRNA_variant" not in terms
+        ):
+            terms.add("non_coding_transcript_variant")
+
+    _strip_parent_terms(terms)
+    return sorted(terms, key=lambda x: SO_RANK.get(x, 999))
 
 
 # ---------------------------------------------------------------------------
@@ -459,8 +910,11 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
         "cds_position": None, "protein_position": None,
         "amino_acids": None, "codons": None, "distance": None,
     }
-    if hi < t.start or lo > t.end:  # up/downstream: DISTANCE column
-        out["distance"] = int(t.start - hi if hi < t.start else lo - t.end)
+    vs, ve, _r, _a, is_ins = normalize_variant(pos, ref, alt)
+    in_tx = (t.start < vs <= t.end) if is_ins else _overlaps(vs, ve, t.start, t.end)
+    if not in_tx:  # up/downstream: DISTANCE column
+        _term, dist = _upstream_downstream_term(t, vs, ve, is_ins, 10**9, 10**9)
+        out["distance"] = None if dist is None else int(dist)
         return out
     out["exon"], out["intron"] = exon_intron_numbers(t, lo, hi)
     cdna = _genomic_to_cdna_offset(t, pos if t.strand >= 0 else hi)
@@ -537,15 +991,78 @@ def _shift3(cds: str, start0: int, seq: str) -> tuple[int, str]:
     return s, "".join(rot)
 
 
+def _cds_relative_notation(t: Transcript, g: int) -> str | None:
+    """HGVS cDNA coordinate string for a genomic position relative to the
+    CDS: ``"N"`` inside the CDS, ``"-N"`` in the 5' UTR, ``"*N"`` in the
+    3' UTR, ``"N+off"`` / ``"N-off"`` for intronic positions anchored at the
+    nearest exon boundary (published HGVS nomenclature; reference ``hgvs.rs``
+    intron/UTR coordinate assembly)."""
+    if t.cds_start is None or t.cds_end is None:
+        return None
+    exons = t.sorted_exons()
+    cdna = _genomic_to_cdna_offset(t, g)
+    cds_anchor_g = t.cds_start if t.strand >= 0 else t.cds_end
+    cds_end_g = t.cds_end if t.strand >= 0 else t.cds_start
+    cds0 = _genomic_to_cdna_offset(t, cds_anchor_g)
+    cdsL = _genomic_to_cdna_offset(t, cds_end_g)
+    if cds0 is None or cdsL is None:
+        return None
+    if cdna is not None:  # exonic
+        d = cdna - cds0
+        if d < 0:
+            return f"-{-d}"
+        if cdna > cdsL:
+            return f"*{cdna - cdsL}"
+        return f"{d + 1}"
+    # intronic: anchor at the nearest exon boundary in genomic space; the
+    # tie and nearer-5'-exon side take "+", the 3' side "-"
+    for i in range(len(exons) - 1):
+        ee, es2 = exons[i][1], exons[i + 1][0]
+        if ee < g < es2:
+            d1, d2 = g - ee, es2 - g
+            if t.strand >= 0:
+                if d1 <= d2:
+                    base = _cds_relative_notation(t, ee)
+                    return None if base is None else f"{base}+{d1}"
+                base = _cds_relative_notation(t, es2)
+                return None if base is None else f"{base}-{d2}"
+            if d2 <= d1:
+                base = _cds_relative_notation(t, es2)
+                return None if base is None else f"{base}+{d2}"
+            base = _cds_relative_notation(t, ee)
+            return None if base is None else f"{base}-{d1}"
+    return None
+
+
 def hgvs_c(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
     """cDNA notation: substitutions, del/ins/dup/delins with 3'-shifting and
     dup detection when ``cds_sequence`` context is available (reference
-    ``hgvs.rs:17-45``)."""
+    ``hgvs.rs:17-45``); UTR (``c.-N`` / ``c.*N``) and intronic
+    (``c.N±off``) coordinates for positions outside the CDS."""
     ref = "" if ref in ("-", None) else ref
     alt = "" if alt in ("-", None) else alt
     off = _cds_first_offset(t, pos, len(ref))
     if off is None:
-        return None
+        # outside the spliced CDS: UTR / intronic coordinate notation for
+        # substitutions and simple del/delins spans
+        g1 = pos if t.strand >= 0 else pos + max(len(ref), 1) - 1
+        n1 = _cds_relative_notation(t, g1)
+        if n1 is None:
+            return None
+        r = ref if t.strand >= 0 else revcomp(ref)
+        a = alt if t.strand >= 0 else revcomp(alt)
+        if len(r) == 1 and len(a) == 1:
+            return f"{t.transcript_id}:c.{n1}{r}>{a}"
+        if len(r) == 0:
+            return None  # insertion anchoring outside the CDS: skip
+        g2 = pos + len(ref) - 1 if t.strand >= 0 else pos
+        n2 = _cds_relative_notation(t, g2) if g2 != g1 else n1
+        if n2 is None:
+            return None
+        span = f"{n1}_{n2}" if n2 != n1 else f"{n1}"
+        if len(a) == 0:
+            return f"{t.transcript_id}:c.{span}del"
+        return f"{t.transcript_id}:c.{span}delins{a}"
     r = ref if t.strand >= 0 else revcomp(ref)
     a = alt if t.strand >= 0 else revcomp(alt)
     cds = t.cds_sequence.upper() if t.cds_sequence else None

@@ -377,7 +377,13 @@ def _annotate_codon(
     from ..functions import consequence as cq
 
     t = transcripts
-    opt = {c: (c in t.columns) for c in ("cds_start", "cds_end", "cds_sequence", "gene_symbol")}
+    opt = {
+        c: (c in t.columns)
+        for c in (
+            "cds_start", "cds_end", "cds_sequence", "gene_symbol",
+            "mature_mirna_regions",
+        )
+    }
     tsel = [
         F.col("transcript_id").alias("__t_id"),
         F.col("chrom").alias("__t_chrom"),
@@ -396,6 +402,11 @@ def _annotate_codon(
         (F.col("cds_sequence") if opt["cds_sequence"] else F.lit(None).cast("string")).alias(
             "__t_cds_seq"
         ),
+        (
+            F.col("mature_mirna_regions")
+            if opt["mature_mirna_regions"]
+            else F.lit(None).cast("array<struct<s:bigint,e:bigint>>")
+        ).alias("__t_mirna"),
     ]
     tctx = t.select(*tsel)
     if exons is not None:
@@ -454,7 +465,7 @@ def _annotate_codon(
     def _classify(
         pos_s, ref_s, alt_s, tid,
         ts, te, strand, biotype,
-        cds_s, cds_e, cds_seq, exlist,
+        cds_s, cds_e, cds_seq, exlist, mirna,
     ):
         out = {"terms": [], "impact": [], "hgvsc": [], "hgvsp": []}
         for k_ in _detail_keys:
@@ -467,8 +478,9 @@ def _annotate_codon(
             pos_s.tolist(), ref_s.tolist(), alt_s.tolist(), tid.tolist(),
             ts.tolist(), te.tolist(), strand.tolist(), biotype.tolist(),
             cds_s.tolist(), cds_e.tolist(), cds_seq.tolist(), exlist.tolist(),
+            mirna.tolist(),
         )
-        for p, r, a, t_id, tsv, tev, stv, btv, csv_, cev, seqv, ex in rows:
+        for p, r, a, t_id, tsv, tev, stv, btv, csv_, cev, seqv, ex, mir in rows:
             if t_id is None or pd.isna(tsv):
                 out["terms"].append(None)
                 out["impact"].append(None)
@@ -495,10 +507,15 @@ def _annotate_codon(
                     cds_start=None if pd.isna(csv_) else int(csv_),
                     cds_end=None if pd.isna(cev) else int(cev),
                     cds_sequence=None if seqv is None else str(seqv),
+                    mature_mirna_regions=(
+                        [(int(d["s"]), int(d["e"])) for d in mir]
+                        if mir is not None and len(mir) > 0
+                        else []
+                    ),
                 )
                 tr_cache[t_id] = tr
             p, r, a = int(p), str(r), str(a)
-            terms = cq.classify(tr, p, r, a)
+            terms = cq.classify(tr, p, r, a, upstream_distance, downstream_distance)
             ms = cq.most_severe(terms)
             out["terms"].append(terms if terms else None)
             out["impact"].append(cq.SO_IMPACT.get(ms) if ms else None)
@@ -515,7 +532,7 @@ def _annotate_codon(
             pos, F.col("ref"), F.col("alt"), F.col("__t_id"),
             F.col("__t_start"), F.col("__t_end"), F.col("__t_strand"),
             F.col("__t_biotype"), F.col("__t_cds_start"), F.col("__t_cds_end"),
-            F.col("__t_cds_seq"), F.col("__t_exons"),
+            F.col("__t_cds_seq"), F.col("__t_exons"), F.col("__t_mirna"),
         ),
     )
     # a transcript within the ±pad window can still yield no term (e.g. on
@@ -868,14 +885,27 @@ def regulatory_features(
     * ``motifs`` ``(chrom, start, end, feature_id)`` →
       ``TF_binding_site_variant``.
 
+    A deletion that fully encompasses a regulatory feature additionally
+    emits ``regulatory_region_ablation`` (VEP feature_ablation =
+    complete_overlap_feature AND deletion; reference
+    ``transcript_consequence.rs:1498-1504``).  Duplicate cache rows for one
+    ``feature_id`` yield a single entry (reference
+    ``regulatory_duplicate_stable_ids_emit_single_entry``).
+
     Both context tables broadcast (they are genome-annotation sized, not
     data-sized).  Output: vcf cols + ``feature_id`` + ``feature_term``; one
-    row per (variant, overlapped feature).
+    row per (variant, overlapped feature, term).
     """
     _check_contract(vcf, VCF_REQUIRED, "vcf")
     if regulatory is None and motifs is None:
         raise ValueError("at least one of regulatory/motifs is required")
     pos, vend = F.col("start").cast("long"), F.col("end").cast("long")
+    has_alleles = "ref" in vcf.columns and "alt" in vcf.columns
+    is_deletion = (
+        (F.length("ref") > F.length("alt")) | (F.col("alt") == "-")
+        if has_alleles
+        else F.lit(False)
+    )
     parts = []
     if regulatory is not None:
         _check_contract(regulatory, ("chrom", "start", "end", "feature_id"), "regulatory")
@@ -886,17 +916,27 @@ def regulatory_features(
             F.col("end").cast("long").alias("__fe"),
             F.col("feature_id").alias("feature_id"),
             (F.col("feature_type") if has_type else F.lit("regulatory_region")).alias("__ft"),
+        ).dropDuplicates(["feature_id"])
+        hits = vcf.join(
+            F.broadcast(reg),
+            (F.col("chrom") == F.col("__fc")) & (pos <= F.col("__fe")) & (vend >= F.col("__fs")),
         )
         parts.append(
-            vcf.join(
-                F.broadcast(reg),
-                (F.col("chrom") == F.col("__fc")) & (pos <= F.col("__fe")) & (vend >= F.col("__fs")),
-            ).select(
+            hits.select(
                 *vcf.columns,
                 "feature_id",
                 F.when(F.col("__ft") == "TF_binding_site", "TF_binding_site_variant")
                 .otherwise("regulatory_region_variant")
                 .alias("feature_term"),
+            )
+        )
+        parts.append(
+            hits.filter(
+                is_deletion & (pos <= F.col("__fs")) & (vend >= F.col("__fe"))
+            ).select(
+                *vcf.columns,
+                "feature_id",
+                F.lit("regulatory_region_ablation").alias("feature_term"),
             )
         )
     if motifs is not None:

@@ -118,18 +118,26 @@ class TestLibraryForward:
         assert cq.classify(fwd_tx(), 150, "A", "T") == ["intron_variant"]
 
     def test_splice_donor(self):
-        # intron 130-169; donor = 130-131 on + strand
+        # intron 130-169; donor = 130-131 on + strand.  VEP's intron-body
+        # check excludes the 2bp splice sites, so no intron_variant here
+        # (reference intron_variant_not_emitted_at_splice_donor_position,
+        # transcript_consequence.rs:11213)
         got = cq.classify(fwd_tx(), 130, "G", "A")
-        assert "splice_donor_variant" in got and "intron_variant" in got
+        assert "splice_donor_variant" in got and "intron_variant" not in got
 
     def test_splice_acceptor(self):
         got = cq.classify(fwd_tx(), 169, "G", "A")
         assert "splice_acceptor_variant" in got
 
     def test_splice_donor_5th(self):
+        # the 5th-base term subsumes both donor-region and splice_region
+        # (VEP splice_region predicate returns 0 when a more specific splice
+        # term fires; reference strip_parent_terms)
         got = cq.classify(fwd_tx(), 134, "A", "T")
         assert "splice_donor_5th_base_variant" in got
-        assert "splice_region_variant" in got  # 3-8 intronic window
+        assert "splice_region_variant" not in got
+        assert "splice_donor_region_variant" not in got
+        assert "intron_variant" in got
 
     def test_polypyrimidine(self):
         # acceptor-side 3-17 intronic: 169-16 .. 169-2 = 153..167
@@ -147,9 +155,14 @@ class TestLibraryForward:
         assert cq.classify(fwd_tx(), 6000, "A", "T") == []  # beyond both windows
 
     def test_noncoding(self):
+        # VEP omits the parent non_coding_transcript_variant when the more
+        # specific exon term is present (reference
+        # non_coding_exon_and_intron_terms, transcript_consequence.rs:9737)
         t = fwd_tx(biotype="lincRNA", cds_start=None, cds_end=None, cds_sequence=None)
-        got = cq.classify(t, 115, "T", "C")
-        assert got == ["non_coding_transcript_exon_variant", "non_coding_transcript_variant"]
+        assert cq.classify(t, 115, "T", "C") == ["non_coding_transcript_exon_variant"]
+        # intronic: intron_variant + the parent term
+        got = cq.classify(t, 150, "A", "T")
+        assert got == ["intron_variant", "non_coding_transcript_variant"]
 
     def test_nmd(self):
         t = fwd_tx(biotype="nonsense_mediated_decay")
@@ -297,6 +310,26 @@ class TestAnnotateVepCodon:
         assert r.most_severe_consequence == "missense_variant"
         assert len(r.CSQ.split(",")) == 2
 
+    def test_mature_mirna_regions_plumbed(self, spark, vep_frames):
+        # miRNA transcript with a mature region column: a variant inside the
+        # region rolls up to mature_miRNA_variant (reference
+        # transcript_consequence.rs:11108 semantics through the Spark seam)
+        vcf, cache, _, _ = vep_frames
+        tx = spark.createDataFrame(
+            [("M1", "chr1", 100, 219, 1, "miRNA", "G1", "GENE1", None, None,
+              None, [(110, 130)])],
+            "transcript_id string, chrom string, start long, end long, "
+            "strand int, biotype string, gene_stable_id string, "
+            "gene_symbol string, cds_start long, cds_end long, "
+            "cds_sequence string, mature_mirna_regions array<struct<s:long,e:long>>",
+        )
+        out = annotate_vep(vcf, cache, transcripts=tx)
+        r = {(x.chrom, x.start): x for x in out.collect()}
+        assert r[("chr1", 114)].most_severe_consequence == "mature_miRNA_variant"
+        assert r[("chr1", 150)].most_severe_consequence == (
+            "non_coding_transcript_exon_variant"
+        )
+
     def test_positional_engine_still_works(self, spark, vep_frames):
         vcf, cache, tx, _ = vep_frames
         out = annotate_vep(vcf, cache, transcripts=tx, engine="positional")
@@ -335,6 +368,19 @@ class TestHGVSExtensions:
     def test_p_stop_change(self):
         # TAA stop at CDS 48-50 (genomic 198-200); 199 A>C → TCA = Ser
         assert cq.hgvs_p(fwd_tx(), 199, "A", "C") == "T1:p.Ter17Ser"
+
+    def test_c_utr_and_intronic_coordinates(self):
+        # published HGVS UTR / intron-offset coordinates (VEP emits HGVSc
+        # for every intronic variant): exon1 ends at c.20, exon2 starts c.21
+        assert cq.hgvs_c(fwd_tx(), 105, "A", "T") == "T1:c.-5A>T"       # 5' UTR
+        assert cq.hgvs_c(fwd_tx(), 210, "A", "T") == "T1:c.*10A>T"      # 3' UTR
+        assert cq.hgvs_c(fwd_tx(), 134, "A", "T") == "T1:c.20+5A>T"     # donor side
+        assert cq.hgvs_c(fwd_tx(), 150, "A", "T") == "T1:c.21-20A>T"    # acceptor side
+        assert cq.hgvs_c(fwd_tx(), 134, "AT", "") == "T1:c.20+5_20+6del"
+        # minus strand: genomic 150 is transcript-near the exon at 170..200
+        # (c.31 is the last base of the transcript-first exon on T2)
+        got = cq.hgvs_c(rev_tx(), 150, "A", "T")
+        assert got is not None and got.startswith("T2:c.31")
 
 
 # ---------------------------------------------------------------------------

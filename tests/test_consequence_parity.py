@@ -1,0 +1,298 @@
+"""Reference-parity truth tables for the consequence engine.
+
+Each case re-states the *expected behavior* encoded in the reference's
+in-module engine tests (``bio-function-vep/src/transcript_consequence.rs``,
+test module from :8880 — themselves verified against Ensembl VEP release/115,
+e.g. the distance tests note "100% match, 715k CSQs" on chr22).  The
+geometries and expectations are copied as behavioral specs; the engine here
+is an independent PySpark/Python re-expression.
+
+These are the parity gate standing in for the un-hydrated git-LFS golden
+fixtures (``vep-benchmark/data/golden`` — see tests/test_golden_vep.py).
+"""
+
+from __future__ import annotations
+
+from datafusion_bio_functions_spark.functions import consequence as cq
+
+
+def tx(tid, start, end, strand, biotype="protein_coding", cds=None, exons=None, **kw):
+    return cq.Transcript(
+        transcript_id=tid, chrom="22", start=start, end=end, strand=strand,
+        biotype=biotype,
+        cds_start=cds[0] if cds else None, cds_end=cds[1] if cds else None,
+        exons=exons or [], **kw,
+    )
+
+
+def C(t, pos, ref, alt, up=5000, down=5000):
+    return cq.classify(t, pos, ref, alt, upstream_distance=up, downstream_distance=down)
+
+
+def dist(t, pos, ref, alt):
+    return cq.annotation_details(t, pos, ref, alt)["distance"]
+
+
+# ---------------------------------------------------------------------------
+# intergenic / upstream / downstream  (rs:9402-9736)
+# ---------------------------------------------------------------------------
+
+
+def test_intergenic_when_no_transcript_nearby():
+    # rs:9402 intergenic_when_no_transcripts_overlap_or_nearby
+    t = tx("tx1", 100, 200, 1, cds=(120, 180), exons=[(100, 200)])
+    assert C(t, 1_000_000, "A", "G") == []
+
+
+def test_upstream_downstream_strand_aware():
+    # rs:9423 upstream_downstream_strand_aware
+    pos_t = tx("txp", 1000, 2000, 1, cds=(1100, 1900))
+    neg_t = tx("txn", 3000, 4000, -1, cds=(3100, 3900))
+    assert C(pos_t, 900, "A", "G") == ["upstream_gene_variant"]
+    assert C(pos_t, 2100, "A", "G") == ["downstream_gene_variant"]
+    assert C(neg_t, 4100, "A", "G") == ["upstream_gene_variant"]
+    assert C(neg_t, 2900, "A", "G") == ["downstream_gene_variant"]
+
+
+def test_insertion_upstream_window_boundary():
+    # rs:9476-9536: VCF pos 5000 A->AT is exactly 5000bp upstream (P-1 rule);
+    # pos 4998 falls outside the window → intergenic
+    pos_t = tx("txp", 10_000, 11_000, 1, cds=(10_100, 10_900))
+    assert C(pos_t, 5_000, "A", "AT") == ["upstream_gene_variant"]
+    assert C(pos_t, 4_998, "A", "AT") == []
+    neg_t = tx("txn", 20_000, 21_000, -1, cds=(20_100, 20_900))
+    assert C(neg_t, 15_000, "A", "AG") == ["downstream_gene_variant"]
+    assert C(neg_t, 14_998, "A", "AG") == []
+
+
+def test_upstream_downstream_distance_snvs():
+    # rs:9558 (verified against VEP chr22 E2E, 100% of 715k CSQs)
+    pos_t = tx("txp", 1000, 2000, 1, cds=(1100, 1900))
+    neg_t = tx("txn", 3000, 4000, -1, cds=(3100, 3900))
+    assert dist(pos_t, 900, "A", "G") == 100
+    assert dist(pos_t, 999, "A", "G") == 1
+    assert dist(pos_t, 2100, "A", "G") == 100
+    assert dist(pos_t, 2001, "A", "G") == 1
+    assert dist(neg_t, 4100, "A", "G") == 100
+    assert dist(neg_t, 4001, "A", "G") == 1
+    assert dist(neg_t, 2900, "A", "G") == 100
+    assert dist(neg_t, 2999, "A", "G") == 1
+
+
+def test_upstream_downstream_distance_insertions():
+    # rs:9665: insertions use the P-1 left coordinate in the distance math
+    pos_t = tx("txp", 1000, 2000, 1, cds=(1100, 1900))
+    neg_t = tx("txn", 3000, 4000, -1, cds=(3100, 3900))
+    assert dist(pos_t, 899, "A", "AT") == 100
+    assert dist(pos_t, 2100, "A", "AT") == 100
+    assert dist(neg_t, 4100, "A", "AT") == 100
+    assert dist(neg_t, 2899, "A", "AT") == 100
+
+
+# ---------------------------------------------------------------------------
+# non-coding transcripts  (rs:9737, rs:11108)
+# ---------------------------------------------------------------------------
+
+
+def test_non_coding_exon_and_intron_terms():
+    # rs:9737 non_coding_exon_and_intron_terms
+    t = tx("lnc", 100, 300, 1, biotype="lincRNA", exons=[(100, 150), (250, 300)])
+    exonic = C(t, 120, "A", "G")
+    assert "non_coding_transcript_exon_variant" in exonic
+    # the parent is omitted when the exon-specific term is present
+    assert "non_coding_transcript_variant" not in exonic
+    intronic = C(t, 200, "A", "G")
+    assert "intron_variant" in intronic
+    assert "non_coding_transcript_variant" in intronic
+
+
+def test_mature_mirna_variant():
+    # rs:11108 variant_in_mirna_transcript_gets_mature_mirna_variant
+    t = tx("MIR", 100, 200, -1, biotype="miRNA", exons=[(100, 200)],
+           mature_mirna_regions=[(142, 159)])
+    inside = C(t, 150, "A", "G")
+    assert "mature_miRNA_variant" in inside
+    assert "non_coding_transcript_exon_variant" not in inside
+    assert "non_coding_transcript_variant" not in inside
+    outside = C(t, 120, "A", "G")
+    assert "mature_miRNA_variant" not in outside
+    assert "non_coding_transcript_exon_variant" in outside
+
+
+# ---------------------------------------------------------------------------
+# coding terms without translation context  (rs:9764-10110)
+# ---------------------------------------------------------------------------
+
+
+def test_coding_indels_emit_frameshift_or_inframe():
+    # rs:9764 coding_indels_emit_frameshift_or_inframe (VCF-padded alleles)
+    t = tx("pc", 100, 300, 1, cds=(120, 280), exons=[(100, 300)])
+    assert "frameshift_variant" in C(t, 150, "A", "AT")
+    assert "inframe_insertion" in C(t, 150, "A", "ATGC")
+    assert "inframe_deletion" in C(t, 150, "ATGC", "A")
+
+
+def test_inframe_deletion_suppresses_stop_lost():
+    # rs:9801 coding_inframe_deletion_with_translation_can_emit_stop_lost —
+    # VEP suppresses stop_lost alongside inframe indels and strips the
+    # parent protein_altering/coding_sequence terms
+    t = tx("pc", 90, 140, 1, cds=(100, 108), exons=[(90, 140)],
+           cds_sequence="ATGGCTTAA")
+    got = C(t, 106, "TAA", "")
+    assert "inframe_deletion" in got
+    assert "stop_lost" not in got
+    assert "protein_altering_variant" not in got
+    assert "coding_sequence_variant" not in got
+
+
+def test_substitution_without_translation_is_csq_only():
+    # rs:9842 coding_substitution_emits_missense_variant: without
+    # translation data the engine cannot call missense vs synonymous
+    t = tx("pc", 100, 300, 1, cds=(120, 280), exons=[(100, 300)])
+    got = C(t, 150, "A", "G")
+    assert "coding_sequence_variant" in got
+    assert "missense_variant" not in got
+
+
+def test_utr_terms_are_strand_aware():
+    # rs:9871 utr_terms_are_strand_aware
+    tp = tx("pcp", 100, 300, 1, cds=(150, 250), exons=[(100, 300)])
+    tn = tx("pcn", 100, 300, -1, cds=(150, 250), exons=[(100, 300)])
+    assert "5_prime_UTR_variant" in C(tp, 120, "A", "G")
+    assert "3_prime_UTR_variant" in C(tp, 280, "A", "G")
+    assert "5_prime_UTR_variant" in C(tn, 280, "A", "G")
+    assert "3_prime_UTR_variant" in C(tn, 120, "A", "G")
+
+
+def test_splice_terms_from_intronic_offsets():
+    # rs:9923 splice_terms_from_intronic_offsets (intron 151..249)
+    t = tx("pc", 100, 300, 1, cds=(120, 280), exons=[(100, 150), (250, 300)])
+    assert "splice_donor_variant" in C(t, 151, "A", "G")
+    assert "splice_acceptor_variant" in C(t, 248, "A", "G")
+
+
+def test_start_and_stop_regions_flagged_in_cds():
+    # rs:9952 start_and_stop_regions_flagged_in_cds: positional heuristics
+    # fire without any translation data
+    t = tx("pc", 100, 300, 1, cds=(150, 240), exons=[(100, 300)])
+    assert "start_lost" in C(t, 151, "A", "G")
+    assert "stop_lost" in C(t, 239, "A", "G")
+
+
+def test_retained_and_gained_stop_terms():
+    # rs:9981 retained_and_gained_stop_terms_are_emitted: allele-pattern
+    # heuristics on whole-codon MNVs
+    t = tx("pc", 100, 400, 1, cds=(150, 360), exons=[(100, 400)])
+    assert "stop_retained_variant" in C(t, 359, "TAA", "TGA")
+    assert "stop_gained" in C(t, 220, "CAA", "TAA")
+
+
+def test_start_retained_and_incomplete_terminal_codon():
+    # rs:10015 start_retained_and_incomplete_terminal_codon_terms
+    t_complete = tx("pc", 100, 350, 1, cds=(151, 240), exons=[(100, 350)])
+    assert "start_retained_variant" in C(t_complete, 151, "ATG", "ATG")
+    # 91bp CDS → the last codon has 1 base; an SNV in it gets the
+    # incomplete_terminal_codon term (no stop terms strip it: the protein
+    # cannot be extended past the sequence)
+    cds_91 = "ATG" + "GCT" * 29 + "A"
+    t_inc = tx("pc2", 100, 350, 1, cds=(151, 241), exons=[(100, 350)],
+               cds_sequence=cds_91)
+    assert "incomplete_terminal_codon_variant" in C(t_inc, 241, "A", "G")
+
+
+def test_incomplete_terminal_uses_padded_sequence_length():
+    # rs:10074 incomplete_terminal_uses_cds_sequence_len_for_partial_codon:
+    # leading-N phase padding shifts the codon frame of the partial codon
+    t = tx("pc", 90, 107, 1, cds=(100, 107), exons=[(90, 107)],
+           cds_sequence="NNATGGCTGA")
+    assert "incomplete_terminal_codon_variant" in C(t, 107, "A", "T")
+
+
+# ---------------------------------------------------------------------------
+# insertion splice-site point rules  (rs:10614-10796)
+# ---------------------------------------------------------------------------
+
+_SPLICE_T = tx("T1", 1000, 2000, 1, cds=(1000, 2000),
+               exons=[(1000, 1200), (1400, 2000)])  # intron 1201..1399
+
+
+def test_insertion_at_splice_acceptor_exact_match():
+    # rs:10614: acceptor fires only for the insertion point P == intron_end
+    assert "splice_acceptor_variant" in C(_SPLICE_T, 1399, "-", "AAAA")
+    assert "splice_acceptor_variant" not in C(_SPLICE_T, 1397, "-", "AAAA")
+
+
+def test_insertion_splice_donor_region_exact_positions():
+    # rs:10670: P in [intron_start+3, intron_start+5] → donor_region;
+    # P at +7 gets splice_region but not donor_region
+    got = C(_SPLICE_T, 1204, "-", "ACGCACCGCGCACCG")
+    assert "splice_donor_region_variant" in got
+    got7 = C(_SPLICE_T, 1207, "-", "ACGC")
+    assert "splice_region_variant" in got7
+    assert "splice_donor_region_variant" not in got7
+
+
+def test_insertion_no_splice_donor_5th_base():
+    # rs:10734: VEP's overlap(P, P-1, X, X) is impossible for insertions —
+    # 5th-base never fires for them; donor_region does at +5
+    got = C(_SPLICE_T, 1205, "-", "ACGC")
+    assert "splice_donor_5th_base_variant" not in got
+    assert "splice_donor_region_variant" in got
+    assert "splice_donor_5th_base_variant" not in C(_SPLICE_T, 1206, "-", "ACGC")
+
+
+# ---------------------------------------------------------------------------
+# intron-body / complex-indel rules  (rs:11166-11298)
+# ---------------------------------------------------------------------------
+
+
+def test_complex_indel_gets_coding_sequence_variant_only():
+    # rs:11166: a deletion spanning exon→(non-frameshift) intron cannot be
+    # mapped through the CDS — no frameshift/inframe call
+    t = tx("T1", 1000, 1400, 1, cds=(1000, 1400),
+           exons=[(1000, 1050), (1200, 1400)])
+    got = C(t, 1045, "N" * 16, "")
+    assert "coding_sequence_variant" in got
+    assert "inframe_deletion" not in got
+    assert "frameshift_variant" not in got
+
+
+def test_intron_variant_not_emitted_at_splice_donor_position():
+    # rs:11213: the intron body excludes the 2bp splice sites
+    got = C(_SPLICE_T, 1201, "A", "G")
+    assert "splice_donor_variant" in got
+    assert "intron_variant" not in got
+
+
+def test_large_deletion_spanning_exon_intron_keeps_intron_variant():
+    # rs:11254: an exon-spanning deletion reaching deep into the intron gets
+    # both the splice_donor hit and intron_variant
+    got = C(_SPLICE_T, 1195, "N" * 56, "")
+    assert "splice_donor_variant" in got
+    assert "intron_variant" in got
+
+
+# ---------------------------------------------------------------------------
+# VCF → VEP variant normalization  (rs:11520-11597 from_vcf_*)
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_variant_from_vcf_cases():
+    nv = cq.normalize_variant
+    assert nv(100, "A", "G") == (100, 100, "A", "G", False)
+    assert nv(100, "ACGT", "A") == (101, 103, "CGT", "", False)
+    assert nv(100, "A", "ACGT") == (101, 101, "", "CGT", True)
+    # MNV: prefix trimmed, no suffix trim for same-length alleles
+    assert nv(100, "ATCG", "AGCG") == (101, 103, "TCG", "GCG", False)
+    assert nv(100, "AG", "ATCG") == (101, 101, "", "TC", True)
+    assert nv(100, "AGCGT", "AT") == (101, 103, "GCG", "", False)
+    # suffix-only trim with no common prefix → pure insertion at pos
+    assert nv(41106449, "T", "AGTAAATTTTTTTTCT") == (
+        41106449, 41106449, "", "AGTAAATTTTTTTTC", True
+    )
+
+
+def test_star_allele_skipped():
+    # rs:880-884: VEP skips star alleles entirely
+    t = tx("pc", 100, 300, 1, cds=(120, 280), exons=[(100, 300)])
+    assert cq.classify(t, 150, "A", "*") == []

@@ -5,6 +5,12 @@ VEP 115 golden output committed in the reference
 
 Like the reference's `vcf_passthrough.rs:19`, the harness SKIPS when the
 git-LFS fixtures are not hydrated (the files are then LFS pointer stubs).
+On this checkout they are un-hydrated pointers and there is no network to
+fetch them, so engine parity is instead pinned by
+``tests/test_consequence_parity.py`` — truth tables derived from the
+reference's own VEP-115-verified in-module engine tests
+(`transcript_consequence.rs` test module), which cover the same rule
+surface the golden diff would exercise.
 """
 
 from __future__ import annotations

@@ -222,6 +222,32 @@ def test_regulatory_features(spark):
         regulatory_features(vcf)
 
 
+def test_regulatory_ablation_and_dedup(spark):
+    # VEP feature_ablation: deletion fully covering the feature adds
+    # regulatory_region_ablation (transcript_consequence.rs:1498-1504);
+    # duplicate cache rows for a stable id emit a single entry
+    from datafusion_bio_functions_spark.operators.vep import regulatory_features
+
+    vcf = spark.createDataFrame(
+        # 60bp deletion fully covering ENSR1 (80..120); SNV inside it
+        [("1", 70, 130, "A" * 61, "A"), ("1", 100, 100, "A", "T")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    reg = spark.createDataFrame(
+        [("1", 80, 120, "ENSR1", "promoter"), ("1", 80, 120, "ENSR1", "promoter")],
+        "chrom string, start long, end long, feature_id string, feature_type string",
+    )
+    rows = regulatory_features(vcf, reg).collect()
+    got = {(r.start, r.feature_term) for r in rows}
+    assert got == {
+        (70, "regulatory_region_variant"),
+        (70, "regulatory_region_ablation"),
+        (100, "regulatory_region_variant"),
+    }
+    # dedup: exactly one regulatory_region_variant row per variant
+    assert len(rows) == 3
+
+
 def test_annotate_vep_full_schema(spark):
     """full_schema=True emits the reference's complete 87-column annotation
     layout (annotate_provider.rs:145-707) after the VCF cols + CSQ +
