@@ -339,6 +339,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _reads(spark, sf), _targets(spark, sf), k=1, algorithm="radius"
     )
     q["nearest_k3"] = lambda spark, sf: bio.nearest(_reads(spark, sf), _targets(spark, sf), k=3)
+    # include_overlaps=False: candidates restricted to strictly-disjoint
+    # intervals (the reference's overlap toggle, nearest.rs:29-547)
+    q["nearest_excl_overlaps"] = lambda spark, sf: bio.nearest(
+        _reads(spark, sf), _targets(spark, sf), k=1, include_overlaps=False
+    )
     q["overlap_left_semi"] = lambda spark, sf: bio.overlap(
         _reads(spark, sf), _targets(spark, sf), output="left_distinct"
     )
@@ -1023,6 +1028,9 @@ def oracle_sql() -> dict[str, str]:
     o["nearest"] = osql.nearest_sql(READS_SQL, TARGETS_SQL, k=1)
     o["nearest_radius"] = osql.nearest_sql(READS_SQL, TARGETS_SQL, k=1)
     o["nearest_k3"] = osql.nearest_sql(READS_SQL, TARGETS_SQL, k=3)
+    o["nearest_excl_overlaps"] = osql.nearest_sql(
+        READS_SQL, TARGETS_SQL, k=1, include_overlaps=False
+    )
     o["overlap_left_semi"] = (
         f"SELECT DISTINCT l.contig, l.pos_start, l.pos_end FROM ({READS_SQL}) l "
         f"JOIN ({TARGETS_SQL}) r ON l.contig = r.contig "

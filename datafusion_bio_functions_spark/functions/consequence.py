@@ -170,9 +170,27 @@ class Transcript:
     is_canonical: bool = False
     mature_mirna_regions: list[tuple[int, int]] = field(default_factory=list)
     cds_start_nf: bool = False  # annotated "CDS 5' incomplete"
+    #: memoized geometry — a Transcript is reused across many variants in
+    #: the classify UDF's per-batch cache; exons are never mutated after
+    #: construction there
+    _exons_cache: list[tuple[int, int]] | None = field(
+        default=None, repr=False, compare=False
+    )
+    _introns_cache: list[tuple[int, int]] | None = field(
+        default=None, repr=False, compare=False
+    )
 
     def sorted_exons(self) -> list[tuple[int, int]]:
-        return sorted(self.exons) if self.exons else [(self.start, self.end)]
+        if self._exons_cache is None:
+            self._exons_cache = (
+                sorted(self.exons) if self.exons else [(self.start, self.end)]
+            )
+        return self._exons_cache
+
+    def introns(self) -> list[tuple[int, int]]:
+        if self._introns_cache is None:
+            self._introns_cache = _introns(self.sorted_exons())
+        return self._introns_cache
 
 
 def _genomic_to_cds_offset(t: Transcript, pos: int) -> int | None:
@@ -288,12 +306,12 @@ def _feature_overlaps(is_ins: bool, vs: int, ve: int, fs: int, fe: int) -> bool:
 
 
 def _variant_overlaps_intron(
-    exons: list[tuple[int, int]], vs: int, ve: int, is_ins: bool
+    t: "Transcript", vs: int, ve: int, is_ins: bool
 ) -> bool:
     """Intron-body hit for the ``intron_variant`` term: excludes frameshift
     introns (≤13 bp) and the 2 bp splice sites at either end (reference
     variant_hits_intron_body, transcript_consequence.rs:8123)."""
-    for is_, ie in _introns(exons):
+    for is_, ie in t.introns():
         if ie - is_ <= 12:
             continue
         inner_s, inner_e = is_ + 2, ie - 2
@@ -307,18 +325,18 @@ def _variant_overlaps_intron(
     return False
 
 
-def _in_frameshift_intron(exons: list[tuple[int, int]], vs: int, ve: int) -> bool:
+def _in_frameshift_intron(t: "Transcript", vs: int, ve: int) -> bool:
     return any(
-        ie - is_ <= 12 and _overlaps(vs, ve, is_, ie) for is_, ie in _introns(exons)
+        ie - is_ <= 12 and _overlaps(vs, ve, is_, ie) for is_, ie in t.introns()
     )
 
 
-def _is_complex_indel(vs: int, ve: int, exons: list[tuple[int, int]]) -> bool:
+def _is_complex_indel(t: "Transcript", vs: int, ve: int) -> bool:
     """Deletion extending beyond an exon into a non-frameshift intron: VEP
     cannot map it through the CDS — ``coding_sequence_variant`` only
     (reference is_complex_indel, transcript_consequence.rs:1849)."""
-    introns = _introns(exons)
-    for es, ee in exons:
+    introns = t.introns()
+    for es, ee in t.sorted_exons():
         if not _overlaps(vs, ve, es, ee):
             continue
         if vs < es or ve > ee:
@@ -361,7 +379,7 @@ def _add_intron_splice_terms(
     if len(exons) < 2:
         return
     svmin, svmax = (vs, ve) if vs <= ve else (ve, vs)
-    introns = _introns(exons)
+    introns = t.introns()
     has_fs_intron = any(ie - is_ <= 12 for is_, ie in introns)
     stretch = 12 if has_fs_intron else 0
     allow_ppt = any(_overlaps(svmin, svmax, is_, ie) for is_, ie in introns) and not any(
@@ -602,6 +620,147 @@ def _classify_substitution(t: Transcript, vs: int, ref: str, alt: str) -> set[st
     return {"missense_variant"}
 
 
+def classify_coding_indel(
+    t: Transcript, vs: int, ve: int, ref: str, alt: str, is_ins: bool
+) -> dict | None:
+    """Codon-level classification of an indel inside the CDS given
+    ``cds_sequence`` (reference classify_coding_change deletion/insertion
+    paths + the classify_* truth tables, transcript_consequence.rs:5225+,
+    tests :11678-11935).  Returns a dict with VEP's rendering conventions:
+
+    * ``codons``: affected ref/alt codon strings — changed bases uppercase,
+      context lowercase; ``-`` for the empty side of a codon-aligned event.
+    * ``amino_acids``: ref/alt peptides; frameshift alt ends in ``X``.
+    * ``cds_position_start/end``, ``protein_position_start/end``: 1-based;
+      an insertion spans its two flanking bases.
+    * ``stop_retained``/``stop_gained``/``stop_lost``: codon-level stop
+      effects used to refine the length-based terms.
+    """
+    if not t.cds_sequence:
+        return None
+    cds = t.cds_sequence.upper()
+    lead = _leading_n(t.cds_sequence)
+    seq = (alt if t.strand >= 0 else revcomp(alt)).upper()
+    dref = (ref if t.strand >= 0 else revcomp(ref)).upper()
+
+    if is_ins:
+        # insertion point: before transcript index ins_at
+        if t.strand >= 0:
+            right = _genomic_to_cds_offset(t, vs)
+            if right is None:
+                return None
+            ins_at = right + lead
+        else:
+            left = _genomic_to_cds_offset(t, vs - 1)
+            if left is None:
+                return None
+            ins_at = left + lead
+        if ins_at < 0 or ins_at > len(cds):
+            return None
+        out = {
+            "cds_position_start": ins_at, "cds_position_end": ins_at + 1,
+            "protein_position_start": None, "protein_position_end": None,
+            "codons": None, "amino_acids": None,
+            "stop_retained": False, "stop_gained": False, "stop_lost": False,
+        }
+        new_cds = cds[:ins_at] + seq + cds[ins_at:]
+        frameshift = len(seq) % 3 != 0
+        if frameshift:
+            c0 = (max(ins_at - 1, 0) // 3) * 3
+            codon_i = c0 // 3
+            out["protein_position_start"] = out["protein_position_end"] = codon_i + 1
+            ref_codon = cds[c0 : c0 + 3]
+            alt_codon = new_cds[c0 : c0 + 3 + len(seq)]
+            rendered_alt = "".join(
+                b.upper() if ins_at <= c0 + i < ins_at + len(seq) else b.lower()
+                for i, b in enumerate(alt_codon)
+            )
+            out["codons"] = f"{ref_codon.lower()}/{rendered_alt}"
+            aa_old = translate(ref_codon) or "X"
+            aa_new = translate(new_cds[c0 : c0 + 3])
+            out["amino_acids"] = (
+                f"{aa_old}/{aa_new}X" if aa_new == aa_old else f"{aa_old}/X"
+            )
+            if aa_old != "*" and "*" in translate(new_cds[c0:]):
+                pass  # downstream stop from the shifted frame — fsTer in HGVSp
+        elif ins_at % 3 == 0:  # inframe at a codon boundary
+            out["protein_position_start"] = ins_at // 3
+            out["protein_position_end"] = ins_at // 3 + 1
+            out["codons"] = f"-/{seq}"
+            out["amino_acids"] = f"-/{translate(seq)}"
+        else:  # inframe within a codon
+            c0 = (ins_at // 3) * 3
+            codon_i = c0 // 3
+            out["protein_position_start"] = codon_i + 1
+            out["protein_position_end"] = codon_i + 1 + len(seq) // 3
+            ref_codon = cds[c0 : c0 + 3]
+            alt_span = new_cds[c0 : c0 + 3 + len(seq)]
+            rendered_alt = "".join(
+                b.upper() if ins_at <= c0 + i < ins_at + len(seq) else b.lower()
+                for i, b in enumerate(alt_span)
+            )
+            out["codons"] = f"{ref_codon.lower()}/{rendered_alt}"
+            out["amino_acids"] = f"{translate(ref_codon)}/{translate(alt_span.upper())}"
+        # stop effect at the first affected codon
+        c0 = (max(ins_at - 1, 0) // 3) * 3
+        a_old = translate(cds[c0 : c0 + 3])
+        a_new = translate(new_cds[c0 : c0 + 3])
+        if a_old and a_new and a_old != "*" and a_new == "*":
+            out["stop_gained"] = True
+        return out
+
+    # deletion / delins: transcript-orientation first affected index
+    first_g = vs if t.strand >= 0 else ve
+    s0 = _genomic_to_cds_offset(t, first_g)
+    if s0 is None:
+        return None
+    s0 += lead
+    ln = len(dref)
+    if s0 + ln > len(cds) or cds[s0 : s0 + ln] != dref:
+        return None
+    new_cds = cds[:s0] + seq + cds[s0 + ln :]
+    frameshift = (ln - len(seq)) % 3 != 0
+    c0 = (s0 // 3) * 3
+    c1 = ((s0 + ln - 1) // 3) * 3 + 3
+    out = {
+        "cds_position_start": s0 + 1, "cds_position_end": s0 + ln,
+        "protein_position_start": s0 // 3 + 1,
+        "protein_position_end": (s0 + ln - 1) // 3 + 1,
+        "codons": None, "amino_acids": None,
+        "stop_retained": False, "stop_gained": False, "stop_lost": False,
+    }
+    ref_span = cds[c0:c1]
+    rendered_ref = "".join(
+        b.upper() if s0 <= c0 + i < s0 + ln else b.lower()
+        for i, b in enumerate(ref_span)
+    )
+    remaining = (cds[c0:s0] + seq + cds[s0 + ln : c1]).lower()
+    aa_ref = translate(ref_span)
+    if frameshift:
+        out["codons"] = f"{rendered_ref}/{remaining or '-'}"
+        out["amino_acids"] = f"{aa_ref}/X"
+    else:
+        rendered_alt = "".join(
+            b.upper() if s0 - c0 <= i < s0 - c0 + len(seq) else b
+            for i, b in enumerate(remaining)
+        ) if seq else (remaining or "-")
+        out["codons"] = f"{rendered_ref}/{rendered_alt}"
+        aa_alt = translate((cds[c0:s0] + seq + cds[s0 + ln : c1]).upper())
+        out["amino_acids"] = f"{aa_ref}/{aa_alt or '-'}"
+        if "*" in aa_ref and aa_alt and aa_alt.endswith("*"):
+            out["stop_retained"] = True
+    # stop effects from the whole-protein comparison
+    prot_old = translate(cds)
+    prot_new = translate(new_cds)
+    first_i = s0 // 3
+    if first_i < len(prot_old):
+        a_old = prot_old[first_i]
+        a_new = prot_new[first_i] if first_i < len(prot_new) else ""
+        if a_old != "*" and a_new == "*":
+            out["stop_gained"] = True
+    return out
+
+
 def _add_coding_terms(
     terms: set, t: Transcript, vs: int, ve: int, ref: str, alt: str, is_ins: bool,
     exons: list[tuple[int, int]],
@@ -614,7 +773,7 @@ def _add_coding_terms(
     terms.add("coding_sequence_variant")
     ref_len, alt_len = len(ref), len(alt)
 
-    if not is_ins and _is_complex_indel(vs, ve, exons):
+    if not is_ins and _is_complex_indel(t, vs, ve):
         return False
 
     # incomplete terminal codon: the variant's codon extends past the CDS
@@ -648,11 +807,29 @@ def _add_coding_terms(
         else:
             terms.add("frameshift_variant")
         if t.cds_sequence:
-            # length-based indel classification is the codon-level answer
-            # here (peptide diffing lives in hgvs_p); VEP suppresses
-            # stop/start terms alongside inframe indels
-            terms.add("protein_altering_variant")
-            return True
+            cls = classify_coding_indel(t, vs, ve, ref, alt, is_ins)
+            if cls is not None:
+                # VEP's frameshift predicate returns 0 when the stop codon
+                # is retained — reclassify as the inframe term
+                if cls["stop_retained"] and "frameshift_variant" in terms:
+                    terms.discard("frameshift_variant")
+                    terms.add(
+                        "inframe_insertion" if alt_len > ref_len else "inframe_deletion"
+                    )
+                if cls["stop_gained"]:
+                    terms.add("stop_gained")
+                # VEP inframe_insertion containment: the ref peptide must be
+                # a pure prefix OR suffix of the alt peptide; otherwise the
+                # protein_altering_variant catch-all stands alone
+                if "inframe_insertion" in terms and cls["amino_acids"]:
+                    rp, _, ap = cls["amino_acids"].partition("/")
+                    star = ap.find("*")
+                    if star >= 0 and star + 1 < len(ap):
+                        ap = ap[: star + 1]
+                    if rp != "-" and not (ap.startswith(rp) or ap.endswith(rp)):
+                        terms.discard("inframe_insertion")
+                terms.add("protein_altering_variant")
+                return True
         hs, he, href, halt = heur if heur is not None else (vs, ve, ref, alt)
         _start_stop_heuristic_terms(terms, t, hs, he, href, halt)
         terms.add("protein_altering_variant")
@@ -739,9 +916,9 @@ def classify(
     terms: set[str] = set()
     exons = t.sorted_exons()
     overlaps_exon = any(_feature_overlaps(is_ins, vs, ve, es, ee) for es, ee in exons)
-    if _variant_overlaps_intron(exons, vs, ve, is_ins):
+    if _variant_overlaps_intron(t, vs, ve, is_ins):
         terms.add("intron_variant")
-    in_fs_intron = (not overlaps_exon) and _in_frameshift_intron(exons, vs, ve)
+    in_fs_intron = (not overlaps_exon) and _in_frameshift_intron(t, vs, ve)
 
     cs, ce = t.cds_start, t.cds_end
     has_cds = cs is not None and ce is not None
@@ -925,7 +1102,17 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
         return out
     out["cds_position"] = off + 1
     out["protein_position"] = off // 3 + 1
-    if t.cds_sequence is None or len(ref) != len(alt) or not ref:
+    if len(ref) != len(alt) or not ref:
+        # indel: codon-level rendering when sequence context is available
+        nvs, nve, nref, nalt, nins = normalize_variant(pos, ref, alt)
+        cls = classify_coding_indel(t, nvs, nve, nref, nalt, nins)
+        if cls is not None:
+            out["codons"] = cls["codons"]
+            out["amino_acids"] = cls["amino_acids"]
+            out["cds_position"] = cls["cds_position_start"]
+            out["protein_position"] = cls["protein_position_start"]
+        return out
+    if t.cds_sequence is None:
         return out
     cds = t.cds_sequence.upper()
     var_ref = ref.upper() if t.strand >= 0 else revcomp(ref.upper())

@@ -458,11 +458,19 @@ def _simhash64_arrow_udf():
     @F.pandas_udf(T.LongType(), F.PandasUDFType.SCALAR)
     def _sim(texts):
         out = []
+        # natural-language batches repeat the same tokens across documents:
+        # hash each distinct token once per batch (vocab ≪ token count)
+        hcache: dict[str, int] = {}
+        md5 = hashlib.md5
         for txt in texts:
             toks = str("" if txt is None else txt).strip(" ").lower().split(" ")
             hs = np.empty(len(toks), dtype=np.uint64)
             for j, t in enumerate(toks):
-                hs[j] = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+                h = hcache.get(t)
+                if h is None:
+                    h = int.from_bytes(md5(t.encode("utf-8")).digest()[:8], "big")
+                    hcache[t] = h
+                hs[j] = h
             bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
             votes = (2 * bits - 1).sum(axis=0)
             val = 0

@@ -45,6 +45,32 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _pair_cosine_kernel():
+    """Arrow-vectorized pair cosine that is bit-identical to
+    ``dot(a,b)/(l2_norm(a)*l2_norm(b))``: the per-row folds run as
+    column-sweeps of sequential double adds — the same IEEE operation
+    order as the JVM ``aggregate`` expression, so oracle value-hashes are
+    unchanged while the 64-deep interpreted expression tree (the bench
+    hotspot at sf1) becomes ~10 numpy ops per batch."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def pair_cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        x = np.array(qv.tolist(), dtype=np.float64)
+        y = np.array(cv.tolist(), dtype=np.float64)
+        n, d = x.shape
+        acc = np.zeros(n)
+        qn = np.zeros(n)
+        cn = np.zeros(n)
+        for j in range(d):  # strict left-to-right summation per row
+            acc = acc + x[:, j] * y[:, j]
+            qn = qn + x[:, j] * x[:, j]
+            cn = cn + y[:, j] * y[:, j]
+        return pd.Series(acc / (np.sqrt(qn) * np.sqrt(cn)))
+
+    return pair_cos
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -61,20 +87,16 @@ def cosine_topk(
     (same id) excluded.  ``cosine_sim`` is the raw double — the strict
     left-to-right summation makes it bit-reproducible by the SQL oracle.
     """
-    # norms are per-row, not per-pair: compute them once on each side
-    # (O(|Q|+|C|) instead of O(|Q|·|C|) norm passes)
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
-    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    )
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
-    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    )
     sim = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "__sim", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
-        )
+        .withColumn("__sim", _pair_cosine_kernel()(F.col("__qv"), F.col("__cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
     return (
@@ -129,37 +151,62 @@ def lsh_cosine_topk(
     (table, bucket) key; each query probes ``n_tables * (1 + n_planes)``
     buckets instead of scanning the corpus.
     """
+    from pyspark.sql import types as T
+
     tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+
+    def _buckets_kernel():
+        """Per-table sign-bit bucket ids, Arrow-vectorized.  The plane dots
+        use the same strict left-to-right summation as ``_bucket_expr``, so
+        every sign decision (and therefore every bucket id) is identical to
+        the JVM expression path — only ~n_tables·n_planes·dim column sweeps
+        per batch instead of an interpreted expression per (row, plane)."""
+        mat = np.array([p for planes in tables for p in planes], dtype=np.float64)
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def buckets(v: pd.Series) -> pd.Series:
+            x = np.array(v.tolist(), dtype=np.float64)
+            n, d = x.shape
+            ids = np.zeros((n, n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                for i in range(n_planes):
+                    p = mat[t * n_planes + i]
+                    acc = np.zeros(n)
+                    for j in range(d):  # strict order — sign-exact
+                        acc = acc + x[:, j] * p[j]
+                    ids[:, t] |= (acc > 0).astype(np.int64) << i
+            return pd.Series(list(ids))
+
+        return buckets
+
     c0 = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv"))
     c = c0.select(
         "neighbor_id",
         "__cv",
-        F.posexplode(
-            F.array(*[_bucket_expr(F.col("__cv"), planes) for planes in tables])
-        ).alias("table", "bucket"),
+        F.posexplode(_buckets_kernel()(F.col("__cv"))).alias("table", "bucket"),
     )
     q0 = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv"))
-    probe_cols = []
-    for t, planes in enumerate(tables):
-        b0 = _bucket_expr(F.col("__qv"), planes)
-        probe_cols.append(F.struct(F.lit(t).alias("table"), b0.alias("bucket")))
-        if multiprobe:
-            probe_cols.extend(
-                F.struct(F.lit(t).alias("table"), b0.bitwiseXOR(F.lit(1 << i)).alias("bucket"))
-                for i in range(n_planes)
-            )
-    qp = q0.select(
-        "query_id", "__qv", F.explode(F.array(*probe_cols)).alias("__p")
-    ).select("query_id", "__qv", F.col("__p.table").alias("table"), F.col("__p.bucket").alias("bucket"))
-    cand = (
-        qp.join(c, ["table", "bucket"])
+    qb = q0.select(
+        "query_id", "__qv", F.posexplode(_buckets_kernel()(F.col("__qv"))).alias("table", "__b0")
+    )
+    probes = [F.col("__b0")]
+    if multiprobe:
+        probes.extend(F.col("__b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes))
+    qp = qb.select(
+        "query_id", "__qv", "table", F.explode(F.array(*probes)).alias("bucket")
+    )
+    # candidate dedupe carries ids only — vectors re-attach after the
+    # distinct so the 64-dim payloads never shuffle through it
+    cand_ids = (
+        qp.select("query_id", "table", "bucket")
+        .join(c.select("neighbor_id", "table", "bucket"), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "__qv", "neighbor_id", "__cv")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
+    cand = cand_ids.join(q0, "query_id").join(c0, "neighbor_id")
     sim = cand.withColumn(
-        "__sim",
-        dot(F.col("__qv"), F.col("__cv")) / (l2_norm(F.col("__qv")) * l2_norm(F.col("__cv"))),
+        "__sim", _pair_cosine_kernel()(F.col("__qv"), F.col("__cv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
     return (
@@ -397,12 +444,12 @@ def ivf_cosine_topk(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
     ).withColumn("centroid_id", F.explode(make_assign(nprobe)(F.col("__qv"))))
     cand = (
-        q.join(c.withColumn("__cn", l2_norm(F.col("__cv"))), "centroid_id")
+        q.join(c, "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "__qv", "neighbor_id", "__cv", "__cn")
+        .select("query_id", "__qv", "neighbor_id", "__cv")
     )
     sim = cand.withColumn(
-        "__sim", dot(F.col("__qv"), F.col("__cv")) / (l2_norm(F.col("__qv")) * F.col("__cn"))
+        "__sim", _pair_cosine_kernel()(F.col("__qv"), F.col("__cv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
     return (

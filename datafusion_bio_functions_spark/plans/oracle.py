@@ -246,27 +246,32 @@ def nearest_sql(
     r_all: Sequence[str] | None = None,
     k: int = 1,
     filter_op: str = "weak",
+    include_overlaps: bool = True,
 ) -> str:
     """Brute-force k-nearest oracle: per probe (right) row rank all same-
-    contig left intervals by (distance, start, end).  O(n·m) — oracle only."""
+    contig left intervals by (distance, start, end).  O(n·m) — oracle only.
+    ``include_overlaps=False`` restricts candidates to distance > 0 (the
+    reference's overlap toggle, ``nearest.rs:29-547``)."""
     lc, ls, le = _c3(l_cols)
     rc, rs, re = _c3(r_cols)
     l_all = list(l_all or (lc, ls, le))
     r_all = list(r_all or (rc, rs, re))
     shrink = 0 if filter_op == "weak" else 1
+    dist = f"greatest(ll.{ls} - (rr.{re} - {shrink}), (rr.{rs} + {shrink}) - ll.{le}, 0)"
+    extra_on = "" if include_overlaps else f" AND {dist} > 0"
     proj = ", ".join(
         [f"ll.{c} AS left_{c}" for c in l_all]
         + [f"rr.{c} AS right_{c}" for c in r_all]
-        + [f"CAST(greatest(ll.{ls} - (rr.{re} - {shrink}), (rr.{rs} + {shrink}) - ll.{le}, 0) AS BIGINT) AS distance"]
+        + [f"CAST({dist} AS BIGINT) AS distance"]
     )
     return f"""WITH rr AS (SELECT *, row_number() OVER () AS __rid FROM ({r})),
 cand AS (
   SELECT {proj}, rr.__rid,
          row_number() OVER (
            PARTITION BY rr.__rid
-           ORDER BY greatest(ll.{ls} - (rr.{re} - {shrink}), (rr.{rs} + {shrink}) - ll.{le}, 0) NULLS LAST,
+           ORDER BY {dist} NULLS LAST,
                     ll.{ls}, ll.{le}) AS __rn
-  FROM rr LEFT JOIN ({l}) ll ON ll.{lc} = rr.{rc}
+  FROM rr LEFT JOIN ({l}) ll ON ll.{lc} = rr.{rc}{extra_on}
 )
 SELECT * EXCLUDE (__rid, __rn) FROM cand WHERE __rn <= {k}"""
 

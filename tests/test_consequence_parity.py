@@ -292,6 +292,76 @@ def test_normalize_variant_from_vcf_cases():
     )
 
 
+# ---------------------------------------------------------------------------
+# indel codon classification  (rs:11678-11935 classify_* truth tables)
+# ---------------------------------------------------------------------------
+
+
+def _coding_tx(cds_seq):
+    end = 1000 + len(cds_seq) - 1
+    return tx("T1", 1000, end, 1, cds=(1000, end), exons=[(1000, end)],
+              cds_sequence=cds_seq)
+
+
+def _cls(cds_seq, pos, ref, alt):
+    t = _coding_tx(cds_seq)
+    vs, ve, r, a, ins = cq.normalize_variant(pos, ref, alt)
+    return cq.classify_coding_indel(t, vs, ve, r, a, ins)
+
+
+def test_classify_frameshift_deletion_codons_and_amino_acids():
+    # rs:11678: 1bp deletion — ref codon uppercase at deleted base, alt all
+    # lowercase, amino acids REF/X
+    c = _cls("ATGGCTGAATGA", 1003, "G", "-")
+    rp, ap = c["codons"].split("/")
+    assert any(ch.isupper() for ch in rp)
+    assert ap == "-" or ap.islower()
+    assert c["amino_acids"].endswith("/X")
+
+
+def test_classify_inframe_deletion_codons_positions():
+    # rs:11697/11744: codon-aligned 3bp deletion
+    c = _cls("ATGGCTGAAAAATGA", 1003, "GCT", "-")
+    rp, ap = c["codons"].split("/")
+    assert rp == "GCT"
+    assert ap == "-" or ap.islower()
+    assert "X" not in c["amino_acids"] and "/" in c["amino_acids"]
+    assert (c["cds_position_start"], c["cds_position_end"]) == (4, 6)
+    assert (c["protein_position_start"], c["protein_position_end"]) == (2, 2)
+
+
+def test_classify_frameshift_insertion_codons():
+    # rs:11779: insertion frameshift — ref codon lowercase, alt carries the
+    # inserted bases uppercase
+    c = _cls("ATGGCTGAATGA", 1004, "-", "TT")
+    rp, ap = c["codons"].split("/")
+    assert rp.islower()
+    assert any(ch.isupper() for ch in ap)
+    assert c["amino_acids"].split("/")[1].endswith("X")
+
+
+def test_classify_inframe_insertion_boundary_and_within():
+    # rs:11823: codon-boundary insertion → "-/UPPER", protein spans flanks
+    c = _cls("ATGGCTGAAAAATGA", 1006, "-", "AAA")
+    assert c["codons"].split("/")[0] == "-"
+    assert c["codons"].split("/")[1].isupper()
+    assert "X" not in c["amino_acids"]
+    assert (c["protein_position_start"], c["protein_position_end"]) == (2, 3)
+    # rs:11843: within-codon insertion → lowercase context + uppercase insert
+    c2 = _cls("ATGGCTGAAAAATGA", 1005, "-", "AAA")
+    rp2, ap2 = c2["codons"].split("/")
+    assert rp2.islower()
+    assert any(ch.isupper() for ch in ap2) and any(ch.islower() for ch in ap2)
+
+
+def test_classify_insertion_positions():
+    # rs:11885/11894: insertion spans its flanking CDS bases; frameshift
+    # protein position is the single affected codon
+    c = _cls("ATGGCTGAATGA", 1004, "-", "TT")
+    assert (c["cds_position_start"], c["cds_position_end"]) == (4, 5)
+    assert c["protein_position_start"] == c["protein_position_end"]
+
+
 def test_star_allele_skipped():
     # rs:880-884: VEP skips star alleles entirely
     t = tx("pc", 100, 300, 1, cds=(120, 280), exons=[(100, 300)])
