@@ -288,6 +288,34 @@ def _indels(spark, sf_dir):
     )
 
 
+STRUCTURAL_SQL = (
+    "SELECT CAST(n_nationkey % 3 + 1 AS VARCHAR) AS chrom, "
+    "CAST((n_nationkey * 401) % 4500 + 1 AS BIGINT) AS start, "
+    "CAST((n_nationkey * 401) % 4500 + 301 AS BIGINT) AS \"end\", "
+    "CASE n_nationkey % 4 WHEN 0 THEN 'tx' WHEN 1 THEN 'reg' "
+    "WHEN 2 THEN 'motif' ELSE 'generic' END AS feature_kind, "
+    "CASE (n_nationkey * 7) % 4 WHEN 0 THEN 'del' WHEN 1 THEN 'dup' "
+    "WHEN 2 THEN 'elongate' ELSE 'truncate' END AS event_kind "
+    "FROM nation"
+)
+
+
+def _structural(spark, sf_dir):
+    n = _read(spark, sf_dir, "nation")
+    start = ((F.col("n_nationkey") * 401) % 4500 + 1).cast("long")
+    kind = F.col("n_nationkey") % 4
+    event = (F.col("n_nationkey") * 7) % 4
+    return n.select(
+        (F.col("n_nationkey") % 3 + 1).cast("string").alias("chrom"),
+        start.alias("start"),
+        (start + 300).alias("end"),
+        F.when(kind == 0, "tx").when(kind == 1, "reg")
+        .when(kind == 2, "motif").otherwise("generic").alias("feature_kind"),
+        F.when(event == 0, "del").when(event == 1, "dup")
+        .when(event == 2, "elongate").otherwise("truncate").alias("event_kind"),
+    )
+
+
 def _docs_dup(spark, sf_dir):
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
     dup = d.filter(F.col("doc_id") % 3 == 0).select(
@@ -502,6 +530,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["regulatory_features"] = lambda spark, sf: regulatory_features(
         _vcf(spark, sf), _regulatory(spark, sf)
     )
+
+    def _sv_terms_q(spark, sf):
+        from datafusion_bio_functions_spark.operators.vep import structural_terms
+
+        return structural_terms(_vcf(spark, sf), _structural(spark, sf))
+
+    q["structural_terms"] = _sv_terms_q
     # V5/V7/V8/V9 allele normalization surface on an indel-rich view:
     # VEP-normalized coordinates (prefix/suffix trim rules) + the VEP
     # allele string, value-checked by a SQL re-derivation of the trim rules
@@ -1059,6 +1094,33 @@ SELECT v.chrom, v.start, v."end", v.ref, v.alt, r.feature_id,
        CASE WHEN r.feature_type = 'TF_binding_site' THEN 'TF_binding_site_variant'
             ELSE 'regulatory_region_variant' END AS feature_term
 FROM v JOIN r ON v.chrom = r.chrom AND v.start <= r."end" AND v."end" >= r.start"""
+    o["structural_terms"] = f"""
+WITH v AS ({VCF_SQL}), s0 AS ({STRUCTURAL_SQL}),
+s AS (
+  SELECT chrom, start, "end",
+    CASE
+      WHEN feature_kind IN ('transcript','tx') AND event_kind IN ('ablation','deletion','del')
+        THEN 'transcript_ablation'
+      WHEN feature_kind IN ('transcript','tx') AND event_kind IN ('amplification','duplication','dup','amp')
+        THEN 'transcript_amplification'
+      WHEN feature_kind IN ('transcript','tx','feature','generic') AND event_kind IN ('elongation','elongate')
+        THEN 'feature_elongation'
+      WHEN feature_kind IN ('transcript','tx','feature','generic') AND event_kind IN ('truncation','truncate')
+        THEN 'feature_truncation'
+      WHEN feature_kind IN ('regulatory','reg') AND event_kind IN ('ablation','deletion','del')
+        THEN 'regulatory_region_ablation'
+      WHEN feature_kind IN ('regulatory','reg') AND event_kind IN ('amplification','duplication','dup','amp')
+        THEN 'regulatory_region_amplification'
+      WHEN feature_kind IN ('tfbs','motif') AND event_kind IN ('ablation','deletion','del')
+        THEN 'TFBS_ablation'
+      WHEN feature_kind IN ('tfbs','motif') AND event_kind IN ('amplification','duplication','dup','amp')
+        THEN 'TFBS_amplification'
+    END AS feature_term
+  FROM s0
+)
+SELECT DISTINCT v.chrom, v.start, v."end", v.ref, v.alt, s.feature_term
+FROM v JOIN s ON v.chrom = s.chrom AND v.start <= s."end" AND v."end" >= s.start
+WHERE s.feature_term IS NOT NULL"""
     o["depth_blocks"] = osql.depth_blocks_sql(ALIGNMENTS_SQL)
     o["depth_chunked"] = osql.depth_blocks_sql(ALIGNMENTS_SQL)
     o["depth_per_base"] = f"""

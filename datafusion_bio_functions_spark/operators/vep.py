@@ -957,3 +957,74 @@ def regulatory_features(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def structural_terms(vcf: DataFrame, structural: DataFrame) -> DataFrame:
+    """Structural-variant consequence terms from a structural context table
+    ``(chrom, start, end, feature_kind, event_kind [, feature_id])`` —
+    the reference's SV arm of ``annotate_vep`` (context parse + kind/event
+    vocabulary ``annotate_provider.rs:5338-5356``; term assignment
+    ``transcript_consequence.rs:1685-1770``):
+
+    * ``transcript`` × ablation/amplification → ``transcript_ablation`` /
+      ``transcript_amplification``; × elongation/truncation →
+      ``feature_elongation`` / ``feature_truncation``
+    * ``generic`` × elongation/truncation → the feature_* terms
+    * ``regulatory`` × ablation/amplification →
+      ``regulatory_region_ablation`` / ``regulatory_region_amplification``
+    * ``tfbs`` × ablation/amplification → ``TFBS_ablation`` /
+      ``TFBS_amplification``
+
+    Kind/event accept the reference's aliases (``tx``, ``del``, ``dup``,
+    ``motif``, …); unknown values are skipped like the reference's parser.
+    Output: vcf cols + ``feature_term``, one row per distinct
+    (variant, term).  The context broadcasts (annotation-sized)."""
+    _check_contract(vcf, VCF_REQUIRED, "vcf")
+    _check_contract(
+        structural, ("chrom", "start", "end", "feature_kind", "event_kind"), "structural"
+    )
+    kind = F.lower(F.col("feature_kind"))
+    event = F.lower(F.col("event_kind"))
+    knorm = (
+        F.when(kind.isin("transcript", "tx"), "transcript")
+        .when(kind.isin("regulatory", "reg"), "regulatory")
+        .when(kind.isin("tfbs", "motif"), "tfbs")
+        .when(kind.isin("feature", "generic"), "generic")
+    )
+    enorm = (
+        F.when(event.isin("ablation", "deletion", "del"), "ablation")
+        .when(event.isin("amplification", "duplication", "dup", "amp"), "amplification")
+        .when(event.isin("elongation", "elongate"), "elongation")
+        .when(event.isin("truncation", "truncate"), "truncation")
+    )
+    term = (
+        F.when((knorm == "transcript") & (enorm == "ablation"), "transcript_ablation")
+        .when((knorm == "transcript") & (enorm == "amplification"), "transcript_amplification")
+        .when(knorm.isin("transcript", "generic") & (enorm == "elongation"), "feature_elongation")
+        .when(knorm.isin("transcript", "generic") & (enorm == "truncation"), "feature_truncation")
+        .when((knorm == "regulatory") & (enorm == "ablation"), "regulatory_region_ablation")
+        .when(
+            (knorm == "regulatory") & (enorm == "amplification"),
+            "regulatory_region_amplification",
+        )
+        .when((knorm == "tfbs") & (enorm == "ablation"), "TFBS_ablation")
+        .when((knorm == "tfbs") & (enorm == "amplification"), "TFBS_amplification")
+    )
+    sv = (
+        structural.select(
+            F.col("chrom").alias("__fc"),
+            F.col("start").cast("long").alias("__fs"),
+            F.col("end").cast("long").alias("__fe"),
+            term.alias("feature_term"),
+        )
+        .where(F.col("feature_term").isNotNull())
+    )
+    pos, vend = F.col("start").cast("long"), F.col("end").cast("long")
+    return (
+        vcf.join(
+            F.broadcast(sv),
+            (F.col("chrom") == F.col("__fc")) & (pos <= F.col("__fe")) & (vend >= F.col("__fs")),
+        )
+        .select(*vcf.columns, "feature_term")
+        .distinct()
+    )

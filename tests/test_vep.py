@@ -297,3 +297,36 @@ def test_annotate_vep_full_schema(spark):
     assert len(VEP_FREQUENCY_COLUMNS) == 27 and len(VEP_CACHE_ONLY_COLUMNS) == 7
     with pytest.raises(ValueError):
         annotate_vep(vcf, cache, full_schema=True)
+
+
+def test_structural_terms(spark):
+    # SV arm of annotate_vep: kind/event vocabulary incl. aliases
+    # (annotate_provider.rs:5338-5356), term table
+    # (transcript_consequence.rs:1685-1770); unknown kinds/events skipped
+    from datafusion_bio_functions_spark.operators.vep import structural_terms
+
+    vcf = spark.createDataFrame(
+        [("1", 100, 100, "A", "T"), ("2", 100, 100, "C", "G")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    sv = spark.createDataFrame(
+        [
+            ("1", 50, 150, "tx", "del"),
+            ("1", 50, 150, "transcript", "dup"),
+            ("1", 90, 110, "generic", "truncate"),
+            ("1", 90, 110, "motif", "amplification"),
+            ("1", 90, 110, "reg", "ablation"),
+            ("1", 90, 110, "generic", "del"),      # no term for generic×del
+            ("1", 90, 110, "banana", "del"),       # unknown kind skipped
+            ("2", 500, 600, "tx", "del"),          # no overlap
+        ],
+        "chrom string, start long, end long, feature_kind string, event_kind string",
+    )
+    got = {(r.chrom, r.feature_term) for r in structural_terms(vcf, sv).collect()}
+    assert got == {
+        ("1", "transcript_ablation"),
+        ("1", "transcript_amplification"),
+        ("1", "feature_truncation"),
+        ("1", "TFBS_amplification"),
+        ("1", "regulatory_region_ablation"),
+    }
