@@ -24,6 +24,7 @@ from datafusion_bio_functions_spark.functions.text import doc_fingerprint, token
 from datafusion_bio_functions_spark.functions.text import lang_id as _lang_id
 from datafusion_bio_functions_spark.functions.text import text_stats as _text_stats
 from datafusion_bio_functions_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     minhash_dedup,
     ngram_jaccard_dedup,
@@ -617,6 +618,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
     q["ngram_jaccard_pairs"] = lambda spark, sf: ngram_jaccard_dedup(
         _docs_dup(spark, sf), n=3, threshold=0.8
+    )
+    # duplicate-cluster assignment: connected components (min-label
+    # propagation) over the minhash near-dup pair graph; the oracle
+    # recomputes components with a recursive CTE over the exact pairs
+    q["dedup_components"] = lambda spark, sf: connected_components(
+        minhash_dedup(_docs_dup(spark, sf), threshold=0.9, num_perm=64, bands=8)
+    ).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
     )
     # ANN gate twins run with candidate-complete parameters (IVF probes all
     # lists; LSH: 16 coarse 2-bit tables + multiprobe) so the exact top-k
@@ -1226,5 +1236,19 @@ FROM i GROUP BY user_id, sess"""
     # banded-LSH candidate stage is recall-complete on this data at these
     # thresholds (verified pair-for-pair), so hashes match the exact oracle
     o["minhash_pairs"] = osql.jaccard_pairs_char_sql(DOCS_DUP_SQL, k=5, threshold=0.9)
+    o["dedup_components"] = f"""
+WITH RECURSIVE pairs AS ({osql.jaccard_pairs_char_sql(DOCS_DUP_SQL, k=5, threshold=0.9)}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach (id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY id"""
     o["ngram_jaccard_pairs"] = osql.jaccard_pairs_word_sql(DOCS_DUP_SQL, n=3, threshold=0.8)
     return o

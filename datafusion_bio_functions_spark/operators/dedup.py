@@ -612,3 +612,107 @@ def ngram_jaccard_dedup(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster assignment (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the near-duplicate pair graph: every node
+    reachable through pairs gets ``component`` = the minimum id in its
+    component (deterministic canonical label).  Output: (id, component).
+
+    The training-data dedup step after any pair generator
+    (``minhash_dedup`` / ``simhash_dedup`` / ``cosine_near_dup_*``): keep
+    one document per component, drop the rest.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the minimum label in its closed neighborhood (one shuffle-join +
+    one groupBy per round), converging in O(component diameter) rounds.
+    Near-dup clusters are dense (diameter ~2-4), so a handful of rounds
+    suffices at any scale; each round is a pair of joins on the id key —
+    no driver-side graph.  Lineage is truncated every round with
+    ``localCheckpoint`` so plans stay bounded.  Raises after ``max_iter``
+    rounds without convergence (pathological chain graphs — raise the cap).
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nb = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("component").alias("__nc")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("__nc").alias("__min_nb"))
+            .select(F.col("src").alias("id"), "__min_nb")
+        )
+        new_labels = (
+            labels.join(nb, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__min_nb"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter exceeds the cap — raise max_iter)"
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-document duplicate-cluster assignment: all of ``df``'s rows with
+    a ``component`` column (the minimum doc id of the near-dup component;
+    singletons label themselves) and ``is_canonical`` (true for the one
+    row to keep per component).  Composes any pair generator into the
+    keep/drop decision of a dedup pipeline."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b).select(
+        F.col("id").alias(id_col), "component"
+    )
+    out = df.join(comp, id_col, "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col).cast("long"))
+    )
+    return out.withColumn(
+        "is_canonical", F.col(id_col).cast("long") == F.col("component")
+    )

@@ -126,3 +126,40 @@ def test_ivf_cosine_topk_recall(spark):
         for r in ivf_cosine_topk(q, df, k=5, n_centroids=4, nprobe=2, dim=8).collect()
     }
     assert approx == again
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4-5 (diameter forces several propagation rounds) + island
+    # {10, 11} + self-contained pair {20, 21}
+    from datafusion_bio_functions_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (4, 5), (10, 11), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_non_convergence_raises(spark):
+    import pytest
+
+    from datafusion_bio_functions_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+
+
+def test_dedup_clusters_assignment(spark):
+    from datafusion_bio_functions_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (9, "solo")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    rows = {r.doc_id: r for r in dedup_clusters(docs, pairs).collect()}
+    assert [rows[i].component for i in (1, 2, 3, 9)] == [1, 1, 1, 9]
+    assert [rows[i].is_canonical for i in (1, 2, 3, 9)] == [True, False, False, True]
