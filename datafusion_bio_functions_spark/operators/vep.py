@@ -231,8 +231,19 @@ def annotate_vep(
     downstream_distance: int = 500,
     engine: str = "auto",
     full_schema: bool = False,
+    regulatory: DataFrame | None = None,
+    motifs: DataFrame | None = None,
+    structural: DataFrame | None = None,
 ) -> DataFrame:
     """Annotation pipeline: known-variant lookup + consequence assignment.
+
+    ``regulatory`` / ``motifs`` / ``structural`` (codon engine): the
+    reference's context-feature arms (``annotate_provider.rs`` regulatory /
+    motif / structural tables).  Overlapped features contribute their own
+    CSQ entries and participate in the ``most_severe_consequence`` rollup;
+    a variant with only feature hits additionally carries the intergenic
+    entry, exactly like the reference's no-transcript-hit fallback
+    (``transcript_consequence.rs:1115-1123``).
 
     ``full_schema=True`` (codon engine only) emits the reference's complete
     87-column annotation layout (``annotate_provider.rs:145-707``): the
@@ -272,6 +283,11 @@ def annotate_vep(
         return _annotate_codon(
             looked, vcf.columns, transcripts, exons, upstream_distance,
             downstream_distance, full_schema,
+            regulatory=regulatory, motifs=motifs, structural=structural,
+        )
+    if regulatory is not None or motifs is not None or structural is not None:
+        raise ValueError(
+            "regulatory/motifs/structural context requires the codon engine"
         )
     if full_schema:
         raise ValueError("full_schema=True requires the codon engine (transcripts)")
@@ -367,6 +383,9 @@ def _annotate_codon(
     upstream_distance: int,
     downstream_distance: int,
     full_schema: bool = False,
+    regulatory: DataFrame | None = None,
+    motifs: DataFrame | None = None,
+    structural: DataFrame | None = None,
 ) -> DataFrame:
     """Variant×transcript pairing (broadcast range join on chrom) + per-pair
     classification through ``functions.consequence.classify`` in one
@@ -605,19 +624,103 @@ def _annotate_codon(
             F.col("__res.distance").alias("distance"),
         ),
     )
-    rolled = (
+    pre = (
         with_entry.withColumn("__best_struct", best_struct)
-        .groupBy(*[F.col(c) for c in vcf_cols])
-        .agg(
-            F.substring_index(F.min("__best_term"), "|", -1).alias("__ms"),
-            F.concat_ws(",", F.array_sort(F.collect_list("__entry"))).alias("CSQ"),
-            # typed columns of the most-severe transcript entry: min_by on
-            # the rank-prefixed term + transcript_id (reference emits ~80
-            # typed columns, annotate_provider.rs:2270-2296; this is the
-            # high-value subset)
-            F.min_by("__best_struct", "__best_key").alias("__best"),
+        .withColumn("__is_tx", F.col("__terms").isNotNull())
+        .select(
+            *vcf_cols, "__entry", "__best_term", "__best_key",
+            "__best_struct", "__is_tx",
         )
     )
+
+    # context-feature arms (reference regulatory/motif/structural context):
+    # each overlapped feature becomes its own CSQ entry in the rollup
+    feat_frames = []
+    if regulatory is not None or motifs is not None:
+        feat_frames.append(
+            regulatory_features(variants, regulatory, motifs).select(
+                *vcf_cols, "feature_id", "feature_term"
+            )
+        )
+    if structural is not None:
+        feat_frames.append(
+            structural_terms(variants, structural).select(
+                *vcf_cols,
+                F.lit(None).cast("string").alias("feature_id"),
+                "feature_term",
+            )
+        )
+    if feat_frames:
+        feats = feat_frames[0]
+        for fdf in feat_frames[1:]:
+            feats = feats.unionByName(fdf)
+        impact_map = F.create_map(
+            *[F.lit(x) for term, imp in SO_TERMS_BY_RANK for x in (term, imp)]
+        )
+        f_impact = impact_map[F.col("feature_term")]
+        f_entry = F.concat_ws(
+            "|",
+            F.col("alt"), F.col("feature_term"), f_impact,
+            F.lit(""), F.lit(""), F.coalesce(F.col("feature_id"), F.lit("")),
+            F.lit(""), F.lit(""),
+        )
+        f_best_term = F.format_string(
+            "%02d|%s", rank_map[F.col("feature_term")], F.col("feature_term")
+        )
+        ns, nl, ni = (
+            F.lit(None).cast("string"),
+            F.lit(None).cast("long"),
+            F.lit(None).cast("int"),
+        )
+        f_struct = F.struct(
+            F.col("feature_id").alias("feature"),
+            ns.alias("gene"), ns.alias("symbol"), ns.alias("biotype"),
+            f_impact.alias("impact"), ns.alias("hgvsc"), ns.alias("hgvsp"),
+            F.array(F.col("feature_term")).alias("terms"),
+            ni.alias("strand"), ns.alias("exon"), ns.alias("intron"),
+            nl.alias("cdna_position"), nl.alias("cds_position"),
+            nl.alias("protein_position"), ns.alias("amino_acids"),
+            ns.alias("codons"), nl.alias("distance"),
+        )
+        pre = pre.unionByName(
+            feats.select(
+                *vcf_cols,
+                f_entry.alias("__entry"),
+                f_best_term.alias("__best_term"),
+                F.concat_ws(
+                    "|", f_best_term, F.coalesce(F.col("feature_id"), F.lit("sv"))
+                ).alias("__best_key"),
+                f_struct.alias("__best_struct"),
+                F.lit(False).alias("__is_tx"),
+            )
+        )
+
+    rolled = pre.groupBy(*[F.col(c) for c in vcf_cols]).agg(
+        F.substring_index(F.min("__best_term"), "|", -1).alias("__ms"),
+        F.concat_ws(",", F.array_sort(F.collect_list("__entry"))).alias("CSQ"),
+        # typed columns of the most-severe transcript entry: min_by on
+        # the rank-prefixed term + transcript_id (reference emits ~80
+        # typed columns, annotate_provider.rs:2270-2296; this is the
+        # high-value subset)
+        F.min_by("__best_struct", "__best_key").alias("__best"),
+        F.max(F.when(F.col("__is_tx"), 1).otherwise(0)).alias("__has_tx"),
+    )
+    if feat_frames:
+        # reference fallback: feature-only variants still carry the
+        # intergenic entry (no transcript was hit)
+        rolled = rolled.withColumn(
+            "CSQ",
+            F.when(
+                (F.col("__has_tx") == 0) & (F.col("CSQ") != ""),
+                F.concat_ws(
+                    ",",
+                    F.col("CSQ"),
+                    F.concat_ws(
+                        "|", F.col("alt"), F.lit("intergenic_variant"), F.lit("MODIFIER")
+                    ),
+                ),
+            ).otherwise(F.col("CSQ")),
+        )
     # re-attach the per-variant rollup to every looked row (one variant may
     # carry several colocated cache matches)
     looked_cols = list(looked.columns)

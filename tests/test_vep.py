@@ -330,3 +330,50 @@ def test_structural_terms(spark):
         ("1", "TFBS_amplification"),
         ("1", "regulatory_region_ablation"),
     }
+
+
+def test_annotate_vep_context_feature_arms(spark):
+    # regulatory/structural context participates in the codon-engine rollup
+    # (reference annotate_provider regulatory/motif/structural arms +
+    # the no-transcript-hit intergenic fallback, rs:1115-1123)
+    from datafusion_bio_functions_spark.operators.vep import annotate_vep
+
+    vcf = spark.createDataFrame(
+        [
+            ("1", 150, 150, "A", "T"),   # inside TX1 + regulatory feature
+            ("1", 9000, 9000, "C", "G"), # regulatory feature only
+            ("1", 30000, 30000, "G", "A"),  # nothing
+        ],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [], "chrom string, start long, end long, variation_name string, allele_string string",
+    )
+    tx = spark.createDataFrame(
+        [("TX1", "1", 100, 700, 1, "protein_coding", "G1", "GENE1", 200, 600)],
+        "transcript_id string, chrom string, start long, end long, strand int, "
+        "biotype string, gene_stable_id string, gene_symbol string, "
+        "cds_start long, cds_end long",
+    )
+    reg = spark.createDataFrame(
+        [("1", 100, 200, "ENSR1", "promoter"), ("1", 8900, 9100, "ENSR2", "promoter")],
+        "chrom string, start long, end long, feature_id string, feature_type string",
+    )
+    sv = spark.createDataFrame(
+        [("1", 100, 700, "tx", "del")],
+        "chrom string, start long, end long, feature_kind string, event_kind string",
+    )
+    out = annotate_vep(vcf, cache, transcripts=tx, regulatory=reg, structural=sv)
+    rows = {r.start: r for r in out.collect()}
+    # transcript hit + regulatory + SV ablation: most severe = transcript_ablation
+    assert rows[150].most_severe_consequence == "transcript_ablation"
+    assert "regulatory_region_variant" in rows[150].CSQ
+    assert "ENSR1" in rows[150].CSQ
+    assert "5_prime_UTR_variant" in rows[150].CSQ  # the transcript entry
+    assert "intergenic_variant" not in rows[150].CSQ
+    # feature-only variant: regulatory entry + the intergenic fallback entry
+    assert rows[9000].most_severe_consequence == "regulatory_region_variant"
+    assert "ENSR2" in rows[9000].CSQ
+    assert rows[9000].CSQ.endswith("G|intergenic_variant|MODIFIER")
+    # nothing at all: plain intergenic
+    assert rows[30000].most_severe_consequence == "intergenic_variant"
