@@ -348,12 +348,22 @@ def _eval_udtf(spark: SparkSession, name: str, args: list[object]) -> DataFrame:
         tdf = spark.table(tables[0]) if len(tables) >= 1 else None
         edf = spark.table(tables[1]) if len(tables) == 2 else None
         allowed = {"match_mode", "extended_probes", "upstream_distance",
-                   "downstream_distance", "engine"}
+                   "downstream_distance", "engine", "full_schema",
+                   "regulatory", "motifs", "structural"}
         bad = set(opts) - allowed
         if bad:
             raise BioSqlError(
                 f"annotate_vep() unknown options_json keys: {sorted(bad)}"
             )
+        # context-feature arms name registered tables (the reference resolves
+        # the same arms from its partitioned-cache layout by convention:
+        # regulatory/ motif/ structural/, annotate_provider.rs:8198-8209)
+        for key in ("regulatory", "motifs", "structural"):
+            if key in opts:
+                name = opts[key]
+                if not isinstance(name, str) or "`" in name:
+                    raise BioSqlError(f"annotate_vep() option {key!r} must be a table name")
+                opts[key] = spark.table(name)
         return vp.annotate_vep(spark.table(vt), spark.table(ct), transcripts=tdf,
                                exons=edf, **opts)
 

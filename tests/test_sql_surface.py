@@ -177,3 +177,34 @@ def test_lookup_variants_udtf_columns_csv(spark, vep_views):
     assert "variation_name" in got.columns
     rows = {r["start"]: r for r in got.collect()}
     assert rows[100]["variation_name"] == "rs1"
+
+
+def test_annotate_vep_udtf_context_arms(spark, vep_views):
+    # options_json names registered regulatory/structural context tables
+    # (the reference resolves the same arms from its partitioned cache
+    # layout, annotate_provider.rs:8198-8209)
+    spark.createDataFrame(
+        [("1", 50, 150, "ENSRX", "promoter")],
+        "chrom string, start long, end long, feature_id string, feature_type string",
+    ).createOrReplaceTempView("sqlreg")
+    spark.createDataFrame(
+        [("TXS", "1", 40, 160, 1, "protein_coding", "G", "GN", 60, 140)],
+        "transcript_id string, chrom string, start long, end long, strand int, "
+        "biotype string, gene_stable_id string, gene_symbol string, "
+        "cds_start long, cds_end long",
+    ).createOrReplaceTempView("sqltx")
+    got = bio_sql(
+        spark,
+        "SELECT * FROM annotate_vep('sqlvcf', 'sqlcache', 'sqltx', "
+        "'{\"regulatory\": \"sqlreg\"}')",
+    ).collect()
+    joined = ",".join(r.CSQ for r in got if r.CSQ)
+    assert "ENSRX" in joined and "regulatory_region_variant" in joined
+    import pytest as _pt
+
+    with _pt.raises(BioSqlError, match="table name"):
+        bio_sql(
+            spark,
+            "SELECT * FROM annotate_vep('sqlvcf', 'sqlcache', 'sqltx', "
+            "'{\"regulatory\": 5}')",
+        )
