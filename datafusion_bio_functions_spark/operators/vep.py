@@ -234,16 +234,26 @@ def annotate_vep(
     regulatory: DataFrame | None = None,
     motifs: DataFrame | None = None,
     structural: DataFrame | None = None,
+    mirnas: DataFrame | None = None,
+    translations: DataFrame | None = None,
 ) -> DataFrame:
     """Annotation pipeline: known-variant lookup + consequence assignment.
 
-    ``regulatory`` / ``motifs`` / ``structural`` (codon engine): the
-    reference's context-feature arms (``annotate_provider.rs`` regulatory /
-    motif / structural tables).  Overlapped features contribute their own
-    CSQ entries and participate in the ``most_severe_consequence`` rollup;
-    a variant with only feature hits additionally carries the intergenic
-    entry, exactly like the reference's no-transcript-hit fallback
+    ``regulatory`` / ``motifs`` / ``structural`` / ``mirnas`` (codon
+    engine): the reference's context-feature arms (``annotate_provider.rs``
+    regulatory / motif / structural / mirna tables).  Overlapped features
+    contribute their own CSQ entries and participate in the
+    ``most_severe_consequence`` rollup; a variant with only feature hits
+    additionally carries the intergenic entry, exactly like the
+    reference's no-transcript-hit fallback
     (``transcript_consequence.rs:1115-1123``).
+
+    ``translations`` (codon engine): the reference's separate
+    ``translation_core`` context table ``(transcript_id, cds_sequence
+    [, cds_len, translation_seq])`` (``annotate_provider.rs:2961-3050``) —
+    supplies the spliced CDS sequence when the transcripts table does not
+    carry it inline, upgrading indels/SNVs from positional heuristics to
+    codon-accurate classification.
 
     ``full_schema=True`` (codon engine only) emits the reference's complete
     87-column annotation layout (``annotate_provider.rs:145-707``): the
@@ -284,10 +294,12 @@ def annotate_vep(
             looked, vcf.columns, transcripts, exons, upstream_distance,
             downstream_distance, full_schema,
             regulatory=regulatory, motifs=motifs, structural=structural,
+            mirnas=mirnas, translations=translations,
         )
-    if regulatory is not None or motifs is not None or structural is not None:
+    if any(x is not None for x in (regulatory, motifs, structural, mirnas, translations)):
         raise ValueError(
-            "regulatory/motifs/structural context requires the codon engine"
+            "regulatory/motifs/structural/mirnas/translations context requires "
+            "the codon engine"
         )
     if full_schema:
         raise ValueError("full_schema=True requires the codon engine (transcripts)")
@@ -386,6 +398,8 @@ def _annotate_codon(
     regulatory: DataFrame | None = None,
     motifs: DataFrame | None = None,
     structural: DataFrame | None = None,
+    mirnas: DataFrame | None = None,
+    translations: DataFrame | None = None,
 ) -> DataFrame:
     """Variant×transcript pairing (broadcast range join on chrom) + per-pair
     classification through ``functions.consequence.classify`` in one
@@ -428,6 +442,17 @@ def _annotate_codon(
         ).alias("__t_mirna"),
     ]
     tctx = t.select(*tsel)
+    if translations is not None:
+        _check_contract(translations, ("transcript_id", "cds_sequence"), "translations")
+        tl = translations.select(
+            F.col("transcript_id").alias("__t_id"),
+            F.col("cds_sequence").alias("__tl_seq"),
+        ).dropDuplicates(["__t_id"])
+        tctx = (
+            tctx.join(tl, "__t_id", "left")
+            .withColumn("__t_cds_seq", F.coalesce(F.col("__t_cds_seq"), F.col("__tl_seq")))
+            .drop("__tl_seq")
+        )
     if exons is not None:
         packed = exons.groupBy(F.col("transcript_id").alias("__t_id")).agg(
             F.sort_array(
@@ -648,6 +673,38 @@ def _annotate_codon(
                 *vcf_cols,
                 F.lit(None).cast("string").alias("feature_id"),
                 "feature_term",
+            )
+        )
+    if mirnas is not None:
+        # mature-miRNA context table (annotate_provider.rs:3378-3440):
+        # id column mirna_id, falling back to feature_id, then "mirna"
+        _check_contract(mirnas, ("chrom", "start", "end"), "mirnas")
+        mid = (
+            F.col("mirna_id")
+            if "mirna_id" in mirnas.columns
+            else (
+                F.col("feature_id")
+                if "feature_id" in mirnas.columns
+                else F.lit("mirna")
+            )
+        )
+        mi = mirnas.select(
+            F.col("chrom").alias("__fc"),
+            F.col("start").cast("long").alias("__fs"),
+            F.col("end").cast("long").alias("__fe"),
+            mid.cast("string").alias("feature_id"),
+        )
+        vpos = F.col("start").cast("long")
+        vend_ = F.col("end").cast("long")
+        feat_frames.append(
+            variants.join(
+                F.broadcast(mi),
+                (F.col("chrom") == F.col("__fc"))
+                & (vpos <= F.col("__fe"))
+                & (vend_ >= F.col("__fs")),
+            ).select(
+                *vcf_cols, "feature_id",
+                F.lit("mature_miRNA_variant").alias("feature_term"),
             )
         )
     if feat_frames:

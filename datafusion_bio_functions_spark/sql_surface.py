@@ -349,7 +349,8 @@ def _eval_udtf(spark: SparkSession, name: str, args: list[object]) -> DataFrame:
         edf = spark.table(tables[1]) if len(tables) == 2 else None
         allowed = {"match_mode", "extended_probes", "upstream_distance",
                    "downstream_distance", "engine", "full_schema",
-                   "regulatory", "motifs", "structural"}
+                   "regulatory", "motifs", "structural", "mirnas",
+                   "translations"}
         bad = set(opts) - allowed
         if bad:
             raise BioSqlError(
@@ -358,7 +359,7 @@ def _eval_udtf(spark: SparkSession, name: str, args: list[object]) -> DataFrame:
         # context-feature arms name registered tables (the reference resolves
         # the same arms from its partitioned-cache layout by convention:
         # regulatory/ motif/ structural/, annotate_provider.rs:8198-8209)
-        for key in ("regulatory", "motifs", "structural"):
+        for key in ("regulatory", "motifs", "structural", "mirnas", "translations"):
             if key in opts:
                 name = opts[key]
                 if not isinstance(name, str) or "`" in name:

@@ -377,3 +377,44 @@ def test_annotate_vep_context_feature_arms(spark):
     assert rows[9000].CSQ.endswith("G|intergenic_variant|MODIFIER")
     # nothing at all: plain intergenic
     assert rows[30000].most_severe_consequence == "intergenic_variant"
+
+
+def test_annotate_vep_mirna_and_translations_tables(spark):
+    # the mirna table arm emits mature_miRNA_variant entries
+    # (annotate_provider.rs:3378-3440); the translation_core table supplies
+    # the spliced CDS when transcripts lack it (rs:2961-3050) — upgrading
+    # an SNV from coding_sequence_variant to the codon-accurate call
+    from datafusion_bio_functions_spark.operators.vep import annotate_vep
+
+    vcf = spark.createDataFrame(
+        # 1103: GCT->ACT missense given sequence context; 5000: miRNA hit only
+        [("1", 1103, 1103, "G", "A"), ("1", 5000, 5000, "A", "T")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [], "chrom string, start long, end long, variation_name string, allele_string string",
+    )
+    tx = spark.createDataFrame(
+        [("T1", "1", 1100, 1108, 1, "protein_coding", "G1", "GENE1", 1100, 1108)],
+        "transcript_id string, chrom string, start long, end long, strand int, "
+        "biotype string, gene_stable_id string, gene_symbol string, "
+        "cds_start long, cds_end long",
+    )
+    tl = spark.createDataFrame(
+        [("T1", "ATGGCTTAA")], "transcript_id string, cds_sequence string"
+    )
+    mir = spark.createDataFrame(
+        [("1", 4990, 5010, "MIR33")], "chrom string, start long, end long, mirna_id string"
+    )
+    # without translations: positional only
+    base = {r.start: r for r in annotate_vep(vcf, cache, transcripts=tx).collect()}
+    assert base[1103].most_severe_consequence == "coding_sequence_variant"
+    out = {
+        r.start: r
+        for r in annotate_vep(
+            vcf, cache, transcripts=tx, translations=tl, mirnas=mir
+        ).collect()
+    }
+    assert out[1103].most_severe_consequence == "missense_variant"
+    assert out[5000].most_severe_consequence == "mature_miRNA_variant"
+    assert "MIR33" in out[5000].CSQ
