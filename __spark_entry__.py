@@ -525,6 +525,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bpe_tokens"] = lambda spark, sf: _read(spark, sf, "documents").select(
         "doc_id", bpe_token_count("text").alias("n_bpe_tokens")
     )
+
+    def _pack_docs_q(spark, sf):
+        from datafusion_bio_functions_spark.operators.packing import pack_documents
+
+        return pack_documents(_read(spark, sf, "documents"), budget=1000, n_shards=8)
+
+    q["pack_docs"] = _pack_docs_q
     q["consequence_regions"] = lambda spark, sf: consequence_regions(
         _vcf(spark, sf), _transcripts(spark, sf).drop("gene_stable_id", "gene_symbol")
     )
@@ -1143,6 +1150,25 @@ SELECT doc_id,
             ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tokens,
        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
 FROM documents"""
+    o["pack_docs"] = """
+WITH RECURSIVE docs AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tokens,
+         doc_id % 8 AS shard,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents
+),
+state (shard, rn, doc_id, n_tokens, pack_id, acc) AS (
+  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN s.acc + d.n_tokens > 1000 THEN s.pack_id + 1 ELSE s.pack_id END,
+         CASE WHEN s.acc + d.n_tokens > 1000 THEN d.n_tokens ELSE s.acc + d.n_tokens END
+  FROM docs d JOIN state s ON d.shard = s.shard AND d.rn = s.rn + 1
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, pack_id, n_tokens FROM state"""
     o["annotate_existing"] = f"""
 WITH v AS ({VCF_SQL}), c AS ({VAR_CACHE_SQL})
 SELECT v.chrom, v.start, v."end", v.ref, v.alt,

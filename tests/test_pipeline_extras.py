@@ -163,3 +163,27 @@ def test_dedup_clusters_assignment(spark):
     rows = {r.doc_id: r for r in dedup_clusters(docs, pairs).collect()}
     assert [rows[i].component for i in (1, 2, 3, 9)] == [1, 1, 1, 9]
     assert [rows[i].is_canonical for i in (1, 2, 3, 9)] == [True, False, False, True]
+
+
+def test_pack_documents_next_fit(spark):
+    from datafusion_bio_functions_spark.operators.packing import pack_documents
+
+    docs = spark.createDataFrame(
+        # one shard (n_shards=1): token counts 4,3,5,10,2 with budget 8 →
+        # packs [4,3],[5],[10],[2] (oversized doc gets its own pack)
+        [(1, "a b c d"), (2, "a b c"), (3, "a b c d e"),
+         (4, " ".join("x" * 1 for _ in range(10))), (5, "a b")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pack_documents(docs, budget=8, n_shards=1).collect()}
+    assert [out[i].pack_id for i in (1, 2, 3, 4, 5)] == [0, 0, 1, 2, 3]
+    assert out[4].n_tokens == 10
+    # sharding: same docs, 2 shards → independent pack streams per shard
+    out2 = pack_documents(docs, budget=8, n_shards=2).collect()
+    assert {(r.doc_id, r.shard) for r in out2} == {
+        (1, 1), (2, 0), (3, 1), (4, 0), (5, 1)
+    }
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="budget"):
+        pack_documents(docs, budget=0)
