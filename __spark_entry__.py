@@ -532,6 +532,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pack_documents(_read(spark, sf, "documents"), budget=1000, n_shards=8)
 
     q["pack_docs"] = _pack_docs_q
+
+    def _hash_sample_q(spark, sf):
+        from datafusion_bio_functions_spark.operators.sampling import hash_sample
+
+        return hash_sample(
+            _read(spark, sf, "documents"), 0.35, key_col="doc_id", seed=7
+        ).select("doc_id")
+
+    q["hash_sample"] = _hash_sample_q
+
+    def _mix_domains_q(spark, sf):
+        from datafusion_bio_functions_spark.operators.sampling import mix_domains
+
+        return mix_domains(
+            _read(spark, sf, "documents"),
+            {"src1": 1.0, "src2": 0.5, "src3": 0.1},
+            domain_col="source",
+            key_col="doc_id",
+            seed=3,
+            default=0.25,
+        ).select("doc_id", "source")
+
+    q["mix_domains"] = _mix_domains_q
+
+    def _decontaminate_q(spark, sf):
+        from datafusion_bio_functions_spark.operators.decontam import decontaminate
+
+        docs = _read(spark, sf, "documents")
+        bench = docs.filter(F.col("doc_id") % 29 == 0).select("text")
+        return decontaminate(docs, bench, n=5).select("doc_id", "is_contaminated")
+
+    q["decontaminate"] = _decontaminate_q
     q["consequence_regions"] = lambda spark, sf: consequence_regions(
         _vcf(spark, sf), _transcripts(spark, sf).drop("gene_stable_id", "gene_symbol")
     )
@@ -1169,6 +1201,33 @@ state (shard, rn, doc_id, n_tokens, pack_id, acc) AS (
   FROM docs d JOIN state s ON d.shard = s.shard AND d.rn = s.rn + 1
 )
 SELECT doc_id, CAST(shard AS BIGINT) AS shard, pack_id, n_tokens FROM state"""
+    _U = "18446744073709551616.0"
+    o["hash_sample"] = f"""
+SELECT doc_id FROM documents
+WHERE ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#', '7')), 1, 16))::UBIGINT::DOUBLE
+      / {_U} < 0.35"""
+    o["mix_domains"] = f"""
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#', '3')), 1, 16))::UBIGINT::DOUBLE
+      / {_U}
+      < CASE source WHEN 'src1' THEN 1.0 WHEN 'src2' THEN 0.5
+                    WHEN 'src3' THEN 0.1 ELSE 0.25 END"""
+    o["decontaminate"] = """
+WITH bt AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % 29 = 0),
+bi AS (SELECT toks, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i FROM bt),
+bg AS (
+  SELECT DISTINCT substr(md5(array_to_string(list_slice(toks, i, i + 4), ' ')), 1, 16) AS g
+  FROM bi
+),
+dt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+di AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i FROM dt),
+dg AS (
+  SELECT doc_id, substr(md5(array_to_string(list_slice(toks, i, i + 4), ' ')), 1, 16) AS g
+  FROM di
+),
+hits AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (g))
+SELECT d.doc_id, (hits.doc_id IS NOT NULL) AS is_contaminated
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id"""
     o["annotate_existing"] = f"""
 WITH v AS ({VCF_SQL}), c AS ({VAR_CACHE_SQL})
 SELECT v.chrom, v.start, v."end", v.ref, v.alt,

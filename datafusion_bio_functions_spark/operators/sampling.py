@@ -1,0 +1,59 @@
+"""Deterministic sampling / domain mixing for training-data pipelines.
+
+Training mixtures specify per-domain sampling rates ("wiki ×2.5, web ×0.3").
+Random sampling is irreproducible across runs and engines; these operators
+derive a uniform value from ``md5(id # seed)`` instead — the same rows are
+kept on every run, on every engine (md5 is bit-identical in Spark and the
+DuckDB oracle), and sampling composes with retries/backfills safely.
+
+All pure JVM expressions — no shuffle, no UDF; the filter pushes down to
+the scan like any other predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 16 hex digits → 64-bit space; fractions resolve to ~1e-19 granularity
+_SPACE = float(1 << 64)
+
+
+def hash_uniform(key: Column | str, seed: int = 0) -> Column:
+    """Deterministic uniform [0, 1) value per key: the first 16 hex digits
+    of ``md5(key || '#' || seed)`` scaled into [0, 1)."""
+    c = F.col(key) if isinstance(key, str) else key
+    hx = F.md5(F.concat_ws("#", c.cast("string"), F.lit(str(seed))))
+    return F.conv(F.substring(hx, 1, 16), 16, 10).cast("double") / F.lit(_SPACE)
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by key hash."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(hash_uniform(key_col, seed) < F.lit(float(fraction)))
+
+
+def mix_domains(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "domain",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    default: float = 0.0,
+) -> DataFrame:
+    """Per-domain deterministic downsampling: keep each row with its
+    domain's fraction from ``weights`` (domains not listed keep
+    ``default``).  Upsampling (weights > 1) is out of scope — repeat-epoch
+    logic belongs to the dataloader."""
+    for d, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"weight for {d!r} must be in [0, 1], got {w}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default must be in [0, 1], got {default}")
+    frac = F.lit(float(default))
+    for d, w in weights.items():
+        frac = F.when(F.col(domain_col) == d, F.lit(float(w))).otherwise(frac)
+    return df.filter(hash_uniform(key_col, seed) < frac)

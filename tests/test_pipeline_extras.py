@@ -187,3 +187,59 @@ def test_pack_documents_next_fit(spark):
 
     with _pt.raises(ValueError, match="budget"):
         pack_documents(docs, budget=0)
+
+
+def test_hash_sample_deterministic_and_bounded(spark):
+    from datafusion_bio_functions_spark.operators.sampling import hash_sample
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in hash_sample(docs, 0.3, seed=1).collect()}
+    b = {r.doc_id for r in hash_sample(docs, 0.3, seed=1).collect()}
+    assert a == b  # fully deterministic
+    assert 0.25 < len(a) / 2000 < 0.35
+    # monotone: a higher fraction with the same seed is a superset
+    c = {r.doc_id for r in hash_sample(docs, 0.6, seed=1).collect()}
+    assert a <= c
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="fraction"):
+        hash_sample(docs, 1.5)
+
+
+def test_mix_domains_rates(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_bio_functions_spark.operators.sampling import mix_domains
+
+    docs = (
+        spark.range(0, 3000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("domain", F.concat(F.lit("d"), (F.col("doc_id") % 3).cast("string")))
+    )
+    out = mix_domains(docs, {"d0": 1.0, "d1": 0.2}, seed=5, default=0.0)
+    counts = {r.domain: r.cnt for r in out.groupBy("domain").agg(F.count("*").alias("cnt")).collect()}
+    assert counts["d0"] == 1000          # weight 1.0 keeps everything
+    assert 120 < counts.get("d1", 0) < 280
+    assert "d2" not in counts            # default 0.0 drops the rest
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    from datafusion_bio_functions_spark.operators.decontam import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words entirely here now"),
+            (3, "prefix then quick brown fox jumps over suffix"),
+            (4, "short text"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("benchmark says quick brown fox jumps over stuff",)], "text string"
+    )
+    out = {r.doc_id: r.is_contaminated for r in decontaminate(docs, bench, n=5).collect()}
+    assert out == {1: True, 2: False, 3: True, 4: False}
+    clean = decontaminate(docs, bench, n=5, output="clean")
+    assert {r.doc_id for r in clean.collect()} == {2, 4}
+    assert "is_contaminated" not in clean.columns
