@@ -236,8 +236,18 @@ def annotate_vep(
     structural: DataFrame | None = None,
     mirnas: DataFrame | None = None,
     translations: DataFrame | None = None,
+    sift: DataFrame | None = None,
 ) -> DataFrame:
     """Annotation pipeline: known-variant lookup + consequence assignment.
+
+    ``sift`` (codon engine, ``full_schema=True``): per-substitution
+    protein-function predictions ``(transcript_id, protein_position,
+    alt_aa [, sift_prediction, sift_score, polyphen_prediction,
+    polyphen_score])`` — the relational form of the reference's SIFT/
+    PolyPhen prediction matrices (``annotate_provider.rs:2099-2176``,
+    ``translations_sift_table`` option).  Single-amino-acid substitutions
+    of the best transcript fill the ``SIFT`` / ``PolyPhen`` columns as
+    ``prediction(score)``; everything else stays NULL like VEP.
 
     ``regulatory`` / ``motifs`` / ``structural`` / ``mirnas`` (codon
     engine): the reference's context-feature arms (``annotate_provider.rs``
@@ -294,12 +304,15 @@ def annotate_vep(
             looked, vcf.columns, transcripts, exons, upstream_distance,
             downstream_distance, full_schema,
             regulatory=regulatory, motifs=motifs, structural=structural,
-            mirnas=mirnas, translations=translations,
+            mirnas=mirnas, translations=translations, sift=sift,
         )
-    if any(x is not None for x in (regulatory, motifs, structural, mirnas, translations)):
+    if any(
+        x is not None
+        for x in (regulatory, motifs, structural, mirnas, translations, sift)
+    ):
         raise ValueError(
-            "regulatory/motifs/structural/mirnas/translations context requires "
-            "the codon engine"
+            "regulatory/motifs/structural/mirnas/translations/sift context "
+            "requires the codon engine"
         )
     if full_schema:
         raise ValueError("full_schema=True requires the codon engine (transcripts)")
@@ -400,6 +413,7 @@ def _annotate_codon(
     structural: DataFrame | None = None,
     mirnas: DataFrame | None = None,
     translations: DataFrame | None = None,
+    sift: DataFrame | None = None,
 ) -> DataFrame:
     """Variant×transcript pairing (broadcast range join on chrom) + per-pair
     classification through ``functions.consequence.classify`` in one
@@ -838,6 +852,66 @@ def _annotate_codon(
             F.lit(None).cast("string").alias("MAX_AF_POPS"),
         ]
     paired_tx = F.col("__best").isNotNull()
+
+    # SIFT/PolyPhen lookup (reference lookup_sift_polyphen,
+    # annotate_provider.rs:2099-2176): single-AA substitutions only,
+    # keyed by (transcript, protein_position, alt amino acid)
+    sift_col = F.lit(None).cast("string").alias("SIFT")
+    polyphen_col = F.lit(None).cast("string").alias("PolyPhen")
+    if sift is not None:
+        _check_contract(
+            sift, ("transcript_id", "protein_position", "alt_aa"), "sift"
+        )
+
+        def _s(name: str, typ: str) -> "F.Column":
+            return (
+                F.col(name).cast(typ)
+                if name in sift.columns
+                else F.lit(None).cast(typ)
+            ).alias(f"__s_{name}")
+
+        stbl = sift.select(
+            F.col("transcript_id").alias("__s_tx"),
+            F.col("protein_position").cast("long").alias("__s_pp"),
+            F.col("alt_aa").alias("__s_aa"),
+            _s("sift_prediction", "string"),
+            _s("sift_score", "double"),
+            _s("polyphen_prediction", "string"),
+            _s("polyphen_score", "double"),
+        ).dropDuplicates(["__s_tx", "__s_pp", "__s_aa"])
+        aa = F.col("__best.amino_acids")
+        alt_aa = F.when(aa.rlike(r"^[A-Z*]/[A-Z*]$"), F.substring(aa, 3, 1))
+        grouped = grouped.withColumn("__alt_aa", alt_aa).join(
+            F.broadcast(stbl),
+            (F.col("__best.feature") == F.col("__s_tx"))
+            & (F.col("__best.protein_position") == F.col("__s_pp"))
+            & (F.col("__alt_aa") == F.col("__s_aa")),
+            "left",
+        )
+
+        def _fmt(pred: str, score: str) -> "F.Column":
+            # VEP --sift b / --polyphen b rendering: prediction(score),
+            # spaces collapsed to underscores
+            p = F.regexp_replace(F.col(pred), " - ", " ")
+            p = F.regexp_replace(p, " ", "_")
+            return F.when(
+                F.col(pred).isNotNull(),
+                F.concat(p, F.lit("("), F.col(score).cast("string"), F.lit(")")),
+            )
+
+        sift_col = _fmt("__s_sift_prediction", "__s_sift_score").alias("SIFT")
+        polyphen_col = _fmt(
+            "__s_polyphen_prediction", "__s_polyphen_score"
+        ).alias("PolyPhen")
+
+    null_tx_cols = []
+    for c in VEP_NULL_TRANSCRIPT_COLUMNS:
+        if c == "SIFT":
+            null_tx_cols.append(sift_col)
+        elif c == "PolyPhen":
+            null_tx_cols.append(polyphen_col)
+        else:
+            null_tx_cols.append(F.lit(None).cast("string").alias(c))
     return grouped.select(
         *vcf_cols,
         csq_col,
@@ -867,7 +941,8 @@ def _annotate_codon(
         _cache("canonical").alias("CANONICAL"),
         F.lit(None).cast("long").alias("HGVS_OFFSET"),
         # transcript-level columns needing unmodeled external sources
-        *[F.lit(None).cast("string").alias(c) for c in VEP_NULL_TRANSCRIPT_COLUMNS],
+        # (SIFT/PolyPhen filled from the sift context table when provided)
+        *null_tx_cols,
         # ── frequency (29) ──
         *freq_cols,
         *max_af_cols,

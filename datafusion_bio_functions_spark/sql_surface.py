@@ -350,7 +350,7 @@ def _eval_udtf(spark: SparkSession, name: str, args: list[object]) -> DataFrame:
         allowed = {"match_mode", "extended_probes", "upstream_distance",
                    "downstream_distance", "engine", "full_schema",
                    "regulatory", "motifs", "structural", "mirnas",
-                   "translations"}
+                   "translations", "sift"}
         bad = set(opts) - allowed
         if bad:
             raise BioSqlError(
@@ -359,7 +359,7 @@ def _eval_udtf(spark: SparkSession, name: str, args: list[object]) -> DataFrame:
         # context-feature arms name registered tables (the reference resolves
         # the same arms from its partitioned-cache layout by convention:
         # regulatory/ motif/ structural/, annotate_provider.rs:8198-8209)
-        for key in ("regulatory", "motifs", "structural", "mirnas", "translations"):
+        for key in ("regulatory", "motifs", "structural", "mirnas", "translations", "sift"):
             if key in opts:
                 name = opts[key]
                 if not isinstance(name, str) or "`" in name:

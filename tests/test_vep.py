@@ -418,3 +418,35 @@ def test_annotate_vep_mirna_and_translations_tables(spark):
     assert out[1103].most_severe_consequence == "missense_variant"
     assert out[5000].most_severe_consequence == "mature_miRNA_variant"
     assert "MIR33" in out[5000].CSQ
+
+
+def test_annotate_vep_sift_table(spark):
+    # SIFT/PolyPhen from the sift context table: single-AA substitutions of
+    # the best transcript keyed by (transcript, protein_position, alt_aa)
+    # render as prediction(score) (annotate_provider.rs:2099-2176)
+    from datafusion_bio_functions_spark.operators.vep import annotate_vep
+
+    vcf = spark.createDataFrame(
+        [("1", 1103, 1103, "G", "A")],  # GCT->ACT at codon 2: A/T missense
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [], "chrom string, start long, end long, variation_name string, allele_string string",
+    )
+    tx = spark.createDataFrame(
+        [("T1", "1", 1100, 1108, 1, "protein_coding", "G1", "GENE1", 1100, 1108, "ATGGCTTAA")],
+        "transcript_id string, chrom string, start long, end long, strand int, "
+        "biotype string, gene_stable_id string, gene_symbol string, "
+        "cds_start long, cds_end long, cds_sequence string",
+    )
+    sift = spark.createDataFrame(
+        [("T1", 2, "T", "deleterious", 0.01, "probably damaging", 0.95),
+         ("T1", 2, "V", "tolerated", 0.4, "benign", 0.1)],
+        "transcript_id string, protein_position long, alt_aa string, "
+        "sift_prediction string, sift_score double, "
+        "polyphen_prediction string, polyphen_score double",
+    )
+    r = annotate_vep(vcf, cache, transcripts=tx, full_schema=True, sift=sift).collect()[0]
+    assert r.Amino_acids == "A/T"
+    assert r.SIFT == "deleterious(0.01)"
+    assert r.PolyPhen == "probably_damaging(0.95)"
