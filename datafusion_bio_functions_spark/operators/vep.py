@@ -193,6 +193,20 @@ VEP_NULL_TRANSCRIPT_COLUMNS: list[str] = [
     "TREMBL", "UNIPARC", "UNIPROT_ISOFORM", "GENE_PHENO", "SIFT", "PolyPhen",
     "DOMAINS", "miRNA",
 ]
+#: transcript-metadata passthrough: output column → transcripts-table
+#: column (reference annotate_provider.rs transcript attribute columns);
+#: emitted when the transcripts table carries the column, typed NULL
+#: otherwise
+VEP_TX_META_COLUMNS: list[tuple[str, str]] = [
+    ("SYMBOL_SOURCE", "symbol_source"), ("HGNC_ID", "hgnc_id"),
+    ("MANE", "mane"), ("MANE_SELECT", "mane_select"),
+    ("MANE_PLUS_CLINICAL", "mane_plus_clinical"), ("TSL", "tsl"),
+    ("APPRIS", "appris"), ("CCDS", "ccds"), ("ENSP", "ensp"),
+    ("SWISSPROT", "swissprot"), ("TREMBL", "trembl"),
+    ("UNIPARC", "uniparc"), ("UNIPROT_ISOFORM", "uniprot_isoform"),
+    ("GENE_PHENO", "gene_pheno"),
+]
+
 #: variant-level columns sourced from publication/motif context tables
 VEP_NULL_VARIANT_COLUMNS: list[str] = [
     "SOMATIC", "PHENO", "PUBMED", "MOTIF_NAME", "MOTIF_POS", "HIGH_INF_POS",
@@ -400,6 +414,37 @@ def annotate_vep(
 # ---------------------------------------------------------------------------
 
 
+def _tx_meta_map(t: DataFrame) -> "F.Column":
+    """MAP of transcript-metadata output columns present on the transcripts
+    table (VEP_TX_META_COLUMNS), plus FLAGS assembled from the
+    cds_start_nf/cds_end_nf booleans (reference flags_str_from_bools,
+    annotate_provider.rs:5360-5375) and CANONICAL from is_canonical."""
+    keys, vals = [], []
+    for out_name, col in VEP_TX_META_COLUMNS:
+        if col in t.columns:
+            keys.append(F.lit(out_name))
+            vals.append(F.col(col).cast("string"))
+    if "cds_start_nf" in t.columns or "cds_end_nf" in t.columns:
+        nf_s = (
+            F.when(F.col("cds_start_nf").cast("boolean"), "cds_start_NF")
+            if "cds_start_nf" in t.columns
+            else F.lit(None).cast("string")
+        )
+        nf_e = (
+            F.when(F.col("cds_end_nf").cast("boolean"), "cds_end_NF")
+            if "cds_end_nf" in t.columns
+            else F.lit(None).cast("string")
+        )
+        keys.append(F.lit("FLAGS"))
+        vals.append(F.nullif(F.concat_ws("&", nf_s, nf_e), F.lit("")))
+    if "is_canonical" in t.columns:
+        keys.append(F.lit("CANONICAL"))
+        vals.append(F.when(F.col("is_canonical").cast("boolean"), "YES"))
+    if not keys:
+        return F.lit(None).cast("map<string,string>")
+    return F.map_from_arrays(F.array(*keys), F.array(*vals))
+
+
 def _annotate_codon(
     looked: DataFrame,
     vcf_cols: Sequence[str],
@@ -454,6 +499,7 @@ def _annotate_codon(
             if opt["mature_mirna_regions"]
             else F.lit(None).cast("array<struct<s:bigint,e:bigint>>")
         ).alias("__t_mirna"),
+        _tx_meta_map(t).alias("__t_meta"),
     ]
     tctx = t.select(*tsel)
     if translations is not None:
@@ -661,6 +707,7 @@ def _annotate_codon(
             F.col("__res.amino_acids").alias("amino_acids"),
             F.col("__res.codons").alias("codons"),
             F.col("__res.distance").alias("distance"),
+            F.col("__t_meta").alias("meta"),
         ),
     )
     pre = (
@@ -752,6 +799,7 @@ def _annotate_codon(
             nl.alias("cdna_position"), nl.alias("cds_position"),
             nl.alias("protein_position"), ns.alias("amino_acids"),
             ns.alias("codons"), nl.alias("distance"),
+            F.lit(None).cast("map<string,string>").alias("meta"),
         )
         pre = pre.unionByName(
             feats.select(
@@ -904,12 +952,15 @@ def _annotate_codon(
             "__s_polyphen_prediction", "__s_polyphen_score"
         ).alias("PolyPhen")
 
+    meta_backed = {o for o, _ in VEP_TX_META_COLUMNS} | {"FLAGS"}
     null_tx_cols = []
     for c in VEP_NULL_TRANSCRIPT_COLUMNS:
         if c == "SIFT":
             null_tx_cols.append(sift_col)
         elif c == "PolyPhen":
             null_tx_cols.append(polyphen_col)
+        elif c in meta_backed:
+            null_tx_cols.append(F.col("__best.meta")[c].alias(c))
         else:
             null_tx_cols.append(F.lit(None).cast("string").alias(c))
     return grouped.select(
@@ -938,7 +989,7 @@ def _annotate_codon(
         F.col("__best.distance").alias("DISTANCE"),
         F.col("__best.strand").alias("STRAND"),
         variant_class_col(F.col("ref"), F.col("alt")).alias("VARIANT_CLASS"),
-        _cache("canonical").alias("CANONICAL"),
+        F.coalesce(F.col("__best.meta")["CANONICAL"], _cache("canonical")).alias("CANONICAL"),
         F.lit(None).cast("long").alias("HGVS_OFFSET"),
         # transcript-level columns needing unmodeled external sources
         # (SIFT/PolyPhen filled from the sift context table when provided)

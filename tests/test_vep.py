@@ -450,3 +450,34 @@ def test_annotate_vep_sift_table(spark):
     assert r.Amino_acids == "A/T"
     assert r.SIFT == "deleterious(0.01)"
     assert r.PolyPhen == "probably_damaging(0.95)"
+
+
+def test_annotate_vep_transcript_metadata_passthrough(spark):
+    # MANE/HGNC/UniProt/FLAGS/CANONICAL come through when the transcripts
+    # table carries them (reference transcript attribute columns +
+    # flags_str_from_bools, annotate_provider.rs:5360-5375)
+    from datafusion_bio_functions_spark.operators.vep import annotate_vep
+
+    vcf = spark.createDataFrame(
+        [("1", 150, 150, "A", "T")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [], "chrom string, start long, end long, variation_name string, allele_string string",
+    )
+    tx = spark.createDataFrame(
+        [("T1", "1", 100, 700, 1, "protein_coding", "G1", "GENE1", 200, 600,
+          "HGNC", "HGNC:5", "NM_1.1", True, True, False)],
+        "transcript_id string, chrom string, start long, end long, strand int, "
+        "biotype string, gene_stable_id string, gene_symbol string, "
+        "cds_start long, cds_end long, symbol_source string, hgnc_id string, "
+        "mane_select string, is_canonical boolean, cds_start_nf boolean, "
+        "cds_end_nf boolean",
+    )
+    r = annotate_vep(vcf, cache, transcripts=tx, full_schema=True).collect()[0]
+    assert r.SYMBOL_SOURCE == "HGNC"
+    assert r.HGNC_ID == "HGNC:5"
+    assert r.MANE_SELECT == "NM_1.1"
+    assert r.CANONICAL == "YES"
+    assert r.FLAGS == "cds_start_NF"
+    assert r.MANE is None and r.TSL is None  # absent columns stay NULL
