@@ -997,9 +997,14 @@ def _annotate_codon(
         # ── frequency (29) ──
         *freq_cols,
         *max_af_cols,
-        # ── variant-level (9) ──
+        # ── variant-level (9) ── cache passthrough when the variation
+        # cache carries the column (somatic/pheno flags, pubmed ids)
         _cache("clin_sig").alias("CLIN_SIG"),
-        *[F.lit(None).cast("string").alias(c) for c in VEP_NULL_VARIANT_COLUMNS],
+        *[
+            (_cache(c.lower()) if c in ("SOMATIC", "PHENO", "PUBMED")
+             else F.lit(None).cast("string")).alias(c)
+            for c in VEP_NULL_VARIANT_COLUMNS
+        ],
         # ── cache-only passthrough (7) ──
         _cache("clin_sig_allele").alias("clin_sig_allele"),
         _cache("clinical_impact").alias("clinical_impact"),

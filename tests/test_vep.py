@@ -481,3 +481,27 @@ def test_annotate_vep_transcript_metadata_passthrough(spark):
     assert r.CANONICAL == "YES"
     assert r.FLAGS == "cds_start_NF"
     assert r.MANE is None and r.TSL is None  # absent columns stay NULL
+
+
+def test_annotate_vep_variant_level_cache_passthrough(spark):
+    # SOMATIC/PHENO/PUBMED pass through from the variation cache when
+    # present (annotate_provider.rs variant-level columns)
+    from datafusion_bio_functions_spark.operators.vep import annotate_vep
+
+    vcf = spark.createDataFrame(
+        [("1", 100, 100, "A", "T")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [("1", 100, 100, "rs1", "A/T", "1", "1&0", "12345&67890")],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string, somatic string, pheno string, pubmed string",
+    )
+    tx = spark.createDataFrame(
+        [("T1", "1", 50, 200, 1, "protein_coding", "G1", "GN", 80, 180)],
+        "transcript_id string, chrom string, start long, end long, strand int, "
+        "biotype string, gene_stable_id string, gene_symbol string, "
+        "cds_start long, cds_end long",
+    )
+    r = annotate_vep(vcf, cache, transcripts=tx, full_schema=True).collect()[0]
+    assert (r.SOMATIC, r.PHENO, r.PUBMED) == ("1", "1&0", "12345&67890")
