@@ -165,3 +165,92 @@ def test_depth_conserves_cigar_ref_span(spark, reads):
         assert e1 < s2 and s1 <= e1
         if e1 + 1 == s2:  # adjacent runs must differ in coverage (maximal RLE)
             assert c1 != c2
+
+
+# ---------------------------------------------------------------------------
+# connected components vs a pure-python union-find reference
+# ---------------------------------------------------------------------------
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from datafusion_bio_functions_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expected: dict[int, int] = {}
+    roots: dict[int, int] = {}
+    for node in sorted(parent):
+        r = find(node)
+        roots.setdefault(r, node)  # min id labels the component
+        expected[node] = roots[r]
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == expected
+
+
+@SETTINGS
+@given(
+    tokens=st.lists(st.integers(0, 40), min_size=1, max_size=40),
+    budget=st.integers(5, 30),
+)
+def test_pack_documents_matches_sequential_next_fit(spark, tokens, budget):
+    from datafusion_bio_functions_spark.operators.packing import pack_documents
+
+    docs = spark.createDataFrame(
+        [(i, " ".join("x" for _ in range(t)) if t else "") for i, t in enumerate(tokens)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.pack_id for r in pack_documents(docs, budget, n_shards=1).collect()}
+    acc, pid, expected = 0, -1, {}
+    for i, t in enumerate(tokens):
+        if pid < 0 or acc + t > budget:
+            pid, acc = pid + 1, t
+        else:
+            acc += t
+        expected[i] = pid
+    assert out == expected
+
+
+@SETTINGS
+@given(
+    pos=st.integers(1, 1000),
+    ref=st.text(alphabet="ACGT", min_size=0, max_size=6),
+    alt=st.text(alphabet="ACGT", min_size=0, max_size=6),
+)
+def test_normalize_variant_consistent_with_vep_norm_udf_family(spark, pos, ref, alt):
+    # the consequence engine's variant normalization must agree with the
+    # allele-library UDF coordinates used by lookup_variants' join keys
+    from datafusion_bio_functions_spark.functions.alleles import (
+        vep_norm_end,
+        vep_norm_start,
+    )
+    from datafusion_bio_functions_spark.functions.consequence import normalize_variant
+
+    if ref == alt:
+        return  # not a variant; UDF family is unspecified here
+    vs, ve, r, a, is_ins = normalize_variant(pos, ref, alt)
+    assert vs == vep_norm_start(pos, ref, alt)
+    if is_ins:
+        # insertion: engine uses the from_vcf point (start == end == P);
+        # the join-key encoding is start > end (P, P-1)
+        assert ve == vs and vep_norm_end(pos, ref, alt) == vs - 1
+        assert r == ""
+    else:
+        assert ve == vep_norm_end(pos, ref, alt)
