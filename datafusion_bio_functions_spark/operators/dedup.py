@@ -670,6 +670,8 @@ def connected_components(
             .agg(F.min("__nc").alias("__min_nb"))
             .select(F.col("src").alias("id"), "__min_nb")
         )
+        # change flag computed in the same pass: the count over the
+        # checkpointed result is then a cheap scan, not a second join
         new_labels = (
             labels.join(nb, "id", "left")
             .select(
@@ -677,16 +679,15 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("__min_nb"), F.col("component"))
                 ).alias("component"),
+                (
+                    F.col("__min_nb").isNotNull()
+                    & (F.col("__min_nb") < F.col("component"))
+                ).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             return labels
     raise RuntimeError(
