@@ -10,17 +10,23 @@ must stay dependency-free and picklable by value.
 
 Scope notes vs the reference:
 
-* splice terms: acceptor/donor (±1-2 intronic), donor 5th base, splice
-  region (3-8 intronic / 1-3 exonic), polypyrimidine tract (3-17 intronic
-  of the acceptor side) — same windows as VEP.
-* coding terms are codon-accurate for SNVs and length-based for indels
-  (frameshift vs inframe); stop/start gained/lost/retained via the standard
-  genetic code.  The reference's remaining long tail (selenocysteine
-  recoding, partial codons at incomplete terminal codons, …) degrades to
-  ``coding_sequence_variant`` exactly like VEP does when sequence context is
-  missing.
-* HGVS: ``g.`` always; ``c.``/``p.`` when CDS context is available (SNV
-  substitutions, simple ins/del/delins; no 3'-shifting yet).
+* splice terms: acceptor/donor (±1-2 intronic), donor 5th base, donor
+  region (intronic 3-6), splice region (3-8 intronic / 1-3 exonic),
+  polypyrimidine tract (3-17 intronic of the acceptor side, intronic
+  variants only) — VEP's exact windows including the insertion
+  point-rules, frameshift-intron (≤13 bp) skips, and parent-term
+  stripping; behavior pinned by ``tests/test_consequence_parity.py``.
+* coding terms are codon-accurate for SNVs/MNVs and for indels
+  (``classify_coding_indel``: rendered codons/amino acids, stop-retained
+  frameshift reclassification, inframe-insertion peptide containment);
+  without sequence context VEP's positional start/stop heuristics apply
+  and everything else degrades to ``coding_sequence_variant``, exactly
+  like VEP.  Remaining long tail (selenocysteine recoding, RefSeq
+  edits/mapper gaps) is out of scope.
+* HGVS: ``g.`` always; ``c.`` with 3'-shifting + dup detection and
+  UTR/intronic ``c.-N`` / ``c.*N`` / ``c.N±off`` coordinates; ``p.``
+  substitutions, inframe del/ins/delins, frameshift ``fsTer#`` and
+  stop-lost ``extTer#`` when CDS context is available.
 """
 
 from __future__ import annotations
