@@ -362,6 +362,43 @@ def test_classify_insertion_positions():
     assert c["protein_position_start"] == c["protein_position_end"]
 
 
+# ---------------------------------------------------------------------------
+# polypyrimidine-tract suppression  (rs:10965-11107)
+# ---------------------------------------------------------------------------
+
+# intron 201..299, variant at 294 in the acceptor-side PPT window
+_PPT_EXONS_PLAIN = [(100, 200), (300, 400), (450, 600)]
+# same geometry + a distant 2bp frameshift intron (501..502)
+_PPT_EXONS_FS = [(100, 200), (300, 400), (450, 500), (503, 600)]
+
+
+def test_ppt_retained_without_frameshift_intron_stretch():
+    # rs:11017 ppt_retained_without_frameshift_intron_exon_stretch
+    t = tx("T1", 100, 600, 1, cds=(100, 600), exons=_PPT_EXONS_PLAIN)
+    assert "splice_polypyrimidine_tract_variant" in C(t, 294, "A", "G")
+
+
+def test_ppt_suppressed_by_frameshift_intron_exon_stretch():
+    # rs:10965: a 2bp intron elsewhere activates VEP's global 12bp exon
+    # stretch for the include predicates, which suppresses PPT (the SNV
+    # still gets splice_region + intron_variant)
+    t = tx("T1", 100, 600, 1, cds=(100, 600), exons=_PPT_EXONS_FS)
+    got = C(t, 294, "A", "G")
+    assert "splice_region_variant" in got
+    assert "intron_variant" in got
+    assert "splice_polypyrimidine_tract_variant" not in got
+
+
+def test_ppt_suppressed_for_insertion_with_frameshift_intron():
+    # rs:11057: insertion equivalent — intronic for effect logic, PPT
+    # suppressed by the stretched exon include window
+    t = tx("T1", 100, 600, 1, cds=(100, 600), exons=_PPT_EXONS_FS)
+    got = C(t, 294, "-", "GCG")
+    assert "splice_region_variant" in got
+    assert "intron_variant" in got
+    assert "splice_polypyrimidine_tract_variant" not in got
+
+
 def test_star_allele_skipped():
     # rs:880-884: VEP skips star alleles entirely
     t = tx("pc", 100, 300, 1, cds=(120, 280), exons=[(100, 300)])
