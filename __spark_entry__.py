@@ -564,6 +564,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decontaminate(docs, bench, n=5).select("doc_id", "is_contaminated")
 
     q["decontaminate"] = _decontaminate_q
+
+    def _scrub_pii_q(spark, sf):
+        from datafusion_bio_functions_spark.functions.text import scrub_pii
+
+        # inject synthetic PII deterministically so the scrub is exercised
+        d = _read(spark, sf, "documents")
+        dirty = F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0.0."), (F.col("doc_id") % 255).cast("string"),
+            F.lit(" tel +1 (555) 010-"), (F.col("doc_id") % 10000).cast("string"),
+        )
+        return d.select("doc_id", scrub_pii(dirty).alias("clean_text"))
+
+    q["scrub_pii"] = _scrub_pii_q
     q["consequence_regions"] = lambda spark, sf: consequence_regions(
         _vcf(spark, sf), _transcripts(spark, sf).drop("gene_stable_id", "gene_symbol")
     )
@@ -1201,6 +1216,18 @@ state (shard, rn, doc_id, n_tokens, pack_id, acc) AS (
   FROM docs d JOIN state s ON d.shard = s.shard AND d.rn = s.rn + 1
 )
 SELECT doc_id, CAST(shard AS BIGINT) AS shard, pack_id, n_tokens FROM state"""
+    o["scrub_pii"] = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+               '@example.com or 10.0.0.', CAST(doc_id % 255 AS VARCHAR),
+               ' tel +1 (555) 010-', CAST(doc_id % 10000 AS VARCHAR)),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+    '(\+|\b)[0-9][0-9 ()-]{7,}[0-9]\b', '<PHONE>', 'g') AS clean_text
+FROM documents"""
     _U = "18446744073709551616.0"
     o["hash_sample"] = f"""
 SELECT doc_id FROM documents

@@ -126,3 +126,30 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.least(F.col("mean_token_len") / F.lit(8.0), F.lit(1.0)) * 0.3
     )
     return out.withColumn("quality_score", quality)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+#: redaction patterns — the conservative regex subset with identical
+#: semantics in Java regex and RE2 (character classes + bounded repetition
+#: only; no lookaround, no backreferences), so the scrub is reproducible
+#: across engines.  Order matters: emails before bare domains, IPs last.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    (r"(\+|\b)[0-9][0-9 ()-]{7,}[0-9]\b", "<PHONE>"),
+]
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact emails, IPv4 addresses, and phone-number-shaped digit runs
+    with typed placetokens — the standard pre-training PII scrub.  Pure
+    JVM ``regexp_replace`` chain (no UDF); patterns are restricted to the
+    Java/RE2-identical subset so the DuckDB oracle reproduces the output
+    byte-for-byte."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c

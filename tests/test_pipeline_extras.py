@@ -243,3 +243,22 @@ def test_decontaminate_flags_shared_ngrams(spark):
     clean = decontaminate(docs, bench, n=5, output="clean")
     assert {r.doc_id for r in clean.collect()} == {2, 4}
     assert "is_contaminated" not in clean.columns
+
+
+def test_scrub_pii(spark):
+    from datafusion_bio_functions_spark.functions.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at john.doe+x@sub.example.org please"),
+            (2, "server at 192.168.1.254 and 8.8.8.8"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "nothing sensitive here 4.2 and v1.2.3.4notip5"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.c for r in docs.select("doc_id", scrub_pii("text").alias("c")).collect()}
+    assert got[1] == "mail me at <EMAIL> please"
+    assert got[2] == "server at <IP> and <IP>"
+    assert got[3] == "call <PHONE> now"
+    assert "4.2" in got[4]  # short version-like strings untouched
