@@ -1,6 +1,6 @@
-"""VEP-style variant annotation operators (phase A).
+"""VEP-style variant annotation operators.
 
-Re-expresses the reference's ``datafusion-bio-function-vep`` lookup path:
+Re-expresses the reference's ``datafusion-bio-function-vep`` pipeline:
 
 * ``lookup_variants``  — reference UDTF ``lookup_variants(vcf, cache
   [,columns] [,match_mode] [,extended_probes])`` (``table_function.rs:
@@ -8,11 +8,16 @@ Re-expresses the reference's ``datafusion-bio-function-vep`` lookup path:
   ``variant_lookup_exec.rs:1-2397``): LEFT join of VCF rows against the
   variation cache on VEP-normalized coordinates with ``match_allele`` as the
   join-level filter; unmatched VCF rows keep NULL cache columns.
-* ``annotate_vep``     — phase A of the reference's ``annotate_vep`` UDTF
-  (``annotate_table_function.rs:19-132``): VCF passthrough + known-variant
-  lookup + CSQ-style ``Existing_variation`` assembly +
-  ``most_severe_consequence`` placeholder.  The transcript consequence
-  engine (reference ``transcript_consequence.rs``, 21 kLoC) is phase B.
+* ``annotate_vep``     — the reference's full ``annotate_vep`` UDTF
+  (``annotate_table_function.rs:19-132``): known-variant lookup, the
+  transcript consequence engine (``functions.consequence`` — the
+  re-expression of ``transcript_consequence.rs``) over a broadcast
+  variant×transcript pairing, the regulatory/motif/structural/miRNA
+  context arms, per-variant CSQ + most-severe rollup, and the complete
+  typed column layout (``full_schema=True``) including SIFT/PolyPhen
+  from a prediction table and transcript-metadata passthrough.
+* ``regulatory_features`` / ``structural_terms`` — the standalone
+  context-feature operators (also composable into ``annotate_vep``).
 
 Spark plan shape: the cache is orders of magnitude larger than a VCF batch,
 so — like the reference, which always builds on the VCF side
