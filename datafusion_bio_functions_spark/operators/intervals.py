@@ -117,6 +117,10 @@ def _overlap_len(ls: str, le: str, rs: str, re_: str, filter_op: str) -> Column:
 
 
 _BIN_WIDTH_MEMO: dict[tuple, int] = {}
+#: per-session memo of nearest's density-derived max radius (the one eager
+#: aggregate in _nearest_radius construction) — same semantic-plan keying
+#: as the bin-width memo
+_RADIUS_MEMO: dict[tuple, int] = {}
 
 
 def _auto_bin_width(l: DataFrame, ls: str, le: str, r: DataFrame, rs: str, re_: str) -> int:
@@ -1255,8 +1259,19 @@ def _nearest_radius(
                 ),
             ).cast(T.LongType()).alias("__rad"),
         )
-        mx = stats.agg(F.max("__rad")).collect()[0][0]
-        max_rad = int(mx) if mx is not None else 1
+        try:
+            memo_key = (left.semanticHash(), lc, ls, le, k, shrink)
+        except Exception:  # pragma: no cover - connect-mode frame
+            memo_key = None
+        if memo_key is not None and memo_key in _RADIUS_MEMO:
+            max_rad = _RADIUS_MEMO[memo_key]
+        else:
+            mx = stats.agg(F.max("__rad")).collect()[0][0]
+            max_rad = int(mx) if mx is not None else 1
+            if memo_key is not None:
+                if len(_RADIUS_MEMO) > 1024:
+                    _RADIUS_MEMO.clear()
+                _RADIUS_MEMO[memo_key] = max_rad
         padded = (
             rid.join(F.broadcast(stats), F.col(rc) == F.col("__sc"), "left")
             .drop("__sc")
