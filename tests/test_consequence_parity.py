@@ -399,6 +399,41 @@ def test_ppt_suppressed_for_insertion_with_frameshift_intron():
     assert "splice_polypyrimidine_tract_variant" not in got
 
 
+# ---------------------------------------------------------------------------
+# EXON/INTRON numbering + cDNA mapping  (rs:11316-11413)
+# ---------------------------------------------------------------------------
+
+
+def _num_tx(strand=1):
+    return tx("tx1", 100, 600, strand, exons=[(100, 200), (300, 400), (500, 600)])
+
+
+def test_which_exon_intron_numbering():
+    # rs:11316-11380 which_exon_str / which_intron_str truth tables
+    single = tx("tx1", 100, 200, 1, exons=[(100, 200)])
+    assert cq.exon_intron_numbers(single, 150, 150) == ("1/1", None)
+    assert cq.exon_intron_numbers(single, 250, 250) == (None, None)
+    t = _num_tx()
+    assert cq.exon_intron_numbers(t, 350, 350) == ("2/3", None)
+    assert cq.exon_intron_numbers(t, 250, 250) == (None, "1/2")
+    assert cq.exon_intron_numbers(t, 450, 450) == (None, "2/2")
+    # minus strand reverses the numbering
+    tm = _num_tx(strand=-1)
+    assert cq.exon_intron_numbers(tm, 250, 250) == (None, "2/2")
+    assert cq.exon_intron_numbers(tm, 350, 350) == ("2/3", None)
+
+
+def test_genomic_to_cdna_index():
+    # rs:11382-11413 genomic_to_cdna_index truth tables (1-based output)
+    single = tx("tx1", 100, 200, 1, exons=[(100, 200)])
+    assert cq.annotation_details(single, 100, "A", "G")["cdna_position"] == 1
+    assert cq.annotation_details(single, 150, "A", "G")["cdna_position"] == 51
+    multi = tx("tx1", 100, 210, 1, exons=[(100, 110), (200, 210)])
+    assert cq.annotation_details(multi, 110, "A", "G")["cdna_position"] == 11
+    assert cq.annotation_details(multi, 200, "A", "G")["cdna_position"] == 12
+    assert cq.annotation_details(multi, 150, "A", "G")["cdna_position"] is None
+
+
 def test_star_allele_skipped():
     # rs:880-884: VEP skips star alleles entirely
     t = tx("pc", 100, 300, 1, cds=(120, 280), exons=[(100, 300)])
