@@ -1164,6 +1164,20 @@ def hgvs_g(chrom: str, pos: int, ref: str, alt: str) -> str:
     return f"{chrom}:g.{span}delins{alt}"
 
 
+def _normalize_for_hgvs(pos: int, ref: str, alt: str) -> tuple[int, str, str]:
+    """VEP-trim raw alleles for HGVS notation.  Output convention matches
+    the hgvs_c/hgvs_p body: deletions anchor at their first deleted base;
+    pure insertions anchor at the 5'-flank base (so a bare ``ref=''``
+    input passes through unchanged, while a VCF-padded insertion anchors
+    at its retained prefix base)."""
+    if not ref:
+        return pos, ref, alt
+    vs, _ve, r_n, a_n, is_ins = normalize_variant(pos, ref, alt)
+    if (r_n, a_n) == (ref, alt):
+        return pos, ref, alt
+    return (vs - 1 if is_ins else vs), r_n, a_n
+
+
 def _cds_first_offset(t: Transcript, pos: int, ref_len: int) -> int | None:
     """0-based CDS offset of the *transcript-orientation first* affected
     base of a ref span [pos, pos+ref_len-1] (on − strand the genomic
@@ -1231,9 +1245,13 @@ def hgvs_c(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
     """cDNA notation: substitutions, del/ins/dup/delins with 3'-shifting and
     dup detection when ``cds_sequence`` context is available (reference
     ``hgvs.rs:17-45``); UTR (``c.-N`` / ``c.*N``) and intronic
-    (``c.N±off``) coordinates for positions outside the CDS."""
+    (``c.N±off``) coordinates for positions outside the CDS.  Raw VCF
+    alleles are VEP-normalized first, so padded indels (``GGCT>G``)
+    notate by their truly changed bases; a caller-supplied bare insertion
+    (``ref=''``) keeps the pos-is-5'-flank convention."""
     ref = "" if ref in ("-", None) else ref
     alt = "" if alt in ("-", None) else alt
+    pos, ref, alt = _normalize_for_hgvs(pos, ref, alt)
     off = _cds_first_offset(t, pos, len(ref))
     if off is None:
         # outside the spliced CDS: UTR / intronic coordinate notation for
@@ -1301,6 +1319,7 @@ def hgvs_p(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
     alt = "" if alt in ("-", None) else alt
     if not ref and not alt:
         return None
+    pos, ref, alt = _normalize_for_hgvs(pos, ref, alt)
     off = _cds_first_offset(t, pos, len(ref))
     if off is None:
         return None

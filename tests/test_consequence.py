@@ -462,3 +462,34 @@ def test_annotation_details_codons_amino_acids():
     d2 = annotation_details(t, 1105, "T", "C")
     assert d2["codons"] == "gcT/gcC"
     assert d2["amino_acids"] == "A"
+
+
+class TestAnnotateVepIndelPipeline:
+    def test_vcf_padded_inframe_deletion_end_to_end(self, spark, vep_frames):
+        # VCF-anchored deletion G(GCT)>G at 112: the pipeline normalizes to
+        # the GCT deletion at 113-115 (codon 2), classifies inframe, and
+        # renders the reference's codon/amino-acid conventions
+        _, cache, tx, ex = vep_frames
+        vcf = spark.createDataFrame(
+            [("chr1", 112, 115, "GGCT", "G")],
+            "chrom string, start long, end long, ref string, alt string",
+        )
+        r = annotate_vep(
+            vcf, cache, transcripts=tx, exons=ex, full_schema=True
+        ).collect()[0]
+        assert r.most_severe_consequence == "inframe_deletion"
+        assert r.Codons == "GCT/-"
+        assert r.Amino_acids == "A/-"
+        assert r.Protein_position == 2
+        assert r.VARIANT_CLASS == "deletion"
+        assert r.HGVSc is not None and r.HGVSc.endswith("del")
+
+    def test_vcf_padded_frameshift_insertion_end_to_end(self, spark, vep_frames):
+        _, cache, tx, ex = vep_frames
+        vcf = spark.createDataFrame(
+            [("chr1", 113, 113, "G", "GTT")],
+            "chrom string, start long, end long, ref string, alt string",
+        )
+        r = annotate_vep(vcf, cache, transcripts=tx, exons=ex).collect()[0]
+        assert r.most_severe_consequence == "frameshift_variant"
+        assert r.hgvsp is not None and "fs" in r.hgvsp
