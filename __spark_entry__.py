@@ -330,6 +330,20 @@ def _docs_dup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+#: Canonical range-join statement for the transparent-rewrite gate row:
+#: a plain SQL join whose ON clause is the interval-overlap predicate (with
+#: one strict comparator to exercise the reference's minus-one
+#: normalization, intervals.rs:63-65).  ``bio_sql`` reroutes it through the
+#: binned interval join; the oracle runs the IDENTICAL statement in DuckDB.
+RANGE_JOIN_STMT = (
+    "SELECT a.contig AS contig, a.pos_start AS a_start, a.pos_end AS a_end, "
+    "b.pos_start AS b_start, b.pos_end AS b_end "
+    "FROM __rj_reads a JOIN __rj_targets b "
+    "ON a.contig = b.contig AND a.pos_start < b.pos_end "
+    "AND a.pos_end >= b.pos_start"
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: interval overlap join (binned strategy) on sf0.001, rolled
     up to per-contig pair counts + mean overlap length."""
@@ -373,6 +387,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["nearest_excl_overlaps"] = lambda spark, sf: bio.nearest(
         _reads(spark, sf), _targets(spark, sf), k=1, include_overlaps=False
     )
+    def _range_join_sql_q(spark, sf):
+        from datafusion_bio_functions_spark.sql_surface import bio_sql
+
+        _reads(spark, sf).createOrReplaceTempView("__rj_reads")
+        _targets(spark, sf).createOrReplaceTempView("__rj_targets")
+        return bio_sql(spark, RANGE_JOIN_STMT)
+
+    q["range_join_sql"] = _range_join_sql_q
     q["overlap_left_semi"] = lambda spark, sf: bio.overlap(
         _reads(spark, sf), _targets(spark, sf), output="left_distinct"
     )
@@ -1114,6 +1136,10 @@ def oracle_sql() -> dict[str, str]:
     )
     o["lsh_ann_topk"] = osql.cosine_topk_sql(
         "SELECT * FROM embeddings WHERE vec_id < 50", "SELECT * FROM embeddings", k=10
+    )
+    o["range_join_sql"] = (
+        f"WITH __rj_reads AS ({READS_SQL}), __rj_targets AS ({TARGETS_SQL})\n"
+        + RANGE_JOIN_STMT
     )
     o["overlap_join"] = osql.overlap_sql(READS_SQL, TARGETS_SQL)
     o["overlap_strict"] = osql.overlap_sql(READS_SQL, TARGETS_SQL, filter_op="strict")

@@ -24,6 +24,7 @@ import __spark_entry__ as entrymod
 
 BENCH_QUERIES = [
     "overlap_join",
+    "range_join_sql",
     "count_overlaps",
     "coverage",
     "merge",

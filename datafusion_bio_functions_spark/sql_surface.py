@@ -385,8 +385,14 @@ def bio_sql(spark: SparkSession, query: str) -> DataFrame:
     """Run a SQL statement that may call bio table functions.
 
     Each ``udtf(...)`` call site is evaluated via the matching DataFrame
-    operator and substituted with a temp view; everything else is Spark SQL.
+    operator and substituted with a temp view; a canonical range join in
+    the remaining statement is transparently rerouted through the interval
+    join (the reference's ``IntervalJoinPhysicalOptimizationRule``
+    capability — see :mod:`..plans.range_join`); everything else is Spark
+    SQL.
     """
+    from .plans.range_join import rewrite_range_joins
+
     out = []
     pos = 0
     while True:
@@ -405,4 +411,4 @@ def bio_sql(spark: SparkSession, query: str) -> DataFrame:
         out.append(query[pos:m.start()])
         out.append(view)
         pos = after
-    return spark.sql("".join(out))
+    return spark.sql(rewrite_range_joins(spark, "".join(out)))
