@@ -786,6 +786,14 @@ def cluster(
             cols_right=(c, "cluster_start", "cluster_end"),
             filter_op="weak",
             how="inner",
+            # explicit bin width: the auto sizer samples interval widths from
+            # BOTH sides, and the right side here is the whole merge+numbering
+            # DAG — the stats job would execute the merge pipeline once just
+            # to look at it, then execution runs it again.  chunk_width is
+            # the right granularity anyway: the left side is point intervals
+            # (one bin each) and extents are disjoint, so each (contig, bin)
+            # bucket sees at most a handful of extents regardless of scale.
+            bin_width=chunk_width,
         )
         if filter_op != "weak":
             pick = Window.partitionBy(_LEFT + "__rid").orderBy(
