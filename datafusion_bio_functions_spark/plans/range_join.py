@@ -63,10 +63,25 @@ _KEYWORDS = frozenset(
 #: ``FROM t1 [AS] a JOIN t2 [AS] b ON`` — plain table identifiers only
 #: (the reference operates post-planning where sides are already resolved;
 #: here sub-selects fall back to stock Spark SQL).
+#: Join types the reference's ``IntervalJoinExec`` accepts (Inner, Right,
+#: RightSemi, RightAnti with probe = right, ``interval_join.rs:218-221``);
+#: exposed here in the symmetric left-handed SQL spellings.
+_JOIN_TYPES = {
+    "": "inner",
+    "INNER": "inner",
+    "LEFT": "left",
+    "LEFT OUTER": "left",
+    "LEFT SEMI": "left_semi",
+    "SEMI": "left_semi",
+    "LEFT ANTI": "left_anti",
+    "ANTI": "left_anti",
+}
+
 _FROM_JOIN_RE = re.compile(
     r"\bFROM\s+([A-Za-z_][\w.]*)"
-    r"(?:\s+(?:AS\s+)?(?!JOIN\b|INNER\b|ON\b)([A-Za-z_]\w*))?"
-    r"\s+(?:INNER\s+)?JOIN\s+([A-Za-z_][\w.]*)"
+    r"(?:\s+(?:AS\s+)?(?!JOIN\b|INNER\b|LEFT\b|SEMI\b|ANTI\b|ON\b)([A-Za-z_]\w*))?"
+    r"\s+(INNER\s+|LEFT\s+OUTER\s+|LEFT\s+SEMI\s+|LEFT\s+ANTI\s+|LEFT\s+|SEMI\s+|ANTI\s+)?"
+    r"JOIN\s+([A-Za-z_][\w.]*)"
     r"(?:\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*))?"
     r"\s+ON\b",
     re.IGNORECASE,
@@ -205,7 +220,10 @@ def _parse(query: str) -> dict | None:
     if len(re.findall(r"\bJOIN\b", query, re.IGNORECASE)) != 1:
         return None
     m = matches[0]
-    t1, a1, t2, a2 = m.group(1), m.group(2), m.group(3), m.group(4)
+    t1, a1, jt, t2, a2 = m.group(1), m.group(2), m.group(3), m.group(4), m.group(5)
+    how = _JOIN_TYPES.get(" ".join((jt or "").upper().split()))
+    if how is None:
+        return None
     la = a1 or t1.split(".")[-1]
     ra = a2 or t2.split(".")[-1]
     if la.lower() in _KEYWORDS or ra.lower() in _KEYWORDS or la == ra:
@@ -233,6 +251,7 @@ def _parse(query: str) -> dict | None:
         "tables": (t1, t2),
         "aliases": (la, ra),
         "builder": b,
+        "how": how,
     }
 
 
@@ -275,16 +294,18 @@ def rewrite_range_joins(spark: SparkSession, query: str) -> str:
     r2 = r_df.withColumn("__bio_rs", F.col(b.rs).cast("long")).withColumn(
         "__bio_re", F.col(b.re_).cast("long") - (1 if b.re_minus else 0)
     )
+    how = parsed["how"]
     pairs = iv.interval_join(
         l2, r2, (lkey, "__bio_ls", "__bio_le"), (rkey, "__bio_rs", "__bio_re"),
-        filter_op="weak", how="inner",
+        filter_op="weak", how=how,
     )
 
+    semi = how in ("left_semi", "left_anti")  # only left columns survive
     disjoint = not (set(l_cols) & set(r_cols))
     sel = []
     for c in l_cols:
         sel.append(F.col(f"left_{c}").alias(c if disjoint else f"{la}_{c}"))
-    for c in r_cols:
+    for c in () if semi else r_cols:
         sel.append(F.col(f"right_{c}").alias(c if disjoint else f"{ra}_{c}"))
     if not disjoint:
         # side-unique columns additionally get their bare name so
@@ -292,7 +313,7 @@ def rewrite_range_joins(spark: SparkSession, query: str) -> str:
         # whichever aliases the outer query does not touch)
         for c in set(l_cols) - set(r_cols):
             sel.append(F.col(f"left_{c}").alias(c))
-        for c in set(r_cols) - set(l_cols):
+        for c in () if semi else set(r_cols) - set(l_cols):
             sel.append(F.col(f"right_{c}").alias(c))
     out = pairs.select(*sel)
 
@@ -314,6 +335,7 @@ def rewrite_range_joins(spark: SparkSession, query: str) -> str:
         "tables": (t1, t2),
         "aliases": (la, ra),
         "equi": bool(b.eq),
+        "how": how,
         "bounds": (b.ls, b.le, b.rs, b.re_),
         "minus_one": (b.le_minus, b.re_minus),
         "view": view,

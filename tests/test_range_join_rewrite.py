@@ -167,6 +167,45 @@ def test_multiway_join_falls_back(spark):
     _check(spark, q, expect_rewrite=False)
 
 
+@pytest.mark.parametrize(
+    "jt,how",
+    [
+        ("LEFT JOIN", "left"),
+        ("LEFT OUTER JOIN", "left"),
+        ("LEFT SEMI JOIN", "left_semi"),
+        ("LEFT ANTI JOIN", "left_anti"),
+        ("ANTI JOIN", "left_anti"),
+    ],
+)
+def test_join_types(spark, jt, how):
+    """The reference's IntervalJoinExec join types (Inner/Right/RightSemi/
+    RightAnti, interval_join.rs:218-221) in their left-handed SQL
+    spellings."""
+    cols = (
+        "a.contig AS contig, a.pos_start AS a_start"
+        if how in ("left_semi", "left_anti")
+        else "a.contig AS contig, a.pos_start AS a_start, b.pos_start AS b_start"
+    )
+    q = (
+        f"SELECT {cols} FROM rj_reads a {jt} rj_targets b "
+        "ON a.contig = b.contig AND a.pos_start <= b.pos_end "
+        "AND a.pos_end >= b.pos_start"
+    )
+    _check(spark, q)
+    assert rj.last_rewrite()["how"] == how
+
+
+def test_left_join_keeps_unmatched_rows(spark):
+    q = (
+        "SELECT a.contig AS contig, a.pos_start AS a_start, b.pos_start AS b_start "
+        "FROM rj_reads a LEFT JOIN rj_targets b "
+        "ON a.contig = b.contig AND a.pos_start <= b.pos_end "
+        "AND a.pos_end >= b.pos_start"
+    )
+    rows = _check(spark, q)
+    assert any(r[2] is None for r in rows)  # chr3 read has no target overlap
+
+
 def test_conf_knob_disables(spark):
     q = PROJ + ARRANGEMENTS[0]
     spark.conf.set(rj.RANGE_JOIN_REWRITE_KEY, "false")
