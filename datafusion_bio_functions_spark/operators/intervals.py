@@ -679,7 +679,11 @@ def merge(
     summ = summ.withColumn("__prev_max", F.max("__bmax").over(wsum)).select(
         "contig", "__b", "__prev_max"
     )
-    cand = local.join(summ, ["contig", "__b"], "left")
+    # broadcast: summ is #buckets rows (genome span / chunk_width per
+    # contig), never data-proportional — without the hint Catalyst can only
+    # see "unknown size" and plans a sort-merge join, i.e. a full extra
+    # shuffle of the phase-1 output, paid twice (final + nonfinal branches)
+    cand = local.join(F.broadcast(summ), ["contig", "__b"], "left")
     # conservative (>=) finality test for both filter_ops: over-approximating
     # the non-final set is safe — phase 2 re-merges it exactly
     right_edge = (F.col("__b") + 1) * chunk_width

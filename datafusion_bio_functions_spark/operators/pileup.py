@@ -157,7 +157,15 @@ def depth(
     else:
         df = df.withColumn("__segs", F.expr(_cigar_segments_sql(start_1b, cg)))
 
-    seg = df.select(F.col(c).alias("contig"), F.explode("__segs").alias("__seg"))
+    # explode_outer, not explode: for a plain explode Catalyst infers a
+    # ``size(__segs) > 0 AND __segs IS NOT NULL`` filter below the Generate
+    # and predicate pushdown substitutes the alias into it — the whole
+    # CIGAR-walk expression then runs three times per alignment (twice in
+    # the filter, once in the projection).  The outer form skips that rule;
+    # the cheap null-check on the exploded struct drops segment-free reads.
+    seg = df.select(F.col(c).alias("contig"), F.explode_outer("__segs").alias("__seg")).filter(
+        F.col("__seg").isNotNull()
+    )
     events = seg.select(
         "contig",
         F.explode(
