@@ -523,7 +523,15 @@ def simhash_dedup(
         sim = simhash64(text_col, hash_method=hash_method)
     else:
         raise ValueError(f"method must be 'arrow' or 'sql', got {method!r}")
-    sh = _ensure_parallelism(df).select(F.col(id_col).alias("id"), sim.alias("simhash"))
+    # persist: the self-join consumes the banded frame twice and Spark does
+    # not reuse the exchange across the two sides, so without the cache the
+    # signature UDF would score the whole corpus twice (same rationale and
+    # lifecycle as minhash_dedup's signature cache above)
+    sh = (
+        _ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), sim.alias("simhash"))
+        .persist()
+    )
     banded = sh.select(
         "id",
         "simhash",
@@ -548,7 +556,9 @@ def simhash_dedup(
         .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= max_hamming)
     )
-    return pairs.select("id_a", "id_b", "hamming")
+    out = pairs.select("id_a", "id_b", "hamming")
+    weakref.finalize(out, _unpersist_quietly, sh)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -33,7 +33,11 @@ def streaming_depth_events(alignments: DataFrame, zero_based: bool = False) -> D
     start_1b = "start + 1" if zero_based else "start"
     seg = alignments.withColumn("__segs", F.expr(_cigar_segments_sql(start_1b, "cigar")))
     return (
-        seg.select(F.col("chrom").alias("contig"), F.explode("__segs").alias("__seg"))
+        # explode_outer + null filter: a plain explode makes Catalyst infer
+        # a size()>0 filter that duplicates the CIGAR-walk expression (see
+        # operators/pileup.py — same fix, batch twin)
+        seg.select(F.col("chrom").alias("contig"), F.explode_outer("__segs").alias("__seg"))
+        .filter(F.col("__seg").isNotNull())
         .select(
             "contig",
             F.explode(
