@@ -103,6 +103,19 @@ def _overlap_cond(
     return eq & (F.col(ls) < F.col(re_)) & (F.col(le) > F.col(rs))
 
 
+def _saturating_add_const(col: Column, k: int) -> Column:
+    """``col + k`` with i64 saturation (the reference's ``saturating_add``,
+    ``merge.rs:291`` / ``cluster.rs:457``) — a ``min_dist`` of i64::MAX means
+    "merge everything", and under Spark's ANSI arithmetic the plain add
+    would instead throw ARITHMETIC_OVERFLOW.  ``k`` is a plan-time constant
+    so the guard threshold folds to a literal."""
+    if k == 0:
+        return col
+    if k > 0:
+        return F.when(col > I64_MAX - k, F.lit(I64_MAX)).otherwise(col + F.lit(k))
+    return F.when(col < -I64_MAX - 1 - k, F.lit(-I64_MAX - 1)).otherwise(col + F.lit(k))
+
+
 def _overlap_len(ls: str, le: str, rs: str, re_: str, filter_op: str) -> Column:
     """Covered-base count of the intersection. 1-based closed (weak):
     ``min(ends) - max(starts) + 1``; strict (half-open encoding):
@@ -571,7 +584,7 @@ def _with_island(
     """
     w = Window.partitionBy(c).orderBy(s, e)
     prev_max = F.max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    boundary = prev_max + F.lit(min_dist)
+    boundary = _saturating_add_const(prev_max, min_dist)
     merges = (F.col(s) <= boundary) if filter_op == "weak" else (F.col(s) < boundary)
     new_island = F.when(prev_max.isNull() | ~merges, 1).otherwise(0)
     island = F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -651,7 +664,7 @@ def merge(
     # phase 1: local islands within (contig, bucket)
     wloc = Window.partitionBy("contig", "__b").orderBy("pos_start", "pos_end")
     prev_max = F.max("pos_end").over(wloc.rowsBetween(Window.unboundedPreceding, -1))
-    boundary = prev_max + F.lit(min_dist)
+    boundary = _saturating_add_const(prev_max, min_dist)
     merges = (
         (F.col("pos_start") <= boundary)
         if filter_op == "weak"
@@ -687,9 +700,10 @@ def merge(
     # conservative (>=) finality test for both filter_ops: over-approximating
     # the non-final set is safe — phase 2 re-merges it exactly
     right_edge = (F.col("__b") + 1) * chunk_width
-    can_extend_right = F.col("pos_end") + min_dist >= right_edge
+    can_extend_right = _saturating_add_const(F.col("pos_end"), min_dist) >= right_edge
     reachable_left = F.coalesce(
-        F.col("__prev_max") + min_dist >= F.col("pos_start"), F.lit(False)
+        _saturating_add_const(F.col("__prev_max"), min_dist) >= F.col("pos_start"),
+        F.lit(False),
     )
     nonfinal = cand.filter(can_extend_right | reachable_left).drop(
         "__b", "__prev_max", "__island"

@@ -527,3 +527,36 @@ def test_sweep_session_config(spark, merge_input):
             bio.merge(merge_input)
     finally:
         spark.conf.unset("spark.bio.sweep.algorithm")
+
+
+def test_merge_cluster_large_min_dist_no_overflow(spark):
+    """min_dist = i64::MAX must mean "merge everything", not an ANSI
+    ARITHMETIC_OVERFLOW — the reference saturates the boundary add
+    (merge.rs:291, cluster.rs:457; integration tests
+    test_{merge,cluster}_udtf_large_min_dist_no_overflow)."""
+    big = 9223372036854775807
+    df = spark.createDataFrame(
+        [("chr1", 100, 200), ("chr1", 5_000_000, 6_000_000), ("chr2", 1, 2)],
+        "contig string, pos_start long, pos_end long",
+    )
+    for algorithm in ("window", "chunked"):
+        m = sorted(map(tuple, bio.merge(df, min_dist=big, algorithm=algorithm).collect()))
+        assert m == [("chr1", 100, 6_000_000, 2), ("chr2", 1, 2, 1)], algorithm
+        c = bio.cluster(df, min_dist=big, algorithm=algorithm)
+        got = sorted(map(tuple, c.select("contig", "cluster_start", "cluster_end").distinct().collect()))
+        assert got == [("chr1", 100, 6_000_000), ("chr2", 1, 2)], algorithm
+
+
+def test_custom_column_name_matching_mode_token(spark):
+    """A position column literally named 'strict' must parse as a column
+    name, not as the trailing filter-op token (reference
+    test_overlap_udtf_custom_column_names_can_match_mode_tokens)."""
+    from datafusion_bio_functions_spark.sql_surface import bio_sql
+
+    d = spark.createDataFrame([("chr1", 1, 10), ("chr1", 40, 50)],
+                              "c string, strict long, e long")
+    d.createOrReplaceTempView("modecol_t")
+    got = sorted(map(tuple, bio_sql(
+        spark, "SELECT * FROM merge('modecol_t', 'c', 'strict', 'e')"
+    ).collect()))
+    assert got == [("chr1", 1, 10, 1), ("chr1", 40, 50, 1)]
