@@ -967,32 +967,41 @@ def subtract(
     )
     j = lw.join(m, cond, "left")
 
-    unmatched = j.filter(F.col("__ms").isNull()).select(*left.columns, "__lid")
-
-    ov = j.filter(F.col("__ms").isNotNull()).withColumn(
-        "__cs", F.greatest(F.col("__ms"), F.col(ls))
-    ).withColumn("__ce", F.least(F.col("__me"), F.col(le)))
-    w = Window.partitionBy("__lid").orderBy("__cs")
-    ov = (
-        ov.withColumn("__prev_ce", F.lag("__ce").over(w))
-        .withColumn("__is_last", F.lead("__cs").over(w).isNull())
+    # Fragment arithmetic is END-EXCLUSIVE, exactly as the reference sweep
+    # (subtract.rs:414-438): with cursor starting at ls, each overlapping
+    # (pre-merged, disjoint, start-sorted) right (rs, re) emits the gap
+    # (cursor, rs) when rs > cursor and advances cursor to max(cursor, re);
+    # the tail (cursor, le) is emitted when cursor < le.  Note the bounds
+    # are used as-is — no ±1 — so e.g. (100,400) − (200,300) =
+    # (100,200) + (300,400), and a left row with ls >= le emits nothing
+    # (the bedtools/bioframe half-open convention; the integration tests
+    # test_subtract_udtf_basic / _strict_boundary pin it).
+    unmatched = j.filter(F.col("__ms").isNull() & (F.col(ls) < F.col(le))).select(
+        *left.columns, "__lid"
     )
-    # gap before each clipped overlap
-    gs = F.coalesce(F.col("__prev_ce") + 1, F.col(ls))
-    ge = F.col("__cs") - 1
+
+    ov = j.filter(F.col("__ms").isNotNull())
+    w = Window.partitionBy("__lid").orderBy("__ms")
+    ov = (
+        ov.withColumn("__prev_me", F.lag("__me").over(w))
+        .withColumn("__is_last", F.lead("__ms").over(w).isNull())
+    )
+    # cursor before this right = max(ls, previous right end)
+    gs = F.greatest(F.coalesce(F.col("__prev_me"), F.col(ls)), F.col(ls))
+    ge = F.col("__ms")
     frag_before = ov.select(
         *[F.col(x) for x in left.columns if x not in (ls, le)],
         gs.alias(ls),
         ge.alias(le),
         "__lid",
-    ).filter(F.col(ls) <= F.col(le))
+    ).filter(F.col(ls) < F.col(le))
     # tail gap after the last overlap
     frag_tail = ov.filter(F.col("__is_last")).select(
         *[F.col(x) for x in left.columns if x not in (ls, le)],
-        (F.col("__ce") + 1).alias(ls),
+        F.greatest(F.col("__me"), F.col(ls)).alias(ls),
         F.col(le).alias(le),
         "__lid",
-    ).filter(F.col(ls) <= F.col(le))
+    ).filter(F.col(ls) < F.col(le))
 
     out = unmatched.unionByName(frag_before).unionByName(frag_tail).drop("__lid")
     return out.select(

@@ -212,27 +212,30 @@ def subtract_sql(
         [c for c in other] + [f"CAST({ls} AS BIGINT) AS {ls}", f"CAST({le} AS BIGINT) AS {le}"]
     )
     out_cols = ", ".join(l_all)
+    # end-exclusive fragment arithmetic (reference subtract.rs:414-438):
+    # gaps are (cursor, rs) / (cursor, le) with cursor = max(ls, prev re),
+    # no ±1, and empty (start >= end) outputs dropped — incl. degenerate
+    # unmatched left rows
     return f"""WITH lw AS (SELECT *, row_number() OVER () AS __lid FROM ({l})),
 mm AS ({merged}),
 j AS (
-  SELECT lw.*, mm.pos_start AS __ms, mm.pos_end AS __me,
-         greatest(mm.pos_start, lw.{ls}) AS __cs, least(mm.pos_end, lw.{le}) AS __ce
+  SELECT lw.*, mm.pos_start AS __ms, mm.pos_end AS __me
   FROM lw LEFT JOIN mm
     ON {_ov('mm.contig', 'mm.pos_start', 'mm.pos_end', f'lw.{lc}', f'lw.{ls}', f'lw.{le}', filter_op)}
 ),
 ovl AS (
-  SELECT *, lag(__ce) OVER (PARTITION BY __lid ORDER BY __cs) AS __prev_ce,
-         row_number() OVER (PARTITION BY __lid ORDER BY __cs DESC) AS __rn_desc
+  SELECT *, lag(__me) OVER (PARTITION BY __lid ORDER BY __ms) AS __prev_me,
+         row_number() OVER (PARTITION BY __lid ORDER BY __ms DESC) AS __rn_desc
   FROM j WHERE __ms IS NOT NULL
 ),
 frags AS (
   SELECT {', '.join(f'{c}' for c in other)}, {ls}, {le} FROM (
     SELECT {proj_other}lw.{ls}, lw.{le} FROM (SELECT * FROM j WHERE __ms IS NULL) lw
     UNION ALL
-    SELECT {''.join(f'{c}, ' for c in other)}coalesce(__prev_ce + 1, {ls}) AS {ls}, __cs - 1 AS {le} FROM ovl
+    SELECT {''.join(f'{c}, ' for c in other)}greatest(coalesce(__prev_me, {ls}), {ls}) AS {ls}, __ms AS {le} FROM ovl
     UNION ALL
-    SELECT {''.join(f'{c}, ' for c in other)}__ce + 1 AS {ls}, {le} FROM ovl WHERE __rn_desc = 1
-  ) WHERE {ls} <= {le}
+    SELECT {''.join(f'{c}, ' for c in other)}greatest(__me, {ls}) AS {ls}, {le} FROM ovl WHERE __rn_desc = 1
+  ) WHERE {ls} < {le}
 )
 SELECT {sel} FROM frags""".replace("SELECT , ", "SELECT ")
 

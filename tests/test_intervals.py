@@ -158,13 +158,16 @@ def test_subtract_matches_oracle(spark, reads, targets, oracle):
 
 
 def test_subtract_fragments_and_preserves_columns(spark):
+    """End-exclusive fragment arithmetic, the reference sweep
+    (subtract.rs:414-438; integration test_subtract_udtf_basic expects
+    (100,400)−(200,300) = (100,200)+(300,400))."""
     l = spark.createDataFrame([("chr1", 100, 300, "x")], COLS + ["tag"])
     r = spark.createDataFrame([("chr1", 150, 160), ("chr1", 200, 250)], COLS)
     out = bio.subtract(l, r).orderBy("pos_start").collect()
     assert [(o["pos_start"], o["pos_end"], o["tag"]) for o in out] == [
-        (100, 149, "x"),
-        (161, 199, "x"),
-        (251, 300, "x"),
+        (100, 150, "x"),
+        (160, 200, "x"),
+        (250, 300, "x"),
     ]
     # right interval swallowing the left entirely → no fragments
     r2 = spark.createDataFrame([("chr1", 50, 400)], COLS)
@@ -172,6 +175,25 @@ def test_subtract_fragments_and_preserves_columns(spark):
     # no overlap → left row unchanged
     r3 = spark.createDataFrame([("chr2", 50, 400)], COLS)
     assert bio.subtract(l, r3).collect()[0]["pos_end"] == 300
+
+
+def test_subtract_boundary_weak_vs_strict(spark):
+    """Reference test_subtract_udtf_strict_boundary: a right starting at
+    the left's end leaves the left unchanged in BOTH modes — weakly the
+    boundary point joins but the end-exclusive gap math removes nothing."""
+    l = spark.createDataFrame([("a", 100, 300)], COLS)
+    r = spark.createDataFrame([("a", 300, 400)], COLS)
+    assert sorted(map(tuple, bio.subtract(l, r).collect())) == [("a", 100, 300)]
+    assert sorted(map(tuple, bio.subtract(l, r, filter_op="strict").collect())) == [
+        ("a", 100, 300)
+    ]
+    # interior case from test_subtract_udtf_basic
+    l2 = spark.createDataFrame([("a", 100, 400)], COLS)
+    r2 = spark.createDataFrame([("a", 200, 300)], COLS)
+    assert sorted(map(tuple, bio.subtract(l2, r2).collect())) == [
+        ("a", 100, 200),
+        ("a", 300, 400),
+    ]
 
 
 @pytest.mark.parametrize("k", [1, 2, 3])

@@ -76,22 +76,53 @@ def test_cluster_partitions_input(spark, rows):
 
 @given(lrows=interval_lists, rrows=interval_lists)
 @SETTINGS
-def test_subtract_coverage_conservation(spark, lrows, rrows):
-    """|subtract(l,r)| + covered(l by r) == |l|  (lengths in base pairs,
-    1-based closed: len = end - start + 1)."""
+def test_subtract_matches_python_sweep(spark, lrows, rrows):
+    """subtract == an in-Python port of the reference's end-exclusive
+    fragment sweep (subtract.rs:414-438): cursor starts at ls, each
+    overlapping merged right (rs, re) emits (cursor, rs) when rs > cursor
+    and advances cursor to max(cursor, re); tail (cursor, le) when
+    cursor < le.  Exact row-for-row comparison, both filter ops."""
     l, r = _df(spark, lrows), _df(spark, rrows)
-    sub_len = (
-        bio.subtract(l, r)
-        .agg(F.coalesce(F.sum(F.col("pos_end") - F.col("pos_start") + 1), F.lit(0)))
-        .collect()[0][0]
-    )
-    cov = (
-        bio.coverage(r, l)
-        .agg(F.coalesce(F.sum("coverage"), F.lit(0)))
-        .collect()[0][0]
-    )
-    total = sum(ln + 1 for _, _, ln in lrows)
-    assert sub_len + cov == total
+
+    def merged(rows, op):
+        out = []
+        for c in sorted({x[0] for x in rows}):
+            ivs = sorted((s, s + ln) for cc, s, ln in rows if cc == c)
+            cur = None
+            for s, e in ivs:
+                if cur is None:
+                    cur = [s, e]
+                elif (s <= cur[1]) if op == "weak" else (s < cur[1]):
+                    cur[1] = max(cur[1], e)
+                else:
+                    out.append((c, cur[0], cur[1]))
+                    cur = [s, e]
+            if cur is not None:
+                out.append((c, cur[0], cur[1]))
+        return out
+
+    for op in ("weak", "strict"):
+        want = []
+        mr = merged(rrows, op)
+        for c, ls, ln in lrows:
+            le = ls + ln
+            rights = [
+                (rs, re)
+                for rc, rs, re in mr
+                if rc == c
+                and ((ls <= re and le >= rs) if op == "weak" else (ls < re and le > rs))
+            ]
+            cursor = ls
+            for rs, re in sorted(rights):
+                if rs > cursor:
+                    want.append((c, cursor, rs))
+                cursor = max(cursor, re)
+            if cursor < le:
+                want.append((c, cursor, le))
+        got = sorted(
+            map(tuple, bio.subtract(l, r, filter_op=op).collect())
+        )
+        assert got == sorted(want), op
 
 
 @given(rows=interval_lists)
