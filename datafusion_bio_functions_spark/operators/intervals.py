@@ -743,7 +743,8 @@ def _global_cluster_ids(ids: DataFrame, c: str, order_cols: Sequence[str]) -> Da
     offsets = counts.withColumn("__off", F.coalesce(F.sum("__n").over(woff), F.lit(0)))
     return (
         ranked.join(F.broadcast(offsets.select(c, "__off")), c)
-        .withColumn("cluster", (F.col("__off") + F.col("__rank")).cast(T.LongType()))
+        # ids start at 0 (reference test_cluster_udtf_basic: clusters 0, 1)
+        .withColumn("cluster", (F.col("__off") + F.col("__rank") - 1).cast(T.LongType()))
         .drop("__rank", "__off")
     )
 
@@ -897,18 +898,24 @@ def complement(
     mb = mb.withColumn("__prev_end", F.lag("pos_end").over(w)).withColumn(
         "__is_last", F.lead("pos_start").over(w).isNull()
     )
-    # gap before this interval: from max(view_start, prev_end+1) to start-1
-    gap_start = F.greatest(F.coalesce(F.col("__prev_end") + 1, F.col("__vstart")), F.col("__vstart"))
-    gap_end = F.least(F.col("pos_start") - 1, F.col("__vend"))
+    # Gap bounds are END-EXCLUSIVE, matching the reference
+    # (test_complement_udtf_basic_no_view: intervals (100,200),(300,400)
+    # under the implicit [0, i64::MAX) view complement to (0,100),
+    # (200,300), (400, i64::MAX) — no ±1): the gap before an interval runs
+    # from the previous covered end to this start, clipped to the view.
+    gap_start = F.greatest(
+        F.coalesce(F.col("__prev_end"), F.col("__vstart")), F.col("__vstart")
+    )
+    gap_end = F.least(F.col("pos_start"), F.col("__vend"))
     before = mb.select(
         "contig", gap_start.alias("pos_start"), gap_end.alias("pos_end")
-    ).filter(F.col("pos_start") <= F.col("pos_end"))
+    ).filter(F.col("pos_start") < F.col("pos_end"))
     # tail gap after the last interval of each contig
     tail = mb.filter(F.col("__is_last")).select(
         "contig",
-        F.greatest(F.col("pos_end") + 1, F.col("__vstart")).alias("pos_start"),
+        F.greatest(F.col("pos_end"), F.col("__vstart")).alias("pos_start"),
         F.col("__vend").alias("pos_end"),
-    ).filter(F.col("pos_start") <= F.col("pos_end"))
+    ).filter(F.col("pos_start") < F.col("pos_end"))
     out = before.unionByName(tail)
 
     # view-only contigs, emitted whole
@@ -1248,11 +1255,32 @@ def nearest(
             distm.append(dm[order])
         return emit(idxm, distm)
 
-    return (
+    out = (
         left.groupBy(lc)
         .cogroup(right.groupBy(rc))
         .applyInPandas(find_nearest, schema=out_schema)
     )
+    return _rawify_strict_distance(out, shrink, compute_distance)
+
+
+def _rawify_strict_distance(out: DataFrame, shrink: int, compute_distance: bool) -> DataFrame:
+    """Strict mode shrinks the probe by one per side for candidate
+    selection/ordering, but the reference emits the distance computed from
+    the RAW probe coordinates (``nearest.rs:368-374`` — "Use raw
+    coordinates for distance, not the strict-adjusted query_start/
+    query_end"), so touching half-open intervals report distance 0
+    (test_nearest_udtf_strict_zero_based_boundary_distance).  The internal
+    shrunk distance is uniformly raw+1 for non-overlap candidates, so
+    subtract the shrink back, clamped at 0."""
+    if shrink and compute_distance:
+        out = out.withColumn(
+            "distance",
+            F.when(
+                F.col("distance").isNotNull(),
+                F.greatest(F.col("distance") - shrink, F.lit(0)),
+            ),
+        )
+    return out
 
 
 def _nearest_radius(
@@ -1490,6 +1518,9 @@ def _nearest_radius(
     import weakref
 
     fb_probes = rid.join(solved_pids, "__pid", "left_anti").drop("__pid")
+    # the radius kernel emits shrunk-coordinate distances; the cogroup
+    # fallback already rawifies its own, so adjust only the solved side
+    solved = _rawify_strict_distance(solved, shrink, compute_distance)
     if fb_probes.limit(1).count() == 0:
         out = solved
     else:

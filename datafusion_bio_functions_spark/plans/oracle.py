@@ -96,7 +96,7 @@ __a AS (
   FROM __i
 )
 SELECT {proj},
-       CAST(dense_rank() OVER (ORDER BY {c}, cluster_start, __island) AS BIGINT) AS cluster,
+       CAST(dense_rank() OVER (ORDER BY {c}, cluster_start, __island) - 1 AS BIGINT) AS cluster,
        cluster_start, cluster_end
 FROM __a"""
 
@@ -185,13 +185,13 @@ mb AS (
 )
 SELECT contig, pos_start, pos_end FROM (
   SELECT contig,
-         greatest(coalesce(__prev_end + 1, __vstart), __vstart) AS pos_start,
-         least(pos_start - 1, __vend) AS pos_end
+         greatest(coalesce(__prev_end, __vstart), __vstart) AS pos_start,
+         least(pos_start, __vend) AS pos_end
   FROM mb
   UNION ALL
-  SELECT contig, greatest(pos_end + 1, __vstart) AS pos_start, __vend AS pos_end
+  SELECT contig, greatest(pos_end, __vstart) AS pos_start, __vend AS pos_end
   FROM mb WHERE __rn_desc = 1{whole}
-) WHERE pos_start <= pos_end"""
+) WHERE pos_start < pos_end"""
 
 
 def subtract_sql(

@@ -146,9 +146,11 @@ def test_complement_with_view_matches_oracle(spark, merge_input, oracle):
 def test_complement_default_view_bounds(spark):
     df = spark.createDataFrame([("chr1", 100, 200)], COLS)
     out = bio.complement(df).orderBy("pos_start").collect()
-    # reference default bounds (0, i64::MAX) per observed contig
-    assert (out[0]["pos_start"], out[0]["pos_end"]) == (0, 99)
-    assert (out[1]["pos_start"], out[1]["pos_end"]) == (201, 9223372036854775807)
+    # reference default bounds (0, i64::MAX) per observed contig, with
+    # END-EXCLUSIVE gap arithmetic (test_complement_udtf_basic_no_view:
+    # (100,200)+(300,400) complement to (0,100),(200,300),(400,MAX))
+    assert (out[0]["pos_start"], out[0]["pos_end"]) == (0, 100)
+    assert (out[1]["pos_start"], out[1]["pos_end"]) == (200, 9223372036854775807)
 
 
 def test_subtract_matches_oracle(spark, reads, targets, oracle):

@@ -128,8 +128,12 @@ def test_subtract_matches_python_sweep(spark, lrows, rrows):
 @given(rows=interval_lists)
 @SETTINGS
 def test_complement_tiles_span(spark, rows):
-    """complement ∪ merge covers each contig's [min_start, max_end] with no
-    overlap and no gap (default unbounded view clipped to observed span)."""
+    """complement ∪ merge tiles each contig's [min_start, max_end] with no
+    overlap and no gap.  Complement gaps are END-EXCLUSIVE (a gap's end
+    equals the next covered start, reference
+    test_complement_udtf_basic_no_view), so adjacent pieces SHARE their
+    boundary coordinate: walking the sorted pieces, each must start at the
+    previous piece's end."""
     df = _df(spark, rows)
     m = [(r.contig, r.pos_start, r.pos_end) for r in bio.merge(df).collect()]
     comp = [
@@ -143,13 +147,12 @@ def test_complement_tiles_span(spark, rows):
             [(s, e) for c, s, e in m if c == contig]
             + [(s, e) for c, s, e in comp if c == contig]
         )
-        lo = min(s for s, _ in pieces)
         hi = max(e for _, e in pieces)
-        pos = lo
+        pos = min(s for s, _ in pieces)
         for s, e in pieces:
             assert s == pos, (contig, pieces)
-            pos = e + 1
-        assert pos == hi + 1
+            pos = e
+        assert pos == hi
 
 
 cigar_run = st.tuples(

@@ -1,0 +1,244 @@
+"""Reference integration expectations, replayed verbatim.
+
+Each case is an exact (inputs, expected output) pair copied from the
+reference's ``bio-function-ranges/tests/integration_test.rs`` — the
+boundary-semantics contract the DuckDB gate cannot check (both the Spark
+operator and the gate oracle are written here, so a shared
+misinterpretation would stay green; the subtract end-exclusive arithmetic
+was exactly such a bug).  Citations give the reference test name.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import datafusion_bio_functions_spark as bio
+
+COLS = "contig string, pos_start long, pos_end long"
+I64_MAX = 9223372036854775807
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, COLS)
+
+
+def rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+# ── overlap ────────────────────────────────────────────────────────────────
+
+
+def test_overlap_adjacent_one_based_overlap(spark):
+    """test_overlap_udtf_adjacent_one_based_overlap: weak (1-based closed)
+    [100,200] and [200,300] share position 200 → 1 pair."""
+    a, b = _df(spark, [("a", 100, 200)]), _df(spark, [("a", 200, 300)])
+    assert bio.overlap(a, b).count() == 1
+
+
+def test_overlap_adjacent_zero_based_no_overlap(spark):
+    """test_overlap_udtf_adjacent_zero_based_no_overlap: strict (0-based
+    half-open) [100,200) and [200,300) do not overlap."""
+    a, b = _df(spark, [("a", 100, 200)]), _df(spark, [("a", 200, 300)])
+    assert bio.overlap(a, b, filter_op="strict").count() == 0
+
+
+def test_overlap_strict_boundary(spark):
+    """test_overlap_udtf_strict_boundary: (190,300)×(100,190) touch →
+    weak 1 pair, strict 0."""
+    r, t = _df(spark, [("a", 190, 300)]), _df(spark, [("a", 100, 190)])
+    assert bio.overlap(r, t).count() == 1
+    assert bio.overlap(r, t, filter_op="strict").count() == 0
+
+
+def test_overlap_same_interval_and_contained(spark):
+    """test_overlap_udtf_same_interval + test_overlap_udtf_contained."""
+    a = _df(spark, [("a", 100, 200)])
+    assert bio.overlap(a, _df(spark, [("a", 100, 200)])).count() == 1
+    assert bio.overlap(a, _df(spark, [("a", 120, 180)])).count() == 1
+
+
+# ── count_overlaps ─────────────────────────────────────────────────────────
+
+
+def test_count_overlaps_strict_zero_based_boundary(spark):
+    """test_count_overlaps_udtf_strict_zero_based_boundary: reads (190,300)
+    against target (100,190) count 1 weakly, 0 strictly; the target row is
+    emitted either way."""
+    r, t = _df(spark, [("a", 190, 300)]), _df(spark, [("a", 100, 190)])
+    weak = rows(bio.count_overlaps(r, t))
+    strict = rows(bio.count_overlaps(r, t, filter_op="strict"))
+    assert weak == [("a", 100, 190, 1)]
+    assert strict == [("a", 100, 190, 0)]
+
+
+# ── merge / cluster ────────────────────────────────────────────────────────
+
+
+def test_merge_adjacent_weak_and_strict(spark):
+    """test_merge_udtf_adjacent_{weak,strict}: (100,150)+(150,200) merge
+    weakly into (100,200) n=2, stay separate strictly."""
+    iv = _df(spark, [("a", 100, 150), ("a", 150, 200)])
+    assert rows(bio.merge(iv)) == [("a", 100, 200, 2)]
+    assert bio.merge(iv, filter_op="strict").count() == 2
+
+
+def test_cluster_basic_ids_start_at_zero(spark):
+    """test_cluster_udtf_basic: ids 0 and 1, extents (100,250)/(400,500)."""
+    iv = _df(spark, [("a", 100, 200), ("a", 150, 250), ("a", 400, 500)])
+    got = rows(bio.cluster(iv))
+    assert got == [
+        ("a", 100, 200, 0, 100, 250),
+        ("a", 150, 250, 0, 100, 250),
+        ("a", 400, 500, 1, 400, 500),
+    ]
+
+
+def test_cluster_strict_boundary(spark):
+    """test_cluster_udtf_strict: touching intervals share a cluster weakly,
+    split strictly (ids 0 and 1)."""
+    iv = _df(spark, [("a", 100, 150), ("a", 150, 200)])
+    assert rows(bio.cluster(iv)) == [
+        ("a", 100, 150, 0, 100, 200),
+        ("a", 150, 200, 0, 100, 200),
+    ]
+    assert rows(bio.cluster(iv, filter_op="strict")) == [
+        ("a", 100, 150, 0, 100, 150),
+        ("a", 150, 200, 1, 150, 200),
+    ]
+
+
+def test_cluster_min_dist_separate(spark):
+    """test_cluster_udtf_min_dist: gap of 10 with min_dist=0 → clusters 0/1."""
+    iv = _df(spark, [("a", 100, 200), ("a", 210, 300)])
+    assert rows(bio.cluster(iv)) == [
+        ("a", 100, 200, 0, 100, 200),
+        ("a", 210, 300, 1, 210, 300),
+    ]
+
+
+# ── complement ─────────────────────────────────────────────────────────────
+
+
+def test_complement_basic_no_view(spark):
+    """test_complement_udtf_basic_no_view: end-exclusive gaps against the
+    implicit [0, i64::MAX) view."""
+    iv = _df(spark, [("a", 100, 200), ("a", 300, 400)])
+    assert rows(bio.complement(iv)) == [
+        ("a", 0, 100),
+        ("a", 200, 300),
+        ("a", 400, I64_MAX),
+    ]
+
+
+def test_complement_multi_contig_no_view(spark):
+    """test_complement_udtf_multi_contig_no_view."""
+    iv = _df(spark, [("a", 100, 200), ("b", 300, 400)])
+    assert rows(bio.complement(iv)) == [
+        ("a", 0, 100),
+        ("a", 200, I64_MAX),
+        ("b", 0, 300),
+        ("b", 400, I64_MAX),
+    ]
+
+
+def test_complement_with_view(spark):
+    """test_complement_udtf_with_view."""
+    iv = _df(spark, [("a", 100, 200), ("a", 300, 400)])
+    v = _df(spark, [("a", 0, 500)])
+    assert rows(bio.complement(iv, view=v)) == [
+        ("a", 0, 100),
+        ("a", 200, 300),
+        ("a", 400, 500),
+    ]
+
+
+def test_complement_overlapping_input(spark):
+    """test_complement_udtf_overlapping_input: (100,250)+(200,400) merge
+    before gapping."""
+    iv = _df(spark, [("a", 100, 250), ("a", 200, 400)])
+    v = _df(spark, [("a", 0, 500)])
+    assert rows(bio.complement(iv, view=v)) == [("a", 0, 100), ("a", 400, 500)]
+
+
+def test_complement_no_gaps_and_view_only_contig(spark):
+    """test_complement_udtf_no_gaps + test_complement_udtf_view_contig_no_input."""
+    v = _df(spark, [("a", 0, 500)])
+    assert bio.complement(_df(spark, [("a", 0, 500)]), view=v).count() == 0
+    v2 = _df(spark, [("a", 0, 500), ("b", 0, 300)])
+    got = rows(bio.complement(_df(spark, [("a", 100, 200)]), view=v2))
+    assert got == [("a", 0, 100), ("a", 200, 500), ("b", 0, 300)]
+
+
+# ── subtract ───────────────────────────────────────────────────────────────
+
+
+def test_subtract_basic(spark):
+    """test_subtract_udtf_basic: (100,400) − (200,300) = (100,200)+(300,400)."""
+    l, r = _df(spark, [("a", 100, 400)]), _df(spark, [("a", 200, 300)])
+    assert rows(bio.subtract(l, r)) == [("a", 100, 200), ("a", 300, 400)]
+
+
+def test_subtract_multiple_right_and_overlapping_right(spark):
+    """test_subtract_udtf_multiple_right / _overlapping_right: rights are
+    pre-merged, fragments end-exclusive."""
+    l = _df(spark, [("a", 100, 500)])
+    r = _df(spark, [("a", 150, 200), ("a", 300, 350)])
+    assert rows(bio.subtract(l, r)) == [
+        ("a", 100, 150),
+        ("a", 200, 300),
+        ("a", 350, 500),
+    ]
+    r2 = _df(spark, [("a", 150, 250), ("a", 200, 300)])
+    assert rows(bio.subtract(l, r2)) == [("a", 100, 150), ("a", 300, 500)]
+
+
+# ── nearest ────────────────────────────────────────────────────────────────
+
+
+def test_nearest_k2_overlap_false_and_null_match(spark):
+    """test_nearest_udtf_k2_overlap_false_and_null_match: k=2 excluding
+    overlaps; probe contig 'b' with no left rows gets a NULL row."""
+    l = _df(spark, [("a", 10, 20), ("a", 30, 40), ("a", 50, 60)])
+    r = _df(spark, [("a", 22, 22), ("a", 37, 37), ("b", 1, 1)])
+    got = sorted(
+        map(tuple, bio.nearest(l, r, k=2, include_overlaps=False).collect()),
+        key=repr,
+    )
+    want = sorted(
+        [
+            ("a", 10, 20, "a", 22, 22, 2),
+            ("a", 30, 40, "a", 22, 22, 8),
+            ("a", 10, 20, "a", 37, 37, 17),
+            ("a", 50, 60, "a", 37, 37, 13),
+            (None, None, None, "b", 1, 1, None),
+        ],
+        key=repr,
+    )
+    assert got == want
+
+
+def test_nearest_strict_zero_based_boundary_distance(spark):
+    """test_nearest_udtf_strict_zero_based_boundary_distance: touching
+    half-open intervals → the nearest row has distance 0."""
+    l, r = _df(spark, [("a", 190, 190)]), _df(spark, [("a", 100, 190)])
+    got = rows(bio.nearest(l, r, k=1, filter_op="strict"))
+    assert got == [("a", 190, 190, "a", 100, 190, 0)]
+
+
+def test_nearest_empty_left_emits_null_rows(spark):
+    """test_nearest_udtf_empty_left_emits_null_rows."""
+    l = _df(spark, []).limit(0) if False else spark.createDataFrame([], COLS)
+    r = _df(spark, [("a", 100, 110), ("b", 200, 210)])
+    got = bio.nearest(l, r).collect()
+    assert len(got) == 2
+    assert all(x["left_contig"] is None and x["distance"] is None for x in got)
+
+
+def test_nearest_compute_distance_false_drops_column(spark):
+    """test_nearest_udtf_compute_distance_false: no distance column."""
+    l = _df(spark, [("a", 10, 20), ("a", 30, 40)])
+    r = _df(spark, [("a", 22, 22)])
+    out = bio.nearest(l, r, k=1, compute_distance=False)
+    assert "distance" not in out.columns
+    assert rows(out) == [("a", 10, 20, "a", 22, 22)]
