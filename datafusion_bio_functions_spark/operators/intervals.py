@@ -116,12 +116,21 @@ def _saturating_add_const(col: Column, k: int) -> Column:
     return F.when(col < -I64_MAX - 1 - k, F.lit(-I64_MAX - 1)).otherwise(col + F.lit(k))
 
 
-def _overlap_len(ls: str, le: str, rs: str, re_: str, filter_op: str) -> Column:
-    """Covered-base count of the intersection. 1-based closed (weak):
-    ``min(ends) - max(starts) + 1``; strict (half-open encoding):
-    ``min(ends) - max(starts)``."""
-    raw = F.least(F.col(le), F.col(re_)) - F.greatest(F.col(ls), F.col(rs))
-    return raw + F.lit(1) if filter_op == "weak" else raw
+def _coverage_len(ls: str, le: str, rs: str, re_: str, filter_op: str) -> Column:
+    """Per-merged-interval coverage contribution for a probe (rs, re):
+    the reference's ``max(1, min(q_end + 1, iv_end) - max(q_start - 1,
+    iv_start))`` with the strict shrink applied to the query first
+    (``interval_tree.rs:148,184-188``) — in strict mode this reduces to the
+    exact half-open intersection, in weak mode it floors touching/point
+    overlaps at 1 (test_coverage_udtf pins e.g. probe (10000,20000) over
+    point (15000,15000) → 1 and probe (22100,22100) in (22000,22300) → 2)."""
+    shrink = 0 if filter_op == "weak" else 1
+    q_start = F.col(rs) + F.lit(shrink)
+    q_end = F.col(re_) - F.lit(shrink)
+    return F.greatest(
+        F.lit(1),
+        F.least(q_end + 1, F.col(le)) - F.greatest(q_start - 1, F.col(ls)),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -435,7 +444,9 @@ def coverage(
             )
         algorithm = "join"  # over-guard: shuffle-parallel fallback
 
-    merged = merge(left.select(lc, ls, le), cols=(lc, ls, le), filter_op=filter_op).select(
+    # the reference pre-merges with the touching (weak) condition regardless
+    # of filter_op (merge_intervals, interval_tree.rs:52-73: first <= last)
+    merged = merge(left.select(lc, ls, le), cols=(lc, ls, le), filter_op="weak").select(
         F.col("contig").alias(lc), F.col("pos_start").alias(ls), F.col("pos_end").alias(le)
     )
     r = _with_rid(right)
@@ -449,7 +460,7 @@ def coverage(
         "binned" if algorithm in ("join", "binned") else algorithm,
         bin_width,
     )
-    ov = _overlap_len(_LEFT + ls, _LEFT + le, _RIGHT + rs, _RIGHT + re_, filter_op)
+    ov = _coverage_len(_LEFT + ls, _LEFT + le, _RIGHT + rs, _RIGHT + re_, filter_op)
     cov = pairs.groupBy(F.col(_RIGHT + "__rid").alias("__rid")).agg(
         F.sum(ov).alias("coverage")
     )
@@ -513,7 +524,9 @@ def _count_or_cover_broadcast(
                     me.append(e)
             ms_a = np.asarray(ms, dtype=np.int64)
             me_a = np.asarray(me, dtype=np.int64)
-            lens = (me_a - ms_a + (1 if filter_op == "weak" else 0)).cumsum()
+            # reference per-interval contribution floors at 1 (point
+            # intervals fully inside the probe still count one base)
+            lens = np.maximum(me_a - ms_a, 1).cumsum()
             index[contig] = (ms_a, me_a, lens)
 
     sc = right.sparkSession.sparkContext
@@ -550,13 +563,16 @@ def _count_or_cover_broadcast(
                     has = hi > lo
                     f = np.minimum(lo, len(ms_a) - 1)
                     l_ = np.maximum(hi - 1, 0)
-                    add = (1 if filter_op == "weak" else 0)
+                    # reference formula on the (shrink-adjusted) query:
+                    # max(1, min(qe+1, me) - max(qs-1, ms)) per interval
                     first_len = np.maximum(
-                        np.minimum(me_a[f], cqe) - np.maximum(ms_a[f], cqs) + add, 0
+                        np.minimum(me_a[f], cqe + 1) - np.maximum(ms_a[f], cqs - 1), 1
                     )
                     last_len = np.where(
                         l_ != f,
-                        np.maximum(np.minimum(me_a[l_], cqe) - np.maximum(ms_a[l_], cqs) + add, 0),
+                        np.maximum(
+                            np.minimum(me_a[l_], cqe + 1) - np.maximum(ms_a[l_], cqs - 1), 1
+                        ),
                         0,
                     )
                     tot = np.where(has, inner + first_len + last_len, 0)

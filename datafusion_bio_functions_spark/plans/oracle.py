@@ -134,13 +134,16 @@ def coverage_sql(
     r_all = list(r_all or (rc, rs, re))
     proj = ", ".join(f"rr.{c}" for c in r_all)
     grp = ", ".join(["rr.__rid"] + [f"rr.{c}" for c in r_all])
-    plus = "+ 1" if filter_op == "weak" else ""
-    merged = merge_sql(l, (lc, ls, le), 0, filter_op)
+    # reference contribution per merged interval, shrink-adjusted query:
+    # max(1, min(q_end + 1, iv_end) - max(q_start - 1, iv_start))
+    # (interval_tree.rs:148); pre-merge always uses the touching condition
+    sh = 0 if filter_op == "weak" else 1
+    merged = merge_sql(l, (lc, ls, le), 0, "weak")
     return f"""WITH rr AS (SELECT *, row_number() OVER () AS __rid FROM ({r})),
 mm AS ({merged})
 SELECT {proj},
        CAST(coalesce(sum(CASE WHEN mm.pos_start IS NULL THEN NULL
-            ELSE least(mm.pos_end, rr.{re}) - greatest(mm.pos_start, rr.{rs}) {plus} END), 0) AS BIGINT) AS coverage
+            ELSE greatest(1, least(mm.pos_end, rr.{re} - {sh} + 1) - greatest(mm.pos_start, rr.{rs} + {sh} - 1)) END), 0) AS BIGINT) AS coverage
 FROM rr LEFT JOIN mm
   ON {_ov('mm.contig', 'mm.pos_start', 'mm.pos_end', f'rr.{rc}', f'rr.{rs}', f'rr.{re}', filter_op)}
 GROUP BY {grp}"""

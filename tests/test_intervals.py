@@ -81,11 +81,13 @@ def test_coverage_matches_oracle(spark, reads, targets, oracle, algorithm):
 
 
 def test_coverage_merges_left_first(spark):
-    # two identical reads over one target: coverage counts bases once
+    # two identical reads over one target: coverage counts bases once;
+    # the reference contribution for an interval inside the probe is
+    # min(qe+1, ie) - max(qs-1, is) = ie - is = 50 (interval_tree.rs:148)
     l = spark.createDataFrame([("chr1", 100, 150), ("chr1", 100, 150)], COLS)
     r = spark.createDataFrame([("chr1", 90, 200)], COLS)
     row = bio.coverage(l, r).collect()[0]
-    assert row["coverage"] == 51  # closed interval: 150-100+1
+    assert row["coverage"] == 50
 
 
 @pytest.mark.parametrize("min_dist", [0, 2, 100])

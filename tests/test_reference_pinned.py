@@ -72,6 +72,52 @@ def test_count_overlaps_strict_zero_based_boundary(spark):
     assert strict == [("a", 100, 190, 0)]
 
 
+# ── coverage ───────────────────────────────────────────────────────────────
+
+#: reference testing/data/ranges/{reads,targets}.csv — exact rows
+RANGES_READS = [
+    ("chr1", 150, 250), ("chr1", 190, 300), ("chr1", 300, 501),
+    ("chr1", 500, 700), ("chr1", 22000, 22300), ("chr1", 15000, 15000),
+    ("chr2", 150, 250), ("chr2", 190, 300), ("chr2", 300, 500),
+    ("chr2", 500, 700), ("chr2", 22000, 22300), ("chr2", 15000, 15000),
+    ("chr3", 234, 300),
+]
+RANGES_TARGETS = [
+    ("chr1", 100, 190), ("chr1", 200, 290), ("chr1", 400, 600),
+    ("chr1", 10000, 20000), ("chr1", 22100, 22100),
+    ("chr2", 100, 190), ("chr2", 200, 290), ("chr2", 400, 600),
+    ("chr2", 10000, 20000), ("chr2", 22100, 22100),
+    ("chr3", 100, 200),
+]
+
+
+def test_coverage_udtf_expected_values(spark):
+    """test_coverage_udtf on the ranges CSV fixtures — pins the
+    reference's max(1, min(qe+1, ie) - max(qs-1, is)) contribution
+    (92 for an interior probe, 1 for the point-interval hit, 2 for the
+    contained point probe)."""
+    got = rows(bio.coverage(_df(spark, RANGES_READS), _df(spark, RANGES_TARGETS)))
+    assert got == sorted(
+        [
+            ("chr1", 100, 190, 41), ("chr1", 200, 290, 92),
+            ("chr1", 400, 600, 202), ("chr1", 10000, 20000, 1),
+            ("chr1", 22100, 22100, 2),
+            ("chr2", 100, 190, 41), ("chr2", 200, 290, 92),
+            ("chr2", 400, 600, 202), ("chr2", 10000, 20000, 1),
+            ("chr2", 22100, 22100, 2),
+            ("chr3", 100, 200, 0),
+        ]
+    )
+
+
+def test_coverage_broadcast_matches_join(spark):
+    """The CollectLeft kernel computes the identical contribution."""
+    l, r = _df(spark, RANGES_READS), _df(spark, RANGES_TARGETS)
+    a = rows(bio.coverage(l, r))
+    b = rows(bio.coverage(l, r, algorithm="broadcast"))
+    assert a == b
+
+
 # ── merge / cluster ────────────────────────────────────────────────────────
 
 
