@@ -225,6 +225,12 @@ def interval_join(
 
         conf = left.sparkSession.conf
         configured = conf.get(INTERVAL_JOIN_ALGORITHM_KEY, None)
+        if configured and configured.lower() in ("nearest", "coitreesnearest"):
+            # the nearest-join knob changes the semantics of *SQL range
+            # joins* only (see plans/range_join.py); for the overlap
+            # operator itself it is just an index choice in the reference
+            # (interval_join.rs:745-901) — keep the default strategy
+            configured = "binned"
         if configured and configured != "auto":
             if configured not in ("binned", "sql", "broadcast"):
                 raise ValueError(

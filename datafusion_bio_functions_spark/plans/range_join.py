@@ -157,8 +157,9 @@ class _Builder:
     def finish(self) -> None:
         if None in (self.ls, self.le, self.rs, self.re_):
             raise _Reject("incomplete interval bounds")
-        if len(self.eq) > 1:
-            raise _Reject("more than one equality key")
+        # multiple equalities are fine — the reference's hash join carries
+        # them as composite equi keys (e.g. contig AND strand in the
+        # nearest-join test, integration_test.rs:373-418)
 
 
 def _split_top_and(cond: str) -> list[str]:
@@ -232,8 +233,8 @@ def _parse(query: str) -> dict | None:
     b = _Builder()
     try:
         conjuncts = _split_top_and(cond)
-        if len(conjuncts) not in (2, 3):
-            raise _Reject("need 2 range conjuncts (+ optional equality)")
+        if len(conjuncts) < 2:
+            raise _Reject("need 2 range conjuncts (+ optional equalities)")
         for c in conjuncts:
             c = c.strip()
             while c.startswith("(") and c.endswith(")"):
@@ -274,13 +275,35 @@ def rewrite_range_joins(spark: SparkSession, query: str) -> str:
     except Exception:
         return query
     l_cols, r_cols = list(l_df.columns), list(r_df.columns)
-    need_l = {b.ls, b.le} | ({b.eq[0][0]} if b.eq else set())
-    need_r = {b.rs, b.re_} | ({b.eq[0][1]} if b.eq else set())
+    need_l = {b.ls, b.le} | {lc for lc, _ in b.eq}
+    need_r = {b.rs, b.re_} | {rc for _, rc in b.eq}
     if not need_l <= set(l_cols) or not need_r <= set(r_cols):
         return query
 
-    if b.eq:
+    if len(b.eq) == 1:
         lkey, rkey = b.eq[0]
+    elif b.eq:
+        # composite equi keys (the reference hash join carries any number;
+        # the interval operator takes one partition key, so concatenate)
+        lkey = rkey = "__bio_key"
+        sep = F.lit("\x1f")
+        l_df = l_df.withColumn(
+            lkey, F.concat_ws("", *[F.concat(F.col(c).cast("string"), sep) for c, _ in b.eq])
+        )
+        r_df = r_df.withColumn(
+            rkey, F.concat_ws("", *[F.concat(F.col(c).cast("string"), sep) for _, c in b.eq])
+        )
+        # SQL equality never matches NULL keys — null out the composite
+        # when any component is null so those rows cannot pair
+        for df_name, df, cols in (("l", l_df, [c for c, _ in b.eq]), ("r", r_df, [c for _, c in b.eq])):
+            cond_any_null = None
+            for c in cols:
+                cn = F.col(c).isNull()
+                cond_any_null = cn if cond_any_null is None else (cond_any_null | cn)
+            if df_name == "l":
+                l_df = l_df.withColumn(lkey, F.when(~cond_any_null, F.col(lkey)))
+            else:
+                r_df = r_df.withColumn(rkey, F.when(~cond_any_null, F.col(rkey)))
     else:
         # NestedLoopJoinExec case (bio_physical_planner.rs:63-91): a pure
         # range join; a constant key keeps the same operator applicable —
@@ -295,10 +318,27 @@ def rewrite_range_joins(spark: SparkSession, query: str) -> str:
         "__bio_re", F.col(b.re_).cast("long") - (1 if b.re_minus else 0)
     )
     how = parsed["how"]
-    pairs = iv.interval_join(
-        l2, r2, (lkey, "__bio_ls", "__bio_le"), (rkey, "__bio_rs", "__bio_re"),
-        filter_op="weak", how=how,
-    )
+
+    # ``SET bio.interval_join_algorithm TO CoitreesNearest`` turns the same
+    # join into the genomic as-of join: exactly one row per probe (right)
+    # row — the overlap if any, else the nearest by distance, else NULL
+    # left columns (README.md:456-469; integration_test.rs test_nearest).
+    from ..session import INTERVAL_JOIN_ALGORITHM_KEY
+
+    configured = (spark.conf.get(INTERVAL_JOIN_ALGORITHM_KEY, None) or "").lower()
+    nearest_mode = configured in ("nearest", "coitreesnearest")
+    if nearest_mode and how == "inner":
+        pairs = iv.nearest(
+            l2, r2, k=1,
+            cols_left=(lkey, "__bio_ls", "__bio_le"),
+            cols_right=(rkey, "__bio_rs", "__bio_re"),
+            include_overlaps=True, compute_distance=False,
+        )
+    else:
+        pairs = iv.interval_join(
+            l2, r2, (lkey, "__bio_ls", "__bio_le"), (rkey, "__bio_rs", "__bio_re"),
+            filter_op="weak", how=how,
+        )
 
     semi = how in ("left_semi", "left_anti")  # only left columns survive
     disjoint = not (set(l_cols) & set(r_cols))
@@ -335,6 +375,8 @@ def rewrite_range_joins(spark: SparkSession, query: str) -> str:
         "tables": (t1, t2),
         "aliases": (la, ra),
         "equi": bool(b.eq),
+        "n_equi": len(b.eq),
+        "nearest": nearest_mode and how == "inner",
         "how": how,
         "bounds": (b.ls, b.le, b.rs, b.re_),
         "minus_one": (b.le_minus, b.re_minus),

@@ -72,6 +72,65 @@ def test_count_overlaps_strict_zero_based_boundary(spark):
     assert strict == [("a", 100, 190, 0)]
 
 
+def test_count_overlaps_udtf_expected_values(spark):
+    """test_count_overlaps_udtf on the ranges CSV fixtures."""
+    got = rows(bio.count_overlaps(_df(spark, RANGES_READS), _df(spark, RANGES_TARGETS)))
+    assert got == sorted(
+        [
+            ("chr1", 100, 190, 2), ("chr1", 200, 290, 2), ("chr1", 400, 600, 2),
+            ("chr1", 10000, 20000, 1), ("chr1", 22100, 22100, 1),
+            ("chr2", 100, 190, 2), ("chr2", 200, 290, 2), ("chr2", 400, 600, 2),
+            ("chr2", 10000, 20000, 1), ("chr2", 22100, 22100, 1),
+            ("chr3", 100, 200, 0),
+        ]
+    )
+
+
+def test_sql_nearest_join_mode(spark):
+    """integration_test.rs test_nearest: with
+    ``SET bio.interval_join_algorithm TO CoitreesNearest`` the same SQL
+    range join returns EXACTLY one row per probe (right) row — the overlap
+    if any, else the nearest by distance, else NULL left columns — with
+    composite (contig, strand) equi keys and strict comparators."""
+    from datafusion_bio_functions_spark.plans import range_join as rj
+    from datafusion_bio_functions_spark.sql_surface import bio_sql
+
+    a = spark.createDataFrame(
+        [("a", "s", 5, 10)], "contig string, strand string, start long, end long"
+    )
+    b = spark.createDataFrame(
+        [("a", "s", 11, 13), ("a", "s", 20, 21), ("a", "x", 0, 1), ("b", "s", 1, 2)],
+        "contig string, strand string, start long, end long",
+    )
+    a.createOrReplaceTempView("nj_a")
+    b.createOrReplaceTempView("nj_b")
+    q = (
+        "SELECT * FROM nj_a a JOIN nj_b b "
+        "ON a.contig = b.contig AND a.strand = b.strand "
+        "AND a.start < b.end AND a.end > b.start"
+    )
+    spark.conf.set("spark.bio.intervalJoin.algorithm", "CoitreesNearest")
+    try:
+        got = sorted(map(tuple, bio_sql(spark, q).collect()), key=repr)
+    finally:
+        spark.conf.unset("spark.bio.intervalJoin.algorithm")
+    assert rj.last_rewrite() is not None and rj.last_rewrite()["nearest"]
+    assert rj.last_rewrite()["n_equi"] == 2
+    want = sorted(
+        [
+            (None, None, None, None, "a", "x", 0, 1),
+            (None, None, None, None, "b", "s", 1, 2),
+            ("a", "s", 5, 10, "a", "s", 11, 13),
+            ("a", "s", 5, 10, "a", "s", 20, 21),
+        ],
+        key=repr,
+    )
+    assert got == want
+    # without the knob the same statement is a plain (strict) overlap join
+    got_plain = bio_sql(spark, q).collect()
+    assert got_plain == []  # no strict overlaps in this data
+
+
 # ── coverage ───────────────────────────────────────────────────────────────
 
 #: reference testing/data/ranges/{reads,targets}.csv — exact rows
