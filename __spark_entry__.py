@@ -1156,9 +1156,11 @@ def oracle_sql() -> dict[str, str]:
     o["nearest_excl_overlaps"] = osql.nearest_sql(
         READS_SQL, TARGETS_SQL, k=1, include_overlaps=False
     )
+    # row-level semi (reference RIGHT SEMI): value-duplicate left rows
+    # are preserved, so the oracle is a SEMI JOIN, not SELECT DISTINCT
     o["overlap_left_semi"] = (
-        f"SELECT DISTINCT l.contig, l.pos_start, l.pos_end FROM ({READS_SQL}) l "
-        f"JOIN ({TARGETS_SQL}) r ON l.contig = r.contig "
+        f"SELECT l.contig, l.pos_start, l.pos_end FROM ({READS_SQL}) l "
+        f"SEMI JOIN ({TARGETS_SQL}) r ON l.contig = r.contig "
         "AND l.pos_start <= r.pos_end AND l.pos_end >= r.pos_start"
     )
     o["overlap_left_all"] = (

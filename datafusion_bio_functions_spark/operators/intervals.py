@@ -333,16 +333,21 @@ def overlap(
     """Reference ``overlap`` UDTF (``overlap.rs:154-226``).
 
     ``output='join'``    → all overlapping pairs, left_*/right_* columns.
-    ``output='left_all'``→ left rows, one copy per match (inner, left cols).
-    ``output='left'`` / ``'left_distinct'`` → distinct left rows that have at
-    least one match — the reference plans this as a RIGHT SEMI join
-    (``overlap.rs:205``); here a ``left_semi``.
+    ``output='left_all'`` / ``'left_multiple'`` → left rows, one copy per
+    match (inner projected to left cols — reference ``left_query``,
+    ``overlap.rs:183``).
+    ``output='left'`` / ``'left_distinct'`` → left ROWS with at least one
+    match, each emitted once — the reference's RIGHT SEMI join
+    (``overlap.rs:205``; both SQL tokens map to it,
+    ``table_function.rs:125-129``).  Row-level: value-duplicate left rows
+    are preserved (test_overlap_udtf_left_output_preserves_left_rows),
+    never collapsed by a value distinct.
     """
     if output == "join":
         return interval_join(
             left, right, cols_left, cols_right, filter_op, "inner", algorithm, bin_width
         )
-    if output == "left_all":
+    if output in ("left_all", "left_multiple"):
         pairs = interval_join(
             left, right, cols_left, cols_right, filter_op, "inner", algorithm, bin_width
         )
@@ -353,8 +358,7 @@ def overlap(
         joined = interval_join(
             left, right, cols_left, cols_right, filter_op, "left_semi", algorithm, bin_width
         )
-        out = joined.select([F.col(_LEFT + c).alias(c) for c in left.columns])
-        return out.distinct() if output == "left_distinct" else out
+        return joined.select([F.col(_LEFT + c).alias(c) for c in left.columns])
     raise ValueError(f"unknown overlap output mode {output!r}")
 
 

@@ -52,10 +52,13 @@ def test_overlap_output_modes(spark, reads, targets):
     left_all = bio.overlap(reads, targets, output="left_all")
     assert left_all.columns == reads.columns
     assert left_all.count() == join_n
+    # 'left'/'left_distinct' is the reference's row-level RIGHT SEMI: each
+    # left ROW with >= 1 match emitted exactly once (duplicates preserved)
     left_distinct = bio.overlap(reads, targets, output="left_distinct")
-    assert left_distinct.count() == left_distinct.distinct().count()
-    # every distinct-left row must actually have a match
     assert left_distinct.count() <= reads.count()
+    assert sorted(map(tuple, left_distinct.collect())) == sorted(
+        map(tuple, bio.overlap(reads, targets, output="left").collect())
+    )
 
 
 def test_overlap_empty_input(spark, targets):

@@ -58,6 +58,27 @@ def test_overlap_same_interval_and_contained(spark):
     assert bio.overlap(a, _df(spark, [("a", 120, 180)])).count() == 1
 
 
+def test_overlap_left_output_preserves_duplicate_rows(spark):
+    """test_overlap_udtf_left_output_preserves_left_rows: the 'left' mode
+    is a row-level RIGHT SEMI — both value-identical 'dup' rows survive;
+    'left_all' keeps one copy per match (4 dup rows)."""
+    l = spark.createDataFrame(
+        [("chr1", 100, 200, "dup"), ("chr1", 100, 200, "dup"),
+         ("chr1", 1000, 1100, "miss"), ("chr2", 50, 60, "other")],
+        "contig string, pos_start long, pos_end long, name string",
+    )
+    r = _df(spark, [("chr1", 90, 150), ("chr1", 120, 180), ("chr2", 55, 56)])
+    left = rows(bio.overlap(l, r, output="left"))
+    assert left == sorted(
+        [("chr1", 100, 200, "dup"), ("chr1", 100, 200, "dup"), ("chr2", 50, 60, "other")]
+    )
+    assert rows(bio.overlap(l, r, output="left_distinct")) == left
+    left_all = rows(bio.overlap(l, r, output="left_all"))
+    assert left_all == sorted(
+        [("chr1", 100, 200, "dup")] * 4 + [("chr2", 50, 60, "other")]
+    )
+
+
 # ── count_overlaps ─────────────────────────────────────────────────────────
 
 
