@@ -243,6 +243,72 @@ def test_cluster_min_dist_separate(spark):
     ]
 
 
+def test_merge_basic_min_dist_and_reads_csv(spark):
+    """test_merge_udtf_basic / _min_dist / _reads_csv expected tables."""
+    iv = _df(spark, [("a", 100, 200), ("a", 150, 250), ("a", 300, 400)])
+    assert rows(bio.merge(iv)) == [("a", 100, 250, 2), ("a", 300, 400, 1)]
+    iv2 = _df(spark, [("a", 100, 200), ("a", 201, 300)])
+    assert bio.merge(iv2).count() == 2
+    assert rows(bio.merge(iv2, min_dist=1)) == [("a", 100, 300, 2)]
+    assert rows(bio.merge(_df(spark, RANGES_READS))) == sorted(
+        [
+            ("chr1", 150, 700, 4), ("chr1", 15000, 15000, 1), ("chr1", 22000, 22300, 1),
+            ("chr2", 150, 700, 4), ("chr2", 15000, 15000, 1), ("chr2", 22000, 22300, 1),
+            ("chr3", 234, 300, 1),
+        ]
+    )
+
+
+def test_cluster_preserves_extra_columns_pinned(spark):
+    """test_cluster_udtf_preserves_extra_columns expected table."""
+    iv = spark.createDataFrame(
+        [("a", 100, 200, "BRCA1", 0.95), ("a", 150, 250, "BRCA2", 0.85),
+         ("a", 400, 500, "TP53", 0.75)],
+        "contig string, pos_start long, pos_end long, gene string, score double",
+    )
+    assert rows(bio.cluster(iv)) == [
+        ("a", 100, 200, "BRCA1", 0.95, 0, 100, 250),
+        ("a", 150, 250, "BRCA2", 0.85, 0, 100, 250),
+        ("a", 400, 500, "TP53", 0.75, 1, 400, 500),
+    ]
+
+
+def test_subtract_extra_cols_multiple_splits_pinned(spark):
+    """test_subtract_udtf_{preserves_extra_columns,extra_cols_multiple_splits}."""
+    l = spark.createDataFrame(
+        [("a", 100, 400, "BRCA1", 0.95)],
+        "contig string, pos_start long, pos_end long, gene string, score double",
+    )
+    r = _df(spark, [("a", 200, 300)])
+    assert rows(bio.subtract(l, r)) == [
+        ("a", 100, 200, "BRCA1", 0.95),
+        ("a", 300, 400, "BRCA1", 0.95),
+    ]
+    l2 = spark.createDataFrame(
+        [("a", 100, 600, "BRCA1")],
+        "contig string, pos_start long, pos_end long, gene string",
+    )
+    r2 = _df(spark, [("a", 200, 300), ("a", 400, 500)])
+    assert rows(bio.subtract(l2, r2)) == [
+        ("a", 100, 200, "BRCA1"),
+        ("a", 300, 400, "BRCA1"),
+        ("a", 500, 600, "BRCA1"),
+    ]
+
+
+def test_empty_inputs_family(spark):
+    """test_{merge,cluster}_udtf_empty + test_subtract_udtf_empty_{left,right}
+    + test_subtract_udtf_complete_removal."""
+    empty = spark.createDataFrame([], COLS)
+    assert bio.merge(empty).count() == 0
+    assert bio.cluster(empty).count() == 0
+    t = _df(spark, [("a", 100, 200)])
+    assert bio.subtract(empty, t).count() == 0
+    assert rows(bio.subtract(t, empty)) == [("a", 100, 200)]
+    # complete removal: right swallows left entirely
+    assert bio.subtract(t, _df(spark, [("a", 50, 400)])).count() == 0
+
+
 # ── complement ─────────────────────────────────────────────────────────────
 
 
