@@ -73,6 +73,7 @@ def lookup_variants(
     match_mode: str = "exact",
     extended_probes: bool = False,
     broadcast_vcf: bool | None = None,
+    filter_op: str | None = None,
 ) -> DataFrame:
     """Known-variant annotation: VCF LEFT-joined to the variation cache.
 
@@ -90,6 +91,11 @@ def lookup_variants(
     * ``broadcast_vcf=None`` (default) broadcasts the VCF side only when a
       bounded ``limit(guard+1)`` probe proves it is at or under
       ``VCF_BROADCAST_GUARD_ROWS``; pass True/False to force.
+    * ``filter_op=None`` derives the overlap semantics from the two
+      frames' ``bio.coordinate_system_zero_based`` column metadata like the
+      reference's ``CoordinateNormalizer`` (``coordinate.rs:49-59``): weak
+      when both sides share a coordinate system, strict (boundary shrink)
+      when they differ.  Only the ``extended_probes`` overlap is affected.
 
     Output: all VCF columns + selected cache columns (nullable) +
     ``matched`` boolean.
@@ -131,12 +137,24 @@ def lookup_variants(
     matcher = match_allele_udf if match_mode == "exact" else match_allele_relaxed_udf
     allele_ok = matcher(F.col("ref"), F.col("alt"), F.col("__c_allele_string"))
 
+    if filter_op is None:
+        from ..functions.coordinates import CoordinateNormalizer
+
+        filter_op = CoordinateNormalizer.from_frames(vcf, cache).filter_op()
+    if filter_op not in ("weak", "strict"):
+        raise ValueError(f"filter_op must be 'weak' or 'strict', got {filter_op!r}")
+
     chrom_eq = F.col("chrom") == F.col("__c_chrom")
     if extended_probes:
-        # overlap the normalized span (insertions: start>end → use min/max)
+        # overlap the normalized span (insertions: start>end → use min/max);
+        # strict (coordinate-system mismatch) shrinks the probe by one per
+        # side, the reference's FilterOp encoding
+        shrink = 0 if filter_op == "weak" else 1
         lo = F.least(F.col("__vstart"), F.col("__vend"))
         hi = F.greatest(F.col("__vstart"), F.col("__vend"))
-        coord = (F.col("__c_start") <= hi + 1) & (F.col("__c_end") >= lo - 1)
+        coord = (F.col("__c_start") <= hi + 1 - shrink) & (
+            F.col("__c_end") >= lo - 1 + shrink
+        )
     else:
         coord = (F.col("__c_start") == F.col("__vstart")) & (
             F.col("__c_end") == F.col("__vend")

@@ -505,3 +505,60 @@ def test_annotate_vep_variant_level_cache_passthrough(spark):
     )
     r = annotate_vep(vcf, cache, transcripts=tx, full_schema=True).collect()[0]
     assert (r.SOMATIC, r.PHENO, r.PUBMED) == ("1", "1&0", "12345&67890")
+
+
+def test_coordinate_normalizer_truth_table(spark):
+    """Port of the reference coordinate.rs tests (:75-147): same system →
+    weak, mismatch → strict, missing metadata defaults to 1-based."""
+    from datafusion_bio_functions_spark.functions.coordinates import (
+        CoordinateNormalizer,
+        is_zero_based,
+        with_coordinate_system,
+    )
+
+    assert CoordinateNormalizer(True, True).filter_op() == "weak"
+    assert CoordinateNormalizer(False, False).filter_op() == "weak"
+    assert CoordinateNormalizer(True, False).filter_op() == "strict"
+    assert CoordinateNormalizer(False, True).filter_op() == "strict"
+    assert CoordinateNormalizer(True, True).same_system()
+    assert not CoordinateNormalizer(True, False).same_system()
+
+    df = spark.createDataFrame([("1", 5)], "chrom string, start long")
+    assert is_zero_based(df) is False  # missing metadata → 1-based
+    stamped = with_coordinate_system(df, True)
+    assert is_zero_based(stamped) is True
+    # metadata survives a projection that keeps the column
+    assert is_zero_based(stamped.select("chrom", "start")) is True
+    norm = CoordinateNormalizer.from_frames(stamped, df)
+    assert norm.input_zero_based and not norm.cache_zero_based
+    assert norm.filter_op() == "strict"
+
+
+def test_lookup_variants_filter_op_from_metadata(spark):
+    """lookup_variants derives the extended-probe overlap semantics from a
+    coordinate-system metadata mismatch, like the reference's VEP crate."""
+    from datafusion_bio_functions_spark.functions.coordinates import (
+        with_coordinate_system,
+    )
+    from datafusion_bio_functions_spark.operators.vep import lookup_variants
+
+    vcf = spark.createDataFrame(
+        [("1", 100, 100, "A", "T")], "chrom string, start long, end long, ref string, alt string"
+    )
+    # cache entry adjacent to the padded probe: included weakly (same
+    # system), excluded strictly (mismatched systems shrink the probe)
+    cache = spark.createDataFrame(
+        [("1", 101, 101, "rs1", "A/T")],
+        "chrom string, start long, end long, variation_name string, allele_string string",
+    )
+    weak = lookup_variants(vcf, cache, extended_probes=True).collect()[0]
+    assert weak["matched"] is True
+    strict = lookup_variants(
+        vcf, with_coordinate_system(cache, True), extended_probes=True
+    ).collect()[0]
+    assert strict["matched"] is False
+    # explicit parameter trumps metadata
+    forced = lookup_variants(
+        vcf, with_coordinate_system(cache, True), extended_probes=True, filter_op="weak"
+    ).collect()[0]
+    assert forced["matched"] is True
