@@ -434,3 +434,59 @@ def test_nearest_compute_distance_false_drops_column(spark):
     out = bio.nearest(l, r, k=1, compute_distance=False)
     assert "distance" not in out.columns
     assert rows(out) == [("a", 10, 20, "a", 22, 22)]
+
+
+# ── pileup flag filter + SO term registry ─────────────────────────────────
+
+
+def test_sam_flag_filter_truth_table(spark):
+    """Port of the reference filter.rs truth table (:36-106): default mask
+    1796 = UNMAP|SECONDARY|QCFAIL|DUP; MAPQ 0 passes by default."""
+    from datafusion_bio_functions_spark.operators.pileup import DEFAULT_FLAG_MASK, depth
+
+    assert DEFAULT_FLAG_MASK == 1796
+    cases = [  # (flags, mapq, passes_default)
+        (0, 60, True),       # test_passing_read
+        (4, 60, False),      # unmapped
+        (256, 60, False),    # secondary
+        (1024, 60, False),   # duplicate
+        (512, 60, False),    # failed QC
+        (4 | 1024, 60, False),  # combined
+        (2, 30, True),       # proper pair
+        (0, 0, True),        # mapq 0 passes at default threshold
+    ]
+    df = spark.createDataFrame(
+        [("chr1", 10 + 100 * i, fl, "5M", mq) for i, (fl, mq, _) in enumerate(cases)],
+        "chrom string, start long, flags int, cigar string, mapping_quality int",
+    )
+    got_positions = {
+        r["pos_start"] for r in depth(df).collect()
+    }
+    for i, (fl, mq, ok) in enumerate(cases):
+        assert ((10 + 100 * i) in got_positions) == ok, (fl, mq)
+    # mapq threshold 30: 29 and 0 fail, 30 and 60 pass (test_mapq_threshold)
+    df2 = spark.createDataFrame(
+        [("chr1", 10, 0, "5M", 30), ("chr1", 110, 0, "5M", 60),
+         ("chr1", 210, 0, "5M", 29), ("chr1", 310, 0, "5M", 0)],
+        "chrom string, start long, flags int, cigar string, mapping_quality int",
+    )
+    got2 = {r["pos_start"] for r in depth(df2, min_mapq=30).collect()}
+    assert got2 == {10, 110}
+
+
+def test_so_term_registry_roundtrip():
+    """so_terms.rs tests (:311-345): 41 terms, round-trip, severity pick."""
+    from datafusion_bio_functions_spark.functions.consequence import (
+        SO_RANK,
+        SO_TERMS_BY_RANK,
+    )
+
+    assert len(SO_TERMS_BY_RANK) == 41
+    for rank0, (term, _impact) in enumerate(SO_TERMS_BY_RANK):
+        assert SO_RANK[term] == rank0 + 1  # round-trip (ranks are 1-based)
+    # rank order selects stop_gained over synonymous
+    assert min(["synonymous_variant", "stop_gained"], key=SO_RANK.__getitem__) == "stop_gained"
+    # unique-sorted orders by rank
+    terms = ["synonymous_variant", "stop_gained", "synonymous_variant"]
+    uniq = sorted(set(terms), key=SO_RANK.__getitem__)
+    assert uniq == ["stop_gained", "synonymous_variant"]
