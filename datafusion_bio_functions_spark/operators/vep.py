@@ -54,10 +54,44 @@ CACHE_REQUIRED = ("chrom", "start", "end", "variation_name", "allele_string")
 VCF_REQUIRED = ("chrom", "start", "end", "ref", "alt")
 
 
+#: physical-type families the reference's schema contract accepts
+#: (schema_contract.rs:10-33: Utf8/LargeUtf8/Utf8View for strings,
+#: integer widths for positions)
+_STRING_TYPES = ("string",)
+_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+_CONTRACT_TYPES = {
+    "chrom": _STRING_TYPES,
+    "start": _INT_TYPES,
+    "end": _INT_TYPES,
+    "variation_name": _STRING_TYPES,
+    "allele_string": _STRING_TYPES,
+    "ref": _STRING_TYPES,
+    "alt": _STRING_TYPES,
+}
+
+
 def _check_contract(df: DataFrame, required: Sequence[str], what: str) -> None:
     missing = [c for c in required if c not in df.columns]
     if missing:
         raise ValueError(f"{what} is missing required columns {missing} (has {df.columns})")
+    dtypes = dict(df.dtypes)
+    for c in required:
+        accepted = _CONTRACT_TYPES.get(c)
+        if accepted and dtypes[c] not in accepted:
+            # the reference errors on a wrong-typed contract column
+            # (schema_contract.rs validate_wrong_type) instead of letting a
+            # silent cast turn every lookup into a non-match
+            raise ValueError(
+                f"{what} column {c!r} has type {dtypes[c]!r}; expected one of {accepted}"
+            )
+
+
+def _check_requested_columns(df: DataFrame, columns: Sequence[str], what: str) -> None:
+    """Clear error naming any projected column absent from the cache
+    (schema_contract.rs validate_requested_columns)."""
+    bad = [c for c in columns if c not in df.columns]
+    if bad:
+        raise ValueError(f"{what} does not contain requested columns {bad} (has {df.columns})")
 
 
 #: VCF sides above this row count are not broadcast (a 4M-variant WGS VCF
@@ -113,6 +147,7 @@ def lookup_variants(
         ]
     else:
         columns = list(columns)
+        _check_requested_columns(cache, columns, "cache")
         if "variation_name" not in columns:
             columns = ["variation_name"] + columns
     # the allele matcher always needs allele_string internally

@@ -562,3 +562,34 @@ def test_lookup_variants_filter_op_from_metadata(spark):
         vcf, with_coordinate_system(cache, True), extended_probes=True, filter_op="weak"
     ).collect()[0]
     assert forced["matched"] is True
+
+
+def test_schema_contract_type_validation(spark):
+    """Port of schema_contract.rs tests (:92-189): wrong-typed contract
+    columns and unknown requested columns raise errors naming the column,
+    instead of silently casting every lookup into a non-match."""
+    from datafusion_bio_functions_spark.operators.vep import lookup_variants
+
+    vcf = spark.createDataFrame(
+        [("1", 100, 100, "A", "T")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    good = spark.createDataFrame(
+        [("1", 100, 100, "rs1", "A/T")],
+        "chrom string, start long, end long, variation_name string, allele_string string",
+    )
+    assert lookup_variants(vcf, good).count() == 1  # valid schema passes
+    # wrong type: start as string
+    bad = spark.createDataFrame(
+        [("1", "100", 100, "rs1", "A/T")],
+        "chrom string, start string, end long, variation_name string, allele_string string",
+    )
+    with pytest.raises(ValueError, match="start"):
+        lookup_variants(vcf, bad)
+    # missing column names the column
+    missing = good.drop("end")
+    with pytest.raises(ValueError, match="end"):
+        lookup_variants(vcf, missing)
+    # unknown requested projection column names the column
+    with pytest.raises(ValueError, match="nonexistent"):
+        lookup_variants(vcf, good, columns=["nonexistent"])
