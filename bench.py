@@ -88,13 +88,11 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     # warm up the Arrow Python-worker pool too, so daemon spawn isn't
     # billed to whichever pandas-UDF query happens to run first
-    import pandas as pd  # noqa: PLC0415
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    @F.pandas_udf("long")
-    def _warm(v: pd.Series) -> pd.Series:
-        return v
-
+    # lambda form: __future__ annotations stringify type hints in this
+    # module, which pandas_udf signature inference cannot resolve
+    _warm = F.pandas_udf(lambda v: v, "long")
     spark.range(32).repartition(32).select(_warm("id")).write.mode(
         "overwrite"
     ).format("noop").save()
