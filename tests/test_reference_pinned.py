@@ -490,3 +490,31 @@ def test_so_term_registry_roundtrip():
     terms = ["synonymous_variant", "stop_gained", "synonymous_variant"]
     uniq = sorted(set(terms), key=SO_RANK.__getitem__)
     assert uniq == ["stop_gained", "synonymous_variant"]
+
+
+# ── bioframe-parity counts (the reference's bioframe port family) ─────────
+
+#: reference testing/data/merge/input.csv — exact rows
+MERGE_INPUT_CSV = [
+    ("chr1", 150, 250), ("chr1", 190, 300), ("chr1", 300, 501),
+    ("chr1", 500, 700), ("chr1", 22000, 22300), ("chr1", 15000, 15001),
+    ("chr2", 150, 250), ("chr2", 190, 300), ("chr2", 300, 500),
+    ("chr2", 500, 700), ("chr2", 22000, 22300), ("chr2", 15000, 15001),
+    ("chr1", 100, 190), ("chr1", 200, 290), ("chr1", 400, 600),
+    ("chr1", 10000, 20000), ("chr1", 22100, 22101),
+    ("chr2", 100, 190), ("chr2", 200, 290), ("chr2", 400, 600),
+    ("chr2", 10000, 20000), ("chr2", 22100, 22101),
+]
+
+
+def test_bioframe_family_counts(spark):
+    """test_bioframe_{overlap,nearest_k1,count_overlaps,coverage,merge}
+    counts on the reference fixtures: 16 overlap pairs, 11 rows for each
+    per-target operator (one per target), 8 strict-merged islands."""
+    reads, targets = _df(spark, RANGES_READS), _df(spark, RANGES_TARGETS)
+    assert bio.overlap(reads, targets).count() == 16
+    assert bio.nearest(reads, targets, k=1).count() == 11
+    assert bio.count_overlaps(reads, targets).count() == 11
+    assert bio.coverage(reads, targets).count() == 11
+    merged = bio.merge(_df(spark, MERGE_INPUT_CSV), filter_op="strict")
+    assert merged.count() == 8
