@@ -101,3 +101,64 @@ def test_exact_match_is_injective_on_snvs(ref, alt, other):
     """An SNV only matches strings containing its own alt allele."""
     if len(ref) == 1 and len(alt) == 1 and len(other) == 1 and other != alt:
         assert not allele_matches(ref, other, vep_allele_string(ref, alt)) or other == alt
+
+
+def test_reference_allele_unit_battery():
+    """Exact replay of the reference's allele.rs unit tests (:866-1100):
+    VCF→VEP conversion (SNV/ins/del/MNV, no MNV suffix trim), Ensembl
+    trim order, exact and relaxed matching incl. multiallelic and
+    pipe/comma-joined multi-ALT inputs, and the anchor-base-only input
+    trim."""
+    from datafusion_bio_functions_spark.functions.alleles import (
+        allele_matches,
+        allele_matches_relaxed,
+        trim_sequences_ensembl,
+        vcf_to_vep_allele,
+        vcf_to_vep_input_allele,
+    )
+
+    assert vcf_to_vep_allele("A", "G") == ("A", "G")
+    assert vcf_to_vep_allele("A", "ACGT") == ("-", "CGT")
+    assert vcf_to_vep_allele("ACGT", "A") == ("CGT", "-")
+    assert vcf_to_vep_allele("AC", "GT") == ("AC", "GT")
+    assert vcf_to_vep_allele("ATCG", "ATTT") == ("CG", "TT")
+    assert vcf_to_vep_allele("TCAC", "T") == ("CAC", "-")
+    # VEP does NOT suffix-trim MNVs
+    assert vcf_to_vep_allele("ATCG", "AGCG") == ("TCG", "GCG")
+    assert vcf_to_vep_allele("GT", "TT") == ("GT", "TT")
+
+    assert trim_sequences_ensembl("ACGT", "A", 100, end_first=False, strand=1) == (
+        "CGT", "-", 101, 103, True
+    )
+    assert trim_sequences_ensembl("AAAA", "AAA", 100, end_first=True, strand=1) == (
+        "A", "-", 100, 100, True
+    )
+
+    assert allele_matches("A", "G", "A/G")
+    assert not allele_matches("A", "G", "A/T")
+    assert allele_matches("A", "G", "A/G/T")
+    assert allele_matches("A", "T", "A/G/T")
+    assert not allele_matches("A", "C", "A/G/T")
+    assert allele_matches("ACGT", "A", "CGT/-")   # prefix-stripped cache
+    assert allele_matches("ACGT", "A", "ACGT/-")  # full-VCF-REF cache
+    assert allele_matches("A", "ACGT", "-/CGT")
+    assert not allele_matches("A", "A", "A/G")    # ref-only never matches
+    assert not allele_matches("A", "G", "C/G")    # ref mismatch rejected
+    assert not allele_matches("A", "G", "T/G")
+    assert allele_matches("AC", "GT", "AC/GT")
+    assert not allele_matches("AC", "GT", "TC/GT")
+    for sep in ("|", ","):
+        assert allele_matches("A", f"G{sep}T", "A/G")
+        assert allele_matches("A", f"G{sep}T", "A/T")
+        assert not allele_matches("A", f"G{sep}T", "A/C")
+
+    assert not allele_matches("A", "AT", "-/G")
+    assert allele_matches_relaxed("A", "AT", "-/G")
+    assert not allele_matches("AA", "A", "C/-")
+    assert allele_matches_relaxed("AA", "A", "C/-")
+    assert not allele_matches_relaxed("A", "G", "C/T")
+
+    assert vcf_to_vep_input_allele(
+        62689175, "CATACATATATATATATATATATATAT", "CATATATATATATAT"
+    ) == ("ATACATATATATATATATATATATAT", "ATATATATATATAT", 62689176)
+    assert vcf_to_vep_input_allele(100, "A", "ATG") == ("-", "TG", 101)
