@@ -518,3 +518,24 @@ def test_bioframe_family_counts(spark):
     assert bio.coverage(reads, targets).count() == 11
     merged = bio.merge(_df(spark, MERGE_INPUT_CSV), filter_op="strict")
     assert merged.count() == 8
+
+
+def test_pileup_zero_based_blocks(spark):
+    """physical_exec.rs test_basic_coverage + test_multi_partition_merge_
+    overlapping: zero-based reads produce zero-based RLE blocks with
+    inclusive ends — (0,9,1) for one 10M read; (0,4,1),(5,9,2),(10,14,1)
+    for two overlapping reads, invariant of input partitioning."""
+    from datafusion_bio_functions_spark.operators.pileup import depth
+
+    S = "chrom string, start long, flags int, cigar string, mapping_quality int"
+    one = spark.createDataFrame([("chr1", 0, 0, "10M", 60)], S)
+    assert sorted(map(tuple, depth(one, zero_based=True).collect())) == [
+        ("chr1", 0, 9, 1)
+    ]
+    two = spark.createDataFrame(
+        [("chr1", 0, 0, "10M", 60), ("chr1", 5, 0, "10M", 60)], S
+    )
+    want = [("chr1", 0, 4, 1), ("chr1", 5, 9, 2), ("chr1", 10, 14, 1)]
+    assert sorted(map(tuple, depth(two, zero_based=True).collect())) == want
+    # partition invariance (the reference's multi-partition MemTable case)
+    assert sorted(map(tuple, depth(two.repartition(4), zero_based=True).collect())) == want
