@@ -1346,6 +1346,14 @@ def hgvs_p(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
             return None
         if aa_old == aa_new:
             return f"{tid}:p.{_aa3(aa_old)}{ci + 1}="
+        if aa_old == "*":
+            # stop-lost substitution: extension notation with the distance
+            # to the next downstream stop (reference hgvs.rs
+            # test_format_hgvsp_stop_lost_adds_extension_length:
+            # p.Ter#XxxextTer#, '?' when no stop is reachable in-sequence)
+            stop = prot_new.find("*", ci)
+            ext = stop - ci if stop >= 0 else "?"
+            return f"{tid}:p.Ter{ci + 1}{_aa3(aa_new)}extTer{ext}"
         return f"{tid}:p.{_aa3(aa_old)}{ci + 1}{_aa3(aa_new)}"
 
     # indel: diff the proteins
@@ -1364,7 +1372,20 @@ def hgvs_p(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
                 return f"{tid}:p.{_aa3(prot_old[i])}{i + 1}del"
             return f"{tid}:p.{_aa3(prot_old[i])}{i + 1}_{_aa3(prot_old[i + k - 1])}{i + k}del"
         if k < 0 and prot_old == prot_new[:i] + prot_new[i - k :]:  # clean insertion
-            ins = "".join(_aa3(x) for x in prot_new[i : i - k])
+            ins_pep = prot_new[i : i - k]
+            n_ins = len(ins_pep)
+            # duplication: the inserted peptide equals the residues
+            # immediately 5' of the insertion point (hgvs.rs
+            # test_format_hgvsp_insertion_duplication_uses_dup_notation:
+            # p.Ala3dup, range form for multi-residue dups)
+            if i >= n_ins and prot_old[i - n_ins : i] == ins_pep:
+                if n_ins == 1:
+                    return f"{tid}:p.{_aa3(prot_old[i - 1])}{i}dup"
+                return (
+                    f"{tid}:p.{_aa3(prot_old[i - n_ins])}{i - n_ins + 1}"
+                    f"_{_aa3(prot_old[i - 1])}{i}dup"
+                )
+            ins = "".join(_aa3(x) for x in ins_pep)
             if i == 0:
                 return f"{tid}:p.{_aa3(prot_new[i - k - 1])}?ins{ins}"
             return f"{tid}:p.{_aa3(prot_old[i - 1])}{i}_{_aa3(prot_old[i])}{i + 1}ins{ins}"

@@ -357,7 +357,9 @@ class TestHGVSExtensions:
         assert cq.hgvs_p(fwd_tx(), 113, "GCT", "") == "T1:p.Ala8del"
 
     def test_p_inframe_ins(self):
-        assert cq.hgvs_p(fwd_tx(), 115, "", "GCT") == "T1:p.Ala8_Trp9insAla"
+        # inserted Ala equals the residue immediately 5' → duplication
+        # notation (hgvs.rs test_format_hgvsp_insertion_duplication)
+        assert cq.hgvs_p(fwd_tx(), 115, "", "GCT") == "T1:p.Ala8dup"
 
     def test_p_frameshift(self):
         import re
@@ -366,8 +368,11 @@ class TestHGVSExtensions:
         assert got is not None and re.fullmatch(r"T1:p\.Ala2\w{3}fsTer(\d+|\?)", got), got
 
     def test_p_stop_change(self):
-        # TAA stop at CDS 48-50 (genomic 198-200); 199 A>C → TCA = Ser
-        assert cq.hgvs_p(fwd_tx(), 199, "A", "C") == "T1:p.Ter17Ser"
+        # TAA stop at CDS 48-50 (genomic 198-200); 199 A>C → TCA = Ser:
+        # stop-lost → extension notation; no downstream sequence in this
+        # context → unknown new-stop distance (hgvs.rs
+        # test_format_hgvsp_stop_lost_adds_extension_length)
+        assert cq.hgvs_p(fwd_tx(), 199, "A", "C") == "T1:p.Ter17SerextTer?"
 
     def test_c_utr_and_intronic_coordinates(self):
         # published HGVS UTR / intron-offset coordinates (VEP emits HGVSc

@@ -438,3 +438,32 @@ def test_star_allele_skipped():
     # rs:880-884: VEP skips star alleles entirely
     t = tx("pc", 100, 300, 1, cds=(120, 280), exons=[(100, 300)])
     assert cq.classify(t, 150, "A", "*") == []
+
+
+def test_hgvsp_dup_and_extension_reference_cases():
+    """Reference hgvs.rs notation cases replayed on equivalent genomic
+    scenarios: insertion-equals-preceding-residues → dup (single and
+    range), stop-lost substitution → extTer with the distance to the next
+    in-sequence stop ('?' when unreachable)."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    t = cq.Transcript(
+        transcript_id="TX1", chrom="1", start=101, end=112, strand=1,
+        exons=[(101, 112)], cds_start=101, cds_end=112,
+        cds_sequence="ATGGCTGCATAA",  # M A A *
+    )
+    # test_format_hgvsp_insertion_duplication_uses_dup_notation
+    assert cq.hgvs_p(t, 109, "-", "GCA") == "TX1:p.Ala3dup"
+    assert cq.hgvs_p(t, 109, "-", "GCTGCA") == "TX1:p.Ala2_Ala3dup"
+    # non-dup insertion keeps flanking-residue ins notation
+    assert cq.hgvs_p(t, 109, "-", "AAA") == "TX1:p.Ala3_Ter4insLys"
+    # test_format_hgvsp_stop_lost_adds_extension_length shape: downstream
+    # sequence present → concrete ext distance
+    t2 = cq.Transcript(
+        transcript_id="TX2", chrom="1", start=101, end=121, strand=1,
+        exons=[(101, 121)], cds_start=101, cds_end=112,
+        cds_sequence="ATGGCTGCATAACAATGGTAA",  # M A A * | Q W *
+    )
+    assert cq.hgvs_p(t2, 110, "T", "C") == "TX2:p.Ter4GlnextTer3"
+    # no downstream sequence → unknown extension
+    assert cq.hgvs_p(t, 110, "T", "C") == "TX1:p.Ter4GlnextTer?"
