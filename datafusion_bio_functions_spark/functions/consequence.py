@@ -1346,6 +1346,11 @@ def hgvs_p(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
             return None
         if aa_old == aa_new:
             return f"{tid}:p.{_aa3(aa_old)}{ci + 1}="
+        if ci == 0 and aa_old == "M":
+            # start lost: the protein-level effect is unknowable without
+            # knowing the next initiation site (hgvs.rs
+            # test_format_hgvsp_start_lost_reports_unknown_protein)
+            return f"{tid}:p.Met1?"
         if aa_old == "*":
             # stop-lost substitution: extension notation with the distance
             # to the next downstream stop (reference hgvs.rs
@@ -1403,6 +1408,8 @@ def hgvs_p(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
     # frameshift
     if i >= len(prot_old) or i >= len(prot_new):
         return None
+    if i == 0 and prot_old[0] == "M":
+        return f"{tid}:p.Met1?"  # start lost (see substitution branch)
     aa_old, aa_new = prot_old[i], prot_new[i]
     if aa_old == "*":  # stop lost → extension
         stop = prot_new.find("*", i)

@@ -467,3 +467,26 @@ def test_hgvsp_dup_and_extension_reference_cases():
     assert cq.hgvs_p(t2, 110, "T", "C") == "TX2:p.Ter4GlnextTer3"
     # no downstream sequence → unknown extension
     assert cq.hgvs_p(t, 110, "T", "C") == "TX1:p.Ter4GlnextTer?"
+
+
+def test_hgvsp_start_lost_and_frameshift_reference_cases():
+    """hgvs.rs: start-lost reports the unknown-protein form p.Met1?; a
+    frameshift reports the first changed residue and the 1-based distance
+    to the new stop (p.Xxx#YyyfsTer#)."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    t = cq.Transcript(
+        transcript_id="T", chrom="1", start=101, end=112, strand=1,
+        exons=[(101, 112)], cds_start=101, cds_end=112,
+        cds_sequence="ATGGCTGCATAA",
+    )
+    assert cq.hgvs_p(t, 102, "T", "C") == "T:p.Met1?"  # ATG → ACG
+    t2 = cq.Transcript(
+        transcript_id="T2", chrom="1", start=101, end=119, strand=1,
+        exons=[(101, 119)], cds_start=101, cds_end=119,
+        cds_sequence="ATGAAAGCAATGGTAATAA",
+    )
+    # deleting the G of codon 3 frameshifts into M K Q W *: first change
+    # at residue 3, stop two residues later → fsTer3 (the reference's
+    # Lys3GlnfsTer3 counting convention)
+    assert cq.hgvs_p(t2, 106, "AG", "A") == "T2:p.Ala3GlnfsTer3"
