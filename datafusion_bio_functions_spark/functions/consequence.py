@@ -1337,15 +1337,27 @@ def hgvs_p(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
     tid = t.transcript_id
 
     if len(var_ref) == len(var_alt):  # substitution / MNV
-        ci = off // 3
-        if ci >= len(prot_old):
+        ci0 = off // 3
+        ci1 = (off + max(len(var_ref), 1) - 1) // 3  # last touched codon
+        if ci0 >= len(prot_old):
             return None
+        ci1 = min(ci1, len(prot_old) - 1, len(prot_new) - 1)
+        # first codon in the touched span whose residue actually changed —
+        # an MNV can leave its first codon synonymous while changing a
+        # later one
+        ci = next(
+            (k for k in range(ci0, ci1 + 1) if prot_old[k] != prot_new[k]), None
+        )
+        if ci is None:  # fully synonymous across the span
+            pep = "".join(_aa3(x) for x in prot_old[ci0 : ci1 + 1])
+            # multi-residue synonymous uses the full peptide string with
+            # the start position (hgvs.rs
+            # test_format_hgvsp_synonymous_multi_residue): p.GluGlu25=
+            return f"{tid}:p.{pep}{ci0 + 1}="
         aa_old = prot_old[ci]
         aa_new = prot_new[ci] if ci < len(prot_new) else ""
         if not aa_new:
             return None
-        if aa_old == aa_new:
-            return f"{tid}:p.{_aa3(aa_old)}{ci + 1}="
         if ci == 0 and aa_old == "M":
             # start lost: the protein-level effect is unknowable without
             # knowing the next initiation site (hgvs.rs

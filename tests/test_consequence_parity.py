@@ -490,3 +490,23 @@ def test_hgvsp_start_lost_and_frameshift_reference_cases():
     # at residue 3, stop two residues later → fsTer3 (the reference's
     # Lys3GlnfsTer3 counting convention)
     assert cq.hgvs_p(t2, 106, "AG", "A") == "T2:p.Ala3GlnfsTer3"
+
+
+def test_hgvsp_mnv_substitution_span_scan():
+    """An MNV can leave its first codon synonymous and change a later one;
+    the report must name the first CHANGED residue, and a fully-synonymous
+    multi-residue span uses the concatenated peptide string with the start
+    position (hgvs.rs test_format_hgvsp_synonymous_multi_residue:
+    p.GluGlu25=)."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    t = cq.Transcript(
+        transcript_id="T", chrom="1", start=101, end=112, strand=1,
+        exons=[(101, 112)], cds_start=101, cds_end=112,
+        cds_sequence="ATGGCTGCATAA",
+    )
+    # codon2 stays Ala (GCT→GCC), codon3 Ala→Pro (GCA→CCA)
+    assert cq.hgvs_p(t, 106, "TG", "CC") == "T:p.Ala3Pro"
+    # both codons change bases, neither changes residue
+    assert cq.hgvs_p(t, 105, "CTGCA", "CCGCG") == "T:p.AlaAla2="
+    assert cq.hgvs_p(t, 106, "T", "C") == "T:p.Ala2="
