@@ -1286,8 +1286,17 @@ def hgvs_c(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
         ins_at = off + 1 if t.strand >= 0 else off
         seq = a.upper()
         if cds is not None:
-            ins_at, seq = _shift3(cds, cpos, seq)
-            # dup: inserted seq equals the bases immediately 5' of the site
+            # insertion 3'-shift: roll the insertion point right while the
+            # base AT the point equals the (rotated) first inserted base —
+            # the event occupies no reference bases, unlike _shift3's
+            # deletion window
+            i, rot = ins_at, list(seq)
+            while rot and i < len(cds) and cds[i] == rot[0]:
+                rot.append(rot.pop(0))
+                i += 1
+            ins_at, seq = i, "".join(rot)
+            # dup: inserted seq equals the bases immediately 5' of the
+            # (shifted) site → name the most-3' existing copy
             ln = len(seq)
             if ins_at - ln >= 0 and cds[ins_at - ln : ins_at] == seq:
                 span = f"{ins_at - ln + 1}_{ins_at}" if ln > 1 else f"{ins_at}"

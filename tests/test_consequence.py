@@ -346,8 +346,10 @@ class TestHGVSExtensions:
         assert cq.hgvs_c(fwd_tx(), 113, "GCT", "") == "T1:c.22_24del"
 
     def test_c_ins_dup(self):
-        # insert GCT inside the run → shifted to the run end, detected as dup
-        assert cq.hgvs_c(fwd_tx(), 115, "", "GCT") == "T1:c.19_21dup"
+        # insert GCT inside the run → insertion point 3'-shifts to the run
+        # end; the dup names the MOST-3' existing copy (published HGVS
+        # 3'-rule; same span as the shifted deletion of one copy)
+        assert cq.hgvs_c(fwd_tx(), 115, "", "GCT") == "T1:c.22_24dup"
 
     def test_c_del_reverse_span(self):
         # minus strand: genomic [195,196] = transcript CDS offsets 4-5

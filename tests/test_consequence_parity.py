@@ -510,3 +510,19 @@ def test_hgvsp_mnv_substitution_span_scan():
     # both codons change bases, neither changes residue
     assert cq.hgvs_p(t, 105, "CTGCA", "CCGCG") == "T:p.AlaAla2="
     assert cq.hgvs_p(t, 106, "T", "C") == "T:p.Ala2="
+
+
+def test_hgvsc_insertion_flanking_coordinates():
+    """hgvs.rs test_format_hgvsc_formats_insertions_with_flanking_
+    coordinates shape: an insertion names its two flanking cDNA positions
+    (no shift when the following base differs), and a single-base deletion
+    names one position."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    t = cq.Transcript(
+        transcript_id="T", chrom="1", start=100, end=108, strand=1,
+        exons=[(100, 108)], cds_start=100, cds_end=108,
+        cds_sequence="ATGGCTGCA",
+    )
+    assert cq.hgvs_c(t, 103, "-", "T") == "T:c.4_5insT"
+    assert cq.hgvs_c(t, 103, "G", "-") == "T:c.4del"
