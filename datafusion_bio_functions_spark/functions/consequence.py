@@ -1204,23 +1204,29 @@ def _cds_relative_notation(t: Transcript, g: int) -> str | None:
     3' UTR, ``"N+off"`` / ``"N-off"`` for intronic positions anchored at the
     nearest exon boundary (published HGVS nomenclature; reference ``hgvs.rs``
     intron/UTR coordinate assembly)."""
-    if t.cds_start is None or t.cds_end is None:
-        return None
     exons = t.sorted_exons()
     cdna = _genomic_to_cdna_offset(t, g)
-    cds_anchor_g = t.cds_start if t.strand >= 0 else t.cds_end
-    cds_end_g = t.cds_end if t.strand >= 0 else t.cds_start
-    cds0 = _genomic_to_cdna_offset(t, cds_anchor_g)
-    cdsL = _genomic_to_cdna_offset(t, cds_end_g)
-    if cds0 is None or cdsL is None:
-        return None
-    if cdna is not None:  # exonic
-        d = cdna - cds0
-        if d < 0:
-            return f"-{-d}"
-        if cdna > cdsL:
-            return f"*{cdna - cdsL}"
-        return f"{d + 1}"
+    if t.cds_start is None or t.cds_end is None:
+        # non-coding transcript: plain spliced-transcript numbering (the
+        # reference's ``n.`` coordinates, hgvs.rs
+        # test_format_hgvsc_uses_non_coding_numbering); intronic anchoring
+        # below is shared with the coding path
+        if cdna is not None:
+            return f"{cdna + 1}"
+    else:
+        cds_anchor_g = t.cds_start if t.strand >= 0 else t.cds_end
+        cds_end_g = t.cds_end if t.strand >= 0 else t.cds_start
+        cds0 = _genomic_to_cdna_offset(t, cds_anchor_g)
+        cdsL = _genomic_to_cdna_offset(t, cds_end_g)
+        if cds0 is None or cdsL is None:
+            return None
+        if cdna is not None:  # exonic
+            d = cdna - cds0
+            if d < 0:
+                return f"-{-d}"
+            if cdna > cdsL:
+                return f"*{cdna - cdsL}"
+            return f"{d + 1}"
     # intronic: anchor at the nearest exon boundary in genomic space; the
     # tie and nearer-5'-exon side take "+", the 3' side "-"
     for i in range(len(exons) - 1):
@@ -1252,10 +1258,14 @@ def hgvs_c(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
     ref = "" if ref in ("-", None) else ref
     alt = "" if alt in ("-", None) else alt
     pos, ref, alt = _normalize_for_hgvs(pos, ref, alt)
+    # non-coding transcripts use spliced-transcript (``n.``) numbering
+    # (hgvs.rs test_format_hgvsc_uses_non_coding_numbering)
+    pfx = "c." if t.cds_start is not None and t.cds_end is not None else "n."
     off = _cds_first_offset(t, pos, len(ref))
     if off is None:
-        # outside the spliced CDS: UTR / intronic coordinate notation for
-        # substitutions and simple del/delins spans
+        # outside the spliced CDS (or any non-coding position): UTR /
+        # intronic / n. coordinate notation for substitutions and simple
+        # del/delins spans
         g1 = pos if t.strand >= 0 else pos + max(len(ref), 1) - 1
         n1 = _cds_relative_notation(t, g1)
         if n1 is None:
@@ -1263,7 +1273,7 @@ def hgvs_c(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
         r = ref if t.strand >= 0 else revcomp(ref)
         a = alt if t.strand >= 0 else revcomp(alt)
         if len(r) == 1 and len(a) == 1:
-            return f"{t.transcript_id}:c.{n1}{r}>{a}"
+            return f"{t.transcript_id}:{pfx}{n1}{r}>{a}"
         if len(r) == 0:
             return None  # insertion anchoring outside the CDS: skip
         g2 = pos + len(ref) - 1 if t.strand >= 0 else pos
@@ -1272,8 +1282,8 @@ def hgvs_c(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
             return None
         span = f"{n1}_{n2}" if n2 != n1 else f"{n1}"
         if len(a) == 0:
-            return f"{t.transcript_id}:c.{span}del"
-        return f"{t.transcript_id}:c.{span}delins{a}"
+            return f"{t.transcript_id}:{pfx}{span}del"
+        return f"{t.transcript_id}:{pfx}{span}delins{a}"
     r = ref if t.strand >= 0 else revcomp(ref)
     a = alt if t.strand >= 0 else revcomp(alt)
     cds = t.cds_sequence.upper() if t.cds_sequence else None

@@ -526,3 +526,28 @@ def test_hgvsc_insertion_flanking_coordinates():
     )
     assert cq.hgvs_c(t, 103, "-", "T") == "T:c.4_5insT"
     assert cq.hgvs_c(t, 103, "G", "-") == "T:c.4del"
+
+
+def test_hgvsc_non_coding_numbering():
+    """hgvs.rs test_format_hgvsc_uses_non_coding_numbering (+ the
+    reverse-complement case): non-coding transcripts number by spliced
+    transcript position with the n. prefix; intronic offsets anchor at
+    exon boundaries like the coding path."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    nc = cq.Transcript(
+        transcript_id="N", chrom="1", start=100, end=130, strand=1,
+        biotype="lncRNA", exons=[(100, 130)],
+    )
+    assert cq.hgvs_c(nc, 113, "G", "A") == "N:n.14G>A"
+    assert cq.hgvs_c(nc, 113, "GA", "") == "N:n.14_15del"
+    ncm = cq.Transcript(
+        transcript_id="M", chrom="1", start=100, end=130, strand=-1,
+        biotype="lncRNA", exons=[(100, 130)],
+    )
+    assert cq.hgvs_c(ncm, 113, "G", "A") == "M:n.18C>T"
+    nc2 = cq.Transcript(
+        transcript_id="N2", chrom="1", start=100, end=219, strand=1,
+        biotype="lincRNA", exons=[(100, 129), (170, 219)],
+    )
+    assert cq.hgvs_c(nc2, 150, "A", "T") == "N2:n.31-20A>T"
