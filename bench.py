@@ -56,7 +56,9 @@ BENCH_QUERIES = [
     # lsh_ann_topk is gate-only: its candidate-complete parameterization
     # (required for the exact top-k oracle) deliberately degenerates to
     # near-brute-force candidate sets, so benching it measures the oracle
-    # contract, not the LSH scale path
+    # contract, not the LSH scale path; lsh_ann_prod IS the scale path
+    # (production parameters: 6 sign bits x 12 tables, multiprobe)
+    "lsh_ann_prod",
     "media_meta",
     "media_features",
     "events_top_users",

@@ -221,6 +221,40 @@ def lsh_cosine_topk(
     )
 
 
+def lsh_recall_at_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    recall_floor: float = 0.9,
+    **lsh_params,
+) -> DataFrame:
+    """Measured recall@k of the production-parameter LSH path against the
+    exact brute-force top-k, as a one-row summary:
+    ``(k, n_queries, recall_ok)`` with ``recall_ok = recall >= recall_floor``.
+
+    This is the value-checkable contract for an approximate operator: the
+    output of ``lsh_cosine_topk`` at production parameters is not
+    SQL-reproducible (bucket membership depends on the hyperplane draws),
+    but the *quality claim* — recall against the exact oracle — is a
+    deterministic boolean under fixed seeds and is asserted by the gate.
+    """
+    exact = cosine_topk(queries, corpus, k=k).select("query_id", "neighbor_id")
+    approx = lsh_cosine_topk(queries, corpus, k=k, **lsh_params).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    n_exact = exact.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct("query_id").alias("__q"),
+    )
+    n_hits = hits.agg(F.count(F.lit(1)).alias("__h"))
+    return n_exact.crossJoin(n_hits).select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("__q").cast("long").alias("n_queries"),
+        (F.col("__h") / F.col("__n") >= F.lit(float(recall_floor))).alias("recall_ok"),
+    )
+
+
 def cosine_near_dup_exact(
     df: DataFrame,
     threshold: float = 0.9,
