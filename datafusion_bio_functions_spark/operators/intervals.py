@@ -385,22 +385,22 @@ def count_overlaps(
     ``count = #(l.start <= r.end) - #(l.end < r.start)`` via two binary
     searches, ``interval_tree.rs:20-50``).
 
-    ``algorithm='broadcast'`` collects the left side into two sorted int
-    arrays per contig and probes them with vectorized ``np.searchsorted``
-    inside an Arrow-batched pandas UDF — the exact reference algorithm and
-    the fast path when the left side fits on executors (the reference
-    *always* collects left eagerly: ``count_overlaps.rs:122-141``).
-    ``algorithm='join'`` (default via ``auto``) computes the same thing as a
-    shuffle-parallel binned join + groupBy — no size limit on either side.
-    The broadcast path is size-guarded: a left side above
-    ``BROADCAST_GUARD_ROWS`` silently falls back to the join plan instead of
-    collecting data-scale rows onto the driver.
+    ``algorithm='broadcast'`` (default via ``auto``) collects the left side
+    into two sorted int arrays per contig and probes them with vectorized
+    ``np.searchsorted`` inside an Arrow-batched pandas UDF — the exact
+    reference algorithm (the reference *always* collects left eagerly:
+    ``count_overlaps.rs:122-141``).  Size-guarded: a left side above
+    ``BROADCAST_GUARD_ROWS`` silently falls back to the join plan instead
+    of collecting data-scale rows onto the driver, so ``auto`` is the
+    CollectLeft fast path with a shuffle-parallel escape hatch.
+    ``algorithm='join'`` computes the same thing as a shuffle-parallel
+    binned join + groupBy — no size limit on either side.
     """
     _check_filter_op(filter_op)
     left, (lc, ls, le) = _normalize(left, cols_left)
     right, (rc, rs, re_) = _normalize(right, cols_right)
     if algorithm == "auto":
-        algorithm = "join"
+        algorithm = "broadcast"
 
     if algorithm == "broadcast":
         if _fits_broadcast(left):
@@ -441,12 +441,17 @@ def coverage(
     """For each *right* row, the number of its bases covered by ≥1 left
     interval; left intervals are merged first (reference ``coverage`` flag of
     the count_overlaps provider, ``count_overlaps.rs:128-141`` +
-    ``interval_tree.rs:52-73,145-152``).  Appends ``coverage``."""
+    ``interval_tree.rs:52-73,145-152``).  Appends ``coverage``.
+
+    ``auto`` = the guarded CollectLeft searchsorted path (the reference
+    always collects left), falling back to the shuffle-parallel
+    merge+binned-join plan when the left side exceeds the broadcast
+    guard."""
     _check_filter_op(filter_op)
     left, (lc, ls, le) = _normalize(left, cols_left)
     right, (rc, rs, re_) = _normalize(right, cols_right)
     if algorithm == "auto":
-        algorithm = "join"
+        algorithm = "broadcast"
     if algorithm == "broadcast":
         if _fits_broadcast(left):
             return _count_or_cover_broadcast(
@@ -485,13 +490,28 @@ def coverage(
 BROADCAST_GUARD_ROWS = 8_000_000
 
 
+_FITS_BROADCAST_MEMO: dict[tuple, bool] = {}
+
+
 def _fits_broadcast(left: DataFrame, guard: int = BROADCAST_GUARD_ROWS) -> bool:
     """True when ``left`` is provably at or under ``guard`` rows.  Bounded
     probe — ``limit(guard+1)`` — so the check never scans a 100 TB table; an
     over-guard side makes the caller fall back to the shuffle-parallel join
     plan instead of collecting data-scale rows onto the driver (VERDICT r2
-    scale-killer #4)."""
-    return left.limit(guard + 1).count() <= guard
+    scale-killer #4).  Memoized per semantic plan so repeated probes over
+    the same frame skip the job."""
+    try:
+        key = (left.semanticHash(), guard)
+        if key in _FITS_BROADCAST_MEMO:
+            return _FITS_BROADCAST_MEMO[key]
+    except Exception:
+        key = None
+    fits = left.limit(guard + 1).count() <= guard
+    if key is not None:
+        if len(_FITS_BROADCAST_MEMO) > 1024:
+            _FITS_BROADCAST_MEMO.clear()
+        _FITS_BROADCAST_MEMO[key] = fits
+    return fits
 
 
 def _count_or_cover_broadcast(
@@ -510,30 +530,45 @@ def _count_or_cover_broadcast(
 
     lc, ls, le = lcols
     rc, rs, re_ = rcols
-    rows = left.select(lc, ls, le).collect()
+    # Arrow-path collect: orders of magnitude faster than Row-object
+    # .collect() at millions of rows (the reference's CollectLeft is a
+    # columnar RecordBatch gather too, count_overlaps.rs:122-141)
+    lpdf = left.select(lc, ls, le).toPandas()
     index: dict[str, tuple] = {}
-    by_contig: dict[str, list[tuple[int, int]]] = {}
-    for row in rows:
-        by_contig.setdefault(row[0], []).append((row[1], row[2]))
+    all_contigs = lpdf[lc].to_numpy()
+    all_s = lpdf[ls].to_numpy(dtype=np.int64)
+    all_e = lpdf[le].to_numpy(dtype=np.int64)
     if mode == "count":
-        for contig, ivs in by_contig.items():
-            starts = np.sort(np.asarray([s for s, _ in ivs], dtype=np.int64))
-            ends = np.sort(np.asarray([e for _, e in ivs], dtype=np.int64))
-            index[contig] = (starts, ends)
+        for contig in pd.unique(all_contigs):
+            m = all_contigs == contig
+            # pts: sorted positions of degenerate (point) intervals — the
+            # strict-mode correction term below needs them (see probe)
+            pm = m & (all_s == all_e)
+            index[contig] = (np.sort(all_s[m]), np.sort(all_e[m]), np.sort(all_s[pm]))
     else:
-        for contig, ivs in by_contig.items():
-            ivs.sort()
-            ms, me = [], []
-            # merging touching intervals is harmless for coverage sums; only
-            # true overlap must be collapsed so lengths don't double-count
-            for s, e in ivs:
-                if ms and s <= me[-1]:
-                    me[-1] = max(me[-1], e)
-                else:
-                    ms.append(s)
-                    me.append(e)
-            ms_a = np.asarray(ms, dtype=np.int64)
-            me_a = np.asarray(me, dtype=np.int64)
+        for contig in pd.unique(all_contigs):
+            m = all_contigs == contig
+            order = np.lexsort((all_e[m], all_s[m]))
+            cs, ce = all_s[m][order], all_e[m][order]
+            # vectorized merge of touching intervals: a row starts a new
+            # island iff its start exceeds the running max end of all
+            # previous rows (touching merges are harmless for coverage
+            # sums; only true overlap must collapse so lengths don't
+            # double-count)
+            run_max = np.maximum.accumulate(ce)
+            new_island = np.ones(len(cs), dtype=bool)
+            if len(cs) > 1:
+                new_island[1:] = cs[1:] > run_max[:-1]
+            island = np.cumsum(new_island) - 1
+            n_isl = int(island[-1]) + 1 if len(island) else 0
+            # island starts are the rows that began one (sorted ascending);
+            # island ends are the running max at each island's last row
+            ms_a = cs[new_island]
+            last_of_island = np.ones(len(cs), dtype=bool)
+            if len(cs) > 1:
+                last_of_island[:-1] = new_island[1:]
+            me_a = run_max[last_of_island]
+            assert len(ms_a) == n_isl and len(me_a) == n_isl
             # reference per-interval contribution floors at 1 (point
             # intervals fully inside the probe still count one base)
             lens = np.maximum(me_a - ms_a, 1).cumsum()
@@ -558,17 +593,44 @@ def _count_or_cover_broadcast(
                 if entry is None:
                     continue
                 if mode == "count":
-                    starts, ends = entry
-                    res[m] = np.searchsorted(starts, qe[m], "right") - np.searchsorted(
-                        ends, qs[m], "left"
-                    )
+                    starts, ends, pts = entry
+                    if shrink == 0:
+                        # weak: #(ls <= re) - #(le < rs); every le<rs
+                        # interval has ls <= le < rs <= re, so the
+                        # subtraction identity is exact
+                        res[m] = np.searchsorted(
+                            starts, qe[m], "right"
+                        ) - np.searchsorted(ends, qs[m], "left")
+                    else:
+                        # strict: #(ls < re) - #(le <= rs) is exact for
+                        # re > rs, but POINT queries (re == rs) wrongly
+                        # subtract point intervals at exactly rs (they have
+                        # le <= rs but not ls < re) — add them back.
+                        # qs/qe are already shrunk: rs = qs-1, re = qe+1.
+                        rrs, rre = qs[m] - 1, qe[m] + 1
+                        a = np.searchsorted(starts, rre, "left")
+                        b = np.searchsorted(ends, rrs, "right")
+                        corr = np.where(
+                            rre == rrs,
+                            np.searchsorted(pts, rrs, "right")
+                            - np.searchsorted(pts, rrs, "left"),
+                            0,
+                        )
+                        res[m] = a - b + corr
                 else:
                     ms_a, me_a, lens = entry
                     cqs, cqe = qs[m], qe[m]
                     lo = np.searchsorted(me_a, cqs, "left")  # first merged iv ending >= qs
                     hi = np.searchsorted(ms_a, cqe, "right")  # first merged iv starting > qe
                     tot = np.zeros(len(cqs), dtype=np.int64)
-                    inner = np.where(hi - lo > 2, lens[np.maximum(hi - 2, 0)] - lens[lo], 0)
+                    # lo is clipped because np.where evaluates both branches
+                    # eagerly: a query right of every interval has lo == n
+                    # (masked out by the hi-lo>2 condition, but still indexed)
+                    inner = np.where(
+                        hi - lo > 2,
+                        lens[np.maximum(hi - 2, 0)] - lens[np.minimum(lo, len(lens) - 1)],
+                        0,
+                    )
                     # clip first and last overlapping merged interval
                     has = hi > lo
                     f = np.minimum(lo, len(ms_a) - 1)
@@ -617,12 +679,48 @@ def _with_island(
     return df.withColumn("__island", island)
 
 
-def _resolve_sweep_algorithm(df: DataFrame, algorithm: str) -> str:
+#: per-session memo of the density-derived chunk width (same semantic-plan
+#: keying as the bin-width memo)
+_CHUNK_WIDTH_MEMO: dict[tuple, int] = {}
+
+
+def _auto_chunk_width(df: DataFrame, s: str, e: str) -> int:
+    """Derive the chunked-sweep bucket width from the observed coordinate
+    span: span / (4 * defaultParallelism) buckets in total, clamped to
+    [1024, 10_000_000].  A fixed 10 Mb default is right for real genomes
+    (~25 buckets per chromosome) but collapses to one bucket per contig on
+    narrow coordinate spaces, serializing the sweep; sizing from a bounded
+    sample keeps ~4 buckets per core regardless of the space.  Memoized per
+    semantic plan so repeated sweeps skip the stats job."""
+    try:
+        key = (df.semanticHash(), s, e, "cw")
+        if key in _CHUNK_WIDTH_MEMO:
+            return _CHUNK_WIDTH_MEMO[key]
+    except Exception:  # semanticHash unavailable
+        key = None
+    samp = df.select(F.col(s).alias("a"), F.col(e).alias("b")).limit(200_000)
+    row = samp.agg(
+        F.min("a").alias("lo"), F.expr("percentile_approx(b, 0.99)").alias("hi")
+    ).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    if lo is None or hi is None:
+        cw = 10_000_000
+    else:
+        par = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+        cw = max(1024, min(int(max(hi - lo, 1)) // (4 * par) or 1, 10_000_000))
+    if key is not None:
+        if len(_CHUNK_WIDTH_MEMO) > 1024:
+            _CHUNK_WIDTH_MEMO.clear()
+        _CHUNK_WIDTH_MEMO[key] = cw
+    return cw
+
+
+def _resolve_sweep_algorithm(df: DataFrame, algorithm: str, default: str = "window") -> str:
     """``auto`` resolves the merge/cluster sweep strategy from the
-    ``spark.bio.sweep.algorithm`` session conf (window | chunked), default
-    ``window`` — mirror of the reference's session-level algorithm
-    selection.  ``chunked`` is the 100 TB setting: the per-contig window
-    sort becomes a chunk-parallel two-phase sweep."""
+    ``spark.bio.sweep.algorithm`` session conf (window | chunked), falling
+    back to the per-operator ``default`` — mirror of the reference's
+    session-level algorithm selection.  ``chunked`` is the 100 TB setting:
+    the per-contig window sort becomes a chunk-parallel two-phase sweep."""
     if algorithm != "auto":
         return algorithm
     from ..session import SWEEP_ALGORITHM_KEY
@@ -634,7 +732,7 @@ def _resolve_sweep_algorithm(df: DataFrame, algorithm: str) -> str:
                 f"{SWEEP_ALGORITHM_KEY} must be auto|window|chunked, got {configured!r}"
             )
         return configured
-    return "window"
+    return default
 
 
 def merge(
@@ -643,31 +741,35 @@ def merge(
     cols: Sequence[str] | None = None,
     filter_op: str = "weak",
     algorithm: str = "auto",
-    chunk_width: int = 10_000_000,
+    chunk_width: int | None = None,
 ) -> DataFrame:
     """Merge overlapping (and within ``min_dist``) intervals per contig.
     Output: ``contig, pos_start, pos_end, n_intervals`` (Int64), the
     reference's fixed schema (``merge.rs:43-48``).
 
-    ``algorithm='window'`` (default): pure gaps-and-islands window SQL — one
-    shuffle on contig, streaming running-max frame; unlike the reference's
-    collect-per-contig (``grouped_stream.rs:24-124``) nothing is
-    materialized per group.  Caveat at extreme scale: the window sorts each
-    contig in ONE task, so a billion-interval chromosome serializes.
+    ``algorithm='chunked'`` (default via ``auto``): the 100 TB path.
+    Phase 1 merges locally within ``(contig, floor(start / chunk_width))``
+    — shuffle-parallel across genome chunks, no per-contig task.  Phase 2
+    decides finality from a bucket-level summary (prefix max end over
+    *previous* buckets — rows = #buckets, not #intervals): a local merge is
+    final iff it cannot extend past its right bucket edge and cannot be
+    reached from any earlier bucket.  Only the boundary-crossing remainder
+    — O(#buckets), not O(#intervals) — goes through the global per-contig
+    window.  Equality with the window path is property-tested.
+    ``chunk_width=None`` sizes buckets from the observed coordinate span
+    (~4 buckets per core, memoized stats job).
 
-    ``algorithm='chunked'``: the 100 TB path.  Phase 1 merges locally within
-    ``(contig, floor(start / chunk_width))`` — shuffle-parallel across
-    genome chunks, no per-contig task.  Phase 2 decides finality from a
-    bucket-level summary (prefix max end over *previous* buckets — rows =
-    #buckets, not #intervals): a local merge is final iff it cannot extend
-    past its right bucket edge and cannot be reached from any earlier
-    bucket.  Only the boundary-crossing remainder — O(#buckets), not
-    O(#intervals) — goes through the global per-contig window.  Equality
-    with the window path is property-tested.
+    ``algorithm='window'``: pure gaps-and-islands window SQL — one shuffle
+    on contig, streaming running-max frame; unlike the reference's
+    collect-per-contig (``grouped_stream.rs:24-124``) nothing is
+    materialized per group.  Caveat: the window sorts each contig in ONE
+    task, so both a billion-interval chromosome at scale and a 32-core
+    local run over 4 contigs serialize (sf1: 6.4 s window vs 2.8 s
+    chunked) — which is why chunked is the default.
     """
     _check_filter_op(filter_op)
     df, (c, s, e) = _normalize(df, cols)
-    algorithm = _resolve_sweep_algorithm(df, algorithm)
+    algorithm = _resolve_sweep_algorithm(df, algorithm, default="chunked")
     if algorithm == "window":
         isl = _with_island(df.select(c, s, e), c, s, e, min_dist, filter_op)
         return (
@@ -682,6 +784,8 @@ def merge(
     if algorithm != "chunked":
         raise ValueError(f"merge algorithm must be 'window' or 'chunked', got {algorithm!r}")
 
+    if chunk_width is None:
+        chunk_width = _auto_chunk_width(df, s, e)
     d = df.select(
         F.col(c).alias("contig"),
         F.col(s).cast(T.LongType()).alias("pos_start"),
@@ -707,6 +811,16 @@ def merge(
         F.max("pos_end").alias("pos_end"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+    # lazy localCheckpoint: three consumers (bucket summary + final/nonfinal
+    # branches) would otherwise each re-run the phase-1 sort+window —
+    # exchange reuse does not cover the post-shuffle window stage (measured
+    # 12 Window nodes in the executed plan, ~2.7x the single-window wall
+    # time at sf1).  A checkpoint (not .persist()) so the materialized
+    # islands stay referenced through DERIVED plans too — coverage/cluster/
+    # subtract wrap this result and drop the Python-side reference, which
+    # would un-pin a persist before execution.  Rows = #local islands <=
+    # #input, MEMORY_AND_DISK, freed when the derived plans are GC'd.
+    local = local.localCheckpoint(eager=False)
     # bucket summary: max end per bucket, prefix-max over previous buckets.
     # This window runs over #buckets rows — negligible at any scale.
     summ = local.groupBy("contig", "__b").agg(F.max("pos_end").alias("__bmax"))
@@ -781,7 +895,7 @@ def cluster(
     cols: Sequence[str] | None = None,
     filter_op: str = "weak",
     algorithm: str = "auto",
-    chunk_width: int = 10_000_000,
+    chunk_width: int | None = None,
 ) -> DataFrame:
     """Like merge but annotates every input row (all columns preserved) with
     ``cluster`` (globally unique Int64 id), ``cluster_start``, ``cluster_end``
@@ -805,6 +919,8 @@ def cluster(
     algorithm = _resolve_sweep_algorithm(df, algorithm)
 
     if algorithm == "chunked":
+        if chunk_width is None:
+            chunk_width = _auto_chunk_width(df, s, e)
         extents = merge(
             df, min_dist=min_dist, cols=(c, s, e), filter_op=filter_op,
             algorithm="chunked", chunk_width=chunk_width,
@@ -885,8 +1001,8 @@ def complement(
     view_cols: Sequence[str] | None = None,
     min_dist: int = 0,
     filter_op: str = "weak",
-    merge_algorithm: str = "window",
-    chunk_width: int = 10_000_000,
+    merge_algorithm: str = "auto",
+    chunk_width: int | None = None,
 ) -> DataFrame:
     """Per-contig gaps not covered by any interval, bounded by an optional
     chromsizes ``view`` table (reference ``complement.rs:27-478``).  Without a
@@ -958,6 +1074,120 @@ def complement(
     )
 
 
+def _subtract_broadcast(
+    left: DataFrame,
+    right_pdf,
+    lcols: tuple[str, str, str],
+    rcols: tuple[str, str, str],
+    filter_op: str,
+) -> DataFrame:
+    """CollectRight subtract: the raw right side gathered Arrow-side, merged
+    per contig in a vectorized island reduction (same sweep the chunked
+    merge runs distributed), broadcast as sorted disjoint arrays; every
+    left batch fragments in one vectorized sweep (reference cursor
+    semantics, subtract.rs:414-438 — end-exclusive, no ±1, rows with
+    ls >= le emit nothing)."""
+    import numpy as np
+    import pandas as pd
+
+    lc, ls, le = lcols
+    rc, rs, re_ = rcols
+    strict_merge = filter_op != "weak"
+    index: dict[str, tuple] = {}
+    mc = right_pdf[rc].to_numpy()
+    msa = right_pdf[rs].to_numpy(dtype=np.int64)
+    mea = right_pdf[re_].to_numpy(dtype=np.int64)
+    for contig in pd.unique(mc):
+        sel = mc == contig
+        order = np.lexsort((mea[sel], msa[sel]))
+        cs, ce = msa[sel][order], mea[sel][order]
+        run_max = np.maximum.accumulate(ce)
+        new_island = np.ones(len(cs), dtype=bool)
+        if len(cs) > 1:
+            # weak merges touching (start <= prev max end); strict only
+            # true overlap (start < prev max end) — merge.rs:290-297
+            if strict_merge:
+                new_island[1:] = cs[1:] >= run_max[:-1]
+            else:
+                new_island[1:] = cs[1:] > run_max[:-1]
+        last_of_island = np.ones(len(cs), dtype=bool)
+        if len(cs) > 1:
+            last_of_island[:-1] = new_island[1:]
+        index[contig] = (cs[new_island], run_max[last_of_island])
+
+    sc = left.sparkSession.sparkContext
+    bidx = sc.broadcast(index)
+    strict = filter_op != "weak"
+    fields = []
+    for f in left.schema.fields:
+        if f.name in (ls, le):
+            fields.append(T.StructField(f.name, T.LongType(), f.nullable))
+        else:
+            fields.append(f)
+    out_schema = T.StructType(fields)
+
+    def frag(batches: Iterable[pd.DataFrame]):
+        idx = bidx.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            contigs = pdf[lc].to_numpy()
+            outs = []
+            for contig in pd.unique(contigs):
+                m = contigs == contig
+                sub = pdf[m]
+                ls_a = sub[ls].to_numpy(dtype=np.int64)
+                le_a = sub[le].to_numpy(dtype=np.int64)
+                valid = ls_a < le_a
+                entry = idx.get(contig)
+                if entry is None or len(entry[0]) == 0:
+                    keep = sub[valid]
+                    if len(keep):
+                        keep = keep.copy()
+                        keep[ls] = ls_a[valid]
+                        keep[le] = le_a[valid]
+                        outs.append(keep)
+                    continue
+                ms_arr, me_arr = entry
+                if strict:
+                    # overlap iff ms < le AND me > ls
+                    lo = np.searchsorted(me_arr, ls_a, "right")
+                    hi = np.searchsorted(ms_arr, le_a, "left")
+                else:
+                    # overlap iff ms <= le AND me >= ls
+                    lo = np.searchsorted(me_arr, ls_a, "left")
+                    hi = np.searchsorted(ms_arr, le_a, "right")
+                k = np.maximum(hi - lo, 0)
+                slots = np.where(valid, k + 1, 0)
+                total = int(slots.sum())
+                if total == 0:
+                    continue
+                rep = np.repeat(np.arange(len(sub)), slots)
+                off = np.concatenate(([0], np.cumsum(slots)[:-1]))
+                t = np.arange(total) - off[rep]
+                klo, kk = lo[rep], k[rep]
+                n_m = len(ms_arr)
+                prev_i = np.clip(klo + t - 1, 0, n_m - 1)
+                next_i = np.clip(klo + t, 0, n_m - 1)
+                # cursor sweep: slot t gap runs from max(prev overlap end,
+                # ls) to the next overlap start; the final slot (t == k)
+                # is the tail ending at le
+                start = np.where(t == 0, ls_a[rep], np.maximum(me_arr[prev_i], ls_a[rep]))
+                end = np.where(t == kk, le_a[rep], ms_arr[next_i])
+                keep_m = start < end
+                if not keep_m.any():
+                    continue
+                out = sub.iloc[rep[keep_m]].copy()
+                out[ls] = start[keep_m]
+                out[le] = end[keep_m]
+                outs.append(out)
+            if outs:
+                res = pd.concat(outs, ignore_index=True)
+                yield res[[f.name for f in out_schema.fields]]
+
+    return left.mapInPandas(frag, schema=out_schema)
+
+
 def subtract(
     left: DataFrame,
     right: DataFrame,
@@ -966,24 +1196,41 @@ def subtract(
     filter_op: str = "weak",
     algorithm: str = "auto",
     bin_width: int | None = None,
-    merge_algorithm: str = "window",
-    chunk_width: int = 10_000_000,
+    merge_algorithm: str = "auto",
+    chunk_width: int | None = None,
 ) -> DataFrame:
     """Base-pair set difference: every left interval is fragmented at the
     boundaries of (pre-merged) overlapping right intervals; extra left columns
     are preserved on each fragment (reference ``subtract.rs:28-668``; output =
     left schema with start/end retyped Int64, ``subtract.rs:50-77``).
 
-    Plan: merge(right) → left-outer interval join → per-left-row window walk
-    over the (disjoint, sorted) clipped overlaps emitting the gaps between
-    them.  All DataFrame ops; the per-row window partitions on a synthetic
-    left row id so duplicates in the left table fragment independently.
-    ``merge_algorithm='chunked'`` makes the right-side pre-merge
-    shuffle-parallel for huge right tables.
+    ``algorithm='broadcast'`` (default via ``auto``): the merged right side
+    — bounded by genome span / gap structure, not input size — is gathered
+    Arrow-side and broadcast as per-contig sorted arrays; left rows
+    fragment in a vectorized ``mapInPandas`` sweep with NO shuffle at all.
+    Size-guarded: a merged right above ``BROADCAST_GUARD_ROWS`` falls back
+    to ``'join'`` — merge(right) → left-outer interval join → per-left-row
+    window walk over the (disjoint, sorted) overlaps emitting the gaps in
+    one explode pass.  ``merge_algorithm='chunked'`` makes the right-side
+    pre-merge shuffle-parallel for huge right tables.
     """
     _check_filter_op(filter_op)
     left, (lc, ls, le) = _normalize(left, cols_left)
     right, (rc, rs, re_) = _normalize(right, cols_right)
+
+    if algorithm == "auto":
+        algorithm = "broadcast"
+    if algorithm not in ("broadcast", "join"):
+        raise ValueError(f"subtract algorithm must be auto|broadcast|join, got {algorithm!r}")
+    if algorithm == "broadcast":
+        # guard on the RAW right side — merging happens in the driver's
+        # vectorized island reduction, so no Spark merge DAG runs at all
+        if _fits_broadcast(right):
+            rp = right.select(rc, rs, re_).toPandas()
+            return _subtract_broadcast(
+                left, rp, (lc, ls, le), (rc, rs, re_), filter_op
+            )
+        algorithm = "join"  # over-guard: shuffle-parallel fallback
 
     m = merge(right.select(rc, rs, re_), cols=(rc, rs, re_), filter_op=filter_op,
               algorithm=merge_algorithm, chunk_width=chunk_width).select(
@@ -1009,37 +1256,43 @@ def subtract(
     # (100,200) + (300,400), and a left row with ls >= le emits nothing
     # (the bedtools/bioframe half-open convention; the integration tests
     # test_subtract_udtf_basic / _strict_boundary pin it).
-    unmatched = j.filter(F.col("__ms").isNull() & (F.col(ls) < F.col(le))).select(
-        *left.columns, "__lid"
-    )
-
-    ov = j.filter(F.col("__ms").isNotNull())
+    # single pass: every join row emits its fragments as an array — the gap
+    # before its overlap, plus (on the last overlap) the tail, plus (on
+    # no-overlap rows) the whole interval — then one explode.  The previous
+    # three-branch union re-ran the join+window per branch (exchange reuse
+    # does not cover the post-shuffle window stage): sf1 2.1 s -> ~1.4 s.
     w = Window.partitionBy("__lid").orderBy("__ms")
-    ov = (
-        ov.withColumn("__prev_me", F.lag("__me").over(w))
-        .withColumn("__is_last", F.lead("__ms").over(w).isNull())
+    # window columns materialized before the generator — window expressions
+    # are not allowed inside explode()'s child
+    jw = j.withColumn("__prev_me", F.lag("__me").over(w)).withColumn(
+        "__is_last", F.lead("__ms").over(w).isNull()
     )
     # cursor before this right = max(ls, previous right end)
     gs = F.greatest(F.coalesce(F.col("__prev_me"), F.col(ls)), F.col(ls))
-    ge = F.col("__ms")
-    frag_before = ov.select(
-        *[F.col(x) for x in left.columns if x not in (ls, le)],
-        gs.alias(ls),
-        ge.alias(le),
-        "__lid",
-    ).filter(F.col(ls) < F.col(le))
-    # tail gap after the last overlap
-    frag_tail = ov.filter(F.col("__is_last")).select(
-        *[F.col(x) for x in left.columns if x not in (ls, le)],
-        F.greatest(F.col("__me"), F.col(ls)).alias(ls),
-        F.col(le).alias(le),
-        "__lid",
-    ).filter(F.col(ls) < F.col(le))
-
-    out = unmatched.unionByName(frag_before).unionByName(frag_tail).drop("__lid")
-    return out.select(
+    frags = F.array(
+        F.when(
+            F.col("__ms").isNotNull(),
+            F.struct(gs.alias("s"), F.col("__ms").alias("e")),
+        ),
+        F.when(
+            F.col("__ms").isNotNull() & F.col("__is_last"),
+            F.struct(F.greatest(F.col("__me"), F.col(ls)).alias("s"), F.col(le).alias("e")),
+        ).when(
+            F.col("__ms").isNull(),
+            F.struct(F.col(ls).alias("s"), F.col(le).alias("e")),
+        ),
+    )
+    expl = (
+        jw.withColumn("__frag", F.explode(frags))
+        .filter(F.col("__frag").isNotNull() & (F.col("__frag.s") < F.col("__frag.e")))
+    )
+    return expl.select(
         *[
-            F.col(x).cast(T.LongType()).alias(x) if x in (ls, le) else F.col(x)
+            F.col("__frag.s").cast(T.LongType()).alias(x)
+            if x == ls
+            else F.col("__frag.e").cast(T.LongType()).alias(x)
+            if x == le
+            else F.col(x)
             for x in left.columns
         ]
     )

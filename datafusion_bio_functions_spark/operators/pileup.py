@@ -150,31 +150,65 @@ def depth(
     )
     start_1b = f"{s} + 1" if zero_based else s
 
+    def _seg_events(segsrc: DataFrame) -> DataFrame:
+        # explode_outer, not explode: for a plain explode Catalyst infers a
+        # ``size(__segs) > 0 AND __segs IS NOT NULL`` filter below the
+        # Generate and predicate pushdown substitutes the alias into it —
+        # the whole CIGAR-walk expression then runs three times per
+        # alignment (twice in the filter, once in the projection).  The
+        # outer form skips that rule; the cheap null-check on the exploded
+        # struct drops segment-free reads.
+        seg = segsrc.select(
+            F.col(c).alias("contig"), F.explode_outer("__segs").alias("__seg")
+        ).filter(F.col("__seg").isNotNull())
+        return seg.select(
+            "contig",
+            F.explode(
+                F.array(
+                    F.struct(F.col("__seg.s").alias("pos"), F.lit(1).alias("delta")),
+                    F.struct((F.col("__seg.e") + 1).alias("pos"), F.lit(-1).alias("delta")),
+                )
+            ).alias("ev"),
+        ).select("contig", F.col("ev.pos").alias("pos"), F.col("ev.delta").alias("delta"))
+
     cigar_type = dict(df.dtypes).get(cg, "string")
     if cigar_type == "binary":
         one_based = (F.col(s) + 1) if zero_based else F.col(s)
-        df = df.withColumn("__segs", _binary_cigar_segments_udf()(one_based.cast("long"), F.col(cg)))
-    else:
-        df = df.withColumn("__segs", F.expr(_cigar_segments_sql(start_1b, cg)))
-
-    # explode_outer, not explode: for a plain explode Catalyst infers a
-    # ``size(__segs) > 0 AND __segs IS NOT NULL`` filter below the Generate
-    # and predicate pushdown substitutes the alias into it — the whole
-    # CIGAR-walk expression then runs three times per alignment (twice in
-    # the filter, once in the projection).  The outer form skips that rule;
-    # the cheap null-check on the exploded struct drops segment-free reads.
-    seg = df.select(F.col(c).alias("contig"), F.explode_outer("__segs").alias("__seg")).filter(
-        F.col("__seg").isNotNull()
-    )
-    events = seg.select(
-        "contig",
-        F.explode(
-            F.array(
-                F.struct(F.col("__seg.s").alias("pos"), F.lit(1).alias("delta")),
-                F.struct((F.col("__seg.e") + 1).alias("pos"), F.lit(-1).alias("delta")),
+        events = _seg_events(
+            df.withColumn(
+                "__segs",
+                _binary_cigar_segments_udf()(one_based.cast("long"), F.col(cg)),
             )
-        ).alias("ev"),
-    ).select("contig", F.col("ev.pos").alias("pos"), F.col("ev.delta").alias("delta"))
+        )
+    else:
+        # split fast path: a single-run '<n>M' CIGAR (the overwhelming
+        # majority of short-read alignments) needs no walk — its two
+        # breakpoint events are plain codegen expressions in ONE Generate
+        # (no segs array, no null filter, no second explode).  The general
+        # aggregate() walk is a CodegenFallback (interpreted per row, sf1:
+        # 0.98 s vs 0.34 s); a CASE mixing the two would de-codegen the
+        # whole expression, so the frame is split and the branches reunite
+        # at the event level.
+        one_based = ((F.col(s) + 1) if zero_based else F.col(s)).cast("long")
+        simple = F.col(cg).rlike("^[0-9]+M$")
+        n_m = F.regexp_extract(F.col(cg), "^([0-9]+)M$", 1).cast("long")
+        fast_events = (
+            df.filter(simple)
+            .select(
+                F.col(c).alias("contig"),
+                F.explode(
+                    F.array(
+                        F.struct(one_based.alias("pos"), F.lit(1).alias("delta")),
+                        F.struct((one_based + n_m).alias("pos"), F.lit(-1).alias("delta")),
+                    )
+                ).alias("ev"),
+            )
+            .select("contig", F.col("ev.pos").alias("pos"), F.col("ev.delta").alias("delta"))
+        )
+        slow_events = _seg_events(
+            df.filter(~simple).withColumn("__segs", F.expr(_cigar_segments_sql(start_1b, cg)))
+        )
+        events = fast_events.unionByName(slow_events)
 
     # partial aggregation is map-side combined by Catalyst; the running sum
     # then sees one row per breakpoint per contig

@@ -224,6 +224,69 @@ def _list_bam_files(path: str) -> list[str]:
     return found
 
 
+# ---------------------------------------------------------------------------
+# filesystem seam: the split reader's IO goes through (lister, opener) pairs
+# so object stores plug in without touching the codec.  Openers/listers are
+# captured in the task closure (cloudpickle), so registered callables work
+# on executors too.
+# ---------------------------------------------------------------------------
+
+#: scheme -> (lister(path) -> list[str], opener(path) -> seekable binary file)
+BAM_FILESYSTEMS: dict[str, tuple] = {}
+
+
+def register_bam_filesystem(scheme: str, lister, opener) -> None:
+    """Register a filesystem for ``scheme://`` BAM paths (e.g. a mocked
+    remote store in tests, or a thin s3 client).  ``lister(path)`` expands
+    globs/directories to concrete paths; ``opener(path)`` returns a
+    seekable binary file object."""
+    BAM_FILESYSTEMS[scheme] = (lister, opener)
+
+
+def _local_opener(path: str):
+    return open(path, "rb")
+
+
+def _resolve_fs(path: str):
+    """(lister, opener) for ``path``: local POSIX by default; registered
+    schemes first; any other ``scheme://`` falls back to fsspec when
+    available (s3/gs/az/http), with a clear error otherwise."""
+    if "://" not in path:
+        return _list_bam_files, _local_opener
+    scheme = path.split("://", 1)[0]
+    if scheme == "file":
+        strip = lambda p: p.split("://", 1)[1]  # noqa: E731
+        return (
+            lambda p: _list_bam_files(strip(p)),
+            lambda p: _local_opener(strip(p)),
+        )
+    if scheme in BAM_FILESYSTEMS:
+        return BAM_FILESYSTEMS[scheme]
+    try:
+        import fsspec  # noqa: PLC0415
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            f"reading {scheme}:// BAM paths needs either a registered "
+            f"filesystem (register_bam_filesystem) or the fsspec package"
+        ) from exc
+
+    def _fsspec_list(p: str) -> list[str]:
+        fs, _ = fsspec.core.url_to_fs(p)
+        hits = fs.glob(p) if any(ch in p for ch in "*?[") else (
+            [f"{x}" for x in fs.ls(p)] if fs.isdir(p) else [p]
+        )
+        out = []
+        for h in hits:
+            h = str(h)
+            out.append(h if "://" in h else f"{scheme}://{h}")
+        return sorted(x for x in out if x.endswith(".bam")) or sorted(out)
+
+    def _fsspec_open(p: str):
+        return fsspec.open(p, "rb").open()
+
+    return _fsspec_list, _fsspec_open
+
+
 def read_bam(
     spark: SparkSession,
     path: str,
@@ -240,11 +303,15 @@ def read_bam(
     ``depth``.
 
     ``split_size`` (bytes of compressed input per task) switches to the
-    intra-file splitting reader: the driver scans each file's BGZF block
-    table (headers only), groups blocks into byte-range splits, and each
-    executor task decompresses only its range — a single 200 GB BAM then
-    decodes on every core instead of one task.  Local/POSIX paths here; a
-    cluster deployment plugs its filesystem client into the same seam.
+    intra-file splitting reader: the driver plans FIXED byte ranges (its
+    only reads are the header blocks — O(header) per file, never O(file)),
+    and each executor task discovers the BGZF blocks inside its own range
+    (validated header-chain scan over a bounded 128 KiB window) and
+    decompresses only those — a single 200 GB BAM then decodes on every
+    core instead of one task.  IO goes through the filesystem seam:
+    local/POSIX and ``file://`` built in, ``register_bam_filesystem`` for
+    custom schemes, any other ``scheme://`` via fsspec when installed
+    (s3/gs/az).
     """
     if cigar_type not in ("string", "binary"):
         raise ValueError(f"cigar_type must be 'string' or 'binary', got {cigar_type!r}")
@@ -269,6 +336,91 @@ def read_bam(
     return files.mapInPandas(decode, schema)
 
 
+def _bc_block_size(buf: bytes, o: int) -> int | None:
+    """BGZF member size from the BC extra subfield of the header at ``o``
+    (None when the bytes at ``o`` are not a parseable BGZF header)."""
+    if o + 12 > len(buf):
+        return None
+    if buf[o] != 0x1F or buf[o + 1] != 0x8B or buf[o + 2] != 8 or not (buf[o + 3] & 4):
+        return None
+    (xlen,) = struct.unpack_from("<H", buf, o + 10)
+    if o + 12 + xlen > len(buf):
+        return None
+    p = o + 12
+    end = o + 12 + xlen
+    while p + 4 <= end:
+        si1, si2, slen = buf[p], buf[p + 1], struct.unpack_from("<H", buf, p + 2)[0]
+        if si1 == 66 and si2 == 67 and slen == 2:
+            return struct.unpack_from("<H", buf, p + 4)[0] + 1
+        p += 4 + slen
+    return None
+
+
+def _parse_leading_header(f) -> tuple[list[tuple[str, int]], int, int]:
+    """Parse a BAM header reading ONLY the leading blocks it spans; returns
+    (refs, header_end_uncompressed, file_len).  Driver-side work is O(header),
+    never O(file) — a 200 GB BAM plans as fast as a 2 MB one."""
+    f.seek(0, 2)
+    file_len = f.tell()
+    buf = b""
+    off = 0
+    while off < file_len:
+        f.seek(off)
+        hdr = f.read(18)
+        bsize = _bc_block_size(hdr, 0)
+        if bsize is None:
+            # extra subfields longer than the probe: re-read with the
+            # declared xlen
+            if len(hdr) >= 12 and hdr[:2] == b"\x1f\x8b":
+                (xlen,) = struct.unpack_from("<H", hdr, 10)
+                f.seek(off)
+                bsize = _bc_block_size(f.read(12 + xlen), 0)
+            if bsize is None:
+                raise ValueError(f"not a BGZF stream at offset {off}")
+        buf += _decompress_block(f, off, bsize)
+        off += bsize
+        try:
+            refs, hdr_end = _parse_header(buf)
+            return refs, hdr_end, file_len
+        except (struct.error, IndexError):
+            continue
+    raise ValueError("could not parse BAM header")
+
+
+def _find_block_start(f, lo: int, hi: int, file_len: int) -> int | None:
+    """First BGZF block starting in ``[lo, hi)``: scan the (bounded) window
+    for a header whose BC size chains to another valid header (or EOF) —
+    Hadoop-BAM-style validated guessing, executed in the TASK over its own
+    byte neighborhood (the round-3 driver-side whole-file scan is gone)."""
+    if lo == 0:
+        return 0
+    # BGZF members are contiguous and <= 64 KiB compressed, so the first
+    # block starting at or after lo begins within 64 KiB of lo — the scan
+    # window is bounded regardless of split size (one ranged read on
+    # object stores)
+    win_len = min(min(hi, file_len) - lo, 2 * 65536)
+    if win_len <= 0:
+        return None
+    f.seek(lo)
+    win = f.read(win_len)
+    for o in range(len(win)):
+        bsize = _bc_block_size(win, o)
+        if bsize is None:
+            continue
+        nxt = lo + o + bsize
+        if nxt == file_len:
+            return lo + o
+        if nxt > file_len:
+            continue
+        nh = win[o + bsize : o + bsize + 64]
+        if len(nh) < 18:
+            f.seek(nxt)
+            nh = f.read(64)
+        if _bc_block_size(nh, 0) is not None:
+            return lo + o
+    return None
+
+
 def _read_bam_split(
     spark: SparkSession,
     path: str,
@@ -283,53 +435,37 @@ def _read_bam_split(
         raise ValueError("split_size must be >= 1")
     import pandas as pd
 
-    # ── driver: plan block-aligned splits + parse headers (tiny reads) ──
-    splits: list[tuple[int, str, int, int, int, bool]] = []
+    lister, opener = _resolve_fs(path)
+    # ── driver: fixed byte-range splits + header parse (O(header) reads;
+    # block discovery happens task-side inside each range) ──
+    splits: list[tuple[str, int, int, int, bool]] = []
     refs_by_file: dict[str, list[tuple[str, int]]] = {}
     header_len_by_file: dict[str, int] = {}
-    for fpath in _list_bam_files(path):
-        with open(fpath, "rb") as f:
-            blocks = _scan_bgzf_blocks(f)
-            # decompress leading blocks until the header parses
-            buf = b""
-            for off, size, _ in blocks:
-                buf += _decompress_block(f, off, size)
-                try:
-                    refs, hdr_end = _parse_header(buf)
-                    break
-                except (struct.error, IndexError):
-                    continue
-            else:
-                raise ValueError(f"{fpath}: could not parse BAM header")
+    for fpath in lister(path):
+        with opener(fpath) as f:
+            refs, hdr_end, file_len = _parse_leading_header(f)
         refs_by_file[fpath] = refs
         header_len_by_file[fpath] = hdr_end
-        group: list[tuple[int, int, int]] = []
-        acc = 0
-        first = True
-        for b in blocks:
-            group.append(b)
-            acc += b[1]
-            if acc >= split_size:
-                splits.append(_mk_split(fpath, group, first))
-                group, acc, first = [], 0, False
-        if group:
-            splits.append(_mk_split(fpath, group, first))
+        lo = 0
+        while lo < file_len:
+            splits.append((fpath, lo, min(lo + split_size, file_len), file_len, lo == 0))
+            lo += split_size
     sc = spark.sparkContext
     brefs = sc.broadcast(refs_by_file)
     bhdr = sc.broadcast(header_len_by_file)
 
     split_df = spark.createDataFrame(
-        [(i, *s[1:]) for i, s in enumerate(splits)],
-        "sid long, path string, comp_start long, comp_len long, owned_len long, first boolean",
+        [(i, *s) for i, s in enumerate(splits)],
+        "sid long, path string, lo long, hi long, file_len long, first boolean",
     ).repartition(max(len(splits), 1), "sid")
 
     def decode(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             for _, row in pdf.iterrows():
                 rows = list(
-                    _iter_split_records(
-                        row["path"], int(row["comp_start"]), int(row["comp_len"]),
-                        int(row["owned_len"]), bool(row["first"]),
+                    _iter_range_records(
+                        opener, row["path"], int(row["lo"]), int(row["hi"]),
+                        int(row["file_len"]), bool(row["first"]),
                         brefs.value[row["path"]], bhdr.value[row["path"]],
                         binary, include_unmapped,
                     )
@@ -339,52 +475,65 @@ def _read_bam_split(
     return split_df.mapInPandas(decode, schema)
 
 
-def _mk_split(fpath: str, group: list[tuple[int, int, int]], first: bool):
-    comp_start = group[0][0]
-    comp_len = sum(g[1] for g in group)
-    owned_len = sum(g[2] for g in group)
-    return (0, fpath, comp_start, comp_len, owned_len, first)
-
-
-def _iter_split_records(
+def _iter_range_records(
+    opener,
     fpath: str,
-    comp_start: int,
-    comp_len: int,
-    owned_len: int,
+    lo: int,
+    hi: int,
+    file_len: int,
     first: bool,
     refs: list[tuple[str, int]],
     header_len: int,
     binary_cigar: bool,
     include_unmapped: bool,
 ) -> Iterator[tuple]:
-    """Decode the records owned by one split: those whose first byte lies in
-    the split's blocks.  A trailing record spanning past the split drains by
-    pulling further blocks from the file."""
+    """Decode the records owned by one byte-range split: blocks starting in
+    [lo, hi), records starting in those blocks' bytes.  A trailing record
+    spanning past the range drains by pulling further blocks."""
     import gzip as _gzip
 
-    with open(fpath, "rb") as f:
-        f.seek(comp_start)
-        buf = bytearray(_gzip.decompress(f.read(comp_len)))
-        tail_off = comp_start + comp_len
-        f.seek(0, 2)
-        file_len = f.tell()
+    with opener(fpath) as f:
+        start = _find_block_start(f, lo, hi, file_len)
+        if start is None:
+            return  # no block begins in this range
+        # task-side block walk: ONE ranged read, then hop headers in memory
+        # (the last owned block may extend past hi — extend the buffer)
+        f.seek(start)
+        comp = bytearray(f.read(max(0, min(hi, file_len) - start)))
+        o = 0
+        while start + o < min(hi, file_len):
+            bsize = _bc_block_size(comp, o)
+            if bsize is None:
+                # header truncated at the buffer's end — extend from file
+                f.seek(start + len(comp))
+                more = f.read(65536)
+                if more:
+                    comp += more
+                    bsize = _bc_block_size(comp, o)
+            if bsize is None:
+                raise ValueError(f"{fpath}: not a BGZF block at offset {start + o}")
+            if o + bsize > len(comp):
+                f.seek(start + len(comp))
+                comp += f.read(o + bsize - len(comp))
+            o += bsize
+        comp_end = start + o
+        buf = bytearray(_gzip.decompress(bytes(comp[:o])))
+        owned_len = len(buf)
+        tail_off = comp_end
 
         def pull_more() -> bool:
             nonlocal tail_off
             if tail_off >= file_len:
                 return False
             f.seek(tail_off)
-            hdr = f.read(12)
-            (xlen,) = struct.unpack_from("<H", hdr, 10)
-            extra = f.read(xlen)
-            p = 0
-            bsize = None
-            while p + 4 <= len(extra):
-                si1, si2, slen = extra[p], extra[p + 1], struct.unpack_from("<H", extra, p + 2)[0]
-                if si1 == 66 and si2 == 67 and slen == 2:
-                    bsize = struct.unpack_from("<H", extra, p + 4)[0] + 1
-                    break
-                p += 4 + slen
+            hdr = f.read(18)
+            bsize = _bc_block_size(hdr, 0)
+            if bsize is None:
+                (xlen,) = struct.unpack_from("<H", hdr, 10)
+                f.seek(tail_off)
+                bsize = _bc_block_size(f.read(12 + xlen), 0)
+            if bsize is None:
+                return False
             f.seek(tail_off)
             buf.extend(_gzip.decompress(f.read(bsize)))
             tail_off += bsize

@@ -48,12 +48,20 @@ def test_column_pruning_reaches_scan(pq):
         assert "payload" not in chunk.split("\n")[0]
 
 
-def test_merge_has_no_join_or_cartesian(pq):
+def test_merge_has_no_cartesian_or_smj(pq):
     l, _ = pq
+    # default is now the chunked two-phase sweep: its only join is the
+    # BROADCAST join against the #buckets summary — never a sort-merge of
+    # data-scale rows, never a cartesian
     plan = _plan(bio.merge(l))
-    assert "Join" not in plan and "CartesianProduct" not in plan
-    # islands = running max + sum windows partitioned by contig
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # islands = running max + sum windows (per contig-bucket in phase 1)
     assert "Window" in plan
+    # the opt-in window path stays join-free
+    wplan = _plan(bio.merge(l, algorithm="window"))
+    assert "Join" not in wplan and "Window" in wplan
 
 
 def test_count_overlaps_no_nested_loop(pq):
