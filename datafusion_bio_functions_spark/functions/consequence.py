@@ -130,7 +130,21 @@ AA3 = {
     "E": "Glu", "G": "Gly", "H": "His", "I": "Ile", "L": "Leu", "K": "Lys",
     "M": "Met", "F": "Phe", "P": "Pro", "S": "Ser", "T": "Thr", "W": "Trp",
     "Y": "Tyr", "V": "Val", "*": "Ter",
+    # extended letters (reference hgvs.rs aa_one_to_three): selenocysteine,
+    # pyrrolysine; everything unknown renders Xaa
+    "U": "Sec", "O": "Pyl", "X": "Xaa",
 }
+
+
+def versioned_id(base_id: str, version: int | None) -> str:
+    """Append ``.version`` only when the stable ID is not already versioned
+    (reference ``hgvs.rs`` ``versioned_id`` / Ensembl VEP OutputFactory
+    rule): ``ENST...`` + 6 -> ``ENST....6``; ``NM_001206729.2`` stays."""
+    import re as _re
+
+    if _re.search(r"\.\d+$", base_id):
+        return base_id
+    return f"{base_id}.{version}" if version is not None else base_id
 
 
 def revcomp(seq: str) -> str:
