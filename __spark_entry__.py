@@ -1220,7 +1220,8 @@ def oracle_sql() -> dict[str, str]:
 WITH v AS ({VCF_SQL}), r AS ({REGULATORY_SQL})
 SELECT v.chrom, v.start, v."end", v.ref, v.alt, r.feature_id,
        CASE WHEN r.feature_type = 'TF_binding_site' THEN 'TF_binding_site_variant'
-            ELSE 'regulatory_region_variant' END AS feature_term
+            ELSE 'regulatory_region_variant' END AS feature_term,
+       r.feature_type AS feature_biotype
 FROM v JOIN r ON v.chrom = r.chrom AND v.start <= r."end" AND v."end" >= r.start"""
     o["structural_terms"] = f"""
 WITH v AS ({VCF_SQL}), s0 AS ({STRUCTURAL_SQL}),

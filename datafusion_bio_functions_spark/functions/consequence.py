@@ -188,6 +188,10 @@ class Transcript:
     cds_end: int | None = None
     cds_sequence: str | None = None
     is_canonical: bool = False
+    #: incomplete-CDS flags (Ensembl cds_start_NF / cds_end_NF): drive the
+    #: FLAGS column and the "?-N" unknown-start coordinate format
+    cds_start_nf: bool = False
+    cds_end_nf: bool = False
     mature_mirna_regions: list[tuple[int, int]] = field(default_factory=list)
     cds_start_nf: bool = False  # annotated "CDS 5' incomplete"
     #: memoized geometry — a Transcript is reused across many variants in
@@ -1093,6 +1097,34 @@ def _genomic_to_cdna_offset(t: Transcript, pos: int) -> int | None:
     return hit if t.strand >= 0 else total - 1 - hit
 
 
+def format_coords(start: int | None, end: int | None) -> str | None:
+    """Ensembl VEP ``format_coords`` port (reference format_coords_ensembl,
+    transcript_consequence.rs:7850-7860): equal bounds collapse to one
+    number, swapped bounds reorder, an unknown bound renders ``?``."""
+    if start is None and end is None:
+        return None
+    if start is None:
+        return f"?-{end}"
+    if end is None:
+        return f"{start}-?"
+    if start == end:
+        return str(start)
+    lo, hi = (start, end) if start <= end else (end, start)
+    return f"{lo}-{hi}"
+
+
+def compute_flags(t: Transcript) -> str | None:
+    """FLAGS column from the incomplete-CDS booleans (reference
+    compute_flags, transcript_consequence.rs:7825-7835)."""
+    if t.cds_start_nf and t.cds_end_nf:
+        return "cds_start_NF&cds_end_NF"
+    if t.cds_start_nf:
+        return "cds_start_NF"
+    if t.cds_end_nf:
+        return "cds_end_NF"
+    return None
+
+
 def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
     """Typed per-(variant, transcript) annotation columns.  Keys:
     ``exon intron cdna_position cds_position protein_position amino_acids
@@ -1106,7 +1138,22 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
         "exon": None, "intron": None, "cdna_position": None,
         "cds_position": None, "protein_position": None,
         "amino_acids": None, "codons": None, "distance": None,
+        "cds_position_str": None, "protein_position_str": None,
     }
+
+    def _set_span_strs(s1: int | None, e1: int | None) -> None:
+        """Ensembl display strings for the CDS/protein spans: equal bounds
+        collapse, an unmappable bound renders '?', and under cds_start_nf
+        with N-phase padding a start inside the pad becomes unknown
+        (reference use_unknown_start_format,
+        transcript_consequence.rs:964-985)."""
+        n_pad = _leading_n(t.cds_sequence) if t.cds_sequence else 0
+        if t.cds_start_nf and n_pad > 0 and s1 is not None and s1 <= n_pad:
+            s1 = None
+        p1 = None if s1 is None else (s1 - 1) // 3 + 1
+        p2 = None if e1 is None else (e1 - 1) // 3 + 1
+        out["cds_position_str"] = format_coords(s1, e1)
+        out["protein_position_str"] = format_coords(p1, p2)
     vs, ve, _r, _a, is_ins = normalize_variant(pos, ref, alt)
     in_tx = (t.start < vs <= t.end) if is_ins else _overlaps(vs, ve, t.start, t.end)
     if not in_tx:  # up/downstream: DISTANCE column
@@ -1118,7 +1165,16 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
     if cdna is not None:
         out["cdna_position"] = cdna + 1
     off = _cds_first_offset(t, pos, len(ref))
+    # transcript-orientation LAST affected base (for span displays); only
+    # meaningful for non-insertions
+    g_last = (hi if t.strand >= 0 else lo) if ref else None
+    last_off = _genomic_to_cds_offset(t, g_last) if g_last is not None else None
     if off is None:
+        # boundary-spanning deletion: start unmappable (intron/UTR-side)
+        # but the end reaches the CDS → "?-N" spans (reference
+        # complex_indel_spanning_intron_into_cds_keeps_partial_unknown_bounds)
+        if last_off is not None:
+            _set_span_strs(None, last_off + 1)
         return out
     out["cds_position"] = off + 1
     out["protein_position"] = off // 3 + 1
@@ -1131,7 +1187,11 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
             out["amino_acids"] = cls["amino_acids"]
             out["cds_position"] = cls["cds_position_start"]
             out["protein_position"] = cls["protein_position_start"]
+            _set_span_strs(cls["cds_position_start"], cls["cds_position_end"])
+        elif ref:
+            _set_span_strs(off + 1, None if last_off is None else last_off + 1)
         return out
+    _set_span_strs(off + 1, None if last_off is None else last_off + 1)
     if t.cds_sequence is None:
         return out
     cds = t.cds_sequence.upper()

@@ -1242,7 +1242,11 @@ def regulatory_features(
     ``regulatory_duplicate_stable_ids_emit_single_entry``).
 
     Both context tables broadcast (they are genome-annotation sized, not
-    data-sized).  Output: vcf cols + ``feature_id`` + ``feature_term``; one
+    data-sized).  Output: vcf cols + ``feature_id`` + ``feature_term`` +
+    ``feature_biotype`` (the reference's ``biotype_override`` — the
+    regulatory feature_type verbatim: promoter, enhancer, TF_binding_site,
+    open_chromatin_region, …; NULL for untyped features and motif rows —
+    ``transcript_consequence.rs`` test_regulatory_feature_biotype_*); one
     row per (variant, overlapped feature, term).
     """
     _check_contract(vcf, VCF_REQUIRED, "vcf")
@@ -1266,6 +1270,12 @@ def regulatory_features(
             F.col("feature_id").alias("feature_id"),
             (F.col("feature_type") if has_type else F.lit("regulatory_region")).alias("__ft"),
         ).dropDuplicates(["feature_id"])
+        # biotype_override: the feature_type verbatim when the cache is
+        # typed, NULL otherwise (reference regulatory_with_type vs
+        # regulatory test constructors)
+        biotype = (
+            F.col("__ft") if has_type else F.lit(None).cast("string")
+        ).alias("feature_biotype")
         hits = vcf.join(
             F.broadcast(reg),
             (F.col("chrom") == F.col("__fc")) & (pos <= F.col("__fe")) & (vend >= F.col("__fs")),
@@ -1277,6 +1287,7 @@ def regulatory_features(
                 F.when(F.col("__ft") == "TF_binding_site", "TF_binding_site_variant")
                 .otherwise("regulatory_region_variant")
                 .alias("feature_term"),
+                biotype,
             )
         )
         parts.append(
@@ -1286,6 +1297,7 @@ def regulatory_features(
                 *vcf.columns,
                 "feature_id",
                 F.lit("regulatory_region_ablation").alias("feature_term"),
+                biotype,
             )
         )
     if motifs is not None:
@@ -1300,7 +1312,12 @@ def regulatory_features(
             vcf.join(
                 F.broadcast(mot),
                 (F.col("chrom") == F.col("__fc")) & (pos <= F.col("__fe")) & (vend >= F.col("__fs")),
-            ).select(*vcf.columns, "feature_id", F.lit("TF_binding_site_variant").alias("feature_term"))
+            ).select(
+                *vcf.columns,
+                "feature_id",
+                F.lit("TF_binding_site_variant").alias("feature_term"),
+                F.lit(None).cast("string").alias("feature_biotype"),
+            )
         )
     out = parts[0]
     for p in parts[1:]:

@@ -551,3 +551,231 @@ def test_hgvsc_non_coding_numbering():
         biotype="lincRNA", exons=[(100, 129), (170, 219)],
     )
     assert cq.hgvs_c(nc2, 150, "A", "T") == "N2:n.31-20A>T"
+
+
+# ---------------------------------------------------------------------------
+# round 4: further reference test-module mining (VERDICT r3 #3)
+# ---------------------------------------------------------------------------
+
+
+def test_aa_one_to_three_reference_cases():
+    """hgvs.rs test_aa_one_to_three + the extended letters the reference's
+    table carries: selenocysteine (U->Sec), pyrrolysine (O->Pyl), and the
+    unknown-residue fallthrough (X and anything else -> Xaa)."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    assert cq._aa3("A") == "Ala"
+    assert cq._aa3("R") == "Arg"
+    assert cq._aa3("*") == "Ter"
+    assert cq._aa3("X") == "Xaa"
+    assert cq._aa3("U") == "Sec"
+    assert cq._aa3("O") == "Pyl"
+    assert cq._aa3("?") == "Xaa"
+
+
+def test_versioned_id_reference_cases():
+    """hgvs.rs test_versioned_id: append .version only when the stable id
+    is not already versioned (Ensembl VEP OutputFactory rule)."""
+    from datafusion_bio_functions_spark.functions.consequence import versioned_id
+
+    assert versioned_id("ENST00000379410", 6) == "ENST00000379410.6"
+    assert versioned_id("ENST00000379410", None) == "ENST00000379410"
+    assert versioned_id("NM_001206729.2", 1) == "NM_001206729.2"
+    assert versioned_id("NP_001193658.1", 1) == "NP_001193658.1"
+
+
+#: reference so_terms.rs ALL_SO_TERMS (so_terms.rs:58-100), rank order —
+#: the registry contract the CSQ assembly and most_severe ride on
+_REFERENCE_SO_TERMS = [
+    "transcript_ablation", "splice_acceptor_variant", "splice_donor_variant",
+    "stop_gained", "frameshift_variant", "stop_lost", "start_lost",
+    "transcript_amplification", "feature_elongation", "feature_truncation",
+    "inframe_insertion", "inframe_deletion", "missense_variant",
+    "protein_altering_variant", "splice_donor_5th_base_variant",
+    "splice_region_variant", "splice_donor_region_variant",
+    "splice_polypyrimidine_tract_variant", "incomplete_terminal_codon_variant",
+    "start_retained_variant", "stop_retained_variant", "synonymous_variant",
+    "coding_sequence_variant", "mature_miRNA_variant", "5_prime_UTR_variant",
+    "3_prime_UTR_variant", "non_coding_transcript_exon_variant",
+    "intron_variant", "NMD_transcript_variant", "non_coding_transcript_variant",
+    "coding_transcript_variant", "upstream_gene_variant",
+    "downstream_gene_variant", "TFBS_ablation", "TFBS_amplification",
+    "TF_binding_site_variant", "regulatory_region_ablation",
+    "regulatory_region_amplification", "regulatory_region_variant",
+    "intergenic_variant", "sequence_variant",
+]
+
+
+def test_so_registry_matches_reference_41_terms_in_rank_order():
+    """so_terms.rs all_terms_count_is_41 + all_terms_roundtrip: the registry
+    holds exactly the reference's 41 terms IN rank order, every term
+    round-trips through the rank map, and ranks are 1..41 dense."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    ours = [t for t, _ in cq.SO_TERMS_BY_RANK]
+    assert len(ours) == 41
+    assert ours == _REFERENCE_SO_TERMS
+    for i, t in enumerate(ours):
+        assert cq.SO_RANK[t] == i + 1
+        assert t in cq.SO_IMPACT
+
+
+def test_most_severe_and_rank_sort_reference_cases():
+    """so_terms.rs rank_order_selects_stop_gained_over_synonymous +
+    unique_sorted_orders_by_rank."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    assert cq.most_severe(["synonymous_variant", "stop_gained"]) == "stop_gained"
+    terms = ["synonymous_variant", "stop_gained", "synonymous_variant"]
+    uniq = sorted(set(terms), key=lambda t: cq.SO_RANK[t])
+    assert uniq == ["stop_gained", "synonymous_variant"]
+
+
+def test_hgvs_cdna_intronic_offset_plus_and_minus_strand():
+    """hgvs.rs test_hgvs_cdna_position_intronic_plus_strand /
+    _minus_strand: two exons [90,99],[110,119], genomic 104 (intron middle,
+    nearer the first exon's 3' end) numbers 10+5 on plus and 11-5 on minus
+    (the anchor flips with transcription direction); alleles
+    reverse-complement on minus."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    t = cq.Transcript(
+        transcript_id="T", chrom="1", start=90, end=119, strand=1,
+        exons=[(90, 99), (110, 119)], cds_start=90, cds_end=119,
+    )
+    tm = cq.Transcript(
+        transcript_id="M", chrom="1", start=90, end=119, strand=-1,
+        exons=[(90, 99), (110, 119)], cds_start=90, cds_end=119,
+    )
+    assert cq.hgvs_c(t, 104, "G", "A") == "T:c.10+5G>A"
+    assert cq.hgvs_c(tm, 104, "G", "A") == "M:c.11-5C>T"
+
+
+def test_hgvsp_stop_lost_adjacent_stop_gives_ext1():
+    """hgvs.rs test_format_hgvsp_stop_lost_with_adjacent_stop_gives_ext_1:
+    when the codon immediately after the lost stop is itself a stop, the
+    extension length is 1 (ref 'MA*' -> alt 'MAQ*')."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    t = cq.Transcript(
+        transcript_id="T3", chrom="1", start=101, end=115, strand=1,
+        exons=[(101, 115)], cds_start=101, cds_end=112,
+        cds_sequence="ATGGCTGCATAATAA",  # M A A * | * (adjacent stop)
+    )
+    assert cq.hgvs_p(t, 110, "T", "C") == "T3:p.Ter4GlnextTer1"
+
+
+def test_regulatory_feature_biotype_reference_cases(spark):
+    """transcript_consequence.rs test_regulatory_feature_biotype_* (6
+    tests): each regulatory feature carries its feature_type verbatim as
+    the BIOTYPE override — promoter, enhancer, TF_binding_site,
+    open_chromatin_region — None for untyped caches; multiple features
+    each get their own row."""
+    from datafusion_bio_functions_spark.operators.vep import regulatory_features
+
+    vcf = spark.createDataFrame(
+        [("22", 150, 150, "A", "G")], "chrom string, start long, end long, ref string, alt string"
+    )
+    reg = spark.createDataFrame(
+        [("22", 100, 200, "ENSR001", "promoter"),
+         ("22", 100, 200, "ENSR002", "enhancer"),
+         ("22", 100, 200, "ENSR004", "TF_binding_site"),
+         ("22", 100, 200, "ENSR005", "open_chromatin_region")],
+        "chrom string, start long, end long, feature_id string, feature_type string",
+    )
+    rows = {r.feature_id: r for r in regulatory_features(vcf, reg).collect()}
+    assert len(rows) == 4  # each feature gets its own entry
+    assert rows["ENSR001"].feature_biotype == "promoter"
+    assert rows["ENSR002"].feature_biotype == "enhancer"
+    assert rows["ENSR004"].feature_biotype == "TF_binding_site"
+    assert rows["ENSR004"].feature_term == "TF_binding_site_variant"
+    assert rows["ENSR005"].feature_biotype == "open_chromatin_region"
+    # untyped cache -> None (test_regulatory_feature_biotype_none)
+    reg_untyped = spark.createDataFrame(
+        [("22", 100, 200, "ENSR003")],
+        "chrom string, start long, end long, feature_id string",
+    )
+    out = regulatory_features(vcf, reg_untyped).collect()
+    assert len(out) == 1 and out[0].feature_biotype is None
+
+
+def test_format_codon_display_reference_cases():
+    """transcript_consequence.rs format_codon_display_snv: affected bases
+    uppercase within lowercase codons, at first/middle/last codon
+    positions (via the public annotation_details surface)."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    t = cq.Transcript(
+        transcript_id="T", chrom="1", start=101, end=112, strand=1,
+        exons=[(101, 112)], cds_start=101, cds_end=112,
+        cds_sequence="ATGGCTGCATAA",
+    )
+    # codon 2 = GCT: middle base -> gCt/gGt
+    assert cq.annotation_details(t, 105, "C", "G")["codons"] == "gCt/gGt"
+    # first base -> Gct/Act
+    assert cq.annotation_details(t, 104, "G", "A")["codons"] == "Gct/Act"
+    # last base -> gcT/gcA
+    assert cq.annotation_details(t, 106, "T", "A")["codons"] == "gcT/gcA"
+
+
+def test_compute_flags_reference_cases():
+    """transcript_consequence.rs compute_flags_* tests: FLAGS from the
+    incomplete-CDS booleans, '&'-joined in cds_start_NF-first order."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    base = dict(transcript_id="t1", chrom="22", start=100, end=200, strand=1,
+                cds_start=110, cds_end=190)
+    assert cq.compute_flags(cq.Transcript(**base)) is None
+    assert cq.compute_flags(cq.Transcript(**base, cds_start_nf=True)) == "cds_start_NF"
+    assert cq.compute_flags(cq.Transcript(**base, cds_end_nf=True)) == "cds_end_NF"
+    assert (cq.compute_flags(cq.Transcript(**base, cds_start_nf=True, cds_end_nf=True))
+            == "cds_start_NF&cds_end_NF")
+
+
+def test_format_coords_reference_cases():
+    """transcript_consequence.rs format_coords_ensembl_supports_unknown_
+    bounds + the collapse/reorder rules of VEP's format_coords."""
+    from datafusion_bio_functions_spark.functions.consequence import format_coords
+
+    assert format_coords(None, 3) == "?-3"
+    assert format_coords(100, None) == "100-?"
+    assert format_coords(5, 5) == "5"
+    assert format_coords(9, 4) == "4-9"
+    assert format_coords(None, None) is None
+
+
+def test_cds_position_question_mark_reference_cases():
+    """transcript_consequence.rs cds_start_nf tests: the '?-N' unknown-start
+    format applies ONLY when cds_start_nf is set AND the CDS carries N
+    phase padding AND the variant falls inside the padded region; plain
+    numbers otherwise — and a deletion spanning from an intron into the
+    CDS keeps partial unknown bounds (?-53 / ?-18)."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    padded = cq.Transcript(
+        transcript_id="T1", chrom="22", start=1000, end=1010, strand=1,
+        exons=[(1000, 1010)], cds_start=1000, cds_end=1010,
+        cds_sequence="NNGCTGAATGA", cds_start_nf=True,
+    )
+    # past the 2-base N pad -> plain number
+    d = cq.annotation_details(padded, 1003, "G", "A")
+    assert d["cds_position_str"] == "4" and d["protein_position_str"] == "2"
+    # inside the pad -> ?-N
+    d = cq.annotation_details(padded, 1001, "N", "A")
+    assert d["cds_position_str"] == "?-2" and d["protein_position_str"] == "?-1"
+    # cds_start_nf without phase padding -> plain number
+    unpadded = cq.Transcript(
+        transcript_id="T1", chrom="22", start=1000, end=1011, strand=1,
+        exons=[(1000, 1011)], cds_start=1000, cds_end=1011,
+        cds_sequence="ATGGCTGAATGA", cds_start_nf=True,
+    )
+    d = cq.annotation_details(unpadded, 1003, "G", "A")
+    assert d["cds_position_str"] == "4" and d["protein_position_str"] == "2"
+    # complex_indel_spanning_intron_into_cds_keeps_partial_unknown_bounds
+    spanning = cq.Transcript(
+        transcript_id="T1", chrom="22", start=1000, end=1300, strand=1,
+        exons=[(1000, 1099), (1200, 1300)], cds_start=1050, cds_end=1300,
+    )
+    d = cq.annotation_details(spanning, 1185, "N" * 18, "")
+    assert d["cds_position_str"] == "?-53"
+    assert d["protein_position_str"] == "?-18"
