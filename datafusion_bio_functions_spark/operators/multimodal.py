@@ -45,6 +45,40 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+#: decoder registry: name -> {"meta": fn(bytes, media_type) -> dict,
+#: "features": fn(bytes, dim) -> list[float], "resize": fn(bytes, w, h) ->
+#: bytes}.  ``decode='real'`` resolves here first, so a deployment with
+#: PIL/av installed registers its codecs under 'real' and every operator
+#: picks them up through the same mapInPandas seam; without a registration
+#: 'real' keeps raising the dependency hint.  Callables are captured in
+#: the task closure (cloudpickle), so plain functions/lambdas work.
+MEDIA_DECODERS: dict[str, dict] = {}
+
+
+def register_media_decoder(name: str, *, meta=None, features=None, resize=None) -> None:
+    """Register (or replace) a named media decoder.  Any subset of the
+    three hooks may be provided; operators raise their usual dependency
+    error when the hook they need is missing."""
+    MEDIA_DECODERS[name] = {"meta": meta, "features": features, "resize": resize}
+
+
+def _resolve_decoder(decode: str, kind: str, hint: str):
+    """The callable for (decode, kind): None selects the built-in fake;
+    registered decoders win; an unregistered 'real' raises the dependency
+    hint; anything else is a usage error."""
+    if decode == "fake":
+        return None
+    entry = MEDIA_DECODERS.get(decode)
+    if entry is not None and entry.get(kind) is not None:
+        return entry[kind]
+    if decode == "real":
+        raise NotImplementedError(hint)
+    raise ValueError(
+        f"decode must be 'fake', 'real', or a registered decoder name "
+        f"(register_media_decoder), got {decode!r}"
+    )
+
+
 #: canonical media-table schema fragment
 MEDIA_META_TYPE = T.StructType(
     [
@@ -80,21 +114,23 @@ def decode_media(
     media_type_col: str = "media_type",
     decode: str = "fake",
 ) -> DataFrame:
-    """Append a ``media_meta`` struct per row via Arrow-batched mapInPandas."""
-    if decode == "real":
-        raise NotImplementedError(
-            "real media decode requires PIL/av/librosa which are not installed; "
-            "use decode='fake' for pipeline testing"
-        )
-    if decode != "fake":
-        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
+    """Append a ``media_meta`` struct per row via Arrow-batched mapInPandas.
+    ``decode``: 'fake' (deterministic pseudo-decode), 'real' or any name
+    registered via :func:`register_media_decoder`."""
+    decoder = _resolve_decoder(
+        decode,
+        "meta",
+        "real media decode requires PIL/av/librosa which are not installed; "
+        "use decode='fake' for pipeline testing or register_media_decoder('real', ...)",
+    )
 
     out_schema = T.StructType(df.schema.fields + [T.StructField("media_meta", MEDIA_META_TYPE)])
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = decoder or _fake_meta
         for pdf in batches:
             metas = [
-                _fake_meta(bytes(c) if c is not None else b"", mt or "image")
+                fn(bytes(c) if c is not None else b"", mt or "image")
                 for c, mt in zip(pdf[content_col], pdf[media_type_col])
             ]
             pdf = pdf.copy()
@@ -117,28 +153,36 @@ def extract_features(
     ``(b - 128) / 128`` — exactly representable in float32, so an external
     SQL oracle recovers the bytes via ``round(x * 128)`` bit-for-bit (a real
     encoder would emit L2-normalized floats instead)."""
-    if decode == "real":
-        raise NotImplementedError("real feature extraction requires a model runtime")
+    decoder = _resolve_decoder(
+        decode,
+        "features",
+        "real feature extraction requires a model runtime; "
+        "register_media_decoder('real', features=...) to plug one in",
+    )
 
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("features", T.ArrayType(T.FloatType()))]
     )
 
-    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _fake_features(raw: bytes, dim: int) -> list[float]:
         import numpy as np
 
+        buf = b""
+        j = 0
+        while len(buf) < dim:
+            suffix = b"" if j == 0 else b"#%d" % j
+            buf += hashlib.sha256(raw + suffix).digest()
+            j += 1
+        v = np.frombuffer(buf[:dim], dtype=np.uint8).astype(np.float32)
+        return ((v - 128.0) / 128.0).tolist()
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = decoder or _fake_features
         for pdf in batches:
             feats = []
             for c in pdf[content_col]:
                 raw = bytes(c) if c is not None else b""
-                buf = b""
-                j = 0
-                while len(buf) < feature_dim:
-                    suffix = b"" if j == 0 else b"#%d" % j
-                    buf += hashlib.sha256(raw + suffix).digest()
-                    j += 1
-                v = np.frombuffer(buf[:feature_dim], dtype=np.uint8).astype(np.float32)
-                feats.append(((v - 128.0) / 128.0).tolist())
+                feats.append(fn(raw, feature_dim))
             pdf = pdf.copy()
             pdf["features"] = feats
             yield pdf
@@ -159,10 +203,12 @@ def resize_media(
     (PIL/cv2) would use, and the metadata struct is updated to the new
     dimensions.  Fake mode truncates/pads the bytes to the implied size —
     deterministic, shape-correct, obviously fake."""
-    if decode == "real":
-        raise NotImplementedError("real resize requires PIL/cv2 which are not installed")
-    if decode != "fake":
-        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
+    decoder = _resolve_decoder(
+        decode,
+        "resize",
+        "real resize requires PIL/cv2 which are not installed; "
+        "register_media_decoder('real', resize=...) to plug one in",
+    )
     if target_width < 1 or target_height < 1:
         raise ValueError("target dimensions must be >= 1")
 
@@ -174,7 +220,10 @@ def resize_media(
             new_content, new_meta = [], []
             for c, m in zip(pdf[content_col], pdf[meta_col]):
                 raw = bytes(c) if c is not None else b""
-                resized = (raw * (size // max(1, len(raw)) + 1))[:size]
+                if decoder is not None:
+                    resized = decoder(raw, target_width, target_height)
+                else:
+                    resized = (raw * (size // max(1, len(raw)) + 1))[:size]
                 new_content.append(resized)
                 meta = dict(m) if m is not None else {}
                 meta.update(
