@@ -1303,19 +1303,33 @@ def _cds_relative_notation(t: Transcript, g: int) -> str | None:
             return f"{d + 1}"
     # intronic: anchor at the nearest exon boundary in genomic space; the
     # tie and nearer-5'-exon side take "+", the 3' side "-"
+    def _plus(anchor_g: int, d: int) -> str | None:
+        # a "+" offset anchored exactly at the stop codon's cDNA position
+        # renders as a bare 3'UTR star offset — reference
+        # shift_to_hgvs_coding_coordinates (hgvs.rs: coord == stop_codon
+        # with an intron offset -> prefix '*', offset without '+'), pinned
+        # by test_format_hgvsc_allows_large_star_coordinate_inside_
+        # transcript_span (c.*402A>G)
+        if t.cds_start is not None and t.cds_end is not None:
+            cds_end_g = t.cds_end if t.strand >= 0 else t.cds_start
+            a_cdna = _genomic_to_cdna_offset(t, anchor_g)
+            l_cdna = _genomic_to_cdna_offset(t, cds_end_g)
+            if a_cdna is not None and a_cdna == l_cdna:
+                return f"*{d}"
+        base = _cds_relative_notation(t, anchor_g)
+        return None if base is None else f"{base}+{d}"
+
     for i in range(len(exons) - 1):
         ee, es2 = exons[i][1], exons[i + 1][0]
         if ee < g < es2:
             d1, d2 = g - ee, es2 - g
             if t.strand >= 0:
                 if d1 <= d2:
-                    base = _cds_relative_notation(t, ee)
-                    return None if base is None else f"{base}+{d1}"
+                    return _plus(ee, d1)
                 base = _cds_relative_notation(t, es2)
                 return None if base is None else f"{base}-{d2}"
             if d2 <= d1:
-                base = _cds_relative_notation(t, es2)
-                return None if base is None else f"{base}+{d2}"
+                return _plus(es2, d2)
             base = _cds_relative_notation(t, ee)
             return None if base is None else f"{base}-{d1}"
     return None

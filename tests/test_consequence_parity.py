@@ -779,3 +779,24 @@ def test_cds_position_question_mark_reference_cases():
     d = cq.annotation_details(spanning, 1185, "N" * 18, "")
     assert d["cds_position_str"] == "?-53"
     assert d["protein_position_str"] == "?-18"
+
+
+def test_hgvsc_large_star_coordinate_inside_transcript_span():
+    """hgvs.rs test_format_hgvsc_allows_large_star_coordinate_inside_
+    transcript_span: an intronic position anchored exactly at the stop
+    codon's cDNA coordinate renders as a bare 3'UTR star offset
+    (c.*402A>G), not an intronic '9+402' anchor — the reference's
+    shift_to_hgvs_coding_coordinates coord==stop_codon rule."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    t = cq.Transcript(
+        transcript_id="T", chrom="1", start=90, end=6010, strand=1,
+        exons=[(90, 108), (6000, 6010)], cds_start=100, cds_end=108,
+    )
+    assert cq.hgvs_c(t, 510, "A", "G") == "T:c.*402A>G"
+    # a star anchor PAST the stop keeps its intronic offset (*N+off)
+    tm = cq.Transcript(
+        transcript_id="M", chrom="1", start=90, end=6010, strand=-1,
+        exons=[(90, 100), (6000, 6010)], cds_start=6002, cds_end=6008,
+    )
+    assert cq.hgvs_c(tm, 5000, "A", "G") == "M:c.*2+1000T>C"
