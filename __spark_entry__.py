@@ -138,6 +138,20 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread to cluster parallelism before compute-heavy
+    per-row text expressions: the scaled parquet ships 1-5 row groups, so
+    the raw scan caps at 1-5 tasks and a 32-core host runs the text
+    kernels nearly serially (sf10: lang_id 15.4 s on the 2-partition scan
+    vs 2.1 s spread — the same _ensure_parallelism rule the dedup/minhash
+    operators apply internally)."""
+    d = _read(spark, sf_dir, "documents")
+    p = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < p:
+        d = d.repartition(p)
+    return d
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-aware events reader.  The driver has shipped ``events.ts``
     both as parquet TIMESTAMP(NANOS) (which Spark 4 only reads as a raw
@@ -524,16 +538,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sessionize"] = _sessionize_q
     q["dedup_exact"] = lambda spark, sf: exact_dedup(_docs_dup(spark, sf), output="groups")
-    q["doc_tokens"] = lambda spark, sf: _read(spark, sf, "documents").select(
+    q["doc_tokens"] = lambda spark, sf: _docs(spark, sf).select(
         "doc_id",
         token_count("text").alias("n_tokens"),
         doc_fingerprint("text").alias("fingerprint"),
     )
-    q["text_stats"] = lambda spark, sf: _text_stats(_read(spark, sf, "documents")).select(
+    q["text_stats"] = lambda spark, sf: _text_stats(_docs(spark, sf)).select(
         "doc_id", "n_chars", "n_tokens", "n_alpha", "distinct_ratio",
         "mean_token_len", "quality_score",
     )
-    q["lang_id"] = lambda spark, sf: _read(spark, sf, "documents").select(
+    q["lang_id"] = lambda spark, sf: _docs(spark, sf).select(
         "doc_id", _lang_id("text").alias("lang_pred")
     )
     q["similarity_topk"] = lambda spark, sf: cosine_topk(
@@ -544,7 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["near_dup_cosine"] = lambda spark, sf: cosine_near_dup_exact(
         _read(spark, sf, "embeddings"), threshold=0.45
     )
-    q["bpe_tokens"] = lambda spark, sf: _read(spark, sf, "documents").select(
+    q["bpe_tokens"] = lambda spark, sf: _docs(spark, sf).select(
         "doc_id", bpe_token_count("text").alias("n_bpe_tokens")
     )
 
@@ -581,7 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _decontaminate_q(spark, sf):
         from datafusion_bio_functions_spark.operators.decontam import decontaminate
 
-        docs = _read(spark, sf, "documents")
+        docs = _docs(spark, sf)
         bench = docs.filter(F.col("doc_id") % 29 == 0).select("text")
         return decontaminate(docs, bench, n=5).select("doc_id", "is_contaminated")
 
@@ -591,7 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from datafusion_bio_functions_spark.functions.text import scrub_pii
 
         # inject synthetic PII deterministically so the scrub is exercised
-        d = _read(spark, sf, "documents")
+        d = _docs(spark, sf)
         dirty = F.concat(
             F.col("text"),
             F.lit(" contact user"), F.col("doc_id").cast("string"),

@@ -64,7 +64,10 @@ def exact_dedup(
     ``output='kept'``   → original rows, one representative (min id) per group.
     ``output='groups'`` → ``(fingerprint, keep_id, n_dups)`` summary.
     """
-    fp = df.withColumn("fingerprint", doc_fingerprint(text_col))
+    # spread first: a few-row-group parquet arrives as 1-5 scan partitions,
+    # which would serialize the md5+regexp fingerprint pass (sf10 probe:
+    # 2-partition scan ran the whole corpus on 2 cores)
+    fp = _ensure_parallelism(df).withColumn("fingerprint", doc_fingerprint(text_col))
     if output == "groups":
         return fp.groupBy("fingerprint").agg(
             F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
