@@ -403,10 +403,11 @@ def count_overlaps(
         algorithm = "broadcast"
 
     if algorithm == "broadcast":
-        if _fits_broadcast(left):
-            return _count_or_cover_broadcast(
-                left, right, (lc, ls, le), (rc, rs, re_), filter_op, mode="count"
-            )
+        out = _count_or_cover_broadcast(
+            left, right, (lc, ls, le), (rc, rs, re_), filter_op, mode="count"
+        )
+        if out is not None:
+            return out
         algorithm = "join"  # over-guard: shuffle-parallel fallback
 
     r = _with_rid(right)
@@ -453,10 +454,11 @@ def coverage(
     if algorithm == "auto":
         algorithm = "broadcast"
     if algorithm == "broadcast":
-        if _fits_broadcast(left):
-            return _count_or_cover_broadcast(
-                left, right, (lc, ls, le), (rc, rs, re_), filter_op, mode="coverage"
-            )
+        out = _count_or_cover_broadcast(
+            left, right, (lc, ls, le), (rc, rs, re_), filter_op, mode="coverage"
+        )
+        if out is not None:
+            return out
         algorithm = "join"  # over-guard: shuffle-parallel fallback
 
     # the reference pre-merges with the touching (weak) condition regardless
@@ -521,10 +523,11 @@ def _count_or_cover_broadcast(
     rcols: tuple[str, str, str],
     filter_op: str,
     mode: str,
-) -> DataFrame:
+) -> DataFrame | None:
     """CollectLeft path: per-contig sorted arrays broadcast to executors,
     probed batch-wise with numpy searchsorted (reference
-    ``interval_tree.rs:20-73,145-152``)."""
+    ``interval_tree.rs:20-73,145-152``).  Returns None when the left side
+    exceeds the broadcast guard (caller falls back to the join plan)."""
     import numpy as np
     import pandas as pd
 
@@ -532,7 +535,12 @@ def _count_or_cover_broadcast(
     rc, rs, re_ = rcols
     # Arrow-path collect: orders of magnitude faster than Row-object
     # .collect() at millions of rows (the reference's CollectLeft is a
-    # columnar RecordBatch gather too, count_overlaps.rs:122-141)
+    # columnar RecordBatch gather too, count_overlaps.rs:122-141).  The
+    # guard is the memoized bounded count probe — a limit().toPandas()
+    # single-gather looks cheaper but CollectLimitExec de-parallelizes the
+    # scan (measured slower at sf1); None → caller falls back to join.
+    if not _fits_broadcast(left):
+        return None
     lpdf = left.select(lc, ls, le).toPandas()
     index: dict[str, tuple] = {}
     all_contigs = lpdf[lc].to_numpy()
@@ -1237,8 +1245,9 @@ def subtract(
     if algorithm not in ("broadcast", "join"):
         raise ValueError(f"subtract algorithm must be auto|broadcast|join, got {algorithm!r}")
     if algorithm == "broadcast":
-        # guard on the RAW right side — merging happens in the driver's
-        # vectorized island reduction, so no Spark merge DAG runs at all
+        # guard on the RAW right side (memoized bounded count probe) —
+        # merging happens in the driver's vectorized island reduction, so
+        # no Spark merge DAG runs at all
         if _fits_broadcast(right):
             rp = right.select(rc, rs, re_).toPandas()
             return _subtract_broadcast(
