@@ -540,17 +540,23 @@ def test_broadcast_guard_falls_back_to_join(spark, reads, targets, monkeypatch):
     want_cnt = canon(bio.count_overlaps(reads, targets, algorithm="join"))
     want_cov = canon(bio.coverage(reads, targets, algorithm="join"))
     # force the guard to report "too big": results must still be correct,
-    # via the join plan (no driver collect)
+    # via the join plan, and the driver-side Arrow gather must never run
+    # (the guard check now lives inside the broadcast builder, which
+    # returns None on over-guard)
     monkeypatch.setattr(iv, "_fits_broadcast", lambda df, guard=0: False)
-    collected = []
-    orig = iv._count_or_cover_broadcast
+    from pyspark.sql import DataFrame as SparkDF
+
+    gathers = []
+    real_topandas = SparkDF.toPandas
     monkeypatch.setattr(
-        iv, "_count_or_cover_broadcast",
-        lambda *a, **k: collected.append(1) or orig(*a, **k),
+        SparkDF, "toPandas", lambda self: gathers.append(1) or real_topandas(self)
     )
-    assert canon(bio.count_overlaps(reads, targets, algorithm="broadcast")) == want_cnt
-    assert canon(bio.coverage(reads, targets, algorithm="broadcast")) == want_cov
-    assert collected == []  # the collect path was never taken
+    got_cnt = bio.count_overlaps(reads, targets, algorithm="broadcast")
+    got_cov = bio.coverage(reads, targets, algorithm="broadcast")
+    assert gathers == []  # over-guard: no driver gather during planning
+    monkeypatch.setattr(SparkDF, "toPandas", real_topandas)
+    assert canon(got_cnt) == want_cnt
+    assert canon(got_cov) == want_cov
 
 
 def test_fits_broadcast_bounded_probe(spark, reads):
