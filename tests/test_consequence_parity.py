@@ -800,3 +800,21 @@ def test_hgvsc_large_star_coordinate_inside_transcript_span():
         exons=[(90, 100), (6000, 6010)], cds_start=6002, cds_end=6008,
     )
     assert cq.hgvs_c(tm, 5000, "A", "G") == "M:c.*2+1000T>C"
+
+
+def test_hgvsc_insertion_dup_from_sequence_context():
+    """hgvs.rs test_format_hgvsc_detects_dup_inside_transcript_sequence_
+    path shape: an insertion equal to the immediately preceding
+    transcript sequence renders as dup with the duplicated range's cDNA
+    coordinates (single base -> c.5dup; the two-base repeat -> c.4_5dup)."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    t = cq.Transcript(
+        transcript_id="T", chrom="1", start=100, end=140, strand=1,
+        exons=[(100, 140)], cds_start=100, cds_end=108,
+        cds_sequence="ATGGTCGCA",
+    )
+    assert cq.hgvs_c(t, 104, "-", "T") == "T:c.5dup"
+    assert cq.hgvs_c(t, 104, "-", "GT") == "T:c.4_5dup"
+    # non-repeat insertion keeps the flanking-ins form
+    assert cq.hgvs_c(t, 104, "-", "TT") == "T:c.5_6insTT"
