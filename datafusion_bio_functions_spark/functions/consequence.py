@@ -21,8 +21,11 @@ Scope notes vs the reference:
   frameshift reclassification, inframe-insertion peptide containment);
   without sequence context VEP's positional start/stop heuristics apply
   and everything else degrades to ``coding_sequence_variant``, exactly
-  like VEP.  Remaining long tail (selenocysteine recoding, RefSeq
-  edits/mapper gaps) is out of scope.
+  like VEP.  RefSeq _rna_edit numbering offsets are modeled
+  (refseq_sequence_offset_for_cdna — exonic shifts, intronic anchors
+  untouched, NM/NR/XM/XR-gated); the remaining long tail (BAM-edited
+  mapper rebuilds, selenocysteine recoding — the reference only maps
+  the U->Sec letter, which AA3 also carries) is out of scope.
 * HGVS: ``g.`` always; ``c.`` with 3'-shifting + dup detection and
   UTR/intronic ``c.-N`` / ``c.*N`` / ``c.N±off`` coordinates; ``p.``
   substitutions, inframe del/ins/delins, frameshift ``fsTer#`` and
@@ -192,6 +195,11 @@ class Transcript:
     #: FLAGS column and the "?-N" unknown-start coordinate format
     cds_start_nf: bool = False
     cds_end_nf: bool = False
+    #: RefSeq ``_rna_edit`` attributes in transcript (cDNA) coordinates:
+    #: where the RefSeq mRNA differs from the genome.  Only the cDNA
+    #: NUMBERING offset is modeled (reference refseq_sequence_offset_for_
+    #: cdna); BAM-edited mapper rebuilds stay out of scope.
+    refseq_edits: list["RefSeqEdit"] = field(default_factory=list)
     mature_mirna_regions: list[tuple[int, int]] = field(default_factory=list)
     cds_start_nf: bool = False  # annotated "CDS 5' incomplete"
     #: memoized geometry — a Transcript is reused across many variants in
@@ -215,6 +223,54 @@ class Transcript:
         if self._introns_cache is None:
             self._introns_cache = _introns(self.sorted_exons())
         return self._introns_cache
+
+
+@dataclass
+class RefSeqEdit:
+    """One RefSeq ``_rna_edit`` attribute (reference
+    transcript_consequence.rs:140-145): transcript-coordinate span
+    [start, end] replaced by ``replacement_len`` bases (None = pure
+    deletion).  Transcript-only insertions encode as ``end < start`` or
+    the PEG10 form ``start == end`` with ``replacement_len > 1``."""
+
+    start: int
+    end: int
+    replacement_len: int | None = None
+    skip_refseq_offset: bool = False
+
+
+def refseq_edit_offset_delta(edit: RefSeqEdit) -> int | None:
+    """Net cDNA-length change of one edit (reference
+    refseq_edit_offset_delta, transcript_consequence.rs:147-170, including
+    the PEG10 ``start start SEQ`` insertion form)."""
+    if edit.skip_refseq_offset:
+        return None
+    if edit.replacement_len is not None:
+        if edit.end < edit.start or (edit.start == edit.end and edit.replacement_len > 1):
+            replaced = 0
+        else:
+            replaced = edit.end - edit.start + 1
+        delta = edit.replacement_len - replaced
+    else:
+        delta = -1 - (edit.end - edit.start)
+    return delta if delta != 0 else None
+
+
+def refseq_sequence_offset_for_cdna(t: Transcript, cdna_start: int) -> int | None:
+    """Total numbering offset for an exonic cDNA position: the sum of the
+    deltas of every edit ending before it — applied only on native RefSeq
+    ids (NM/NR/XM/XR), never to intronic anchors (reference
+    refseq_sequence_offset_for_cdna, transcript_consequence.rs:7652-7674;
+    pinned by hgvs.rs test_hgvs_cdna_position_applies_refseq_offset_* /
+    _does_not_apply_refseq_offset_to_intronic_coords)."""
+    if t.transcript_id[:2] not in ("NM", "NR", "XM", "XR"):
+        return None
+    offset = 0
+    for edit in t.refseq_edits:
+        if edit.end >= cdna_start:
+            continue
+        offset += refseq_edit_offset_delta(edit) or 0
+    return offset if offset != 0 else None
 
 
 def _genomic_to_cds_offset(t: Transcript, pos: int) -> int | None:
@@ -1163,7 +1219,8 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
     out["exon"], out["intron"] = exon_intron_numbers(t, lo, hi)
     cdna = _genomic_to_cdna_offset(t, pos if t.strand >= 0 else hi)
     if cdna is not None:
-        out["cdna_position"] = cdna + 1
+        n = cdna + 1
+        out["cdna_position"] = n + (refseq_sequence_offset_for_cdna(t, n) or 0)
     off = _cds_first_offset(t, pos, len(ref))
     # transcript-orientation LAST affected base (for span displays); only
     # meaningful for non-insertions
@@ -1284,9 +1341,11 @@ def _cds_relative_notation(t: Transcript, g: int) -> str | None:
         # non-coding transcript: plain spliced-transcript numbering (the
         # reference's ``n.`` coordinates, hgvs.rs
         # test_format_hgvsc_uses_non_coding_numbering); intronic anchoring
-        # below is shared with the coding path
+        # below is shared with the coding path.  Native-RefSeq edits shift
+        # EXONIC numbering only (never the intronic anchor).
         if cdna is not None:
-            return f"{cdna + 1}"
+            n = cdna + 1
+            return f"{n + (refseq_sequence_offset_for_cdna(t, n) or 0)}"
     else:
         cds_anchor_g = t.cds_start if t.strand >= 0 else t.cds_end
         cds_end_g = t.cds_end if t.strand >= 0 else t.cds_start

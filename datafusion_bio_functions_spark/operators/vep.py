@@ -265,7 +265,12 @@ VEP_TX_META_COLUMNS: list[tuple[str, str]] = [
     ("GENE_PHENO", "gene_pheno"),
 ]
 
-#: variant-level columns sourced from publication/motif context tables
+#: variant-level columns sourced from publication/motif context tables.
+#: The MOTIF_* / TRANSCRIPTION_FACTORS family is ALWAYS NULL in the
+#: reference too ("currently not populated ... motif feature consequence
+#: data that is not yet exposed", annotate_provider.rs:5097-5104) — NULL
+#: here is exact parity, not a gap; the motif positional TERM
+#: (TF_binding_site_variant) is computed by regulatory_features.
 VEP_NULL_VARIANT_COLUMNS: list[str] = [
     "SOMATIC", "PHENO", "PUBMED", "MOTIF_NAME", "MOTIF_POS", "HIGH_INF_POS",
     "MOTIF_SCORE_CHANGE", "TRANSCRIPTION_FACTORS",

@@ -818,3 +818,42 @@ def test_hgvsc_insertion_dup_from_sequence_context():
     assert cq.hgvs_c(t, 104, "-", "GT") == "T:c.4_5dup"
     # non-repeat insertion keeps the flanking-ins form
     assert cq.hgvs_c(t, 104, "-", "TT") == "T:c.5_6insTT"
+
+
+def test_refseq_edit_offset_reference_cases():
+    """RefSeq _rna_edit cDNA-numbering offsets (reference
+    refseq_edit_offset_delta + refseq_sequence_offset_for_cdna,
+    transcript_consequence.rs:147-170,7652-7674; hgvs.rs
+    test_hgvs_cdna_position_applies_refseq_offset_without_mapper_segments
+    and _does_not_apply_refseq_offset_to_intronic_coords)."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    # per-edit deltas: pure deletion, PEG10 'start start SEQ' insertion,
+    # equal-length replacement (None), skip flag
+    assert cq.refseq_edit_offset_delta(cq.RefSeqEdit(10, 12, None)) == -3
+    assert cq.refseq_edit_offset_delta(cq.RefSeqEdit(1447, 1447, 2)) == 2
+    assert cq.refseq_edit_offset_delta(cq.RefSeqEdit(10, 12, 3)) is None
+    assert cq.refseq_edit_offset_delta(
+        cq.RefSeqEdit(10, 12, 3, skip_refseq_offset=True)) is None
+    # a 201-base transcript-only insertion at cdna 1505/1506 shifts
+    # downstream exonic numbering: genomic 2740 -> n.2842 (2641 + 201)
+    nc = cq.Transcript(
+        transcript_id="NM_OFFSET.1", chrom="1", start=100, end=3000,
+        strand=1, biotype="non_coding", exons=[(100, 3000)],
+        refseq_edits=[cq.RefSeqEdit(start=1506, end=1505, replacement_len=201)],
+    )
+    assert cq.hgvs_c(nc, 2740, "G", "A") == "NM_OFFSET.1:n.2842G>A"
+    # intronic anchors NEVER shift
+    co = cq.Transcript(
+        transcript_id="NM_OFFSET.1", chrom="1", start=100, end=599,
+        strand=1, exons=[(100, 299), (400, 599)], cds_start=100, cds_end=599,
+        refseq_edits=[cq.RefSeqEdit(start=150, end=149, replacement_len=3)],
+    )
+    assert cq.hgvs_c(co, 349, "G", "A") == "NM_OFFSET.1:c.200+50G>A"
+    # the offset is gated on native RefSeq ids (NM/NR/XM/XR)
+    ens = cq.Transcript(
+        transcript_id="ENSTX", chrom="1", start=100, end=3000,
+        strand=1, biotype="non_coding", exons=[(100, 3000)],
+        refseq_edits=[cq.RefSeqEdit(start=1506, end=1505, replacement_len=201)],
+    )
+    assert cq.hgvs_c(ens, 2740, "G", "A") == "ENSTX:n.2641G>A"
