@@ -1181,6 +1181,83 @@ def compute_flags(t: Transcript) -> str | None:
     return None
 
 
+def format_appris(raw: str) -> str:
+    """APPRIS display form (reference format_appris,
+    annotate_provider.rs): principalN -> PN, alternativeN -> AN, anything
+    else passes through."""
+    return raw.replace("principal", "P").replace("alternative", "A")
+
+
+def format_prediction(prediction: str, score: float) -> str:
+    """SIFT/PolyPhen ``prediction(score)`` rendering (reference
+    format_prediction): spaces to underscores, the ``' - '`` separator
+    collapsed (``tolerated - low confidence`` ->
+    ``tolerated_low_confidence``)."""
+    pred = prediction.replace(" ", "_").replace("_-_", "_")
+    score_s = f"{score:g}"
+    return f"{pred}({score_s})"
+
+
+def mirna_structure_field(
+    ncrna_structure: str | None,
+    biotype: str,
+    cdna_start: int | None,
+    cdna_end: int | None,
+) -> str:
+    """miRNA secondary-structure CSQ terms for the variant's cDNA span
+    (reference mirna_structure_field / VEP OutputFactory miRNA handling):
+    the dot-bracket structure (optionally RLE-encoded, ``(19.6)4`` style,
+    optionally prefixed ``start:end``) expands per base; overlapped ``(``
+    and ``)`` each contribute a ``miRNA_stem`` (distinct before mapping,
+    so stem can appear twice), ``.`` contributes ``miRNA_loop``; output is
+    the sorted ``&``-join, empty for non-miRNA biotypes."""
+    if biotype != "miRNA" or ncrna_structure is None:
+        return ""
+    if cdna_start is None or cdna_end is None:
+        return ""
+    import re as _re
+
+    m = _re.match(r"^(\d+)[:\s](\d+)\s+(.*)$", ncrna_structure)
+    if m:
+        struct_start, struct_str = int(m.group(1)), m.group(3)
+    else:
+        struct_start, struct_str = 1, ncrna_structure
+    cs, ce = min(cdna_start, cdna_end), max(cdna_start, cdna_end)
+    expanded: list[str] = []
+    i = 0
+    while i < len(struct_str):
+        ch = struct_str[i]
+        if ch in "().":
+            j = i + 1
+            count = 0
+            while j < len(struct_str) and struct_str[j].isdigit():
+                count = count * 10 + int(struct_str[j])
+                j += 1
+            expanded.extend(ch * max(count, 1))
+            i = j
+        else:
+            i += 1
+    has_open = has_close = has_loop = False
+    for p in range(cs, ce + 1):
+        if p < struct_start:
+            continue
+        idx = p - struct_start
+        if idx >= len(expanded):
+            continue
+        c = expanded[idx]
+        has_open |= c == "("
+        has_close |= c == ")"
+        has_loop |= c == "."
+    terms = []
+    if has_open:
+        terms.append("miRNA_stem")
+    if has_close:
+        terms.append("miRNA_stem")
+    if has_loop:
+        terms.append("miRNA_loop")
+    return "&".join(sorted(terms))
+
+
 def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
     """Typed per-(variant, transcript) annotation columns.  Keys:
     ``exon intron cdna_position cds_position protein_position amino_acids

@@ -486,7 +486,13 @@ def _tx_meta_map(t: DataFrame) -> "F.Column":
     for out_name, col in VEP_TX_META_COLUMNS:
         if col in t.columns:
             keys.append(F.lit(out_name))
-            vals.append(F.col(col).cast("string"))
+            v = F.col(col).cast("string")
+            if out_name == "APPRIS":
+                # reference format_appris: principalN -> PN, alternativeN
+                # -> AN, else passthrough
+                v = F.replace(F.replace(v, F.lit("principal"), F.lit("P")),
+                              F.lit("alternative"), F.lit("A"))
+            vals.append(v)
     if "cds_start_nf" in t.columns or "cds_end_nf" in t.columns:
         nf_s = (
             F.when(F.col("cds_start_nf").cast("boolean"), "cds_start_NF")

@@ -857,3 +857,38 @@ def test_refseq_edit_offset_reference_cases():
         refseq_edits=[cq.RefSeqEdit(start=1506, end=1505, replacement_len=201)],
     )
     assert cq.hgvs_c(ens, 2740, "G", "A") == "ENSTX:n.2641G>A"
+
+
+def test_format_appris_and_prediction_reference_cases():
+    """annotate_provider.rs format_appris / format_prediction tests."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    assert cq.format_appris("principal1") == "P1"
+    assert cq.format_appris("alternative2") == "A2"
+    assert cq.format_appris("principal5") == "P5"
+    assert cq.format_appris("other") == "other"
+    assert cq.format_prediction("deleterious", 0.01) == "deleterious(0.01)"
+    assert cq.format_prediction("probably damaging", 0.999) == "probably_damaging(0.999)"
+    assert (cq.format_prediction("tolerated - low confidence", 0.23)
+            == "tolerated_low_confidence(0.23)")
+
+
+def test_mirna_structure_field_reference_cases():
+    """annotate_provider.rs mirna_structure_field tests: distinct stem
+    sides preserved ('(' and ')' each emit miRNA_stem), loop from '.',
+    sorted &-join, empty for non-miRNA biotypes; RLE expansion and the
+    'start:end structure' prefix form."""
+    from datafusion_bio_functions_spark.functions.consequence import mirna_structure_field
+
+    assert (mirna_structure_field("(.).", "miRNA", 1, 4)
+            == "miRNA_loop&miRNA_stem&miRNA_stem")
+    assert mirna_structure_field("()", "miRNA", 1, 2) == "miRNA_stem&miRNA_stem"
+    assert mirna_structure_field("(.).", "lncRNA", 1, 4) == ""
+    # RLE: "(19.6" = 19 stems then 6 loops; position 20 is the first loop
+    assert mirna_structure_field("(19.6", "miRNA", 20, 20) == "miRNA_loop"
+    assert mirna_structure_field("(19.6", "miRNA", 19, 20) == "miRNA_loop&miRNA_stem"
+    # start:end prefix shifts the structure origin
+    assert mirna_structure_field("10:13 (.).", "miRNA", 10, 10) == "miRNA_stem"
+    assert mirna_structure_field("10:13 (.).", "miRNA", 11, 11) == "miRNA_loop"
+    # positions outside the structure contribute nothing
+    assert mirna_structure_field("(.).", "miRNA", 40, 44) == ""
