@@ -57,8 +57,11 @@ BENCH_QUERIES = [
     # (required for the exact top-k oracle) deliberately degenerates to
     # near-brute-force candidate sets, so benching it measures the oracle
     # contract, not the LSH scale path; lsh_ann_prod IS the scale path
-    # (production parameters: 6 sign bits x 12 tables, multiprobe)
+    # (production parameters: 6 sign bits x 12 tables, multiprobe) and
+    # lsh_recall_at_k is its measured quality claim (recall vs the exact
+    # top-k, value-checked by the gate)
     "lsh_ann_prod",
+    "lsh_recall_at_k",
     "media_meta",
     "media_features",
     "events_top_users",
