@@ -684,11 +684,21 @@ def _classify_substitution(t: Transcript, vs: int, ref: str, alt: str) -> set[st
     if not aa_old or not aa_new:
         return None
 
-    if codon_i == 0:
-        if aa_new == aa_old == "M" and new_cds[:3] != cds[:3]:
-            return {"start_retained_variant"}
-        if aa_old == "M" and aa_new != "M":
-            return {"start_lost"}
+    if codon_i == 0 and not t.cds_start_nf:
+        # reference start-codon logic (transcript_consequence.rs:5337-5370,
+        # VEP VariationEffect): _overlaps_start_codon is gated on
+        # cds_start_NF; start_retained = new first codon translates Met
+        # (nucleotide-level _snp_start_altered), start_lost = first AA
+        # changed (peptide-level) — they CO-FIRE for e.g. GTG→ATG (V→M at
+        # a non-standard start codon, issue #84 C2b), and either suppresses
+        # the generic missense/synonymous fallthrough.
+        terms = set()
+        if aa_new == "M":
+            terms.add("start_retained_variant")
+        if aa_old != aa_new:
+            terms.add("start_lost")
+        if terms:
+            return terms
     if aa_old == "*" and aa_new == "*":
         return {"stop_retained_variant"}
     if aa_old == "*" and aa_new != "*":

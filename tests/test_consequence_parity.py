@@ -892,3 +892,47 @@ def test_mirna_structure_field_reference_cases():
     assert mirna_structure_field("10:13 (.).", "miRNA", 11, 11) == "miRNA_loop"
     # positions outside the structure contribute nothing
     assert mirna_structure_field("(.).", "miRNA", 40, 44) == ""
+
+
+def test_nonstandard_start_codon_snv_reference_cases():
+    """transcript_consequence.rs issue #84 C2b family: a codon-1 SNV on a
+    non-cds_start_NF transcript fires start_lost when the first amino acid
+    changes and start_retained when the NEW codon translates Met — they
+    CO-FIRE for GTG→ATG (V→M) and ATT→ATG (I→M); V→L is start_lost only;
+    cds_start_NF gates the whole start-codon logic off (missense
+    instead); synonymous codon-1 changes stay synonymous."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    def mk(cds, nf=False):
+        return cq.Transcript(
+            transcript_id="T", chrom="1", start=1000, end=1011, strand=1,
+            exons=[(1000, 1011)], cds_start=1000, cds_end=1011,
+            cds_sequence=cds, cds_start_nf=nf,
+        )
+
+    both = {"start_lost", "start_retained_variant"}
+    assert set(cq.classify(mk("GTGGCTGAATGA"), 1000, "G", "A")) == both  # V→M
+    assert set(cq.classify(mk("ATTGCTGAATGA"), 1002, "T", "G")) == both  # I→M
+    assert set(cq.classify(mk("GTGGCTGAATGA"), 1000, "G", "C")) == {"start_lost"}  # V→L
+    assert set(cq.classify(mk("GTGGCTGAATGA", nf=True), 1000, "G", "A")) == {
+        "missense_variant"
+    }
+    assert set(cq.classify(mk("GTGGCTGAATGA"), 1002, "G", "A")) == {
+        "synonymous_variant"
+    }  # GTG→GTA, Val→Val
+
+
+def test_cds_to_utr_deletion_partial_unknown_bounds():
+    """transcript_consequence.rs cds_to_utr_deletion_keeps_partial_unknown_
+    bounds_on_positive_strand: a deletion starting in the CDS and running
+    into the 3'UTR keeps the mapped start and renders the unmappable end
+    as '?' (49-? / 17-?)."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    t = cq.Transcript(
+        transcript_id="P", chrom="1", start=1000, end=1100, strand=1,
+        exons=[(1000, 1100)], cds_start=1000, cds_end=1050,
+    )
+    d = cq.annotation_details(t, 1048, "ACCCCCCCCCCCC", "-")
+    assert d["cds_position_str"] == "49-?"
+    assert d["protein_position_str"] == "17-?"
