@@ -710,6 +710,24 @@ def _classify_substitution(t: Transcript, vs: int, ref: str, alt: str) -> set[st
     return {"missense_variant"}
 
 
+def _indel_start_flags(out: dict, cds: str, new_cds: str, lead: int, frameshift: bool) -> None:
+    """Start-codon effects of an indel overlapping the first codon
+    (reference classify_coding_change start block,
+    transcript_consequence.rs:5337-5414; the no-cDNA branch of
+    ins_del_start_altered checks the mutated CDS directly): the peptide
+    first-AA comparison drives start_lost; the mutated CDS still beginning
+    with ATG drives start_retained, with frameshifts co-firing start_lost
+    either way (the full affected peptide range differs)."""
+    old0 = translate(cds[lead : lead + 3])
+    new0 = translate(new_cds[lead : lead + 3]) if len(new_cds) >= lead + 3 else ""
+    if new0 == "M":
+        out["start_retained"] = True
+    if old0 and new0 and old0 != new0:
+        out["start_lost"] = True
+    if frameshift:
+        out["start_lost"] = True
+
+
 def classify_coding_indel(
     t: Transcript, vs: int, ve: int, ref: str, alt: str, is_ins: bool
 ) -> dict | None:
@@ -752,9 +770,15 @@ def classify_coding_indel(
             "protein_position_start": None, "protein_position_end": None,
             "codons": None, "amino_acids": None,
             "stop_retained": False, "stop_gained": False, "stop_lost": False,
+            "start_retained": False, "start_lost": False,
         }
         new_cds = cds[:ins_at] + seq + cds[ins_at:]
         frameshift = len(seq) % 3 != 0
+        # start-codon overlap for insertions: the point must fall INSIDE
+        # the first codon (reference insertion path cds_idx < 2 — an
+        # insertion before or after the codon doesn't touch it)
+        if 1 <= ins_at - lead <= 2 and not t.cds_start_nf:
+            _indel_start_flags(out, cds, new_cds, lead, frameshift)
         if frameshift:
             c0 = (max(ins_at - 1, 0) // 3) * 3
             codon_i = c0 // 3
@@ -818,7 +842,12 @@ def classify_coding_indel(
         "protein_position_end": (s0 + ln - 1) // 3 + 1,
         "codons": None, "amino_acids": None,
         "stop_retained": False, "stop_gained": False, "stop_lost": False,
+        "start_retained": False, "start_lost": False,
     }
+    # start-codon overlap: any deletion/delins touching CDS bases 0-2
+    # (reference start_idx < 3, gated on cds_start_NF)
+    if (s0 - lead) < 3 and not t.cds_start_nf:
+        _indel_start_flags(out, cds, new_cds, lead, frameshift)
     ref_span = cds[c0:c1]
     rendered_ref = "".join(
         b.upper() if s0 <= c0 + i < s0 + ln else b.lower()
@@ -908,6 +937,10 @@ def _add_coding_terms(
                     )
                 if cls["stop_gained"]:
                     terms.add("stop_gained")
+                if cls.get("start_lost"):
+                    terms.add("start_lost")
+                if cls.get("start_retained"):
+                    terms.add("start_retained_variant")
                 # VEP inframe_insertion containment: the ref peptide must be
                 # a pure prefix OR suffix of the alt peptide; otherwise the
                 # protein_altering_variant catch-all stands alone

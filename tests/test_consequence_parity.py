@@ -936,3 +936,26 @@ def test_cds_to_utr_deletion_partial_unknown_bounds():
     d = cq.annotation_details(t, 1048, "ACCCCCCCCCCCC", "-")
     assert d["cds_position_str"] == "49-?"
     assert d["protein_position_str"] == "17-?"
+
+
+def test_indel_start_codon_reference_cases():
+    """transcript_consequence.rs issue #84 C2a + ins_del_start_altered
+    family for sequence-context indels: a deletion destroying ATG emits
+    frameshift+start_lost with NO start_retained; indels past the start
+    codon (deletion at CDS 3+, insertion point outside the first codon)
+    emit no start terms; cds_start_NF gates everything off."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    def mk(nf=False):
+        return cq.Transcript(
+            transcript_id="T", chrom="1", start=1000, end=1011, strand=1,
+            exons=[(1000, 1011)], cds_start=1000, cds_end=1011,
+            cds_sequence="ATGGCTGAATGA", cds_start_nf=nf,
+        )
+
+    assert set(cq.classify(mk(), 1001, "TG", "")) == {"frameshift_variant", "start_lost"}
+    assert set(cq.classify(mk(nf=True), 1001, "TG", "")) == {"frameshift_variant"}
+    assert set(cq.classify(mk(), 1003, "G", "")) == {"frameshift_variant"}
+    assert set(cq.classify(mk(), 1001, "-", "TT")) == {"frameshift_variant", "start_lost"}
+    assert set(cq.classify(mk(), 1004, "-", "TT")) == {"frameshift_variant"}
+    assert set(cq.classify(mk(), 1003, "GCT", "")) == {"inframe_deletion"}
