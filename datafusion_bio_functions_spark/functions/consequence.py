@@ -779,7 +779,19 @@ def classify_coding_indel(
         # insertion before or after the codon doesn't touch it)
         if 1 <= ins_at - lead <= 2 and not t.cds_start_nf:
             _indel_start_flags(out, cds, new_cds, lead, frameshift)
-        if frameshift:
+        u = ins_at - lead
+        if frameshift and u > 0 and u % 3 == 0:
+            # codon-boundary frameshift insertion: no existing codon is
+            # disrupted, so VEP renders the dash form like the inframe
+            # boundary case — codons "-/<INS>", amino acids "-/X", protein
+            # position the FLANKING-codon range (reference
+            # classify_frameshift_insertion_at_boundary_codons_dash_format
+            # / _uses_dash_ref / _protein_position_range)
+            out["protein_position_start"] = u // 3
+            out["protein_position_end"] = u // 3 + 1
+            out["codons"] = f"-/{seq}"
+            out["amino_acids"] = "-/X"
+        elif frameshift:
             c0 = (max(ins_at - 1, 0) // 3) * 3
             codon_i = c0 // 3
             out["protein_position_start"] = out["protein_position_end"] = codon_i + 1

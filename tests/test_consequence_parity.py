@@ -959,3 +959,65 @@ def test_indel_start_codon_reference_cases():
     assert set(cq.classify(mk(), 1001, "-", "TT")) == {"frameshift_variant", "start_lost"}
     assert set(cq.classify(mk(), 1004, "-", "TT")) == {"frameshift_variant"}
     assert set(cq.classify(mk(), 1003, "GCT", "")) == {"inframe_deletion"}
+
+
+def test_frameshift_insertion_boundary_dash_format():
+    """transcript_consequence.rs classify_frameshift_insertion_at_boundary_
+    codons_dash_format / _uses_dash_ref / _protein_position_range: a
+    frameshift insertion at an exact codon boundary disrupts no existing
+    codon, so VEP renders codons '-/<INS>' (alt uppercase), amino acids
+    '-/X', and a flanking-codon protein position RANGE; within-codon
+    frameshift insertions keep the lowercase-context format."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    t = cq.Transcript(
+        transcript_id="T", chrom="1", start=1000, end=1014, strand=1,
+        exons=[(1000, 1014)], cds_start=1000, cds_end=1014,
+        cds_sequence="ATGGCTGAAAAATGA",
+    )
+    c = cq.classify_coding_indel(t, 1006, 1006, "", "TT", True)
+    assert c["codons"] == "-/TT"
+    assert c["amino_acids"] == "-/X"
+    assert (c["protein_position_start"], c["protein_position_end"]) == (2, 3)
+    t2 = cq.Transcript(
+        transcript_id="T2", chrom="1", start=1000, end=1011, strand=1,
+        exons=[(1000, 1011)], cds_start=1000, cds_end=1011,
+        cds_sequence="ATGGCTGAATGA",
+    )
+    c2 = cq.classify_coding_indel(t2, 1004, 1004, "", "TT", True)
+    assert c2["codons"].split("/")[0] != "-"
+    assert c2["amino_acids"] == "A/X"
+
+
+def test_codon_display_edge_cases():
+    """transcript_consequence.rs format_codon_display_all_changed /
+    _multi_base_range (via annotation_details): a 3-base MNV renders the
+    whole codon uppercase; a 2-base MNV renders the untouched base
+    lowercase."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    t = cq.Transcript(
+        transcript_id="T", chrom="1", start=100, end=111, strand=1,
+        exons=[(100, 111)], cds_start=100, cds_end=111,
+        cds_sequence="ATGACGGAATGA",
+    )
+    assert cq.annotation_details(t, 103, "ACG", "TTT")["codons"] == "ACG/TTT"
+    assert cq.annotation_details(t, 103, "AC", "TT")["codons"] == "ACg/TTg"
+
+
+def test_which_intron_minus_strand_reverses_numbering():
+    """transcript_consequence.rs which_intron_str_minus_strand_reverses_
+    numbering: the intron between the two genomic-leftmost exons of a
+    3-exon minus-strand transcript is intron 2/2."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    tm = cq.Transcript(
+        transcript_id="M", chrom="1", start=100, end=600, strand=-1,
+        exons=[(100, 200), (300, 400), (500, 600)], cds_start=100, cds_end=600,
+    )
+    assert cq.exon_intron_numbers(tm, 250, 250) == (None, "2/2")
+    tp = cq.Transcript(
+        transcript_id="P", chrom="1", start=100, end=600, strand=1,
+        exons=[(100, 200), (300, 400), (500, 600)], cds_start=100, cds_end=600,
+    )
+    assert cq.exon_intron_numbers(tp, 250, 250) == (None, "1/2")
