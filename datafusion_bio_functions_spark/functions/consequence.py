@@ -710,6 +710,110 @@ def _classify_substitution(t: Transcript, vs: int, ref: str, alt: str) -> set[st
     return {"missense_variant"}
 
 
+def _pep_with_partial(s: str) -> str:
+    """Per-codon peptide where a trailing partial codon renders ``X`` (the
+    reference's peptide_from_codon_allele — used by the frameshift-deletion
+    partial-stop rule)."""
+    out = []
+    for i in range(0, len(s), 3):
+        chunk = s[i : i + 3].upper()
+        out.append(CODON_TABLE.get(chunk, "X") if len(chunk) == 3 else "X")
+    return "".join(out)
+
+
+def _deletion_stop_flags(
+    out: dict, cds: str, new_cds: str, start_idx: int, end_idx: int,
+    ref_len: int, alt_len: int, frameshift: bool,
+) -> None:
+    """Stop-codon effects of a deletion/delins (reference
+    classify_coding_change stop block, transcript_consequence.rs:5414-5585 +
+    the partial-stop codon-allele rule :5818-5827): stop_retained from the
+    unmoved-or-inframe-shifted first stop; per-codon transitions ONLY for
+    the affected non-interior codons (VEP's codon() renders frameshift
+    remainders as X, so stop_gained never fires for frameshifts); a
+    frameshift deletion leaving a partial stop codon sets stop_lost."""
+    old_aas = translate(cds)
+    new_aas = translate(new_cds)
+    old_stop = old_aas.find("*")
+    new_stop = new_aas.find("*")
+    if old_stop >= 0 and new_stop >= 0:
+        sns, sne = old_stop * 3, old_stop * 3 + 2
+        if old_stop == new_stop and start_idx <= sne and end_idx >= sns:
+            out["stop_retained"] = True
+        elif ref_len != alt_len:
+            len_diff = alt_len - ref_len
+            near = end_idx >= sns - 9 and start_idx <= sne
+            if near and len_diff % 3 == 0 and (new_stop - old_stop) == len_diff // 3:
+                out["stop_retained"] = True
+    for ci in range(start_idx // 3, end_idx // 3 + 1):
+        if ci >= len(old_aas) or ci >= len(new_aas):
+            continue
+        # codons entirely inside the deletion have no local alt window
+        if ref_len > alt_len and ci * 3 >= start_idx and ci * 3 + 2 <= end_idx:
+            continue
+        oa, na = old_aas[ci], new_aas[ci]
+        if not frameshift and oa != "*" and na == "*":
+            out["stop_gained"] = True
+        elif oa == "*" and na != "*":
+            out["stop_lost"] = True
+        elif oa == "*" and na == "*" and not out["stop_retained"]:
+            out["stop_retained"] = True
+    if not out["stop_lost"] and frameshift and alt_len < ref_len and out.get("codons"):
+        rp, _, ap = out["codons"].partition("/")
+        rp, ap = _pep_with_partial(rp), _pep_with_partial(ap if ap != "-" else "")
+        if "*" in rp and "*" not in ap and "X" in ap:
+            out["stop_lost"] = True
+
+
+def _insertion_stop_flags(
+    out: dict, cds: str, new_cds: str, ins_at: int, alt_len: int, inframe_codons: int,
+) -> None:
+    """Stop-codon effects of an insertion (reference classify_insertion
+    stop block, transcript_consequence.rs:6100-6210): inframe stop shift by
+    exactly the inserted codon count retains; then VEP's LOCAL codon window
+    — 3 + alt_len bytes of the mutated CDS at the insertion's codon —
+    drives ref_eq_alt_sequence stop_retained, stop_lost, and stop_gained
+    (no frameshift guard on the local window)."""
+    old_aas = translate(cds)
+    codon_at = max(ins_at - 1, 0) // 3
+    if codon_at >= len(old_aas):
+        return
+    old_stop = old_aas.find("*")
+    if old_stop >= 0:
+        new_aas = translate(new_cds)
+        new_stop = new_aas.find("*")
+        sns, sne = old_stop * 3, old_stop * 3 + 2
+        overlaps_stop = sns <= ins_at <= sne
+        near_stop = overlaps_stop or (sns - 3 <= ins_at <= sne)
+        if new_stop >= 0:
+            if old_stop == new_stop and near_stop:
+                out["stop_retained"] = True
+            elif (
+                not out["stop_retained"]
+                and overlaps_stop
+                and inframe_codons
+                and (new_stop - old_stop) == inframe_codons
+            ):
+                # insertion directly inside the stop codon shifting it by
+                # exactly the inserted codon count (VEP gates this on the
+                # STRICT overlap, not the wider near window)
+                out["stop_retained"] = True
+    window = new_cds[codon_at * 3 : codon_at * 3 + 3 + alt_len]
+    local = translate(window)
+    ref_aa = old_aas[codon_at]
+    if not out["stop_retained"]:
+        if ref_aa != "*" and local[:1] == ref_aa and "*" in local:
+            out["stop_retained"] = True
+        elif ref_aa == "*" and local[:1] == "*":
+            out["stop_retained"] = True
+    if not out["stop_retained"] and not out["stop_lost"]:
+        if ref_aa == "*" and "*" not in local:
+            out["stop_lost"] = True
+    if not out["stop_retained"] and not out["stop_gained"]:
+        if ref_aa != "*" and "*" in local:
+            out["stop_gained"] = True
+
+
 def _indel_start_flags(out: dict, cds: str, new_cds: str, lead: int, frameshift: bool) -> None:
     """Start-codon effects of an indel overlapping the first codon
     (reference classify_coding_change start block,
@@ -827,12 +931,10 @@ def classify_coding_indel(
             )
             out["codons"] = f"{ref_codon.lower()}/{rendered_alt}"
             out["amino_acids"] = f"{translate(ref_codon)}/{translate(alt_span.upper())}"
-        # stop effect at the first affected codon
-        c0 = (max(ins_at - 1, 0) // 3) * 3
-        a_old = translate(cds[c0 : c0 + 3])
-        a_new = translate(new_cds[c0 : c0 + 3])
-        if a_old and a_new and a_old != "*" and a_new == "*":
-            out["stop_gained"] = True
+        _insertion_stop_flags(
+            out, cds, new_cds, ins_at, len(seq),
+            len(seq) // 3 if not frameshift else 0,
+        )
         return out
 
     # deletion / delins: transcript-orientation first affected index
@@ -878,17 +980,9 @@ def classify_coding_indel(
         out["codons"] = f"{rendered_ref}/{rendered_alt}"
         aa_alt = translate((cds[c0:s0] + seq + cds[s0 + ln : c1]).upper())
         out["amino_acids"] = f"{aa_ref}/{aa_alt or '-'}"
-        if "*" in aa_ref and aa_alt and aa_alt.endswith("*"):
-            out["stop_retained"] = True
-    # stop effects from the whole-protein comparison
-    prot_old = translate(cds)
-    prot_new = translate(new_cds)
-    first_i = s0 // 3
-    if first_i < len(prot_old):
-        a_old = prot_old[first_i]
-        a_new = prot_new[first_i] if first_i < len(prot_new) else ""
-        if a_old != "*" and a_new == "*":
-            out["stop_gained"] = True
+    _deletion_stop_flags(
+        out, cds, new_cds, s0, s0 + ln - 1, ln, len(seq), frameshift
+    )
     return out
 
 
@@ -949,6 +1043,10 @@ def _add_coding_terms(
                     )
                 if cls["stop_gained"]:
                     terms.add("stop_gained")
+                if cls.get("stop_lost"):
+                    terms.add("stop_lost")
+                if cls["stop_retained"]:
+                    terms.add("stop_retained_variant")
                 if cls.get("start_lost"):
                     terms.add("start_lost")
                 if cls.get("start_retained"):

@@ -958,7 +958,13 @@ def test_indel_start_codon_reference_cases():
     assert set(cq.classify(mk(), 1003, "G", "")) == {"frameshift_variant"}
     assert set(cq.classify(mk(), 1001, "-", "TT")) == {"frameshift_variant", "start_lost"}
     assert set(cq.classify(mk(), 1004, "-", "TT")) == {"frameshift_variant"}
-    assert set(cq.classify(mk(), 1003, "GCT", "")) == {"inframe_deletion"}
+    # an inframe deletion within 3 codons of the stop that shifts the stop
+    # index by exactly the deleted codon count is ALSO stop_retained
+    # (reference deletion_spanning_stop_region_with_shifted_index rule —
+    # the near window is stop_nt_start - 9)
+    assert set(cq.classify(mk(), 1003, "GCT", "")) == {
+        "inframe_deletion", "stop_retained_variant"
+    }
 
 
 def test_frameshift_insertion_boundary_dash_format():
@@ -1021,3 +1027,60 @@ def test_which_intron_minus_strand_reverses_numbering():
         exons=[(100, 200), (300, 400), (500, 600)], cds_start=100, cds_end=600,
     )
     assert cq.exon_intron_numbers(tp, 250, 250) == (None, "1/2")
+
+
+def test_indel_stop_effect_reference_cases():
+    """transcript_consequence.rs issue #114/#116/#117 stop-effect family:
+    VEP's codon() renders frameshift remainders as X (never '*'), so
+    stop_gained NEVER fires from a frameshift deletion's shifted frame; a
+    frameshift deletion leaving a partial stop codon sets stop_lost; a
+    large frameshift insertion whose local codon window (3+len bytes)
+    reaches the stop is stop_retained and reclassifies to inframe_insertion;
+    small frameshifts away from the stop stay bare; a frameshift insertion
+    inside the stop codon co-fires stop_lost; inframe deletions removing
+    the stop entirely emit no stop_lost (the affected codon is out of
+    bounds in the alt peptide); near-stop inframe deletions shifting the
+    stop by the deleted codon count are stop_retained."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    def mk(cds):
+        e = 1000 + len(cds) - 1
+        return cq.Transcript(
+            transcript_id="T", chrom="1", start=1000, end=e, strand=1,
+            exons=[(1000, e)], cds_start=1000, cds_end=e, cds_sequence=cds,
+        )
+
+    # issue_114: fs deletion creating a stop in the new frame — NO stop_gained
+    assert set(cq.classify(mk("ATGTCTGAAGCTTGA"), 1004, "CT", "")) == {
+        "frameshift_variant"
+    }
+    # frameshift_deletion_partial_terminal_stop_sets_stop_lost (codons tGa/ta)
+    assert set(cq.classify(mk("ATGTGA"), 1004, "G", "")) == {
+        "frameshift_variant", "stop_lost"
+    }
+    c = cq.classify_coding_indel(mk("ATGTGA"), 1004, 1004, "G", "", False)
+    assert c["codons"] == "tGa/ta" and c["stop_lost"]
+    # issue_117 large fs insertion near stop: local window sees the stop →
+    # stop_retained → frameshift reclassified to inframe_insertion
+    assert "inframe_insertion" in cq.classify(
+        mk("ATGGCTGAATGA"), 1007, "-", "AATGAGGGGG"
+    )
+    # issue_117 small fs insertion away from stop: bare frameshift
+    assert set(cq.classify(mk("ATGGCTGAAGCTTGA"), 1004, "-", "T")) == {
+        "frameshift_variant"
+    }
+    # frameshift_insertion_at_stop_sets_stop_lost
+    assert set(cq.classify(mk("ATGGCTTGA"), 1007, "-", "T")) == {
+        "frameshift_variant", "stop_lost"
+    }
+    # inframe_deletion_removing_stop_codon_no_stop_lost
+    assert set(cq.classify(mk("ATGGCTTAA"), 1006, "TAA", "")) == {"inframe_deletion"}
+    # deletion_spanning_stop_region_with_shifted_index_is_stop_retained
+    assert set(cq.classify(mk("ATGGCTAAATGA"), 1006, "AAA", "")) == {
+        "inframe_deletion", "stop_retained_variant"
+    }
+    # inframe_deletion_shifting_stop_earlier_no_false_stop_gained_long_cds:
+    # deletion FAR from the stop — no stop terms at all
+    assert set(cq.classify(mk("ATGGCTAAAGCTGCTGCTAAATGA"), 1009, "GCT", "")) == {
+        "inframe_deletion"
+    }
