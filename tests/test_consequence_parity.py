@@ -1084,3 +1084,35 @@ def test_indel_stop_effect_reference_cases():
     assert set(cq.classify(mk("ATGGCTAAAGCTGCTGCTAAATGA"), 1009, "GCT", "")) == {
         "inframe_deletion"
     }
+
+
+def test_issue_124_and_101_families_pinned():
+    """transcript_consequence.rs issue #124 / #101 cases (already matching,
+    pinned here): a 6bp inframe insertion disrupting a flanking codon
+    fails VEP's prefix/suffix containment -> protein_altering_variant
+    alone; an SNV inside an incomplete terminal codon suppresses
+    synonymous (X guard) leaving itcv + coding_sequence_variant; a
+    TGA->TAA change on a complete CDS is stop_retained with NO false
+    incomplete_terminal_codon."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    t = cq.Transcript(
+        transcript_id="T", chrom="1", start=990, end=1030, strand=1,
+        exons=[(990, 1030)], cds_start=1000, cds_end=1014,
+        cds_sequence="ATGGCTGAAGCTTGA",
+    )
+    assert sorted(cq.classify(t, 1004, "-", "GGGAAA")) == ["protein_altering_variant"]
+    t2 = cq.Transcript(
+        transcript_id="T2", chrom="1", start=1000, end=1017, strand=1,
+        exons=[(1000, 1017)], cds_start=1000, cds_end=1007,
+        cds_sequence="ATGGCTGA",
+    )
+    assert sorted(cq.classify(t2, 1007, "A", "T")) == [
+        "coding_sequence_variant", "incomplete_terminal_codon_variant"
+    ]
+    t3 = cq.Transcript(
+        transcript_id="T3", chrom="1", start=1000, end=1011, strand=1,
+        exons=[(1000, 1011)], cds_start=1000, cds_end=1011,
+        cds_sequence="ATGGCTGAATGA",
+    )
+    assert sorted(cq.classify(t3, 1010, "G", "A")) == ["stop_retained_variant"]
