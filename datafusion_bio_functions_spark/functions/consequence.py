@@ -856,17 +856,28 @@ def classify_coding_indel(
     dref = (ref if t.strand >= 0 else revcomp(ref)).upper()
 
     if is_ins:
-        # insertion point: before transcript index ins_at
+        # insertion point: before transcript index ins_at.  An insertion at
+        # the CDS boundary (one flank maps, the other is past the CDS end)
+        # anchors at the mapped flank — VEP still renders full coding
+        # fields there (issue #118 exon-boundary insertions).
         if t.strand >= 0:
             right = _genomic_to_cds_offset(t, vs)
-            if right is None:
-                return None
-            ins_at = right + lead
+            if right is not None:
+                ins_at = right + lead
+            else:
+                left = _genomic_to_cds_offset(t, vs - 1)
+                if left is None:
+                    return None
+                ins_at = left + 1 + lead
         else:
             left = _genomic_to_cds_offset(t, vs - 1)
-            if left is None:
-                return None
-            ins_at = left + lead
+            if left is not None:
+                ins_at = left + lead
+            else:
+                right = _genomic_to_cds_offset(t, vs)
+                if right is None:
+                    return None
+                ins_at = right + 1 + lead
         if ins_at < 0 or ins_at > len(cds):
             return None
         out = {

@@ -1116,3 +1116,36 @@ def test_issue_124_and_101_families_pinned():
         cds_sequence="ATGGCTGAATGA",
     )
     assert sorted(cq.classify(t3, 1010, "G", "A")) == ["stop_retained_variant"]
+
+
+def test_issue_118_cds_boundary_insertion_keeps_coding_fields():
+    """transcript_consequence.rs issue #118 family: an insertion at the CDS
+    boundary (one flank past the CDS end) anchors at the mapped flank and
+    still renders full coding fields (frameshift + CDS/protein positions)
+    instead of dropping the classification; the negative-strand 5'UTR
+    boundary insertion stays non-coding; a mid-body frameshift-intron
+    insertion degrades to coding_sequence_variant."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    t = cq.Transcript(
+        transcript_id="T", chrom="1", start=990, end=1030, strand=1,
+        exons=[(1000, 1011)], cds_start=1000, cds_end=1011,
+        cds_sequence="ATGGCTGAAAGA",
+    )
+    assert sorted(cq.classify(t, 1012, "-", "G")) == ["frameshift_variant"]
+    c = cq.classify_coding_indel(t, 1012, 1012, "", "G", True)
+    assert c is not None
+    assert (c["cds_position_start"], c["protein_position_start"]) == (12, 4)
+    cds_seq = "NN" + "ATG" * 33 + "AT"
+    tn = cq.Transcript(
+        transcript_id="N", chrom="1", start=1000, end=1200, strand=-1,
+        exons=[(1100, 1150), (1050, 1099)], cds_start=1050, cds_end=1150,
+        cds_sequence=cds_seq,
+    )
+    assert sorted(cq.classify(tn, 1151, "-", "GCCGCC")) == ["5_prime_UTR_variant"]
+    t3 = cq.Transcript(
+        transcript_id="T3", chrom="1", start=990, end=1040, strand=1,
+        exons=[(1000, 1008), (1019, 1030)], cds_start=1000, cds_end=1030,
+        cds_sequence="ATGGCTGAATGATTTCCCGGG",
+    )
+    assert sorted(cq.classify(t3, 1010, "-", "GGGG")) == ["coding_sequence_variant"]
