@@ -885,7 +885,24 @@ def _annotate_codon(
 
     rolled = pre.groupBy(*[F.col(c) for c in vcf_cols]).agg(
         F.substring_index(F.min("__best_term"), "|", -1).alias("__ms"),
-        F.concat_ws(",", F.array_sort(F.collect_list("__entry"))).alias("CSQ"),
+        # CSQ concat order: transcript entries before feature entries, then
+        # by entry string — the reference sorts TranscriptConsequences by
+        # (feature_type rank, id) with Transcript < Regulatory < Motif
+        # (transcript_consequence.rs feature_type_rank tests)
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.when(F.col("__is_tx"), 0).otherwise(1).alias("r"),
+                            F.col("__entry").alias("e"),
+                        )
+                    )
+                ),
+                lambda x: x["e"],
+            ),
+        ).alias("CSQ"),
         # typed columns of the most-severe transcript entry: min_by on
         # the rank-prefixed term + transcript_id (reference emits ~80
         # typed columns, annotate_provider.rs:2270-2296; this is the
