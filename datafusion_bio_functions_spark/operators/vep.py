@@ -1287,6 +1287,20 @@ def regulatory_features(
         if has_alleles
         else F.lit(False)
     )
+    # VEP's insertion overlap is STRICT: an insertion at the feature start
+    # boundary does not touch it (transcript_consequence.rs
+    # regulatory_insertion_at_feature_boundary_excluded); SNVs/deletions
+    # use the normal closed-interval overlap
+    is_insertion = (
+        (F.col("ref") == "-") | (F.length(F.coalesce(F.col("ref"), F.lit(""))) == 0)
+        if has_alleles
+        else F.lit(False)
+    )
+
+    def _feat_overlap(fs: "F.Column", fe: "F.Column") -> "F.Column":
+        return F.when(is_insertion, (pos > fs) & (pos <= fe)).otherwise(
+            (pos <= fe) & (vend >= fs)
+        )
     parts = []
     if regulatory is not None:
         _check_contract(regulatory, ("chrom", "start", "end", "feature_id"), "regulatory")
@@ -1306,7 +1320,8 @@ def regulatory_features(
         ).alias("feature_biotype")
         hits = vcf.join(
             F.broadcast(reg),
-            (F.col("chrom") == F.col("__fc")) & (pos <= F.col("__fe")) & (vend >= F.col("__fs")),
+            (F.col("chrom") == F.col("__fc"))
+            & _feat_overlap(F.col("__fs"), F.col("__fe")),
         )
         parts.append(
             hits.select(
@@ -1339,7 +1354,8 @@ def regulatory_features(
         parts.append(
             vcf.join(
                 F.broadcast(mot),
-                (F.col("chrom") == F.col("__fc")) & (pos <= F.col("__fe")) & (vend >= F.col("__fs")),
+                (F.col("chrom") == F.col("__fc"))
+                & _feat_overlap(F.col("__fs"), F.col("__fe")),
             ).select(
                 *vcf.columns,
                 "feature_id",

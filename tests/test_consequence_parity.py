@@ -1149,3 +1149,24 @@ def test_issue_118_cds_boundary_insertion_keeps_coding_fields():
         cds_sequence="ATGGCTGAATGATTTCCCGGG",
     )
     assert sorted(cq.classify(t3, 1010, "-", "GGGG")) == ["coding_sequence_variant"]
+
+
+def test_regulatory_insertion_boundary_semantics(spark):
+    """transcript_consequence.rs regulatory_insertion_at_feature_boundary_
+    excluded / _inside_feature_included / regulatory_snv_at_feature_
+    boundary_included: insertions overlap a regulatory feature only when
+    STRICTLY inside (start > feat_start); SNVs use the normal closed
+    overlap."""
+    from datafusion_bio_functions_spark.operators.vep import regulatory_features
+
+    reg = spark.createDataFrame(
+        [("22", 150, 200, "REG1")],
+        "chrom string, start long, end long, feature_id string",
+    )
+    schema = "chrom string, start long, end long, ref string, alt string"
+    at_boundary_ins = spark.createDataFrame([("22", 150, 150, "-", "ACG")], schema)
+    inside_ins = spark.createDataFrame([("22", 175, 175, "-", "ACG")], schema)
+    boundary_snv = spark.createDataFrame([("22", 150, 150, "A", "G")], schema)
+    assert regulatory_features(at_boundary_ins, reg).count() == 0
+    assert regulatory_features(inside_ins, reg).count() == 1
+    assert regulatory_features(boundary_snv, reg).count() == 1
