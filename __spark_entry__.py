@@ -1167,17 +1167,17 @@ SELECT v.chrom, v.start, v."end", v.ref, v.alt,
               THEN CASE WHEN b.strand >= 0 THEN b.d ELSE 501 - b.d END + 1
             WHEN b.d BETWEEN 350 AND 600
               THEN CASE WHEN b.strand >= 0 THEN b.d - 99 ELSE 600 - b.d END + 1
-       END AS BIGINT) AS "cDNA_position",
+       END AS VARCHAR) AS "cDNA_position",
   CAST(CASE WHEN b.d BETWEEN 100 AND 250
               THEN CASE WHEN b.strand >= 0 THEN b.d - 99 ELSE 402 - b.d END
             WHEN b.d BETWEEN 350 AND 500
               THEN CASE WHEN b.strand >= 0 THEN b.d - 198 ELSE 501 - b.d END
-       END AS BIGINT) AS "CDS_position",
+       END AS VARCHAR) AS "CDS_position",
   CAST(CASE WHEN b.d BETWEEN 100 AND 250
               THEN (CASE WHEN b.strand >= 0 THEN b.d - 99 ELSE 402 - b.d END - 1) // 3 + 1
             WHEN b.d BETWEEN 350 AND 500
               THEN (CASE WHEN b.strand >= 0 THEN b.d - 198 ELSE 501 - b.d END - 1) // 3 + 1
-       END AS BIGINT) AS "Protein_position",
+       END AS VARCHAR) AS "Protein_position",
   CAST(CASE WHEN b.rnk IN (32, 33) THEN
          CASE WHEN v.start < b.ts THEN b.ts - v.start ELSE v.start - b.te END
        END AS BIGINT) AS "DISTANCE",

@@ -13,6 +13,7 @@ semantics (CIGAR walks, allele normalization, nearest-neighbor index probes).
 from .session import create_bio_session, get_or_create_session
 from .sql_surface import bio_sql
 from .operators.intervals import (
+    clear_probe_caches,
     cluster,
     complement,
     count_overlaps,
@@ -29,6 +30,7 @@ __all__ = [
     "get_or_create_session",
     "bio_sql",
     "interval_join",
+    "clear_probe_caches",
     "overlap",
     "count_overlaps",
     "coverage",

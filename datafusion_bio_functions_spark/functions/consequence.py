@@ -201,7 +201,6 @@ class Transcript:
     #: cdna); BAM-edited mapper rebuilds stay out of scope.
     refseq_edits: list["RefSeqEdit"] = field(default_factory=list)
     mature_mirna_regions: list[tuple[int, int]] = field(default_factory=list)
-    cds_start_nf: bool = False  # annotated "CDS 5' incomplete"
     #: memoized geometry — a Transcript is reused across many variants in
     #: the classify UDF's per-batch cache; exons are never mutated after
     #: construction there
@@ -1333,6 +1332,64 @@ def format_coords(start: int | None, end: int | None) -> str | None:
     return f"{lo}-{hi}"
 
 
+def cdna_span_str(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
+    """cDNA_position display string (reference ``compute_cdna_position``,
+    transcript_consequence.rs:7217-7326): exon-gated span over the spliced
+    transcript.  Non-insertions map both genomic ends — equal bounds
+    collapse, an unmappable (intron-extending) bound renders ``?`` oriented
+    by strand; insertions map the two flanks (anchor base and insertion
+    point) to a two-number span, synthesizing the missing flank ±1 by
+    strand when only one maps.  RefSeq ``_rna_edit`` numbering offsets are
+    applied per mapped bound; the cdna_mapper_segments gap machinery is the
+    documented out-of-scope tail (see module docstring)."""
+    ref = "" if ref in ("-", None) else ref
+    alt = "" if alt in ("-", None) else alt
+    vs, ve, _r, _a, is_ins = normalize_variant(pos, ref, alt)
+    exons = t.sorted_exons()
+    if not exons:
+        return None
+    if is_ins:
+        in_exon = any(
+            (es <= vs - 1 <= ee) or (es <= vs <= ee) for es, ee in exons
+        )
+    else:
+        in_exon = any(_overlaps(vs, ve, es, ee) for es, ee in exons)
+    if not in_exon:
+        return None
+
+    def _map(g: int) -> int | None:
+        off = _genomic_to_cdna_offset(t, g)
+        if off is None:
+            return None
+        n = off + 1
+        return n + (refseq_sequence_offset_for_cdna(t, n) or 0)
+
+    if is_ins:
+        a, b = _map(vs - 1), _map(vs)
+        if a is not None and b is not None:
+            lo, hi = min(a, b), max(a, b)
+        elif b is not None:
+            other = b - 1 if t.strand >= 0 else b + 1
+            lo, hi = min(b, other), max(b, other)
+        elif a is not None:
+            other = a + 1 if t.strand >= 0 else a - 1
+            lo, hi = min(a, other), max(a, other)
+        else:
+            return None
+        return f"{lo}-{hi}"
+    s, e = _map(vs), _map(ve)
+    if s is not None and e is not None:
+        if s == e:
+            return str(s)
+        lo, hi = min(s, e), max(s, e)
+        return f"{lo}-{hi}"
+    if s is not None:
+        return f"?-{s}" if t.strand < 0 else f"{s}-?"
+    if e is not None:
+        return f"{e}-?" if t.strand < 0 else f"?-{e}"
+    return None
+
+
 def compute_flags(t: Transcript) -> str | None:
     """FLAGS column from the incomplete-CDS booleans (reference
     compute_flags, transcript_consequence.rs:7825-7835)."""
@@ -1350,6 +1407,19 @@ def format_appris(raw: str) -> str:
     annotate_provider.rs): principalN -> PN, alternativeN -> AN, anything
     else passes through."""
     return raw.replace("principal", "P").replace("alternative", "A")
+
+
+def format_appris_col(col):
+    """Column-side twin of :func:`format_appris` — kept adjacent so the two
+    renderings cannot drift.  NOTE the reference uses ``str::replace`` which
+    substitutes ALL occurrences, not just a prefix; both twins mirror that."""
+    from pyspark.sql import functions as F
+
+    return F.replace(
+        F.replace(col, F.lit("principal"), F.lit("P")),
+        F.lit("alternative"),
+        F.lit("A"),
+    )
 
 
 def format_prediction(prediction: str, score: float) -> str:
@@ -1436,7 +1506,9 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
         "cds_position": None, "protein_position": None,
         "amino_acids": None, "codons": None, "distance": None,
         "cds_position_str": None, "protein_position_str": None,
+        "cdna_position_str": None,
     }
+    out["cdna_position_str"] = cdna_span_str(t, pos, ref, alt)
 
     def _set_span_strs(s1: int | None, e1: int | None) -> None:
         """Ensembl display strings for the CDS/protein spans: equal bounds

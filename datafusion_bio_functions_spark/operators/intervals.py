@@ -145,6 +145,33 @@ _BIN_WIDTH_MEMO: dict[tuple, int] = {}
 _RADIUS_MEMO: dict[tuple, int] = {}
 
 
+def _plan_key(df: DataFrame):
+    """Memo key for the bounded probes: semantic plan hash + a fingerprint
+    of the scanned files (ADVICE r4: semanticHash alone hashes the PLAN, so
+    a path whose files are replaced mid-session would reuse a stale probe
+    verdict).  ``inputFiles()`` is a driver-side listing — no Spark job.
+    Residual assumption (documented): an in-place overwrite that keeps the
+    exact same file names is NOT detected; call
+    :func:`clear_probe_caches` after rewriting inputs in place."""
+    h = df.semanticHash()  # raises on connect-mode frames; caller catches
+    try:
+        files = df.inputFiles()
+        fp = hash(tuple(sorted(files))) if files else 0
+    except Exception:
+        fp = 0
+    return (h, fp)
+
+
+def clear_probe_caches() -> None:
+    """Drop every memoized probe verdict (bin width, chunk width, nearest
+    radius, broadcast-fit).  Call after overwriting input files in place —
+    the memo keys fingerprint the file LISTING, not file contents."""
+    _BIN_WIDTH_MEMO.clear()
+    _RADIUS_MEMO.clear()
+    _CHUNK_WIDTH_MEMO.clear()
+    _FITS_BROADCAST_MEMO.clear()
+
+
 def _auto_bin_width(l: DataFrame, ls: str, le: str, r: DataFrame, rs: str, re_: str) -> int:
     """Derive the genome-bin width from a bounded interval-width sample:
     next power of two >= 2 * p95(width), clamped to [128, 2^20].  The
@@ -152,7 +179,7 @@ def _auto_bin_width(l: DataFrame, ls: str, le: str, r: DataFrame, rs: str, re_: 
     the per-session memo (semantic plan hash) keeps repeated joins over
     the same frames from re-running the stats job."""
     try:
-        key = (l.semanticHash(), ls, le, r.semanticHash(), rs, re_)
+        key = (_plan_key(l), ls, le, _plan_key(r), rs, re_)
         if key in _BIN_WIDTH_MEMO:
             return _BIN_WIDTH_MEMO[key]
     except Exception:  # semanticHash unavailable (e.g. connect-mode frame)
@@ -503,7 +530,7 @@ def _fits_broadcast(left: DataFrame, guard: int = BROADCAST_GUARD_ROWS) -> bool:
     scale-killer #4).  Memoized per semantic plan so repeated probes over
     the same frame skip the job."""
     try:
-        key = (left.semanticHash(), guard)
+        key = (_plan_key(left), guard)
         if key in _FITS_BROADCAST_MEMO:
             return _FITS_BROADCAST_MEMO[key]
     except Exception:
@@ -701,7 +728,7 @@ def _auto_chunk_width(df: DataFrame, s: str, e: str) -> int:
     sample keeps ~4 buckets per core regardless of the space.  Memoized per
     semantic plan so repeated sweeps skip the stats job."""
     try:
-        key = (df.semanticHash(), s, e, "cw")
+        key = (_plan_key(df), s, e, "cw")
         if key in _CHUNK_WIDTH_MEMO:
             return _CHUNK_WIDTH_MEMO[key]
     except Exception:  # semanticHash unavailable
@@ -1625,7 +1652,7 @@ def _nearest_radius(
             ).cast(T.LongType()).alias("__rad"),
         )
         try:
-            memo_key = (left.semanticHash(), lc, ls, le, k, shrink)
+            memo_key = (_plan_key(left), lc, ls, le, k, shrink)
         except Exception:  # pragma: no cover - connect-mode frame
             memo_key = None
         if memo_key is not None and memo_key in _RADIUS_MEMO:

@@ -406,8 +406,16 @@ def annotate_vep(
             F.col("end").cast("long").alias("__t_end"),
             F.col("strand").cast("int").alias("__t_strand"),
             F.col("biotype").alias("__t_biotype"),
-            F.col("gene_stable_id").alias("__t_gene"),
-            F.col("gene_symbol").alias("__t_symbol"),
+            (
+                F.col("gene_stable_id")
+                if "gene_stable_id" in transcripts.columns
+                else F.lit("")
+            ).alias("__t_gene"),
+            (
+                F.col("gene_symbol")
+                if "gene_symbol" in transcripts.columns
+                else F.lit("")
+            ).alias("__t_symbol"),
         )
         up, down = upstream_distance, downstream_distance
         pos = F.col("start").cast("long")
@@ -489,9 +497,13 @@ def _tx_meta_map(t: DataFrame) -> "F.Column":
             v = F.col(col).cast("string")
             if out_name == "APPRIS":
                 # reference format_appris: principalN -> PN, alternativeN
-                # -> AN, else passthrough
-                v = F.replace(F.replace(v, F.lit("principal"), F.lit("P")),
-                              F.lit("alternative"), F.lit("A"))
+                # -> AN, else passthrough (all-occurrence replace, like the
+                # reference's str::replace)
+                from datafusion_bio_functions_spark.functions.consequence import (
+                    format_appris_col,
+                )
+
+                v = format_appris_col(v)
             vals.append(v)
     if "cds_start_nf" in t.columns or "cds_end_nf" in t.columns:
         nf_s = (
@@ -542,7 +554,7 @@ def _annotate_codon(
         c: (c in t.columns)
         for c in (
             "cds_start", "cds_end", "cds_sequence", "gene_symbol",
-            "mature_mirna_regions",
+            "gene_stable_id", "mature_mirna_regions",
         )
     }
     tsel = [
@@ -552,7 +564,7 @@ def _annotate_codon(
         F.col("end").cast("long").alias("__t_end"),
         F.col("strand").cast("int").alias("__t_strand"),
         F.col("biotype").alias("__t_biotype"),
-        F.col("gene_stable_id").alias("__t_gene"),
+        (F.col("gene_stable_id") if opt["gene_stable_id"] else F.lit("")).alias("__t_gene"),
         (F.col("gene_symbol") if opt["gene_symbol"] else F.lit("")).alias("__t_symbol"),
         (F.col("cds_start").cast("long") if opt["cds_start"] else F.lit(None).cast("long")).alias(
             "__t_cds_start"
@@ -625,11 +637,18 @@ def _annotate_codon(
             T.StructField("amino_acids", T.StringType(), True),
             T.StructField("codons", T.StringType(), True),
             T.StructField("distance", T.LongType(), True),
+            # Ensembl display span strings (reference CSQ cDNA_position/
+            # CDS_position/Protein_position are Utf8, annotate_provider.rs
+            # :222-239); the integer twins above stay for SIFT keying
+            T.StructField("cdna_position_str", T.StringType(), True),
+            T.StructField("cds_position_str", T.StringType(), True),
+            T.StructField("protein_position_str", T.StringType(), True),
         ]
     )
     _detail_keys = (
         "exon", "intron", "cdna_position", "cds_position",
         "protein_position", "amino_acids", "codons", "distance",
+        "cdna_position_str", "cds_position_str", "protein_position_str",
     )
 
     # no type hints: scalar pandas UDF (Series... -> DataFrame for a struct
@@ -776,6 +795,9 @@ def _annotate_codon(
             F.col("__res.amino_acids").alias("amino_acids"),
             F.col("__res.codons").alias("codons"),
             F.col("__res.distance").alias("distance"),
+            F.col("__res.cdna_position_str").alias("cdna_position_str"),
+            F.col("__res.cds_position_str").alias("cds_position_str"),
+            F.col("__res.protein_position_str").alias("protein_position_str"),
             F.col("__t_meta").alias("meta"),
         ),
     )
@@ -868,6 +890,8 @@ def _annotate_codon(
             nl.alias("cdna_position"), nl.alias("cds_position"),
             nl.alias("protein_position"), ns.alias("amino_acids"),
             ns.alias("codons"), nl.alias("distance"),
+            ns.alias("cdna_position_str"), ns.alias("cds_position_str"),
+            ns.alias("protein_position_str"),
             F.lit(None).cast("map<string,string>").alias("meta"),
         )
         pre = pre.unionByName(
@@ -1066,9 +1090,12 @@ def _annotate_codon(
         F.col("__best.intron").alias("INTRON"),
         F.col("__best.hgvsc").alias("HGVSc"),
         F.col("__best.hgvsp").alias("HGVSp"),
-        F.col("__best.cdna_position").alias("cDNA_position"),
-        F.col("__best.cds_position").alias("CDS_position"),
-        F.col("__best.protein_position").alias("Protein_position"),
+        # reference CSQ position columns are formatted span STRINGS
+        # (annotate_provider.rs:222-239 list_utf8; '?'/span forms from
+        # format_coords / compute_cdna_position)
+        F.col("__best.cdna_position_str").alias("cDNA_position"),
+        F.col("__best.cds_position_str").alias("CDS_position"),
+        F.col("__best.protein_position_str").alias("Protein_position"),
         F.col("__best.amino_acids").alias("Amino_acids"),
         F.col("__best.codons").alias("Codons"),
         F.coalesce(F.col("variation_name"), F.lit("")).alias("Existing_variation"),

@@ -487,7 +487,7 @@ class TestAnnotateVepIndelPipeline:
         assert r.most_severe_consequence == "inframe_deletion"
         assert r.Codons == "GCT/-"
         assert r.Amino_acids == "A/-"
-        assert r.Protein_position == 2
+        assert r.Protein_position == "2"
         assert r.VARIANT_CLASS == "deletion"
         assert r.HGVSc is not None and r.HGVSc.endswith("del")
 

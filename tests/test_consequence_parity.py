@@ -744,6 +744,53 @@ def test_format_coords_reference_cases():
     assert format_coords(None, None) is None
 
 
+def test_cdna_span_str_compute_cdna_position_semantics():
+    """Reference compute_cdna_position (transcript_consequence.rs:7217-7326):
+    exon-gated spans, insertion flank pairs, boundary '?' forms oriented by
+    strand, and the one-flank synthesis rules."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    t = cq.Transcript(
+        transcript_id="T1", chrom="1", start=1000, end=1600, strand=1,
+        exons=[(1000, 1250), (1350, 1600)], cds_start=1100, cds_end=1500,
+    )
+    tn = cq.Transcript(
+        transcript_id="T2", chrom="1", start=1000, end=1600, strand=-1,
+        exons=[(1000, 1250), (1350, 1600)], cds_start=1100, cds_end=1500,
+    )
+    # SNV collapses to a single number
+    assert cq.cdna_span_str(t, 1102, "A", "G") == "103"
+    assert cq.cdna_span_str(tn, 1102, "A", "G") == "400"
+    # deletion running off the exon end into the intron: unmappable bound
+    # renders '?', oriented by strand ((Some,None) arm)
+    assert cq.cdna_span_str(t, 1248, "AAAAA", "A") == "250-?"
+    assert cq.cdna_span_str(tn, 1248, "AAAAA", "A") == "?-253"
+    # insertion inside an exon: both flanks map -> lo-hi
+    assert cq.cdna_span_str(t, 1103, "-", "GG") == "103-104"
+    # insertion at an exon start: left flank intronic, synthesized b-1
+    assert cq.cdna_span_str(t, 1350, "-", "G") == "251-252"
+    # intronic / outside: exon gate -> None
+    assert cq.cdna_span_str(t, 1300, "A", "G") is None
+    assert cq.cdna_span_str(t, 5000, "A", "G") is None
+
+
+def test_annotation_details_dash_insertion_equals_empty_insertion():
+    """ADVICE r4: dash-style insertions (ref='-') must not take the
+    non-insertion g_last path — annotation_details normalizes '-' to ''
+    on entry, so both spellings produce identical output."""
+    from datafusion_bio_functions_spark.functions import consequence as cq
+
+    t = cq.Transcript(
+        transcript_id="T1", chrom="1", start=100, end=1000, strand=1,
+        exons=[(100, 1000)], cds_start=200, cds_end=800,
+    )
+    d_dash = cq.annotation_details(t, 300, "-", "AC")
+    d_empty = cq.annotation_details(t, 300, "", "AC")
+    assert d_dash == d_empty
+    # span strings stay blank for insertions without a classify result
+    assert d_dash["cds_position_str"] is None
+
+
 def test_cds_position_question_mark_reference_cases():
     """transcript_consequence.rs cds_start_nf tests: the '?-N' unknown-start
     format applies ONLY when cds_start_nf is set AND the CDS carries N

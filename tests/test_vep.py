@@ -284,7 +284,8 @@ def test_annotate_vep_full_schema(spark):
     hit = rows[1102]
     assert hit["Feature"] == "TXF" and hit["STRAND"] == 1
     assert hit["EXON"] == "1/2" and hit["INTRON"] is None
-    assert (hit["cDNA_position"], hit["CDS_position"], hit["Protein_position"]) == (103, 3, 1)
+    # span strings per the reference's Utf8 CSQ position columns
+    assert (hit["cDNA_position"], hit["CDS_position"], hit["Protein_position"]) == ("103", "3", "1")
     assert hit["Existing_variation"] == "rs1" and hit["CLIN_SIG"] == "benign"
     # cache carries AF → frequency passthrough + MAX_AF derivation
     assert abs(hit["AF"] - 0.25) < 1e-6 and abs(hit["MAX_AF"] - 0.25) < 1e-6
