@@ -108,7 +108,7 @@ def depth(
     flag_mask: int = DEFAULT_FLAG_MASK,
     min_mapq: int = 0,
     cols: Sequence[str] | None = None,
-    algorithm: str = "window",
+    algorithm: str = "auto",
     chunk_width: int = 10_000_000,
     contig_lengths: DataFrame | None = None,
 ) -> DataFrame:
@@ -132,17 +132,23 @@ def depth(
     pos - 1``; ``mosdepth_compat.rs:140`` expects ``(0,5,1)``).  Default:
     1-based closed in and out.
 
-    ``algorithm='window'`` (default): one running-sum window per contig —
-    one row per breakpoint, but one task per contig at the window.
-    ``algorithm='chunked'``: two-phase parallel prefix sum — local running
-    sums per ``(contig, pos / chunk_width)`` genome chunk, bucket offsets
-    from a prefix sum over the per-chunk totals (rows = #chunks), coverage
-    = local + offset.  Removes the per-contig serialization for
-    hundreds-of-millions-of-breakpoints chromosomes; equality with the
-    window path is property-tested.
+    ``algorithm='auto'`` (default): size-aware — a bounded memoized probe
+    routes to ``grouped`` below ``spark.bio.depth.groupedMaxSegments``
+    (default 8 M) and to ``window`` above.  ``'grouped'``: per-contig
+    numpy kernel in ``applyInPandas`` — one shuffle, events sorted/summed
+    vectorized (sf1 same-day: 1.0 s vs 1.9 s window).  ``'window'``: one
+    running-sum window per contig — one row per breakpoint, one task per
+    contig at the window.  ``'chunked'``: two-phase parallel prefix sum —
+    local running sums per ``(contig, pos / chunk_width)`` genome chunk,
+    bucket offsets from a prefix sum over the per-chunk totals (rows =
+    #chunks), coverage = local + offset.  Removes the per-contig
+    serialization for hundreds-of-millions-of-breakpoints chromosomes;
+    cross-algorithm equality is property-tested.
     """
-    if algorithm not in ("window", "chunked"):
-        raise ValueError(f"depth algorithm must be 'window' or 'chunked', got {algorithm!r}")
+    if algorithm not in ("window", "chunked", "grouped", "auto"):
+        raise ValueError(
+            f"depth algorithm must be 'auto', 'window', 'chunked' or 'grouped', got {algorithm!r}"
+        )
     c, s, fl, cg, mq = cols or DEFAULT_ALN_COLS
     df = alignments.filter(
         (F.col(fl).cast("int").bitwiseAND(F.lit(flag_mask)) == 0)
@@ -150,7 +156,7 @@ def depth(
     )
     start_1b = f"{s} + 1" if zero_based else s
 
-    def _seg_events(segsrc: DataFrame) -> DataFrame:
+    def _explode_segs(segsrc: DataFrame) -> DataFrame:
         # explode_outer, not explode: for a plain explode Catalyst infers a
         # ``size(__segs) > 0 AND __segs IS NOT NULL`` filter below the
         # Generate and predicate pushdown substitutes the alias into it —
@@ -158,23 +164,22 @@ def depth(
         # alignment (twice in the filter, once in the projection).  The
         # outer form skips that rule; the cheap null-check on the exploded
         # struct drops segment-free reads.
-        seg = segsrc.select(
-            F.col(c).alias("contig"), F.explode_outer("__segs").alias("__seg")
-        ).filter(F.col("__seg").isNotNull())
-        return seg.select(
-            "contig",
-            F.explode(
-                F.array(
-                    F.struct(F.col("__seg.s").alias("pos"), F.lit(1).alias("delta")),
-                    F.struct((F.col("__seg.e") + 1).alias("pos"), F.lit(-1).alias("delta")),
-                )
-            ).alias("ev"),
-        ).select("contig", F.col("ev.pos").alias("pos"), F.col("ev.delta").alias("delta"))
+        return (
+            segsrc.select(F.col(c).alias("contig"), F.explode_outer("__segs").alias("__seg"))
+            .filter(F.col("__seg").isNotNull())
+            .select(
+                "contig",
+                F.col("__seg.s").alias("s"),
+                F.col("__seg.e").alias("e"),
+            )
+        )
 
+    # common intermediate: one row per M/=/X reference segment, closed
+    # coordinates ``(contig, s, e)`` — every algorithm derives from it
     cigar_type = dict(df.dtypes).get(cg, "string")
     if cigar_type == "binary":
         one_based = (F.col(s) + 1) if zero_based else F.col(s)
-        events = _seg_events(
+        segments = _explode_segs(
             df.withColumn(
                 "__segs",
                 _binary_cigar_segments_udf()(one_based.cast("long"), F.col(cg)),
@@ -182,33 +187,65 @@ def depth(
         )
     else:
         # split fast path: a single-run '<n>M' CIGAR (the overwhelming
-        # majority of short-read alignments) needs no walk — its two
-        # breakpoint events are plain codegen expressions in ONE Generate
-        # (no segs array, no null filter, no second explode).  The general
-        # aggregate() walk is a CodegenFallback (interpreted per row, sf1:
-        # 0.98 s vs 0.34 s); a CASE mixing the two would de-codegen the
-        # whole expression, so the frame is split and the branches reunite
-        # at the event level.
+        # majority of short-read alignments) needs no walk — its segment is
+        # a plain codegen projection (no segs array, no explode at all).
+        # The general aggregate() walk is a CodegenFallback (interpreted
+        # per row, sf1: 0.98 s vs 0.34 s); a CASE mixing the two would
+        # de-codegen the whole expression, so the frame is split and the
+        # branches reunite at the segment level.
         one_based = ((F.col(s) + 1) if zero_based else F.col(s)).cast("long")
         simple = F.col(cg).rlike("^[0-9]+M$")
-        n_m = F.regexp_extract(F.col(cg), "^([0-9]+)M$", 1).cast("long")
-        fast_events = (
-            df.filter(simple)
-            .select(
-                F.col(c).alias("contig"),
-                F.explode(
-                    F.array(
-                        F.struct(one_based.alias("pos"), F.lit(1).alias("delta")),
-                        F.struct((one_based + n_m).alias("pos"), F.lit(-1).alias("delta")),
+        n_m = F.substring(F.col(cg), 1, F.length(cg) - 1).cast("long")
+        fast_segments = df.filter(simple).select(
+            F.col(c).alias("contig"),
+            one_based.alias("s"),
+            (one_based + n_m - 1).alias("e"),
+        )
+        if algorithm == "auto":
+            fits, all_simple = _probe_alignments(df, simple)
+            algorithm = "grouped" if fits else "window"
+            if all_simple:
+                # every CIGAR in the (bounded-probed, fully seen) input is
+                # a single '<n>M' run — drop the slow branch and its
+                # second source scan from the plan entirely
+                segments = fast_segments
+            else:
+                segments = fast_segments.unionByName(
+                    _explode_segs(
+                        df.filter(~simple).withColumn(
+                            "__segs", F.expr(_cigar_segments_sql(start_1b, cg))
+                        )
                     )
-                ).alias("ev"),
+                )
+        else:
+            segments = fast_segments.unionByName(
+                _explode_segs(
+                    df.filter(~simple).withColumn(
+                        "__segs", F.expr(_cigar_segments_sql(start_1b, cg))
+                    )
+                )
             )
-            .select("contig", F.col("ev.pos").alias("pos"), F.col("ev.delta").alias("delta"))
+
+    if algorithm == "auto":
+        # binary-CIGAR branch: size probe only (no simple/slow split)
+        fits, _ = _probe_alignments(df, None)
+        algorithm = "grouped" if fits else "window"
+
+    if algorithm == "grouped":
+        blocks = _grouped_blocks(segments)
+        return _finalize_blocks(
+            blocks, zero_based, per_base, contig_lengths
         )
-        slow_events = _seg_events(
-            df.filter(~simple).withColumn("__segs", F.expr(_cigar_segments_sql(start_1b, cg)))
-        )
-        events = fast_events.unionByName(slow_events)
+
+    events = segments.select(
+        "contig",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("pos"), F.lit(1).alias("delta")),
+                F.struct((F.col("e") + 1).alias("pos"), F.lit(-1).alias("delta")),
+            )
+        ).alias("ev"),
+    ).select("contig", F.col("ev.pos").alias("pos"), F.col("ev.delta").alias("delta"))
 
     # partial aggregation is map-side combined by Catalyst; the running sum
     # then sees one row per breakpoint per contig
@@ -258,6 +295,116 @@ def depth(
         (F.col("next_pos") - 1).alias("pos_end"),
         F.col("coverage").cast(T.IntegerType()).alias("coverage"),
     )
+    return _finalize_blocks(blocks, zero_based, per_base, contig_lengths)
+
+
+#: auto-selection guard: route to the grouped numpy kernel only while the
+#: bounded row probe stays under this many alignments (worst case all on
+#: one contig ≈ 100 bytes/segment of transient numpy arrays in a single
+#: task — the same per-contig memory class as the reference's dense-mode
+#: ``i32[contig_len]`` arrays, physical_exec.rs:27-41; complex CIGARs
+#: multiply segments per read by a small factor).  Measured crossover:
+#: grouped 1.2 s vs window 1.9 s at sf1 (1.5 M reads), but grouped 6.4 s
+#: vs window ~2.7 s at sf10 (15 M reads) — Arrow transfer volume plus the
+#: #contigs task ceiling overtake the JVM pipeline well before memory
+#: does, so the guard is a PERFORMANCE crossover, not just a memory cap.
+GROUPED_MAX_ROWS = 8_000_000
+_GROUPED_FIT_MEMO: dict = {}
+
+
+def _probe_alignments(df: DataFrame, simple) -> tuple[bool, bool]:
+    """One bounded job answering both auto-selection questions: does the
+    (filtered) alignment count fit the grouped guard, and — when it does —
+    is every CIGAR a simple '<n>M' run (the probe saw ALL rows, so the
+    slow branch is provably empty).  Memoized by plan+input fingerprint
+    (``_plan_key``); never scans more than guard+1 rows."""
+    key = None
+    try:
+        from .intervals import _plan_key
+
+        key = (_plan_key(df), simple is not None, "depth-grouped")
+        if key in _GROUPED_FIT_MEMO:
+            return _GROUPED_FIT_MEMO[key]
+    except Exception:
+        pass
+    limit = int(
+        df.sparkSession.conf.get("spark.bio.depth.groupedMaxRows", str(GROUPED_MAX_ROWS))
+    )
+    probe_cols = [F.count(F.lit(1)).alias("n")]
+    if simple is not None:
+        probe_cols.append(
+            F.sum(F.when(~simple, 1).otherwise(0)).alias("n_complex")
+        )
+    row = df.limit(limit + 1).agg(*probe_cols).collect()[0]
+    fits = row["n"] <= limit
+    all_simple = bool(fits and simple is not None and (row["n_complex"] or 0) == 0)
+    res = (fits, all_simple)
+    if key is not None:
+        if len(_GROUPED_FIT_MEMO) > 1024:
+            _GROUPED_FIT_MEMO.clear()
+        _GROUPED_FIT_MEMO[key] = res
+    return res
+
+
+def _grouped_blocks(segments: DataFrame) -> DataFrame:
+    """Per-contig RLE blocks in one vectorized numpy pass: sort both event
+    arrays, sum deltas per breakpoint (np.add.reduceat), cumulative sum =
+    coverage, lead(pos) = run end.  Same math as the window pipeline but a
+    single shuffle (hash(contig)) and no per-row JVM window state — the
+    same per-contig parallelism ceiling as the window path, guarded by
+    ``_fits_grouped`` so event arrays stay task-memory-bounded."""
+    import numpy as np
+
+    def _kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf["s"].to_numpy(dtype="int64", copy=False)
+        e = pdf["e"].to_numpy(dtype="int64", copy=False)
+        pos = np.concatenate([s, e + 1])
+        delta = np.concatenate(
+            [np.ones(len(s), np.int64), -np.ones(len(e), np.int64)]
+        )
+        order = np.argsort(pos, kind="stable")
+        pos = pos[order]
+        delta = delta[order]
+        upos, idx = np.unique(pos, return_index=True)
+        sums = np.add.reduceat(delta, idx)
+        keep = sums != 0
+        upos = upos[keep]
+        cov = np.cumsum(sums[keep])
+        if not len(upos):
+            return pd.DataFrame(
+                {
+                    "contig": pd.Series([], dtype="object"),
+                    "pos_start": pd.Series([], dtype="int64"),
+                    "pos_end": pd.Series([], dtype="int64"),
+                    "coverage": pd.Series([], dtype="int32"),
+                }
+            )
+        nxt = np.empty_like(upos)
+        nxt[:-1] = upos[1:]
+        nxt[-1] = -1
+        m = (cov > 0) & (nxt >= 0)
+        return pd.DataFrame(
+            {
+                "contig": key[0],
+                "pos_start": upos[m],
+                "pos_end": nxt[m] - 1,
+                "coverage": cov[m].astype("int32"),
+            }
+        )
+
+    return segments.select(
+        "contig", F.col("s").cast("long").alias("s"), F.col("e").cast("long").alias("e")
+    ).groupBy("contig").applyInPandas(
+        _kernel, "contig string, pos_start long, pos_end long, coverage int"
+    )
+
+
+def _finalize_blocks(
+    blocks: DataFrame,
+    zero_based: bool,
+    per_base: bool,
+    contig_lengths: DataFrame | None,
+) -> DataFrame:
     if zero_based:
         # reference blocks are inclusive-end in BOTH modes (coverage.rs:51
         # ``pos_end = pos - 1``; mosdepth_compat.rs:140 expects (0,5,1)):

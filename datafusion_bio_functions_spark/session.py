@@ -56,6 +56,11 @@ def get_or_create_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 10k-row default Arrow batches fragment grouped-UDF input into
+        # dozens of chunks per group; 128k keeps per-batch memory modest
+        # (wide binary columns ride mapInPandas readers, not this path)
+        # while letting the numpy kernels see full groups
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -143,12 +143,40 @@ def test_depth_chunked_equals_window(spark):
     def canon(out):
         return sorted(map(tuple, out.collect()))
 
-    want = canon(depth(df))
-    got = canon(depth(df, algorithm="chunked", chunk_width=1000))
-    assert got == want
+    want = canon(depth(df, algorithm="window"))
+    assert canon(depth(df, algorithm="chunked", chunk_width=1000)) == want
+    # grouped numpy kernel and the auto route (fits -> grouped) too
+    assert canon(depth(df, algorithm="grouped")) == want
+    assert canon(depth(df)) == want
     # per-base expansion identical too
-    assert canon(depth(df, per_base=True, algorithm="chunked", chunk_width=1000)) == canon(
-        depth(df, per_base=True)
-    )
+    per_base_want = canon(depth(df, per_base=True, algorithm="window"))
+    assert canon(
+        depth(df, per_base=True, algorithm="chunked", chunk_width=1000)
+    ) == per_base_want
+    assert canon(depth(df, per_base=True, algorithm="grouped")) == per_base_want
     with pytest.raises(ValueError):
         depth(df, algorithm="hyperspeed")
+
+
+def test_depth_grouped_mixed_cigars_equals_window(spark):
+    """grouped must agree with window when both CIGAR branches are active
+    (simple '<n>M' fast projection + aggregate()-walk slow branch)."""
+    rows = [
+        ("chr1", 100, 0, "50M", 60),
+        ("chr1", 120, 0, "10M5D10M", 60),      # D consumes reference
+        ("chr1", 130, 0, "5S20M3I7M", 60),     # S/I consume none
+        ("chr2", 10, 0, "8M", 60),
+        ("chr2", 18, 0, "4M2N4M", 60),         # N consumes reference
+        ("chr2", 500, 1024, "9M", 60),         # flag-filtered out
+        ("chr2", 600, 0, "9M", 5),             # mapq-filtered out
+    ]
+    df = spark.createDataFrame(
+        rows, "chrom string, start long, flags int, cigar string, mapping_quality int"
+    )
+
+    def canon(out):
+        return sorted(map(tuple, out.collect()))
+
+    want = canon(depth(df, min_mapq=20, algorithm="window"))
+    assert canon(depth(df, min_mapq=20, algorithm="grouped")) == want
+    assert want  # non-trivial
