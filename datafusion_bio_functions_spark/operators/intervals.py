@@ -170,6 +170,7 @@ def clear_probe_caches() -> None:
     _RADIUS_MEMO.clear()
     _CHUNK_WIDTH_MEMO.clear()
     _FITS_BROADCAST_MEMO.clear()
+    _COLLECT_INDEX_MEMO.clear()
 
 
 def _auto_bin_width(l: DataFrame, ls: str, le: str, r: DataFrame, rs: str, re_: str) -> int:
@@ -568,6 +569,21 @@ def _count_or_cover_broadcast(
     # scan (measured slower at sf1); None → caller falls back to join.
     if not _fits_broadcast(left):
         return None
+    # the strict/weak twins (and repeated queries over the same inputs)
+    # collect and index the IDENTICAL left frame — memoize the broadcast
+    # handle by plan+file fingerprint so the toPandas + numpy build + ship
+    # happen once per (input, mode).  Small LRU: count-mode entries hold
+    # all left rows (guard-bounded); clear_probe_caches() drops them.
+    memo_key = None
+    try:
+        memo_key = (_plan_key(left), lc, ls, le, mode)
+        cached = _COLLECT_INDEX_MEMO.get(memo_key)
+        if cached is not None:
+            return _probe_with_index(
+                cached, right, (rc, rs, re_), filter_op, mode
+            )
+    except Exception:
+        memo_key = None
     lpdf = left.select(lc, ls, le).toPandas()
     index: dict[str, tuple] = {}
     all_contigs = lpdf[lc].to_numpy()
@@ -611,6 +627,24 @@ def _count_or_cover_broadcast(
 
     sc = right.sparkSession.sparkContext
     bidx = sc.broadcast(index)
+    if memo_key is not None:
+        if len(_COLLECT_INDEX_MEMO) >= 4:  # small LRU: entries can be large
+            _COLLECT_INDEX_MEMO.clear()
+        _COLLECT_INDEX_MEMO[memo_key] = bidx
+    return _probe_with_index(bidx, right, (rc, rs, re_), filter_op, mode)
+
+
+#: memoized CollectLeft index broadcasts, keyed (plan+files, cols, mode)
+_COLLECT_INDEX_MEMO: dict = {}
+
+
+def _probe_with_index(
+    bidx, right: DataFrame, rcols: tuple[str, str, str], filter_op: str, mode: str
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    rc, rs, re_ = rcols
     shrink = 0 if filter_op == "weak" else 1
     out_col = "count" if mode == "count" else "coverage"
     out_schema = T.StructType(right.schema.fields + [T.StructField(out_col, T.LongType())])
