@@ -190,6 +190,20 @@ class Transcript:
     cds_start: int | None = None
     cds_end: int | None = None
     cds_sequence: str | None = None
+    #: full spliced transcript sequence 5'→3' (Ensembl ``spliced_seq``;
+    #: matches the edited transcript cache) — enables the cDNA-space
+    #: start/stop checks and 3'UTR extraction
+    #: (reference TranscriptFeature.spliced_seq, transcript_consequence.rs:239)
+    spliced_seq: str | None = None
+    #: cache ``cdna_seq`` — often CDS-only in upstream caches, so it is only
+    #: trusted as full cDNA when the coding bounds prove surrounding context
+    #: (reference cdna_seq_has_full_transcript_context_for_vep)
+    cdna_seq: str | None = None
+    #: cached raw 3'UTR sequence (preferred over derivation when present)
+    three_prime_utr_seq: str | None = None
+    #: 1-based coding bounds within the spliced transcript
+    cdna_coding_start: int | None = None
+    cdna_coding_end: int | None = None
     is_canonical: bool = False
     #: incomplete-CDS flags (Ensembl cds_start_NF / cds_end_NF): drive the
     #: FLAGS column and the "?-N" unknown-start coordinate format
@@ -628,19 +642,45 @@ def _start_stop_heuristic_terms(
             if _is_start_codon(ref) and _is_start_codon(alt):
                 terms.add("start_retained_variant")
             elif is_indel:
-                # no cDNA context: position-based fallback — an indel whose
-                # affected bases all fall after the start codon keeps it
-                start_codon_end = cs + 2 if t.strand >= 0 else ce
-                if vs > start_codon_end:
+                # reference cascade (transcript_consequence.rs:2174-2216):
+                # cDNA-space check → mutated-CDS first-codon fallback →
+                # position-based fallback
+                nvs, nve, nref, nalt, _ = normalize_variant(vs, ref, alt)
+                fs = abs(len(nref) - len(nalt)) % 3 != 0
+                r = ins_del_start_altered(t, nvs, nve, nref, nalt)
+                if r is None and t.cds_sequence and len(t.cds_sequence) >= 3:
+                    first3 = _mutated_cds_first3(t, nvs, nve, nref, nalt)
+                    if first3 is not None:
+                        r = first3 != "ATG"
+                if r is False:
                     terms.add("start_retained_variant")
-                else:
+                    if fs:
+                        terms.add("start_lost")
+                elif r is True:
                     terms.add("start_lost")
+                else:
+                    # no sequence context: an indel whose affected bases all
+                    # fall after the start codon keeps it
+                    start_codon_end = cs + 2 if t.strand >= 0 else ce
+                    if vs > start_codon_end:
+                        terms.add("start_retained_variant")
+                    else:
+                        terms.add("start_lost")
             else:
                 terms.add("start_lost")
     s, e = (ce - 2, ce) if t.strand >= 0 else (cs, cs + 2)
     if _overlaps(vs, ve, s, e):
         if _is_stop_codon(ref) and _is_stop_codon(alt):
             terms.add("stop_retained_variant")
+        elif is_indel and t.cds_sequence and len(t.cds_sequence) >= 3:
+            # VEP _ins_del_stop_altered: CDS + 3'UTR concat, mutate, check
+            # the codon at the original stop position (issue #90 boundary
+            # deletions rebuilt from UTR bases)
+            nvs, nve, nref, nalt, _ = normalize_variant(vs, ref, alt)
+            if mutated_cds_stop_preserved(t, nvs, nve, nref, nalt):
+                terms.add("stop_retained_variant")
+            else:
+                terms.add("stop_lost")
         elif not is_indel and not _is_stop_codon(ref) and _is_stop_codon(alt):
             terms.add("stop_gained")
         else:
@@ -813,6 +853,252 @@ def _insertion_stop_flags(
             out["stop_gained"] = True
 
 
+def _cdna_full_context(t: Transcript, seq: str) -> bool:
+    """True when a cache ``cdna_seq`` provably contains full transcript
+    context, not just the CDS (reference
+    cdna_seq_has_full_transcript_context_for_vep,
+    transcript_consequence.rs:3459-3475): either a non-trivial 5' prefix
+    before cdna_coding_start, or >1 trailing bases after cdna_coding_end."""
+    if t.cdna_coding_end is None or t.cdna_coding_end > len(seq):
+        return False
+    start_idx = (t.cdna_coding_start - 1) if t.cdna_coding_start else 0
+    if start_idx > 0:
+        return True
+    return len(seq) - t.cdna_coding_end > 1
+
+
+def transcript_mrna_seq(t: Transcript) -> str | None:
+    """Full mRNA sequence usable for UTR extraction: ``spliced_seq``
+    verbatim, else ``cdna_seq`` only when it carries full transcript
+    context (reference transcript_mrna_seq_for_vep,
+    transcript_consequence.rs:3477-3487)."""
+    if t.spliced_seq:
+        return t.spliced_seq.upper()
+    if t.cdna_seq and _cdna_full_context(t, t.cdna_seq):
+        return t.cdna_seq.upper()
+    return None
+
+
+def three_prime_utr_seq_of(t: Transcript) -> str | None:
+    """3'UTR sequence (reference three_prime_utr_seq,
+    transcript_consequence.rs:8214-8233): LoF biotypes have no annotated
+    UTR; a cached raw UTR is preferred and NOT fallen through when empty;
+    otherwise sliced from the mRNA after ``cdna_coding_end``."""
+    if "LoF" in t.biotype:
+        return None
+    if t.three_prime_utr_seq is not None:
+        return t.three_prime_utr_seq.upper() if t.three_prime_utr_seq else None
+    if t.cdna_coding_end is None:
+        return None
+    full = transcript_mrna_seq(t)
+    if full is None or t.cdna_coding_end >= len(full):
+        return None
+    utr = full[t.cdna_coding_end :]
+    return utr or None
+
+
+def _start_codon_context(
+    t: Transcript, translateable: str | None
+) -> tuple[str | None, str] | None:
+    """(5'UTR or None, translateable sequence) for the cDNA-space start
+    check (reference start_codon_context,
+    transcript_consequence.rs:6364-6393): spliced_seq preferred; cdna_seq
+    accepted; a CDS-only cdna cache (coding_end beyond the sequence) is
+    rejected; with no 5'UTR the translateable/cdna sequence stands alone."""
+    if not t.cdna_coding_start or t.cdna_coding_start < 1:
+        return None
+    atg_start = t.cdna_coding_start - 1
+    if t.spliced_seq:
+        seq = t.spliced_seq
+        ce = t.cdna_coding_end
+        if ce is not None and atg_start < ce <= len(seq):
+            utr = seq[:atg_start] if atg_start > 0 else None
+            return (utr, seq[atg_start:ce])
+    if t.cdna_seq:
+        seq = t.cdna_seq
+        if atg_start == 0:
+            return (None, seq)
+        ce = t.cdna_coding_end
+        if ce is not None and atg_start < ce <= len(seq):
+            return (seq[:atg_start], seq[atg_start:ce])
+    if atg_start == 0:
+        seq = translateable or t.cdna_seq
+        if seq:
+            return (None, seq)
+    return None
+
+
+def ins_del_start_altered(
+    t: Transcript, vs: int, ve: int, ref: str, alt: str
+) -> bool | None:
+    """VEP ``_ins_del_start_altered`` in cDNA space (reference
+    transcript_consequence.rs:6406-6498; Ensembl VariationEffect.pm
+    990-1022): apply the indel to 5'UTR+CDS, return True when the start
+    codon is destroyed, False when retained, None when full cDNA context
+    is unavailable.  When the 5'UTR changed, retention is judged by the
+    translateable SUFFIX being preserved, not by ATG staying at the
+    original byte offset.  ``ref``/``alt`` must be normalized (empty
+    string for the missing side)."""
+    ctx = _start_codon_context(t, t.cds_sequence)
+    if ctx is None:
+        return None
+    utr, translateable = ctx
+    utr_u = utr.upper() if utr else None
+    trans_u = translateable.upper()
+    seq = (utr_u or "") + trans_u
+    is_ins = ref == ""
+    c_start = _genomic_to_cdna_offset(t, vs)
+    if c_start is None:
+        return None
+    if is_ins:
+        c_min = c_max = c_start
+    else:
+        c_end = _genomic_to_cdna_offset(t, ve)
+        if c_end is None:
+            return None
+        c_min, c_max = min(c_start, c_end), max(c_start, c_end)
+    alt_t = (alt.upper() if t.strand >= 0 else revcomp(alt.upper())) if alt else ""
+    if is_ins:
+        splice = c_min + 1
+        if splice > len(seq):
+            return True
+        mutated = seq[:splice] + alt_t + seq[splice:]
+    else:
+        if c_min >= len(seq):
+            return True
+        mutated = seq[:c_min] + alt_t + seq[min(c_max + 1, len(seq)) :]
+    if utr_u is not None:
+        atg_start = len(utr_u)
+        if len(mutated) >= atg_start + 3:
+            if (
+                mutated[:atg_start] == utr_u
+                and mutated[atg_start : atg_start + 3] == "ATG"
+            ):
+                return False
+        # 5'UTR changed: fall through to the translateable-suffix rule
+    if len(mutated) < len(trans_u):
+        return True
+    return mutated[-len(trans_u) :] != trans_u
+
+
+def _mutated_cds_first3(t: Transcript, vs: int, ve: int, ref: str, alt: str) -> str | None:
+    """First 3 CDS bases after applying an indel — the no-cDNA fallback of
+    the start check (reference mutated_cds_first3,
+    transcript_consequence.rs:6500-6600; positive-strand arithmetic per the
+    reference's simplified mapping).  ``ref``/``alt`` normalized."""
+    if not t.cds_sequence or t.cds_start is None:
+        return None
+    cds = t.cds_sequence
+    lead = _leading_n(cds)
+    is_ins = ref == ""
+    if t.strand >= 0:
+        cds_start = t.cds_start
+        if is_ins:
+            anchor = vs - 1
+            if anchor < cds_start:
+                return cds[lead : lead + 3].upper()
+            idx = (anchor - cds_start) + lead
+            if idx >= len(cds):
+                return None
+            ins_point = idx + 1
+            mutated = cds[:ins_point] + alt.upper() + cds[ins_point:]
+        else:
+            cds_end = t.cds_end if t.cds_end is not None else cds_start
+            ov_s, ov_e = max(vs, cds_start), min(ve, cds_end)
+            ref_in_cds = (ov_e - ov_s + 1) if ov_e >= ov_s else 0
+            start_idx = ((vs - cds_start) + lead) if vs >= cds_start else lead
+            end_idx = min(start_idx + ref_in_cds, len(cds))
+            mutated = cds[:start_idx] + alt.upper() + (
+                cds[end_idx:] if end_idx < len(cds) else ""
+            )
+        return mutated[lead : lead + 3].upper() if len(mutated) >= lead + 3 else None
+    # negative strand: transcript-oriented index from the HIGH genomic end
+    cds_end = t.cds_end if t.cds_end is not None else 0
+    alt_rc = revcomp(alt.upper()) if alt else ""
+    if is_ins:
+        anchor = vs  # first base after the insertion point, genomic
+        if anchor > cds_end:
+            return cds[lead : lead + 3].upper()
+        idx = (cds_end - anchor) + lead
+        if idx >= len(cds):
+            return None
+        ins_point = idx + 1
+        mutated = cds[:ins_point] + alt_rc + cds[ins_point:]
+    else:
+        cds_start = t.cds_start if t.cds_start is not None else 0
+        ov_s, ov_e = max(vs, cds_start), min(ve, cds_end)
+        ref_in_cds = (ov_e - ov_s + 1) if ov_e >= ov_s else 0
+        start_idx = ((cds_end - ve) + lead) if ve <= cds_end else lead
+        end_idx = min(start_idx + ref_in_cds, len(cds))
+        mutated = cds[:start_idx] + alt_rc + (
+            cds[end_idx:] if end_idx < len(cds) else ""
+        )
+    return mutated[lead : lead + 3].upper() if len(mutated) >= lead + 3 else None
+
+
+def mutated_cds_stop_preserved(
+    t: Transcript, vs: int, ve: int, ref: str, alt: str
+) -> bool:
+    """VEP ``_ins_del_stop_altered`` (reference mutated_cds_stop_preserved,
+    transcript_consequence.rs:3246-3327; Ensembl VariationEffect.pm
+    1382-1433): concatenate CDS + 3'UTR, apply the mutation at the CDS
+    index, and check whether the codon at the ORIGINAL stop position still
+    translates to a stop — 3'UTR bases may rebuild the stop after a
+    boundary deletion (issue #90).  ``ref``/``alt`` normalized."""
+    if not t.cds_sequence:
+        return False
+    cds = t.cds_sequence.upper()
+    gpos = vs if t.strand >= 0 else ve
+    lead = _leading_n(cds)
+    raw = _genomic_to_cds_offset(t, gpos)
+    if raw is None:
+        return False
+    idx = raw + lead
+    if idx > len(cds):
+        return False
+    utr = three_prime_utr_seq_of(t) or ""
+    combined = cds + utr
+    end_idx = min(idx + len(ref), len(combined))
+    alt_t = (alt.upper() if t.strand >= 0 else revcomp(alt.upper())) if alt else ""
+    mutated = combined[:idx] + alt_t + (
+        combined[end_idx:] if end_idx < len(combined) else ""
+    )
+    if len(mutated) < len(cds):
+        return False
+    stop_pos = len(cds) - 3
+    if stop_pos + 3 > len(mutated):
+        return False
+    return _is_stop_codon(mutated[stop_pos : stop_pos + 3])
+
+
+def _apply_indel_start_flags(
+    out: dict,
+    t: Transcript,
+    vs: int,
+    ve: int,
+    ref: str,
+    alt: str,
+    cds: str,
+    new_cds: str,
+    lead: int,
+    frameshift: bool,
+) -> None:
+    """Reference start cascade for indels overlapping the start codon
+    (transcript_consequence.rs:2174-2216): the cDNA-space
+    ``ins_del_start_altered`` decides when full cDNA context exists —
+    False → start_retained (+ start_lost co-fired for frameshifts), True →
+    start_lost; None falls back to the mutated-CDS first-codon check."""
+    r = ins_del_start_altered(t, vs, ve, ref, alt)
+    if r is False:
+        out["start_retained"] = True
+        if frameshift:
+            out["start_lost"] = True
+    elif r is True:
+        out["start_lost"] = True
+    else:
+        _indel_start_flags(out, cds, new_cds, lead, frameshift)
+
+
 def _indel_start_flags(out: dict, cds: str, new_cds: str, lead: int, frameshift: bool) -> None:
     """Start-codon effects of an indel overlapping the first codon
     (reference classify_coding_change start block,
@@ -892,7 +1178,9 @@ def classify_coding_indel(
         # the first codon (reference insertion path cds_idx < 2 — an
         # insertion before or after the codon doesn't touch it)
         if 1 <= ins_at - lead <= 2 and not t.cds_start_nf:
-            _indel_start_flags(out, cds, new_cds, lead, frameshift)
+            _apply_indel_start_flags(
+                out, t, vs, ve, ref, alt, cds, new_cds, lead, frameshift
+            )
         u = ins_at - lead
         if frameshift and u > 0 and u % 3 == 0:
             # codon-boundary frameshift insertion: no existing codon is
@@ -971,7 +1259,9 @@ def classify_coding_indel(
     # start-codon overlap: any deletion/delins touching CDS bases 0-2
     # (reference start_idx < 3, gated on cds_start_NF)
     if (s0 - lead) < 3 and not t.cds_start_nf:
-        _indel_start_flags(out, cds, new_cds, lead, frameshift)
+        _apply_indel_start_flags(
+            out, t, vs, ve, ref, alt, cds, new_cds, lead, frameshift
+        )
     ref_span = cds[c0:c1]
     rendered_ref = "".join(
         b.upper() if s0 <= c0 + i < s0 + ln else b.lower()

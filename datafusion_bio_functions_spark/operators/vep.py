@@ -555,6 +555,8 @@ def _annotate_codon(
         for c in (
             "cds_start", "cds_end", "cds_sequence", "gene_symbol",
             "gene_stable_id", "mature_mirna_regions",
+            "spliced_seq", "cdna_seq", "three_prime_utr_seq",
+            "cdna_coding_start", "cdna_coding_end",
         )
     }
     tsel = [
@@ -580,6 +582,30 @@ def _annotate_codon(
             if opt["mature_mirna_regions"]
             else F.lit(None).cast("array<struct<s:bigint,e:bigint>>")
         ).alias("__t_mirna"),
+        # transcript sequence context (reference context columns,
+        # annotate_provider.rs:2511-2563): drives the cDNA-space start/stop
+        # checks and 3'UTR extraction in the consequence engine
+        (F.col("spliced_seq") if opt["spliced_seq"] else F.lit(None).cast("string")).alias(
+            "__t_spliced"
+        ),
+        (F.col("cdna_seq") if opt["cdna_seq"] else F.lit(None).cast("string")).alias(
+            "__t_cdna"
+        ),
+        (
+            F.col("three_prime_utr_seq")
+            if opt["three_prime_utr_seq"]
+            else F.lit(None).cast("string")
+        ).alias("__t_utr3"),
+        (
+            F.col("cdna_coding_start").cast("long")
+            if opt["cdna_coding_start"]
+            else F.lit(None).cast("long")
+        ).alias("__t_ccs"),
+        (
+            F.col("cdna_coding_end").cast("long")
+            if opt["cdna_coding_end"]
+            else F.lit(None).cast("long")
+        ).alias("__t_cce"),
         _tx_meta_map(t).alias("__t_meta"),
     ]
     tctx = t.select(*tsel)
@@ -658,6 +684,7 @@ def _annotate_codon(
         pos_s, ref_s, alt_s, tid,
         ts, te, strand, biotype,
         cds_s, cds_e, cds_seq, exlist, mirna,
+        spliced, cdna, utr3, ccs, cce,
     ):
         out = {"terms": [], "impact": [], "hgvsc": [], "hgvsp": []}
         for k_ in _detail_keys:
@@ -670,9 +697,11 @@ def _annotate_codon(
             pos_s.tolist(), ref_s.tolist(), alt_s.tolist(), tid.tolist(),
             ts.tolist(), te.tolist(), strand.tolist(), biotype.tolist(),
             cds_s.tolist(), cds_e.tolist(), cds_seq.tolist(), exlist.tolist(),
-            mirna.tolist(),
+            mirna.tolist(), spliced.tolist(), cdna.tolist(), utr3.tolist(),
+            ccs.tolist(), cce.tolist(),
         )
-        for p, r, a, t_id, tsv, tev, stv, btv, csv_, cev, seqv, ex, mir in rows:
+        for (p, r, a, t_id, tsv, tev, stv, btv, csv_, cev, seqv, ex, mir,
+             spl, cdn, u3, ccsv, ccev) in rows:
             if t_id is None or pd.isna(tsv):
                 out["terms"].append(None)
                 out["impact"].append(None)
@@ -704,6 +733,11 @@ def _annotate_codon(
                         if mir is not None and len(mir) > 0
                         else []
                     ),
+                    spliced_seq=None if spl is None else str(spl),
+                    cdna_seq=None if cdn is None else str(cdn),
+                    three_prime_utr_seq=None if u3 is None else str(u3),
+                    cdna_coding_start=None if pd.isna(ccsv) else int(ccsv),
+                    cdna_coding_end=None if pd.isna(ccev) else int(ccev),
                 )
                 tr_cache[t_id] = tr
             p, r, a = int(p), str(r), str(a)
@@ -725,6 +759,8 @@ def _annotate_codon(
             F.col("__t_start"), F.col("__t_end"), F.col("__t_strand"),
             F.col("__t_biotype"), F.col("__t_cds_start"), F.col("__t_cds_end"),
             F.col("__t_cds_seq"), F.col("__t_exons"), F.col("__t_mirna"),
+            F.col("__t_spliced"), F.col("__t_cdna"), F.col("__t_utr3"),
+            F.col("__t_ccs"), F.col("__t_cce"),
         ),
     )
     # a transcript within the ±pad window can still yield no term (e.g. on

@@ -500,3 +500,44 @@ class TestAnnotateVepIndelPipeline:
         r = annotate_vep(vcf, cache, transcripts=tx, exons=ex).collect()[0]
         assert r.most_severe_consequence == "frameshift_variant"
         assert r.hgvsp is not None and "fs" in r.hgvsp
+
+
+class TestSequenceContextPipeline:
+    def test_spliced_seq_column_drives_cdna_start_check_end_to_end(self, spark):
+        """Transcripts carrying spliced_seq / cdna_coding_start / _end feed
+        the cDNA-space ins_del_start_altered through the operator: the
+        issue-125 frameshift deletion preserving ATG co-fires
+        start_retained_variant AND start_lost (reference
+        transcript_consequence.rs:15095-15133)."""
+        # 5'UTR GCGC at 1000-1003, CDS ATGGCTGAATGA at 1004-1015
+        tx = spark.createDataFrame(
+            [(
+                "T1", "chr9", 1000, 1015, 1, "protein_coding", "G1", "S1",
+                1004, 1015, "ATGGCTGAATGA", "GCGCATGGCTGAATGA", 5, 16,
+            )],
+            "transcript_id string, chrom string, start long, end long, "
+            "strand int, biotype string, gene_stable_id string, "
+            "gene_symbol string, cds_start long, cds_end long, "
+            "cds_sequence string, spliced_seq string, "
+            "cdna_coding_start long, cdna_coding_end long",
+        )
+        ex = spark.createDataFrame(
+            [("T1", 1000, 1015)], "transcript_id string, start long, end long"
+        )
+        cache = spark.createDataFrame(
+            [("chr9", 1, 1, "rs0", "A/T")],
+            "chrom string, start long, end long, variation_name string, "
+            "allele_string string",
+        )
+        # VCF-anchored AG>A at 1005 = deletion of G at CDS pos 2 (frameshift
+        # preserving ATG in cDNA space)
+        vcf = spark.createDataFrame(
+            [("chr9", 1005, 1006, "AG", "A")],
+            "chrom string, start long, end long, ref string, alt string",
+        )
+        row = annotate_vep(vcf, cache, transcripts=tx, exons=ex).collect()[0]
+        terms = set(row.consequence_terms)
+        assert "start_retained_variant" in terms
+        assert "start_lost" in terms
+        # frameshift_variant outranks start_lost in the SO severity order
+        assert row.most_severe_consequence == "frameshift_variant"

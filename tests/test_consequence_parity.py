@@ -1217,3 +1217,174 @@ def test_regulatory_insertion_boundary_semantics(spark):
     assert regulatory_features(at_boundary_ins, reg).count() == 0
     assert regulatory_features(inside_ins, reg).count() == 1
     assert regulatory_features(boundary_snv, reg).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Round 5: transcript sequence context (spliced_seq / cdna_seq / 3'UTR) —
+# the reference clusters deliberately skipped in round 4, now modeled.
+# ---------------------------------------------------------------------------
+
+from datafusion_bio_functions_spark.functions import consequence as _cq
+
+
+def _tx_with_cdna(utr, cds, strand=1, with_seq=True):
+    """Mirror of the reference's tx_with_cdna_on_strand test helper
+    (transcript_consequence.rs:14860-14892): one exon spanning the whole
+    transcript, spliced_seq = 5'UTR + CDS."""
+    total = len(utr) + len(cds)
+    ts, te = 1000, 1000 + total - 1
+    cs, ce = (ts + len(utr), te) if strand >= 0 else (ts, te - len(utr))
+    t = _cq.Transcript(
+        transcript_id="T1", chrom="22", start=ts, end=te, strand=strand,
+        exons=[(ts, te)], cds_start=cs, cds_end=ce, cds_sequence=cds,
+    )
+    if with_seq:
+        t.spliced_seq = utr + cds
+        t.cdna_coding_start = len(utr) + 1
+        t.cdna_coding_end = total
+    return t
+
+
+def test_ins_del_start_altered_reference_cases():
+    """transcript_consequence.rs ins_del_start_altered_deletion_destroys_atg
+    / _deletion_preserves_atg / _insertion_preserves_atg /
+    _utr_deletion_preserves_translateable_suffix /
+    _utr_deletion_can_retain_shifted_start / _returns_none_without_cdna /
+    _returns_none_for_cds_only_cdna_cache /
+    _negative_strand_boundary_deletion_preserves_atg (rs:14927-15065)."""
+    t = _tx_with_cdna("GCGC", "ATGGCTGAATGA")
+    assert _cq.ins_del_start_altered(t, 1005, 1006, "TG", "") is True
+    assert _cq.ins_del_start_altered(t, 1007, 1007, "G", "") is False
+    assert _cq.ins_del_start_altered(t, 1008, 1008, "", "TT") is False
+    # 5'UTR deletions: retention judged by the translateable suffix, not
+    # ATG staying at the original byte offset
+    t2 = _tx_with_cdna("GCATG", "ATGGCTGAATGA")
+    assert _cq.ins_del_start_altered(t2, 1000, 1001, "GC", "") is False
+    t3 = _tx_with_cdna("ATATG", "ATGGCTGAATGA")
+    assert _cq.ins_del_start_altered(t3, 1000, 1001, "AT", "") is False
+    # no cDNA data → None
+    t4 = _cq.Transcript(
+        transcript_id="T1", chrom="22", start=1000, end=1011, strand=1,
+        exons=[(1000, 1011)], cds_start=1000, cds_end=1011,
+    )
+    assert _cq.ins_del_start_altered(t4, 1001, 1002, "TG", "") is None
+    # CDS-only cdna cache (coding_end beyond the sequence) → None
+    t5 = _cq.Transcript(
+        transcript_id="T1", chrom="22", start=1000, end=1015, strand=1,
+        exons=[(1000, 1015)], cds_start=1004, cds_end=1015,
+    )
+    t5.cdna_seq = "ATGGCTGAATGA"
+    t5.cdna_coding_start = 5
+    t5.cdna_coding_end = 16
+    assert _cq.ins_del_start_altered(t5, 1006, 1006, "G", "") is None
+    # negative strand: boundary deletion whose remaining UTR prefix shifts
+    # into the CDS boundary keeps the translateable suffix
+    t6 = _tx_with_cdna("ATGCC", "ATGAAAAAA", strand=-1)
+    assert _cq.ins_del_start_altered(t6, 1006, 1010, "CATGG", "") is False
+
+
+def test_three_prime_utr_seq_reference_cases():
+    """transcript_consequence.rs three_prime_utr_seq_returns_none_for_lof_
+    biotype / _returns_utr_from_spliced_seq / _prefers_cached_raw_utr /
+    _falls_back_to_cdna_seq / _returns_none_when_coding_end_at_seq_end /
+    _does_not_infer_utr_from_cds_like_cdna_seq /
+    _returns_none_when_no_coding_end (rs:15249-15378)."""
+    def base(biotype="protein_coding"):
+        return _cq.Transcript(
+            transcript_id="E", chrom="1", start=100, end=200, strand=1,
+            biotype=biotype, exons=[(100, 200)], cds_start=110, cds_end=180,
+        )
+
+    t = base("protein_coding_LoF")
+    t.cdna_coding_end = 80
+    t.spliced_seq = "A" * 90
+    assert _cq.three_prime_utr_seq_of(t) is None
+    t = base()
+    t.cdna_coding_end = 9
+    t.spliced_seq = "ATGATGATGCCCGGG"
+    assert _cq.three_prime_utr_seq_of(t) == "CCCGGG"
+    t = base()
+    t.cdna_coding_end = 5
+    t.cdna_seq = "ATGGA"
+    t.three_prime_utr_seq = "TTTCCC"
+    assert _cq.three_prime_utr_seq_of(t) == "TTTCCC"
+    t = base()
+    t.cdna_coding_end = 9
+    t.cdna_seq = "ATGATGATGTTTTTT"
+    assert _cq.three_prime_utr_seq_of(t) == "TTTTTT"
+    t = base()
+    t.cdna_coding_end = 9
+    t.spliced_seq = "ATGATGATG"
+    assert _cq.three_prime_utr_seq_of(t) is None
+    # CDS-like cdna_seq (no surrounding context) must not be treated as mRNA
+    t = base()
+    t.cdna_coding_start = 1
+    t.cdna_coding_end = 5
+    t.cdna_seq = "ATGTGA"
+    assert _cq.three_prime_utr_seq_of(t) is None
+    t = base()
+    t.spliced_seq = "ATGATGATGCCC"
+    assert _cq.three_prime_utr_seq_of(t) is None
+
+
+def test_mutated_cds_stop_preserved_reference_cases():
+    """transcript_consequence.rs deletion_spanning_cds_utr_boundary_
+    preserves_stop_via_utr_shift / _loses_stop_when_utr_no_stop /
+    mutated_cds_stop_preserved_deletion_shortens_below_original_returns_
+    false / _insertion_near_stop_retains_stop (rs:17784-17926, issue #90)."""
+    def mk(cds, cdna=None):
+        te = 1000 + (len(cdna) if cdna else len(cds)) - 1
+        t = _cq.Transcript(
+            transcript_id="T1", chrom="8", start=1000, end=te, strand=1,
+            exons=[(1000, te)], cds_start=1000, cds_end=1000 + len(cds) - 1,
+            cds_sequence=cds,
+        )
+        if cdna:
+            t.cdna_seq = cdna
+            t.cdna_coding_end = len(cds)
+        return t
+
+    # deletion spanning the CDS/UTR boundary: UTR bases rebuild the stop
+    t = mk("ATGGCTTAA", cdna="ATGGCTTAA" + "CAACAGTTTT")
+    assert _cq.mutated_cds_stop_preserved(t, 1007, 1009, "AAC", "") is True
+    t = mk("ATGGCTTAA", cdna="ATGGCTTAA" + "GGGCCCAAA")
+    assert _cq.mutated_cds_stop_preserved(t, 1007, 1009, "AAG", "") is False
+    # without UTR, a deletion shortening below the CDS length alters stop
+    t = mk("ATGGCTAAATGA")
+    assert _cq.mutated_cds_stop_preserved(t, 1006, 1008, "AAA", "") is False
+    # insertion at the stop start keeps a stop at the original position
+    t = mk("ATGGCTTAA")
+    assert _cq.mutated_cds_stop_preserved(t, 1006, 1006, "", "TAA") is True
+
+
+def test_issue_125_start_cofire_classification_cases():
+    """transcript_consequence.rs issue_125_frameshift_deletion_preserving_
+    atg_cofires_start_lost_and_retained / _with_cds_only_cdna_uses_cds_
+    fallback / frameshift_deletion_destroying_atg_emits_start_lost_only /
+    inframe_deletion_after_start_codon_emits_no_start_terms /
+    issue_125_frameshift_insertion_preserving_atg_cofires... /
+    inframe_insertion_preserving_atg_no_start_lost (rs:15095-15245)."""
+    c = _cq.classify_coding_indel(
+        _tx_with_cdna("GCGC", "ATGGCTGAATGA"), 1006, 1006, "G", "", False
+    )
+    assert c["start_retained"] and c["start_lost"]
+    # CDS-only cache transcripts co-fire via the mutated-CDS fallback
+    t = _tx_with_cdna("GCGC", "ATGGCTGAATGA", with_seq=False)
+    t.cdna_seq = "ATGGCTGAATGA"
+    t.cdna_coding_start = 5
+    t.cdna_coding_end = 16
+    c = _cq.classify_coding_indel(t, 1006, 1006, "G", "", False)
+    assert c["start_retained"] and c["start_lost"]
+    c = _cq.classify_coding_indel(
+        _tx_with_cdna("GCGC", "ATGGCTGAATGA"), 1005, 1006, "TG", "", False
+    )
+    assert c["start_lost"] and not c["start_retained"]
+    c = _cq.classify_coding_indel(
+        _tx_with_cdna("GCGC", "ATGGCTGAAAAATGA"), 1007, 1009, "GCT", "", False
+    )
+    assert not c["start_lost"] and not c["start_retained"]
+    t = _tx_with_cdna("GCGC", "ATGGCTGAATGA")
+    c = _cq.classify_coding_indel(t, 1005, 1005, "", "TT", True)
+    assert c["start_lost"] and not c["start_retained"]
+    c = _cq.classify_coding_indel(t, 1008, 1008, "", "AAA", True)
+    assert not c["start_lost"]
