@@ -853,6 +853,17 @@ def _insertion_stop_flags(
             out["stop_gained"] = True
 
 
+def translated_alt_protein_for_hgvs(t: Transcript, mutated_cds: str) -> str:
+    """Alternate protein for frameshift / stop-loss HGVS: translate the
+    mutated CDS with the 3'UTR appended and WITHOUT trimming the
+    incomplete trailing codon (reference translated_alt_protein_for_hgvs,
+    transcript_consequence.rs:3666-3673 — Ensembl release/115's
+    ``_trim_incomplete_codon`` is a no-op in practice, so VEP appends the
+    UTR to the untrimmed alternate CDS)."""
+    utr = three_prime_utr_seq_of(t) or ""
+    return translate((mutated_cds + utr).upper())
+
+
 def _cdna_full_context(t: Transcript, seq: str) -> bool:
     """True when a cache ``cdna_seq`` provably contains full transcript
     context, not just the CDS (reference
@@ -2103,6 +2114,12 @@ def hgvs_p(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
     new_cds = cds[:ins_point] + var_alt + cds[ins_point + len(var_ref) :]
     prot_old = translate(cds)
     prot_new = translate(new_cds)
+    # stop searches (fsTer#/extTer#) read the UTR-extended translation: VEP
+    # appends the 3'UTR to the (untrimmed) alternate CDS before translating
+    # (reference translated_alt_protein_for_hgvs,
+    # transcript_consequence.rs:3666-3673; Ensembl _get_alternate_cds) — a
+    # new stop is often only reachable in the UTR
+    prot_new_ext = translated_alt_protein_for_hgvs(t, new_cds)
     tid = t.transcript_id
 
     if len(var_ref) == len(var_alt):  # substitution / MNV
@@ -2137,7 +2154,7 @@ def hgvs_p(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
             # to the next downstream stop (reference hgvs.rs
             # test_format_hgvsp_stop_lost_adds_extension_length:
             # p.Ter#XxxextTer#, '?' when no stop is reachable in-sequence)
-            stop = prot_new.find("*", ci)
+            stop = prot_new_ext.find("*", ci)
             ext = stop - ci if stop >= 0 else "?"
             return f"{tid}:p.Ter{ci + 1}{_aa3(aa_new)}extTer{ext}"
         return f"{tid}:p.{_aa3(aa_old)}{ci + 1}{_aa3(aa_new)}"
@@ -2186,18 +2203,20 @@ def hgvs_p(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
             span += f"_{_aa3(prot_old[j_old])}{j_old + 1}"
         return f"{tid}:p.{span}delins{ins}"
 
-    # frameshift
-    if i >= len(prot_old) or i >= len(prot_new):
+    # frameshift — residues and the new-stop search read the UTR-extended
+    # alternate translation (VEP's _get_alternate_cds appends the 3'UTR, so
+    # the first changed residue can sit past the mutated CDS end)
+    if i >= len(prot_old) or i >= len(prot_new_ext):
         return None
     if i == 0 and prot_old[0] == "M":
         return f"{tid}:p.Met1?"  # start lost (see substitution branch)
-    aa_old, aa_new = prot_old[i], prot_new[i]
+    aa_old, aa_new = prot_old[i], prot_new_ext[i]
     if aa_old == "*":  # stop lost → extension
-        stop = prot_new.find("*", i)
+        stop = prot_new_ext.find("*", i)
         ext = stop - i if stop >= 0 else "?"
         return f"{tid}:p.Ter{i + 1}{_aa3(aa_new)}extTer{ext}"
     if aa_new == "*":
         return f"{tid}:p.{_aa3(aa_old)}{i + 1}Ter"
-    stop = prot_new.find("*", i)
+    stop = prot_new_ext.find("*", i)
     fs = f"Ter{stop - i + 1}" if stop >= 0 else "Ter?"
     return f"{tid}:p.{_aa3(aa_old)}{i + 1}{_aa3(aa_new)}fs{fs}"

@@ -1388,3 +1388,62 @@ def test_issue_125_start_cofire_classification_cases():
     assert c["start_lost"] and not c["start_retained"]
     c = _cq.classify_coding_indel(t, 1008, 1008, "", "AAA", True)
     assert not c["start_lost"]
+
+
+def test_translated_alt_protein_for_hgvs_appends_utr_untrimmed():
+    """transcript_consequence.rs translated_alt_protein_for_hgvs_appends_
+    utr_without_trimming_incomplete_codon (rs:15578-15602): the alternate
+    protein for frameshift/stop-loss HGVS translates mutated CDS + 3'UTR,
+    keeping the incomplete trailing CDS base (Ensembl release/115's
+    _trim_incomplete_codon is a no-op in practice)."""
+    t = _cq.Transcript(
+        transcript_id="ENST0001", chrom="1", start=100, end=200, strand=1,
+        exons=[(100, 200)], cds_start=110, cds_end=180,
+    )
+    t.cdna_coding_end = 7
+    t.spliced_seq = "ATGAAATTAA"
+    assert _cq.translated_alt_protein_for_hgvs(t, "ATGAAAT") == "MKL"
+
+
+def test_frameshift_hgvsp_finds_stop_in_three_prime_utr():
+    """VEP _get_alternate_cds appends the 3'UTR before translating, so a
+    frameshift whose new stop is only reachable in the UTR renders a
+    numeric fsTer# instead of Ter? (reference
+    translated_alt_protein_for_hgvs consumers,
+    transcript_consequence.rs:3666-3700)."""
+    cds = "ATGAAACATCCCTAA"  # M K H P *
+    utr = "GTAAGGGG"
+
+    def mk(with_utr):
+        end = 1000 + len(cds) + (len(utr) if with_utr else 0) - 1
+        t = _cq.Transcript(
+            transcript_id="TX", chrom="1", start=1000, end=end, strand=1,
+            exons=[(1000, end)], cds_start=1000, cds_end=1014,
+            cds_sequence=cds,
+        )
+        if with_utr:
+            t.spliced_seq = cds + utr
+            t.cdna_coding_start = 1
+            t.cdna_coding_end = len(cds)
+        return t
+
+    # delete C of the His codon: frameshift; shifted frame hits TAA in UTR
+    assert _cq.hgvs_p(mk(True), 1006, "C", "") == "TX:p.His3IlefsTer4"
+    assert _cq.hgvs_p(mk(False), 1006, "C", "") == "TX:p.His3IlefsTer?"
+
+
+def test_shifted_hgvsp_fixture_cluster_is_unhydratable():
+    """The reference's shifted-TVA HGVSp replay cases
+    (shifted_tva_protein_hgvs_matches_nm015120_case and siblings,
+    transcript_consequence.rs:8905-9420) include_str! author-local
+    .tmp_chr* sequence files and read an absolute-path reference FASTA —
+    neither ships in the repository, so the cluster cannot be replayed
+    here (same class as the git-LFS golden fixtures).  This test documents
+    the audit: if the fixtures ever appear, it fails to force mining."""
+    import glob
+    import os
+
+    fixtures = glob.glob("/root/reference/.tmp_chr2_nm015120_*")
+    fasta = "/Users/mwiewior/workspace/data_vepyr"
+    assert not fixtures, "NM_015120 fixtures appeared — mine the cluster"
+    assert not os.path.exists(fasta)
