@@ -225,6 +225,17 @@ class Transcript:
         default=None, repr=False, compare=False
     )
 
+    def __post_init__(self) -> None:
+        # spliced-only caches still get codon-level classification: derive
+        # the translateable CDS from the mRNA coding slice when no cached
+        # CDS exists (reference reference_translateable_seq_for_vep rule 2,
+        # transcript_consequence.rs:3590-3621 — the N-phase alignment
+        # against a translation cache lives in the standalone helper)
+        if self.cds_sequence is None:
+            derived = reference_translateable_seq_for_vep(self)
+            if derived:
+                self.cds_sequence = derived
+
     def sorted_exons(self) -> list[tuple[int, int]]:
         if self._exons_cache is None:
             self._exons_cache = (
@@ -851,6 +862,31 @@ def _insertion_stop_flags(
     if not out["stop_retained"] and not out["stop_gained"]:
         if ref_aa != "*" and "*" in local:
             out["stop_gained"] = True
+
+
+def reference_translateable_seq_for_vep(
+    t: Transcript, translation_cds: str | None = None
+) -> str | None:
+    """The CDS the classifier should run on (reference
+    reference_translateable_seq_for_vep, transcript_consequence.rs:
+    3590-3621): a transcript-cached translateable sequence wins; else the
+    coding slice of the mRNA (spliced_seq, or cdna_seq with provable full
+    context), N-prefixed up to the cached translation's leading-N phase
+    count without double-prefixing; else the translation cache.  Our model
+    stores the transcript-cached translateable in ``cds_sequence``."""
+    if t.cds_sequence:
+        return t.cds_sequence.upper()
+    cached = translation_cds.upper() if translation_cds else None
+    lead = _leading_n(cached) if cached else 0
+    seq = transcript_mrna_seq(t)
+    if seq and t.cdna_coding_start and t.cdna_coding_end:
+        si = t.cdna_coding_start - 1
+        end = t.cdna_coding_end
+        if 0 <= si < end <= len(seq):
+            sl = seq[si:end]
+            prefix = max(lead - _leading_n(sl), 0)
+            return "N" * prefix + sl
+    return cached
 
 
 def translated_alt_protein_for_hgvs(t: Transcript, mutated_cds: str) -> str:

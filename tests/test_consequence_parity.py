@@ -1447,3 +1447,63 @@ def test_shifted_hgvsp_fixture_cluster_is_unhydratable():
     fasta = "/Users/mwiewior/workspace/data_vepyr"
     assert not fixtures, "NM_015120 fixtures appeared — mine the cluster"
     assert not os.path.exists(fasta)
+
+
+def test_reference_translateable_seq_selection_rules():
+    """transcript_consequence.rs reference_translateable_seq_for_vep_
+    prefers_transcript_coding_slice / _does_not_double_prefix_phase_ns /
+    _avoids_reslicing_cds_like_cdna_seq /
+    _avoids_reslicing_cdna_seq_when_it_matches_cds_cache /
+    _derives_from_transcript_mrna_when_only_utr_is_cached /
+    _prefers_transcript_cached_translateable_seq (rs:15377-15520)."""
+    def tr(**kw):
+        base = dict(
+            transcript_id="ENST0001", chrom="1", start=100, end=200,
+            strand=1, exons=[(100, 200)], cds_start=110, cds_end=180,
+        )
+        base.update(kw)
+        return _cq.Transcript(**base)
+
+    f = _cq.reference_translateable_seq_for_vep
+    t = tr()
+    t.cds_sequence = None
+    t.cdna_coding_start, t.cdna_coding_end = 4, 12
+    t.spliced_seq = "AAAATGGCCCTTTAAA"
+    assert f(t, "NCCCCCCCC") == "NATGGCCCTT"  # slice, N-aligned to cache
+    t = tr()
+    t.cds_sequence = None
+    t.cdna_coding_start, t.cdna_coding_end = 1, 8
+    t.spliced_seq = "NATGGCCAACCC"
+    assert f(t, "NATGGCCA") == "NATGGCCA"  # no double N prefix
+    t = tr()
+    t.cds_sequence = None
+    t.cdna_coding_start, t.cdna_coding_end = 1, 10
+    t.cdna_seq = "NATGGCCCTTA"
+    assert f(t, "NCCCCCCCCCC") == "NCCCCCCCCCC"  # cds-like cdna not resliced
+    t = tr()
+    t.cds_sequence = None
+    t.cdna_coding_start, t.cdna_coding_end = 1, 5
+    t.cdna_seq = "ATGTGA"
+    assert f(t, "ATGTGA") == "ATGTGA"
+    t = tr()
+    t.cds_sequence = None
+    t.cdna_coding_start, t.cdna_coding_end = 1, 5
+    t.spliced_seq = "ATGGATTTTCCC"
+    t.three_prime_utr_seq = "TTTCCC"
+    assert f(t, "ATGGAT") == "ATGGA"  # derive from mRNA slice
+    t = tr(cds_sequence="ATGAAA")
+    t.spliced_seq = "CCCCCC"
+    assert f(t, "GGG") == "ATGAAA"  # transcript cache wins
+
+
+def test_spliced_only_transcript_gets_codon_classification():
+    """Construction-time derivation: a cache carrying only spliced_seq +
+    cdna coding bounds classifies at codon level (the reference runs
+    classify_coding_change on reference_translateable_seq_for_vep)."""
+    t = _cq.Transcript(
+        transcript_id="X", chrom="1", start=1000, end=1011, strand=1,
+        exons=[(1000, 1011)], cds_start=1000, cds_end=1011,
+        spliced_seq="ATGAAACCCTAA", cdna_coding_start=1, cdna_coding_end=12,
+    )
+    assert t.cds_sequence == "ATGAAACCCTAA"
+    assert _cq.classify(t, 1004, "A", "G") == ["missense_variant"]
