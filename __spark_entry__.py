@@ -1056,8 +1056,8 @@ pair AS (
         END
       WHEN t.strand >= 0 AND l.start < t.start AND t.start - l.start <= 5000 THEN 32
       WHEN t.strand <  0 AND l.start > t."end" AND l.start - t."end" <= 5000 THEN 32
-      WHEN t.strand >= 0 AND l.start > t."end" AND l.start - t."end" <= 500 THEN 33
-      WHEN t.strand <  0 AND l.start < t.start AND t.start - l.start <= 500 THEN 33
+      WHEN t.strand >= 0 AND l.start > t."end" AND l.start - t."end" <= 5000 THEN 33
+      WHEN t.strand <  0 AND l.start < t.start AND t.start - l.start <= 5000 THEN 33
     END AS rnk
   FROM look l JOIN t ON l.chrom = t.chrom
     AND l.start <= t."end" + 5000 AND l.start >= t.start - 5000
@@ -1141,8 +1141,8 @@ pair AS (
         END
       WHEN t.strand >= 0 AND v.start < t.start AND t.start - v.start <= 5000 THEN 32
       WHEN t.strand <  0 AND v.start > t."end" AND v.start - t."end" <= 5000 THEN 32
-      WHEN t.strand >= 0 AND v.start > t."end" AND v.start - t."end" <= 500 THEN 33
-      WHEN t.strand <  0 AND v.start < t.start AND t.start - v.start <= 500 THEN 33
+      WHEN t.strand >= 0 AND v.start > t."end" AND v.start - t."end" <= 5000 THEN 33
+      WHEN t.strand <  0 AND v.start < t.start AND t.start - v.start <= 5000 THEN 33
     END AS rnk,
     t.start AS ts, t."end" AS te
   FROM v JOIN t ON v.chrom = t.chrom

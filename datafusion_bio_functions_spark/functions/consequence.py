@@ -1472,7 +1472,7 @@ def classify(
     ref: str,
     alt: str,
     upstream_distance: int = 5000,
-    downstream_distance: int = 500,
+    downstream_distance: int = 5000,
 ) -> list[str]:
     """All SO terms for one (variant, transcript) pair, severity-ordered.
     ``(pos, ref, alt)`` may be raw VCF (anchor bases included) — the VEP

@@ -305,7 +305,7 @@ def annotate_vep(
     match_mode: str = "exact",
     extended_probes: bool = False,
     upstream_distance: int = 5000,
-    downstream_distance: int = 500,
+    downstream_distance: int = 5000,
     engine: str = "auto",
     full_schema: bool = False,
     regulatory: DataFrame | None = None,
@@ -1169,7 +1169,7 @@ def consequence_regions(
     vcf: DataFrame,
     transcripts: DataFrame,
     upstream_distance: int = 5000,
-    downstream_distance: int = 500,
+    downstream_distance: int = 5000,
 ) -> DataFrame:
     """Strictly positional variant-vs-transcript region classification —
     the SQL-expressible core of the consequence engine (the codon-level
@@ -1177,7 +1177,9 @@ def consequence_regions(
     context).  Pure JVM expressions end-to-end: interval join on
     ``chrom`` + distance window, then a CASE cascade.  Strand-aware
     up/downstream (reference ``transcript_consequence.rs`` up/downstream
-    distances are configurable, default 5 kb / 500 bp).
+    distances are configurable; default 5 kb both sides, the
+    reference engine default (TranscriptConsequenceEngine::new(5000, 5000),
+    transcript_consequence.rs:807-811) matching Ensembl VEP).
 
     Terms emitted: ``upstream_gene_variant``, ``downstream_gene_variant``,
     ``non_coding_transcript_variant`` (biotype != protein_coding),

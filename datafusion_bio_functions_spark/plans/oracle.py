@@ -448,10 +448,12 @@ def consequence_regions_sql(
     vcf: str,
     transcripts: str,
     upstream_distance: int = 5000,
-    downstream_distance: int = 500,
+    downstream_distance: int = 5000,
 ) -> str:
     """Mirror of ``operators.vep.consequence_regions`` — identical CASE
-    cascade over the chrom + distance-window join."""
+    cascade over the chrom + distance-window join.  Default distances are
+    5 kb both sides, the reference engine default
+    (TranscriptConsequenceEngine::new(5000, 5000))."""
     reach = max(upstream_distance, downstream_distance)
     return f"""WITH v AS ({vcf}), t AS ({transcripts})
 SELECT * FROM (

@@ -1507,3 +1507,36 @@ def test_spliced_only_transcript_gets_codon_classification():
     )
     assert t.cds_sequence == "ATGAAACCCTAA"
     assert _cq.classify(t, 1004, "A", "G") == ["missense_variant"]
+
+
+def test_insertion_distance_boundary_reference_cases():
+    """transcript_consequence.rs insertion_5000bp_before_{positive,negative}_
+    transcript_start_is_{upstream,downstream} / _5001bp_..._is_not_...
+    (rs:9423-9556): insertions evaluate the window against their left
+    coordinate, and the engine default distances are 5 kb BOTH sides
+    (TranscriptConsequenceEngine::new(5000, 5000), rs:807-811 — Ensembl
+    VEP's defaults; round 5 fixed our 500 bp downstream default)."""
+    tp = _cq.Transcript(
+        transcript_id="txp", chrom="22", start=10_000, end=11_000, strand=1,
+        exons=[(10_000, 11_000)], cds_start=10_100, cds_end=10_900,
+    )
+    assert _cq.classify(tp, 5_000, "A", "AT") == ["upstream_gene_variant"]
+    assert _cq.classify(tp, 4_998, "A", "AT") == []
+    tn = _cq.Transcript(
+        transcript_id="txn", chrom="22", start=20_000, end=21_000, strand=-1,
+        exons=[(20_000, 21_000)], cds_start=20_100, cds_end=20_900,
+    )
+    assert _cq.classify(tn, 15_000, "A", "AG") == ["downstream_gene_variant"]
+    assert _cq.classify(tn, 14_998, "A", "AG") == []
+
+
+def test_internal_stop_cds_still_detects_stop_gained():
+    """transcript_consequence.rs stop_gained_detected_when_cds_has_internal_
+    stops: CYP2D7-like pseudogene CDS with a premature internal stop must
+    not mask a later CGA->TGA stop_gained."""
+    cds = "ATGCGATGACGAAAACGAAAAAAAAAAAATAA"
+    t = _cq.Transcript(
+        transcript_id="pc", chrom="22", start=100, end=131, strand=1,
+        exons=[(100, 131)], cds_start=100, cds_end=130, cds_sequence=cds,
+    )
+    assert _cq.classify(t, 115, "C", "T") == ["stop_gained"]
