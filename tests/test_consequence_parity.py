@@ -1540,3 +1540,32 @@ def test_internal_stop_cds_still_detects_stop_gained():
         exons=[(100, 131)], cds_start=100, cds_end=130, cds_sequence=cds,
     )
     assert _cq.classify(t, 115, "C", "T") == ["stop_gained"]
+
+
+def test_distance_value_truth_table():
+    """transcript_consequence.rs upstream_downstream_distance_snvs /
+    _insertions (rs:9558-9763): DISTANCE for all four strand × direction
+    combinations — upstream-of-plus / downstream-of-minus measure
+    tx.start - variant.end, the opposite sides measure check_start -
+    tx.end with insertions anchored at their left coordinate."""
+    pos = _cq.Transcript(
+        transcript_id="txp", chrom="22", start=1000, end=2000, strand=1,
+        exons=[(1000, 2000)], cds_start=1100, cds_end=1900,
+    )
+    neg = _cq.Transcript(
+        transcript_id="txn", chrom="22", start=3000, end=4000, strand=-1,
+        exons=[(3000, 4000)], cds_start=3100, cds_end=3900,
+    )
+    cases = [
+        (pos, 900, "A", "G", "upstream", 100), (pos, 999, "A", "G", "upstream", 1),
+        (pos, 2100, "A", "G", "downstream", 100), (pos, 2001, "A", "G", "downstream", 1),
+        (neg, 4100, "A", "G", "upstream", 100), (neg, 4001, "A", "G", "upstream", 1),
+        (neg, 2900, "A", "G", "downstream", 100), (neg, 2999, "A", "G", "downstream", 1),
+        (pos, 899, "A", "AT", "upstream", 100),
+        (pos, 2100, "A", "AT", "downstream", 100),
+        (neg, 4100, "A", "AT", "upstream", 100),
+        (neg, 2899, "A", "AT", "downstream", 100),
+    ]
+    for t, p, r, a, want, want_d in cases:
+        assert _cq.classify(t, p, r, a) == [f"{want}_gene_variant"], (p, r, a)
+        assert _cq.annotation_details(t, p, r, a)["distance"] == want_d, (p, r, a)
