@@ -1946,17 +1946,34 @@ def hgvs_g(chrom: str, pos: int, ref: str, alt: str) -> str:
 
 
 def _normalize_for_hgvs(pos: int, ref: str, alt: str) -> tuple[int, str, str]:
-    """VEP-trim raw alleles for HGVS notation.  Output convention matches
-    the hgvs_c/hgvs_p body: deletions anchor at their first deleted base;
-    pure insertions anchor at the 5'-flank base (so a bare ``ref=''``
-    input passes through unchanged, while a VCF-padded insertion anchors
-    at its retained prefix base)."""
+    """HGVS-clip raw alleles for notation (reference ``clip_alleles``,
+    hgvs.rs:805-859): trim the shared prefix AND suffix unconditionally —
+    unlike VEP variant normalization, which keeps same-length MNVs whole,
+    the HGVS layer reclassifies a delins whose flanks match down to the
+    bare substitution/insertion/deletion.  Output convention matches the
+    hgvs_c/hgvs_p body: deletions anchor at their first deleted base; pure
+    insertions anchor at the 5'-flank base (so a bare ``ref=''`` input
+    passes through unchanged, while a VCF-padded insertion anchors at its
+    retained prefix base)."""
     if not ref:
         return pos, ref, alt
-    vs, _ve, r_n, a_n, is_ins = normalize_variant(pos, ref, alt)
-    if (r_n, a_n) == (ref, alt):
+    start, r, a = pos, ref, alt
+    i = 0
+    while i < len(r) and i < len(a) and r[i] == a[i]:
+        i += 1
+    if i:
+        start += i
+        r, a = r[i:], a[i:]
+    j = 0
+    while j < len(r) - 0 and j < len(a) and len(r) - j > 0 and len(a) - j > 0 and r[len(r) - 1 - j] == a[len(a) - 1 - j]:
+        j += 1
+    if j:
+        r, a = r[: len(r) - j], a[: len(a) - j]
+    if (r, a) == (ref, alt):
         return pos, ref, alt
-    return (vs - 1 if is_ins else vs), r_n, a_n
+    if not r:  # pure insertion: anchor at the 5'-flank base
+        return start - 1, r, a
+    return start, r, a
 
 
 def _cds_first_offset(t: Transcript, pos: int, ref_len: int) -> int | None:

@@ -1569,3 +1569,21 @@ def test_distance_value_truth_table():
     for t, p, r, a, want, want_d in cases:
         assert _cq.classify(t, p, r, a) == [f"{want}_gene_variant"], (p, r, a)
         assert _cq.annotation_details(t, p, r, a)["distance"] == want_d, (p, r, a)
+
+
+def test_hgvs_clip_alleles_reclassification():
+    """hgvs.rs test_clip_alleles_reclassifies_delins_to_substitution /
+    _to_insertion / _to_duplication (hgvs.rs:805-859): the HGVS layer
+    trims shared prefix AND suffix unconditionally — a same-length MNV
+    whose flanks match renders as the bare substitution, not a delins
+    (unlike VEP variant normalization, which keeps same-length MNVs
+    whole)."""
+    cds = "ATGACGTACGTACGTACGTTAA"
+    t = _cq.Transcript(
+        transcript_id="t", chrom="1", start=1000, end=1021, strand=1,
+        exons=[(1000, 1021)], cds_start=1000, cds_end=1021, cds_sequence=cds,
+    )
+    assert _cq.hgvs_c(t, 1003, "ACG", "ATG") == "t:c.5C>T"   # delins -> sub
+    assert _cq.hgvs_c(t, 1003, "AG", "CG") == "t:c.4A>C"     # suffix-only clip
+    assert _cq.hgvs_c(t, 1003, "AC", "ATC") == "t:c.4_5insT"  # delins -> ins
+    assert _cq.hgvs_c(t, 1003, "A", "AA") == "t:c.4dup"       # delins -> dup
