@@ -78,15 +78,18 @@ def test_consequence_regions_truth_table(spark):
     assert term(1100, strand=-1) == "3_prime_UTR_variant"
     assert term(1900, strand=-1) == "5_prime_UTR_variant"
     assert term(1500, biotype="lincRNA") == "non_coding_transcript_variant"
-    # upstream/downstream distances: 5000 up, 500 down (strand-aware)
+    # upstream/downstream distances: 5000 both ways (strand-aware), matching
+    # the reference engine ctor TranscriptConsequenceEngine::new(5000, 5000)
     assert term(900) == "upstream_gene_variant"
     assert term(2100) == "downstream_gene_variant"
     assert term(900, strand=-1) == "downstream_gene_variant"
     assert term(2100, strand=-1) == "upstream_gene_variant"
     # beyond the windows → no row
-    assert term(2000 + 501) is None            # fwd downstream limit 500
+    assert term(2000 + 5000) == "downstream_gene_variant"
+    assert term(2000 + 5001) is None           # fwd downstream limit 5000
     assert term(1000 - 5001) is None           # fwd upstream limit 5000
-    assert term(1000 - 501, strand=-1) is None  # rev downstream limit 500
+    assert term(1000 - 5000, strand=-1) == "downstream_gene_variant"
+    assert term(1000 - 5001, strand=-1) is None  # rev downstream limit 5000
     assert term(2000 + 5000, strand=-1) == "upstream_gene_variant"
     assert term(2000 + 5001, strand=-1) is None
 
