@@ -337,6 +337,73 @@ def minhash_lsh_candidates(
     )
 
 
+def _exact_collapse(df: DataFrame, text_col: str, id_col: str):
+    """Group byte-identical texts ahead of a near-dup pipeline: returns
+    ``(groups, reps, member_map)`` where ``reps`` carries one
+    (min-id, text) row per distinct text and ``member_map`` maps every
+    original id to its group representative.  The groupBy is the same
+    hash-aggregate shape as ``exact_dedup`` — one shuffle of the corpus,
+    repaid whenever the duplication factor exceeds ~1 because the
+    signature/banding/verify stages then run on distinct texts only."""
+    txt = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    members = _ensure_parallelism(df).select(
+        F.col(id_col).alias("__mid"), txt.alias("__txt")
+    )
+    groups = (
+        members.groupBy("__txt")
+        .agg(F.min("__mid").alias(id_col), F.count(F.lit(1)).alias("__gn"))
+        .persist()
+    )
+    reps = groups.select(id_col, F.col("__txt").alias(text_col))
+    member_map = members.join(
+        groups.select("__txt", F.col(id_col).alias("__rep")), "__txt"
+    ).select(F.col("__mid").alias("__id"), "__rep")
+    return groups, reps, member_map
+
+
+def _expand_collapsed_pairs(
+    verified: DataFrame,
+    member_map: DataFrame,
+    score_col: str,
+    within_value: Column | None,
+) -> DataFrame:
+    """Expand representative-level verified pairs back to all member ids.
+    Cross-group pairs inherit the representatives' score (identical texts
+    ⇒ identical shingle sets / signatures); within-group pairs — exact
+    duplicates — get ``within_value`` (J=1 / hamming=0), or are omitted
+    when ``within_value`` is None (threshold excludes even exact dups).
+    Output is re-canonicalized to id_a < id_b: group rep order need not
+    match member id order."""
+    vp = verified.select(
+        F.col("id_a").alias("__ra"), F.col("id_b").alias("__rb"), score_col
+    )
+    cross = (
+        vp.join(
+            member_map.select(F.col("__rep").alias("__ra"), F.col("__id").alias("__ia")),
+            "__ra",
+        )
+        .join(
+            member_map.select(F.col("__rep").alias("__rb"), F.col("__id").alias("__ib")),
+            "__rb",
+        )
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            score_col,
+        )
+    )
+    if within_value is None:
+        return cross
+    m1 = member_map.select("__rep", F.col("__id").alias("id_a"))
+    m2 = member_map.select("__rep", F.col("__id").alias("id_b"))
+    within = (
+        m1.join(m2, "__rep")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", within_value.alias(score_col))
+    )
+    return cross.unionByName(within)
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -372,19 +439,7 @@ def minhash_dedup(
     hash-groupBy on the text — the same shape ``exact_dedup`` already runs.
     """
     if collapse_exact:
-        txt = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
-        members = _ensure_parallelism(df).select(
-            F.col(id_col).alias("__mid"), txt.alias("__txt")
-        )
-        groups = (
-            members.groupBy("__txt")
-            .agg(F.min("__mid").alias(id_col), F.count(F.lit(1)).alias("__gn"))
-            .persist()
-        )
-        reps = groups.select(id_col, F.col("__txt").alias(text_col))
-        member_map = members.join(
-            groups.select("__txt", F.col(id_col).alias("__rep")), "__txt"
-        ).select(F.col("__mid").alias("__id"), "__rep")
+        groups, reps, member_map = _exact_collapse(df, text_col, id_col)
     else:
         groups = None
         reps = df
@@ -412,37 +467,10 @@ def minhash_dedup(
         .filter(F.col("jaccard") >= threshold)
     )
     if collapse_exact:
-        # cross-group pairs: every member combination of the two groups,
-        # re-canonicalized (group rep order need not match member id order)
-        vp = verified.select(
-            F.col("id_a").alias("__ra"), F.col("id_b").alias("__rb"), "jaccard"
+        verified = _expand_collapsed_pairs(
+            verified, member_map, "jaccard",
+            within_value=F.lit(1.0) if threshold <= 1.0 else None,
         )
-        cross = (
-            vp.join(
-                member_map.select(F.col("__rep").alias("__ra"), F.col("__id").alias("__ia")),
-                "__ra",
-            )
-            .join(
-                member_map.select(F.col("__rep").alias("__rb"), F.col("__id").alias("__ib")),
-                "__rb",
-            )
-            .select(
-                F.least("__ia", "__ib").alias("id_a"),
-                F.greatest("__ia", "__ib").alias("id_b"),
-                "jaccard",
-            )
-        )
-        verified = cross
-        if threshold <= 1.0:
-            # within-group pairs are exact duplicates: J = 1 by identity
-            m1 = member_map.select("__rep", F.col("__id").alias("id_a"))
-            m2 = member_map.select("__rep", F.col("__id").alias("id_b"))
-            within = (
-                m1.join(m2, "__rep")
-                .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
-            )
-            verified = cross.unionByName(within)
     if output == "pairs":
         out = verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     elif output == "kept":
@@ -575,6 +603,7 @@ def simhash_dedup(
     chunks: int | None = None,
     method: str = "arrow",
     hash_method: str = "md5",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: pairs agreeing on ≥1 of ``chunks`` equal
     bit-chunks (pigeonhole-complete for hamming ≤ chunks-1) verified by
@@ -587,7 +616,12 @@ def simhash_dedup(
 
     ``method='arrow'`` (default, implies md5 token hashes): vectorized
     signature computation; ``method='sql'``: all-JVM expression tree with
-    ``hash_method`` 'md5' (oracle-reproducible) or 'xxhash64' (fastest)."""
+    ``hash_method`` 'md5' (oracle-reproducible) or 'xxhash64' (fastest).
+
+    ``collapse_exact`` (default on): identical texts are scored once and
+    pairs expanded afterwards — lossless (identical text ⇒ identical
+    simhash ⇒ within-group hamming 0, always ≤ max_hamming); see
+    :func:`minhash_dedup`."""
     if chunks is None:
         chunks = next(c for c in (1, 2, 4, 8, 16, 32, 64) if c > max_hamming)
     if 64 % chunks:
@@ -601,12 +635,16 @@ def simhash_dedup(
         sim = simhash64(text_col, hash_method=hash_method)
     else:
         raise ValueError(f"method must be 'arrow' or 'sql', got {method!r}")
+    if collapse_exact:
+        groups, src, member_map = _exact_collapse(df, text_col, id_col)
+    else:
+        groups, src = None, df
     # persist: the self-join consumes the banded frame twice and Spark does
     # not reuse the exchange across the two sides, so without the cache the
     # signature UDF would score the whole corpus twice (same rationale and
     # lifecycle as minhash_dedup's signature cache above)
     sh = (
-        _ensure_parallelism(df)
+        _ensure_parallelism(src)
         .select(F.col(id_col).alias("id"), sim.alias("simhash"))
         .persist()
     )
@@ -635,7 +673,13 @@ def simhash_dedup(
         .filter(F.col("hamming") <= max_hamming)
     )
     out = pairs.select("id_a", "id_b", "hamming")
+    if collapse_exact:
+        out = _expand_collapsed_pairs(
+            out, member_map, "hamming", within_value=F.lit(0)
+        )
     weakref.finalize(out, _unpersist_quietly, sh)
+    if groups is not None:
+        weakref.finalize(out, _unpersist_quietly, groups)
     return out
 
 
