@@ -173,6 +173,32 @@ def test_simhash_dedup(spark):
     assert all(3 not in p for p in found)
 
 
+def test_collapse_exact_is_lossless(spark, documents):
+    """The exact-duplicate collapse (group identical texts, score one
+    representative, expand pairs) must be bit-identical to the direct
+    pipeline — within-group J=1/hamming=0 by identity, cross-group pairs
+    inherit the representatives' score."""
+    dup = documents.select((F.col("doc_id") + 10000).alias("doc_id"), "text").filter(
+        F.col("doc_id") % 5 == 10000 % 5
+    )
+    corpus = documents.select("doc_id", "text").unionByName(dup)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    mh = dict(threshold=0.9, num_perm=32, bands=8)
+    assert canon(minhash_dedup(corpus, **mh)) == canon(
+        minhash_dedup(corpus, **mh, collapse_exact=False)
+    )
+    assert canon(simhash_dedup(corpus, max_hamming=3)) == canon(
+        simhash_dedup(corpus, max_hamming=3, collapse_exact=False)
+    )
+    kept = dict(threshold=0.9, num_perm=32, bands=8, output="kept")
+    assert canon(minhash_dedup(corpus, **kept).select("doc_id")) == canon(
+        minhash_dedup(corpus, **kept, collapse_exact=False).select("doc_id")
+    )
+
+
 def test_ngram_jaccard_dedup(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     df = spark.createDataFrame(
