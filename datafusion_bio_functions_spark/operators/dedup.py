@@ -337,6 +337,45 @@ def minhash_lsh_candidates(
     )
 
 
+#: bounded dup-rate probe for collapse_exact='auto': sample size and the
+#: sampled duplicate fraction above which the collapse pays for itself
+#: (below it, the extra groupBy/expand stages cost more than they save —
+#: measured at sf0.1 [0.16 % dups]: minhash_pairs 2.7 → 3.8 s with an
+#: unconditional collapse, vs 4-7× wins at sf1/sf10 [90-99 % dups]).
+_COLLAPSE_PROBE_ROWS = 100_000
+_COLLAPSE_MIN_DUP = 0.20
+_COLLAPSE_MEMO: dict = {}
+
+
+def _should_collapse(df: DataFrame, text_col: str) -> bool:
+    """Bounded duplicate-rate probe (``limit(100k)`` + exact distinct count
+    over md5 fingerprints — one O(sample) job regardless of table size),
+    memoized by semantic plan + file fingerprint like the interval-join
+    probes.  Collapse only when the sampled duplicate fraction clears
+    ``_COLLAPSE_MIN_DUP``."""
+    try:
+        from .intervals import _plan_key
+
+        key = (_plan_key(df), text_col)
+        if key in _COLLAPSE_MEMO:
+            return _COLLAPSE_MEMO[key]
+    except Exception:  # semanticHash unavailable (connect-mode frame)
+        key = None
+    samp = df.select(
+        F.md5(F.coalesce(F.col(text_col).cast("string"), F.lit(""))).alias("__fp")
+    ).limit(_COLLAPSE_PROBE_ROWS)
+    row = samp.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("__fp").alias("u")
+    ).collect()[0]
+    dup = 1.0 - row["u"] / row["n"] if row["n"] else 0.0
+    should = dup >= _COLLAPSE_MIN_DUP
+    if key is not None:
+        if len(_COLLAPSE_MEMO) > 1024:
+            _COLLAPSE_MEMO.clear()
+        _COLLAPSE_MEMO[key] = should
+    return should
+
+
 def _exact_collapse(df: DataFrame, text_col: str, id_col: str):
     """Group byte-identical texts ahead of a near-dup pipeline: returns
     ``(groups, reps, member_map)`` where ``reps`` carries one
@@ -415,7 +454,7 @@ def minhash_dedup(
     seed: int = 42,
     output: str = "pairs",
     gram: str = "char",
-    collapse_exact: bool = True,
+    collapse_exact: bool | str = "auto",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate detection with exact Jaccard verification.
     ``gram='word'`` shingles on word ``shingle_k``-grams instead of char
@@ -427,17 +466,23 @@ def minhash_dedup(
     approximation of full connected components — transitive chains collapse
     to their minimum via the dominance rule applied once).
 
-    ``collapse_exact`` (default on): byte-identical texts are grouped and
-    only one representative per group enters the shingle/signature/LSH/
-    verify pipeline; results are expanded back to all member ids
-    afterwards.  Lossless — identical texts have identical shingle SETS, so
+    ``collapse_exact``: byte-identical texts are grouped and only one
+    representative per group enters the shingle/signature/LSH/verify
+    pipeline; results are expanded back to all member ids afterwards.
+    Lossless — identical texts have identical shingle SETS, so
     within-group pairs are exactly J=1 and any cross-group pair has the
     same jaccard as its representatives, and identical signatures mean
     LSH candidate recall is unchanged.  Web-scale corpora are dominated by
     exact duplicates (sf1 testdata: 90 %), so this cuts the expensive
     stages by the duplication factor while the collapse itself is one
-    hash-groupBy on the text — the same shape ``exact_dedup`` already runs.
+    hash-groupBy on the text — the same shape ``exact_dedup`` already
+    runs.  ``'auto'`` (default) decides by a memoized bounded dup-rate
+    probe (``_should_collapse``): on for ≥20 % sampled duplicates, off
+    below (the extra stages outweigh the savings on near-distinct
+    corpora).
     """
+    if collapse_exact == "auto":
+        collapse_exact = _should_collapse(df, text_col)
     if collapse_exact:
         groups, reps, member_map = _exact_collapse(df, text_col, id_col)
     else:
@@ -466,15 +511,34 @@ def minhash_dedup(
         .withColumn("jaccard", jaccard(F.col("shingles_a"), F.col("shingles_b")))
         .filter(F.col("jaccard") >= threshold)
     )
-    if collapse_exact:
-        verified = _expand_collapsed_pairs(
-            verified, member_map, "jaccard",
-            within_value=F.lit(1.0) if threshold <= 1.0 else None,
-        )
     if output == "pairs":
+        if collapse_exact:
+            verified = _expand_collapsed_pairs(
+                verified, member_map, "jaccard",
+                within_value=F.lit(1.0) if threshold <= 1.0 else None,
+            )
         out = verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     elif output == "kept":
-        dominated = verified.select(F.col("id_b").alias(id_col)).distinct()
+        if collapse_exact:
+            # dominance without the (quadratic) pair expansion: a non-rep
+            # member is dominated by its group rep (their J=1 pair, when
+            # threshold admits it), and for a verified rep pair (ra < rb)
+            # every member of rb's group is dominated by ra (each pairs
+            # with ra, and ra < rb <= member id).  Equivalent to the
+            # expanded-pairs rule, but linear in group size — a viral
+            # text duplicated millions of times stays O(members).
+            dom_cross = verified.select(F.col("id_b").alias("__rep")).distinct().join(
+                member_map, "__rep"
+            ).select(F.col("__id").alias(id_col))
+            if threshold <= 1.0:
+                dom_within = member_map.filter(F.col("__id") > F.col("__rep")).select(
+                    F.col("__id").alias(id_col)
+                )
+                dominated = dom_cross.unionByName(dom_within).distinct()
+            else:
+                dominated = dom_cross.distinct()
+        else:
+            dominated = verified.select(F.col("id_b").alias(id_col)).distinct()
         out = df.join(dominated, id_col, "left_anti")
     else:
         raise ValueError(f"unknown output mode {output!r}")
@@ -603,7 +667,7 @@ def simhash_dedup(
     chunks: int | None = None,
     method: str = "arrow",
     hash_method: str = "md5",
-    collapse_exact: bool = True,
+    collapse_exact: bool | str = "auto",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: pairs agreeing on ≥1 of ``chunks`` equal
     bit-chunks (pigeonhole-complete for hamming ≤ chunks-1) verified by
@@ -618,10 +682,10 @@ def simhash_dedup(
     signature computation; ``method='sql'``: all-JVM expression tree with
     ``hash_method`` 'md5' (oracle-reproducible) or 'xxhash64' (fastest).
 
-    ``collapse_exact`` (default on): identical texts are scored once and
-    pairs expanded afterwards — lossless (identical text ⇒ identical
-    simhash ⇒ within-group hamming 0, always ≤ max_hamming); see
-    :func:`minhash_dedup`."""
+    ``collapse_exact``: identical texts are scored once and pairs
+    expanded afterwards — lossless (identical text ⇒ identical simhash ⇒
+    within-group hamming 0, always ≤ max_hamming); ``'auto'`` (default)
+    probes the duplicate rate first — see :func:`minhash_dedup`."""
     if chunks is None:
         chunks = next(c for c in (1, 2, 4, 8, 16, 32, 64) if c > max_hamming)
     if 64 % chunks:
@@ -635,6 +699,8 @@ def simhash_dedup(
         sim = simhash64(text_col, hash_method=hash_method)
     else:
         raise ValueError(f"method must be 'arrow' or 'sql', got {method!r}")
+    if collapse_exact == "auto":
+        collapse_exact = _should_collapse(df, text_col)
     if collapse_exact:
         groups, src, member_map = _exact_collapse(df, text_col, id_col)
     else:

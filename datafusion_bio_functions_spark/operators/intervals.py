@@ -171,6 +171,9 @@ def clear_probe_caches() -> None:
     _CHUNK_WIDTH_MEMO.clear()
     _FITS_BROADCAST_MEMO.clear()
     _COLLECT_INDEX_MEMO.clear()
+    from .dedup import _COLLAPSE_MEMO
+
+    _COLLAPSE_MEMO.clear()
 
 
 def _auto_bin_width(l: DataFrame, ls: str, le: str, r: DataFrame, rs: str, re_: str) -> int:
