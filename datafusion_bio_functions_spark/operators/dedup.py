@@ -394,9 +394,15 @@ def _exact_collapse(df: DataFrame, text_col: str, id_col: str):
         .persist()
     )
     reps = groups.select(id_col, F.col("__txt").alias(text_col))
-    member_map = members.join(
-        groups.select("__txt", F.col(id_col).alias("__rep")), "__txt"
-    ).select(F.col("__mid").alias("__id"), "__rep")
+    # persist: the expansion consumes the map up to four times (both sides
+    # of the cross join + both sides of the within self-join); without the
+    # cache each use re-scans the corpus and re-runs the text join.  Two
+    # longs per row — far smaller than the corpus it replaces.
+    member_map = (
+        members.join(groups.select("__txt", F.col(id_col).alias("__rep")), "__txt")
+        .select(F.col("__mid").alias("__id"), "__rep")
+        .persist()
+    )
     return groups, reps, member_map
 
 
@@ -545,6 +551,7 @@ def minhash_dedup(
     weakref.finalize(out, _unpersist_quietly, sigs)
     if groups is not None:
         weakref.finalize(out, _unpersist_quietly, groups)
+        weakref.finalize(out, _unpersist_quietly, member_map)
     return out
 
 
@@ -746,6 +753,7 @@ def simhash_dedup(
     weakref.finalize(out, _unpersist_quietly, sh)
     if groups is not None:
         weakref.finalize(out, _unpersist_quietly, groups)
+        weakref.finalize(out, _unpersist_quietly, member_map)
     return out
 
 
