@@ -338,12 +338,14 @@ def minhash_lsh_candidates(
 
 
 #: bounded dup-rate probe for collapse_exact='auto': sample size and the
-#: sampled duplicate fraction above which the collapse pays for itself
-#: (below it, the extra groupBy/expand stages cost more than they save —
-#: measured at sf0.1 [0.16 % dups]: minhash_pairs 2.7 → 3.8 s with an
-#: unconditional collapse, vs 4-7× wins at sf1/sf10 [90-99 % dups]).
+#: sampled duplicate fraction above which the collapse pays for itself.
+#: The collapse costs ~two extra corpus shuffles (group + member map) and
+#: saves dup_rate x (signature+banding+verify), so it only clearly wins
+#: when duplicates DOMINATE: measured at sf0.1 (0.16-25 % dups)
+#: minhash_pairs regressed 2.7 -> 3.8 s under an unconditional collapse,
+#: vs 4-7x wins at sf1/sf10 (90-99 % dups).
 _COLLAPSE_PROBE_ROWS = 100_000
-_COLLAPSE_MIN_DUP = 0.20
+_COLLAPSE_MIN_DUP = 0.50
 _COLLAPSE_MEMO: dict = {}
 
 
@@ -483,9 +485,9 @@ def minhash_dedup(
     stages by the duplication factor while the collapse itself is one
     hash-groupBy on the text — the same shape ``exact_dedup`` already
     runs.  ``'auto'`` (default) decides by a memoized bounded dup-rate
-    probe (``_should_collapse``): on for ≥20 % sampled duplicates, off
-    below (the extra stages outweigh the savings on near-distinct
-    corpora).
+    probe (``_should_collapse``): on when duplicates dominate the
+    sample (≥50 %), off below (the extra stages outweigh the savings
+    unless the representative set is much smaller than the corpus).
     """
     if collapse_exact == "auto":
         collapse_exact = _should_collapse(df, text_col)
@@ -825,11 +827,21 @@ def ngram_jaccard_dedup(
 # ---------------------------------------------------------------------------
 
 
+#: connected_components algorithm='auto' switches from label propagation
+#: to star contraction when a bounded probe finds at least this many
+#: pairs: label propagation re-joins the FULL edge multiset every round,
+#: star contraction shrinks the edge set toward one star per component
+#: after the first round, so the crossover is where edge volume (not
+#: round count) dominates.
+_CC_STAR_THRESHOLD = 2_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Connected components of the near-duplicate pair graph: every node
     reachable through pairs gets ``component`` = the minimum id in its
@@ -839,24 +851,43 @@ def connected_components(
     (``minhash_dedup`` / ``simhash_dedup`` / ``cosine_near_dup_*``): keep
     one document per component, drop the rest.
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes the minimum label in its closed neighborhood (one shuffle-join +
-    one groupBy per round), converging in O(component diameter) rounds.
-    Near-dup clusters are dense (diameter ~2-4), so a handful of rounds
-    suffices at any scale; each round is a pair of joins on the id key —
-    no driver-side graph.  Lineage is truncated every round with
-    ``localCheckpoint`` so plans stay bounded.  Raises after ``max_iter``
-    rounds without convergence (pathological chain graphs — raise the cap).
+    ``algorithm='label'``: iterative min-label propagation — each round
+    every node takes the minimum label in its closed neighborhood (one
+    shuffle-join + one groupBy per round), converging in O(component
+    diameter) rounds.  Near-dup clusters are dense (diameter ~2-4), so a
+    handful of rounds suffices; each round re-joins the full edge set.
+    ``algorithm='star'``: alternating large-star/small-star contraction
+    (:func:`_cc_star`) — the edge set SHRINKS toward one star per
+    component, so later rounds touch ~nodes edges instead of ~input
+    edges; the right choice when the pair multiset is much larger than
+    the node set (duplicate-heavy corpora).  ``'auto'`` (default) picks
+    by a bounded pair-count probe at ``_CC_STAR_THRESHOLD``.
+
+    Both are shuffle-parallel DataFrame loops — no driver-side graph;
+    lineage is truncated every round with ``localCheckpoint`` so plans
+    stay bounded.  Raises after ``max_iter`` rounds without convergence.
     """
-    edges = pairs.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    )
-    edges = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(f"algorithm must be 'auto', 'label' or 'star', got {algorithm!r}")
+    a, b = F.col(id_a).cast("long"), F.col(id_b).cast("long")
+    # canonical child > parent edge set, materialized ONCE and shared by
+    # both algorithms — the auto decision then reads an exact edge count
+    # off the checkpoint instead of re-running the (possibly expensive)
+    # upstream pair pipeline for a probe
+    canon = (
+        pairs.select(F.greatest(a, b).alias("child"), F.least(a, b).alias("parent"))
+        .filter(F.col("child") != F.col("parent"))
         .distinct()
         .localCheckpoint(eager=True)
+    )
+    if algorithm == "auto":
+        algorithm = "star" if canon.count() > _CC_STAR_THRESHOLD else "label"
+    if algorithm == "star":
+        return _cc_star(canon, max_iter)
+    edges = canon.select(
+        F.col("child").alias("src"), F.col("parent").alias("dst")
+    ).unionByName(
+        canon.select(F.col("parent").alias("src"), F.col("child").alias("dst"))
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -899,6 +930,75 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(component diameter exceeds the cap — raise max_iter)"
+    )
+
+
+def _cc_star(canon: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm).  ``canon`` is the materialized child > parent edge set.
+    Each round: large-star rewires every strictly-larger neighbor of u to
+    the minimum of u's closed neighborhood, then small-star rewires u's
+    (smaller) parents to their minimum.  The edge set contracts toward
+    one flat star per component rooted at the component minimum, at which
+    point it is a fixed point; convergence is detected by an unchanged
+    (count, hash-xor) edge-set signature.  O(log^2 n) rounds worst case,
+    2-3 in practice on near-dup graphs — and unlike label propagation the
+    per-round volume SHRINKS after round one."""
+    e = canon
+    prev_sig = None
+    for _ in range(max_iter):
+        sym = e.select(F.col("child").alias("u"), F.col("parent").alias("v")).unionByName(
+            e.select(F.col("parent").alias("u"), F.col("child").alias("v"))
+        )
+        # m(u) = min of u's closed neighborhood
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("__mn", F.col("u")).alias("m"))
+        )
+        # large-star: (v, m(u)) for every neighbor v > u
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("child"), F.col("m").alias("parent"))
+            .filter(F.col("child") != F.col("parent"))
+            .distinct()
+        )
+        # small-star: parents are strictly smaller by construction; rewire
+        # them (and u itself) to the minimum parent
+        pm = large.groupBy("child").agg(F.min("parent").alias("m"))
+        small = (
+            large.join(pm, "child")
+            .select(F.col("parent").alias("c2"), F.col("m").alias("p2"))
+            .filter(F.col("c2") != F.col("p2"))
+            .unionByName(pm.select(F.col("child").alias("c2"), F.col("m").alias("p2")))
+            .select(F.col("c2").alias("child"), F.col("p2").alias("parent"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # signature: count + XOR of row hashes (order-independent, no ANSI
+        # overflow; valid as a set signature because edges are distinct)
+        row = small.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(child, parent))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        e = small
+        if sig == prev_sig:
+            kids = e.select(F.col("child").alias("id"), F.col("parent").alias("component"))
+            roots = (
+                e.select(F.col("parent").alias("id"))
+                .distinct()
+                .join(kids.select("id"), "id", "left_anti")
+                .withColumn("component", F.col("id"))
+            )
+            return kids.unionByName(roots)
+        prev_sig = sig
+    raise RuntimeError(
+        f"connected_components(star) did not converge in {max_iter} rounds"
     )
 
 

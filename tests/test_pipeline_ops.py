@@ -173,6 +173,41 @@ def test_simhash_dedup(spark):
     assert all(3 not in p for p in found)
 
 
+def test_connected_components_star_matches_label(spark):
+    """Large-star/small-star contraction must produce identical
+    (id, component) labels to min-label propagation on every graph shape;
+    star additionally converges on chains far beyond label's O(diameter)
+    round budget."""
+    import random as _rnd
+
+    from datafusion_bio_functions_spark.operators.dedup import connected_components
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    shapes = {
+        "chain": [(i, i + 1) for i in range(1, 20)],
+        "clique": [(i, j) for i in range(1, 12) for j in range(i + 1, 12)],
+        "two_comps": [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)],
+        "hub": [(1, i) for i in range(2, 20)],
+    }
+    rnd = _rnd.Random(7)
+    shapes["random"] = [
+        (x, y)
+        for x, y in ((rnd.randrange(200), rnd.randrange(200)) for _ in range(150))
+        if x != y
+    ]
+    for name, edges in shapes.items():
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        assert canon(connected_components(df, algorithm="label")) == canon(
+            connected_components(df, algorithm="star")
+        ), name
+    # 200-node chain: diameter 199 >> label's 25-round default cap
+    chain = spark.createDataFrame([(i, i + 1) for i in range(1, 200)], ["id_a", "id_b"])
+    rows = connected_components(chain, algorithm="star").collect()
+    assert len(rows) == 200 and {r.component for r in rows} == {1}
+
+
 def test_collapse_exact_is_lossless(spark, documents):
     """The exact-duplicate collapse (group identical texts, score one
     representative, expand pairs) must be bit-identical to the direct
