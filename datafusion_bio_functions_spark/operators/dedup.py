@@ -866,6 +866,9 @@ def connected_components(
     Both are shuffle-parallel DataFrame loops — no driver-side graph;
     lineage is truncated every round with ``localCheckpoint`` so plans
     stay bounded.  Raises after ``max_iter`` rounds without convergence.
+    Degenerate self-pairs (``id_a == id_b``) are ignored: a node only
+    enters the output through at least one real edge (no pair generator
+    in this package emits self-pairs).
     """
     if algorithm not in ("auto", "label", "star"):
         raise ValueError(f"algorithm must be 'auto', 'label' or 'star', got {algorithm!r}")
