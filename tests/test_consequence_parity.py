@@ -1587,3 +1587,56 @@ def test_hgvs_clip_alleles_reclassification():
     assert _cq.hgvs_c(t, 1003, "AG", "CG") == "t:c.4A>C"     # suffix-only clip
     assert _cq.hgvs_c(t, 1003, "AC", "ATC") == "t:c.4_5insT"  # delins -> ins
     assert _cq.hgvs_c(t, 1003, "A", "AA") == "t:c.4dup"       # delins -> dup
+
+
+def test_hgvsp_formatter_battery():
+    """hgvs.rs format_hgvsp unit battery, replayed end-to-end through
+    hgvs_p on crafted CDS contexts (the reference tests drive the bare
+    formatter with a ProteinHgvsData struct; here the engine derives the
+    same struct fields from the variant):
+
+    - test_format_hgvsp_partial_codon_synonymous_uses_ter (hgvs.rs:2279):
+      synonymous change in the stop codon renders p.Ter<N>=
+    - test_format_hgvsp_frameshift_uses_first_changed_residue_and_stop_
+      distance (hgvs.rs:2323): p.<Aa3><pos><Aa3>fsTer<n> with n counted
+      inclusively from the first changed residue, stop searched in the
+      3'UTR-extended alternate translation
+    - test_format_hgvsp_insertion_uses_flanking_residues (hgvs.rs:2437):
+      inframe insertion renders p.<left>_<right>ins<peptide>
+    - test_format_hgvsp_insertion_duplication_uses_dup_notation
+      (hgvs.rs:2393): inserted peptide equal to its 5' flank renders dup
+    - test_format_hgvsp_shift_hgvs_false_disables_three_prime_peptide_
+      shift (hgvs.rs:2459): with shifting ON (VEP default, the engine's
+      behavior) the repeated-residue deletion reports the LAST repeat
+    """
+    def tx(cds, **kw):
+        return _cq.Transcript(
+            transcript_id="T1", chrom="1", start=1, end=300, strand=1,
+            exons=[(1, 300)], cds_start=101, cds_end=100 + len(cds),
+            cds_sequence=cds, **kw)
+
+    # synonymous at the stop codon: TAA -> TAG, still Ter -> p.Ter4=
+    t = tx("ATGGCCGTGTAA")  # M A V *
+    assert _cq.hgvs_p(t, 112, "A", "G") == "T1:p.Ter4="
+
+    # frameshift: first changed residue Lys3->Thr, new stop 6 residues on
+    # (inclusive), found in the 3'UTR-extended alternate translation
+    cds = "ATGAAAAAGAAAAAATAA"  # M K K K K *
+    spliced = "G" * 100 + cds + "TATAAGGG"
+    t2 = tx(cds)
+    t2.spliced_seq = spliced
+    t2.cdna_coding_start, t2.cdna_coding_end = 101, 118
+    assert _cq.hgvs_p(t2, 107, "A", "AC") == "T1:p.Lys3ThrfsTer6"
+    # same frameshift with NO sequence context past the CDS: the stop is
+    # unfindable and VEP degrades to fsTer?
+    assert _cq.hgvs_p(tx(cds), 107, "A", "AC") == "T1:p.Lys3ThrfsTer?"
+
+    # inframe insertion between residues: p.Ala2_Val3insGln
+    t3 = tx("ATGGCCGTGTAA")
+    assert _cq.hgvs_p(t3, 106, "C", "CCAG") == "T1:p.Ala2_Val3insGln"
+
+    # repeated-residue deletion 3'-shifts to the last repeat: p.Ala3del
+    t4 = tx("ATGGCTGCTTAA")  # M A A *
+    assert _cq.hgvs_p(t4, 103, "GGCT", "G") == "T1:p.Ala3del"
+    # and the duplication twin: p.Ala3dup
+    assert _cq.hgvs_p(t4, 109, "T", "TGCT") == "T1:p.Ala3dup"
