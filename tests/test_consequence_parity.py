@@ -1640,3 +1640,57 @@ def test_hgvsp_formatter_battery():
     assert _cq.hgvs_p(t4, 103, "GGCT", "G") == "T1:p.Ala3del"
     # and the duplication twin: p.Ala3dup
     assert _cq.hgvs_p(t4, 109, "T", "TGCT") == "T1:p.Ala3dup"
+
+
+def test_hgvsc_formatter_battery():
+    """hgvs.rs format_hgvsc unit battery, replayed end-to-end (the
+    reference drives the bare formatter; here the engine derives cDNA/CDS
+    numbering itself from the transcript geometry):
+
+    - test_format_hgvsc_uses_coding_relative_numbering (hgvs.rs:2485):
+      c.<cds-pos><ref>><alt>
+    - test_format_hgvsc_formats_insertions_with_flanking_coordinates
+      (hgvs.rs:2496): c.3_4insT between the flanks
+    - test_format_hgvsc_formats_deletions_from_genomic_span
+      (hgvs.rs:2507): single-base c.4del
+    - test_format_hgvsc_uses_negative_utr_coordinate (hgvs.rs:2518):
+      one base 5' of the CDS renders c.-1
+    - test_format_hgvsc_uses_non_coding_numbering (hgvs.rs:2529):
+      non-coding biotypes use n. with cDNA numbering
+    - test_format_hgvsc_reverse_complements_minus_strand_alleles
+      (hgvs.rs:2558): minus-strand alleles reverse-complemented,
+      coordinates counted from the transcript 3' end
+    - intronic spans anchor each bound to its CLOSER exon boundary
+      (the +N / -N halves of test_format_hgvsc_uses_genomic_shift_for_
+      intronic_indels before its FASTA-backed 3'-shift is applied)
+
+    Deliberately NOT replayed: the HgvsGenomicShift family
+    (hgvs.rs:2569-2900, shifted intronic/exonic indels, shifted dup
+    context, RefSeq BAM-edit allele selection) — the reference computes
+    that struct from genome-FASTA flanking sequence in annotate_provider;
+    this engine's Transcript model carries no intron/flank sequence, so
+    unshifted anchoring is the documented degradation (same boundary as
+    the cdna_mapper_segments exclusion at functions/consequence.py:24-28).
+    """
+    def tx(biotype="protein_coding", strand=1, cds=(100, 108)):
+        kw = {}
+        if cds:
+            kw.update(cds_start=cds[0], cds_end=cds[1])
+        return _cq.Transcript(
+            transcript_id="T1", chrom="1", start=100, end=140, strand=strand,
+            biotype=biotype, exons=[(100, 140)], **kw)
+
+    assert _cq.hgvs_c(tx(), 103, "G", "A") == "T1:c.4G>A"
+    assert _cq.hgvs_c(tx(), 102, "C", "CT") == "T1:c.3_4insT"
+    assert _cq.hgvs_c(tx(), 103, "G", "") == "T1:c.4del"
+    assert _cq.hgvs_c(tx(cds=(101, 108)), 100, "A", "G") == "T1:c.-1A>G"
+    assert _cq.hgvs_c(tx(biotype="lncRNA", cds=None), 103, "G", "A") == "T1:n.4G>A"
+    assert (
+        _cq.hgvs_c(tx(biotype="lncRNA", strand=-1, cds=None), 103, "A", "G")
+        == "T1:n.38T>C"
+    )
+    two_exon = _cq.Transcript(
+        transcript_id="T1", chrom="1", start=90, end=119, strand=1,
+        biotype="protein_coding", exons=[(90, 99), (110, 119)],
+        cds_start=90, cds_end=119)
+    assert _cq.hgvs_c(two_exon, 103, "AAA", "A") == "T1:c.10+5_11-5del"
