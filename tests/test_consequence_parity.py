@@ -1694,3 +1694,26 @@ def test_hgvsc_formatter_battery():
         biotype="protein_coding", exons=[(90, 99), (110, 119)],
         cds_start=90, cds_end=119)
     assert _cq.hgvs_c(two_exon, 103, "AAA", "A") == "T1:c.10+5_11-5del"
+
+
+def test_hgvs_clip_and_delins_rendering():
+    """hgvs.rs clip/format helper behaviors through the engine:
+
+    - test_clip_alleles_uses_transcript_oriented_coordinates_on_negative_
+      strand (hgvs.rs:789): the HGVS clip operates on transcript-oriented
+      alleles, so on a minus-strand feature the prefix trim consumes the
+      genomic LOW coordinate — a flanked MNV renders as the bare
+      substitution at the transcript-correct position
+    - test_format_hgvs_string_delins (hgvs.rs): un-clippable
+      length-changing alleles render c.<start>_<end>delins<alt>
+    """
+    neg = _cq.Transcript(
+        transcript_id="T1", chrom="1", start=100, end=140, strand=-1,
+        biotype="lncRNA", exons=[(100, 140)])
+    # genomic ref CT/alt GT at 100-101 = transcript-oriented AG -> AC
+    assert _cq.hgvs_c(neg, 100, "CT", "GT") == "T1:n.41G>C"
+    pos = _cq.Transcript(
+        transcript_id="T1", chrom="1", start=100, end=140, strand=1,
+        biotype="protein_coding", exons=[(100, 140)],
+        cds_start=100, cds_end=129)
+    assert _cq.hgvs_c(pos, 109, "ACG", "TT") == "T1:c.10_12delinsTT"
