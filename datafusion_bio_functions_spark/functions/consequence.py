@@ -2142,6 +2142,36 @@ def _aa3(aa: str) -> str:
     return AA3.get(aa, "Xaa")
 
 
+def _ref_peptide_len(t: Transcript, prot_old: str) -> int:
+    """VEP cached-peptide length for the stop-loss extension formula:
+    the ANNOTATED CDS translation with trailing stops stripped (internal
+    stops of LoF transcripts count).  ``prot_old`` translates
+    ``cds_sequence``, which some caches pad with trailing context — so
+    the codon count is bounded by the declared genomic coding span."""
+    n_cod = len(prot_old)
+    last = t.cds_end if t.strand >= 0 else t.cds_start
+    if last is not None:
+        off = _genomic_to_cds_offset(t, last)
+        if off is not None:
+            n_cod = min(n_cod, (off + 1) // 3)
+    return len(prot_old[:n_cod].rstrip("*"))
+
+
+def _stop_loss_extra(ref_len: int, prot_new_ext: str) -> int | None:
+    """Non-frameshift stop-loss extension length (reference
+    stop_loss_extra_aa, hgvs.rs:1821-1846): the first stop in the
+    UTR-extended alternate translation, counted from the CACHED-peptide
+    length ``ref_len`` — VEP stores the peptide without its terminal
+    stop, so trailing stops are stripped but internal stops (LoF
+    transcripts) count.  None when no stop is reachable or the extension
+    is zero (both render 'extTer?' / suppress the suffix downstream)."""
+    stop = prot_new_ext.find("*")
+    if stop < 0:
+        return None
+    extra = stop + 1 - (ref_len + 1)
+    return extra if extra > 0 else None
+
+
 def hgvs_p(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
     """Protein notation: substitutions, synonymous (=), stop gained (Ter),
     inframe del/ins/delins, frameshift (``fsTer#``), and stop-lost extension
@@ -2181,9 +2211,9 @@ def hgvs_p(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
         if ci0 >= len(prot_old):
             return None
         ci1 = min(ci1, len(prot_old) - 1, len(prot_new) - 1)
-        # first codon in the touched span whose residue actually changed —
-        # an MNV can leave its first codon synonymous while changing a
-        # later one
+        # first/last codons in the touched span whose residues actually
+        # changed — an MNV can leave flank codons synonymous (the
+        # reference's clip_protein_alleles prefix/suffix trim)
         ci = next(
             (k for k in range(ci0, ci1 + 1) if prot_old[k] != prot_new[k]), None
         )
@@ -2193,6 +2223,9 @@ def hgvs_p(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
             # the start position (hgvs.rs
             # test_format_hgvsp_synonymous_multi_residue): p.GluGlu25=
             return f"{tid}:p.{pep}{ci0 + 1}="
+        cj = next(
+            k for k in range(ci1, ci - 1, -1) if prot_old[k] != prot_new[k]
+        )
         aa_old = prot_old[ci]
         aa_new = prot_new[ci] if ci < len(prot_new) else ""
         if not aa_new:
@@ -2202,13 +2235,34 @@ def hgvs_p(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
             # knowing the next initiation site (hgvs.rs
             # test_format_hgvsp_start_lost_reports_unknown_protein)
             return f"{tid}:p.Met1?"
+        if ci != cj:
+            # multiple residues changed: protein delins over the clipped
+            # span (reference clip_protein_alleles -> kind 'delins';
+            # format_hgvsp_notation truncates the alt peptide at its
+            # first stop inclusive, and a ref span ending at the stop
+            # carries the extension length, hgvs.rs:1948-1984)
+            ref_pep = prot_old[ci : cj + 1]
+            alt_pep = prot_new[ci : cj + 1]
+            st = alt_pep.find("*")
+            if st >= 0:
+                alt_pep = alt_pep[: st + 1]
+            alt3 = "".join(_aa3(x) for x in alt_pep)
+            if ref_pep.endswith("*"):
+                extra = _stop_loss_extra(_ref_peptide_len(t, prot_old), prot_new_ext)
+                if extra is not None:
+                    alt3 += f"extTer{extra}"
+            return (
+                f"{tid}:p.{_aa3(ref_pep[0])}{ci + 1}"
+                f"_{_aa3(ref_pep[-1])}{cj + 1}delins{alt3}"
+            )
         if aa_old == "*":
-            # stop-lost substitution: extension notation with the distance
-            # to the next downstream stop (reference hgvs.rs
-            # test_format_hgvsp_stop_lost_adds_extension_length:
-            # p.Ter#XxxextTer#, '?' when no stop is reachable in-sequence)
-            stop = prot_new_ext.find("*", ci)
-            ext = stop - ci if stop >= 0 else "?"
+            # stop-lost substitution: extension notation, length counted
+            # from the cached-peptide length (trailing stops stripped,
+            # internal stops counted) — reference stop_loss_extra_aa,
+            # hgvs.rs:1821-1846; '?' when no stop is reachable or the
+            # extension is zero
+            extra = _stop_loss_extra(_ref_peptide_len(t, prot_old), prot_new_ext)
+            ext = extra if extra is not None else "?"
             return f"{tid}:p.Ter{ci + 1}{_aa3(aa_new)}extTer{ext}"
         return f"{tid}:p.{_aa3(aa_old)}{ci + 1}{_aa3(aa_new)}"
 

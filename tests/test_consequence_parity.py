@@ -1717,3 +1717,48 @@ def test_hgvs_clip_and_delins_rendering():
         biotype="protein_coding", exons=[(100, 140)],
         cds_start=100, cds_end=129)
     assert _cq.hgvs_c(pos, 109, "ACG", "TT") == "T1:c.10_12delinsTT"
+
+
+def test_hgvsp_stop_loss_extension_formula():
+    """hgvs.rs stop_loss_extra_aa (hgvs.rs:1821-1846) + the delins
+    truncation rules of format_hgvsp_notation (hgvs.rs:1948-1984):
+
+    - test_stop_loss_extra_aa_non_frameshift_with_internal_stops_uses_
+      full_len / _same_length_returns_none: the extension counts from
+      the CACHED-peptide length (trailing stops stripped, internal stops
+      counted) — mutating an internal stop of a LoF transcript leaves
+      the first alt stop at the old terminal stop, extension 0, which
+      renders extTer?
+    - test_stop_loss_extra_aa_non_frameshift_uses_ref_len_without_
+      terminal_stop: terminal stop-loss counts residues to the first
+      stop of the UTR-extended alternate translation
+    - format_hgvsp_notation delins: the alt peptide truncates at its
+      first stop INCLUSIVE (p...delinsTer), and a ref span ending at the
+      stop carries the extTer suffix
+    """
+    def tx(cds, utr3=""):
+        spliced = "G" * 100 + cds + utr3
+        t = _cq.Transcript(
+            transcript_id="T1", chrom="1", start=1, end=len(spliced), strand=1,
+            exons=[(1, len(spliced))], cds_start=101, cds_end=100 + len(cds),
+            cds_sequence=cds)
+        if utr3:
+            t.spliced_seq = spliced
+            t.cdna_coding_start, t.cdna_coding_end = 101, 100 + len(cds)
+        return t
+
+    # internal stop of a LoF transcript mutated: extension 0 -> extTer?
+    t = tx("ATGTAAAAACGGTAA")  # M * K R *
+    assert _cq.hgvs_p(t, 104, "T", "C") == "T1:p.Ter2GlnextTer?"
+    # terminal stop-loss: stop two codons into the 3'UTR -> extTer2
+    t2 = tx("ATGGCCTAA", utr3="CAGTGA")  # M A * | Q *
+    assert _cq.hgvs_p(t2, 107, "T", "C") == "T1:p.Ter3GlnextTer2"
+    # MNV delins introducing an early stop truncates the alt peptide
+    t3 = tx("ATGAAAGTGCTTTAA")  # M K V L *
+    assert _cq.hgvs_p(t3, 104, "AAAGTG", "TAGCGG") == "T1:p.Lys2_Val3delinsTer"
+    # MNV delins across the stop codon: extTer suffix from the UTR stop
+    t4 = tx("ATGGCCTAA", utr3="TGATTT")
+    assert (
+        _cq.hgvs_p(t4, 104, "GCCTAA", "CAATGG")
+        == "T1:p.Ala2_Ter3delinsGlnTrpextTer1"
+    )
