@@ -1762,3 +1762,43 @@ def test_hgvsp_stop_loss_extension_formula():
         _cq.hgvs_p(t4, 104, "GCCTAA", "CAATGG")
         == "T1:p.Ala2_Ter3delinsGlnTrpextTer1"
     )
+
+
+def test_hgvsp_peptide_duplication_family():
+    """hgvs.rs check_for_peptide_duplication / shift_peptides_post_var
+    family, replayed end-to-end (the reference unit tests drive the bare
+    notation structs; through the engine the leftmost-translation-diff
+    alignment lands at VEP's post-3'-shift position, so the end-to-end
+    strings agree):
+
+    - peptide_dup_issue89 / _single_residue / _via_check (hgvs.rs):
+      inserting a residue into a run reports the 3'-most single dup
+    - peptide_dup_non_periodic_uses_direct_upstream_match: a multi-
+      residue insertion matching its (rotated) upstream window is a dup
+      with range coordinates
+    - peptide_dup_chr3_63912714_should_be_ins_not_dup: the VEP dup check
+      probes ONE upstream window with no fallback walk — an insertion
+      whose window mismatches stays an insertion with flanking residues
+    """
+    def tx(cds):
+        return _cq.Transcript(
+            transcript_id="T1", chrom="1", start=1, end=100 + len(cds) + 50,
+            strand=1, exons=[(1, 100 + len(cds) + 50)], cds_start=101,
+            cds_end=100 + len(cds), cds_sequence=cds)
+
+    # M A A A E E E E K *: insert E into the E-run -> p.Glu8dup (3'-most)
+    t1 = tx("ATG" + "GCT" * 3 + "GAA" * 4 + "AAA" + "TAA")
+    assert _cq.hgvs_p(t1, 115, "A", "AGAA") == "T1:p.Glu8dup"
+    # M Q W Q C: insert QW after codon 3 -> rotated upstream window match
+    t2 = tx("ATGCAATGGCAATGCTAA")
+    assert _cq.hgvs_p(t2, 109, "G", "GCAATGG") == "T1:p.Trp3_Gln4dup"
+    # chr3:63912714 analog (Q -> QQQP at residue 39 of ...QQQQQPPPP...):
+    # upstream window "QQQ" != "QQP" -> stays an insertion
+    prot = "M" * 34 + "QQQQQPPPP" + "QP"
+    cmap = {"M": "ATG", "Q": "CAA", "P": "CCA"}
+    cds3 = "".join(cmap[c] for c in prot) + "TAA"
+    t3 = tx(cds3)
+    assert (
+        _cq.hgvs_p(t3, 100 + 39 * 3, cds3[39 * 3 - 1], cds3[39 * 3 - 1] + "CAACAACCA")
+        == "T1:p.Gln39_Pro40insGlnGlnPro"
+    )
