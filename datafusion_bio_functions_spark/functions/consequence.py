@@ -2310,20 +2310,42 @@ def hgvs_p(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
             span += f"_{_aa3(prot_old[j_old])}{j_old + 1}"
         return f"{tid}:p.{span}delins{ins}"
 
-    # frameshift — residues and the new-stop search read the UTR-extended
-    # alternate translation (VEP's _get_alternate_cds appends the 3'UTR, so
-    # the first changed residue can sit past the mutated CDS end)
-    if i >= len(prot_old) or i >= len(prot_new_ext):
+    # frameshift — reference resolve_frameshift_hgvs (hgvs.rs:1598-1643):
+    # walk the terminal-stop-appended reference translation against the
+    # UTR-extended alternate translation (VEP's _get_alternate_cds appends
+    # the 3'UTR, so residues can sit past the mutated CDS end) from the
+    # first divergent residue
+    if i >= len(prot_old) and i >= len(prot_new_ext):
         return None
-    if i == 0 and prot_old[0] == "M":
+    if i == 0 and prot_old[:1] == "M":
         return f"{tid}:p.Met1?"  # start lost (see substitution branch)
-    aa_old, aa_new = prot_old[i], prot_new_ext[i]
-    if aa_old == "*":  # stop lost → extension
-        stop = prot_new_ext.find("*", i)
-        ext = stop - i if stop >= 0 else "?"
-        return f"{tid}:p.Ter{i + 1}{_aa3(aa_new)}extTer{ext}"
-    if aa_new == "*":
-        return f"{tid}:p.{_aa3(aa_old)}{i + 1}Ter"
-    stop = prot_new_ext.find("*", i)
-    fs = f"Ter{stop - i + 1}" if stop >= 0 else "Ter?"
-    return f"{tid}:p.{_aa3(aa_old)}{i + 1}{_aa3(aa_new)}fs{fs}"
+    ref_walk = prot_old if "*" in prot_old else prot_old + "*"
+    j = i
+    while j < len(prot_new_ext):
+        if j >= len(ref_walk):
+            return None  # reference peptide_char past ref end -> no HGVSp
+        ref_aa, alt_aa = ref_walk[j], prot_new_ext[j]
+        if ref_aa == "*" and alt_aa == "*":
+            # both translations reach the stop with no divergence: the
+            # frameshift regenerates the frame — synonymous (reference
+            # test_resolve_frameshift_synonymous_when_both_reach_stop)
+            return f"{tid}:p.Ter{j + 1}="
+        if ref_aa != alt_aa:
+            if ref_aa == "*":  # stop lost → extension
+                stop = prot_new_ext.find("*", j)
+                ext = stop - j if stop >= 0 else "?"
+                return f"{tid}:p.Ter{j + 1}{_aa3(alt_aa)}extTer{ext}"
+            if alt_aa == "*":
+                # immediate stop at the first changed residue: plain Ter,
+                # no fsTer suffix (test_format_hgvsp_frameshift_immediate_
+                # stop)
+                return f"{tid}:p.{_aa3(ref_aa)}{j + 1}Ter"
+            stop = prot_new_ext.find("*", j)
+            fs = f"Ter{stop - j + 1}" if stop >= 0 else "Ter?"
+            return f"{tid}:p.{_aa3(ref_aa)}{j + 1}{_aa3(alt_aa)}fs{fs}"
+        j += 1
+    # alternate translation exhausted with no divergence: the frameshift
+    # truncates the protein — deletion form at the first lost residue
+    if j < len(ref_walk):
+        return f"{tid}:p.{_aa3(ref_walk[j])}{j + 1}del"
+    return None

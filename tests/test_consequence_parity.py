@@ -1802,3 +1802,42 @@ def test_hgvsp_peptide_duplication_family():
         _cq.hgvs_p(t3, 100 + 39 * 3, cds3[39 * 3 - 1], cds3[39 * 3 - 1] + "CAACAACCA")
         == "T1:p.Gln39_Pro40insGlnGlnPro"
     )
+
+
+def test_hgvsp_frameshift_resolve_walk():
+    """hgvs.rs resolve_frameshift_hgvs (hgvs.rs:1598-1643), replayed
+    end-to-end:
+
+    - test_resolve_frameshift_synonymous_when_both_reach_stop: a
+      frameshift whose alternate translation matches the reference all
+      the way to a stop at the same index renders p.Ter<N>= (the indel
+      regenerated the frame)
+    - test_resolve_frameshift_finds_first_changed_residue +
+      test_format_hgvsp_frameshift_immediate_stop: the walk reports the
+      first differing residue; an immediate stop renders plain Ter with
+      no fsTer suffix
+    - the start > alt-translation-length branch: a frameshift whose
+      alternate translation is exhausted with no divergence truncates —
+      deletion form at the first lost residue
+    """
+    def tx(cds, utr3=""):
+        spliced = "G" * 100 + cds + utr3
+        t = _cq.Transcript(
+            transcript_id="T1", chrom="1", start=1, end=max(300, len(spliced)),
+            strand=1, exons=[(1, max(300, len(spliced)))], cds_start=101,
+            cds_end=100 + len(cds), cds_sequence=cds)
+        if utr3:
+            t.spliced_seq = spliced
+            t.cdna_coding_start, t.cdna_coding_end = 101, 100 + len(cds)
+        return t
+
+    # deleting the stop's last base while the UTR regenerates the stop
+    t = tx("ATGGCTTAA", utr3="AGGG")
+    assert _cq.hgvs_p(t, 109, "A", "") == "T1:p.Ter3="
+    # ordinary frameshift: first changed residue + inclusive stop count
+    t2 = tx("ATGGCTAAATAA", utr3="TTTT")
+    assert _cq.hgvs_p(t2, 103, "G", "GA") == "T1:p.Ala2SerfsTer2"
+    # truncating frameshift (no stop reachable, alt shorter than ref):
+    # deletion form at the first lost residue
+    t3 = tx("ATGGCTAAACGGTAA")  # M A K R *
+    assert _cq.hgvs_p(t3, 110, "CG", "C") == "T1:p.Ter5del"
