@@ -1841,3 +1841,33 @@ def test_hgvsp_frameshift_resolve_walk():
     # deletion form at the first lost residue
     t3 = tx("ATGGCTAAACGGTAA")  # M A K R *
     assert _cq.hgvs_p(t3, 110, "CG", "C") == "T1:p.Ter5del"
+
+
+def test_hgvsc_star_coordinate_battery():
+    """hgvs.rs shift_to_hgvs_coding_coordinates star-coordinate rules
+    (test_format_hgvsc_uses_star_coordinate_in_three_prime_utr,
+    test_shift_to_hgvs_coding_coordinates_strips_plus_at_stop_codon_
+    boundary, test_format_hgvsc_allows_large_star_coordinate_inside_
+    transcript_span): cDNA coordinates past the coding end render *N; an
+    intronic offset anchored EXACTLY at the final coding base collapses
+    into the star number with the '+' stripped (c.*42, not c.9+42);
+    large star offsets inside the transcript span are not clamped;
+    5'-side anchors keep ordinary negative/offset forms."""
+    t1 = _cq.Transcript(
+        transcript_id="T1", chrom="1", start=100, end=140, strand=1,
+        exons=[(100, 140)], cds_start=100, cds_end=108)
+    assert _cq.hgvs_c(t1, 110, "A", "G") == "T1:c.*2A>G"
+    t2 = _cq.Transcript(
+        transcript_id="T2", chrom="1", start=100, end=500, strand=1,
+        exons=[(100, 108), (409, 500)], cds_start=100, cds_end=108)
+    assert _cq.hgvs_c(t2, 150, "A", "G") == "T2:c.*42A>G"
+    # closer to the downstream exon: ordinary star-with-offset anchor
+    assert _cq.hgvs_c(t2, 408, "A", "G") == "T2:c.*1-1A>G"
+    t3 = _cq.Transcript(
+        transcript_id="T3", chrom="1", start=90, end=6010, strand=1,
+        exons=[(90, 108), (6000, 6010)], cds_start=100, cds_end=108)
+    assert _cq.hgvs_c(t3, 510, "A", "G") == "T3:c.*402A>G"
+    t5 = _cq.Transcript(
+        transcript_id="T5", chrom="1", start=100, end=500, strand=1,
+        exons=[(100, 108), (409, 500)], cds_start=409, cds_end=470)
+    assert _cq.hgvs_c(t5, 150, "A", "G") == "T5:c.-1+42A>G"
