@@ -1871,3 +1871,17 @@ def test_hgvsc_star_coordinate_battery():
         transcript_id="T5", chrom="1", start=100, end=500, strand=1,
         exons=[(100, 108), (409, 500)], cds_start=409, cds_end=470)
     assert _cq.hgvs_c(t5, 150, "A", "G") == "T5:c.-1+42A>G"
+
+
+def test_hgvsc_intronic_anchor_both_strands():
+    """hgvs.rs test_hgvs_cdna_position_intronic_plus_strand /
+    _minus_strand: an intronic position anchors to its CLOSER exon
+    boundary in transcript orientation — genomic 104 of the two-exon
+    (90-99 / 110-119) transcript is 10+5 on the plus strand and 11-5 on
+    the minus strand (where the downstream genomic exon is transcript
+    exon 1), with minus-strand alleles reverse-complemented."""
+    for strand, want in [(1, "T:c.10+5A>G"), (-1, "T:c.11-5T>C")]:
+        t = _cq.Transcript(
+            transcript_id="T", chrom="1", start=90, end=119, strand=strand,
+            exons=[(90, 99), (110, 119)], cds_start=90, cds_end=119)
+        assert _cq.hgvs_c(t, 104, "A", "G") == want
