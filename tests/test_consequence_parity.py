@@ -1885,3 +1885,47 @@ def test_hgvsc_intronic_anchor_both_strands():
             transcript_id="T", chrom="1", start=90, end=119, strand=strand,
             exons=[(90, 99), (110, 119)], cds_start=90, cds_end=119)
         assert _cq.hgvs_c(t, 104, "A", "G") == want
+
+
+def test_insertion_distance_boundary_and_internal_stop_gain():
+    """transcript_consequence.rs boundary/regression replays:
+
+    - insertion_5000bp_before_{positive,negative}_transcript_start_is_
+      {upstream,downstream} + the 5001bp negatives: a VCF A->AT anchored
+      insertion normalizes to the point after the anchor, so pos 5000
+      sits exactly 4999 <= 5000 from a transcript at 10000 (in window)
+      while pos 4998 is 5001 away (out — engine emits nothing, the
+      operator's intergenic fallback applies)
+    - stop_gained_detected_when_cds_has_internal_stops: CYP2D7-like
+      pseudogene CDS with an internal premature stop still reports
+      stop_gained for a later Arg->Ter SNV (position-local codon
+      comparison, not global first-stop)
+    - which_intron_str_minus_strand_reverses_numbering: intron numbers
+      count in transcript orientation
+    """
+    pos_tx = _cq.Transcript(
+        transcript_id="txp", chrom="22", start=10_000, end=11_000, strand=1,
+        exons=[(10_000, 11_000)], cds_start=10_100, cds_end=10_900)
+    neg_tx = _cq.Transcript(
+        transcript_id="txn", chrom="22", start=10_000, end=11_000, strand=-1,
+        exons=[(10_000, 11_000)], cds_start=10_100, cds_end=10_900)
+    assert _cq.classify(pos_tx, 5_000, "A", "AT") == ["upstream_gene_variant"]
+    assert _cq.classify(pos_tx, 4_998, "A", "AT") == []
+    assert _cq.classify(neg_tx, 5_000, "A", "AT") == ["downstream_gene_variant"]
+    assert _cq.classify(neg_tx, 4_998, "A", "AT") == []
+
+    cds = "ATGCGATGACGAAAACGAAAAAAAAAAAATAA"  # M R * R K R K K K K *
+    t = _cq.Transcript(
+        transcript_id="pc", chrom="22", start=100, end=131, strand=1,
+        exons=[(100, 131)], cds_start=100, cds_end=130, cds_sequence=cds)
+    assert _cq.classify(t, 115, "C", "T") == ["stop_gained"]
+
+    exons = [(100, 200), (300, 400), (500, 600)]
+    t_neg = _cq.Transcript(
+        transcript_id="tx1", chrom="22", start=100, end=600, strand=-1,
+        exons=exons, cds_start=100, cds_end=600)
+    t_pos = _cq.Transcript(
+        transcript_id="tx1", chrom="22", start=100, end=600, strand=1,
+        exons=exons, cds_start=100, cds_end=600)
+    assert _cq.annotation_details(t_neg, 250, "A", "G")["intron"] == "2/2"
+    assert _cq.annotation_details(t_pos, 250, "A", "G")["intron"] == "1/2"
