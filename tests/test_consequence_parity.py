@@ -1929,3 +1929,25 @@ def test_insertion_distance_boundary_and_internal_stop_gain():
         exons=exons, cds_start=100, cds_end=600)
     assert _cq.annotation_details(t_neg, 250, "A", "G")["intron"] == "2/2"
     assert _cq.annotation_details(t_pos, 250, "A", "G")["intron"] == "1/2"
+
+
+def test_star_allele_and_parent_term_stripping():
+    """transcript_consequence.rs star_allele_skipped_entirely: a '*'
+    (spanning-deletion) alt allele produces no consequences.  Plus the
+    strip_parent_terms unit battery (splice_donor_region_strips_splice_
+    region, incomplete_terminal_codon_stripped_with_stop_lost /
+    _kept_without_stop_terms)."""
+    t = _cq.Transcript(
+        transcript_id="tx1", chrom="22", start=100, end=200, strand=1,
+        exons=[(100, 200)], cds_start=120, cds_end=180)
+    assert _cq.classify(t, 150, "G", "*") == []
+
+    s = {"splice_donor_region_variant", "splice_region_variant"}
+    _cq._strip_parent_terms(s)
+    assert s == {"splice_donor_region_variant"}
+    s = {"stop_lost", "incomplete_terminal_codon_variant"}
+    _cq._strip_parent_terms(s)
+    assert s == {"stop_lost"}
+    s = {"incomplete_terminal_codon_variant"}
+    _cq._strip_parent_terms(s)
+    assert s == {"incomplete_terminal_codon_variant"}
