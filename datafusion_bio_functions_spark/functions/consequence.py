@@ -214,6 +214,10 @@ class Transcript:
     #: NUMBERING offset is modeled (reference refseq_sequence_offset_for_
     #: cdna); BAM-edited mapper rebuilds stay out of scope.
     refseq_edits: list["RefSeqEdit"] = field(default_factory=list)
+    #: verbatim FLAGS string from a VEP cache (preserves the cache's
+    #: encounter order); preferred over re-deriving from the booleans
+    #: (reference compute_flags_uses_flags_str_when_present)
+    flags_str: str | None = None
     mature_mirna_regions: list[tuple[int, int]] = field(default_factory=list)
     #: memoized geometry — a Transcript is reused across many variants in
     #: the classify UDF's per-batch cache; exons are never mutated after
@@ -1729,7 +1733,12 @@ def cdna_span_str(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
 
 def compute_flags(t: Transcript) -> str | None:
     """FLAGS column from the incomplete-CDS booleans (reference
-    compute_flags, transcript_consequence.rs:7825-7835)."""
+    compute_flags, transcript_consequence.rs:7825-7835).  A cache-parsed
+    ``flags_str`` is used verbatim when present — it preserves the
+    cache's encounter order (reference
+    compute_flags_uses_flags_str_when_present)."""
+    if t.flags_str:
+        return t.flags_str
     if t.cds_start_nf and t.cds_end_nf:
         return "cds_start_NF&cds_end_NF"
     if t.cds_start_nf:

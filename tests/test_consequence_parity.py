@@ -1951,3 +1951,34 @@ def test_star_allele_and_parent_term_stripping():
     s = {"incomplete_terminal_codon_variant"}
     _cq._strip_parent_terms(s)
     assert s == {"incomplete_terminal_codon_variant"}
+
+
+def test_mirna_boundary_translate_and_flags():
+    """Misc unit batteries from transcript_consequence.rs:
+
+    - insertion_at_mirna_region_boundary_not_mature_mirna_variant /
+      snv_at_mirna_region_boundary_gets_mature_mirna_variant: VEP's
+      stricter insertion overlap excludes an insertion landing exactly
+      at the mature-miRNA region start, while SNVs at the boundary match
+    - translate_protein_handles_n_bases / _handles_incomplete_codon:
+      N-containing codons translate to X, trailing partial codons drop
+    - compute_flags_uses_flags_str_when_present: a cache-parsed FLAGS
+      string wins over re-derivation (preserves encounter order)
+    """
+    t = _cq.Transcript(
+        transcript_id="MI", chrom="22", start=100, end=200, strand=1,
+        biotype="miRNA", exons=[(100, 200)], mature_mirna_regions=[(150, 170)])
+    assert _cq.classify(t, 149, "G", "GA") == ["non_coding_transcript_exon_variant"]
+    assert _cq.classify(t, 150, "A", "G") == ["mature_miRNA_variant"]
+
+    assert _cq.translate("ATGNNN") == "MX"
+    assert _cq.translate("ATGCC") == "M"
+
+    t2 = _cq.Transcript(
+        transcript_id="t1", chrom="22", start=100, end=200, strand=1,
+        exons=[(100, 200)], cds_start=110, cds_end=190,
+        cds_start_nf=True, cds_end_nf=True,
+        flags_str="cds_end_NF&cds_start_NF")
+    assert _cq.compute_flags(t2) == "cds_end_NF&cds_start_NF"
+    t2.flags_str = None
+    assert _cq.compute_flags(t2) == "cds_start_NF&cds_end_NF"
