@@ -421,3 +421,34 @@ def test_resize_media(spark, media):
         resize_media(decoded, 32, 24, decode="real")
     with pytest.raises(ValueError):
         resize_media(decoded, 0, 24)
+
+
+def test_collapse_exact_edge_inputs(spark):
+    """Collapse-path edges: empty corpus, single doc, all-identical corpus
+    (complete quadratic pair set, one kept representative), and null
+    texts (group together as empty strings, J=1 — identical to the
+    direct pipeline, whose padded empty docs share one shingle)."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_dedup(empty, threshold=0.9, collapse_exact=True).count() == 0
+    one = spark.createDataFrame([(1, "hello world text")], ["doc_id", "text"])
+    assert minhash_dedup(one, threshold=0.9, collapse_exact=True).count() == 0
+    same = spark.createDataFrame(
+        [(i, "identical text for every row here") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    assert minhash_dedup(same, threshold=0.9, collapse_exact=True).count() == 15
+    assert (
+        minhash_dedup(same, threshold=0.9, output="kept", collapse_exact=True).count()
+        == 1
+    )
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text value")], "doc_id long, text string"
+    )
+    got = sorted(
+        tuple(r) for r in minhash_dedup(nulls, threshold=0.9, collapse_exact=True).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in minhash_dedup(nulls, threshold=0.9, collapse_exact=False).collect()
+    )
+    assert got == want == [(1, 2, 1.0)]
