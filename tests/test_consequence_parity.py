@@ -1982,3 +1982,38 @@ def test_mirna_boundary_translate_and_flags():
     assert _cq.compute_flags(t2) == "cds_end_NF&cds_start_NF"
     t2.flags_str = None
     assert _cq.compute_flags(t2) == "cds_start_NF&cds_end_NF"
+
+
+def test_start_stop_codon_snv_battery():
+    """transcript_consequence.rs issue-84 start-codon and sub-pattern-D
+    stop-codon SNV batteries (probed, all matching):
+
+    - snv_val_to_met_at_position1_emits_start_lost_and_retained /
+      snv_ile_to_met_...: non-standard start codon mutating TO ATG
+      co-fires start_lost + start_retained
+    - snv_val_to_leu_at_position1_emits_start_lost_only: non-ATG result
+      keeps start_lost alone
+    - cds_start_nf_val_to_met_skips_start_codon_logic: cds_start_NF
+      suppresses the start-codon predicates entirely (plain missense)
+    - deletion_at_start_codon_no_extra_start_retained: frameshift at the
+      start codon emits frameshift+start_lost, no start_retained
+    - stop_codon_snv_tga_to_taa/_taa_to_tag_is_stop_retained: stop-to-
+      stop SNVs are stop_retained_variant, never synonymous
+    """
+    def tx(cds, **kw):
+        return _cq.Transcript(
+            transcript_id="T", chrom="1", start=1000, end=1000 + len(cds) - 1,
+            strand=1, exons=[(1000, 1000 + len(cds) - 1)], cds_start=1000,
+            cds_end=1000 + len(cds) - 1, cds_sequence=cds, **kw)
+
+    assert _cq.classify(tx("GTGGCTGAATGA"), 1000, "G", "A") == [
+        "start_lost", "start_retained_variant"]
+    assert _cq.classify(tx("ATTGCTGAATGA"), 1002, "T", "G") == [
+        "start_lost", "start_retained_variant"]
+    assert _cq.classify(tx("GTGGCTGAATGA"), 1000, "G", "C") == ["start_lost"]
+    assert _cq.classify(tx("GTGGCTGAATGA", cds_start_nf=True), 1000, "G", "A") == [
+        "missense_variant"]
+    assert _cq.classify(tx("ATGGCTGAATGA"), 1000, "CTG", "C") == [
+        "frameshift_variant", "start_lost"]
+    assert _cq.classify(tx("ATGGCTTGA"), 1007, "G", "A") == ["stop_retained_variant"]
+    assert _cq.classify(tx("ATGGCTTAA"), 1008, "A", "G") == ["stop_retained_variant"]
