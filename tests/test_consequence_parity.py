@@ -2017,3 +2017,29 @@ def test_start_stop_codon_snv_battery():
         "frameshift_variant", "start_lost"]
     assert _cq.classify(tx("ATGGCTTGA"), 1007, "G", "A") == ["stop_retained_variant"]
     assert _cq.classify(tx("ATGGCTTAA"), 1008, "A", "G") == ["stop_retained_variant"]
+
+
+def test_stop_retained_frameshift_family():
+    """transcript_consequence.rs issue-90/116 stop-codon families:
+
+    - inframe_insertion_introducing_stop_in_inserted_sequence_is_stop_
+      retained: an inframe insertion whose inserted peptide contains a
+      stop while flank residues are preserved is stop_retained
+    - frameshift_deletion_at_stop_codon_no_stop_gained: a frameshift
+      deletion overlapping the stop codon never fires stop_gained (the
+      affected ref codon already contains '*'; stop_lost co-fires)
+    - stop_retained_not_triggered_when_stop_position_changes: a
+      frameshift insertion that MOVES the stop is not stop_retained
+    """
+    def tx(cds):
+        end = 1000 + len(cds) - 1
+        return _cq.Transcript(
+            transcript_id="T", chrom="22", start=1000, end=end, strand=1,
+            exons=[(1000, end)], cds_start=1000, cds_end=end, cds_sequence=cds)
+
+    assert _cq.classify(tx("ATGCTGAAATGA"), 1002, "G", "GCTGTGA") == [
+        "inframe_insertion", "stop_retained_variant"]
+    assert _cq.classify(tx("ATGGCTAAATAA"), 1008, "AAT", "A") == [
+        "frameshift_variant", "stop_lost"]
+    assert _cq.classify(tx("ATGGCTGAATAA"), 1004, "C", "CTT") == [
+        "frameshift_variant"]
