@@ -2043,3 +2043,43 @@ def test_stop_retained_frameshift_family():
         "frameshift_variant", "stop_lost"]
     assert _cq.classify(tx("ATGGCTGAATAA"), 1004, "C", "CTT") == [
         "frameshift_variant"]
+
+
+def test_issue_124_protein_altering_and_splice_tier_strips():
+    """transcript_consequence.rs issue-124 + splice strip-tier replays:
+
+    - issue_124_complex_inframe_insertion_gets_protein_altering_variant:
+      a mid-codon inframe insertion whose ref peptide is neither prefix
+      nor suffix of the alt peptide drops inframe_insertion for the
+      protein_altering_variant catch-all
+    - issue_124_pure_inframe_insertion_still_gets_inframe_insertion:
+      codon-boundary insertions (ref '-') are guarded and stay inframe
+    - splice_ppt_kept_with_acceptor/_donor,
+      intron_variant_kept_with_splice_donor: all splice terms share
+      VEP's tier, so PPT and intron_variant survive alongside
+      donor/acceptor in strip_parent_terms
+    """
+    cds = "ATGGCTGAAGCTTGA"
+    end = 1000 + len(cds) - 1
+    t = _cq.Transcript(
+        transcript_id="T", chrom="1", start=990, end=1030, strand=1,
+        exons=[(990, 1030)], cds_start=1000, cds_end=end,
+        cds_sequence=cds, cdna_coding_end=len(cds))
+    t.spliced_seq = cds + "CCCGGG"
+    assert _cq.classify(t, 1004, "-", "GGGAAA") == ["protein_altering_variant"]
+    cds2 = "ATGGCTGAATGA"
+    end2 = 1000 + len(cds2) - 1
+    t2 = _cq.Transcript(
+        transcript_id="T", chrom="1", start=990, end=1030, strand=1,
+        exons=[(990, 1030)], cds_start=1000, cds_end=end2, cds_sequence=cds2)
+    assert _cq.classify(t2, 1005, "T", "TGCTGCT") == ["inframe_insertion"]
+
+    for pair in [
+        {"splice_acceptor_variant", "splice_polypyrimidine_tract_variant"},
+        {"splice_donor_variant", "splice_polypyrimidine_tract_variant"},
+        {"splice_donor_variant", "intron_variant"},
+        {"intron_variant", "splice_region_variant"},
+    ]:
+        s = set(pair)
+        _cq._strip_parent_terms(s)
+        assert s == pair, pair
