@@ -1736,8 +1736,10 @@ def compute_flags(t: Transcript) -> str | None:
     compute_flags, transcript_consequence.rs:7825-7835).  A cache-parsed
     ``flags_str`` is used verbatim when present — it preserves the
     cache's encounter order (reference
-    compute_flags_uses_flags_str_when_present)."""
-    if t.flags_str:
+    compute_flags_uses_flags_str_when_present).  Presence check, not
+    truthiness: the reference returns ``Some(s.clone())`` for ANY present
+    flags_str, including empty string."""
+    if t.flags_str is not None:
         return t.flags_str
     if t.cds_start_nf and t.cds_end_nf:
         return "cds_start_NF&cds_end_NF"

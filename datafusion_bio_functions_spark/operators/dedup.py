@@ -944,12 +944,14 @@ def _cc_star(canon: DataFrame, max_iter: int) -> DataFrame:
     the minimum of u's closed neighborhood, then small-star rewires u's
     (smaller) parents to their minimum.  The edge set contracts toward
     one flat star per component rooted at the component minimum, at which
-    point it is a fixed point; convergence is detected by an unchanged
-    (count, hash-xor) edge-set signature.  O(log^2 n) rounds worst case,
+    point it is a fixed point; convergence is detected EXACTLY — equal
+    edge counts plus an empty anti-join of the new edge set against the
+    previous one (both are distinct sets, so subset + equal cardinality =
+    equality).  O(log^2 n) rounds worst case,
     2-3 in practice on near-dup graphs — and unlike label propagation the
     per-round volume SHRINKS after round one."""
     e = canon
-    prev_sig = None
+    prev_n = None
     for _ in range(max_iter):
         sym = e.select(F.col("child").alias("u"), F.col("parent").alias("v")).unionByName(
             e.select(F.col("parent").alias("u"), F.col("child").alias("v"))
@@ -980,17 +982,23 @@ def _cc_star(canon: DataFrame, max_iter: int) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # signature: count + XOR of row hashes (order-independent, no ANSI
-        # overflow; valid as a set signature because edges are distinct)
-        row = small.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.expr("bit_xor(xxhash64(child, parent))"), F.lit(0)
-            ).alias("h"),
-        ).collect()[0]
-        sig = (row["n"], row["h"])
+        # exact fixed-point test: equal counts AND empty anti-join vs the
+        # previous (distinct) edge set — subset + equal cardinality means
+        # set equality, with no hash-collision failure mode.  The
+        # anti-join probe only runs when counts match, so the common
+        # still-contracting rounds pay a single count action.
+        n = small.count()
+        prev_e = e
         e = small
-        if sig == prev_sig:
+        same = False
+        if prev_n is not None and n == prev_n:
+            same = (
+                small.join(prev_e, ["child", "parent"], "left_anti")
+                .limit(1)
+                .count()
+                == 0
+            )
+        if same:
             kids = e.select(F.col("child").alias("id"), F.col("parent").alias("component"))
             roots = (
                 e.select(F.col("parent").alias("id"))
@@ -999,7 +1007,7 @@ def _cc_star(canon: DataFrame, max_iter: int) -> DataFrame:
                 .withColumn("component", F.col("id"))
             )
             return kids.unionByName(roots)
-        prev_sig = sig
+        prev_n = n
     raise RuntimeError(
         f"connected_components(star) did not converge in {max_iter} rounds"
     )

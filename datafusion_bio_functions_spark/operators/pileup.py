@@ -327,8 +327,12 @@ def _probe_alignments(df: DataFrame, simple) -> tuple[bool, bool]:
             return _GROUPED_FIT_MEMO[key]
     except Exception:
         pass
+    conf = df.sparkSession.conf
     limit = int(
-        df.sparkSession.conf.get("spark.bio.depth.groupedMaxRows", str(GROUPED_MAX_ROWS))
+        conf.get(
+            "spark.bio.depth.groupedMaxSegments",
+            conf.get("spark.bio.depth.groupedMaxRows", str(GROUPED_MAX_ROWS)),
+        )
     )
     probe_cols = [F.count(F.lit(1)).alias("n")]
     if simple is not None:
@@ -352,7 +356,7 @@ def _grouped_blocks(segments: DataFrame) -> DataFrame:
     coverage, lead(pos) = run end.  Same math as the window pipeline but a
     single shuffle (hash(contig)) and no per-row JVM window state — the
     same per-contig parallelism ceiling as the window path, guarded by
-    ``_fits_grouped`` so event arrays stay task-memory-bounded."""
+    ``_probe_alignments`` so event arrays stay task-memory-bounded."""
     import numpy as np
 
     def _kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
