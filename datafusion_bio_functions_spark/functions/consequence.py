@@ -166,6 +166,22 @@ def translate(cds: str) -> str:
 
 
 @dataclass
+class MapperSegment:
+    """One cached Ensembl TranscriptMapper exon→cDNA segment (reference
+    ``TranscriptCdnaMapperSegment``, transcript_consequence.rs:131-137).
+    BAM-edited RefSeq transcripts carry an edit-adjusted mapper whose cDNA
+    coordinates ALREADY encode every ``_rna_edit`` offset — leading
+    insertions shift the first segment's ``cdna_start``, internal deletions
+    appear as a genomic gap between adjacent segments."""
+
+    genomic_start: int
+    genomic_end: int
+    cdna_start: int  # 1-based
+    cdna_end: int
+    ori: int = 1
+
+
+@dataclass
 class Transcript:
     """Genomic transcript context (1-based closed coordinates).
 
@@ -214,6 +230,19 @@ class Transcript:
     #: NUMBERING offset is modeled (reference refseq_sequence_offset_for_
     #: cdna); BAM-edited mapper rebuilds stay out of scope.
     refseq_edits: list["RefSeqEdit"] = field(default_factory=list)
+    #: cached TranscriptMapper segments in genomic order (reference
+    #: TranscriptFeature.cdna_mapper_segments) — present on BAM-edited
+    #: RefSeq cache rows; when accepted by
+    #: :func:`use_cdna_mapper_for_general_coords` they are the AUTHORITATIVE
+    #: genomic↔cDNA converter and every refseq offset becomes a no-op
+    cdna_mapper_segments: list["MapperSegment"] = field(default_factory=list)
+    #: transcript source normalized to VEP labels ("Ensembl"/"RefSeq")
+    source: str | None = None
+    #: RefSeq BAM edit status ("ok"/"failed") — edited-sequence evidence
+    bam_edit_status: str | None = None
+    #: true when Ensembl treats the transcript's attributes as real RNA
+    #: edits (poly-A tail artifacts excluded) for HGVS shifting
+    has_non_polya_rna_edit: bool = False
     #: verbatim FLAGS string from a VEP cache (preserves the cache's
     #: encounter order); preferred over re-deriving from the booleans
     #: (reference compute_flags_uses_flags_str_when_present)
@@ -287,11 +316,14 @@ def refseq_edit_offset_delta(edit: RefSeqEdit) -> int | None:
 def refseq_sequence_offset_for_cdna(t: Transcript, cdna_start: int) -> int | None:
     """Total numbering offset for an exonic cDNA position: the sum of the
     deltas of every edit ending before it — applied only on native RefSeq
-    ids (NM/NR/XM/XR), never to intronic anchors (reference
+    ids (NM/NR/XM/XR), never to intronic anchors, and never when an
+    accepted mapper already encodes the edits (reference
     refseq_sequence_offset_for_cdna, transcript_consequence.rs:7652-7674;
     pinned by hgvs.rs test_hgvs_cdna_position_applies_refseq_offset_* /
     _does_not_apply_refseq_offset_to_intronic_coords)."""
     if t.transcript_id[:2] not in ("NM", "NR", "XM", "XR"):
+        return None
+    if use_cdna_mapper_for_general_coords(t):
         return None
     offset = 0
     for edit in t.refseq_edits:
@@ -299,6 +331,443 @@ def refseq_sequence_offset_for_cdna(t: Transcript, cdna_start: int) -> int | Non
             continue
         offset += refseq_edit_offset_delta(edit) or 0
     return offset if offset != 0 else None
+
+
+# ---------------------------------------------------------------------------
+# TranscriptMapper segments / RefSeq-misalignment cDNA numbering
+# (reference transcript_consequence.rs:6767-7060, 7638-7816 — the single-
+# mapper model: an ACCEPTED mapper is the authoritative genomic↔cDNA
+# converter and every refseq offset is a no-op; a REJECTED or ABSENT mapper
+# routes through exon geometry with the cumulative edit offsets applied)
+# ---------------------------------------------------------------------------
+
+
+def _sorted_mapper_segments(t: Transcript) -> list[MapperSegment]:
+    return sorted(
+        t.cdna_mapper_segments,
+        key=lambda s: (s.genomic_start, s.genomic_end, s.cdna_start),
+    )
+
+
+def mapper_segment_cdna_index(seg: MapperSegment, pos: int) -> int | None:
+    """1-based cDNA index of a genomic position inside one mapper segment
+    (reference mapper_segment_cdna_index, transcript_consequence.rs:6806)."""
+    if pos < seg.genomic_start or pos > seg.genomic_end:
+        return None
+    local = pos - seg.genomic_start if seg.ori >= 0 else seg.genomic_end - pos
+    return seg.cdna_start + local
+
+
+def use_cdna_mapper_for_general_coords(t: Transcript) -> bool:
+    """Whether the cached mapper is trusted for general coordinate lookups
+    (reference use_cdna_mapper_for_general_coords,
+    transcript_consequence.rs:6935-6976).  Rejected only when two adjacent
+    segments are genomic-contiguous but cDNA-discontinuous — an
+    edit-inserted cDNA run with no genomic mapping, the one layout the
+    segment model cannot represent."""
+    if not t.cdna_mapper_segments:
+        return False
+    segs = _sorted_mapper_segments(t)
+    for prev, nxt in zip(segs, segs[1:]):
+        if (
+            nxt.genomic_start == prev.genomic_end + 1
+            and nxt.cdna_start != prev.cdna_end + 1
+        ):
+            return False
+    return True
+
+
+def prefers_exon_geometry_over_mapper(t: Transcript) -> bool:
+    """Native-RefSeq id check (reference prefers_exon_geometry_over_mapper,
+    transcript_consequence.rs:6851): ordinary cDNA/intron numbering on
+    RefSeq rows follows the explicit exon geometry; the mapper is consulted
+    for the deleted-gap special cases."""
+    return t.source == "RefSeq" or t.transcript_id[:2] in ("NM", "NR", "XM", "XR")
+
+
+def uses_refseq_transcript_reference(t: Transcript) -> bool:
+    """True when the live RefSeq transcript object's mapper/sequence state
+    drives HGVS and cDNA coordinate work (reference
+    uses_refseq_transcript_reference, transcript_consequence.rs:7400-7417)."""
+    is_refseq = t.source == "RefSeq" or t.transcript_id[:2] in (
+        "NM", "NR", "XM", "XR",
+    )
+    return is_refseq and (
+        t.bam_edit_status is not None
+        or bool(t.refseq_edits)
+        or bool(t.cdna_mapper_segments)
+        or t.spliced_seq is not None
+    )
+
+
+def refseq_has_edited_sequence_state(t: Transcript) -> bool:
+    """Evidence the transcript sequence was actually EDITED, not merely
+    cached (reference refseq_has_edited_sequence_state,
+    transcript_consequence.rs:7418-7423)."""
+    return uses_refseq_transcript_reference(t) and (
+        t.bam_edit_status is not None
+        or t.has_non_polya_rna_edit
+        or bool(t.refseq_edits)
+    )
+
+
+def exact_mapper_cdna_index_for_hgvsp(t: Transcript, pos: int) -> int | None:
+    """Mapper-exact cDNA index used by HGVSp on edited RefSeq transcripts
+    (reference exact_mapper_cdna_index_for_hgvsp,
+    transcript_consequence.rs:6818-6825)."""
+    if not refseq_has_edited_sequence_state(t) or not t.cdna_mapper_segments:
+        return None
+    for seg in t.cdna_mapper_segments:
+        idx = mapper_segment_cdna_index(seg, pos)
+        if idx is not None:
+            return idx
+    return None
+
+
+def genomic_to_cdna_index_for_transcript(t: Transcript, pos: int) -> int | None:
+    """1-based spliced-transcript index of a genomic position — through the
+    accepted mapper when present, else exon geometry (reference
+    genomic_to_cdna_index_for_transcript, transcript_consequence.rs:6989-6998)."""
+    if use_cdna_mapper_for_general_coords(t):
+        for seg in t.cdna_mapper_segments:
+            idx = mapper_segment_cdna_index(seg, pos)
+            if idx is not None:
+                return idx
+        return None
+    off = _genomic_to_cdna_offset(t, pos)
+    return None if off is None else off + 1
+
+
+def mapper_deleted_gap_cdna_index(t: Transcript, pos: int) -> int | None:
+    """cDNA index of a genomic base that falls in the tiny genomic gap
+    between adjacent mapper segments — a one-or-more-base ``_rna_edit``
+    deletion; Ensembl's TranscriptMapper resolves the deleted transcript
+    position itself rather than an intronic ``+1`` offset (reference
+    mapper_deleted_gap_cdna_index, transcript_consequence.rs:6860-6911).
+    Exon-gated: a TRUE intron between mapper segments never matches."""
+    if len(t.cdna_mapper_segments) < 2:
+        return None
+    if not any(es <= pos <= ee for es, ee in t.sorted_exons()):
+        return None
+    segs = _sorted_mapper_segments(t)
+    for prev, nxt in zip(segs, segs[1:]):
+        gap_len = nxt.genomic_start - prev.genomic_end - 1
+        if gap_len < 1:
+            continue
+        gap_start = prev.genomic_end + 1
+        gap_end = nxt.genomic_start - 1
+        if pos < gap_start or pos > gap_end:
+            continue
+        if t.strand >= 0 and nxt.cdna_start == prev.cdna_end + 1:
+            return prev.cdna_end + 1 + (pos - gap_start)
+        if t.strand < 0 and prev.cdna_start == nxt.cdna_end + 1:
+            return nxt.cdna_end + 1 + (gap_end - pos)
+    return None
+
+
+def refseq_deleted_edit_cdna_index(t: Transcript, pos: int) -> int | None:
+    """cDNA index of an exonic base whose raw exon-geometry cDNA lands
+    inside a pure-deletion ``_rna_edit`` span on a transcript WITHOUT an
+    accepted mapper (reference refseq_deleted_edit_cdna_index,
+    transcript_consequence.rs:6913-6936)."""
+    if use_cdna_mapper_for_general_coords(t) or not t.refseq_edits:
+        return None
+    if not any(es <= pos <= ee for es, ee in t.sorted_exons()):
+        return None
+    off = _genomic_to_cdna_offset(t, pos)
+    if off is None:
+        return None
+    raw_cdna = off + 1
+    for edit in t.refseq_edits:
+        if edit.skip_refseq_offset or (refseq_edit_offset_delta(edit) or 0) >= 0:
+            continue
+        if edit.start <= raw_cdna <= edit.end:
+            return raw_cdna
+    return None
+
+
+def mapper_insertion_gap_cdna_position(t: Transcript, variant_start: int) -> int | None:
+    """Anchor cDNA position for an insertion landing exactly at a
+    genomic-contiguous, cDNA-gapped mapper boundary (an edit-inserted base
+    with no genomic mapping; reference mapper_insertion_gap_cdna_position,
+    transcript_consequence.rs:7327-7358).  Only the two-apart form (one
+    inserted base) anchors."""
+    if len(t.cdna_mapper_segments) < 2:
+        return None
+    segs = _sorted_mapper_segments(t)
+    for prev, nxt in zip(segs, segs[1:]):
+        if nxt.genomic_start != prev.genomic_end + 1 or variant_start != nxt.genomic_start:
+            continue
+        if prev.cdna_end + 2 == nxt.cdna_start:
+            return prev.cdna_end + 1
+        if nxt.cdna_end + 2 == prev.cdna_start:
+            return nxt.cdna_end + 1
+    return None
+
+
+def refseq_mapper_edit_offset_delta(edit: RefSeqEdit) -> int | None:
+    """Net cDNA-length change of one edit in MAPPER space (reference
+    refseq_mapper_edit_offset_delta, transcript_consequence.rs:172-190).
+    Unlike :func:`refseq_edit_offset_delta` there is NO PEG10
+    same-coordinate-insertion special case: ``start == end`` always counts
+    one replaced base."""
+    if edit.skip_refseq_offset:
+        return None
+    if edit.replacement_len is not None:
+        replaced = 0 if edit.end < edit.start else edit.end - edit.start + 1
+        delta = edit.replacement_len - replaced
+    else:
+        delta = -1 - (edit.end - edit.start)
+    return delta if delta != 0 else None
+
+
+def refseq_cumulative_edit_offset_for_cdna(t: Transcript, cdna_start: int) -> int | None:
+    """Sum of mapper-space deltas of every edit ending before the position
+    — coding RefSeq ids (NM/XM) only (reference
+    refseq_cumulative_edit_offset_for_cdna,
+    transcript_consequence.rs:7638-7650)."""
+    if not (t.transcript_id.startswith("NM_") or t.transcript_id.startswith("XM_")):
+        return None
+    offset = 0
+    for edit in t.refseq_edits:
+        if edit.end >= cdna_start:
+            continue
+        offset += refseq_mapper_edit_offset_delta(edit) or 0
+    return offset if offset != 0 else None
+
+
+def refseq_misalignment_offset_for_cdna(t: Transcript, cdna_start: int) -> int | None:
+    """The single-mapper model's offset (reference
+    refseq_misalignment_offset_for_cdna, transcript_consequence.rs:7676-7705):
+    an ACCEPTED mapper already encodes every edit in its cDNA coordinates,
+    so the offset is a no-op; a rejected or absent mapper works in unedited
+    exon-geometry cDNA and the cumulative offset shifts positions into
+    edited space."""
+    if use_cdna_mapper_for_general_coords(t):
+        return None
+    return refseq_cumulative_edit_offset_for_cdna(t, cdna_start)
+
+
+def edited_transcript_cdna_index(t: Transcript, cdna: int) -> int | None:
+    """Shift an exon-geometry cDNA index into edited-transcript OUTPUT
+    numbering (mapper-space deltas; reference edited_transcript_cdna_index,
+    transcript_consequence.rs:7519-7527)."""
+    if use_cdna_mapper_for_general_coords(t):
+        return cdna
+    adjusted = cdna + (refseq_misalignment_offset_for_cdna(t, cdna) or 0)
+    return adjusted if adjusted > 0 else None
+
+
+def edited_transcript_sequence_cdna_index(t: Transcript, cdna: int) -> int | None:
+    """Shift an exon-geometry cDNA index into edited-transcript SEQUENCE
+    indexing (sequence-space deltas; reference
+    edited_transcript_sequence_cdna_index, transcript_consequence.rs:7529-7540)."""
+    if use_cdna_mapper_for_general_coords(t):
+        return cdna
+    adjusted = cdna + (refseq_sequence_offset_for_cdna(t, cdna) or 0)
+    return adjusted if adjusted > 0 else None
+
+
+def adjust_refseq_cds_output_position(
+    t: Transcript, raw_cds_position: int, leading_n_offset: int = 0
+) -> int | None:
+    """Shift a raw CDS output position into edited numbering on coding
+    RefSeq ids (reference adjust_refseq_cds_output_position,
+    transcript_consequence.rs:7707-7735)."""
+    if raw_cds_position == 0 or not (
+        t.transcript_id.startswith("NM_") or t.transcript_id.startswith("XM_")
+    ):
+        return raw_cds_position
+    cdna_without_padding = raw_cds_position - leading_n_offset
+    if cdna_without_padding <= 0:
+        return raw_cds_position
+    if t.cdna_coding_start is None:
+        return raw_cds_position
+    cdna_position = t.cdna_coding_start + cdna_without_padding - 1
+    adjusted = raw_cds_position + (
+        refseq_misalignment_offset_for_cdna(t, cdna_position) or 0
+    )
+    return adjusted if adjusted > 0 else None
+
+
+def adjust_refseq_canonical_cds_output_position_for_hgvsp(
+    t: Transcript, raw_cds_position: int, leading_n_offset: int = 0
+) -> int | None:
+    """HGVSp twin working against the CANONICAL (unedited) reference CDS:
+    the cumulative offset is SUBTRACTED (reference
+    adjust_refseq_canonical_cds_output_position_for_hgvsp,
+    transcript_consequence.rs:7737-7763)."""
+    if raw_cds_position == 0 or not (
+        t.transcript_id.startswith("NM_") or t.transcript_id.startswith("XM_")
+    ):
+        return raw_cds_position
+    cdna_without_padding = raw_cds_position - leading_n_offset
+    if cdna_without_padding <= 0:
+        return raw_cds_position
+    if t.cdna_coding_start is None:
+        return raw_cds_position
+    cdna_position = t.cdna_coding_start + cdna_without_padding - 1
+    adjusted = raw_cds_position - (
+        refseq_cumulative_edit_offset_for_cdna(t, cdna_position) or 0
+    )
+    return adjusted if adjusted > 0 else None
+
+
+def adjust_refseq_cds_sequence_index(
+    t: Transcript, raw_cds_index: int, leading_n_offset: int = 0
+) -> int | None:
+    """0-based sequence-index form of
+    :func:`adjust_refseq_cds_output_position` (reference
+    transcript_consequence.rs:7765-7776)."""
+    raw_cds_position = raw_cds_index + 1
+    adjusted = adjust_refseq_cds_output_position(t, raw_cds_position, leading_n_offset)
+    if adjusted is None:
+        adjusted = raw_cds_position
+    return adjusted - 1 if adjusted >= 1 else None
+
+
+def adjust_refseq_cdna_component(t: Transcript, value: str) -> str | None:
+    """Shift the numeric head of an HGVS cDNA coordinate string (``"500"``,
+    ``"500+3"``…) by the misalignment offset; None = leave unchanged
+    (reference adjust_refseq_cdna_component,
+    transcript_consequence.rs:7798-7815)."""
+    if use_cdna_mapper_for_general_coords(t) or not value or value == "?":
+        return None
+    split_idx = len(value)
+    for i, ch in enumerate(value):
+        if i > 0 and ch in "+-":
+            split_idx = i
+            break
+    coord_part, suffix = value[:split_idx], value[split_idx:]
+    try:
+        coord = int(coord_part)
+    except ValueError:
+        return None
+    offset = refseq_misalignment_offset_for_cdna(t, coord)
+    if offset is None:
+        return None
+    return f"{coord + offset}{suffix}"
+
+
+def transcript_cdna_coords(t: Transcript) -> list[tuple[int, int, int, int]]:
+    """Genomic-sorted ``(start, end, cdna_start, cdna_end)`` segments — the
+    accepted mapper's own segments, else exon geometry (reference
+    transcript_cdna_coords, transcript_consequence.rs:6999-7064)."""
+    if use_cdna_mapper_for_general_coords(t):
+        return sorted(
+            (
+                (s.genomic_start, s.genomic_end, s.cdna_start, s.cdna_end)
+                for s in t.cdna_mapper_segments
+            ),
+            key=lambda c: (c[0], c[1]),
+        )
+    exons = t.sorted_exons()
+    if not exons:
+        return []
+    lens = [ee - es + 1 for es, ee in exons]
+    coords = []
+    if t.strand >= 0:
+        off = 0
+        for (es, ee), ln in zip(exons, lens):
+            coords.append((es, ee, off + 1, off + ln))
+            off += ln
+    else:
+        total = sum(lens)
+        consumed = 0
+        for (es, ee), ln in zip(exons, lens):
+            cdna_end = total - consumed
+            coords.append((es, ee, cdna_end - ln + 1, cdna_end))
+            consumed += ln
+    return coords
+
+
+def raw_cdna_position_from_genomic(t: Transcript, pos: int) -> str | None:
+    """Raw transcript cDNA numbering of a genomic position including
+    intronic ``N+d`` / ``N-d`` offsets, mapper-aware (reference
+    raw_cdna_position_from_genomic, transcript_consequence.rs:7066-7134).
+    Native RefSeq rows first resolve deleted-edit bases to the deleted
+    transcript position itself."""
+    if prefers_exon_geometry_over_mapper(t):
+        gap = mapper_deleted_gap_cdna_index(t, pos)
+        if gap is not None:
+            return str(gap)
+        deleted = refseq_deleted_edit_cdna_index(t, pos)
+        if deleted is not None:
+            return str(deleted)
+    coords = transcript_cdna_coords(t)
+    if not coords:
+        return None
+    span_start = min(c[0] for c in coords)
+    span_end = max(c[1] for c in coords)
+    if pos < span_start or pos > span_end:
+        return None
+    for i, (seg_s, seg_e, cdna_s, cdna_e) in enumerate(coords):
+        if pos > seg_e:
+            continue
+        if pos >= seg_s:
+            coord = cdna_s + (pos - seg_s) if t.strand >= 0 else cdna_s + (seg_e - pos)
+            return str(coord)
+        prev_s, prev_e, prev_cs, prev_ce = coords[i - 1]
+        updist = abs(pos - prev_e)
+        downdist = abs(seg_s - pos)
+        if updist < downdist or (updist == downdist and t.strand >= 0):
+            if t.strand >= 0:
+                return f"{prev_ce}+{updist}"
+            return f"{prev_cs}-{updist}"
+        if t.strand >= 0:
+            return f"{cdna_s}-{downdist}"
+        return f"{cdna_e}+{downdist}"
+    return None
+
+
+def edited_transcript_reference_allele(
+    t: Transcript, vs: int, ve: int, ref: str
+) -> str | None:
+    """Reference allele read FROM the edited transcript sequence — the
+    VEP USED_REF value when it differs from the genome (reference
+    edited_transcript_reference_allele, transcript_consequence.rs:7482-7517).
+    Returns the transcript-strand bases; the caller reverse-complements on
+    minus strand."""
+    if not uses_refseq_transcript_reference(t):
+        return None
+    allele = "" if ref in ("-", None) else ref
+    if not allele:
+        return None
+    seq = t.spliced_seq if t.spliced_seq is not None else t.cdna_seq
+    if seq is None:
+        return None
+    lo, hi = (vs, ve) if vs <= ve else (ve, vs)
+    positions = list(range(lo, hi + 1))
+    if len(positions) != len(allele):
+        return None
+    cdna_positions = []
+    for pos in positions:
+        raw = genomic_to_cdna_index_for_transcript(t, pos)
+        if raw is None:
+            return None
+        cdna = edited_transcript_sequence_cdna_index(t, raw)
+        if cdna is None or cdna == 0 or cdna > len(seq):
+            return None
+        cdna_positions.append(cdna)
+    cdna_positions.sort()
+    return "".join(seq[c - 1].upper() for c in cdna_positions)
+
+
+def used_ref_for_transcript_variant(
+    t: Transcript, vs: int, ve: int, ref: str
+) -> str | None:
+    """VEP USED_REF: the edited-transcript reference allele when readable
+    and length-matching, else the given genomic REF (reference
+    used_ref_for_transcript_variant, transcript_consequence.rs:7360-7390,
+    without the shifted-deletion branch which needs the genomic-shift
+    context)."""
+    given = "" if ref in ("-", None) else ref.upper()
+    if not given:
+        return None
+    transcript_ref = edited_transcript_reference_allele(t, vs, ve, ref)
+    if transcript_ref is None or len(transcript_ref) != len(given):
+        return given
+    return transcript_ref if t.strand >= 0 else revcomp(transcript_ref).upper()
 
 
 def _genomic_to_cds_offset(t: Transcript, pos: int) -> int | None:
@@ -1680,9 +2149,12 @@ def cdna_span_str(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
     collapse, an unmappable (intron-extending) bound renders ``?`` oriented
     by strand; insertions map the two flanks (anchor base and insertion
     point) to a two-number span, synthesizing the missing flank ±1 by
-    strand when only one maps.  RefSeq ``_rna_edit`` numbering offsets are
-    applied per mapped bound; the cdna_mapper_segments gap machinery is the
-    documented out-of-scope tail (see module docstring)."""
+    strand when only one maps.  Mapper-aware: an accepted
+    ``cdna_mapper_segments`` cache is the authoritative converter;
+    otherwise RefSeq numbering offsets shift exon-geometry cDNA into
+    edited space — MAPPER-space deltas on coding transcripts,
+    SEQUENCE-space deltas on non-coding ones (reference
+    compute_cdna_position's adjust_output_cdna closure)."""
     ref = "" if ref in ("-", None) else ref
     alt = "" if alt in ("-", None) else alt
     vs, ve, _r, _a, is_ins = normalize_variant(pos, ref, alt)
@@ -1699,13 +2171,19 @@ def cdna_span_str(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
         return None
 
     def _map(g: int) -> int | None:
-        off = _genomic_to_cdna_offset(t, g)
-        if off is None:
+        n = genomic_to_cdna_index_for_transcript(t, g)
+        if n is None:
             return None
-        n = off + 1
-        return n + (refseq_sequence_offset_for_cdna(t, n) or 0)
+        if not uses_refseq_transcript_reference(t):
+            return n
+        if t.cds_start is not None and t.cds_end is not None:
+            return edited_transcript_cdna_index(t, n)
+        return edited_transcript_sequence_cdna_index(t, n)
 
     if is_ins:
+        gap_anchor = mapper_insertion_gap_cdna_position(t, vs)
+        if gap_anchor is not None:
+            return str(gap_anchor)
         a, b = _map(vs - 1), _map(vs)
         if a is not None and b is not None:
             lo, hi = min(a, b), max(a, b)
@@ -1878,10 +2356,14 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
         out["distance"] = None if dist is None else int(dist)
         return out
     out["exon"], out["intron"] = exon_intron_numbers(t, lo, hi)
-    cdna = _genomic_to_cdna_offset(t, pos if t.strand >= 0 else hi)
-    if cdna is not None:
-        n = cdna + 1
-        out["cdna_position"] = n + (refseq_sequence_offset_for_cdna(t, n) or 0)
+    n = genomic_to_cdna_index_for_transcript(t, pos if t.strand >= 0 else hi)
+    if n is not None:
+        if not uses_refseq_transcript_reference(t):
+            out["cdna_position"] = n
+        elif t.cds_start is not None and t.cds_end is not None:
+            out["cdna_position"] = edited_transcript_cdna_index(t, n)
+        else:
+            out["cdna_position"] = edited_transcript_sequence_cdna_index(t, n)
     off = _cds_first_offset(t, pos, len(ref))
     # transcript-orientation LAST affected base (for span displays); only
     # meaningful for non-insertions
@@ -2007,69 +2489,217 @@ def _shift3(cds: str, start0: int, seq: str) -> tuple[int, str]:
     return s, "".join(rot)
 
 
+def _split_hgvs_coord(value: str) -> tuple[int, str | None] | None:
+    """Split an HGVS cDNA coordinate string into (numeric head, signed
+    intron-offset suffix) (reference split_hgvs_coord, hgvs.rs:1398-1409;
+    a leading ``*`` is stripped before splitting)."""
+    body = value[1:] if value.startswith("*") else value
+    split_idx = None
+    for i, ch in enumerate(body):
+        if i > 0 and ch in "+-":
+            split_idx = i
+            break
+    coord_part = body if split_idx is None else body[:split_idx]
+    offset_part = None if split_idx is None else body[split_idx:]
+    try:
+        return int(coord_part), offset_part
+    except ValueError:
+        return None
+
+
+def _coding_cdna_bounds(t: Transcript) -> tuple[int, int] | None:
+    """Start/stop-codon cDNA anchors for HGVS ``c.`` coordinates: the
+    cached ``cdna_coding_start``/``cdna_coding_end`` when both present,
+    else derived from the genomic CDS anchors through the (mapper-aware)
+    transcript converter (reference coding_cdna_bounds, hgvs.rs:1200-1213)."""
+    if t.cdna_coding_start is not None and t.cdna_coding_end is not None:
+        return t.cdna_coding_start, t.cdna_coding_end
+    if t.cds_start is None or t.cds_end is None:
+        return None
+    start_anchor = t.cds_start if t.strand >= 0 else t.cds_end
+    end_anchor = t.cds_end if t.strand >= 0 else t.cds_start
+    s = genomic_to_cdna_index_for_transcript(t, start_anchor)
+    e = genomic_to_cdna_index_for_transcript(t, end_anchor)
+    if s is None or e is None:
+        return None
+    return s, e
+
+
+def shift_to_hgvs_coding_coordinates(t: Transcript, raw_cdna_position: str) -> str | None:
+    """Convert an absolute (possibly intron-offset) cDNA coordinate string
+    into HGVS ``c.`` space: ``-N`` before the start codon, ``*N`` after the
+    stop codon, a ``+`` offset anchored exactly at the stop codon renders as
+    a bare star offset (reference shift_to_hgvs_coding_coordinates,
+    hgvs.rs:1262-1300)."""
+    parsed = _split_hgvs_coord(raw_cdna_position)
+    if parsed is None:
+        return None
+    coord, intron_offset = parsed
+    bounds = _coding_cdna_bounds(t)
+    if bounds is None:
+        return raw_cdna_position
+    start_codon, stop_codon = bounds
+    prefix = ""
+    coord_text = None
+    if coord > stop_codon:
+        coord -= stop_codon
+        prefix = "*"
+    elif coord == stop_codon and intron_offset is not None:
+        prefix = "*"
+        coord_text = ""
+        intron_offset = intron_offset.lstrip("+")
+    if not prefix:
+        if coord >= start_codon:
+            coord += 1
+        coord -= start_codon
+        coord_text = str(coord)
+    elif coord_text is None:
+        coord_text = str(coord)
+    return f"{prefix}{coord_text}{intron_offset or ''}"
+
+
+def _native_refseq_hgvs_anchor(t: Transcript) -> bool:
+    """Native-RefSeq gate for the pre-edit exon-geometry HGVS anchor
+    overrides (reference
+    native_refseq_hgvs_intronic_anchor_uses_post_gap_numbering,
+    hgvs.rs:1302-1308)."""
+    return t.source == "RefSeq" and t.transcript_id[:2] in ("NM", "NR", "XM", "XR")
+
+
+def _native_refseq_insertion_shift_at_anchor(
+    t: Transcript, exon_coord: int, mapper_coord: int
+) -> bool:
+    """True when the mapper/exon-geometry coordinate disagreement at an
+    HGVS anchor is exactly the cumulative positive ``_rna_edit`` insertion
+    shift (reference native_refseq_insertion_shift_at_anchor,
+    hgvs.rs:1310-1328)."""
+    offset = 0
+    for edit in t.refseq_edits:
+        if edit.skip_refseq_offset or edit.end >= exon_coord:
+            continue
+        if edit.replacement_len is None:
+            continue
+        replaced = edit.end - edit.start + 1
+        offset += edit.replacement_len - replaced
+    return offset > 0 and exon_coord + offset == mapper_coord
+
+
+def _exon_geometry_twin(t: Transcript) -> Transcript:
+    """A shallow copy of the transcript with the mapper cleared, for the
+    pre-edit exon-geometry raw position."""
+    import copy as _copy
+
+    twin = _copy.copy(t)
+    twin.cdna_mapper_segments = []
+    return twin
+
+
+def native_refseq_pre_coding_intronic_exon_geometry_position(
+    t: Transcript, genomic_pos: int, mapper_position: str
+) -> str | None:
+    """Native RefSeq transcripts with a leading ``_rna_edit`` insertion
+    keep HGVS INTRONIC anchors on the pre-edit exon boundary even though
+    the mapper's cDNA coordinates are shifted; one-base deleted gaps still
+    follow the larger exon-geometry anchor (reference
+    native_refseq_pre_coding_intronic_exon_geometry_position,
+    hgvs.rs:1330-1363)."""
+    if not _native_refseq_hgvs_anchor(t) or not t.cdna_mapper_segments:
+        return None
+    parsed = _split_hgvs_coord(mapper_position)
+    if parsed is None:
+        return None
+    mapper_coord, mapper_offset = parsed
+    exon_geometry_position = raw_cdna_position_from_genomic(
+        _exon_geometry_twin(t), genomic_pos
+    )
+    if exon_geometry_position is None:
+        return None
+    parsed = _split_hgvs_coord(exon_geometry_position)
+    if parsed is None:
+        return None
+    exon_coord, exon_offset = parsed
+    insertion_shift = exon_coord < mapper_coord and _native_refseq_insertion_shift_at_anchor(
+        t, exon_coord, mapper_coord
+    )
+    if exon_offset == mapper_offset and (exon_coord > mapper_coord or insertion_shift):
+        return exon_geometry_position
+    return None
+
+
+def native_refseq_noncoding_exonic_pre_edit_position(
+    t: Transcript, genomic_pos: int, mapper_position: str
+) -> str | None:
+    """Non-coding twin of the intronic anchor override: EXONIC positions on
+    a non-coding native RefSeq row keep pre-edit exon-geometry numbering
+    when the mapper shift is exactly the insertion offset (reference
+    native_refseq_noncoding_exonic_pre_edit_position, hgvs.rs:1365-1396)."""
+    if (
+        not _native_refseq_hgvs_anchor(t)
+        or not t.cdna_mapper_segments
+        or _coding_cdna_bounds(t) is not None
+    ):
+        return None
+    parsed = _split_hgvs_coord(mapper_position)
+    if parsed is None:
+        return None
+    mapper_coord, mapper_offset = parsed
+    if mapper_offset is not None:
+        return None
+    exon_geometry_position = raw_cdna_position_from_genomic(
+        _exon_geometry_twin(t), genomic_pos
+    )
+    if exon_geometry_position is None:
+        return None
+    parsed = _split_hgvs_coord(exon_geometry_position)
+    if parsed is None:
+        return None
+    exon_coord, exon_offset = parsed
+    if exon_offset is not None:
+        return None
+    if exon_coord < mapper_coord and _native_refseq_insertion_shift_at_anchor(
+        t, exon_coord, mapper_coord
+    ):
+        return exon_geometry_position
+    return None
+
+
 def _cds_relative_notation(t: Transcript, g: int) -> str | None:
     """HGVS cDNA coordinate string for a genomic position relative to the
     CDS: ``"N"`` inside the CDS, ``"-N"`` in the 5' UTR, ``"*N"`` in the
     3' UTR, ``"N+off"`` / ``"N-off"`` for intronic positions anchored at the
-    nearest exon boundary (published HGVS nomenclature; reference ``hgvs.rs``
-    intron/UTR coordinate assembly)."""
-    exons = t.sorted_exons()
-    cdna = _genomic_to_cdna_offset(t, g)
-    if t.cds_start is None or t.cds_end is None:
-        # non-coding transcript: plain spliced-transcript numbering (the
-        # reference's ``n.`` coordinates, hgvs.rs
-        # test_format_hgvsc_uses_non_coding_numbering); intronic anchoring
-        # below is shared with the coding path.  Native-RefSeq edits shift
-        # EXONIC numbering only (never the intronic anchor).
-        if cdna is not None:
-            n = cdna + 1
-            return f"{n + (refseq_sequence_offset_for_cdna(t, n) or 0)}"
+    nearest exon boundary.  Full reference pipeline
+    (hgvs_cdna_position_from_genomic, hgvs.rs:1215-1260):
+    mapper-aware raw position → native-RefSeq pre-edit anchor overrides →
+    refseq offset adjustment of exonic heads (sequence-space beyond the
+    stop codon, mapper-space elsewhere) → coding-coordinate shift."""
+    raw = raw_cdna_position_from_genomic(t, g)
+    if raw is None:
+        return None
+    has_intron_offset = any(ch in "+-" for ch in raw[1:])
+    keep_exon_geometry_exonic = False
+    if has_intron_offset:
+        override = native_refseq_pre_coding_intronic_exon_geometry_position(t, g, raw)
+        if override is not None:
+            raw = override
     else:
-        cds_anchor_g = t.cds_start if t.strand >= 0 else t.cds_end
-        cds_end_g = t.cds_end if t.strand >= 0 else t.cds_start
-        cds0 = _genomic_to_cdna_offset(t, cds_anchor_g)
-        cdsL = _genomic_to_cdna_offset(t, cds_end_g)
-        if cds0 is None or cdsL is None:
+        override = native_refseq_noncoding_exonic_pre_edit_position(t, g, raw)
+        if override is not None:
+            raw = override
+            keep_exon_geometry_exonic = True
+    if not has_intron_offset and not keep_exon_geometry_exonic:
+        try:
+            absolute_cdna = int(raw)
+        except ValueError:
             return None
-        if cdna is not None:  # exonic
-            d = cdna - cds0
-            if d < 0:
-                return f"-{-d}"
-            if cdna > cdsL:
-                return f"*{cdna - cdsL}"
-            return f"{d + 1}"
-    # intronic: anchor at the nearest exon boundary in genomic space; the
-    # tie and nearer-5'-exon side take "+", the 3' side "-"
-    def _plus(anchor_g: int, d: int) -> str | None:
-        # a "+" offset anchored exactly at the stop codon's cDNA position
-        # renders as a bare 3'UTR star offset — reference
-        # shift_to_hgvs_coding_coordinates (hgvs.rs: coord == stop_codon
-        # with an intron offset -> prefix '*', offset without '+'), pinned
-        # by test_format_hgvsc_allows_large_star_coordinate_inside_
-        # transcript_span (c.*402A>G)
-        if t.cds_start is not None and t.cds_end is not None:
-            cds_end_g = t.cds_end if t.strand >= 0 else t.cds_start
-            a_cdna = _genomic_to_cdna_offset(t, anchor_g)
-            l_cdna = _genomic_to_cdna_offset(t, cds_end_g)
-            if a_cdna is not None and a_cdna == l_cdna:
-                return f"*{d}"
-        base = _cds_relative_notation(t, anchor_g)
-        return None if base is None else f"{base}+{d}"
-
-    for i in range(len(exons) - 1):
-        ee, es2 = exons[i][1], exons[i + 1][0]
-        if ee < g < es2:
-            d1, d2 = g - ee, es2 - g
-            if t.strand >= 0:
-                if d1 <= d2:
-                    return _plus(ee, d1)
-                base = _cds_relative_notation(t, es2)
-                return None if base is None else f"{base}-{d2}"
-            if d2 <= d1:
-                return _plus(es2, d2)
-            base = _cds_relative_notation(t, ee)
-            return None if base is None else f"{base}-{d1}"
-    return None
+        if t.cdna_coding_end is not None and absolute_cdna > t.cdna_coding_end:
+            off = refseq_sequence_offset_for_cdna(t, absolute_cdna)
+            if off is not None:
+                raw = str(absolute_cdna + off)
+            else:
+                raw = adjust_refseq_cdna_component(t, raw) or raw
+        else:
+            raw = adjust_refseq_cdna_component(t, raw) or raw
+    return shift_to_hgvs_coding_coordinates(t, raw)
 
 
 def hgvs_c(t: Transcript, pos: int, ref: str, alt: str) -> str | None:

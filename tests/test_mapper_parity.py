@@ -1,0 +1,322 @@
+"""Probe-first replays of the reference's cdna_mapper_segments /
+RefSeq-misalignment battery (transcript_consequence.rs in-module tests,
+lines cited per test).  The single-mapper model under test:
+
+  (A) mapper present AND accepted  → the mapper IS the genomic↔cDNA
+      converter; every refseq offset is a no-op (no double counting)
+  (B) mapper present BUT rejected  → exon geometry + offsets applied
+      (rejection trigger: genomic-contiguous, cDNA-discontinuous segments)
+  (C) mapper absent                → exon geometry + offsets applied
+
+No Spark needed — the machinery is the pure-Python core the classify UDF
+executes per row.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import datafusion_bio_functions_spark.functions.consequence as cq
+from datafusion_bio_functions_spark.functions.consequence import (
+    MapperSegment,
+    RefSeqEdit,
+    Transcript,
+)
+
+
+def _tx(
+    tid: str,
+    start: int,
+    end: int,
+    strand: int = 1,
+    biotype: str = "protein_coding",
+    cds_start: int | None = None,
+    cds_end: int | None = None,
+    exons: list[tuple[int, int]] | None = None,
+    **kw,
+) -> Transcript:
+    return Transcript(
+        transcript_id=tid,
+        chrom="1",
+        start=start,
+        end=end,
+        strand=strand,
+        biotype=biotype,
+        cds_start=cds_start,
+        cds_end=cds_end,
+        exons=exons or [(start, end)],
+        **kw,
+    )
+
+
+# ── the reference's three scenario builders (rs:12213-12335) ──────────────
+
+
+def tx_mapper_used_encodes_leading_insertion() -> Transcript:
+    t = _tx("NM_USED.1", 1000, 2000, cds_start=1000, cds_end=2000,
+            source="RefSeq", cdna_coding_start=112)
+    t.cdna_mapper_segments = [MapperSegment(1000, 1500, 8, 508, 1)]
+    t.refseq_edits = [RefSeqEdit(1, 0, 7)]
+    return t
+
+
+def tx_mapper_rejected_adjacent_cdna_gap() -> Transcript:
+    t = _tx("NM_REJECT.1", 73385758, 73609919, cds_start=73385869,
+            cds_end=73609615, source="RefSeq", cdna_coding_start=112)
+    t.cdna_mapper_segments = [
+        MapperSegment(73385758, 73385942, 1, 185, 1),
+        MapperSegment(73385943, 73386192, 189, 438, 1),
+    ]
+    t.refseq_edits = [RefSeqEdit(186, 185, 3)]
+    return t
+
+
+def tx_mapper_absent_with_refseq_edit() -> Transcript:
+    t = _tx("NM_ABSENT.1", 1000, 2000, cds_start=1000, cds_end=2000,
+            source="RefSeq", cdna_coding_start=112)
+    t.refseq_edits = [RefSeqEdit(1, 0, 7)]
+    return t
+
+
+def tx_no_mapper_same_coordinate_multibase_refseq_edit() -> Transcript:
+    seq = list("A" * 7000)
+    seq[2768], seq[2769] = "T", "C"
+    t = _tx("NM_001172437.2", 1, 7000, cds_start=1, cds_end=2355,
+            source="RefSeq", cdna_coding_start=263, cdna_coding_end=2617,
+            spliced_seq="".join(seq))
+    t.refseq_edits = [RefSeqEdit(1447, 1447, 2)]
+    return t
+
+
+def tx_no_mapper_noncoding_refseq_sequence_edits() -> Transcript:
+    seq = list("A" * 200)
+    seq[36], seq[41] = "T", "C"
+    t = _tx("NR_170302.1", 1, 200, biotype="lncRNA", source="RefSeq",
+            spliced_seq="".join(seq))
+    t.refseq_edits = [RefSeqEdit(7, 6, 6), RefSeqEdit(14, 14, None)]
+    return t
+
+
+# ── scenario matrix (rs:12361-12458) ───────────────────────────────────────
+
+
+def test_single_mapper_model_distinguishes_three_scenarios():
+    assert cq.use_cdna_mapper_for_general_coords(tx_mapper_used_encodes_leading_insertion())
+    assert not cq.use_cdna_mapper_for_general_coords(tx_mapper_rejected_adjacent_cdna_gap())
+    assert not cq.use_cdna_mapper_for_general_coords(tx_mapper_absent_with_refseq_edit())
+
+
+def test_refseq_misalignment_offset_matches_mapper_usage():
+    assert cq.refseq_misalignment_offset_for_cdna(
+        tx_mapper_used_encodes_leading_insertion(), 500) is None
+    assert cq.refseq_misalignment_offset_for_cdna(
+        tx_mapper_rejected_adjacent_cdna_gap(), 500) == 3
+    assert cq.refseq_misalignment_offset_for_cdna(
+        tx_mapper_absent_with_refseq_edit(), 500) == 7
+
+
+def test_refseq_misalignment_offset_is_noop_when_mapper_encodes_leading_insertion():
+    # rs:12136-12171
+    t = _tx("NM_LEAD.1", 1000, 2000, cds_start=1000, cds_end=2000, source="RefSeq")
+    t.cdna_mapper_segments = [MapperSegment(1000, 1500, 8, 508, 1)]
+    t.refseq_edits = [RefSeqEdit(1, 0, 7)]
+    assert cq.use_cdna_mapper_for_general_coords(t)
+    assert cq.refseq_misalignment_offset_for_cdna(t, 100) is None
+
+
+def test_refseq_misalignment_offset_applies_when_no_mapper_segments():
+    # rs:12173-12198
+    t = _tx("NM_NOMAPPER.1", 1000, 2000, cds_start=1000, cds_end=2000, source="RefSeq")
+    t.refseq_edits = [RefSeqEdit(1, 0, 7)]
+    assert not cq.use_cdna_mapper_for_general_coords(t)
+    assert cq.refseq_misalignment_offset_for_cdna(t, 100) == 7
+
+
+def test_refseq_misalignment_offset_uses_net_length_for_same_coordinate_multibase_edit():
+    # rs:12387-12394 — mapper-space delta counts ONE replaced base for the
+    # PEG10 "1447 1447 AA" form (net +1), unlike sequence space (+2)
+    t = tx_no_mapper_same_coordinate_multibase_refseq_edit()
+    assert cq.refseq_misalignment_offset_for_cdna(t, 1447) is None
+    assert cq.refseq_misalignment_offset_for_cdna(t, 1448) == 1
+    assert cq.refseq_misalignment_offset_for_cdna(t, 2768) == 1
+
+
+def test_refseq_sequence_offset_counts_same_coordinate_multibase_edit_as_full_insertion():
+    # rs:12396-12403
+    t = tx_no_mapper_same_coordinate_multibase_refseq_edit()
+    assert cq.refseq_sequence_offset_for_cdna(t, 1447) is None
+    assert cq.refseq_sequence_offset_for_cdna(t, 1448) == 2
+    assert cq.refseq_sequence_offset_for_cdna(t, 2768) == 2
+
+
+def test_adjust_refseq_cds_output_position_matches_mapper_usage():
+    # rs:12405-12424 — raw_cds_position 300, cdna_coding_start 112 → cdna 411
+    assert cq.adjust_refseq_cds_output_position(
+        tx_mapper_used_encodes_leading_insertion(), 300, 0) == 300
+    assert cq.adjust_refseq_cds_output_position(
+        tx_mapper_rejected_adjacent_cdna_gap(), 300, 0) == 303
+    assert cq.adjust_refseq_cds_output_position(
+        tx_mapper_absent_with_refseq_edit(), 300, 0) == 307
+
+
+def test_adjust_refseq_cdna_component_matches_mapper_usage():
+    # rs:12426-12444
+    assert cq.adjust_refseq_cdna_component(
+        tx_mapper_used_encodes_leading_insertion(), "500") is None
+    assert cq.adjust_refseq_cdna_component(
+        tx_mapper_rejected_adjacent_cdna_gap(), "500") == "503"
+    assert cq.adjust_refseq_cdna_component(
+        tx_mapper_absent_with_refseq_edit(), "500") == "507"
+
+
+def test_edited_transcript_cdna_index_matches_mapper_usage():
+    # rs:12446-12458
+    assert cq.edited_transcript_cdna_index(
+        tx_mapper_used_encodes_leading_insertion(), 500) == 500
+    assert cq.edited_transcript_cdna_index(
+        tx_mapper_rejected_adjacent_cdna_gap(), 500) == 503
+    assert cq.edited_transcript_cdna_index(
+        tx_mapper_absent_with_refseq_edit(), 500) == 507
+
+
+# ── used_ref / sequence-space vs mapper-space (rs:12460-12510) ─────────────
+
+
+def test_used_ref_for_same_coordinate_multibase_refseq_edit_uses_shifted_transcript_base():
+    t = tx_no_mapper_same_coordinate_multibase_refseq_edit()
+    assert cq.used_ref_for_transcript_variant(t, 2768, 2768, "T") == "C"
+
+
+def test_used_ref_for_noncoding_refseq_uses_sequence_space_offsets():
+    t = tx_no_mapper_noncoding_refseq_sequence_edits()
+    assert cq.used_ref_for_transcript_variant(t, 37, 37, "C") == "C"
+
+
+def test_compute_cdna_position_coding_refseq_same_coordinate_multibase_edit_uses_mapper_space():
+    t = tx_no_mapper_same_coordinate_multibase_refseq_edit()
+    assert cq.cdna_span_str(t, 2304, "C", "A") == "2305"
+
+
+def test_compute_cdna_position_noncoding_refseq_uses_sequence_space_offsets():
+    t = tx_no_mapper_noncoding_refseq_sequence_edits()
+    assert cq.cdna_span_str(t, 37, "C", "T") == "42"
+
+
+# ── compute_cdna_position integration (rs:12077-12134, 12512-12978) ───────
+
+
+def test_compute_cdna_position_uses_transcript_mapper_segments():
+    # rs:12077-12134 — segments 3→4 are genomic-contiguous but
+    # cDNA-discontinuous → mapper rejected → exon-geometry cDNA 2641
+    t = _tx("NM_001291281.3", 41361434, 41383590,
+            cds_start=41361931, cds_end=41383295,
+            exons=[(41361434, 41362344), (41381616, 41382208), (41382210, 41383590)])
+    t.cdna_mapper_segments = [
+        MapperSegment(41361434, 41362344, 1, 911, 1),
+        MapperSegment(41381616, 41382208, 912, 1504, 1),
+        MapperSegment(41382210, 41382210, 1505, 1505, 1),
+        MapperSegment(41382211, 41383590, 1707, 3086, 1),
+    ]
+    assert cq.cdna_span_str(t, 41383346, "C", "T") == "2641"
+
+
+def test_regression_chr4_nm_001007075_style_hgvsc_uses_mapper_cdna():
+    # rs:12512-12583 — internal 1bp mapper-encoded deletion + polyA edit:
+    # the mapper's cDNA (200) is authoritative, not exon geometry (201)
+    t = _tx("NM_CHR4LIKE.1", 1000, 8000, cds_start=1100, cds_end=3000,
+            source="RefSeq")
+    t.cdna_mapper_segments = [
+        MapperSegment(1000, 1135, 1, 136, 1),
+        MapperSegment(1137, 8000, 137, 7000, 1),
+    ]
+    t.refseq_edits = [RefSeqEdit(137, 137, None), RefSeqEdit(7181, 7180, 10)]
+    assert cq.use_cdna_mapper_for_general_coords(t)
+    assert cq.refseq_misalignment_offset_for_cdna(t, 200) is None
+    assert cq.cdna_span_str(t, 1200, "C", "G") == "200"
+
+
+def test_regression_chr4_deletion_of_rna_edit_base_emits_empty_cdna_position():
+    # rs:12585-12639 — deleting the base that the RNA edit already deleted:
+    # no mapper segment contains it → empty cDNA_position, matching VEP
+    t = _tx("NM_DELEDIT.1", 1000, 8000, cds_start=1100, cds_end=3000,
+            source="RefSeq")
+    t.cdna_mapper_segments = [
+        MapperSegment(1000, 1135, 1, 136, 1),
+        MapperSegment(1137, 8000, 137, 7000, 1),
+    ]
+    t.refseq_edits = [RefSeqEdit(137, 137, None)]
+    assert cq.cdna_span_str(t, 1136, "A", "-") is None
+
+
+def test_use_cdna_mapper_keeps_mapper_for_trailing_polya_edit():
+    # rs:12641-12698
+    t = _tx("NM_TAIL.1", 1000, 8000, cds_start=1100, cds_end=3000, source="RefSeq")
+    t.cdna_mapper_segments = [
+        MapperSegment(1000, 1135, 1, 136, 1),
+        MapperSegment(1137, 8000, 137, 7000, 1),
+    ]
+    t.refseq_edits = [RefSeqEdit(137, 137, None), RefSeqEdit(7181, 7180, 10)]
+    assert cq.use_cdna_mapper_for_general_coords(t)
+
+
+def test_compute_cdna_position_uses_mapper_with_internal_gap_ignoring_polya_tail():
+    # rs:12700-12758
+    t = _tx("NM_POLYA.1", 1000, 8000, cds_start=1100, cds_end=3000, source="RefSeq")
+    t.cdna_mapper_segments = [
+        MapperSegment(1000, 1135, 1, 136, 1),
+        MapperSegment(1137, 8000, 137, 7000, 1),
+    ]
+    t.refseq_edits = [RefSeqEdit(137, 137, None), RefSeqEdit(7181, 7180, 10)]
+    assert cq.cdna_span_str(t, 1200, "C", "G") == "200"
+
+
+def test_compute_cdna_position_applies_refseq_offset_for_edited_refseq_without_mapper():
+    # rs:12760-12786
+    t = _tx("NM_OFFSET.1", 100, 3000, cds_start=100, cds_end=2500)
+    t.refseq_edits = [RefSeqEdit(1506, 1505, 201)]
+    assert cq.cdna_span_str(t, 2740, "G", "C") == "2842"
+
+
+def test_compute_cdna_position_insertion_applies_refseq_offset_without_mapper():
+    # rs:12788-12814 — VEP-style insertion start=2740 end=2739 "-"/"TT"
+    t = _tx("NM_OFFSET.1", 100, 3000, cds_start=100, cds_end=2500)
+    t.refseq_edits = [RefSeqEdit(1506, 1505, 201)]
+    assert cq.cdna_span_str(t, 2740, "-", "TT") == "2841-2842"
+
+
+def _chr5_minus_strand_tx() -> Transcript:
+    t = _tx("NR_024383.2", 88_664_445, 88_678_448, strand=-1, biotype="lncRNA",
+            source="RefSeq",
+            exons=[(88_678_348, 88_678_448), (88_672_965, 88_673_028),
+                   (88_671_036, 88_671_085), (88_664_445, 88_667_591)])
+    t.cdna_mapper_segments = [
+        MapperSegment(88_678_348, 88_678_448, 1, 101, -1),
+        MapperSegment(88_672_965, 88_673_028, 102, 165, -1),
+        MapperSegment(88_671_036, 88_671_085, 166, 215, -1),
+        MapperSegment(88_667_455, 88_667_591, 216, 352, -1),
+        MapperSegment(88_664_445, 88_667_454, 354, 3363, -1),
+    ]
+    return t
+
+
+def test_compute_cdna_position_collapses_mapper_cdna_gap_for_chr5_refseq_insertion():
+    # rs:12816-12879 — VCF G>GA at 88667454 = insertion exactly at the
+    # genomic-contiguous mapper boundary whose cDNA gap encodes one
+    # edit-inserted base → anchored single coordinate 353
+    t = _chr5_minus_strand_tx()
+    assert cq.cdna_span_str(t, 88_667_454, "G", "GA") == "353"
+
+
+def test_compute_cdna_position_keeps_range_away_from_mapper_cdna_gap():
+    # rs:12881-12944 — one base to the left: ordinary two-number span
+    t = _chr5_minus_strand_tx()
+    assert cq.cdna_span_str(t, 88_667_453, "G", "GA") == "353-354"
+
+
+def test_compute_cdna_position_does_not_double_apply_refseq_offset_with_mapper():
+    # rs:12946-12978 — accepted single-segment mapper already carries the
+    # +201 shift in its cdna_start; the refseq offset must NOT stack
+    t = _tx("NM_OFFSET.1", 100, 3000, cds_start=100, cds_end=2500)
+    t.cdna_mapper_segments = [MapperSegment(100, 3000, 202, 3102, 1)]
+    t.refseq_edits = [RefSeqEdit(1506, 1505, 201)]
+    assert cq.cdna_span_str(t, 2740, "G", "C") == "2842"
