@@ -438,6 +438,22 @@ def genomic_to_cdna_index_for_transcript(t: Transcript, pos: int) -> int | None:
     return None if off is None else off + 1
 
 
+def genomic_to_cds_index(t: Transcript, pos: int) -> int | None:
+    """0-based CDS index of a genomic position (reference
+    genomic_to_cds_index, transcript_consequence.rs:7984-8014): native
+    RefSeq rows resolve through the (mapper-aware) transcript converter
+    against the cached cDNA coding bounds; everything else walks the
+    exon-geometry coding segments."""
+    if prefers_exon_geometry_over_mapper(t):
+        cdna = genomic_to_cdna_index_for_transcript(t, pos)
+        if cdna is None or t.cdna_coding_start is None or t.cdna_coding_end is None:
+            return None
+        if cdna < t.cdna_coding_start or cdna > t.cdna_coding_end:
+            return None
+        return cdna - t.cdna_coding_start
+    return _genomic_to_cds_offset(t, pos)
+
+
 def mapper_deleted_gap_cdna_index(t: Transcript, pos: int) -> int | None:
     """cDNA index of a genomic base that falls in the tiny genomic gap
     between adjacent mapper segments — a one-or-more-base ``_rna_edit``
@@ -1968,7 +1984,27 @@ def classify(
 
     terms: set[str] = set()
     exons = t.sorted_exons()
-    overlaps_exon = any(_feature_overlaps(is_ins, vs, ve, es, ee) for es, ee in exons)
+    # A non-insertion touching a base the RefSeq ``_rna_edit`` machinery
+    # DELETED from the transcript (a mapper-segment gap or a pure-deletion
+    # edit span) has no transcript mapping at all — VEP classifies it
+    # intergenic on coding rows and keeps the non-coding exon term on
+    # non-coding biotypes (reference transcript_consequence.rs:1152-1212,
+    # pinned by native_refseq_gap_deletion_classifies_as_intergenic_not_utr
+    # / refseq_noncoding_deleted_edit_gap_stays_non_coding_...).
+    deleted_refseq_gap = (
+        not is_ins
+        and prefers_exon_geometry_over_mapper(t)
+        and (len(t.cdna_mapper_segments) >= 2 or bool(t.refseq_edits))
+        and any(
+            mapper_deleted_gap_cdna_index(t, p) is not None
+            or refseq_deleted_edit_cdna_index(t, p) is not None
+            for p in range(vs, ve + 1)
+        )
+    )
+    deleted_gap_noncoding_exon = deleted_refseq_gap and is_non_coding_biotype(t.biotype)
+    overlaps_exon = (not deleted_refseq_gap) and any(
+        _feature_overlaps(is_ins, vs, ve, es, ee) for es, ee in exons
+    )
     if _variant_overlaps_intron(t, vs, ve, is_ins):
         terms.add("intron_variant")
     in_fs_intron = (not overlaps_exon) and _in_frameshift_intron(t, vs, ve)
@@ -1990,7 +2026,9 @@ def classify(
     )
 
     noncoding = is_non_coding_biotype(t.biotype)
-    if noncoding and overlaps_exon:
+    if deleted_refseq_gap and not deleted_gap_noncoding_exon:
+        terms.add("intergenic_variant")
+    elif noncoding and (overlaps_exon or deleted_gap_noncoding_exon):
         in_mirna = False
         if t.biotype == "miRNA":
             for ms, me in t.mature_mirna_regions:

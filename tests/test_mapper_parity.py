@@ -320,3 +320,128 @@ def test_compute_cdna_position_does_not_double_apply_refseq_offset_with_mapper()
     t.cdna_mapper_segments = [MapperSegment(100, 3000, 202, 3102, 1)]
     t.refseq_edits = [RefSeqEdit(1506, 1505, 201)]
     assert cq.cdna_span_str(t, 2740, "G", "C") == "2842"
+
+
+# ── raw cDNA position + deleted-gap resolution (rs:17304-17680) ────────────
+
+
+def _two_exon_fwd() -> Transcript:
+    return _tx("TX1", 100, 400, exons=[(100, 200), (300, 400)])
+
+
+def _two_exon_rev() -> Transcript:
+    return _tx("TX1", 100, 400, strand=-1, exons=[(100, 200), (300, 400)])
+
+
+def test_raw_cdna_position_within_exon_fwd():
+    assert cq.raw_cdna_position_from_genomic(_two_exon_fwd(), 150) == "51"
+
+
+def test_raw_cdna_position_within_exon_rev():
+    assert cq.raw_cdna_position_from_genomic(_two_exon_rev(), 150) == "152"
+
+
+def test_raw_cdna_position_intronic():
+    # equidistant tie on + strand → upstream anchor wins
+    assert cq.raw_cdna_position_from_genomic(_two_exon_fwd(), 250) == "101+50"
+
+
+def test_raw_cdna_position_with_unsorted_mapper_segments_on_negative_strand():
+    t = _tx("TX1", 100, 400, strand=-1, exons=[(100, 200), (300, 400)])
+    t.cdna_mapper_segments = [
+        MapperSegment(300, 400, 1, 101, -1),
+        MapperSegment(100, 200, 102, 202, -1),
+    ]
+    assert cq.raw_cdna_position_from_genomic(t, 250) == "101+50"
+
+
+def test_raw_cdna_position_outside_transcript_span():
+    for t in (_two_exon_fwd(), _two_exon_rev()):
+        assert cq.raw_cdna_position_from_genomic(t, 95) is None
+        assert cq.raw_cdna_position_from_genomic(t, 405) is None
+    assert cq.raw_cdna_position_from_genomic(_two_exon_fwd(), 99) is None
+    assert cq.raw_cdna_position_from_genomic(_two_exon_fwd(), 401) is None
+
+
+def native_refseq_gap_tx() -> Transcript:
+    t = _tx("NM_GAP.1", 100, 209, cds_start=202, cds_end=209, source="RefSeq",
+            cdna_coding_start=13, cdna_coding_end=20,
+            exons=[(100, 109), (200, 209)])
+    t.refseq_edits = [RefSeqEdit(5, 5, None)]
+    t.cdna_mapper_segments = [
+        MapperSegment(100, 103, 1, 4, 1),
+        MapperSegment(105, 109, 5, 9, 1),
+        MapperSegment(200, 209, 10, 19, 1),
+    ]
+    return t
+
+
+def native_refseq_one_bp_intron_tx() -> Transcript:
+    t = _tx("NM_INTRON.1", 100, 109, cds_start=100, cds_end=109, source="RefSeq",
+            cdna_coding_start=1, cdna_coding_end=8,
+            exons=[(100, 103), (105, 109)])
+    t.cdna_mapper_segments = [
+        MapperSegment(100, 103, 1, 4, 1),
+        MapperSegment(105, 109, 5, 9, 1),
+    ]
+    return t
+
+
+def native_refseq_gap_tx_rev() -> Transcript:
+    t = _tx("NM_GAP_REV.1", 100, 109, strand=-1, cds_start=100, cds_end=109,
+            source="RefSeq", cdna_coding_start=1, cdna_coding_end=8,
+            exons=[(100, 109)])
+    t.refseq_edits = [RefSeqEdit(5, 5, None)]
+    t.cdna_mapper_segments = [
+        MapperSegment(100, 103, 5, 8, -1),
+        MapperSegment(105, 109, 1, 4, -1),
+    ]
+    return t
+
+
+def native_refseq_multi_base_gap_tx() -> Transcript:
+    t = _tx("NM_GAP2.1", 100, 110, cds_start=100, cds_end=110, source="RefSeq",
+            cdna_coding_start=1, cdna_coding_end=9, exons=[(100, 110)])
+    t.refseq_edits = [RefSeqEdit(5, 6, None)]
+    t.cdna_mapper_segments = [
+        MapperSegment(100, 103, 1, 4, 1),
+        MapperSegment(106, 110, 5, 9, 1),
+    ]
+    return t
+
+
+def test_raw_cdna_position_native_refseq_gap_uses_deleted_cdna_base():
+    assert cq.raw_cdna_position_from_genomic(native_refseq_gap_tx(), 104) == "5"
+
+
+def test_raw_cdna_position_native_refseq_reverse_gap_uses_deleted_cdna_base():
+    assert cq.raw_cdna_position_from_genomic(native_refseq_gap_tx_rev(), 104) == "5"
+
+
+def test_raw_cdna_position_native_refseq_multi_base_gap_maps_each_deleted_base():
+    t = native_refseq_multi_base_gap_tx()
+    assert cq.raw_cdna_position_from_genomic(t, 104) == "5"
+    assert cq.raw_cdna_position_from_genomic(t, 105) == "6"
+
+
+def test_raw_cdna_position_native_refseq_intron_uses_mapper_geometry():
+    assert cq.raw_cdna_position_from_genomic(native_refseq_gap_tx(), 150) == "9+41"
+
+
+def test_genomic_to_cds_index_native_refseq_uses_mapper_cdna_coordinates():
+    assert cq.genomic_to_cds_index(native_refseq_gap_tx(), 205) == 2
+
+
+def test_mapper_deleted_gap_cdna_index_ignores_true_one_bp_intron():
+    assert cq.mapper_deleted_gap_cdna_index(native_refseq_one_bp_intron_tx(), 104) is None
+
+
+def test_native_refseq_gap_deletion_classifies_as_intergenic_not_utr():
+    terms = cq.classify(native_refseq_gap_tx(), 104, "A", "-")
+    assert terms == ["intergenic_variant"]
+
+
+def test_native_refseq_one_bp_intron_gap_keeps_frameshift_coding_consequence():
+    terms = cq.classify(native_refseq_one_bp_intron_tx(), 104, "A", "-")
+    assert "coding_sequence_variant" in terms
+    assert "intergenic_variant" not in terms
