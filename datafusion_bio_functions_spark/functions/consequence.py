@@ -411,6 +411,96 @@ def refseq_has_edited_sequence_state(t: Transcript) -> bool:
     )
 
 
+def refseq_edit_overlaps_coding_sequence(t: Transcript, edit: RefSeqEdit) -> bool:
+    """Whether one ``_rna_edit`` touches the coding cDNA span — insertions
+    (``end < start``) count only when inserted BETWEEN coding bases
+    (reference refseq_edit_overlaps_coding_sequence,
+    transcript_consequence.rs:7426-7443)."""
+    if t.cdna_coding_start is None or t.cdna_coding_end is None:
+        return True
+    cs, ce = t.cdna_coding_start, t.cdna_coding_end
+    if edit.end < edit.start:
+        return edit.end >= cs and edit.start <= ce
+    return edit.start <= ce and edit.end >= cs
+
+
+def refseq_uses_transcript_shift_for_hgvsp(t: Transcript) -> bool:
+    """Whether HGVS protein shifting must use the EDITED transcript
+    sequence: real edit evidence overlapping the CDS, never poly-A tail
+    artifacts or same-length substitution edits (reference
+    refseq_uses_transcript_shift_for_hgvsp,
+    transcript_consequence.rs:7444-7457)."""
+    if not uses_refseq_transcript_reference(t):
+        return False
+    if not t.refseq_edits:
+        return t.has_non_polya_rna_edit
+    return any(
+        refseq_edit_overlaps_coding_sequence(t, e)
+        and (refseq_edit_offset_delta(e) or 0) != 0
+        for e in t.refseq_edits
+    )
+
+
+def apply_refseq_deletion_edits_to_cdna(
+    genomic_cdna: str, edits: list[RefSeqEdit]
+) -> str | None:
+    """Apply pure-deletion edits to a genomic-spliced cDNA (reference
+    apply_refseq_deletion_edits_to_cdna, transcript_consequence.rs:7545-7572).
+    None when any edit is not a simple ordered deletion."""
+    if not edits:
+        return genomic_cdna.upper()
+    out = []
+    cursor = 1
+    for edit in edits:
+        if edit.replacement_len is not None or edit.end < edit.start:
+            return None
+        if edit.start <= 0 or edit.start < cursor or edit.end > len(genomic_cdna):
+            return None
+        out.append(genomic_cdna[cursor - 1 : edit.start - 1].upper())
+        cursor = edit.end + 1
+    out.append(genomic_cdna[cursor - 1 :].upper())
+    return "".join(out)
+
+
+def infer_refseq_deletion_edits_from_sequences(
+    genomic_cdna: str, edited_cdna: str
+) -> list[RefSeqEdit]:
+    """Greedy left-to-right diff recovering the pure-deletion ``_rna_edit``
+    list that turns the genomic-spliced cDNA into the edited transcript
+    sequence; validated by re-applying (reference
+    infer_refseq_deletion_edits_from_sequences,
+    transcript_consequence.rs:7574-7636)."""
+    g, e = genomic_cdna, edited_cdna
+    if len(e) >= len(g) or not g or not e:
+        return []
+    edits: list[RefSeqEdit] = []
+    gi = ei = 0
+    while gi < len(g) and ei < len(e):
+        if g[gi].upper() == e[ei].upper():
+            gi += 1
+            ei += 1
+            continue
+        remaining_deleted = (len(g) - gi) - (len(e) - ei)
+        deleted_len = None
+        for candidate in range(1, max(remaining_deleted, 0) + 1):
+            nxt = gi + candidate
+            if nxt == len(g) or g[nxt].upper() == e[ei].upper():
+                deleted_len = candidate
+                break
+        if deleted_len is None:
+            return []
+        edits.append(RefSeqEdit(gi + 1, gi + deleted_len, None))
+        gi += deleted_len
+    if ei != len(e):
+        return []
+    if gi < len(g):
+        edits.append(RefSeqEdit(gi + 1, len(g), None))
+    rebuilt = apply_refseq_deletion_edits_to_cdna(genomic_cdna, edits)
+    if rebuilt is not None and rebuilt.upper() == edited_cdna.upper():
+        return edits
+    return []
+
+
 def exact_mapper_cdna_index_for_hgvsp(t: Transcript, pos: int) -> int | None:
     """Mapper-exact cDNA index used by HGVSp on edited RefSeq transcripts
     (reference exact_mapper_cdna_index_for_hgvsp,
@@ -1209,10 +1299,28 @@ def _classify_substitution(t: Transcript, vs: int, ref: str, alt: str) -> set[st
         off = off - (len(var_ref) - 1)
         if off < 0:
             return None
+    # RefSeq misalignment: shift the raw exon-geometry index into the
+    # edited-sequence space the cached CDS lives in (reference
+    # classify_coding_change, transcript_consequence.rs:5267-5271)
+    adj = adjust_refseq_cds_sequence_index(t, off, lead)
+    if adj is not None:
+        off = adj
     if off + len(var_ref) > len(cds):
         return {"incomplete_terminal_codon_variant"}
-    if var_ref and cds[off : off + len(var_ref)] != var_ref:
-        return None  # reference mismatch — positional classification only
+    # the EDITED transcript reference takes precedence on RefSeq rows whose
+    # sequence was BAM/_rna_edit-modified: patch the CDS slice to the
+    # transcript's own bases, then apply the alt (reference
+    # classify_coding_change, transcript_consequence.rs:5300-5318, pinned
+    # by transcript_consequence_uses_edited_refseq_reference_...)
+    effective_ref = var_ref
+    if var_ref and uses_refseq_transcript_reference(t):
+        edited = edited_transcript_reference_allele(t, vs, vs + len(ref) - 1, ref)
+        if edited is not None and len(edited) == len(var_ref):
+            effective_ref = edited.upper()
+    if var_ref and cds[off : off + len(var_ref)] != effective_ref:
+        if effective_ref == var_ref:
+            return None  # reference mismatch — positional classification only
+        cds = cds[:off] + effective_ref + cds[off + len(var_ref) :]
     new_cds = cds[:off] + var_alt + cds[off + len(var_ref) :]
     protein = translate(cds)
     new_protein = translate(new_cds)
@@ -2383,6 +2491,13 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
         n_pad = _leading_n(t.cds_sequence) if t.cds_sequence else 0
         if t.cds_start_nf and n_pad > 0 and s1 is not None and s1 <= n_pad:
             s1 = None
+        # RefSeq misalignment: display positions follow the padded raw CDS
+        # index space, then shift by the mapper-space offsets (reference
+        # transcript_consequence.rs:5500-5514)
+        if s1 is not None:
+            s1 = adjust_refseq_cds_output_position(t, s1, n_pad) or s1
+        if e1 is not None:
+            e1 = adjust_refseq_cds_output_position(t, e1, n_pad) or e1
         p1 = None if s1 is None else (s1 - 1) // 3 + 1
         p2 = None if e1 is None else (e1 - 1) // 3 + 1
         out["cds_position_str"] = format_coords(s1, e1)
@@ -2414,8 +2529,10 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
         if last_off is not None:
             _set_span_strs(None, last_off + 1)
         return out
-    out["cds_position"] = off + 1
-    out["protein_position"] = off // 3 + 1
+    _lead_pad = _leading_n(t.cds_sequence) if t.cds_sequence else 0
+    _disp_cds = adjust_refseq_cds_output_position(t, off + 1, _lead_pad) or (off + 1)
+    out["cds_position"] = _disp_cds
+    out["protein_position"] = (_disp_cds + 2) // 3
     if len(ref) != len(alt) or not ref:
         # indel: codon-level rendering when sequence context is available
         nvs, nve, nref, nalt, nins = normalize_variant(pos, ref, alt)
@@ -2435,8 +2552,23 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
     cds = t.cds_sequence.upper()
     var_ref = ref.upper() if t.strand >= 0 else revcomp(ref.upper())
     var_alt = alt.upper() if t.strand >= 0 else revcomp(alt.upper())
-    if off + len(var_ref) > len(cds) or cds[off : off + len(var_ref)] != var_ref:
+    # sequence-space index (may differ from the display index on edited
+    # RefSeq rows) + edited-transcript reference precedence — mirrors
+    # _classify_substitution / reference classify_coding_change
+    seq_adj = adjust_refseq_cds_sequence_index(t, off, _lead_pad)
+    if seq_adj is not None:
+        off = seq_adj
+    if off + len(var_ref) > len(cds):
         return out
+    effective_ref = var_ref
+    if var_ref and uses_refseq_transcript_reference(t):
+        edited = edited_transcript_reference_allele(t, lo, hi, ref)
+        if edited is not None and len(edited) == len(var_ref):
+            effective_ref = edited.upper()
+    if cds[off : off + len(var_ref)] != effective_ref:
+        if effective_ref == var_ref:
+            return out
+        cds = cds[:off] + effective_ref + cds[off + len(var_ref) :]
     new_cds = cds[:off] + var_alt + cds[off + len(var_ref) :]
     c0 = (off // 3) * 3
     c1 = ((off + len(var_ref) - 1) // 3) * 3 + 3
@@ -2751,6 +2883,12 @@ def hgvs_c(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
     ref = "" if ref in ("-", None) else ref
     alt = "" if alt in ("-", None) else alt
     pos, ref, alt = _normalize_for_hgvs(pos, ref, alt)
+    # HGVSc renders against the USED_REF — the edited transcript's own
+    # reference bases — on RefSeq rows with live transcript state
+    # (reference engine: hgvsc_ref_allele = used_ref.unwrap_or(ref),
+    # transcript_consequence.rs:1020-1021)
+    if ref and uses_refseq_transcript_reference(t):
+        ref = used_ref_for_transcript_variant(t, pos, pos + len(ref) - 1, ref) or ref
     # non-coding transcripts use spliced-transcript (``n.``) numbering
     # (hgvs.rs test_format_hgvsc_uses_non_coding_numbering)
     pfx = "c." if t.cds_start is not None and t.cds_end is not None else "n."
@@ -2782,6 +2920,17 @@ def hgvs_c(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
     cds = t.cds_sequence.upper() if t.cds_sequence else None
     cpos = off + 1
     if len(r) == 1 and len(a) == 1:
+        # live RefSeq transcript state (mapper segments / _rna_edits): the
+        # exon-geometry CDS offset is NOT the HGVS coordinate — route
+        # through the full mapper-aware pipeline (reference
+        # hgvs_cdna_position_from_genomic; e.g. an internal mapper-encoded
+        # deletion shifts c.101 → c.100)
+        if uses_refseq_transcript_reference(t) and (
+            t.cdna_mapper_segments or t.refseq_edits
+        ):
+            base = _cds_relative_notation(t, pos)
+            if base is not None:
+                return f"{t.transcript_id}:{pfx}{base}{r}>{a}"
         return f"{t.transcript_id}:c.{cpos}{r}>{a}"
     if len(r) == 0:  # pure insertion between the two flanking bases
         # 0-based CDS index the inserted seq lands before: the anchor base

@@ -557,8 +557,48 @@ def _annotate_codon(
             "gene_stable_id", "mature_mirna_regions",
             "spliced_seq", "cdna_seq", "three_prime_utr_seq",
             "cdna_coding_start", "cdna_coding_end",
+            "source", "bam_edit_status", "has_non_polya_rna_edit",
+            "refseq_edits", "cdna_mapper_segments",
         )
     }
+    # RefSeq edited-transcript context (reference TranscriptFeature fields,
+    # transcript_consequence.rs:192-260): optional cache columns
+    #   refseq_edits          array<struct<start,end,replacement_len,
+    #                                      skip_refseq_offset>>
+    #   cdna_mapper_segments  array<struct<genomic_start,genomic_end,
+    #                                      cdna_start,cdna_end,ori>>
+    # packed into one struct so the classify UDF signature stays stable
+    _edits_t = (
+        "array<struct<start:bigint,end:bigint,replacement_len:bigint,"
+        "skip_refseq_offset:boolean>>"
+    )
+    _segs_t = (
+        "array<struct<genomic_start:bigint,genomic_end:bigint,"
+        "cdna_start:bigint,cdna_end:bigint,ori:int>>"
+    )
+    refseq_ctx = F.struct(
+        (F.col("source") if opt["source"] else F.lit(None).cast("string")).alias("src"),
+        (
+            F.col("bam_edit_status")
+            if opt["bam_edit_status"]
+            else F.lit(None).cast("string")
+        ).alias("bam"),
+        (
+            F.col("has_non_polya_rna_edit").cast("boolean")
+            if opt["has_non_polya_rna_edit"]
+            else F.lit(None).cast("boolean")
+        ).alias("np_edit"),
+        (
+            F.col("refseq_edits").cast(_edits_t)
+            if opt["refseq_edits"]
+            else F.lit(None).cast(_edits_t)
+        ).alias("edits"),
+        (
+            F.col("cdna_mapper_segments").cast(_segs_t)
+            if opt["cdna_mapper_segments"]
+            else F.lit(None).cast(_segs_t)
+        ).alias("segs"),
+    )
     tsel = [
         F.col("transcript_id").alias("__t_id"),
         F.col("chrom").alias("__t_chrom"),
@@ -606,6 +646,7 @@ def _annotate_codon(
             if opt["cdna_coding_end"]
             else F.lit(None).cast("long")
         ).alias("__t_cce"),
+        refseq_ctx.alias("__t_refseq"),
         _tx_meta_map(t).alias("__t_meta"),
     ]
     tctx = t.select(*tsel)
@@ -684,7 +725,7 @@ def _annotate_codon(
         pos_s, ref_s, alt_s, tid,
         ts, te, strand, biotype,
         cds_s, cds_e, cds_seq, exlist, mirna,
-        spliced, cdna, utr3, ccs, cce,
+        spliced, cdna, utr3, ccs, cce, refseq_s,
     ):
         out = {"terms": [], "impact": [], "hgvsc": [], "hgvsp": []}
         for k_ in _detail_keys:
@@ -699,9 +740,14 @@ def _annotate_codon(
             cds_s.tolist(), cds_e.tolist(), cds_seq.tolist(), exlist.tolist(),
             mirna.tolist(), spliced.tolist(), cdna.tolist(), utr3.tolist(),
             ccs.tolist(), cce.tolist(),
+            # a struct column arrives as a nested pandas DataFrame in a
+            # scalar pandas UDF — one dict per row
+            refseq_s.to_dict("records")
+            if isinstance(refseq_s, pd.DataFrame)
+            else refseq_s.tolist(),
         )
         for (p, r, a, t_id, tsv, tev, stv, btv, csv_, cev, seqv, ex, mir,
-             spl, cdn, u3, ccsv, ccev) in rows:
+             spl, cdn, u3, ccsv, ccev, rsq) in rows:
             if t_id is None or pd.isna(tsv):
                 out["terms"].append(None)
                 out["impact"].append(None)
@@ -717,6 +763,41 @@ def _annotate_codon(
                     if ex is not None and len(ex) > 0
                     else []
                 )
+                refseq_kw: dict = {}
+                if rsq is not None:
+                    def _opt(v):
+                        return None if v is None or (isinstance(v, float) and pd.isna(v)) else v
+
+                    refseq_kw["source"] = _opt(rsq.get("src"))
+                    refseq_kw["bam_edit_status"] = _opt(rsq.get("bam"))
+                    refseq_kw["has_non_polya_rna_edit"] = bool(
+                        _opt(rsq.get("np_edit")) or False
+                    )
+                    edits_arr = rsq.get("edits")
+                    segs_arr = rsq.get("segs")
+                    if edits_arr is not None and len(edits_arr) > 0:
+                        refseq_kw["refseq_edits"] = [
+                            cq.RefSeqEdit(
+                                int(d["start"]),
+                                int(d["end"]),
+                                None
+                                if d.get("replacement_len") is None
+                                else int(d["replacement_len"]),
+                                bool(d.get("skip_refseq_offset") or False),
+                            )
+                            for d in edits_arr
+                        ]
+                    if segs_arr is not None and len(segs_arr) > 0:
+                        refseq_kw["cdna_mapper_segments"] = [
+                            cq.MapperSegment(
+                                int(d["genomic_start"]),
+                                int(d["genomic_end"]),
+                                int(d["cdna_start"]),
+                                int(d["cdna_end"]),
+                                1 if d.get("ori") is None else int(d["ori"]),
+                            )
+                            for d in segs_arr
+                        ]
                 tr = cq.Transcript(
                     transcript_id=str(t_id),
                     chrom="",
@@ -738,6 +819,7 @@ def _annotate_codon(
                     three_prime_utr_seq=None if u3 is None else str(u3),
                     cdna_coding_start=None if pd.isna(ccsv) else int(ccsv),
                     cdna_coding_end=None if pd.isna(ccev) else int(ccev),
+                    **refseq_kw,
                 )
                 tr_cache[t_id] = tr
             p, r, a = int(p), str(r), str(a)
@@ -760,7 +842,7 @@ def _annotate_codon(
             F.col("__t_biotype"), F.col("__t_cds_start"), F.col("__t_cds_end"),
             F.col("__t_cds_seq"), F.col("__t_exons"), F.col("__t_mirna"),
             F.col("__t_spliced"), F.col("__t_cdna"), F.col("__t_utr3"),
-            F.col("__t_ccs"), F.col("__t_cce"),
+            F.col("__t_ccs"), F.col("__t_cce"), F.col("__t_refseq"),
         ),
     )
     # a transcript within the ±pad window can still yield no term (e.g. on

@@ -445,3 +445,262 @@ def test_native_refseq_one_bp_intron_gap_keeps_frameshift_coding_consequence():
     terms = cq.classify(native_refseq_one_bp_intron_tx(), 104, "A", "-")
     assert "coding_sequence_variant" in terms
     assert "intergenic_variant" not in terms
+
+
+# ── edited-transcript reference / USED_REF / HGVSc (rs:13005-13360) ────────
+
+
+def _nm_edit_tx() -> Transcript:
+    return _tx("NM_EDIT.1", 100, 108, cds_start=100, cds_end=108,
+               cdna_coding_start=1, cdna_coding_end=9,
+               bam_edit_status="ok", has_non_polya_rna_edit=True,
+               spliced_seq="ACGATGTAA", cds_sequence="ATGATGTAA")
+
+
+def test_transcript_consequence_uses_edited_refseq_reference_for_output_and_coding():
+    # rs:13005-13059 — genome says T, the edited transcript carries C:
+    # the C>C change is synonymous against the transcript's own reference
+    t = _nm_edit_tx()
+    terms = cq.classify(t, 101, "T", "C")
+    assert "synonymous_variant" in terms
+    assert "missense_variant" not in terms
+    assert cq.used_ref_for_transcript_variant(t, 101, 101, "T") == "C"
+    assert cq.hgvs_c(t, 101, "T", "C") == "NM_EDIT.1:c.2C>C"
+    d = cq.annotation_details(t, 101, "T", "C")
+    assert d["codons"] == "aCg/aCg"
+    assert d["amino_acids"] == "T"
+
+
+def test_classify_coding_change_applies_refseq_offset_to_sequence_indices():
+    # rs:13061-13103 — +3 insertion edit before cdna 4: sequence indices
+    # shift into edited space (cds 7), display positions follow
+    t = _tx("NM_EDIT_OFFSET.1", 100, 111, cds_start=100, cds_end=111,
+            cdna_coding_start=1, cdna_coding_end=15,
+            bam_edit_status="ok", has_non_polya_rna_edit=True,
+            spliced_seq="ATGGTAAAATTTCCC", cds_sequence="ATGGTAAAATTTCCC")
+    t.refseq_edits = [RefSeqEdit(4, 3, 3)]
+    terms = cq.classify(t, 103, "A", "G")
+    assert "missense_variant" in terms
+    d = cq.annotation_details(t, 103, "A", "G")
+    assert d["codons"] == "Aaa/Gaa"
+    assert d["amino_acids"] == "K/E"
+    assert d["cds_position"] == 7
+    assert d["protein_position"] == 3
+    assert d["cds_position_str"] == "7"
+    assert d["protein_position_str"] == "3"
+
+
+def test_used_ref_reverse_complements_edited_refseq_reference_on_minus_strand():
+    # rs:13273-13288
+    t = _tx("NR_EDIT.1", 100, 108, strand=-1, biotype="lncRNA",
+            bam_edit_status="ok", has_non_polya_rna_edit=True,
+            spliced_seq="TAAAAAAAA")
+    assert cq.used_ref_for_transcript_variant(t, 108, 108, "T") == "A"
+
+
+def test_used_ref_uses_refseq_mapper_cache_even_when_bam_edit_failed():
+    # rs:13290-13320
+    t = _tx("NM_FAILED.1", 100, 108, cds_start=100, cds_end=108,
+            source="RefSeq", bam_edit_status="failed",
+            spliced_seq="ACGATGTAA")
+    t.cdna_mapper_segments = [MapperSegment(100, 108, 1, 9, 1)]
+    assert cq.used_ref_for_transcript_variant(t, 101, 101, "T") == "C"
+
+
+def test_used_ref_applies_refseq_offset_when_indexing_edited_transcript_sequence():
+    # rs:13322-13353
+    seq = list("N" * 3086)
+    seq[2640], seq[2841] = "A", "C"
+    t = _tx("NM_OFFSET.1", 100, 3000, cds_start=100, cds_end=2500,
+            bam_edit_status="ok", has_non_polya_rna_edit=True,
+            spliced_seq="".join(seq))
+    t.refseq_edits = [RefSeqEdit(1506, 1505, 201)]
+    assert cq.used_ref_for_transcript_variant(t, 2740, 2740, "G") == "C"
+
+
+# ── edited-state gates + HGVSp-shift gate (rs:16245-16405) ─────────────────
+
+
+def test_refseq_has_edited_sequence_state_ignores_native_refseq_sequence_cache():
+    t = _tx("NM_002111.8", 3074777, 3245490, cds_start=3074922,
+            cds_end=3084356, source="RefSeq", spliced_seq="ATGGCC")
+    t.cdna_mapper_segments = [MapperSegment(3074777, 3074782, 1, 6, 1)]
+    assert cq.uses_refseq_transcript_reference(t)
+    assert not cq.refseq_has_edited_sequence_state(t)
+
+
+def test_refseq_has_edited_sequence_state_accepts_edited_refseq_transcript():
+    t = _tx("NM_015120.4", 73385758, 73609919, cds_start=73385869,
+            cds_end=73609615, source="RefSeq", bam_edit_status="ok",
+            has_non_polya_rna_edit=True)
+    t.refseq_edits = [RefSeqEdit(186, 185, 3)]
+    assert cq.uses_refseq_transcript_reference(t)
+    assert cq.refseq_has_edited_sequence_state(t)
+
+
+def test_refseq_uses_transcript_shift_for_hgvsp_requires_actual_edit_evidence():
+    t = _tx("NM_001198995.1", 1752747, 1760640, cds_start=1752904,
+            cds_end=1758531, source="RefSeq", bam_edit_status="ok")
+    assert cq.uses_refseq_transcript_reference(t)
+    assert cq.refseq_has_edited_sequence_state(t)
+    assert not cq.refseq_uses_transcript_shift_for_hgvsp(t)
+
+
+def test_refseq_uses_transcript_shift_for_hgvsp_ignores_trailing_utr_edit():
+    t = _tx("NM_001198995.1", 1751232, 1758642, strand=-1,
+            cds_start=1752904, cds_end=1758531, source="RefSeq",
+            bam_edit_status="ok", cdna_coding_start=112, cdna_coding_end=1356)
+    t.refseq_edits = [RefSeqEdit(3029, 3028, 9)]
+    assert cq.refseq_has_edited_sequence_state(t)
+    assert not cq.refseq_uses_transcript_shift_for_hgvsp(t)
+
+
+def test_refseq_uses_transcript_shift_for_hgvsp_ignores_same_length_substitution_edit():
+    t = _tx("NM_001291927.1", 89_324_353, 89_490_978, strand=-1,
+            cds_start=89_326_756, cds_end=89_490_972, source="RefSeq",
+            bam_edit_status="ok", cdna_coding_start=7, cdna_coding_end=1806)
+    t.refseq_edits = [RefSeqEdit(1014, 1014, 1, skip_refseq_offset=True)]
+    assert cq.refseq_has_edited_sequence_state(t)
+    assert not cq.refseq_uses_transcript_shift_for_hgvsp(t)
+
+
+# ── terminal deleted-edit classification + edit inference (rs:16407-16500) ─
+
+
+def _patch_spliced_seq(length: int, patches: list[tuple[int, str]]) -> str:
+    seq = list("A" * length)
+    for start_1b, value in patches:
+        seq[start_1b - 1 : start_1b - 1 + len(value)] = list(value)
+    return "".join(seq)
+
+
+def _delete_cdna_intervals(seq: str, deletions: list[tuple[int, int]]) -> str:
+    return "".join(
+        b for i, b in enumerate(seq, start=1)
+        if not any(s <= i <= e for s, e in deletions)
+    )
+
+
+def test_infer_refseq_deletion_edits_replays_nm_001143805_terminal_gap():
+    genomic = _patch_spliced_seq(3829, [(1254, "AAACGTCAA"), (3719, "TTACAGA")])
+    edited = _delete_cdna_intervals(genomic, [(1258, 1258), (3723, 3723)])
+    assert cq.infer_refseq_deletion_edits_from_sequences(genomic, edited) == [
+        RefSeqEdit(1258, 1258, None),
+        RefSeqEdit(3723, 3723, None),
+    ]
+
+
+def test_infer_refseq_deletion_edits_replays_nm_001142673_terminal_gap_block():
+    genomic = _patch_spliced_seq(4147, [(2390, "AATTCGGA")])
+    edited = _delete_cdna_intervals(genomic, [(2393, 2394)])
+    assert cq.infer_refseq_deletion_edits_from_sequences(genomic, edited) == [
+        RefSeqEdit(2393, 2394, None),
+    ]
+
+
+def _nm_001143805_tx() -> Transcript:
+    t = _tx("NM_001143805.1", 27_654_893, 27_720_779, strand=-1,
+            cds_start=27_657_821, cds_end=27_658_564, source="RefSeq",
+            bam_edit_status="ok", cdna_coding_start=158, cdna_coding_end=901,
+            exons=[(27_720_644, 27_720_779), (27_654_893, 27_658_585)])
+    genomic = _patch_spliced_seq(3829, [(1254, "AAACGTCAA"), (3719, "TTACAGA")])
+    t.spliced_seq = _delete_cdna_intervals(genomic, [(1258, 1258), (3723, 3723)])
+    t.refseq_edits = cq.infer_refseq_deletion_edits_from_sequences(genomic, t.spliced_seq)
+    t.cdna_mapper_segments = [
+        MapperSegment(27_654_893, 27_654_998, 3722, 3827, -1),
+        MapperSegment(27_655_000, 27_657_463, 1258, 3721, -1),
+        MapperSegment(27_657_465, 27_658_585, 137, 1257, -1),
+        MapperSegment(27_720_644, 27_720_779, 1, 136, -1),
+    ]
+    return t
+
+
+def test_refseq_terminal_deleted_edit_base_classifies_intergenic_for_overlap_terms():
+    # VCF GT>G at 27657463 deletes the genomic base the RNA edit removed
+    terms = cq.classify(_nm_001143805_tx(), 27_657_463, "GT", "G")
+    assert terms == ["intergenic_variant"]
+
+
+def test_refseq_noncoding_deleted_edit_gap_stays_non_coding_transcript_exon_variant():
+    t = _tx("NR_144422.2", 46_672_255, 46_674_518, biotype="misc_RNA",
+            source="RefSeq", bam_edit_status="ok")
+    t.refseq_edits = [RefSeqEdit(2507, 2508, None)]
+    t.cdna_mapper_segments = [
+        MapperSegment(46_672_255, 46_672_763, 1998, 2506, 1),
+        MapperSegment(46_672_766, 46_674_518, 2507, 4259, 1),
+    ]
+    terms = cq.classify(t, 46_672_763, "GTC", "G")
+    assert terms == ["non_coding_transcript_exon_variant"]
+
+
+# ── compute_cdna_position boundary battery (rs:11916-12076, 12981-13003) ──
+
+
+def test_compute_cdna_position_boundary_battery():
+    t = _tx("tx1", 100, 200, cds_start=100, cds_end=200)
+    assert cq.cdna_span_str(t, 150, "-", "ACG") == "50-51"
+    assert cq.cdna_span_str(t, 201, "-", "ACG") == "101-102"
+    assert cq.cdna_span_str(t, 110, "N" * 6, "-") == "11-16"
+    s = cq.cdna_span_str(t, 90, "N" * 21, "-")
+    assert s is not None and "?" in s
+    t2 = _tx("tx1", 200, 300, cds_start=200, cds_end=300)
+    assert cq.cdna_span_str(t2, 200, "-", "ACG") == "0-1"
+    t3 = _tx("tx1", 200, 300, strand=-1, cds_start=200, cds_end=300)
+    assert cq.cdna_span_str(t3, 200, "-", "ACG") == "101-102"
+    t4 = _tx("tx1", 100, 200, strand=-1, cds_start=100, cds_end=200)
+    s = cq.cdna_span_str(t4, 190, "N" * 21, "-")
+    assert s is not None and "?" in s
+
+
+def test_adjust_refseq_cds_output_position_applies_offset_only_downstream_of_edit():
+    t = _tx("NM_015120.4", 73385758, 73609919, cds_start=73385869,
+            cds_end=73609615, cdna_coding_start=112)
+    t.refseq_edits = [RefSeqEdit(186, 185, 3)]
+    assert cq.adjust_refseq_cds_output_position(t, 35, 0) == 35
+    assert cq.adjust_refseq_cds_output_position(t, 2015, 0) == 2018
+
+
+# ── Spark-side plumbing: mapper/edit columns flow through annotate_vep ────
+
+
+def test_annotate_vep_typed_plumbs_refseq_mapper_context(spark):
+    """End-to-end DataFrame test: a transcripts table carrying the optional
+    refseq_edits / cdna_mapper_segments / bam_edit_status columns drives the
+    edited-RefSeq machinery inside the classify UDF (chr4-regression shape:
+    mapper cDNA 200, exon geometry would say 201)."""
+    from datafusion_bio_functions_spark.operators.vep import annotate_vep
+
+    variants = spark.createDataFrame(
+        [("1", 1200, 1200, "C", "G")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string",
+    )
+    transcripts = spark.createDataFrame(
+        [
+            (
+                "NM_CHR4LIKE.1", "1", 1000, 8000, 1, "protein_coding",
+                "RefSeq", "ok", True,
+                [(137, 137, None, False)],
+                [(1000, 1135, 1, 136, 1), (1137, 8000, 137, 7000, 1)],
+                1100, 3000,
+            )
+        ],
+        "transcript_id string, chrom string, start long, end long, "
+        "strand int, biotype string, source string, bam_edit_status string, "
+        "has_non_polya_rna_edit boolean, "
+        "refseq_edits array<struct<start:bigint,end:bigint,"
+        "replacement_len:bigint,skip_refseq_offset:boolean>>, "
+        "cdna_mapper_segments array<struct<genomic_start:bigint,"
+        "genomic_end:bigint,cdna_start:bigint,cdna_end:bigint,ori:int>>, "
+        "cds_start long, cds_end long",
+    )
+    out = annotate_vep(variants, cache, transcripts=transcripts).collect()
+    assert len(out) == 1
+    row = out[0].asDict()
+    # mapper-authoritative coordinates: cDNA 200 (not exon-geometry 201),
+    # so the HGVS c. position is 200 - coding_start(101) + 1 = 100
+    assert row["hgvsc"] == "NM_CHR4LIKE.1:c.100C>G"
