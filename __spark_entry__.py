@@ -799,8 +799,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # duplicate-cluster assignment: connected components (min-label
     # propagation) over the minhash near-dup pair graph; the oracle
     # recomputes components with a recursive CTE over the exact pairs
-    q["dedup_components"] = lambda spark, sf: connected_components(
-        minhash_dedup(_docs_dup(spark, sf), threshold=0.9, num_perm=64, bands=8)
+    # fused path: CC on representative-level edges + one member_map join —
+    # identical output to connected_components(minhash_dedup(...)) without
+    # the quadratic within-group pair expansion (pinned by
+    # tests/test_pipeline_extras.py fused-components tests)
+    q["dedup_components"] = lambda spark, sf: minhash_dedup(
+        _docs_dup(spark, sf), threshold=0.9, num_perm=64, bands=8,
+        output="components",
     ).select(
         F.col("id").cast("long").alias("id"),
         F.col("component").cast("long").alias("component"),

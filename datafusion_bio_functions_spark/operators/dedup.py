@@ -473,6 +473,12 @@ def minhash_dedup(
     near-duplicate (single-pass representative: min neighbor id; documented
     approximation of full connected components — transitive chains collapse
     to their minimum via the dominance rule applied once).
+    ``output='components'`` → ``(id, component)`` connected components of
+    the near-dup graph, FUSED with the exact-duplicate collapse: CC runs on
+    representative-level edges and members are assigned through one
+    member_map join — identical to
+    ``connected_components(minhash_dedup(output='pairs'))`` but linear in
+    members where the expanded within-group pairs are quadratic.
 
     ``collapse_exact``: byte-identical texts are grouped and only one
     representative per group enters the shingle/signature/LSH/verify
@@ -526,6 +532,40 @@ def minhash_dedup(
                 within_value=F.lit(1.0) if threshold <= 1.0 else None,
             )
         out = verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    elif output == "components":
+        # fused near-dup components: run CC on REPRESENTATIVE-level edges
+        # and assign members through one member_map join — identical output
+        # to connected_components(minhash_dedup(output='pairs')) but linear
+        # in members where the expanded within-group pairs are quadratic (a
+        # text duplicated g times emits g²/2 pairs; at web scale a viral
+        # boilerplate duplicated millions of times makes the pair output
+        # itself the bottleneck).  Semantics: members of a multi-member
+        # exact-dup group unify with their representative (their expanded
+        # pairs all carry J=1, admitted whenever threshold ≤ 1), and cross
+        # pairs unify representative groups; component = min member id
+        # (representatives are group minima, so the rep-level minimum IS
+        # the member-level minimum).
+        if collapse_exact:
+            rep_cc = connected_components(
+                verified.select("id_a", "id_b")
+            ).select(
+                F.col("id").alias("__rep"), F.col("component").alias("__comp")
+            )
+            gsz = groups.select(F.col(id_col).alias("__rep"), "__gn")
+            in_graph = F.col("__comp").isNotNull()
+            if threshold <= 1.0:
+                in_graph = in_graph | (F.col("__gn") > 1)
+            out = (
+                member_map.join(rep_cc, "__rep", "left")
+                .join(gsz, "__rep")
+                .filter(in_graph)
+                .select(
+                    F.col("__id").alias("id"),
+                    F.coalesce("__comp", F.col("__rep")).alias("component"),
+                )
+            )
+        else:
+            out = connected_components(verified.select("id_a", "id_b"))
     elif output == "kept":
         if collapse_exact:
             # dominance without the (quadratic) pair expansion: a non-rep
