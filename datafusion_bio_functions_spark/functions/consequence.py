@@ -826,6 +826,217 @@ def raw_cdna_position_from_genomic(t: Transcript, pos: int) -> str | None:
     return None
 
 
+@dataclass
+class HgvsShift:
+    """Genomic 3'-shift state for an indel (reference ``HgvsGenomicShift``,
+    hgvs.rs:33-50) — the flanking-sequence walk result Ensembl's
+    ``_return_3prime()`` caches on the variation feature."""
+
+    strand: int
+    shift_length: int
+    start: int
+    end: int
+    shifted_allele_string: str
+    shifted_output_allele: str
+    five_prime_flanking_seq: str = ""
+    three_prime_flanking_seq: str = ""
+
+
+def perform_shift_ensembl(
+    seq_to_check: str,
+    hgvs_output: str,
+    post_seq: str,
+    pre_seq: str,
+    var_start: int,
+    var_end: int,
+    reverse: bool,
+    seq_strand: int,
+) -> tuple[int, str, str, int, int]:
+    """Ensembl's character-by-character indel 3'-shift walk (reference
+    perform_shift_ensembl, hgvs.rs:1041-1150; Ensembl Variation
+    ``_return_3prime``): roll the event allele along the flanking sequence
+    while the next flank base equals the event's leading (or, reversed,
+    trailing) base; the HGVS output allele rotates in the variation
+    feature's own orientation."""
+    check = list(seq_to_check)
+    hgvs = list(hgvs_output)
+    indel_length = len(check)
+    shift_length = 0
+    hgvs_reverse = seq_strand != 1
+    start_n = 1 if reverse else 0
+    if reverse:
+        loop_limiter = (
+            len(pre_seq)
+            if indel_length > len(pre_seq)
+            else len(pre_seq) - indel_length + 1
+        )
+    else:
+        loop_limiter = (
+            len(post_seq)
+            if indel_length > len(post_seq)
+            else len(post_seq) - indel_length
+        )
+    for n in range(start_n, loop_limiter + 1):
+        if reverse:
+            if not check:
+                break
+            check_next_del = check[-1]
+            idx = len(pre_seq) - n
+            if idx < 0 or idx >= len(pre_seq):
+                break
+            check_next_ref = pre_seq[idx]
+            if not hgvs:
+                break
+            hgvs_next_del = hgvs[0] if hgvs_reverse else hgvs[-1]
+        else:
+            if not check:
+                break
+            check_next_del = check[0]
+            if n >= len(post_seq):
+                break
+            check_next_ref = post_seq[n]
+            if not hgvs:
+                break
+            hgvs_next_del = hgvs[-1] if hgvs_reverse else hgvs[0]
+        if check_next_del != check_next_ref:
+            break
+        shift_length += 1
+        if reverse:
+            check.insert(0, check.pop())
+            if hgvs_reverse:
+                if hgvs:
+                    hgvs.pop(0)
+                hgvs.append(hgvs_next_del)
+            else:
+                hgvs.pop()
+                hgvs.insert(0, hgvs_next_del)
+        else:
+            if check:
+                check.pop(0)
+            check.append(check_next_del)
+            if hgvs_reverse:
+                hgvs.pop()
+                hgvs.insert(0, hgvs_next_del)
+            else:
+                if hgvs:
+                    hgvs.pop(0)
+                hgvs.append(hgvs_next_del)
+            var_start += 1
+            var_end += 1
+    return shift_length, "".join(check), "".join(hgvs), var_start, var_end
+
+
+def unshifted_cdna_bounds_for_hgvs_shift(
+    t: Transcript, variant_start: int, variant_end: int, ref: str, alt: str
+) -> tuple[int, int] | None:
+    """Unshifted transcript-sequence cDNA bounds Ensembl uses when
+    generating HGVS 3' shifts (reference
+    unshifted_cdna_bounds_for_hgvs_shift, transcript_consequence.rs:7135-7205).
+    Insertions map both flanks (synthesizing a missing flank ±1 by strand,
+    or bridging between segments when both miss); deletions map both ends."""
+    coords = transcript_cdna_coords(t)
+    if not coords:
+        return None
+    is_ins = ref in ("-", "") and alt not in ("-", "")
+    is_del = alt in ("-", "") and ref not in ("-", "")
+    if is_ins:
+        left = genomic_to_cdna_index_for_transcript(t, variant_start - 1)
+        right = genomic_to_cdna_index_for_transcript(t, variant_start)
+        if left is not None and right is not None:
+            return min(left, right), max(left, right)
+        if right is not None:
+            other = right - 1 if t.strand >= 0 else right + 1
+            return min(other, right), max(other, right)
+        if left is not None:
+            other = left + 1 if t.strand >= 0 else left - 1
+            return min(left, other), max(left, other)
+        prev_seg = None
+        for c in coords:
+            if c[1] < variant_start:
+                prev_seg = c
+            else:
+                break
+        next_seg = next((c for c in coords if c[0] > variant_start), None)
+        if prev_seg is None or next_seg is None:
+            return None
+        if t.strand >= 0:
+            return prev_seg[3], next_seg[2]
+        return next_seg[3], prev_seg[2]
+    if is_del:
+        s = genomic_to_cdna_index_for_transcript(t, variant_start)
+        e = genomic_to_cdna_index_for_transcript(t, variant_end)
+        if s is None or e is None:
+            return None
+        return min(s, e), max(s, e)
+    return None
+
+
+def refseq_transcript_shift_for_hgvs_protein(
+    t: Transcript, variant_start: int, variant_end: int, ref: str, alt: str
+) -> HgvsShift | None:
+    """Edited-RefSeq transcript-sequence 3' shift for protein HGVS
+    (reference refseq_transcript_shift_for_hgvs_protein,
+    transcript_consequence.rs:4631-4805, fresh-computation path; the
+    precomputed-shift reuse branch needs Ensembl's variation-feature shift
+    hashes, which this engine does not carry).  None when the transcript
+    has no real coding-overlapping edit evidence, the event is not a pure
+    indel, or the flanking window is unreadable."""
+    if not refseq_uses_transcript_shift_for_hgvsp(t):
+        return None
+    is_insertion = ref in ("-", "") and alt not in ("-", "")
+    is_deletion = alt in ("-", "") and ref not in ("-", "")
+    if not is_insertion and not is_deletion:
+        return None
+    seq = t.spliced_seq if t.spliced_seq is not None else t.cdna_seq
+    if seq is None:
+        return None
+    seq = seq.upper()
+    bounds = unshifted_cdna_bounds_for_hgvs_shift(t, variant_start, variant_end, ref, alt)
+    if bounds is None:
+        return None
+    cdna_lo, cdna_hi = bounds
+    if is_insertion:
+        start_cdna, end_cdna = cdna_hi, cdna_lo
+    else:
+        start_cdna, end_cdna = cdna_lo, cdna_hi
+    area = 1000
+    search_start = max(start_cdna - area - 1, 0)
+    search_end = min(end_cdna + area, len(seq))
+    if search_end < search_start:
+        return None
+    seqs = seq[search_start:search_end]
+    pre_len = start_cdna - search_start - 1
+    if pre_len < 0:
+        return None
+    post_suffix_len = search_end - end_cdna
+    if post_suffix_len < 0 or post_suffix_len > len(seqs):
+        return None
+    pre_seq = seqs[:pre_len]
+    post_seq = seqs[len(seqs) - post_suffix_len :]
+    seq_to_check = alt if is_insertion else ref
+    if t.strand != 1:
+        seq_to_check = revcomp(seq_to_check).upper()
+    else:
+        seq_to_check = seq_to_check.upper()
+    hgvs_output = ("" if alt in ("-",) else alt).upper()
+    shift_length, shifted_seq, shifted_hgvs_output, _, _ = perform_shift_ensembl(
+        seq_to_check, hgvs_output, post_seq, pre_seq,
+        start_cdna, end_cdna, t.strand < 0, t.strand,
+    )
+    shift_delta = shift_length if t.strand >= 0 else -shift_length
+    flank_len = shift_length + 1
+    return HgvsShift(
+        strand=t.strand,
+        shift_length=shift_length,
+        start=variant_start + shift_delta,
+        end=variant_end + shift_delta,
+        shifted_allele_string=shifted_seq,
+        shifted_output_allele=shifted_hgvs_output,
+        five_prime_flanking_seq="" if shift_length == 0 else pre_seq[-flank_len:],
+        three_prime_flanking_seq="" if shift_length == 0 else post_seq[:flank_len],
+    )
+
+
 def edited_transcript_reference_allele(
     t: Transcript, vs: int, ve: int, ref: str
 ) -> str | None:

@@ -1433,13 +1433,20 @@ def test_frameshift_hgvsp_finds_stop_in_three_prime_utr():
 
 
 def test_shifted_hgvsp_fixture_cluster_is_unhydratable():
-    """The reference's shifted-TVA HGVSp replay cases
-    (shifted_tva_protein_hgvs_matches_nm015120_case and siblings,
-    transcript_consequence.rs:8905-9420) include_str! author-local
-    .tmp_chr* sequence files and read an absolute-path reference FASTA —
-    neither ships in the repository, so the cluster cannot be replayed
-    here (same class as the git-LFS golden fixtures).  This test documents
-    the audit: if the fixtures ever appear, it fails to force mining."""
+    """Audit of the reference's shifted-TVA HGVSp cluster
+    (transcript_consequence.rs:8905-9420).  Round-6 state: the SYNTHETIC
+    subset is now replayed in tests/test_mapper_parity.py — the
+    perform_shift_ensembl walk battery (hgvs.rs:5079-5250), the
+    refseq_transcript_shift_for_hgvs_protein gates (bam-only status,
+    trailing-UTR edit; rs:16317/16502) and a positive repeat-walk shift on
+    the inline NM_015120 fixture.  The remaining unreplayed members
+    (nm_015120_no_mapper_shifted_insertion_matches_vep_equal_window and the
+    equal-window/prefers-upstream family) are blocked by the unported
+    shifted-TVA peptide-window subsystem (shifted_tva_peptide_window +
+    canonical/edited dual-translation caches, rs:4276-4560), not by
+    fixtures; the include_str! .tmp_chr* cases additionally need the
+    author-local FASTA.  If those local files ever appear, this fails to
+    force mining the FASTA-dependent remainder too."""
     import glob
     import os
 

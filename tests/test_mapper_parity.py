@@ -704,3 +704,79 @@ def test_annotate_vep_typed_plumbs_refseq_mapper_context(spark):
     # mapper-authoritative coordinates: cDNA 200 (not exon-geometry 201),
     # so the HGVS c. position is 200 - coding_start(101) + 1 = 100
     assert row["hgvsc"] == "NM_CHR4LIKE.1:c.100C>G"
+
+
+# ── transcript-sequence 3' shift machinery (hgvs.rs:1041-1150,
+#    transcript_consequence.rs:4631-4805) ────────────────────────────────────
+
+
+def test_perform_shift_ensembl_rotates_hgvs_output_in_vf_orientation():
+    # hgvs.rs:5079-5088
+    assert cq.perform_shift_ensembl("GATG", "GATG", "", "TG", 100, 99, True, -1) == (
+        2, "TGGA", "TGGA", 100, 99,
+    )
+
+
+def test_perform_shift_ensembl_forward_no_reverse_rotates_both_left():
+    # hgvs.rs:5222-5232
+    assert cq.perform_shift_ensembl("AT", "AT", "ATGC", "", 100, 99, False, 1) == (
+        2, "AT", "AT", 102, 101,
+    )
+
+
+def test_perform_shift_ensembl_reverse_with_hgvs_reverse():
+    # hgvs.rs:5235-5243
+    shift, _seq, hgvs, _s, _e = cq.perform_shift_ensembl(
+        "AG", "AG", "", "CCAG", 100, 101, True, -1
+    )
+    assert shift > 0
+    assert len(hgvs) == 2
+
+
+def test_perform_shift_ensembl_no_match_returns_zero_shift():
+    # hgvs.rs:5246-5250
+    assert cq.perform_shift_ensembl("AT", "AT", "GC", "", 100, 99, False, 1) == (
+        0, "AT", "AT", 100, 99,
+    )
+
+
+def test_refseq_transcript_shift_ignores_bam_only_refseq_status():
+    # rs:16317-16342 — bam_edit_status alone is not edit evidence
+    t = _tx("NM_001198995.1", 1752904, 1752910, cds_start=1752904,
+            cds_end=1752910, source="RefSeq", bam_edit_status="ok",
+            spliced_seq="ATGGAGG")
+    assert cq.refseq_transcript_shift_for_hgvs_protein(
+        t, 1752909, 1752908, "-", "CCT") is None
+
+
+def test_refseq_transcript_shift_ignores_trailing_utr_edit():
+    # rs:16502-16534 — edits wholly after the CDS never trigger the shift
+    t = _tx("NM_001198995.1", 1000, 1038, cds_start=1000, cds_end=1011,
+            source="RefSeq", bam_edit_status="ok",
+            cdna_coding_start=1, cdna_coding_end=12,
+            spliced_seq="ATGGAGGAGGGCTTTTTTTTTTTTTTTTTTTTTTTTTTT")
+    t.refseq_edits = [RefSeqEdit(30, 29, 9)]
+    assert cq.refseq_transcript_shift_for_hgvs_protein(
+        t, 1006, 1005, "-", "GGA") is None
+
+
+def test_refseq_transcript_shift_computes_repeat_walk_on_edited_transcript():
+    """Positive path: an insertion inside the NM_015120-style GAG repeat
+    walks 3' along the EDITED transcript sequence (the genome lacks the
+    3bp edit).  The shift length equals the remaining repeat run and the
+    rotated allele string is preserved (reference fresh-computation path,
+    transcript_consequence.rs:4706-4805)."""
+    five = "AGGCGGGCGGCACTGCGCCTAAGCTGGGCCACAACCGCCAGTCAGGGCTCTCCCCTTCCCCTCCCTCCCCCCCTCCTCCTCCTCCTCTGCCGCCCAGAGCGAGACACCAAC"
+    edited_cds = "ATGGAGCCCGAGGATCTGCCATGGCCGGGCGAGCTGGAGGAGGAGGAGGAGGAGGAGGAGGAGGAGGAGGAGGAAGAGGAGGAGGCTGCAGCGGCGGCGGCGGCGAACGTGGACGACGTAGTGGTCGTGGAGGAGGTGGAGGAAGAGGCGGGGCGGGAGTTGGACTCCGACTCTCACTACGGGCCCCAGCATCTGGAAAGTATAGACGACGAGGAGGACGAGGAGGCCAAGGCCTGG"
+    t = _tx("NM_015120.4", 73385758, 73386108, cds_start=73385869,
+            cds_end=73386108, source="RefSeq", bam_edit_status="ok",
+            has_non_polya_rna_edit=True, cdna_coding_start=112,
+            cdna_coding_end=351, spliced_seq=five + edited_cds)
+    t.refseq_edits = [RefSeqEdit(186, 185, 3)]
+    shift = cq.refseq_transcript_shift_for_hgvs_protein(
+        t, 73385904, 73385903, "-", "GGA"
+    )
+    assert shift is not None
+    assert shift.shift_length > 0
+    assert len(shift.shifted_allele_string) == 3
+    assert shift.start == 73385904 + shift.shift_length
