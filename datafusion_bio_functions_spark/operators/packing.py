@@ -29,6 +29,7 @@ def pack_documents(
     token_col: str | None = None,
     text_col: str = "text",
     n_shards: int = 32,
+    stream_per_shard: bool = False,
 ) -> DataFrame:
     """Assign each document to a ``(shard, pack_id)`` with next-fit packing.
 
@@ -38,8 +39,14 @@ def pack_documents(
       ``token_count(text_col)`` (single-space tokens).
     * ``n_shards``: parallelism — documents shard by ``id % n_shards`` and
       pack independently per shard in ascending id order (deterministic).
-      At scale pick ``n_shards ∝ cluster cores``; each shard's documents
-      must fit one task (they stream through a single Arrow group).
+      At scale pick ``n_shards ∝ cluster cores``.
+    * ``stream_per_shard``: the default ``applyInPandas`` form materializes
+      each shard as ONE Arrow group, so a shard must fit task memory.
+      ``True`` streams instead: rows are hash-partitioned by shard, sorted
+      ``(shard, doc_id)`` within partitions, and folded by a ``mapInPandas``
+      iterator that carries per-shard ``(acc, pack_id)`` state across Arrow
+      batches — identical output, bounded memory at any shard size
+      (property-tested with shards spanning many batches).
 
     Output: ``(id_col, shard, pack_id, n_tokens)`` — ``pack_id`` is dense
     per shard starting at 0.
@@ -61,6 +68,38 @@ def pack_documents(
     ).withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("long"))
 
     schema = "doc_id long, shard long, pack_id long, n_tokens long"
+
+    if stream_per_shard:
+        # iterator form: every row of a shard lands in one partition
+        # (repartition by shard) and arrives in fold order
+        # (sortWithinPartitions) — the fold state dict carries across
+        # Arrow batches, so no shard is ever materialized whole
+        part = base.repartition(n_shards, "shard").sortWithinPartitions(
+            "shard", "doc_id"
+        )
+
+        def _pack_stream(batches):
+            state: dict[int, tuple[int, int]] = {}  # shard -> (acc, pid)
+            for pdf in batches:
+                packs = []
+                for s, tok in zip(pdf["shard"].tolist(), pdf["n_tokens"].tolist()):
+                    s, tok = int(s), int(tok)
+                    acc, pid = state.get(s, (0, -1))
+                    if pid < 0 or acc + tok > budget:
+                        pid += 1
+                        acc = tok
+                    else:
+                        acc += tok
+                    state[s] = (acc, pid)
+                    packs.append(pid)
+                pdf = pdf.copy()
+                pdf["pack_id"] = packs
+                yield pdf[["doc_id", "shard", "pack_id", "n_tokens"]]
+
+        out = part.mapInPandas(_pack_stream, schema)
+        if id_col != "doc_id":
+            out = out.withColumnRenamed("doc_id", id_col)
+        return out
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)

@@ -328,3 +328,36 @@ def test_minhash_components_fused_is_linear_in_duplicated_members(spark):
     rows = out.collect()
     assert len(rows) == n
     assert {r.component for r in rows} == {0}
+
+
+def test_pack_documents_stream_matches_batch_across_many_arrow_batches(spark):
+    """stream_per_shard=True must equal the batch form even when one shard
+    spans MANY Arrow batches (the exact ceiling the iterator lifts).
+    maxRecordsPerBatch=64 forces ~8 batches per 500-row shard."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from datafusion_bio_functions_spark.operators.packing import pack_documents
+
+    rnd = random.Random(7)
+    rows = [(i, " ".join("w" * 1 for _ in range(rnd.randint(1, 40)))) for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        batch = {
+            r.doc_id: (r.shard, r.pack_id, r.n_tokens)
+            for r in pack_documents(docs, budget=100, n_shards=2).collect()
+        }
+        stream = {
+            r.doc_id: (r.shard, r.pack_id, r.n_tokens)
+            for r in pack_documents(
+                docs, budget=100, n_shards=2, stream_per_shard=True
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert stream == batch
+    assert len(stream) == 1000
