@@ -147,10 +147,11 @@ def main() -> None:
     # timings (BASELINE.md carries the measured evidence)
     out["notes"] = {
         "depth_blocks": (
-            "re-classed engine-constant floor (BASELINE.md round-5 note): "
-            "auto/grouped path, same-day sf1 2.75x / sf10 3.09x vs oracle, "
-            "residual gap decomposes into per-stage Spark constants on a "
-            "breakpoint-saturated synthetic space"
+            "re-classed engine-constant floor, CLOSED by the round-6 "
+            "genome-shaped ladder (BASELINE.md round-6): with breakpoints "
+            "scaling with data the ratio FALLS with SF - 2.3x at sf1, "
+            "1.64x at sf10 - and auto now routes over-cap few-contig "
+            "inputs to the chunked prefix sum (21.5 -> 9.2 s at sf10)"
         ),
         "coverage": (
             "CollectLeft index broadcast memoized across strict/weak twins; "

@@ -134,7 +134,11 @@ def depth(
 
     ``algorithm='auto'`` (default): size-aware — a bounded memoized probe
     routes to ``grouped`` below ``spark.bio.depth.groupedMaxSegments``
-    (default 8 M) and to ``window`` above.  ``'grouped'``: per-contig
+    (default 8 M); above the guard it picks ``window`` when the sampled
+    contig count alone saturates ``defaultParallelism`` and ``chunked``
+    otherwise (few-contig inputs starve a per-contig window; measured
+    sf10 genome-shape: window 21.5 s vs chunked 9.2 s on 4 contigs /
+    local[32]).  ``'grouped'``: per-contig
     numpy kernel in ``applyInPandas`` — one shuffle, events sorted/summed
     vectorized (sf1 same-day: 1.0 s vs 1.9 s window).  ``'window'``: one
     running-sum window per contig — one row per breakpoint, one task per
@@ -202,8 +206,8 @@ def depth(
             (one_based + n_m - 1).alias("e"),
         )
         if algorithm == "auto":
-            fits, all_simple = _probe_alignments(df, simple)
-            algorithm = "grouped" if fits else "window"
+            fits, all_simple, n_contigs = _probe_alignments(df, simple, c)
+            algorithm = "grouped" if fits else _over_cap_algorithm(df, n_contigs)
             if all_simple:
                 # every CIGAR in the (bounded-probed, fully seen) input is
                 # a single '<n>M' run — drop the slow branch and its
@@ -228,8 +232,8 @@ def depth(
 
     if algorithm == "auto":
         # binary-CIGAR branch: size probe only (no simple/slow split)
-        fits, _ = _probe_alignments(df, None)
-        algorithm = "grouped" if fits else "window"
+        fits, _, n_contigs = _probe_alignments(df, None, c)
+        algorithm = "grouped" if fits else _over_cap_algorithm(df, n_contigs)
 
     if algorithm == "grouped":
         blocks = _grouped_blocks(segments)
@@ -312,17 +316,31 @@ GROUPED_MAX_ROWS = 8_000_000
 _GROUPED_FIT_MEMO: dict = {}
 
 
-def _probe_alignments(df: DataFrame, simple) -> tuple[bool, bool]:
-    """One bounded job answering both auto-selection questions: does the
-    (filtered) alignment count fit the grouped guard, and — when it does —
-    is every CIGAR a simple '<n>M' run (the probe saw ALL rows, so the
-    slow branch is provably empty).  Memoized by plan+input fingerprint
-    (``_plan_key``); never scans more than guard+1 rows."""
+def _over_cap_algorithm(df: DataFrame, n_contigs: int) -> str:
+    """Above the grouped guard: the per-contig window keeps task count =
+    #contigs, which starves a wide cluster on few-contig inputs (measured
+    sf10 genome-shape: window 21.5 s vs chunked 9.2 s on 4 contigs /
+    local[32]); the two-phase chunked prefix sum spreads every contig
+    across genome chunks.  Window only when contigs alone saturate the
+    cluster."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return "window" if n_contigs >= par else "chunked"
+
+
+def _probe_alignments(df: DataFrame, simple, contig_col: str) -> tuple[bool, bool, int]:
+    """One bounded job answering the auto-selection questions: does the
+    (filtered) alignment count fit the grouped guard, when it does is
+    every CIGAR a simple '<n>M' run (the probe saw ALL rows, so the slow
+    branch is provably empty), and how many distinct contigs the sample
+    carries (drives the window-vs-chunked choice above the guard: a
+    per-contig window on few contigs starves the cluster).  Memoized by
+    plan+input fingerprint (``_plan_key``); never scans more than
+    guard+1 rows."""
     key = None
     try:
         from .intervals import _plan_key
 
-        key = (_plan_key(df), simple is not None, "depth-grouped")
+        key = (_plan_key(df), simple is not None, "depth-grouped-v2")
         if key in _GROUPED_FIT_MEMO:
             return _GROUPED_FIT_MEMO[key]
     except Exception:
@@ -334,7 +352,10 @@ def _probe_alignments(df: DataFrame, simple) -> tuple[bool, bool]:
             conf.get("spark.bio.depth.groupedMaxRows", str(GROUPED_MAX_ROWS)),
         )
     )
-    probe_cols = [F.count(F.lit(1)).alias("n")]
+    probe_cols = [
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(contig_col).alias("n_contigs"),
+    ]
     if simple is not None:
         probe_cols.append(
             F.sum(F.when(~simple, 1).otherwise(0)).alias("n_complex")
@@ -342,7 +363,7 @@ def _probe_alignments(df: DataFrame, simple) -> tuple[bool, bool]:
     row = df.limit(limit + 1).agg(*probe_cols).collect()[0]
     fits = row["n"] <= limit
     all_simple = bool(fits and simple is not None and (row["n_complex"] or 0) == 0)
-    res = (fits, all_simple)
+    res = (fits, all_simple, int(row["n_contigs"] or 0))
     if key is not None:
         if len(_GROUPED_FIT_MEMO) > 1024:
             _GROUPED_FIT_MEMO.clear()
