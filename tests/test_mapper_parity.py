@@ -780,3 +780,111 @@ def test_refseq_transcript_shift_computes_repeat_walk_on_edited_transcript():
     assert shift.shift_length > 0
     assert len(shift.shifted_allele_string) == 3
     assert shift.start == 73385904 + shift.shift_length
+
+
+# ── HGVSc pre-edit anchor overrides + mapper intronic anchors
+#    (hgvs.rs:3234-3283, 4305-4360) ──────────────────────────────────────────
+
+
+def test_hgvs_cdna_position_native_refseq_pre_coding_intronic_anchor_uses_post_gap_numbering():
+    # hgvs.rs:3234-3283 — mapper carries a 1bp deleted gap; the intronic
+    # anchor follows the LARGER exon-geometry coordinate, then coding shift
+    t = _tx("NM_001007075.2", 39044831, 39126233, cds_start=39044831,
+            cds_end=39126233, source="RefSeq",
+            cdna_coding_start=360, cdna_coding_end=2489,
+            exons=[(39044831, 39045096), (39062559, 39063035)])
+    t.cdna_mapper_segments = [
+        MapperSegment(39044831, 39044966, 1, 136, 1),
+        MapperSegment(39044968, 39045096, 137, 265, 1),
+        MapperSegment(39062559, 39063035, 266, 742, 1),
+    ]
+    assert cq._cds_relative_notation(t, 39045450) == "-94+354"
+
+
+def _nm_001177639_leading_edit_tx() -> Transcript:
+    t = _tx("NM_001177639.3", 49510418, 49535615, cds_start=49510542,
+            cds_end=49533206, source="RefSeq", bam_edit_status="ok",
+            has_non_polya_rna_edit=True,
+            cdna_coding_start=125, cdna_coding_end=2812,
+            exons=[(49510418, 49510819), (49530797, 49535615)])
+    t.refseq_edits = [RefSeqEdit(1, 0, 7)]
+    t.cdna_mapper_segments = [
+        MapperSegment(49510418, 49510819, 8, 409, 1),
+        MapperSegment(49530797, 49535615, 410, 5228, 1),
+    ]
+    return t
+
+
+def test_format_hgvsc_native_refseq_leading_insertion_uses_pre_edit_upstream_anchor():
+    t = _nm_001177639_leading_edit_tx()
+    assert cq.hgvs_c(t, 49510861, "T", "C") == "NM_001177639.3:c.278+42T>C"
+
+
+def test_format_hgvsc_native_refseq_leading_insertion_uses_pre_edit_downstream_anchor():
+    t = _nm_001177639_leading_edit_tx()
+    assert cq.hgvs_c(t, 49521283, "C", "T") == "NM_001177639.3:c.279-9514C>T"
+
+
+def _internal_edit_exons() -> list[tuple[int, int]]:
+    return [
+        (89829880, 89829934), (89846562, 89846644), (89853166, 89853234),
+        (89854817, 89854917), (89855470, 89855544), (89857084, 89857199),
+        (89862126, 89864371), (89865953, 89869082), (89871289, 89871388),
+        (89873801, 89874436),
+    ]
+
+
+def test_format_hgvsc_internal_refseq_insertion_uses_pre_edit_downstream_anchor():
+    # NM_001137668.2 — a +48 internal edit shifts every mapper cdna after
+    # exon 9; the intronic anchor keeps pre-edit exon-geometry numbering
+    exons = _internal_edit_exons()
+    exons[0] = (89829880, 89829934)
+    t = _tx("NM_001137668.2", 89829880, 89874436, cds_start=89829880,
+            cds_end=89874436, source="RefSeq", bam_edit_status="ok",
+            has_non_polya_rna_edit=True,
+            cdna_coding_start=84, cdna_coding_end=6032, exons=exons)
+    t.refseq_edits = [RefSeqEdit(5976, 5975, 48), RefSeqEdit(5977, 5977, 1, True)]
+    t.cdna_mapper_segments = [
+        MapperSegment(89829880, 89829934, 1, 55, 1),
+        MapperSegment(89846562, 89846644, 56, 138, 1),
+        MapperSegment(89853166, 89853234, 139, 207, 1),
+        MapperSegment(89854817, 89854917, 208, 308, 1),
+        MapperSegment(89855470, 89855544, 309, 383, 1),
+        MapperSegment(89857084, 89857199, 384, 499, 1),
+        MapperSegment(89862126, 89864371, 500, 2745, 1),
+        MapperSegment(89865953, 89869082, 2746, 5875, 1),
+        MapperSegment(89871289, 89871388, 5876, 5975, 1),
+        MapperSegment(89873801, 89874436, 6024, 6659, 1),
+    ]
+    assert cq.hgvs_c(t, 89873677, "T", "C") == "NM_001137668.2:c.5893-124T>C"
+
+
+def test_format_hgvsc_internal_refseq_insertion_uses_pre_edit_downstream_anchor_alt_tx():
+    exons = _internal_edit_exons()
+    exons[0] = (89829880, 89830106)
+    t = _tx("NM_012115.4", 89829880, 89874436, cds_start=89829880,
+            cds_end=89874436, source="RefSeq", bam_edit_status="ok",
+            has_non_polya_rna_edit=True,
+            cdna_coding_start=256, cdna_coding_end=6204, exons=exons)
+    t.refseq_edits = [RefSeqEdit(6148, 6147, 48), RefSeqEdit(6149, 6149, 1, True)]
+    t.cdna_mapper_segments = [
+        MapperSegment(89829880, 89830106, 1, 227, 1),
+        MapperSegment(89846562, 89846644, 228, 310, 1),
+        MapperSegment(89853166, 89853234, 311, 379, 1),
+        MapperSegment(89854817, 89854917, 380, 480, 1),
+        MapperSegment(89855470, 89855544, 481, 555, 1),
+        MapperSegment(89857084, 89857199, 556, 671, 1),
+        MapperSegment(89862126, 89864371, 672, 2917, 1),
+        MapperSegment(89865953, 89869082, 2918, 6047, 1),
+        MapperSegment(89871289, 89871388, 6048, 6147, 1),
+        MapperSegment(89873801, 89874436, 6196, 6831, 1),
+    ]
+    assert cq.hgvs_c(t, 89873677, "T", "C") == "NM_012115.4:c.5893-124T>C"
+
+
+def test_format_hgvsc_same_coordinate_multibase_refseq_edit_uses_full_inserted_offset():
+    # hgvs.rs:4347-4356 — the PEG10 "1447 1447 AA" form counts the full
+    # insertion in 3'UTR numbering AND the ref base reads from the edited
+    # transcript (USED_REF): c.*153C>C
+    t = tx_no_mapper_same_coordinate_multibase_refseq_edit()
+    assert cq.hgvs_c(t, 2768, "T", "C") == "NM_001172437.2:c.*153C>C"
