@@ -243,6 +243,14 @@ class Transcript:
     #: true when Ensembl treats the transcript's attributes as real RNA
     #: edits (poly-A tail artifacts excluded) for HGVS shifting
     has_non_polya_rna_edit: bool = False
+    #: cached translation PROTEIN sequence (no terminal stop) from the
+    #: translation cache — on bam_edit_status='failed' RefSeq rows this is
+    #: the trusted protein when the raw CDS translation disagrees
+    #: (reference TranslationFeature.translation_seq +
+    #: failed_refseq_uses_cached_translation_for_consequence)
+    translation_seq: str | None = None
+    #: translation stable id (NP_/ENSP_) used as the HGVSp prefix
+    translation_stable_id: str | None = None
     #: verbatim FLAGS string from a VEP cache (preserves the cache's
     #: encounter order); preferred over re-deriving from the booleans
     #: (reference compute_flags_uses_flags_str_when_present)
@@ -409,6 +417,24 @@ def refseq_has_edited_sequence_state(t: Transcript) -> bool:
         or t.has_non_polya_rna_edit
         or bool(t.refseq_edits)
     )
+
+
+def failed_refseq_cached_protein(t: Transcript, cds: str) -> str | None:
+    """The cached translation protein, when a ``bam_edit_status='failed'``
+    RefSeq row's raw CDS translation DISAGREES with it — the cached protein
+    is then the trusted reference for consequence calls (reference
+    failed_refseq_uses_cached_translation_for_consequence +
+    reference_aas_for_consequence, transcript_consequence.rs:3505-3551;
+    raw translations of failed BAM edits can carry internal stops that
+    must not become stop_lost/stop_gained)."""
+    if t.bam_edit_status is None or t.bam_edit_status.lower() != "failed":
+        return None
+    if t.translation_seq is None:
+        return None
+    translated = translate(cds).rstrip("*")
+    if t.translation_seq == translated:
+        return None
+    return t.translation_seq
 
 
 def refseq_edit_overlaps_coding_sequence(t: Transcript, edit: RefSeqEdit) -> bool:
@@ -1534,6 +1560,12 @@ def _classify_substitution(t: Transcript, vs: int, ref: str, alt: str) -> set[st
         cds = cds[:off] + effective_ref + cds[off + len(var_ref) :]
     new_cds = cds[:off] + var_alt + cds[off + len(var_ref) :]
     protein = translate(cds)
+    # failed BAM-edit RefSeq rows: the cached translation is the trusted
+    # REFERENCE protein (raw CDS translations of failed edits can carry
+    # spurious internal stops; reference reference_aas_for_consequence)
+    cached = failed_refseq_cached_protein(t, cds)
+    if cached is not None:
+        protein = cached
     new_protein = translate(new_cds)
 
     codon_i = off // 3
@@ -2796,6 +2828,14 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
     out["codons"] = f"{_render(old_codons)}/{_render(new_codons)}"
     aa_old = translate(old_codons)
     aa_new = translate(new_codons)
+    # failed BAM-edit RefSeq rows: the cached translation window is the
+    # trusted REF peptide (reference amino_acids_for_output prefers the
+    # classified — cached-protein — amino acids on those rows)
+    cached = failed_refseq_cached_protein(t, cds)
+    if cached is not None:
+        w = cached[c0 // 3 : c1 // 3]
+        if len(w) == len(aa_old):
+            aa_old = w
     out["amino_acids"] = aa_old if aa_old == aa_new else f"{aa_old}/{aa_new}"
     return out
 
@@ -3235,6 +3275,13 @@ def hgvs_p(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
     ins_point = off if var_ref else (off + 1 if t.strand >= 0 else off)
     new_cds = cds[:ins_point] + var_alt + cds[ins_point + len(var_ref) :]
     prot_old = translate(cds)
+    # failed BAM-edit RefSeq rows read the cached translation as the
+    # reference protein (reference reference_aas_for_consequence feeding
+    # protein HGVS; pinned by classify_coding_change_uses_cached_failed_
+    # refseq_translation_for_chr12_nm_173600 → p.Arg3=)
+    _cached_prot = failed_refseq_cached_protein(t, cds)
+    if _cached_prot is not None:
+        prot_old = _cached_prot
     prot_new = translate(new_cds)
     # stop searches (fsTer#/extTer#) read the UTR-extended translation: VEP
     # appends the 3'UTR to the (untrimmed) alternate CDS before translating
@@ -3242,7 +3289,9 @@ def hgvs_p(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
     # transcript_consequence.rs:3666-3673; Ensembl _get_alternate_cds) — a
     # new stop is often only reachable in the UTR
     prot_new_ext = translated_alt_protein_for_hgvs(t, new_cds)
-    tid = t.transcript_id
+    # HGVSp prefixes with the TRANSLATION stable id when the cache carries
+    # one (reference format_hgvsp / translation_for_hgvsp)
+    tid = t.translation_stable_id or t.transcript_id
 
     if len(var_ref) == len(var_alt):  # substitution / MNV
         ci0 = off // 3

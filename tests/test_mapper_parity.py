@@ -888,3 +888,46 @@ def test_format_hgvsc_same_coordinate_multibase_refseq_edit_uses_full_inserted_o
     # transcript (USED_REF): c.*153C>C
     t = tx_no_mapper_same_coordinate_multibase_refseq_edit()
     assert cq.hgvs_c(t, 2768, "T", "C") == "NM_001172437.2:c.*153C>C"
+
+
+# ── failed BAM-edit RefSeq rows: cached translation wins (rs:13105-13273) ──
+
+
+def _nm_173600_tx(cds: str, cached_protein: str) -> Transcript:
+    return _tx("NM_173600.2", 100, 108, cds_start=100, cds_end=108,
+               source="RefSeq", bam_edit_status="FAILED",
+               cdna_coding_start=1, cdna_coding_end=9,
+               cds_sequence=cds, translation_seq=cached_protein,
+               translation_stable_id="NP_775871.2")
+
+
+def test_classify_uses_cached_failed_refseq_translation_for_chr12_nm_173600():
+    # raw CDS translates MR* but the trusted cache says MRR: T>C at the
+    # "stop" codon is SYNONYMOUS (p.Arg3=), never stop_lost
+    t = _nm_173600_tx("ATGCGATGA", "MRR")
+    terms = cq.classify(t, 106, "T", "C")
+    assert "synonymous_variant" in terms
+    assert "stop_lost" not in terms
+    d = cq.annotation_details(t, 106, "T", "C")
+    assert d["amino_acids"] == "R"
+    assert cq.hgvs_p(t, 106, "T", "C") == "NP_775871.2:p.Arg3="
+
+
+def test_classify_failed_refseq_internal_stop_does_not_false_stop_gained():
+    t = _nm_173600_tx("ATGGGATGA", "MGR")
+    terms = cq.classify(t, 104, "G", "A")
+    assert "missense_variant" in terms
+    assert "stop_gained" not in terms
+    d = cq.annotation_details(t, 104, "G", "A")
+    assert d["amino_acids"] == "G/E"
+    assert cq.hgvs_p(t, 104, "G", "A") == "NP_775871.2:p.Gly2Glu"
+
+
+def test_classify_failed_refseq_internal_stop_can_stay_synonymous():
+    t = _nm_173600_tx("ATGTCCTGA", "MSR")
+    terms = cq.classify(t, 105, "C", "T")
+    assert "synonymous_variant" in terms
+    assert "missense_variant" not in terms
+    d = cq.annotation_details(t, 105, "C", "T")
+    assert d["amino_acids"] == "S"
+    assert cq.hgvs_p(t, 105, "C", "T") == "NP_775871.2:p.Ser2="
