@@ -652,14 +652,29 @@ def _annotate_codon(
     tctx = t.select(*tsel)
     if translations is not None:
         _check_contract(translations, ("transcript_id", "cds_sequence"), "translations")
+
+        def _tlc(name: str) -> "F.Column":
+            return (
+                F.col(name) if name in translations.columns else F.lit(None).cast("string")
+            )
+
         tl = translations.select(
             F.col("transcript_id").alias("__t_id"),
             F.col("cds_sequence").alias("__tl_seq"),
+            # cached protein + stable id (reference TranslationFeature
+            # translation_seq / stable_id): drive the failed-BAM-edit
+            # cached-translation precedence and the HGVSp prefix
+            _tlc("translation_seq").alias("__tl_prot"),
+            _tlc("stable_id").alias("__tl_sid"),
         ).dropDuplicates(["__t_id"])
         tctx = (
             tctx.join(tl, "__t_id", "left")
             .withColumn("__t_cds_seq", F.coalesce(F.col("__t_cds_seq"), F.col("__tl_seq")))
             .drop("__tl_seq")
+        )
+    else:
+        tctx = tctx.withColumn("__tl_prot", F.lit(None).cast("string")).withColumn(
+            "__tl_sid", F.lit(None).cast("string")
         )
     if exons is not None:
         packed = exons.groupBy(F.col("transcript_id").alias("__t_id")).agg(
@@ -725,7 +740,7 @@ def _annotate_codon(
         pos_s, ref_s, alt_s, tid,
         ts, te, strand, biotype,
         cds_s, cds_e, cds_seq, exlist, mirna,
-        spliced, cdna, utr3, ccs, cce, refseq_s,
+        spliced, cdna, utr3, ccs, cce, refseq_s, tl_prot, tl_sid,
     ):
         out = {"terms": [], "impact": [], "hgvsc": [], "hgvsp": []}
         for k_ in _detail_keys:
@@ -745,9 +760,10 @@ def _annotate_codon(
             refseq_s.to_dict("records")
             if isinstance(refseq_s, pd.DataFrame)
             else refseq_s.tolist(),
+            tl_prot.tolist(), tl_sid.tolist(),
         )
         for (p, r, a, t_id, tsv, tev, stv, btv, csv_, cev, seqv, ex, mir,
-             spl, cdn, u3, ccsv, ccev, rsq) in rows:
+             spl, cdn, u3, ccsv, ccev, rsq, tlp, tls) in rows:
             if t_id is None or pd.isna(tsv):
                 out["terms"].append(None)
                 out["impact"].append(None)
@@ -819,6 +835,8 @@ def _annotate_codon(
                     three_prime_utr_seq=None if u3 is None else str(u3),
                     cdna_coding_start=None if pd.isna(ccsv) else int(ccsv),
                     cdna_coding_end=None if pd.isna(ccev) else int(ccev),
+                    translation_seq=None if tlp is None else str(tlp),
+                    translation_stable_id=None if tls is None else str(tls),
                     **refseq_kw,
                 )
                 tr_cache[t_id] = tr
@@ -843,6 +861,7 @@ def _annotate_codon(
             F.col("__t_cds_seq"), F.col("__t_exons"), F.col("__t_mirna"),
             F.col("__t_spliced"), F.col("__t_cdna"), F.col("__t_utr3"),
             F.col("__t_ccs"), F.col("__t_cce"), F.col("__t_refseq"),
+            F.col("__tl_prot"), F.col("__tl_sid"),
         ),
     )
     # a transcript within the ±pad window can still yield no term (e.g. on

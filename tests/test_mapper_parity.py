@@ -931,3 +931,38 @@ def test_classify_failed_refseq_internal_stop_can_stay_synonymous():
     d = cq.annotation_details(t, 105, "C", "T")
     assert d["amino_acids"] == "S"
     assert cq.hgvs_p(t, 105, "C", "T") == "NP_775871.2:p.Ser2="
+
+
+def test_annotate_vep_plumbs_cached_translation_protein(spark):
+    """translations table carrying translation_seq + stable_id drives the
+    failed-BAM-edit cached-protein precedence through the DataFrame API."""
+    from datafusion_bio_functions_spark.operators.vep import annotate_vep
+
+    variants = spark.createDataFrame(
+        [("12", 106, 106, "T", "C")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string",
+    )
+    transcripts = spark.createDataFrame(
+        [("NM_173600.2", "12", 100, 108, 1, "protein_coding", "RefSeq",
+          "FAILED", 1, 9, 100, 108)],
+        "transcript_id string, chrom string, start long, end long, "
+        "strand int, biotype string, source string, bam_edit_status string, "
+        "cdna_coding_start long, cdna_coding_end long, cds_start long, cds_end long",
+    )
+    translations = spark.createDataFrame(
+        [("NM_173600.2", "ATGCGATGA", "MRR", "NP_775871.2")],
+        "transcript_id string, cds_sequence string, translation_seq string, "
+        "stable_id string",
+    )
+    out = annotate_vep(
+        variants, cache, transcripts=transcripts, translations=translations
+    ).collect()
+    assert len(out) == 1
+    row = out[0].asDict()
+    assert row["most_severe_consequence"] == "synonymous_variant"
+    assert row["hgvsp"] == "NP_775871.2:p.Arg3="
