@@ -764,7 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chrom", "start", "end", "ref", "alt", "variation_name", "clin_sig",
         "matched", "existing_variation", "most_severe_consequence", "impact",
     )
-    # typed best-transcript columns of the 87-column full schema: the
+    # typed best-transcript columns of the 93-column full schema: the
     # positional subset (EXON/INTRON/cDNA/CDS/protein positions, DISTANCE,
     # STRAND, VARIANT_CLASS) is pure geometry on this context → oracled by
     # the same rank cascade + transcript_id tie-break in SQL

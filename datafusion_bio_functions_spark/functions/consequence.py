@@ -419,6 +419,47 @@ def refseq_has_edited_sequence_state(t: Transcript) -> bool:
     )
 
 
+def parse_cdna_position_start(value: str) -> int | None:
+    """Leading (possibly negative) integer of a cDNA-position display
+    string (reference parse_cdna_position_start,
+    annotate_provider.rs:5658-5686)."""
+    value = value.strip()
+    sign = 1
+    i = 0
+    if value.startswith("-"):
+        sign = -1
+        i = 1
+    j = i
+    while j < len(value) and value[j].isdigit():
+        j += 1
+    if j == i:
+        return None
+    return sign * int(value[i:j])
+
+
+def refseq_offset_for_output(t: Transcript, cdna_position: str | None) -> int | None:
+    """The VEP REFSEQ_OFFSET column value: the cumulative SEQUENCE-space
+    edit delta before the variant's cDNA start, NM/XM-gated, derived from
+    the displayed cDNA position (reference refseq_misalignment_offset,
+    annotate_provider.rs:5688-5702 — note this output column ignores the
+    mapper, unlike the coordinate machinery's misalignment offset)."""
+    if cdna_position is None:
+        return None
+    if not (t.transcript_id.startswith("NM_") or t.transcript_id.startswith("XM_")):
+        return None
+    if not t.refseq_edits:
+        return None
+    cdna_start = parse_cdna_position_start(cdna_position)
+    if cdna_start is None:
+        return None
+    offset = 0
+    for edit in t.refseq_edits:
+        if edit.end >= cdna_start:
+            continue
+        offset += refseq_edit_offset_delta(edit) or 0
+    return offset if offset != 0 else None
+
+
 def failed_refseq_cached_protein(t: Transcript, cds: str) -> str | None:
     """The cached translation protein, when a ``bam_edit_status='failed'``
     RefSeq row's raw CDS translation DISAGREES with it — the cached protein

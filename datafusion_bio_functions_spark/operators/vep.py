@@ -343,7 +343,7 @@ def annotate_vep(
     codon-accurate classification.
 
     ``full_schema=True`` (codon engine only) emits the reference's complete
-    87-column annotation layout (``annotate_provider.rs:145-707``): the
+    93-column annotation layout (``annotate_provider.rs:145-720``): the
     transcript-level columns computed by the consequence engine, frequency /
     cache-only columns passed through from the variation cache when present
     (typed NULLs otherwise), and MAX_AF/MAX_AF_POPS derived from whatever
@@ -558,7 +558,7 @@ def _annotate_codon(
             "spliced_seq", "cdna_seq", "three_prime_utr_seq",
             "cdna_coding_start", "cdna_coding_end",
             "source", "bam_edit_status", "has_non_polya_rna_edit",
-            "refseq_edits", "cdna_mapper_segments",
+            "refseq_edits", "cdna_mapper_segments", "refseq_match",
         )
     }
     # RefSeq edited-transcript context (reference TranscriptFeature fields,
@@ -598,6 +598,11 @@ def _annotate_codon(
             if opt["cdna_mapper_segments"]
             else F.lit(None).cast(_segs_t)
         ).alias("segs"),
+        (
+            F.col("refseq_match")
+            if opt["refseq_match"]
+            else F.lit(None).cast("string")
+        ).alias("refseq_match"),
     )
     tsel = [
         F.col("transcript_id").alias("__t_id"),
@@ -725,6 +730,13 @@ def _annotate_codon(
             T.StructField("cdna_position_str", T.StringType(), True),
             T.StructField("cds_position_str", T.StringType(), True),
             T.StructField("protein_position_str", T.StringType(), True),
+            # RefSeq output trio (reference annotate_provider.rs:4266-4285):
+            # GIVEN_REF = normalized input ref, USED_REF = the edited
+            # transcript's own reference bases, REFSEQ_OFFSET = cumulative
+            # sequence-space edit delta at the displayed cDNA start
+            T.StructField("given_ref", T.StringType(), True),
+            T.StructField("used_ref", T.StringType(), True),
+            T.StructField("refseq_offset", T.LongType(), True),
         ]
     )
     _detail_keys = (
@@ -732,6 +744,7 @@ def _annotate_codon(
         "protein_position", "amino_acids", "codons", "distance",
         "cdna_position_str", "cds_position_str", "protein_position_str",
     )
+    _refseq_keys = ("given_ref", "used_ref", "refseq_offset")
 
     # no type hints: scalar pandas UDF (Series... -> DataFrame for a struct
     # return); string hints would fail to resolve against the local import
@@ -743,7 +756,7 @@ def _annotate_codon(
         spliced, cdna, utr3, ccs, cce, refseq_s, tl_prot, tl_sid,
     ):
         out = {"terms": [], "impact": [], "hgvsc": [], "hgvsp": []}
-        for k_ in _detail_keys:
+        for k_ in _detail_keys + _refseq_keys:
             out[k_] = []
         # list-zip iteration + a per-batch Transcript cache: a pairing batch
         # repeats each transcript across many variants, and .iloc-per-row
@@ -769,7 +782,7 @@ def _annotate_codon(
                 out["impact"].append(None)
                 out["hgvsc"].append(None)
                 out["hgvsp"].append(None)
-                for k_ in _detail_keys:
+                for k_ in _detail_keys + _refseq_keys:
                     out[k_].append(None)
                 continue
             tr = tr_cache.get(t_id)
@@ -850,6 +863,20 @@ def _annotate_codon(
             det = cq.annotation_details(tr, p, r, a)
             for k_ in _detail_keys:
                 out[k_].append(det[k_])
+            vs_, ve_, ref_n, _alt_n, _ins = cq.normalize_variant(p, r, a)
+            given = ref_n.upper() if ref_n else None
+            used = (
+                cq.used_ref_for_transcript_variant(tr, vs_, ve_, ref_n)
+                if given is not None
+                else None
+            )
+            out["given_ref"].append(given)
+            out["used_ref"].append(used)
+            out["refseq_offset"].append(
+                cq.refseq_offset_for_output(tr, det["cdna_position_str"])
+                if out["hgvsc"][-1] is not None
+                else None
+            )
         return pd.DataFrame(out)
 
     paired = paired.withColumn(
@@ -935,6 +962,12 @@ def _annotate_codon(
             F.col("__res.cdna_position_str").alias("cdna_position_str"),
             F.col("__res.cds_position_str").alias("cds_position_str"),
             F.col("__res.protein_position_str").alias("protein_position_str"),
+            F.col("__res.given_ref").alias("given_ref"),
+            F.col("__res.used_ref").alias("used_ref"),
+            F.col("__res.refseq_offset").alias("refseq_offset"),
+            F.upper(F.col("__t_refseq.bam")).alias("bam_edit"),
+            F.col("__t_refseq.src").alias("source"),
+            F.col("__t_refseq.refseq_match").alias("refseq_match"),
             F.col("__t_meta").alias("meta"),
         ),
     )
@@ -1029,6 +1062,9 @@ def _annotate_codon(
             ns.alias("codons"), nl.alias("distance"),
             ns.alias("cdna_position_str"), ns.alias("cds_position_str"),
             ns.alias("protein_position_str"),
+            ns.alias("given_ref"), ns.alias("used_ref"),
+            nl.alias("refseq_offset"), ns.alias("bam_edit"),
+            ns.alias("source"), ns.alias("refseq_match"),
             F.lit(None).cast("map<string,string>").alias("meta"),
         )
         pre = pre.unionByName(
@@ -1116,7 +1152,7 @@ def _annotate_codon(
             F.col("__best.hgvsp").alias("hgvsp"),
         )
 
-    # ── full 87-column layout (annotate_provider.rs:145-707) ──
+    # ── full 93-column layout (annotate_provider.rs:145-720) ──
     def _cache(name: str, typ: str = "string") -> "F.Column":
         return (
             F.col(name).cast(typ) if name in looked_cols else F.lit(None).cast(typ)
@@ -1263,6 +1299,17 @@ def _annotate_codon(
         _cache("clinvar_ids").alias("clinvar_ids"),
         _cache("cosmic_ids").alias("cosmic_ids"),
         _cache("dbsnp_ids").alias("dbsnp_ids"),
+        # ── RefSeq provenance sextet, LAST like the reference layout
+        # (annotate_provider.rs:640-720, values :4266-4285):
+        # REFSEQ_MATCH/SOURCE are transcript-cache passthrough, the
+        # offset/ref trio is computed by the consequence engine, BAM_EDIT
+        # renders the status uppercased ──
+        F.col("__best.refseq_match").alias("REFSEQ_MATCH"),
+        F.col("__best.source").alias("SOURCE"),
+        F.col("__best.refseq_offset").alias("REFSEQ_OFFSET"),
+        F.col("__best.given_ref").alias("GIVEN_REF"),
+        F.col("__best.used_ref").alias("USED_REF"),
+        F.col("__best.bam_edit").alias("BAM_EDIT"),
     )
 
 

@@ -966,3 +966,50 @@ def test_annotate_vep_plumbs_cached_translation_protein(spark):
     row = out[0].asDict()
     assert row["most_severe_consequence"] == "synonymous_variant"
     assert row["hgvsp"] == "NP_775871.2:p.Arg3="
+
+
+def test_full_schema_emits_refseq_provenance_sextet(spark):
+    """full_schema=True carries REFSEQ_MATCH/SOURCE/REFSEQ_OFFSET/
+    GIVEN_REF/USED_REF/BAM_EDIT (reference annotate_provider.rs:640-720):
+    on an edited NM row the offset counts sequence-space deltas at the
+    displayed cDNA start and USED_REF reads the transcript's own base."""
+    from datafusion_bio_functions_spark.operators.vep import annotate_vep
+
+    variants = spark.createDataFrame(
+        [("7", 2768, 2768, "T", "C")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string",
+    )
+    seq = "A" * 2768 + "TC" + "A" * (7000 - 2770)
+    transcripts = spark.createDataFrame(
+        [("NM_001172437.2", "7", 1, 7000, 1, "protein_coding", "RefSeq",
+          "ok", True, [(1447, 1447, 2, False)], "rseq mrna match", seq,
+          263, 2617, 1, 2355)],
+        "transcript_id string, chrom string, start long, end long, "
+        "strand int, biotype string, source string, bam_edit_status string, "
+        "has_non_polya_rna_edit boolean, "
+        "refseq_edits array<struct<start:bigint,end:bigint,"
+        "replacement_len:bigint,skip_refseq_offset:boolean>>, "
+        "refseq_match string, spliced_seq string, "
+        "cdna_coding_start long, cdna_coding_end long, cds_start long, cds_end long",
+    )
+    out = annotate_vep(
+        variants, cache, transcripts=transcripts, full_schema=True
+    ).collect()
+    assert len(out) == 1
+    row = out[0].asDict()
+    assert row["GIVEN_REF"] == "T"
+    assert row["USED_REF"] == "C"
+    assert row["BAM_EDIT"] == "OK"
+    assert row["SOURCE"] == "RefSeq"
+    assert row["REFSEQ_MATCH"] == "rseq mrna match"
+    # displayed cDNA 2769 (MAPPER-space +1 for the PEG10-form edit on a
+    # coding row, rs:12473); the OUTPUT offset column counts the
+    # sequence-space delta (+2) at that displayed start
+    assert row["cDNA_position"] == "2769"
+    assert row["REFSEQ_OFFSET"] == 2
+    assert row["HGVSc"] == "NM_001172437.2:c.*153C>C"

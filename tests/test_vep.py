@@ -249,9 +249,9 @@ def test_regulatory_ablation_and_dedup(spark):
 
 
 def test_annotate_vep_full_schema(spark):
-    """full_schema=True emits the reference's complete 87-column annotation
-    layout (annotate_provider.rs:145-707) after the VCF cols + CSQ +
-    most_severe_consequence."""
+    """full_schema=True emits the reference's complete 93-column annotation
+    layout (annotate_provider.rs:145-720, REFSEQ provenance sextet last)
+    after the VCF cols + CSQ + most_severe_consequence."""
     from datafusion_bio_functions_spark.operators.vep import (
         VEP_CACHE_ONLY_COLUMNS,
         VEP_FREQUENCY_COLUMNS,
@@ -278,8 +278,12 @@ def test_annotate_vep_full_schema(spark):
         "transcript_id string, start long, end long",
     )
     out = annotate_vep(vcf, cache, transcripts=tx, exons=exons, full_schema=True)
-    # 5 vcf + CSQ + most_severe + 87 annotation columns
-    assert len(out.columns) == 5 + 2 + 87
+    # 5 vcf + CSQ + most_severe + 93 annotation columns
+    assert len(out.columns) == 5 + 2 + 93
+    assert out.columns[-6:] == [
+        "REFSEQ_MATCH", "SOURCE", "REFSEQ_OFFSET", "GIVEN_REF", "USED_REF",
+        "BAM_EDIT",
+    ]
     rows = {r["start"]: r for r in out.collect()}
     hit = rows[1102]
     assert hit["Feature"] == "TXF" and hit["STRAND"] == 1
