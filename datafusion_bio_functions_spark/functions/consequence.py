@@ -419,6 +419,84 @@ def refseq_has_edited_sequence_state(t: Transcript) -> bool:
     )
 
 
+@dataclass
+class ProteinHgvs:
+    """Protein-HGVS candidate state (reference ``ProteinHgvsData``,
+    hgvs.rs:18-31): the peptide window plus full ref/alt translations the
+    shifted-HGVSp machinery compares and re-windows."""
+
+    start: int
+    end: int
+    ref_peptide: str
+    alt_peptide: str
+    ref_translation: str
+    alt_translation: str
+    alt_translation_extension: str | None = None
+    frameshift: bool = False
+    start_lost: bool = False
+    stop_lost: bool = False
+    native_refseq: bool = False
+
+
+def refseq_shifted_insertion_equal_window(
+    class_protein: ProteinHgvs, window_protein: ProteinHgvs
+) -> ProteinHgvs | None:
+    """Shifted-insertion 'equal window' re-anchoring (reference
+    refseq_shifted_insertion_equal_window,
+    transcript_consequence.rs:5138-5198): when the classification's
+    inserted peptide equals the shifted window's reference peptide AND the
+    upstream reference block equals it too, the event is a no-change over
+    the upstream repeat block — re-window there with ref == alt (rendered
+    ``p.<Ref><pos>=``)."""
+    if (
+        class_protein.frameshift
+        or class_protein.start_lost
+        or class_protein.stop_lost
+        or window_protein.frameshift
+        or window_protein.start_lost
+        or window_protein.stop_lost
+    ):
+        return None
+    if (
+        not class_protein.alt_peptide
+        or not window_protein.ref_peptide
+        or class_protein.alt_peptide != window_protein.ref_peptide
+    ):
+        return None
+    if window_protein.alt_peptide == window_protein.ref_peptide:
+        return None
+    peptide_len = len(class_protein.alt_peptide)
+    if peptide_len > 0 and class_protein.start > peptide_len:
+        upstream_start = class_protein.start - peptide_len
+        upstream_end = class_protein.start - 1
+        # an unreadable upstream window aborts the whole re-anchoring
+        # (reference uses `?` here, not a fall-through)
+        if upstream_start < 1 or upstream_end > len(class_protein.ref_translation):
+            return None
+        upstream_ref = class_protein.ref_translation[upstream_start - 1 : upstream_end]
+        if upstream_ref == class_protein.alt_peptide:
+            return ProteinHgvs(
+                start=upstream_start,
+                end=upstream_end,
+                ref_peptide=upstream_ref,
+                alt_peptide=upstream_ref,
+                ref_translation=class_protein.ref_translation,
+                alt_translation=class_protein.alt_translation,
+                alt_translation_extension=class_protein.alt_translation_extension,
+                native_refseq=class_protein.native_refseq,
+            )
+    return ProteinHgvs(
+        start=window_protein.start,
+        end=window_protein.end,
+        ref_peptide=window_protein.ref_peptide,
+        alt_peptide=window_protein.ref_peptide,
+        ref_translation=class_protein.ref_translation,
+        alt_translation=class_protein.alt_translation,
+        alt_translation_extension=class_protein.alt_translation_extension,
+        native_refseq=class_protein.native_refseq,
+    )
+
+
 def parse_cdna_position_start(value: str) -> int | None:
     """Leading (possibly negative) integer of a cDNA-position display
     string (reference parse_cdna_position_start,

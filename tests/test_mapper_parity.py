@@ -1013,3 +1013,25 @@ def test_full_schema_emits_refseq_provenance_sextet(spark):
     assert row["cDNA_position"] == "2769"
     assert row["REFSEQ_OFFSET"] == 2
     assert row["HGVSc"] == "NM_001172437.2:c.*153C>C"
+
+
+def test_refseq_shifted_insertion_equal_window_prefers_upstream_repeat_block():
+    # rs:9198-9236 — a one-E insertion in a poly-E run whose shifted window
+    # equals the classification's inserted peptide re-anchors on the
+    # upstream repeat block with ref == alt
+    class_protein = cq.ProteinHgvs(
+        start=27, end=27, ref_peptide="E", alt_peptide="EE",
+        ref_translation="M" + "E" * 40, alt_translation="M" + "E" * 41,
+        native_refseq=True,
+    )
+    window_protein = cq.ProteinHgvs(
+        start=26, end=27, ref_peptide="EE", alt_peptide="EEE",
+        ref_translation=class_protein.ref_translation,
+        alt_translation=class_protein.alt_translation,
+        native_refseq=True,
+    )
+    ew = cq.refseq_shifted_insertion_equal_window(class_protein, window_protein)
+    assert ew is not None
+    assert (ew.start, ew.end) == (25, 26)
+    assert ew.ref_peptide == "EE"
+    assert ew.alt_peptide == "EE"
