@@ -1216,16 +1216,26 @@ def edited_transcript_reference_allele(
 
 
 def used_ref_for_transcript_variant(
-    t: Transcript, vs: int, ve: int, ref: str
+    t: Transcript,
+    vs: int,
+    ve: int,
+    ref: str,
+    alt: str | None = None,
+    genomic_shift: "HgvsShift | None" = None,
+    use_shifted_deleted_ref: bool = False,
 ) -> str | None:
-    """VEP USED_REF: the edited-transcript reference allele when readable
-    and length-matching, else the given genomic REF (reference
-    used_ref_for_transcript_variant, transcript_consequence.rs:7360-7390,
-    without the shifted-deletion branch which needs the genomic-shift
-    context)."""
+    """VEP USED_REF: on the protein-HGVS path a shifted DELETION reports
+    the 3'-shifted deleted bases; otherwise the edited-transcript
+    reference allele when readable and length-matching, else the given
+    genomic REF (reference used_ref_for_transcript_variant,
+    transcript_consequence.rs:7360-7398)."""
     given = "" if ref in ("-", None) else ref.upper()
     if not given:
         return None
+    if use_shifted_deleted_ref and alt in ("-", "") and genomic_shift is not None:
+        shifted = genomic_shift.shifted_allele_string.upper()
+        if shifted and shifted != "-" and len(shifted) == len(given):
+            return shifted
     transcript_ref = edited_transcript_reference_allele(t, vs, ve, ref)
     if transcript_ref is None or len(transcript_ref) != len(given):
         return given

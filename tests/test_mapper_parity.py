@@ -1035,3 +1035,31 @@ def test_refseq_shifted_insertion_equal_window_prefers_upstream_repeat_block():
     assert (ew.start, ew.end) == (25, 26)
     assert ew.ref_peptide == "EE"
     assert ew.alt_peptide == "EE"
+
+
+def test_used_ref_uses_shifted_deleted_reference_for_coding_hgvs_protein_path():
+    # rs:13360-13399 — on the protein-HGVS path a shifted deletion reports
+    # the 3'-shifted deleted bases; without the shift context the given ref
+    t = _tx("ENST_DEL.1", 86580000, 86580300, cds_start=86580000, cds_end=86580300)
+    shift = cq.HgvsShift(
+        strand=1, shift_length=5, start=86580219, end=86580224,
+        shifted_allele_string="ACCTAC", shifted_output_allele="-",
+    )
+    assert cq.used_ref_for_transcript_variant(
+        t, 86580214, 86580219, "CCTACA", "-", shift, True
+    ) == "ACCTAC"
+    assert cq.used_ref_for_transcript_variant(
+        t, 86580214, 86580219, "CCTACA", "-", None, True
+    ) == "CCTACA"
+
+
+def test_used_ref_keeps_original_deleted_reference_outside_hgvs_protein_path():
+    # rs:13400-13438 — use_shifted_deleted_ref=False ignores the shift
+    t = _tx("NR_DEL.1", 86580000, 86580300, biotype="lncRNA")
+    shift = cq.HgvsShift(
+        strand=1, shift_length=5, start=86580219, end=86580224,
+        shifted_allele_string="ACCTAC", shifted_output_allele="-",
+    )
+    assert cq.used_ref_for_transcript_variant(
+        t, 86580214, 86580219, "CCTACA", "-", shift, False
+    ) == "CCTACA"
