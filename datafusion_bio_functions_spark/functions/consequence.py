@@ -251,6 +251,12 @@ class Transcript:
     translation_seq: str | None = None
     #: translation stable id (NP_/ENSP_) used as the HGVSp prefix
     translation_stable_id: str | None = None
+    #: CANONICAL (unedited) CDS from the translation cache — when present,
+    #: HGVSp works against it and CDS output positions subtract the edit
+    #: deltas instead of adding them (reference
+    #: TranslationFeature.cds_sequence_canonical /
+    #: uses_canonical_reference_for_hgvsp)
+    cds_sequence_canonical: str | None = None
     #: verbatim FLAGS string from a VEP cache (preserves the cache's
     #: encounter order); preferred over re-deriving from the booleans
     #: (reference compute_flags_uses_flags_str_when_present)
@@ -659,6 +665,29 @@ def exact_mapper_cdna_index_for_hgvsp(t: Transcript, pos: int) -> int | None:
     return None
 
 
+def genomic_to_cdna_index_for_hgvsp(t: Transcript, pos: int) -> int | None:
+    """HGVSp coordinate resolution: the EXACT mapper first on edited RefSeq
+    rows, else the general transcript converter (reference
+    genomic_to_cdna_index_for_hgvsp, transcript_consequence.rs:6827-6834)."""
+    idx = exact_mapper_cdna_index_for_hgvsp(t, pos)
+    if idx is not None:
+        return idx
+    return genomic_to_cdna_index_for_transcript(t, pos)
+
+
+def genomic_to_cds_index_for_hgvsp(t: Transcript, pos: int) -> int | None:
+    """CDS twin of :func:`genomic_to_cdna_index_for_hgvsp` (reference
+    genomic_to_cds_index_for_hgvsp, transcript_consequence.rs:6836-6850)."""
+    cdna = exact_mapper_cdna_index_for_hgvsp(t, pos)
+    if cdna is not None:
+        if t.cdna_coding_start is None or t.cdna_coding_end is None:
+            return None
+        if cdna < t.cdna_coding_start or cdna > t.cdna_coding_end:
+            return None
+        return cdna - t.cdna_coding_start
+    return genomic_to_cds_index(t, pos)
+
+
 def genomic_to_cdna_index_for_transcript(t: Transcript, pos: int) -> int | None:
     """1-based spliced-transcript index of a genomic position — through the
     accepted mapper when present, else exon geometry (reference
@@ -875,6 +904,122 @@ def adjust_refseq_cds_sequence_index(
     if adjusted is None:
         adjusted = raw_cds_position
     return adjusted - 1 if adjusted >= 1 else None
+
+
+def adjust_refseq_cds_sequence_index_for_hgvsp_reference(
+    t: Transcript, raw_cds_index: int, leading_n_offset: int = 0
+) -> int | None:
+    """0-based HGVSp-reference sequence-index adjust: canonical-CDS caches
+    SUBTRACT the cumulative edit delta, edited references add the mapper
+    offset (reference adjust_refseq_cds_sequence_index_for_hgvsp_reference,
+    transcript_consequence.rs:7778-7797)."""
+    raw_cds_position = raw_cds_index + 1
+    if t.cds_sequence_canonical is not None:
+        adjusted = adjust_refseq_canonical_cds_output_position_for_hgvsp(
+            t, raw_cds_position, leading_n_offset
+        )
+    else:
+        adjusted = adjust_refseq_cds_output_position(t, raw_cds_position, leading_n_offset)
+    if adjusted is None:
+        adjusted = raw_cds_position
+    return adjusted - 1 if adjusted >= 1 else None
+
+
+@dataclass
+class ShiftedTvaCoords:
+    """Shifted transcript-variation-allele window (reference
+    ShiftedTvaCoords): 1-based CDS bounds + peptide bounds."""
+
+    cds_start: int
+    cds_end: int
+    protein_start: int
+    protein_end: int
+
+
+def reference_translateable_seq_for_hgvsp_of(t: Transcript) -> str | None:
+    """The HGVSp reference CDS: the CANONICAL cache when present, else the
+    transcript's own translateable sequence (reference
+    reference_translateable_seq_for_hgvsp,
+    transcript_consequence.rs:3625-3634)."""
+    if t.cds_sequence_canonical is not None:
+        return t.cds_sequence_canonical.upper()
+    if t.cds_sequence is not None:
+        return t.cds_sequence.upper()
+    derived = reference_translateable_seq_for_vep(t)
+    return derived.upper() if derived else None
+
+
+def shifted_tva_coords_from_mapper(
+    t: Transcript, shifted_start: int, shifted_end: int
+) -> ShiftedTvaCoords | None:
+    """CDS/peptide window of a SHIFTED variant through the exact mapper +
+    HGVSp-reference projection (reference shifted_tva_coords_from_mapper,
+    transcript_consequence.rs:4276-4400).  Insertions arrive in VEP's
+    swapped form (``start == end + 1``); their mapped interval is the
+    transcript-space gap between the flanks, preserved in MAPPER order."""
+    ref_cds = reference_translateable_seq_for_hgvsp_of(t)
+    if ref_cds is None:
+        return None
+    lead = _leading_n(ref_cds)
+    if t.cdna_coding_start is None or t.cdna_coding_end is None:
+        return None
+    coding_start, coding_end = t.cdna_coding_start, t.cdna_coding_end
+
+    is_insertion = shifted_start == shifted_end + 1
+    if is_insertion:
+        left = genomic_to_cdna_index_for_hgvsp(t, shifted_end)
+        right = genomic_to_cdna_index_for_hgvsp(t, shifted_start)
+        if left is None or right is None:
+            return None
+        cdna_start, cdna_end = left + 1, right - 1
+    else:
+        positions = list(range(min(shifted_start, shifted_end), max(shifted_start, shifted_end) + 1))
+        cdna_positions = []
+        for pos in positions:
+            idx = genomic_to_cdna_index_for_hgvsp(t, pos)
+            if idx is None:
+                return None
+            cdna_positions.append(idx)
+        cdna_positions.sort()
+        cdna_start, cdna_end = cdna_positions[0], cdna_positions[-1]
+
+    if cdna_end < coding_start or cdna_start > coding_end:
+        return None
+
+    raw_cds_start = cdna_start - coding_start + 1 + lead
+    raw_cds_end = cdna_end - coding_start + 1 + lead
+    adj_s = adjust_refseq_cds_sequence_index_for_hgvsp_reference(t, raw_cds_start - 1, lead)
+    adj_e = adjust_refseq_cds_sequence_index_for_hgvsp_reference(t, raw_cds_end - 1, lead)
+    cds_start = adj_s + 1 if adj_s is not None else raw_cds_start
+    cds_end = adj_e + 1 if adj_e is not None else raw_cds_end
+
+    def translateable_pos_1based(genomic_pos: int) -> int | None:
+        raw_idx = genomic_to_cds_index_for_hgvsp(t, genomic_pos)
+        if raw_idx is None:
+            return None
+        raw_idx += lead
+        adj = adjust_refseq_cds_sequence_index_for_hgvsp_reference(t, raw_idx, lead)
+        return None if adj is None else adj + 1
+
+    if is_insertion:
+        left = translateable_pos_1based(shifted_end)
+        right = translateable_pos_1based(shifted_start)
+        if left is None or right is None:
+            return None
+        protein_start = (left + 1 + 2) // 3
+        protein_end = (right + 1 + 2) // 3
+    else:
+        positions = list(range(min(shifted_start, shifted_end), max(shifted_start, shifted_end) + 1))
+        peps = []
+        for pos in positions:
+            tr_pos = translateable_pos_1based(pos)
+            if tr_pos is None:
+                return None
+            peps.append((tr_pos + 2) // 3)
+        peps.sort()
+        protein_start, protein_end = peps[0], peps[-1]
+
+    return ShiftedTvaCoords(cds_start, cds_end, protein_start, protein_end)
 
 
 def adjust_refseq_cdna_component(t: Transcript, value: str) -> str | None:

@@ -1063,3 +1063,23 @@ def test_used_ref_keeps_original_deleted_reference_outside_hgvs_protein_path():
     assert cq.used_ref_for_transcript_variant(
         t, 86580214, 86580219, "CCTACA", "-", shift, False
     ) == "CCTACA"
+
+
+def test_shifted_tva_coords_use_exact_refseq_mapper_gap_for_hgvsp():
+    # rs:9037-9115 — NM_002111.8 CAG-repeat expansion: the exact mapper gap
+    # projects across the leading 6bp transcript-start edit before peptide
+    # coordinates derive (cds 123-128, protein 41-43)
+    t = _tx("NM_002111.8", 3074681, 3243960, cds_start=3074826,
+            cds_end=3240065, source="RefSeq", bam_edit_status="ok",
+            has_non_polya_rna_edit=True,
+            cdna_coding_start=146, cdna_coding_end=9580,
+            cds_sequence="A" * 9435)
+    t.refseq_edits = [RefSeqEdit(256, 255, 6), RefSeqEdit(13476, 13475, 17)]
+    t.cdna_mapper_segments = [
+        MapperSegment(3074681, 3074935, 1, 255, 1),
+        MapperSegment(3074936, 3075088, 262, 414, 1),
+    ]
+    coords = cq.shifted_tva_coords_from_mapper(t, 3074936, 3074941)
+    assert coords is not None
+    assert (coords.cds_start, coords.cds_end) == (123, 128)
+    assert (coords.protein_start, coords.protein_end) == (41, 43)
