@@ -1130,6 +1130,15 @@ class HgvsShift:
     shifted_output_allele: str
     five_prime_flanking_seq: str = ""
     three_prime_flanking_seq: str = ""
+    #: the ORIGINAL (parser-normalized) alleles the shift derives from
+    ref_orig_allele_string: str = ""
+    alt_orig_allele_string: str = ""
+
+    def display_start(self) -> int:
+        return self.start
+
+    def display_end(self) -> int:
+        return self.end
 
 
 def perform_shift_ensembl(
@@ -1324,7 +1333,99 @@ def refseq_transcript_shift_for_hgvs_protein(
         shifted_output_allele=shifted_hgvs_output,
         five_prime_flanking_seq="" if shift_length == 0 else pre_seq[-flank_len:],
         three_prime_flanking_seq="" if shift_length == 0 else post_seq[:flank_len],
+        ref_orig_allele_string=ref,
+        alt_orig_allele_string=alt,
     )
+
+
+@dataclass
+class ShiftedVariant:
+    """A variant after the protein-HGVS 3' shift (reference
+    protein_hgvs_shifted_variant's VariantInput result): VEP-normalized
+    alleles plus the raw parser alleles/coordinates the peptide replay
+    reads."""
+
+    start: int
+    end: int
+    ref: str
+    alt: str
+    parser_start: int
+    parser_end: int
+    parser_ref: str
+    parser_alt: str
+
+
+def rotate_hgvs_protein_allele(allele: str, shift_length: int, strand: int) -> str:
+    """Rotate an allele by the genomic shift length in transcript
+    orientation (reference rotate_hgvs_protein_allele,
+    transcript_consequence.rs:5102-5118)."""
+    if allele == "-" or not allele:
+        return allele
+    n = len(allele)
+    rot = shift_length % n
+    if strand < 0 and rot != 0:
+        rot = n - rot
+    if rot == 0:
+        return allele
+    return allele[rot:] + allele[:rot]
+
+
+def protein_hgvs_shifted_variant(
+    start: int, end: int, ref: str, alt: str,
+    parser_start: int, parser_end: int, parser_ref: str, parser_alt: str,
+    shift: HgvsShift, strand: int,
+) -> ShiftedVariant:
+    """Apply the genomic shift to a variant for the protein-HGVS replay
+    (reference protein_hgvs_shifted_variant,
+    transcript_consequence.rs:5013-5064): deletions jump to the shifted
+    span with the shifted deleted bases; others rotate the parser alleles
+    by the shift in transcript orientation."""
+    ref_norm = "" if ref in ("-", None) else ref
+    alt_norm = "" if alt in ("-", None) else alt
+    if ref_norm and not alt_norm:
+        s, e = shift.display_start(), shift.display_end()
+        sref = shift.shifted_allele_string
+        return ShiftedVariant(s, e, sref, "-", s, e, sref, "-")
+    shifted_ref = rotate_hgvs_protein_allele(parser_ref, shift.shift_length, strand)
+    shifted_alt = rotate_hgvs_protein_allele(parser_alt, shift.shift_length, strand)
+    delta = shift.shift_length if strand >= 0 else -shift.shift_length
+    s, e = parser_start + delta, parser_end + delta
+    return ShiftedVariant(s, e, shifted_ref, shifted_alt, s, e, shifted_ref, shifted_alt)
+
+
+def protein_hgvs_shifted_variant_for_reference(
+    t: Transcript,
+    start: int, end: int, ref: str, alt: str,
+    parser_start: int, parser_end: int, parser_ref: str, parser_alt: str,
+    shift: HgvsShift,
+) -> ShiftedVariant:
+    """Canonical-CDS twin: when HGVSp works against the canonical cache on
+    an edit-shifted RefSeq row, the rotated alt keeps only its canonical
+    length — the ``_rna_edit`` prefix is trimmed (reference
+    protein_hgvs_shifted_variant_for_reference,
+    transcript_consequence.rs:5066-5100)."""
+    sv = protein_hgvs_shifted_variant(
+        start, end, ref, alt, parser_start, parser_end, parser_ref, parser_alt,
+        shift, t.strand,
+    )
+    if (
+        t.cds_sequence_canonical is None
+        or not refseq_uses_transcript_shift_for_hgvsp(t)
+        or not shift.ref_orig_allele_string
+    ):
+        return sv
+    canonical_alt_len = len("" if alt in ("-", None) else alt)
+    if canonical_alt_len == 0:
+        return sv
+    for field_name in ("alt", "parser_alt"):
+        allele = getattr(sv, field_name)
+        if allele == "-":
+            continue
+        trim_len = len(allele) - canonical_alt_len
+        if trim_len <= 0 or len(allele) <= trim_len:
+            continue
+        setattr(sv, field_name, allele[trim_len:])
+    return sv
 
 
 def edited_transcript_reference_allele(

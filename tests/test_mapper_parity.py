@@ -1083,3 +1083,35 @@ def test_shifted_tva_coords_use_exact_refseq_mapper_gap_for_hgvsp():
     assert coords is not None
     assert (coords.cds_start, coords.cds_end) == (123, 128)
     assert (coords.protein_start, coords.protein_end) == (41, 43)
+
+
+def test_protein_hgvs_shifted_variant_for_reference_trims_refseq_edit_prefix():
+    # rs:15761-15826 — on a canonical-CDS cache the rotated shifted alt
+    # keeps only its canonical length (the _rna_edit prefix is trimmed)
+    t = _tx("NM_002111.8", 3074681, 3243960, cds_start=3074826,
+            cds_end=3240065, source="RefSeq", bam_edit_status="ok",
+            has_non_polya_rna_edit=True,
+            cds_sequence_canonical="ATG" * 10)
+    t.refseq_edits = [RefSeqEdit(256, 255, 6)]
+    shift = cq.HgvsShift(
+        strand=1, shift_length=59, start=3074936, end=3074941,
+        shifted_allele_string="GCAGCAGCAGCAGCAGCAGCA",
+        shifted_output_allele="GCAGCAGCAGCAGCAGCAGCA",
+        ref_orig_allele_string="-",
+        alt_orig_allele_string="CAGCAGCAGCAGCAG",
+    )
+    sv = cq.protein_hgvs_shifted_variant_for_reference(
+        t, 3074883, 3074883, "-", "CAGCAGCAGCAGCAG",
+        3074877, 3074882, "CAGCAG", "CAGCAGCAGCAGCAGCAGCAG", shift,
+    )
+    assert sv.alt == "GCAGCAGCAGCAGCA"
+    assert sv.parser_alt == "GCAGCAGCAGCAGCA"
+
+
+def test_shifted_output_allele_rotation_matches_vep_orientation():
+    # rotate_hgvs_protein_allele: minus strand rotates the complementary
+    # direction (rs:5102-5118 semantics exercised via the trim replay)
+    assert cq.rotate_hgvs_protein_allele("CAGCAG", 59, 1) == "GCAGCA"
+    assert cq.rotate_hgvs_protein_allele("CAGCAG", 0, 1) == "CAGCAG"
+    assert cq.rotate_hgvs_protein_allele("-", 7, 1) == "-"
+    assert cq.rotate_hgvs_protein_allele("AGT", 1, -1) == "TAG"
