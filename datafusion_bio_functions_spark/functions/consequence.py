@@ -257,6 +257,9 @@ class Transcript:
     #: TranslationFeature.cds_sequence_canonical /
     #: uses_canonical_reference_for_hgvsp)
     cds_sequence_canonical: str | None = None
+    #: CANONICAL protein from the translation cache (reference
+    #: TranslationFeature.translation_seq_canonical)
+    translation_seq_canonical: str | None = None
     #: verbatim FLAGS string from a VEP cache (preserves the cache's
     #: encounter order); preferred over re-deriving from the booleans
     #: (reference compute_flags_uses_flags_str_when_present)
@@ -1020,6 +1023,173 @@ def shifted_tva_coords_from_mapper(
         protein_start, protein_end = peps[0], peps[-1]
 
     return ShiftedTvaCoords(cds_start, cds_end, protein_start, protein_end)
+
+
+def _local_peptide_from_codon_window(codon: str) -> str:
+    """VEP ``codon()``-window peptide: whole codons translate, a trailing
+    partial codon appends ``X`` (unless the window is a lone stop), empty
+    renders ``-`` (reference local_peptide_from_codon_window,
+    transcript_consequence.rs:3420-3440)."""
+    if not codon:
+        return "-"
+    whole_len = len(codon) // 3 * 3
+    peptide = translate(codon[:whole_len] + "AA")[: whole_len // 3] if whole_len else ""
+    # translate() walks len-2 windows; slice keeps exactly the whole codons
+    if len(codon) > whole_len and peptide != "*":
+        peptide += "X"
+    return peptide or "-"
+
+
+def _tva_feature_seq_for_transcript(t: Transcript, variation_feature_seq: str) -> str:
+    allele = variation_feature_seq.replace("-", "")
+    if t.strand >= 0:
+        return allele.upper()
+    return revcomp(allele).upper()
+
+
+def shifted_tva_peptide_window(
+    t: Transcript,
+    coords: ShiftedTvaCoords,
+    window_protein_start: int,
+    window_protein_end: int,
+    variation_feature_seq: str,
+    is_reference: bool,
+) -> tuple[str, str, str | None] | None:
+    """Rebuild the shifted TVA peptide from the HGVSp reference CDS
+    (reference shifted_tva_peptide_window,
+    transcript_consequence.rs:4402-4514; Ensembl
+    TranscriptVariationAllele::codon()/_get_alternate_cds()).  Returns
+    ``(peptide, cds, alt_translation)``."""
+    reference_cds_seq = reference_translateable_seq_for_hgvsp_of(t)
+    if reference_cds_seq is None:
+        return None
+    feature_seq = _tva_feature_seq_for_transcript(t, variation_feature_seq)
+    codon_cds_start = window_protein_start * 3 - 2
+    if codon_cds_start < 1:
+        return None
+    codon_cds_end = window_protein_end * 3
+    codon_len = codon_cds_end - codon_cds_start + 1 if codon_cds_end >= codon_cds_start else 0
+    codon_start_idx = codon_cds_start - 1
+    if codon_start_idx > len(reference_cds_seq):
+        return None
+    allele_len = len(feature_seq)
+    cds_start_idx = coords.cds_start - 1
+    cds_end_idx = coords.cds_end - 1
+    if cds_start_idx < 0 or cds_end_idx < -1:
+        return None
+    vf_nt_len = (
+        coords.cds_end - coords.cds_start + 1
+        if coords.cds_end >= coords.cds_start
+        else 0
+    )
+    if is_reference:
+        cds = reference_cds_seq
+        # Ensembl only patches the reference CDS with feature_seq when real
+        # _rna_edit attributes exist AND HGVSp is not on a canonical cache
+        if (
+            t.cds_sequence_canonical is None
+            and t.refseq_edits
+            and vf_nt_len > 0
+        ):
+            downstream_start = min(cds_end_idx + 1, len(cds))
+            cds = cds[:cds_start_idx] + feature_seq + cds[downstream_start:]
+    else:
+        downstream_start = min(cds_end_idx + 1, len(reference_cds_seq))
+        cds = (
+            reference_cds_seq[:cds_start_idx]
+            + feature_seq
+            + reference_cds_seq[downstream_start:]
+        )
+    if is_reference:
+        codon_window_len = codon_len
+    else:
+        codon_window_len = max(codon_len + (allele_len - vf_nt_len), 0)
+    codon_end_idx = min(codon_start_idx + codon_window_len, len(cds))
+    codon = cds[codon_start_idx:codon_end_idx]
+    peptide = _local_peptide_from_codon_window(codon)
+    alt_translation = None
+    if not is_reference:
+        alt_translation = translated_alt_protein_for_hgvs(t, cds) or translate(cds)
+    return peptide, cds, alt_translation
+
+
+def edited_ref_translation_for_hgvsp(t: Transcript, fallback: str) -> str:
+    """Reference translation for shifted DELETIONS on edited RefSeq rows:
+    the cached edited protein when present, else the translated edited CDS
+    (reference edited_ref_translation_for_hgvsp,
+    transcript_consequence.rs:3575-3589)."""
+    if t.translation_seq is not None:
+        return t.translation_seq
+    seq = reference_translateable_seq_for_vep(t)
+    if seq:
+        return translate(seq)
+    return fallback
+
+
+def shifted_tva_protein_hgvs_data(
+    t: Transcript,
+    start: int, end: int, ref: str, alt: str,
+    parser_start: int, parser_end: int, parser_ref: str, parser_alt: str,
+    shift: HgvsShift,
+    fallback: ProteinHgvs | None = None,
+) -> ProteinHgvs | None:
+    """The shifted protein-HGVS candidate: shifted variant → mapper TVA
+    window → alt/ref peptides over the HGVSp reference CDS (reference
+    shifted_tva_protein_hgvs_data, transcript_consequence.rs:4532-4630)."""
+    reference_cds_seq = reference_translateable_seq_for_hgvsp_of(t)
+    if reference_cds_seq is None:
+        return None
+    sv = protein_hgvs_shifted_variant_for_reference(
+        t, start, end, ref, alt,
+        parser_start, parser_end, parser_ref, parser_alt, shift,
+    )
+    ref_len = len("" if sv.ref in ("-", None) else sv.ref)
+    alt_len = len("" if sv.alt in ("-", None) else sv.alt)
+    shifted_is_deletion = ref_len > alt_len
+    coords = shifted_tva_coords_from_mapper(t, sv.start, sv.end)
+    if coords is None:
+        return None
+    alt_feature_seq = sv.alt
+    ref_feature_seq = (
+        shift.shifted_allele_string
+        if alt_feature_seq == "-"
+        else shift.ref_orig_allele_string
+    )
+    wps, wpe = coords.protein_start, coords.protein_end
+    alt_win = shifted_tva_peptide_window(t, coords, wps, wpe, alt_feature_seq, False)
+    if alt_win is None:
+        return None
+    alt_peptide, alt_cds, alt_translation = alt_win
+    ref_win = shifted_tva_peptide_window(t, coords, wps, wpe, ref_feature_seq, True)
+    if ref_win is None:
+        return None
+    ref_peptide = ref_win[0]
+    canonical_ref_translation = (
+        t.translation_seq_canonical
+        if t.translation_seq_canonical is not None
+        else translate(reference_cds_seq)
+    )
+    if refseq_has_edited_sequence_state(t) and shifted_is_deletion:
+        ref_translation = edited_ref_translation_for_hgvsp(t, canonical_ref_translation)
+    else:
+        ref_translation = canonical_ref_translation
+    return ProteinHgvs(
+        start=wps,
+        end=wpe,
+        ref_peptide=ref_peptide,
+        alt_peptide=alt_peptide,
+        ref_translation=ref_translation,
+        alt_translation=alt_translation or translate(alt_cds),
+        alt_translation_extension=translated_alt_protein_for_hgvs(t, alt_cds),
+        frameshift=(
+            fallback.frameshift
+            if fallback is not None
+            else (abs(alt_len - ref_len) % 3 != 0)
+        ),
+        start_lost=fallback.start_lost if fallback is not None else False,
+        stop_lost=fallback.stop_lost if fallback is not None else False,
+        native_refseq=refseq_has_edited_sequence_state(t),
+    )
 
 
 def adjust_refseq_cdna_component(t: Transcript, value: str) -> str | None:

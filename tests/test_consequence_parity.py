@@ -1438,14 +1438,19 @@ def test_shifted_hgvsp_fixture_cluster_is_unhydratable():
     subset is now replayed in tests/test_mapper_parity.py — the
     perform_shift_ensembl walk battery (hgvs.rs:5079-5250), the
     refseq_transcript_shift_for_hgvs_protein gates (bam-only status,
-    trailing-UTR edit; rs:16317/16502) and a positive repeat-walk shift on
-    the inline NM_015120 fixture.  The remaining unreplayed members
-    (nm_015120_no_mapper_shifted_insertion_matches_vep_equal_window and the
-    equal-window/prefers-upstream family) are blocked by the unported
-    shifted-TVA peptide-window subsystem (shifted_tva_peptide_window +
-    canonical/edited dual-translation caches, rs:4276-4560), not by
-    fixtures; the include_str! .tmp_chr* cases additionally need the
-    author-local FASTA.  If those local files ever appear, this fails to
+    trailing-UTR edit; rs:16317/16502), a positive repeat-walk shift on
+    the inline NM_015120 fixture, the shifted-TVA coordinate projection
+    (rs:9037), the equal-window re-anchoring unit (rs:9198), and the
+    canonical-CDS prefix trim (rs:15761).  The peptide-window subsystem
+    (shifted_tva_peptide_window / shifted_tva_protein_hgvs_data,
+    rs:4402-4630) is ported as staged, reference-cited infrastructure not
+    yet wired into hgvs_p: the one unreplayed end-to-end member
+    (nm_015120_..._matches_vep_equal_window, rs:9117) needs the
+    protein_hgvs_for_output candidate cascade
+    (literal/literal-shifted indel candidates + the three equal-window
+    attempts + maybe_prefer_literal..., rs:4807-5010), which remains the
+    documented gap.  The include_str! .tmp_chr* cases additionally need
+    the author-local FASTA; if those files ever appear, this fails to
     force mining the FASTA-dependent remainder too."""
     import glob
     import os
