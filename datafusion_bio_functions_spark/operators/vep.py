@@ -671,6 +671,8 @@ def _annotate_codon(
             # cached-translation precedence and the HGVSp prefix
             _tlc("translation_seq").alias("__tl_prot"),
             _tlc("stable_id").alias("__tl_sid"),
+            _tlc("cds_sequence_canonical").alias("__tl_canon_cds"),
+            _tlc("translation_seq_canonical").alias("__tl_canon_prot"),
         ).dropDuplicates(["__t_id"])
         tctx = (
             tctx.join(tl, "__t_id", "left")
@@ -678,9 +680,8 @@ def _annotate_codon(
             .drop("__tl_seq")
         )
     else:
-        tctx = tctx.withColumn("__tl_prot", F.lit(None).cast("string")).withColumn(
-            "__tl_sid", F.lit(None).cast("string")
-        )
+        for _c in ("__tl_prot", "__tl_sid", "__tl_canon_cds", "__tl_canon_prot"):
+            tctx = tctx.withColumn(_c, F.lit(None).cast("string"))
     if exons is not None:
         packed = exons.groupBy(F.col("transcript_id").alias("__t_id")).agg(
             F.sort_array(
@@ -754,6 +755,7 @@ def _annotate_codon(
         ts, te, strand, biotype,
         cds_s, cds_e, cds_seq, exlist, mirna,
         spliced, cdna, utr3, ccs, cce, refseq_s, tl_prot, tl_sid,
+        tl_canon_cds, tl_canon_prot,
     ):
         out = {"terms": [], "impact": [], "hgvsc": [], "hgvsp": []}
         for k_ in _detail_keys + _refseq_keys:
@@ -774,9 +776,10 @@ def _annotate_codon(
             if isinstance(refseq_s, pd.DataFrame)
             else refseq_s.tolist(),
             tl_prot.tolist(), tl_sid.tolist(),
+            tl_canon_cds.tolist(), tl_canon_prot.tolist(),
         )
         for (p, r, a, t_id, tsv, tev, stv, btv, csv_, cev, seqv, ex, mir,
-             spl, cdn, u3, ccsv, ccev, rsq, tlp, tls) in rows:
+             spl, cdn, u3, ccsv, ccev, rsq, tlp, tls, tlcc, tlcp) in rows:
             if t_id is None or pd.isna(tsv):
                 out["terms"].append(None)
                 out["impact"].append(None)
@@ -850,6 +853,8 @@ def _annotate_codon(
                     cdna_coding_end=None if pd.isna(ccev) else int(ccev),
                     translation_seq=None if tlp is None else str(tlp),
                     translation_stable_id=None if tls is None else str(tls),
+                    cds_sequence_canonical=None if tlcc is None else str(tlcc),
+                    translation_seq_canonical=None if tlcp is None else str(tlcp),
                     **refseq_kw,
                 )
                 tr_cache[t_id] = tr
@@ -889,6 +894,7 @@ def _annotate_codon(
             F.col("__t_spliced"), F.col("__t_cdna"), F.col("__t_utr3"),
             F.col("__t_ccs"), F.col("__t_cce"), F.col("__t_refseq"),
             F.col("__tl_prot"), F.col("__tl_sid"),
+            F.col("__tl_canon_cds"), F.col("__tl_canon_prot"),
         ),
     )
     # a transcript within the ±pad window can still yield no term (e.g. on
