@@ -1192,6 +1192,117 @@ def shifted_tva_protein_hgvs_data(
     )
 
 
+def shifted_output_allele_for_transcript(strand: int, shifted_output_allele: str) -> str:
+    """The shifted HGVS output allele in transcript orientation (reference
+    shifted_output_allele_for_transcript, transcript_consequence.rs:4210-4218)."""
+    allele = shifted_output_allele.replace("-", "")
+    if strand >= 0:
+        return allele
+    return revcomp(allele).upper()
+
+
+def literal_shifted_indel_protein_hgvs_data(
+    t: Transcript, shift: HgvsShift
+) -> ProteinHgvs | None:
+    """VEP's literal shifted indel peptide payload: CDS/protein window from
+    the SHIFTED genomic span, alleles from the shifted HGVS state
+    (reference literal_shifted_indel_protein_hgvs_data,
+    transcript_consequence.rs:4016-4178; start/stop-lost flags come from
+    the original candidate in the reference — callers patch them)."""
+    reference_cds_seq = reference_translateable_seq_for_hgvsp_of(t)
+    if reference_cds_seq is None:
+        return None
+    lead = _leading_n(reference_cds_seq)
+    shifted_start = shift.display_start()
+    shifted_end = shift.display_end()
+    is_shift_insertion = shifted_start > shifted_end
+    is_shift_deletion = shift.shifted_compare_allele == "-"
+    if is_shift_insertion:
+        raw_idx = genomic_to_cds_index_for_hgvsp(t, shifted_start)
+        if raw_idx is None:
+            return None
+        raw_idx += lead
+        cds_idx = adjust_refseq_cds_sequence_index_for_hgvsp_reference(t, raw_idx, lead)
+        if cds_idx is None:
+            cds_idx = raw_idx
+        if cds_idx > len(reference_cds_seq):
+            return None
+        rotated_alt = shifted_output_allele_for_transcript(
+            t.strand, shift.shifted_output_allele
+        )
+        cds_start_idx, cds_end_idx, vf_nt_len = cds_idx, cds_idx - 1, 0
+    elif is_shift_deletion:
+        positions = list(range(min(shifted_start, shifted_end), max(shifted_start, shifted_end) + 1))
+        if not positions:
+            return None
+        cds_indices = []
+        for pos in positions:
+            raw_idx = genomic_to_cds_index_for_hgvsp(t, pos)
+            if raw_idx is None:
+                return None
+            raw_idx += lead
+            adj = adjust_refseq_cds_sequence_index_for_hgvsp_reference(t, raw_idx, lead)
+            cds_indices.append(adj if adj is not None else raw_idx)
+        cds_indices.sort()
+        if any(b != a + 1 for a, b in zip(cds_indices, cds_indices[1:])):
+            return None
+        cds_start_idx, cds_end_idx = cds_indices[0], cds_indices[-1]
+        if cds_end_idx >= len(reference_cds_seq):
+            return None
+        vf_nt_len = cds_end_idx - cds_start_idx + 1
+        rotated_alt = ""
+    else:
+        return None
+
+    downstream_start = cds_start_idx if is_shift_insertion else cds_end_idx + 1
+    alternate_seq = (
+        reference_cds_seq[:cds_start_idx] + rotated_alt + reference_cds_seq[downstream_start:]
+    )
+    raw_start = (cds_start_idx + 1 + 2) // 3
+    raw_end = (cds_end_idx + 1 + 2) // 3
+    low, high = min(raw_start, raw_end), max(raw_start, raw_end)
+    codon_cds_start = low * 3 - 2
+    if codon_cds_start < 1:
+        return None
+    codon_cds_end = high * 3
+    codon_len = codon_cds_end - codon_cds_start + 1
+    codon_start_idx = codon_cds_start - 1
+    if codon_start_idx > len(reference_cds_seq):
+        return None
+    ref_end_idx = min(codon_start_idx + codon_len, len(reference_cds_seq))
+    ref_codon = reference_cds_seq[codon_start_idx:ref_end_idx]
+    alt_window_len = codon_len + len(rotated_alt) - vf_nt_len
+    alt_end_idx = (
+        codon_start_idx
+        if alt_window_len <= 0
+        else min(codon_start_idx + alt_window_len, len(alternate_seq))
+    )
+    alt_codon = alternate_seq[codon_start_idx:alt_end_idx]
+    ref_peptide = _local_peptide_from_codon_window(ref_codon)
+    alt_peptide = _local_peptide_from_codon_window(alt_codon)
+    start, end = (
+        (raw_end, raw_start)
+        if ref_peptide == "-" and raw_start != raw_end
+        else (raw_start, raw_end)
+    )
+    return ProteinHgvs(
+        start=start,
+        end=end,
+        ref_peptide=ref_peptide,
+        alt_peptide=alt_peptide,
+        ref_translation=(
+            t.translation_seq_canonical
+            if t.translation_seq_canonical is not None
+            else translate(reference_cds_seq)
+        ),
+        alt_translation=translated_alt_protein_for_hgvs(t, alternate_seq)
+        or translate(alternate_seq),
+        alt_translation_extension=translated_alt_protein_for_hgvs(t, alternate_seq),
+        frameshift=(abs(vf_nt_len - len(rotated_alt)) % 3) != 0,
+        native_refseq=refseq_has_edited_sequence_state(t),
+    )
+
+
 def adjust_refseq_cdna_component(t: Transcript, value: str) -> str | None:
     """Shift the numeric head of an HGVS cDNA coordinate string (``"500"``,
     ``"500+3"``…) by the misalignment offset; None = leave unchanged
@@ -1303,6 +1414,9 @@ class HgvsShift:
     #: the ORIGINAL (parser-normalized) alleles the shift derives from
     ref_orig_allele_string: str = ""
     alt_orig_allele_string: str = ""
+    #: "-" for deletions, the shifted allele for insertions (reference
+    #: HgvsGenomicShift.shifted_compare_allele)
+    shifted_compare_allele: str = ""
 
     def display_start(self) -> int:
         return self.start
@@ -1505,6 +1619,7 @@ def refseq_transcript_shift_for_hgvs_protein(
         three_prime_flanking_seq="" if shift_length == 0 else post_seq[:flank_len],
         ref_orig_allele_string=ref,
         alt_orig_allele_string=alt,
+        shifted_compare_allele=shifted_seq if is_insertion else "-",
     )
 
 

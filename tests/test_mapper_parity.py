@@ -1115,3 +1115,33 @@ def test_shifted_output_allele_rotation_matches_vep_orientation():
     assert cq.rotate_hgvs_protein_allele("CAGCAG", 0, 1) == "CAGCAG"
     assert cq.rotate_hgvs_protein_allele("-", 7, 1) == "-"
     assert cq.rotate_hgvs_protein_allele("AGT", 1, -1) == "TAG"
+
+
+def test_shifted_output_allele_for_transcript_uses_transcript_orientation():
+    # rs:15828-15840
+    assert cq.shifted_output_allele_for_transcript(1, "CCT") == "CCT"
+    assert cq.shifted_output_allele_for_transcript(-1, "CCT") == "AGG"
+
+
+def test_literal_shifted_indel_window_matches_reference_math_on_nm015120():
+    """literal_shifted_indel_protein_hgvs_data on the NM_015120 shifted
+    insertion: the canonical-CDS projection subtracts the +3 edit (cds idx
+    74 → 71), the window is codon 24 (ref 'E') and the widened alt window
+    reads 'EE' — the hand-derived values of the reference function's own
+    arithmetic on this fixture (rs:4016-4178)."""
+    five = "AGGCGGGCGGCACTGCGCCTAAGCTGGGCCACAACCGCCAGTCAGGGCTCTCCCCTTCCCCTCCCTCCCCCCCTCCTCCTCCTCCTCTGCCGCCCAGAGCGAGACACCAAC"
+    edited_cds = "ATGGAGCCCGAGGATCTGCCATGGCCGGGCGAGCTGGAGGAGGAGGAGGAGGAGGAGGAGGAGGAGGAGGAGGAAGAGGAGGAGGCTGCAGCGGCGGCGGCGGCGAACGTGGACGACGTAGTGGTCGTGGAGGAGGTGGAGGAAGAGGCGGGGCGGGAGTTGGACTCCGACTCTCACTACGGGCCCCAGCATCTGGAAAGTATAGACGACGAGGAGGACGAGGAGGCCAAGGCCTGG"
+    canonical_cds = "ATGGAGCCCGAGGATCTGCCATGGCCGGGCGAGCTGGAGGAGGAGGAGGAGGAGGAGGAGGAGGAGGAGGAGGAAGAGGAGGAGGCTGCAGCGGCGGCGGCGGCGAACGTGGACGACGTAGTGGTCGTGGAGGAGGTGGAGGAAGAGGCGGGGCGGGAGTTGGACTCCGACTCTCACTACGGGCCCCAGCATCTGGAAAGTATAGACGACGAGGAGGACGAGGAGGCCAAGGCCTGGCTG"
+    t = _tx("NM_015120.4", 73385758, 73386108, cds_start=73385869,
+            cds_end=73386108, source="RefSeq", bam_edit_status="ok",
+            has_non_polya_rna_edit=True, cdna_coding_start=112,
+            cdna_coding_end=351, spliced_seq=five + edited_cds,
+            cds_sequence=edited_cds, cds_sequence_canonical=canonical_cds)
+    t.refseq_edits = [RefSeqEdit(186, 185, 3)]
+    shift = cq.refseq_transcript_shift_for_hgvs_protein(t, 73385904, 73385903, "-", "GGA")
+    assert shift is not None and shift.shift_length == 39
+    ls = cq.literal_shifted_indel_protein_hgvs_data(t, shift)
+    assert ls is not None
+    assert (ls.start, ls.end) == (24, 24)
+    assert ls.ref_peptide == "E"
+    assert ls.alt_peptide == "EE"
