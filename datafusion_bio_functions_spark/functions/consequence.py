@@ -21,15 +21,26 @@ Scope notes vs the reference:
   frameshift reclassification, inframe-insertion peptide containment);
   without sequence context VEP's positional start/stop heuristics apply
   and everything else degrades to ``coding_sequence_variant``, exactly
-  like VEP.  RefSeq _rna_edit numbering offsets are modeled
-  (refseq_sequence_offset_for_cdna — exonic shifts, intronic anchors
-  untouched, NM/NR/XM/XR-gated); the remaining long tail (BAM-edited
-  mapper rebuilds, selenocysteine recoding — the reference only maps
-  the U->Sec letter, which AA3 also carries) is out of scope.
+  like VEP.  The FULL edited-RefSeq coordinate model is implemented
+  (round 6): cached TranscriptMapper segments as the authoritative
+  genomic↔cDNA converter under the single-mapper rule
+  (``use_cdna_mapper_for_general_coords``), mapper-gap deleted-base
+  resolution, ``_rna_edit`` numbering offsets in both mapper and
+  sequence space, edited-transcript reference precedence (USED_REF),
+  failed-BAM-edit cached-translation precedence, and the
+  transcript-sequence 3'-shift machinery — pinned by the 79-test
+  ``tests/test_mapper_parity.py`` battery.  Remaining documented tail:
+  the protein_hgvs_for_output shifted-insertion equal-window dispatch
+  (components ported and pinned, the final re-anchor needs the
+  reference classification's internal candidate state) and
+  selenocysteine recoding (the reference only maps the U->Sec letter,
+  which AA3 also carries).
 * HGVS: ``g.`` always; ``c.`` with 3'-shifting + dup detection and
-  UTR/intronic ``c.-N`` / ``c.*N`` / ``c.N±off`` coordinates; ``p.``
+  UTR/intronic ``c.-N`` / ``c.*N`` / ``c.N±off`` coordinates, routed
+  through the mapper-aware pipeline on live RefSeq rows; ``p.``
   substitutions, inframe del/ins/delins, frameshift ``fsTer#`` and
-  stop-lost ``extTer#`` when CDS context is available.
+  stop-lost ``extTer#`` when CDS context is available, prefixed with
+  the translation stable id when cached.
 """
 
 from __future__ import annotations
