@@ -1145,3 +1145,65 @@ def test_literal_shifted_indel_window_matches_reference_math_on_nm015120():
     assert (ls.start, ls.end) == (24, 24)
     assert ls.ref_peptide == "E"
     assert ls.alt_peptide == "EE"
+
+
+# ── property: an edit-free mapper is exactly exon geometry ─────────────────
+
+
+def test_mapper_matches_exon_geometry_when_it_mirrors_exons():
+    """Hypothesis sweep: when cdna_mapper_segments exactly mirror the exon
+    structure (no edits), the mapper-aware converter, the raw position
+    string, and the HGVS coordinate pipeline must all equal the plain
+    exon-geometry transcript — on both strands, at every position in the
+    transcript span."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def _tx_pair(draw):
+        strand = draw(st.sampled_from([1, -1]))
+        n_exons = draw(st.integers(1, 4))
+        exons = []
+        cursor = draw(st.integers(100, 200))
+        for _ in range(n_exons):
+            length = draw(st.integers(3, 40))
+            exons.append((cursor, cursor + length - 1))
+            cursor += length + draw(st.integers(2, 30))
+        start, end = exons[0][0], exons[-1][1]
+        plain = _tx("NM_PROP.1", start, end, strand=strand, source="RefSeq",
+                    exons=list(exons))
+        mapped = _tx("NM_PROP.1", start, end, strand=strand, source="RefSeq",
+                     exons=list(exons))
+        total = sum(e - s + 1 for s, e in exons)
+        segs = []
+        if strand >= 0:
+            off = 0
+            for s, e in exons:
+                ln = e - s + 1
+                segs.append(MapperSegment(s, e, off + 1, off + ln, strand))
+                off += ln
+        else:
+            consumed = 0
+            for s, e in exons:
+                ln = e - s + 1
+                cdna_end = total - consumed
+                segs.append(MapperSegment(s, e, cdna_end - ln + 1, cdna_end, strand))
+                consumed += ln
+        mapped.cdna_mapper_segments = segs
+        pos = draw(st.integers(start, end))
+        return plain, mapped, pos
+
+    @settings(max_examples=200, deadline=None)
+    @given(_tx_pair())
+    def check(pair):
+        plain, mapped, pos = pair
+        assert cq.use_cdna_mapper_for_general_coords(mapped)
+        assert cq.genomic_to_cdna_index_for_transcript(
+            mapped, pos
+        ) == cq.genomic_to_cdna_index_for_transcript(plain, pos)
+        assert cq.raw_cdna_position_from_genomic(
+            mapped, pos
+        ) == cq.raw_cdna_position_from_genomic(plain, pos)
+        assert cq._cds_relative_notation(mapped, pos) == cq._cds_relative_notation(plain, pos)
+
+    check()
