@@ -3889,6 +3889,12 @@ def hgvs_c(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
 
 
 def _aa3(aa: str) -> str:
+    """HGVS three-letter residue: unlike the generic AA3 table ('X' →
+    'Xaa'), the HGVS protein notation displays the incomplete-codon
+    placeholder X as 'Ter' (reference hgvs_aa_one_to_three,
+    hgvs.rs:1847-1852; pinned by issue_136 p.Ter262=)."""
+    if aa == "X":
+        return "Ter"
     return AA3.get(aa, "Xaa")
 
 
@@ -3903,6 +3909,8 @@ def _ref_peptide_len(t: Transcript, prot_old: str) -> int:
     if last is not None:
         off = _genomic_to_cds_offset(t, last)
         if off is not None:
+            if t.cds_sequence:
+                off += _leading_n(t.cds_sequence)  # phase-padded caches
             n_cod = min(n_cod, (off + 1) // 3)
     return len(prot_old[:n_cod].rstrip("*"))
 
@@ -3937,6 +3945,10 @@ def hgvs_p(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
     if off is None:
         return None
     cds = t.cds_sequence.upper()
+    # phase-padded caches (leading N's on the translateable seq) shift every
+    # CDS-sequence index by the pad length — same convention as the classify
+    # path (reference leading-N offset, issue_118_chr7_44108973 family)
+    off += _leading_n(cds)
     var_ref = ref.upper() if t.strand >= 0 else revcomp(ref.upper())
     var_alt = alt.upper() if t.strand >= 0 else revcomp(alt.upper())
     if off + len(var_ref) > len(cds) or (var_ref and cds[off : off + len(var_ref)] != var_ref):
@@ -3968,6 +3980,14 @@ def hgvs_p(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
         ci0 = off // 3
         ci1 = (off + max(len(var_ref), 1) - 1) // 3  # last touched codon
         if ci0 >= len(prot_old):
+            # substitution entirely within the trailing INCOMPLETE codon:
+            # both peptides render the partial-codon placeholder X → '='
+            # with the HGVS X→Ter display (reference ProteinHgvsData
+            # ref/alt_peptide "X" → p.Ter262=, hgvs.rs
+            # test_format_hgvsp_partial_codon_synonymous_uses_ter; E2E
+            # issue_136_real_negative_strand_terminal_snv_emits_itcv_and_hgvsp)
+            if len(cds) % 3 != 0 and ci0 == len(prot_old):
+                return f"{tid}:p.Ter{ci0 + 1}="
             return None
         ci1 = min(ci1, len(prot_old) - 1, len(prot_new) - 1)
         # first/last codons in the touched span whose residues actually

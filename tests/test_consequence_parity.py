@@ -561,13 +561,17 @@ def test_hgvsc_non_coding_numbering():
 def test_aa_one_to_three_reference_cases():
     """hgvs.rs test_aa_one_to_three + the extended letters the reference's
     table carries: selenocysteine (U->Sec), pyrrolysine (O->Pyl), and the
-    unknown-residue fallthrough (X and anything else -> Xaa)."""
+    unknown-residue fallthrough (anything else -> Xaa).  ``_aa3`` is the
+    HGVS display path, where the reference maps the partial-codon
+    placeholder X to 'Ter' (hgvs_aa_one_to_three, hgvs.rs:1847-1852)
+    unlike the generic table's X->Xaa."""
     from datafusion_bio_functions_spark.functions import consequence as cq
 
     assert cq._aa3("A") == "Ala"
     assert cq._aa3("R") == "Arg"
     assert cq._aa3("*") == "Ter"
-    assert cq._aa3("X") == "Xaa"
+    assert cq._aa3("X") == "Ter"  # hgvs_aa_one_to_three special case
+    assert cq.AA3["X"] == "Xaa"  # generic aa_one_to_three keeps Xaa
     assert cq._aa3("U") == "Sec"
     assert cq._aa3("O") == "Pyl"
     assert cq._aa3("?") == "Xaa"
@@ -2095,3 +2099,161 @@ def test_issue_124_protein_altering_and_splice_tier_strips():
         s = set(pair)
         _cq._strip_parent_terms(s)
         assert s == pair, pair
+
+
+# ---------------------------------------------------------------------------
+# issue #116 — stop_gained local-window family (rs:18590,20254-20420)
+# ---------------------------------------------------------------------------
+
+
+def test_issue_116_stop_gained_local_window_family():
+    """rs issue_116_*: VEP's stop_gained reads the LOCAL codon window
+    (3 + inserted bases), fires only when a window codon translates to
+    '*' while the first local AA differs from the ref AA, and is always
+    suppressed by stop_retained (VariationEffect.pm L1217)."""
+    def mk(cds):
+        n = len(cds)
+        return tx("T", 1000, 1000 + n - 1, 1, cds=(1000, 1000 + n - 1),
+                  exons=[(1000, 1000 + n - 1)], cds_sequence=cds)
+
+    # 4bp frameshift insertion creating a stop in the local window, first
+    # local AA differs from ref → stop_gained, NOT stop_retained
+    # (rs:20254 + full-pipeline twin rs:20354)
+    got = set(C(mk("ATGGATGAATGA"), 1004, "-", "CCTG"))
+    assert "stop_gained" in got and "frameshift_variant" in got
+    assert "stop_retained_variant" not in got
+    # 28bp insertion: stop falls on a window codon boundary (rs:20285)
+    assert "stop_gained" in C(
+        mk("ATGGCTGAAGCTTGA"), 1004, "-", "GGTGAGGGGGGGGGGGGGGGGGGGGGGG"
+    )
+    # 1bp frameshift far from the stop: window has no stop (rs:20320)
+    assert "stop_gained" not in C(mk("ATGGCTGAAGCTTGA"), 1004, "-", "T")
+    # stop_retained wins over stop_gained (rs:20337)
+    got = set(C(mk("ATGGCTGAATGA"), 1007, "-", "AATGAGGGGG"))
+    assert "stop_retained_variant" in got and "stop_gained" not in got
+    # earlier full-CDS stop-position check blocks stop_gained (rs:20394)
+    got = set(C(mk("ATGGATGAATGA"), 1007, "-", "CCT"))
+    assert "stop_retained_variant" in got and "stop_gained" not in got
+    # non-codon-aligned inframe deletion: boundary codons are NOT skipped
+    # but no stop forms here → no stop_gained (rs:18590)
+    assert "stop_gained" not in C(mk("ATGACTGAAGCTTGA"), 1004, "CTG", "")
+    # inframe deletion shifting a downstream stop earlier: per-codon local
+    # check only → no false stop_gained (rs:18687)
+    assert "stop_gained" not in C(mk("ATGGCTAAAGCTTAGTGA"), 1006, "AAA", "")
+
+
+# ---------------------------------------------------------------------------
+# issue #101 — incomplete_terminal_codon companion terms (rs:20424-20598)
+# ---------------------------------------------------------------------------
+
+
+def test_issue_101_incomplete_terminal_codon_family():
+    """rs issue_101_*: VEP's synonymous has an X-peptide guard
+    (VariationEffect.pm L1076-1082), partial_codon only fires when
+    cds_len % 3 != 0 (L1478-1493), and stop_retained strips the
+    incomplete-terminal term."""
+    def mk(cds, spliced=None, cdna_ce=None):
+        n = len(cds)
+        return tx("T", 1000, 1000 + n - 1 + 10, 1, cds=(1000, 1000 + n - 1),
+                  exons=[(1000, 1000 + n - 1 + 10)], cds_sequence=cds,
+                  spliced_seq=spliced, cdna_coding_end=cdna_ce)
+
+    # SNV at the incomplete terminal codon: X peptides → NOT synonymous,
+    # incomplete_terminal_codon_variant + coding_sequence_variant
+    assert set(C(mk("ATGGCTGA"), 1007, "A", "T")) == {
+        "coding_sequence_variant", "incomplete_terminal_codon_variant"
+    }
+    # complete-codon synonymous SNV unaffected by the guard
+    assert C(mk("ATGGCTGAATGA"), 1005, "T", "C") == ["synonymous_variant"]
+    # strip rule: stop_retained removes incomplete_terminal_codon
+    s = {"incomplete_terminal_codon_variant", "stop_retained_variant"}
+    cq._strip_parent_terms(s)
+    assert s == {"stop_retained_variant"}
+    # complete CDS (12 % 3 == 0): no incomplete_terminal_codon even at the
+    # stop codon
+    got = C(mk("ATGGCTGAATGA", spliced="ATGGCTGAATGACCCGGG", cdna_ce=12),
+            1009, "T", "A")
+    assert "incomplete_terminal_codon_variant" not in got
+    # incomplete CDS (8 % 3 == 2): fires at the partial codon, synonymous
+    # suppressed
+    got = set(C(mk("ATGGCTGA", spliced="ATGGCTGACCCGGG", cdna_ce=8),
+                1007, "A", "T"))
+    assert "incomplete_terminal_codon_variant" in got
+    assert "synonymous_variant" not in got
+
+
+# ---------------------------------------------------------------------------
+# issue #132 — frameshift-intron mapper gaps (rs:19645-19760)
+# ---------------------------------------------------------------------------
+
+
+def test_issue_132_frameshift_intron_family():
+    """rs issue_132_*: a deletion spanning a frameshift intron maps to a
+    TranscriptMapper Gap → undefined cds coords → VEP's frameshift
+    predicate returns 0 (VariationEffect.pm L1445) → the generic
+    coding_sequence_variant only; an exon-boundary insertion whose anchor
+    DOES map keeps its specific terms."""
+    cds = "ATGGCTGAATGATTTCCCGGG"
+
+    def mk(exons, cds_end, tx_end=1030):
+        return tx("T", 990, tx_end, 1, cds=(1000, cds_end), exons=exons,
+                  cds_sequence=cds, spliced_seq=cds + "AAATTT",
+                  cdna_coding_end=21)
+
+    # 2bp deletion of an entire 2bp frameshift intron
+    got = set(C(mk([(1000, 1008), (1011, 1020)], 1020), 1009, "XX", ""))
+    assert "coding_sequence_variant" in got
+    assert "frameshift_variant" not in got
+    # 3bp inframe deletion inside a 5bp frameshift intron: no inframe term
+    got = set(C(mk([(1000, 1008), (1014, 1020)], 1020), 1009, "XXX", ""))
+    assert "inframe_deletion" not in got
+    # insertion at exon1 boundary of a 10bp frameshift intron: anchor maps
+    # → classification succeeds → frameshift kept
+    got = set(C(mk([(1000, 1008), (1019, 1030)], 1030, tx_end=1040),
+                1009, "-", "GGGG"))
+    assert "frameshift_variant" in got
+
+
+# ---------------------------------------------------------------------------
+# issue #136 — real ENST00000415537 terminal SNV (rs:20600-20681)
+# ---------------------------------------------------------------------------
+
+_ISSUE_136_CDS = (
+    "NNGCGGGTCATGGCGCCCCGAGCCCTCCTCCTGCTGCTCTCGGGAGGCCTGGCCCTGACCGAGACCT"
+    "GGGCCTGCTCCCACTCCATGAGGTATTTCGACACCGCCGTGTCCCGGCCCGGCCGCGGAGAGCCCCG"
+    "CTTCATCTCAGTGGGCTACGTGGACGACACGCAGTTCGTGCGGTTCGACAGCGACGCCGCGAGTCCG"
+    "AGAGGGGAGCCGCGGGCGCCGTGGGTGGAGCAGGAGGGGCCGGAGTATTGGGACCGGGAGACACAGA"
+    "AGTACAAGCGCCAGGCACAGGCTGACCGAGTGAGCCTGCGGAACCTGCGCGGCTACTACAACCAGAG"
+    "CGAGGACGGGTCTCACACCCTCCAGAGGATGTCTGGCTGCGACCTGGGGCCCGACGGGCGCCTCCTC"
+    "CGCGGGTATGACCAGTCCGCCTACGACGGCAAGGATTACATCGCCCTGAACGAGGACCTGCGCTCCT"
+    "GGACCGCCGCGGACACCGCGGCTCAGATCACCCAGCGCAAGTTGGAGGCGGCCCGTGCGGCGGAGCA"
+    "GCTGAGAGCCTACCTGGAGGGCACGTGCGTGGAGTGGCTCCGCAGATACCTGGAGAACGGGAAGGAG"
+    "ACGCTGCAGCGCGCAGAACCCCCAAAGACACACGTGACCCACCACCCCCTCTCTGACCATGAGGCCA"
+    "GCAGGAGATGGAACCTTCCAGAAGTGGGCAGCTGTGGTGGTGCCTTCTGGACAAGAGCAGAGATACA"
+    "CGTGCCATATGCAGCACGAGGGGCTGCAAGAGCCCCTCACCCTGAGC"
+)
+
+
+def test_issue_136_negative_strand_terminal_snv_itcv_and_hgvsp():
+    """rs:20600 issue_136_real_negative_strand_terminal_snv_emits_itcv_
+    and_hgvsp: a minus-strand SNV at the 2-base incomplete terminal codon
+    of a cds_start_NF/cds_end_NF transcript (phase-padded NN CDS) emits
+    exactly {incomplete_terminal_codon_variant, coding_sequence_variant}
+    and HGVSp p.Ter262= — both peptides are the partial-codon X, which
+    the HGVS display maps to Ter (hgvs.rs hgvs_aa_one_to_three)."""
+    t = cq.Transcript(
+        transcript_id="ENST00000415537", chrom="6",
+        start=31270214, end=31272069, strand=-1,
+        cds_start=31270214, cds_end=31272069, cds_sequence=_ISSUE_136_CDS,
+        cdna_coding_start=1, cdna_coding_end=782,
+        cds_start_nf=True, cds_end_nf=True,
+        flags_str="cds_start_NF&cds_end_NF",
+        exons=[(31271999, 31272069), (31271599, 31271868),
+               (31271073, 31271348), (31270439, 31270485),
+               (31270214, 31270331)],
+        translation_stable_id="ENSP00000400410.1",
+    )
+    assert set(C(t, 31270214, "G", "T")) == {
+        "coding_sequence_variant", "incomplete_terminal_codon_variant"
+    }
+    assert cq.hgvs_p(t, 31270214, "G", "T") == "ENSP00000400410.1:p.Ter262="
