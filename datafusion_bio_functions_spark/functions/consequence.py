@@ -45,6 +45,7 @@ Scope notes vs the reference:
 
 from __future__ import annotations
 
+import re
 import sys
 from dataclasses import dataclass, field
 
@@ -3794,17 +3795,124 @@ def _cds_relative_notation(t: Transcript, g: int) -> str | None:
     return shift_to_hgvs_coding_coordinates(t, raw)
 
 
-def hgvs_c(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
+def _shifted_variant_for_notation(
+    ref: str, alt: str, shift: "HgvsShift"
+) -> tuple[int | None, str, str]:
+    """The genomically 3'-shifted (pos, ref, alt) an HGVS formatter
+    notates (reference format_hgvsc's reuse of HgvsGenomicShift,
+    transcript_consequence.rs:4670-4705): deletions jump to the shifted
+    span with the rolled deleted bases; insertions move the anchor by the
+    walk and insert the rolled allele.  The caller passes the
+    strand-appropriate shift (reference hgvs_shift_for_strand)."""
+    if ref and not alt:  # deletion
+        return shift.display_start(), shift.shifted_allele_string, ""
+    if alt and not ref:  # insertion
+        return shift.display_start(), "", shift.shifted_allele_string
+    return None, ref, alt
+
+
+#: original-consequence terms that allow HGVSp output — Ensembl only emits
+#: HGVSp when the original transcript variation is coding ($pre->{coding}),
+#: even when 3'-shifting later moves an intronic indel into the CDS
+#: (reference original_terms_allow_protein_hgvs,
+#: transcript_consequence.rs:4218-4238)
+_PROTEIN_HGVS_TERMS = frozenset({
+    "missense_variant", "synonymous_variant", "stop_gained", "stop_lost",
+    "start_lost", "frameshift_variant", "inframe_insertion",
+    "inframe_deletion", "stop_retained_variant", "start_retained_variant",
+    "protein_altering_variant", "incomplete_terminal_codon_variant",
+    "coding_sequence_variant",
+})
+
+
+def original_terms_allow_protein_hgvs(terms: list[str]) -> bool:
+    return any(term in _PROTEIN_HGVS_TERMS for term in terms)
+
+
+def protein_hgvs_for_output(
+    t: Transcript, pos: int, ref: str, alt: str,
+    shift: "HgvsShift | None",
+    terms: list[str] | None = None,
+) -> str | None:
+    """HGVSp output dispatch with genomic-shift replay (reference
+    protein_hgvs_for_output, transcript_consequence.rs:4807-5010):
+
+    1. suppressed unless the ORIGINAL consequence terms are coding
+       (shifted_hgvsp_is_suppressed_when_original_terms_are_splice_only);
+    2. zero shift / substitutions format the original variant;
+    3. shifted indels replay the 3'-shifted variant (deletions jump to the
+       shifted span, insertions rotate the allele —
+       protein_hgvs_shifted_variant) through the same protein formatter;
+    4. a shifted span that no longer maps to coding coordinates returns
+       None, NOT the unshifted fallback (VEP's translation_start guard);
+    5. a failed shifted replay falls back to the original notation
+       (protein_hgvs_for_output_falls_back_to_original_when_shifted_
+       frameshift_replay_fails)."""
+    if terms is None:
+        terms = classify(t, pos, ref, alt)
+    if not original_terms_allow_protein_hgvs(terms):
+        return None
+    ref_n = "" if ref in ("-", None) else ref
+    alt_n = "" if alt in ("-", None) else alt
+    if shift is None:  # shift_hgvs off: the original notation verbatim
+        return hgvs_p(t, pos, ref, alt)
+    original = hgvs_p(t, pos, ref, alt)
+    # star-equal insertion suppression: VEP's hgvs_protein returns undef
+    # for an insertion whose original peptides are ref='*' alt='*' — BEFORE
+    # the zero-shift early return (reference
+    # protein_hgvs_for_output_suppresses_star_equal_insertions, rs:15843)
+    if (
+        not ref_n and alt_n and original is not None
+        and re.search(r":p\.Ter\d+=$", original)
+    ):
+        return None
+    if shift.shift_length == 0 or len(ref_n) == len(alt_n):
+        return original
+    vs = pos
+    ve = pos + len(ref_n) - 1 if ref_n else pos
+    sv = protein_hgvs_shifted_variant(
+        vs, ve, ref_n or "-", alt_n or "-", vs, ve, ref_n or "-", alt_n or "-",
+        shift, t.strand,
+    )
+    # VEP guard: the shifted coordinates must still map through the
+    # transcript mapper to protein coordinates, else HGVSp is undef with
+    # NO unshifted fallback (transcript_consequence.rs:4988-4994)
+    if shifted_tva_coords_from_mapper(t, sv.start, sv.end) is None:
+        return None
+    shifted_out = hgvs_p(t, sv.start, sv.ref, sv.alt)
+    if shifted_out is not None:
+        return shifted_out
+    return hgvs_p(t, pos, ref, alt)
+
+
+def hgvs_c(
+    t: Transcript, pos: int, ref: str, alt: str,
+    shift: "HgvsShift | None" = None,
+) -> str | None:
     """cDNA notation: substitutions, del/ins/dup/delins with 3'-shifting and
     dup detection when ``cds_sequence`` context is available (reference
     ``hgvs.rs:17-45``); UTR (``c.-N`` / ``c.*N``) and intronic
     (``c.N±off``) coordinates for positions outside the CDS.  Raw VCF
     alleles are VEP-normalized first, so padded indels (``GGCT>G``)
     notate by their truly changed bases; a caller-supplied bare insertion
-    (``ref=''``) keeps the pos-is-5'-flank convention."""
+    (``ref=''``) keeps the pos-is-5'-flank convention.
+
+    ``shift``: an externally computed genomic 3'-shift (VEP computes it
+    from the reference FASTA; reference ``HgvsGenomicShift`` consumed by
+    ``format_hgvsc``, hgvs.rs/transcript_consequence.rs:4670).  When
+    present with a nonzero length, the notation renders the SHIFTED
+    variant — e.g. a deletion of a whole frameshift intron rolls into the
+    next exon and notates with exonic c. coordinates
+    (issue_orai1_..._keeps_csv_but_emits_shifted_hgvsp: c.127_131del)."""
     ref = "" if ref in ("-", None) else ref
     alt = "" if alt in ("-", None) else alt
     pos, ref, alt = _normalize_for_hgvs(pos, ref, alt)
+    if shift is not None and shift.shift_length > 0 and len(ref) != len(alt):
+        s_pos, s_ref, s_alt = _shifted_variant_for_notation(ref, alt, shift)
+        if s_pos is not None:
+            shifted_out = hgvs_c(t, s_pos, s_ref, s_alt)
+            if shifted_out is not None:
+                return shifted_out
     # HGVSc renders against the USED_REF — the edited transcript's own
     # reference bases — on RefSeq rows with live transcript state
     # (reference engine: hgvsc_ref_allele = used_ref.unwrap_or(ref),

@@ -2257,3 +2257,105 @@ def test_issue_136_negative_strand_terminal_snv_itcv_and_hgvsp():
         "coding_sequence_variant", "incomplete_terminal_codon_variant"
     }
     assert cq.hgvs_p(t, 31270214, "G", "T") == "ENSP00000400410.1:p.Ter262="
+
+
+# ---------------------------------------------------------------------------
+# genomic-shift HGVS output dispatch (rs:4807-5010, 20683-20860, 15843)
+# ---------------------------------------------------------------------------
+
+_ORAI1_CDS = (
+    "ATGCATCCGGAGCCCGCCCCGCCCCCGAGCCGCAGCAGTCCCGAGCTTCCCCCAAGCGGCGGCAGCAC"
+    "CACCAGCGGCAGCCGCCGGAGCCGCCGCCGCAGCGGGGACGGGGAGCCCCCGGGGGCCCCGCCACCGC"
+    "CGCCGTCCGCCGTCACCTACCCGGACTGGATCGGCCAGAGTTACTCCGAGGTGATGAGCCTCAACGAG"
+    "CACTCCATGCAGGCGCTGTCCTGGCGCAAGCTCTACTTGAGCCGCGCCAAGCTTAAAGCCTCCAGCCG"
+    "GACCTCGGCTCTGCTCTCCGGCTTCGCCATGGTGGCAATGGTGGAGGTGCAGCTGGACGCTGACCACG"
+    "ACTACCCACCGGGGCTGCTCATCGCCTTCAGTGCCTGCACCACAGTGCTGGTGGCTGTGCACCTGTTT"
+    "GCGCTCATGATCAGCACCTGCATCCTGCCCAACATCGAGGCGGTGAGCAACGTGCACAATCTCAACTC"
+    "GGTCAAGGAGTCCCCCCATGAGCGCATGCACCGCCACATCGAGCTGGCCTGGGCCTTCTCCACCGTCA"
+    "TCGGCACGCTGCTCTTCCTAGCTGAGGTGGTGCTGCTCTGCTGGGTCAAGTTCTTGCCCCTCAAGAAG"
+    "CAGCCAGGCCAGCCAAGGCCCACCAGCAAGCCCCCCGCCAGTGGCGCAGCAGCCAACGTCAGCACCAG"
+    "CGGCATCACCCCGGGCCAGGCAGCTGCCATCGCCTCGACCACCATCATGGTGCCCTTCGGCCTGATCT"
+    "TTATCGTCTTCGCCGTCCACTTCTACCGCTCACTGGTTAGCCATAAGACTGACCGACAGTTCCAGGAG"
+    "CTCAACGAGCTGGCGGAGTTTGCCCGCTTACAGGACCAGCTGGACCACAGAGGGGACCACCCCCTGAC"
+    "GCCCGGCAGCCACTATGCCTAG"
+)
+
+
+def test_issue_orai1_frameshift_intron_deletion_shifted_hgvs():
+    """rs:20683 issue_orai1_frameshift_intron_deletion_keeps_csv_but_
+    emits_shifted_hgvsp: a 5bp deletion of ORAI1's entire frameshift
+    intron maps to a mapper Gap (terms = coding_sequence_variant only, no
+    cds/protein positions) — but the genomic 3'-shift rolls it into exon
+    2, and both HGVS notations render the SHIFTED variant."""
+    t = cq.Transcript(
+        transcript_id="ENST00000617316.2", chrom="12",
+        start=121626550, end=121642040, strand=1,
+        cds_start=121626743, cds_end=121641643, cds_sequence=_ORAI1_CDS,
+        cdna_coding_start=194, cdna_coding_end=1099, is_canonical=True,
+        exons=[(121626550, 121626865), (121626871, 121627050),
+               (121641041, 121642040)],
+        translation_stable_id="ENSP00000482568.2",
+    )
+    shift = cq.HgvsShift(
+        strand=1, shift_length=8, start=121626874, end=121626878,
+        shifted_allele_string="CCGCC", shifted_output_allele="-",
+        ref_orig_allele_string="CCGCC", alt_orig_allele_string="-",
+        shifted_compare_allele="-",
+    )
+    assert set(C(t, 121626866, "GCCCC", "")) == {"coding_sequence_variant"}
+    det = cq.annotation_details(t, 121626866, "GCCCC", "")
+    assert det.get("cds_position") is None
+    assert det.get("protein_position") is None
+    assert (cq.hgvs_c(t, 121626866, "GCCCC", "", shift=shift)
+            == "ENST00000617316.2:c.127_131del")
+    assert (cq.protein_hgvs_for_output(t, 121626866, "GCCCC", "", shift)
+            == "ENSP00000482568.2:p.Pro43ThrfsTer43")
+
+
+def test_shifted_hgvsp_suppressed_when_original_terms_splice_only():
+    """rs:20778 shifted_hgvsp_is_suppressed_when_original_terms_are_
+    splice_only: a splice-acceptor deletion 3'-shifts into exon 2 (shifted
+    HGVSc is still emitted) but HGVSp stays empty because the ORIGINAL
+    transcript variation is not coding (Ensembl $pre->{coding} gate)."""
+    cds = "ATGGATGATAGCGACTTTGCCTAA"
+    t = cq.Transcript(
+        transcript_id="ENSTSHIFT0001.1", chrom="1", start=1000, end=1044,
+        strand=1, cds_start=1000, cds_end=1044, cds_sequence=cds,
+        cdna_coding_start=1, cdna_coding_end=len(cds),
+        exons=[(1000, 1008), (1030, 1044)],
+        translation_stable_id="ENSPSHIFT0001.1",
+    )
+    shift = cq.HgvsShift(
+        strand=1, shift_length=2, start=1030, end=1031,
+        shifted_allele_string="AG", shifted_output_allele="-",
+        ref_orig_allele_string="AG", alt_orig_allele_string="-",
+        shifted_compare_allele="-",
+    )
+    terms = set(C(t, 1028, "AG", ""))
+    assert "splice_acceptor_variant" in terms
+    assert "coding_sequence_variant" not in terms
+    assert cq.hgvs_c(t, 1028, "AG", "", shift=shift) is not None
+    assert cq.protein_hgvs_for_output(t, 1028, "AG", "", shift) is None
+
+
+def test_protein_hgvs_for_output_suppresses_star_equal_insertions():
+    """rs:15843 protein_hgvs_for_output_suppresses_star_equal_insertions:
+    an insertion whose original peptides are ref='*' alt='*' (no protein
+    change at the stop codon) returns no HGVSp — checked BEFORE the
+    zero-shift early return (Ensembl hgvs_protein star/star guard)."""
+    cds = "ATG" + "AAA" * 17 + "TGA"
+    n = len(cds)
+    t = cq.Transcript(
+        transcript_id="T", chrom="1", start=1000, end=1000 + n + 9, strand=1,
+        cds_start=1000, cds_end=1000 + n - 1, cds_sequence=cds,
+        exons=[(1000, 1000 + n + 9)], translation_stable_id="P.1",
+    )
+    pos = 1000 + n - 1  # inside the stop codon; peptide unchanged
+    assert cq.hgvs_p(t, pos, "-", "A") == "P.1:p.Ter19="
+    shift = cq.HgvsShift(
+        strand=1, shift_length=0, start=pos, end=pos - 1,
+        shifted_allele_string="A", shifted_output_allele="A",
+        ref_orig_allele_string="-", alt_orig_allele_string="A",
+        shifted_compare_allele="A",
+    )
+    assert cq.protein_hgvs_for_output(t, pos, "-", "A", shift) is None
