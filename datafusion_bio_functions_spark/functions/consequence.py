@@ -1429,12 +1429,25 @@ class HgvsShift:
     #: "-" for deletions, the shifted allele for insertions (reference
     #: HgvsGenomicShift.shifted_compare_allele)
     shifted_compare_allele: str = ""
+    #: genomic flank context at the SHIFTED site (reference
+    #: HgvsGenomicShift.five/three_prime_context) — an insertion equal to
+    #: either flank renders as a duplication of that flank
+    #: (apply_shifted_insertion_duplication, hgvs.rs:987-1032)
+    five_prime_context: str = ""
+    three_prime_context: str = ""
 
     def display_start(self) -> int:
-        return self.start
+        # the reverse walk keeps the raw coordinates; the displayed span
+        # applies the leftward (genomic) shift on minus strand (reference
+        # HgvsGenomicShift::display_start, hgvs.rs:66-80)
+        if self.strand >= 0:
+            return self.start
+        return self.start - self.shift_length
 
     def display_end(self) -> int:
-        return self.end
+        if self.strand >= 0:
+            return self.end
+        return self.end - self.shift_length
 
 
 def perform_shift_ensembl(
@@ -3806,9 +3819,45 @@ def _shifted_variant_for_notation(
     strand-appropriate shift (reference hgvs_shift_for_strand)."""
     if ref and not alt:  # deletion
         return shift.display_start(), shift.shifted_allele_string, ""
-    if alt and not ref:  # insertion
-        return shift.display_start(), "", shift.shifted_allele_string
+    if alt and not ref:  # insertion: the shift's start is VEP's swapped
+        # right-flank (start == end + 1); this module's bare-insertion
+        # convention anchors on the genomic LEFT flank
+        out_allele = shift.shifted_output_allele
+        if not out_allele or out_allele == "-":
+            out_allele = shift.shifted_allele_string
+        return shift.display_start() - 1, "", out_allele
     return None, ref, alt
+
+
+def _shifted_insertion_dup_span(
+    t: Transcript, alt: str, shift: "HgvsShift"
+) -> tuple[int, int] | None:
+    """Genomic span of the flank an insertion duplicates (reference
+    apply_shifted_insertion_duplication, hgvs.rs:987-1032): the inserted
+    allele equal to the 5' (or 3') genomic context renders as a dup of
+    that flank; coordinates follow the transcript strand.  None when
+    neither context matches or the span leaves the exon envelope (VEP
+    keeps the plain insertion then)."""
+    feature_alt = alt.upper() if t.strand >= 0 else revcomp(alt.upper())
+
+    def orient(context: str) -> str:
+        up = context.upper()
+        return up if t.strand >= 0 else revcomp(up)
+
+    dup5 = bool(shift.five_prime_context) and orient(shift.five_prime_context) == feature_alt
+    dup3 = bool(shift.three_prime_context) and orient(shift.three_prime_context) == feature_alt
+    if not dup5 and not dup3:
+        return None
+    alt_len = len(alt)
+    ds = shift.display_start()
+    if dup5:
+        span = (ds - alt_len, ds - 1) if t.strand >= 0 else (ds, ds + alt_len - 1)
+    else:
+        span = (ds, ds + alt_len - 1) if t.strand >= 0 else (ds - alt_len, ds - 1)
+    exons = t.sorted_exons()
+    if span[0] < exons[0][0] or span[1] > exons[-1][1]:
+        return None
+    return span
 
 
 #: original-consequence terms that allow HGVSp output — Ensembl only emits
@@ -3907,12 +3956,35 @@ def hgvs_c(
     ref = "" if ref in ("-", None) else ref
     alt = "" if alt in ("-", None) else alt
     pos, ref, alt = _normalize_for_hgvs(pos, ref, alt)
-    if shift is not None and shift.shift_length > 0 and len(ref) != len(alt):
+    if shift is not None and (not ref) != (not alt):  # pure shiftable indel
         s_pos, s_ref, s_alt = _shifted_variant_for_notation(ref, alt, shift)
         if s_pos is not None:
-            shifted_out = hgvs_c(t, s_pos, s_ref, s_alt)
-            if shifted_out is not None:
-                return shifted_out
+            # shifted-insertion duplication of a flank context — rendered
+            # from the dup span's own coordinates (intronic spans keep the
+            # c.N±off / n.N±off form), before any transcript-space walk
+            if s_alt:
+                dup_span = _shifted_insertion_dup_span(t, s_alt, shift)
+                if dup_span is not None:
+                    pfx2 = (
+                        "c." if t.cds_start is not None and t.cds_end is not None
+                        else "n."
+                    )
+                    lo, hi = dup_span
+                    g1, g2 = (lo, hi) if t.strand >= 0 else (hi, lo)
+                    n1 = _cds_relative_notation(t, g1)
+                    n2 = _cds_relative_notation(t, g2) if g2 != g1 else n1
+                    if n1 is not None and n2 is not None:
+                        span = f"{n1}_{n2}" if n2 != n1 else f"{n1}"
+                        return f"{t.transcript_id}:{pfx2}{span}dup"
+            if shift.shift_length > 0:
+                # the shifted variant REPLACES the original for notation:
+                # a shifted span that no longer maps (e.g. rolled past the
+                # transcript end or the valid ``*N`` star range) suppresses
+                # HGVSc entirely rather than falling back to the unshifted
+                # coords (test_format_hgvsc_suppresses_shifted_noncoding_
+                # coords_past_transcript_end / _utr_coords_past_valid_
+                # star_range)
+                return hgvs_c(t, s_pos, s_ref, s_alt)
     # HGVSc renders against the USED_REF — the edited transcript's own
     # reference bases — on RefSeq rows with live transcript state
     # (reference engine: hgvsc_ref_allele = used_ref.unwrap_or(ref),

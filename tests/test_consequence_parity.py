@@ -2359,3 +2359,142 @@ def test_protein_hgvs_for_output_suppresses_star_equal_insertions():
         shifted_compare_allele="A",
     )
     assert cq.protein_hgvs_for_output(t, pos, "-", "A", shift) is None
+
+
+# ---------------------------------------------------------------------------
+# format_hgvsc genomic-shift cluster (hgvs.rs:2569-3080)
+# ---------------------------------------------------------------------------
+
+
+def _hgvs_shift(**kw):
+    base = dict(
+        strand=1, shift_length=0, start=0, end=0, shifted_allele_string="",
+        shifted_output_allele="", ref_orig_allele_string="",
+        alt_orig_allele_string="", shifted_compare_allele="",
+    )
+    base.update(kw)
+    return cq.HgvsShift(**base)
+
+
+def test_format_hgvsc_genomic_shift_cluster():
+    """hgvs.rs format_hgvsc shift battery: intronic deletions render at the
+    shifted span's intronic coordinates; exonic insertions move by the
+    walk; shifted-insertion flank-context duplications orient by strand
+    with display coordinates (minus strand subtracts the shift); a shifted
+    span that no longer maps suppresses HGVSc (no unshifted fallback)."""
+    ID = "ENSTHGVS000001.1"
+
+    # intronic deletion (rs test_format_hgvsc_uses_genomic_shift_for_
+    # intronic_indels): del AA 104-105 shifted to 107-108 → c.11-3_11-2del
+    t = cq.Transcript(transcript_id=ID, chrom="1", start=90, end=140,
+                      strand=1, cds_start=90, cds_end=119,
+                      exons=[(90, 99), (110, 119)])
+    s = _hgvs_shift(shift_length=3, start=107, end=108,
+                    shifted_allele_string="AA", shifted_output_allele="-",
+                    ref_orig_allele_string="AA", alt_orig_allele_string="-",
+                    shifted_compare_allele="-")
+    assert cq.hgvs_c(t, 104, "AA", "-", shift=s) == f"{ID}:c.11-3_11-2del"
+
+    # exonic insertion (…shifts_exonic_indels_when_hgvs_shift_is_available):
+    # ins T at 103 shifted to 105 → c.5_6insT
+    t = cq.Transcript(transcript_id=ID, chrom="1", start=90, end=140,
+                      strand=1, cds_start=100, cds_end=108,
+                      exons=[(100, 140)])
+    s = _hgvs_shift(shift_length=2, start=105, end=105,
+                    shifted_allele_string="T", shifted_output_allele="T",
+                    ref_orig_allele_string="-", alt_orig_allele_string="T")
+    assert cq.hgvs_c(t, 103, "-", "T", shift=s) == f"{ID}:c.5_6insT"
+
+    # intronic shifted-insertion 3'-context dup (…uses_dup_notation_for_
+    # shifted_intronic_insertions): n.11+41_11+44dup
+    t = cq.Transcript(transcript_id=ID, chrom="1", start=100, end=210,
+                      strand=1, biotype="lncRNA",
+                      exons=[(100, 110), (200, 210)])
+    s = _hgvs_shift(shift_length=3, start=151, end=150,
+                    shifted_allele_string="AGTA", shifted_output_allele="AGTA",
+                    ref_orig_allele_string="-", alt_orig_allele_string="AGTA",
+                    shifted_compare_allele="AGTA", three_prime_context="AGTA")
+    assert cq.hgvs_c(t, 148, "-", "AAGT", shift=s) == f"{ID}:n.11+41_11+44dup"
+
+    # minus-strand context orientation + display coords (…orients_shifted_
+    # duplication_context_on_minus_strand): n.12-39dup
+    t = cq.Transcript(transcript_id=ID, chrom="1", start=100, end=210,
+                      strand=-1, biotype="lncRNA",
+                      exons=[(100, 110), (200, 210)])
+    s = _hgvs_shift(strand=-1, shift_length=1, start=151, end=150,
+                    shifted_allele_string="A", shifted_output_allele="A",
+                    ref_orig_allele_string="-", alt_orig_allele_string="A",
+                    shifted_compare_allele="A", three_prime_context="A")
+    assert cq.hgvs_c(t, 151, "-", "A", shift=s) == f"{ID}:n.12-39dup"
+
+    # 5'-context upstream dup (…uses_upstream_dup_coordinates_for_shifted_
+    # insertions): n.11+40dup
+    t = cq.Transcript(transcript_id=ID, chrom="1", start=100, end=210,
+                      strand=1, biotype="lncRNA",
+                      exons=[(100, 110), (200, 210)])
+    s = _hgvs_shift(shift_length=1, start=151, end=150,
+                    shifted_allele_string="A", shifted_output_allele="A",
+                    ref_orig_allele_string="-", alt_orig_allele_string="A",
+                    shifted_compare_allele="A", five_prime_context="A")
+    assert cq.hgvs_c(t, 151, "-", "A", shift=s) == f"{ID}:n.11+40dup"
+
+    # zero-shift dup still detected (…detects_dup_without_nonzero_shift_
+    # length): n.12-41dup
+    t = cq.Transcript(transcript_id=ID, chrom="1", start=100, end=210,
+                      strand=-1, biotype="lncRNA",
+                      exons=[(100, 110), (200, 210)])
+    s = _hgvs_shift(strand=-1, shift_length=0, start=151, end=150,
+                    shifted_allele_string="A", shifted_output_allele="A",
+                    ref_orig_allele_string="-", alt_orig_allele_string="A",
+                    shifted_compare_allele="A", five_prime_context="A")
+    assert cq.hgvs_c(t, 151, "-", "A", shift=s) == f"{ID}:n.12-41dup"
+
+    # transcript-sequence-path dup (…detects_dup_inside_transcript_
+    # sequence_path): c.5dup
+    t = cq.Transcript(transcript_id=ID, chrom="1", start=90, end=140,
+                      strand=1, cds_start=100, cds_end=108,
+                      exons=[(100, 140)])
+    s = _hgvs_shift(shift_length=0, start=104, end=103,
+                    shifted_allele_string="T", shifted_output_allele="T",
+                    ref_orig_allele_string="-", alt_orig_allele_string="T",
+                    shifted_compare_allele="T", five_prime_context="G",
+                    three_prime_context="T")
+    assert cq.hgvs_c(t, 103, "-", "T", shift=s) == f"{ID}:c.5dup"
+
+    # exonic deletion at shifted coordinates (…uses_shifted_coordinates_
+    # for_exonic_deletions): n.51_54del
+    t = cq.Transcript(transcript_id=ID, chrom="1", start=90, end=140,
+                      strand=1, biotype="lncRNA", exons=[(100, 200)])
+    s = _hgvs_shift(shift_length=30, start=150, end=153,
+                    shifted_allele_string="GTGT", shifted_output_allele="-",
+                    ref_orig_allele_string="GTGT", alt_orig_allele_string="-",
+                    shifted_compare_allele="-")
+    assert cq.hgvs_c(t, 120, "GTGT", "-", shift=s) == f"{ID}:n.51_54del"
+
+    # suppression: shifted coords past the transcript end / past the valid
+    # star range return None, NOT the unshifted notation
+    t = cq.Transcript(transcript_id=ID, chrom="1", start=90, end=140,
+                      strand=1, biotype="lncRNA", exons=[(100, 140)])
+    s = _hgvs_shift(shift_length=2, start=141, end=141,
+                    shifted_allele_string="AA", shifted_output_allele="AA",
+                    ref_orig_allele_string="-", alt_orig_allele_string="AA")
+    assert cq.hgvs_c(t, 139, "-", "AA", shift=s) is None
+    t = cq.Transcript(transcript_id=ID, chrom="1", start=90, end=140,
+                      strand=1, cds_start=100, cds_end=120,
+                      exons=[(100, 140)])
+    s = _hgvs_shift(shift_length=3, start=141, end=144,
+                    shifted_allele_string="AAAA", shifted_output_allele="-",
+                    ref_orig_allele_string="AAAA", alt_orig_allele_string="-",
+                    shifted_compare_allele="-")
+    assert cq.hgvs_c(t, 138, "AAAA", "-", shift=s) is None
+
+
+def test_format_hgvsc_allows_large_star_coordinate_inside_transcript_span():
+    """hgvs.rs:3046 — a 3'UTR star coordinate far past the stop is valid
+    while it stays inside the transcript's genomic span: c.*402A>G."""
+    t = cq.Transcript(
+        transcript_id="ENSTHGVS000001.1", chrom="1", start=90, end=6010,
+        strand=1, cds_start=100, cds_end=108,
+        exons=[(90, 108), (6000, 6010)],
+    )
+    assert cq.hgvs_c(t, 510, "A", "G") == "ENSTHGVS000001.1:c.*402A>G"
