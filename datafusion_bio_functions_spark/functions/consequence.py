@@ -518,6 +518,406 @@ def refseq_shifted_insertion_equal_window(
     )
 
 
+# ---------------------------------------------------------------------------
+# ProteinHgvs → HGVSp string formatter — the reference's format_hgvsp
+# pipeline (hgvs.rs:1436-2040), itself a replay of Ensembl
+# TranscriptVariationAllele::hgvs_protein / _get_hgvs_protein_format /
+# _get_hgvs_peptides / _clip_alleles / _check_peptides_post_var /
+# _check_for_peptide_duplication (release/115, URLs in the reference)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ProteinHgvsNotation:
+    """Mutable notation state the formatter pipeline rewrites (reference
+    ProteinHgvsNotation, hgvs.rs:1436-1462)."""
+
+    start: int
+    end: int
+    ref_allele: str
+    alt_allele: str
+    original_ref: str
+    preseq: str = ""
+    kind: str = ""
+
+
+def normalize_peptide_allele(allele: str) -> str:
+    """'-' placeholder → empty (reference normalize_peptide_allele)."""
+    return "" if allele == "-" else allele
+
+
+def _notation_from_context(data: ProteinHgvs) -> ProteinHgvsNotation:
+    ref_allele = normalize_peptide_allele(data.ref_peptide)
+    return ProteinHgvsNotation(
+        start=data.start, end=data.end,
+        ref_allele=ref_allele,
+        alt_allele=normalize_peptide_allele(data.alt_peptide),
+        original_ref=ref_allele,
+    )
+
+
+def clip_protein_alleles(notation: ProteinHgvsNotation) -> None:
+    """Trim shared prefix (collected into ``preseq``) then shared suffix,
+    moving start/end; classify the remainder (reference
+    clip_protein_alleles, hgvs.rs:1568-1594 / Ensembl _clip_alleles)."""
+    ref, alt = notation.ref_allele, notation.alt_allele
+    start, end = notation.start, notation.end
+    preseq = []
+    while ref and alt and ref[0] == alt[0]:
+        preseq.append(ref[0])
+        ref, alt = ref[1:], alt[1:]
+        start += 1
+    while ref and alt and ref[-1] == alt[-1]:
+        ref, alt = ref[:-1], alt[:-1]
+        end = max(end - 1, 0)
+    notation.start, notation.end = start, end
+    notation.ref_allele, notation.alt_allele = ref, alt
+    notation.preseq = "".join(preseq)
+    if ref == alt:
+        notation.kind = "="
+    elif len(ref) == 1 and len(alt) == 1:
+        notation.kind = ">"
+    elif not ref and alt:
+        notation.kind = "ins"
+    elif ref and not alt:
+        notation.kind = "del"
+    else:
+        notation.kind = "delins"
+
+
+def protein_event_type(ref_allele: str, alt_allele: str, frameshift: bool) -> str:
+    """reference protein_event_type (hgvs.rs:1600-1614)."""
+    if frameshift:
+        return "fs"
+    if ref_allele == alt_allele:
+        return "="
+    if not ref_allele:
+        return "ins"
+    if not alt_allele:
+        return "del"
+    if len(ref_allele) == 1 and len(alt_allele) == 1:
+        return ">"
+    return "delins"
+
+
+def append_terminal_stop(peptide: str) -> str:
+    """Ensure a '*' is reachable for the frameshift walk (reference
+    append_terminal_stop / Ensembl _get_fs_peptides)."""
+    return peptide if "*" in peptide else peptide + "*"
+
+
+def peptide_char(peptide: str, pos: int) -> str | None:
+    """1-based residue lookup (reference peptide_char)."""
+    if pos < 1 or pos > len(peptide):
+        return None
+    return peptide[pos - 1]
+
+
+def resolve_frameshift_hgvs(
+    notation: ProteinHgvsNotation, protein: ProteinHgvs
+) -> bool:
+    """Walk ref/alt translations from the variant position to the first
+    changed residue (reference resolve_frameshift_hgvs, hgvs.rs:1621-1666
+    / Ensembl _get_fs_peptides): a shared '*' renders ``p.Ter<N>=``; an
+    exhausted alt translation renders a deletion form."""
+    notation.kind = "fs"
+    ref_translation = append_terminal_stop(protein.ref_translation)
+    alt_translation = protein.alt_translation
+    start = notation.start
+    if start > len(alt_translation):
+        notation.kind = "del"
+        notation.end = start
+        ch = peptide_char(ref_translation, start)
+        if ch is None:
+            return False
+        notation.ref_allele = ch
+        notation.alt_allele = ""
+        return True
+    while start <= len(alt_translation):
+        ref_aa = peptide_char(ref_translation, start)
+        alt_aa = peptide_char(alt_translation, start)
+        if ref_aa is None or alt_aa is None:
+            return False
+        if ref_aa == "*" and alt_aa == "*":
+            notation.kind = "="
+            notation.start = notation.end = start
+            notation.ref_allele = "*"
+            notation.alt_allele = "*"
+            return True
+        if ref_aa != alt_aa:
+            notation.start = notation.end = start
+            notation.ref_allele = ref_aa
+            notation.alt_allele = alt_aa
+            return True
+        start += 1
+    notation.kind = "del"
+    notation.start = notation.end = start
+    ch = peptide_char(ref_translation, start)
+    if ch is None:
+        return False
+    notation.ref_allele = ch
+    notation.alt_allele = ""
+    return True
+
+
+def surrounding_peptides(
+    ref_translation: str, ref_pos: int, original_ref: str,
+    length: int | None = None,
+) -> str | None:
+    """Residues at/after ``ref_pos`` (reference surrounding_peptides /
+    Ensembl _get_surrounding_peptides); a '*'-leading original ref extends
+    the readable translation."""
+    ref_trans = ref_translation
+    if original_ref.startswith("*"):
+        ref_trans = ref_trans + original_ref
+    if len(ref_trans) < ref_pos:
+        return None
+    start = ref_pos - 1
+    if start < 0:
+        return None
+    if length is not None:
+        return ref_trans[start : start + length]
+    return ref_trans[start:]
+
+
+def shift_peptides_post_var(
+    notation: ProteinHgvsNotation, ref_translation: str
+) -> None:
+    """Peptide-level 3' shift: roll an ins/del event rightward while its
+    leading residue equals the next post-variant residue (reference
+    shift_peptides_post_var / Ensembl _check_peptides_post_var +
+    _shift_3prime)."""
+    post_seq = surrounding_peptides(
+        ref_translation, notation.end + 1, notation.original_ref, None
+    )
+    if post_seq is None:
+        return
+    if notation.kind == "ins":
+        seq = notation.alt_allele
+    elif notation.kind == "del":
+        seq = notation.ref_allele
+    else:
+        return
+    deleted_len = len(seq)
+    if deleted_len == 0 or len(post_seq) < deleted_len:
+        return
+    for check_next_post in post_seq:
+        if not seq:
+            break
+        if seq[0] != check_next_post:
+            break
+        notation.start += 1
+        notation.end += 1
+        seq = seq[1:] + seq[0]
+    if notation.kind == "ins":
+        notation.alt_allele = seq
+    else:
+        notation.ref_allele = seq
+
+
+def check_for_peptide_duplication(
+    notation: ProteinHgvsNotation, ref_translation: str
+) -> bool:
+    """Insertion-as-duplication: the alt peptide equals the immediately
+    upstream reference block (reference check_for_peptide_duplication /
+    try_peptide_dup_at; Ensembl checks the single window at
+    ``start - alt_len - 1`` with preseq appended, no fallback)."""
+    if not notation.alt_allele or notation.start == 0:
+        return False
+    check_start = notation.start
+    upstream = ref_translation[: max(check_start - 1, 0)] + notation.preseq
+    alt_len = len(notation.alt_allele)
+    test_new_start = check_start - alt_len - 1
+    if test_new_start < 0:
+        return False
+    test_seq = upstream[test_new_start : test_new_start + alt_len]
+    if len(test_seq) != alt_len:
+        return False
+    if test_seq == notation.alt_allele:
+        notation.kind = "dup"
+        notation.end = check_start - 1
+        notation.start = check_start - alt_len
+        return True
+    return False
+
+
+def stop_loss_extra_aa(
+    protein: ProteinHgvs, ref_var_pos: int, frameshift: bool
+) -> int | None:
+    """Extension length to the next stop (reference stop_loss_extra_aa,
+    hgvs.rs:1808-1846 / Ensembl _stop_loss_extra_AA): frameshift counts
+    from the variant position; non-frameshift counts from the cached
+    peptide length (trailing '*' stripped — internal stops of LoF
+    transcripts count)."""
+    alt_translation = (
+        protein.alt_translation_extension
+        if protein.alt_translation_extension is not None
+        else protein.alt_translation
+    )
+    stop_idx = alt_translation.find("*")
+    if stop_idx < 0:
+        return None
+    if frameshift:
+        extra = stop_idx + 1 - ref_var_pos
+    else:
+        ref_len = len(protein.ref_translation.rstrip("*"))
+        extra = stop_idx + 1 - (ref_len + 1)
+    return extra if extra > 0 else None
+
+
+def _pep3(peptide: str) -> str:
+    """peptide_to_three_letter with the HGVS X→Ter display."""
+    return "".join(_aa3(ch) for ch in peptide)
+
+
+def _pep3_first(peptide: str) -> str | None:
+    return _aa3(peptide[0]) if peptide else None
+
+
+def _pep3_last(peptide: str) -> str | None:
+    return _aa3(peptide[-1]) if peptide else None
+
+
+def format_hgvsp_notation(
+    protein_id: str, notation: ProteinHgvsNotation, protein: ProteinHgvs
+) -> str | None:
+    """Render the resolved notation (reference format_hgvsp_notation,
+    hgvs.rs:1877-2040 / Ensembl _get_hgvs_protein_format)."""
+    out = f"{protein_id}:p."
+    if notation.ref_allele == notation.alt_allele and notation.kind not in ("fs", "ins"):
+        return f"{out}{_pep3(notation.ref_allele)}{notation.start}="
+    if protein.stop_lost and notation.kind in ("del", ">"):
+        extra = stop_loss_extra_aa(protein, max(notation.start - 1, 0), False)
+        ext = str(extra) if extra is not None else "?"
+        alt_head = _pep3_first(notation.alt_allele) or "?"
+        if len(notation.ref_allele) > 1 and notation.kind == "del":
+            first = _pep3_first(notation.ref_allele)
+            last = _pep3_last(notation.ref_allele)
+            if first is None or last is None:
+                return None
+            return (
+                f"{out}{first}{notation.start}_{last}{notation.end}"
+                f"{alt_head}extTer{ext}"
+            )
+        return (
+            f"{out}{_pep3(notation.ref_allele)}{notation.start}"
+            f"{alt_head}extTer{ext}"
+        )
+    kind = notation.kind
+    if kind == "dup":
+        if notation.start < notation.end:
+            first = _pep3_first(notation.alt_allele)
+            last = _pep3_last(notation.alt_allele)
+            if first is None or last is None:
+                return None
+            return f"{out}{first}{notation.start}_{last}{notation.end}dup"
+        return f"{out}{_pep3(notation.alt_allele)}{notation.start}dup"
+    if kind == ">":
+        return (
+            f"{out}{_pep3(notation.ref_allele)}{notation.start}"
+            f"{_pep3(notation.alt_allele)}"
+        )
+    if kind in ("delins", "ins"):
+        alt_allele = notation.alt_allele
+        stop_idx = alt_allele.find("*")
+        if stop_idx >= 0:
+            alt_allele = alt_allele[: stop_idx + 1]
+        alt = _pep3(alt_allele)
+        if notation.ref_allele.endswith("*"):
+            extra = stop_loss_extra_aa(protein, max(notation.start - 1, 0), False)
+            if extra is not None:
+                alt += f"extTer{extra}"
+        if notation.start == notation.end and kind == "delins":
+            first = _pep3_first(notation.ref_allele)
+            if first is None:
+                return None
+            return f"{out}{first}{notation.start}{kind}{alt}"
+        start, end = notation.start, notation.end
+        if start > end:
+            start, end = end, start
+        first = _pep3_first(notation.ref_allele)
+        last = _pep3_last(notation.ref_allele)
+        if first is None or last is None:
+            return None
+        return f"{out}{first}{start}_{last}{end}{kind}{alt}"
+    if kind == "fs":
+        if notation.alt_allele == "*":
+            return f"{out}{_pep3(notation.ref_allele)}{notation.start}Ter"
+        extra = stop_loss_extra_aa(protein, max(notation.start - 1, 0), True)
+        ext = str(extra) if extra is not None else "?"
+        return (
+            f"{out}{_pep3(notation.ref_allele)}{notation.start}"
+            f"{_pep3(notation.alt_allele)}fsTer{ext}"
+        )
+    if kind == "del":
+        if len(notation.ref_allele) > 1:
+            first = _pep3_first(notation.ref_allele)
+            last = _pep3_last(notation.ref_allele)
+            if first is None or last is None:
+                return None
+            return f"{out}{first}{notation.start}_{last}{notation.end}del"
+        return f"{out}{_pep3(notation.ref_allele)}{notation.start}del"
+    if notation.start != notation.end:
+        return (
+            f"{out}{_pep3(notation.ref_allele)}{notation.start}"
+            f"_{_pep3(notation.alt_allele)}{notation.end}"
+        )
+    return (
+        f"{out}{_pep3(notation.ref_allele)}{notation.start}"
+        f"{_pep3(notation.alt_allele)}"
+    )
+
+
+def format_hgvsp(
+    protein_id: str, protein: ProteinHgvs, shift_hgvs: bool = True
+) -> str | None:
+    """ProteinHgvs candidate → final HGVSp string (reference format_hgvsp,
+    hgvs.rs:1476-1566): start-lost renders ``p.<Ref>N?``; frameshifts walk
+    to the first changed residue; otherwise clip → (optional) peptide 3'
+    shift → duplication check → insertion flanking residues → render."""
+    if protein.start_lost:
+        start_ref = protein.ref_peptide or (
+            protein.ref_translation[0] if protein.ref_translation else ""
+        )
+        head = _pep3_first(start_ref)
+        if head is None:
+            return None
+        return f"{protein_id}:p.{head}{protein.start}?"
+    notation = _notation_from_context(protein)
+    if protein.frameshift:
+        if not resolve_frameshift_hgvs(notation, protein):
+            return None
+    else:
+        if notation.ref_allele != notation.alt_allele:
+            clip_protein_alleles(notation)
+        else:
+            notation.kind = "="
+        if not notation.kind:
+            notation.kind = protein_event_type(
+                notation.ref_allele, notation.alt_allele, False
+            )
+        # Ensembl shifts peptides post-var FIRST, then checks duplication —
+        # the shift may change the insertion position, making the upstream
+        # block different when the dup check runs
+        if shift_hgvs and notation.kind in ("ins", "del"):
+            shift_peptides_post_var(notation, protein.ref_translation)
+        if notation.kind == "ins" and check_for_peptide_duplication(
+            notation, protein.ref_translation
+        ):
+            pass  # dup detected — skip flanking
+        elif notation.kind == "ins":
+            flank = surrounding_peptides(
+                protein.ref_translation,
+                min(notation.start, notation.end),
+                notation.original_ref,
+                2,
+            )
+            if flank is None:
+                return None
+            notation.ref_allele = flank
+    return format_hgvsp_notation(protein_id, notation, protein)
+
+
 def parse_cdna_position_start(value: str) -> int | None:
     """Leading (possibly negative) integer of a cDNA-position display
     string (reference parse_cdna_position_start,
