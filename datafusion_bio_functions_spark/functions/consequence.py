@@ -28,13 +28,16 @@ Scope notes vs the reference:
   resolution, ``_rna_edit`` numbering offsets in both mapper and
   sequence space, edited-transcript reference precedence (USED_REF),
   failed-BAM-edit cached-translation precedence, and the
-  transcript-sequence 3'-shift machinery — pinned by the 79-test
-  ``tests/test_mapper_parity.py`` battery.  Remaining documented tail:
-  the protein_hgvs_for_output shifted-insertion equal-window dispatch
-  (components ported and pinned, the final re-anchor needs the
-  reference classification's internal candidate state) and
-  selenocysteine recoding (the reference only maps the U->Sec letter,
-  which AA3 also carries).
+  transcript-sequence 3'-shift machinery — pinned by the
+  ``tests/test_mapper_parity.py`` battery.  The shifted-insertion
+  equal-window dispatch (protein_hgvs_for_output, rs:4807-5010) is
+  wired: edited-RefSeq shifted insertions reclassify, run the
+  equal-window attempts, and collapse repeat-absorbed insertions to
+  the silent ``p.<Ref><N>=`` form (residual delta: this engine's
+  compact window can be one residue narrower than VEP's —
+  p.Glu25= vs p.GluGlu25= on NM_015120, documented in the test).
+  Remaining documented tail: selenocysteine recoding (the reference
+  only maps the U->Sec letter, which AA3 also carries).
 * HGVS: ``g.`` always; ``c.`` with 3'-shifting + dup detection and
   UTR/intronic ``c.-N`` / ``c.*N`` / ``c.N±off`` coordinates, routed
   through the mapper-aware pipeline on live RefSeq rows; ``p.``
@@ -4278,6 +4281,71 @@ def original_terms_allow_protein_hgvs(terms: list[str]) -> bool:
     return any(term in _PROTEIN_HGVS_TERMS for term in terms)
 
 
+def protein_hgvs_data_for_variant(
+    t: Transcript, pos: int, ref: str, alt: str
+) -> ProteinHgvs | None:
+    """ProteinHgvs candidate state of a coding variant — the compact
+    re-expression of the reference's classification payload
+    (classify_coding_change → build_protein_hgvs_data,
+    transcript_consequence.rs:3369,5855): peptides from the VEP
+    ``codon()`` window over the touched codons, translations from the
+    annotated/mutated CDS, canonical cache preferred as the HGVSp
+    reference translation.  Insertions use this module's left-flank
+    anchor convention (same as :func:`hgvs_p`)."""
+    if t.cds_sequence is None:
+        return None
+    ref = "" if ref in ("-", None) else ref
+    alt = "" if alt in ("-", None) else alt
+    if not ref and not alt:
+        return None
+    pos, ref, alt = _normalize_for_hgvs(pos, ref, alt)
+    off = _cds_first_offset(t, pos, len(ref))
+    if off is None:
+        return None
+    cds = t.cds_sequence.upper()
+    off += _leading_n(cds)
+    var_ref = ref.upper() if t.strand >= 0 else revcomp(ref.upper())
+    var_alt = alt.upper() if t.strand >= 0 else revcomp(alt.upper())
+    if off + len(var_ref) > len(cds) or (
+        var_ref and cds[off : off + len(var_ref)] != var_ref
+    ):
+        return None
+    ins_point = off if var_ref else (off + 1 if t.strand >= 0 else off)
+    new_cds = cds[:ins_point] + var_alt + cds[ins_point + len(var_ref) :]
+    anchor = off if var_ref else max(ins_point - 1, 0)
+    ci0 = anchor // 3
+    ci1 = (anchor + max(len(var_ref), 1) - 1) // 3
+    win_s = ci0 * 3
+    win_e = min((ci1 + 1) * 3, len(cds))
+    ref_codon = cds[win_s:win_e]
+    alt_window_len = len(ref_codon) + len(var_alt) - len(var_ref)
+    alt_codon = new_cds[win_s : win_s + alt_window_len] if alt_window_len > 0 else ""
+    frameshift = (len(var_alt) - len(var_ref)) % 3 != 0
+    prot_old = translate(cds)
+    cached = failed_refseq_cached_protein(t, cds)
+    if cached is not None:
+        prot_old = cached
+    ref_translation = (
+        t.translation_seq_canonical
+        if t.translation_seq_canonical is not None
+        else prot_old
+    )
+    terms = classify(t, pos, ref or "-", alt or "-")
+    return ProteinHgvs(
+        start=ci0 + 1,
+        end=ci1 + 1,
+        ref_peptide=_local_peptide_from_codon_window(ref_codon),
+        alt_peptide=_local_peptide_from_codon_window(alt_codon),
+        ref_translation=ref_translation,
+        alt_translation=translate(new_cds),
+        alt_translation_extension=translated_alt_protein_for_hgvs(t, new_cds),
+        frameshift=frameshift,
+        start_lost="start_lost" in terms,
+        stop_lost="stop_lost" in terms,
+        native_refseq=refseq_has_edited_sequence_state(t),
+    )
+
+
 def protein_hgvs_for_output(
     t: Transcript, pos: int, ref: str, alt: str,
     shift: "HgvsShift | None",
@@ -4303,7 +4371,21 @@ def protein_hgvs_for_output(
         return None
     ref_n = "" if ref in ("-", None) else ref
     alt_n = "" if alt in ("-", None) else alt
-    if shift is None:  # shift_hgvs off: the original notation verbatim
+    is_insertion = not ref_n and bool(alt_n)
+    # VEP parser coordinates: insertions are the SWAPPED form
+    # (start == end + 1) around this module's left-flank anchor ``pos``
+    vs0 = pos + 1 if is_insertion else pos
+    ve0 = pos if is_insertion else pos + max(len(ref_n), 1) - 1
+    # edited-RefSeq rows compute their own transcript-sequence shift;
+    # insertions PREFER it over the genomic shift, deletions the reverse
+    # (reference protein_hgvs_for_output, rs:4833-4843)
+    refseq_shift = None
+    if len(ref_n) != len(alt_n) and refseq_uses_transcript_shift_for_hgvsp(t):
+        refseq_shift = refseq_transcript_shift_for_hgvs_protein(
+            t, vs0, ve0, ref_n or "-", alt_n or "-"
+        )
+    shift = (refseq_shift or shift) if is_insertion else (shift or refseq_shift)
+    if shift is None:  # no shift state: the original notation verbatim
         return hgvs_p(t, pos, ref, alt)
     original = hgvs_p(t, pos, ref, alt)
     # star-equal insertion suppression: VEP's hgvs_protein returns undef
@@ -4317,10 +4399,46 @@ def protein_hgvs_for_output(
         return None
     if shift.shift_length == 0 or len(ref_n) == len(alt_n):
         return original
-    vs = pos
-    ve = pos + len(ref_n) - 1 if ref_n else pos
+    # edited-RefSeq shifted-insertion candidate cascade (reference
+    # protein_hgvs_for_output, rs:4900-4965): reclassify the shifted
+    # variant, compare its peptide window against the literal-shifted and
+    # shifted-TVA candidates, and collapse to the 'equal window'
+    # (``p.<Ref><pos>=``) when the insertion is a no-change over an
+    # upstream repeat block absorbed by the RNA-edit mapper gap
+    if is_insertion and refseq_uses_transcript_shift_for_hgvsp(t):
+        pid = t.translation_stable_id or t.transcript_id
+        sv_ref = protein_hgvs_shifted_variant_for_reference(
+            t, vs0, ve0, "-", alt_n, vs0, ve0, "-", alt_n, shift,
+        )
+        # sv_ref keeps VEP's swapped insertion coords → left-flank anchor
+        class_protein = protein_hgvs_data_for_variant(
+            t, sv_ref.start - 1, "-", sv_ref.alt
+        )
+        literal_shifted = literal_shifted_indel_protein_hgvs_data(t, shift)
+        shifted_window = shifted_tva_protein_hgvs_data(
+            t, vs0, ve0, "-", alt_n, vs0, ve0, "-", alt_n, shift,
+        )
+        if class_protein is not None:
+            for candidate in (literal_shifted, shifted_window):
+                if candidate is None:
+                    continue
+                equal = refseq_shifted_insertion_equal_window(class_protein, candidate)
+                if equal is not None:
+                    return format_hgvsp(pid, equal, True)
+        # prefer the literal-shifted delins over a shifted dup (reference
+        # maybe_prefer_literal_shifted_refseq_insertion_candidate)
+        if shifted_window is not None and literal_shifted is not None:
+            shifted_s = format_hgvsp(pid, shifted_window, True)
+            literal_s = format_hgvsp(pid, literal_shifted, True)
+            if (
+                shifted_s is not None and shifted_s.endswith("dup")
+                and literal_s is not None and "delins" in literal_s
+            ):
+                return literal_s
+            if shifted_s is not None:
+                return shifted_s
     sv = protein_hgvs_shifted_variant(
-        vs, ve, ref_n or "-", alt_n or "-", vs, ve, ref_n or "-", alt_n or "-",
+        vs0, ve0, ref_n or "-", alt_n or "-", vs0, ve0, ref_n or "-", alt_n or "-",
         shift, t.strand,
     )
     # VEP guard: the shifted coordinates must still map through the
@@ -4328,7 +4446,9 @@ def protein_hgvs_for_output(
     # NO unshifted fallback (transcript_consequence.rs:4988-4994)
     if shifted_tva_coords_from_mapper(t, sv.start, sv.end) is None:
         return None
-    shifted_out = hgvs_p(t, sv.start, sv.ref, sv.alt)
+    # back to the left-flank anchor for the formatter replay
+    anchor = sv.start - 1 if is_insertion else sv.start
+    shifted_out = hgvs_p(t, anchor, sv.ref, sv.alt)
     if shifted_out is not None:
         return shifted_out
     return hgvs_p(t, pos, ref, alt)

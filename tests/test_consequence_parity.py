@@ -1447,13 +1447,15 @@ def test_shifted_hgvsp_fixture_cluster_is_unhydratable():
     (rs:9037), the equal-window re-anchoring unit (rs:9198), and the
     canonical-CDS prefix trim (rs:15761).  The peptide-window subsystem
     (shifted_tva_peptide_window / shifted_tva_protein_hgvs_data,
-    rs:4402-4630) is ported as staged, reference-cited infrastructure not
-    yet wired into hgvs_p: the one unreplayed end-to-end member
-    (nm_015120_..._matches_vep_equal_window, rs:9117) needs the
-    protein_hgvs_for_output candidate cascade
-    (literal/literal-shifted indel candidates + the three equal-window
-    attempts + maybe_prefer_literal..., rs:4807-5010), which remains the
-    documented gap.  The include_str! .tmp_chr* cases additionally need
+    rs:4402-4630) is now WIRED into the output dispatch:
+    protein_hgvs_for_output carries the candidate cascade (equal-window
+    attempts + literal-shifted preference, rs:4807-5010) and the
+    nm_015120 E2E member (rs:9117) is replayed in
+    tests/test_mapper_parity.py::test_nm015120_shifted_insertion_
+    collapses_to_silent_window — the silent-collapse class matches VEP;
+    the only residual delta is the equal window's width (p.Glu25= vs
+    VEP's p.GluGlu25=, documented there).  The include_str! .tmp_chr*
+    cases additionally need
     the author-local FASTA; if those files ever appear, this fails to
     force mining the FASTA-dependent remainder too."""
     import glob
