@@ -2500,3 +2500,118 @@ def test_format_hgvsc_allows_large_star_coordinate_inside_transcript_span():
         exons=[(90, 108), (6000, 6010)],
     )
     assert cq.hgvs_c(t, 510, "A", "G") == "ENSTHGVS000001.1:c.*402A>G"
+
+
+# ---------------------------------------------------------------------------
+# CodingClassification output formatting (rs classify_* battery)
+# ---------------------------------------------------------------------------
+
+
+def test_classification_codon_amino_acid_formatting_battery():
+    """rs classify_snv_synonymous_codon_case / classify_*_codons /
+    _amino_acids / _positions: VEP codon-string casing (changed bases
+    uppercase, context lowercase), X for frameshift peptides, '-' for
+    clean boundary events, and the cds/protein position spans."""
+    def D(cds, pos, r, a):
+        n = len(cds)
+        t = tx("T", 1000, 1000 + n - 1, 1, cds=(1000, 1000 + n - 1),
+               exons=[(1000, 1000 + n - 1)], cds_sequence=cds)
+        d = cq.annotation_details(t, pos, r, a)
+        return (d.get("codons"), d.get("amino_acids"),
+                d.get("cds_position_str"), d.get("protein_position_str"))
+
+    # missense SNV: changed base uppercase within lowercase codon
+    assert D("ATGGCTTAA", 1004, "C", "T") == ("gCt/gTt", "A/V", "5", "2")
+    # frameshift deletion: ref has the deleted base uppercase, alt all
+    # lowercase; amino acids REF/X
+    codons, aa, cdsp, protp = D("ATGGCTGAATGA", 1003, "G", "")
+    ref_c, alt_c = codons.split("/")
+    assert any(ch.isupper() for ch in ref_c)
+    assert alt_c.islower()
+    assert aa.split("/") == ["A", "X"] and (cdsp, protp) == ("4", "2")
+    # inframe deletion: GCT/- with A/- and spans 4-6 / 2
+    assert D("ATGGCTGAAAAATGA", 1003, "GCT", "") == ("GCT/-", "A/-", "4-6", "2")
+    # frameshift insertion: ref codon all lowercase, cds span 4-5,
+    # protein position collapses to a single codon
+    codons, aa, cdsp, protp = D("ATGGCTGAATGA", 1004, "-", "TT")
+    assert codons.split("/")[0].islower()
+    assert "X" in aa and (cdsp, protp) == ("4-5", "2")
+    # inframe insertion at codon boundary: ref '-' and protein 2-3
+    codons, aa, cdsp, protp = D("ATGGCTGAAAAATGA", 1006, "-", "AAA")
+    assert codons.split("/")[0] == "-" and protp == "2-3"
+    # inframe insertion within a codon: lowercase ref, alt mixes the
+    # uppercase inserted bases with lowercase context
+    codons, aa, _, _ = D("ATGGCTGAAAAATGA", 1005, "-", "AAA")
+    ref_c, alt_c = codons.split("/")
+    assert ref_c.islower()
+    assert any(ch.isupper() for ch in alt_c) and any(ch.islower() for ch in alt_c)
+    # frameshift insertion keeps the preserved amino acid + X
+    _, aa, _, _ = D("ATGCATGAATGA", 1007, "-", "TT")
+    assert "X" in aa
+
+
+def test_exon_intron_number_battery():
+    """rs which_exon_str_* / which_intron_str_* + the acceptor-insertion
+    intron-number family: EXON/INTRON fractions, minus-strand reversal,
+    and a splice-acceptor insertion that keeps INTRON without
+    intron_variant."""
+    ex3 = [(100, 200), (300, 400), (500, 600)]
+    f = cq.exon_intron_numbers
+    assert f(tx("t", 100, 200, 1, exons=[(100, 200)]), 150, 150) == ("1/1", None)
+    assert f(tx("t", 100, 600, 1, exons=ex3), 350, 350) == ("2/3", None)
+    assert f(tx("t", 100, 200, 1, exons=[(100, 200)]), 250, 250) == (None, None)
+    assert f(tx("t", 100, 600, 1, exons=ex3), 250, 250) == (None, "1/2")
+    assert f(tx("t", 100, 600, 1, exons=ex3), 450, 450) == (None, "2/2")
+    assert f(tx("t", 100, 600, -1, exons=ex3), 250, 250) == (None, "2/2")
+    # rs positive_acceptor_insertion_keeps_intron_number_without_intron_
+    # variant (ENST00000756326 geometry)
+    exL = [(116466214, 116466291), (116530389, 116530527),
+           (116569628, 116569702), (116569787, 116569881),
+           (116569987, 116570264)]
+    t = cq.Transcript(transcript_id="E", chrom="1", start=116466214,
+                      end=116570264, strand=1, biotype="lncRNA", exons=exL)
+    terms = set(C(t, 116569626, "A", "AG"))
+    assert "splice_acceptor_variant" in terms
+    assert "non_coding_transcript_variant" in terms
+    assert "intron_variant" not in terms
+    d = cq.annotation_details(t, 116569626, "A", "AG")
+    assert d.get("intron") == "2/4" and d.get("exon") is None
+
+
+def test_splice_boundary_indel_battery():
+    """rs insertion_splice_donor_region_uses_exact_position /
+    _5th_base_exact_match / deletion_spanning_exon_intron_boundary_gets_
+    splice_donor / large_deletion_spanning_into_intron_gets_splice_
+    acceptor / deletion_near_tiny_intron_skips_splice_frameshift_intron /
+    ppt_suppressed_* / large_deletion_spanning_exon_intron_gets_intron_
+    variant."""
+    def mk(cds=None, exons=None, s=1000, e=2000):
+        return tx("T1", s, e, 1, cds=(s, e),
+                  exons=exons or [(1000, 1200), (1400, 2000)],
+                  cds_sequence=cds)
+
+    got = C(mk(), 1204, "-", "ACGCACCGCGCACCG")
+    assert "splice_donor_region_variant" in got  # insertion exactly at +4
+    got = C(mk(), 1205, "-", "ACGC")  # +5 insertion: single-pos 5th-base
+    assert "splice_donor_5th_base_variant" not in got  # impossible for ins
+    assert "splice_donor_region_variant" in got
+    assert "splice_donor_variant" in C(mk("ATG" * 67), 1198, "NNNNN", "")
+    assert "splice_acceptor_variant" in C(mk("ATG" * 267), 1380, "N" * 41, "")
+    # tiny (9bp) frameshift intron: splice terms skipped, frameshift kept
+    got = C(mk("ATG" * 67, exons=[(1000, 1200), (1210, 2000)]), 1199, "NNNNN", "")
+    assert "splice_donor_variant" not in got and "frameshift_variant" in got
+    # polypyrimidine tract suppressed when a frameshift intron stretches
+    # the exon-include window (SNV and insertion forms)
+    ex = [(100, 200), (300, 400), (450, 500), (503, 600)]
+    for r, a in (("A", "G"), ("-", "GCG")):
+        got = set(C(tx("T1", 100, 600, 1, cds=(100, 600), exons=ex), 294, r, a))
+        assert "splice_region_variant" in got and "intron_variant" in got
+        assert "splice_polypyrimidine_tract_variant" not in got
+    # large exon→deep-intron deletion keeps splice_donor + intron_variant
+    got = set(C(mk("ATG" * 267), 1195, "N" * 56, ""))
+    assert "splice_donor_variant" in got and "intron_variant" in got
+    # complex indel spanning exon/intron: csv without inframe/frameshift
+    got = set(C(mk("ATG" * 84, exons=[(1000, 1050), (1200, 1400)],
+                   s=1000, e=1400), 1045, "N" * 16, ""))
+    assert "coding_sequence_variant" in got
+    assert "inframe_deletion" not in got and "frameshift_variant" not in got
