@@ -2615,3 +2615,82 @@ def test_splice_boundary_indel_battery():
                    s=1000, e=1400), 1045, "N" * 16, ""))
     assert "coding_sequence_variant" in got
     assert "inframe_deletion" not in got and "frameshift_variant" not in got
+
+
+def test_from_vcf_normalization_battery():
+    """rs from_vcf_*: VCF→VEP trimming — shared prefix always, shared
+    suffix only for length-changing alleles; pure events report empty
+    alleles with the trimmed span."""
+    nv = cq.normalize_variant
+    assert nv(100, "A", "G")[:4] == (100, 100, "A", "G")
+    assert nv(100, "ACGT", "A")[:4] == (101, 103, "CGT", "")
+    assert nv(100, "A", "ACGT")[:4] == (101, 101, "", "CGT")
+    # MNV: prefix trimmed, suffix kept (same-length alleles never
+    # suffix-trim)
+    assert nv(100, "ATCG", "AGCG")[:4] == (101, 103, "TCG", "GCG")
+    assert nv(100, "AG", "ATCG")[2:4] == ("", "TC")
+    assert nv(100, "AGCGT", "AT")[2:4] == ("GCG", "")
+    # suffix-only trim with no common prefix stays anchored
+    assert nv(41106449, "T", "AGTAAATTTTTTTTCT")[:4] == (
+        41106449, 41106449, "", "AGTAAATTTTTTTTC"
+    )
+
+
+def test_unknown_bound_coordinate_battery():
+    """rs format_coords_ensembl_supports_unknown_bounds + the
+    cds_start_NF '?-N' family + cds_to_utr partial unknown bounds."""
+    assert cq.format_coords(None, 3) == "?-3"
+    assert cq.format_coords(100, None) == "100-?"
+    assert cq.format_coords(7, 7) == "7"
+    assert cq.format_coords(7, 9) == "7-9"
+
+    def mk(cds, nf, end):
+        return tx("T1", 1000, end, 1, cds=(1000, end), exons=[(1000, end)],
+                  cds_sequence=cds, cds_start_nf=nf)
+
+    # variant past the N-pad: plain coordinates (rs cds_position_no_
+    # question_mark_when_variant_past_n_pad + protein twin)
+    d = cq.annotation_details(mk("NNGCTGAATGA", True, 1010), 1003, "G", "A")
+    assert not str(d["cds_position_str"]).startswith("?-")
+    assert not str(d["protein_position_str"]).startswith("?-")
+    # cds_start_NF without phase padding: plain "4"
+    d = cq.annotation_details(mk("ATGGCTGAATGA", True, 1011), 1003, "G", "A")
+    assert d["cds_position_str"] == "4"
+    d = cq.annotation_details(mk("ATGGCTGAATGA", False, 1011), 1003, "G", "A")
+    assert d["cds_position_str"] == "4"
+    # variant INSIDE the pad: the '?-N' unknown-start format
+    d = cq.annotation_details(mk("NNGCTGAATGA", True, 1010), 1001, "N", "A")
+    assert str(d["cds_position_str"]).startswith("?-")
+    # rs cds_to_utr_deletion_keeps_partial_unknown_bounds_on_positive_
+    # strand: a deletion running off the CDS 3' end keeps "49-?"/"17-?"
+    t = cq.Transcript(transcript_id="P", chrom="1", start=1000, end=1100,
+                      strand=1, cds_start=1000, cds_end=1050,
+                      exons=[(1000, 1100)])
+    d = cq.annotation_details(t, 1048, "ACCCCCCCCCCCC", "")
+    assert d["cds_position_str"] == "49-?"
+    assert d["protein_position_str"] == "17-?"
+    # negative-strand twin (rs ..._on_negative_strand)
+    t = cq.Transcript(transcript_id="N", chrom="1", start=1000, end=1100,
+                      strand=-1, cds_start=1050, cds_end=1100,
+                      exons=[(1000, 1100)])
+    d = cq.annotation_details(t, 1040, "C" * 13, "")
+    assert d["cds_position_str"] == "49-?"
+    assert d["protein_position_str"] == "17-?"
+    # rs classify_frameshift_insertion_at_boundary_protein_position_range
+    t = tx("T", 1000, 1014, 1, cds=(1000, 1014), exons=[(1000, 1014)],
+           cds_sequence="ATGGCTGAAAAATGA")
+    assert cq.annotation_details(t, 1006, "-", "TT")["protein_position_str"] == "2-3"
+
+
+def test_insertion_5000bp_window_boundary_battery():
+    """rs insertion_500{0,1}bp_before_{positive,negative}_transcript_
+    start_*: an insertion exactly 5000bp out is upstream/downstream, one
+    base further is intergenic — on both strands."""
+    pos_t = tx("U", 10000, 11000, 1, cds=(10100, 10900),
+               exons=[(10000, 11000)])
+    assert C(pos_t, 5000, "A", "AT") == ["upstream_gene_variant"]
+    assert C(pos_t, 4999, "A", "AT") == []
+    neg_t = tx("D", 10000, 11000, -1, cds=(10100, 10900),
+               exons=[(10000, 11000)])
+    assert C(neg_t, 5000, "A", "AT") == ["downstream_gene_variant"]
+    assert C(neg_t, 4999, "A", "AT") == []
