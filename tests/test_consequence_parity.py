@@ -2694,3 +2694,65 @@ def test_insertion_5000bp_window_boundary_battery():
                exons=[(10000, 11000)])
     assert C(neg_t, 5000, "A", "AT") == ["downstream_gene_variant"]
     assert C(neg_t, 4999, "A", "AT") == []
+
+
+def test_chr20_negative_strand_insertion_frameshift_hgvsp_battery():
+    """rs chr20_37179387 / chr20_45840343 negative-strand insertion
+    E2Es: the normalized minus-strand insertion splices the alternate
+    bases after the mapped anchor base, so the frameshift HGVSp walks the
+    VEP alternate-CDS stop distance — p.Asn31LysfsTer10 and
+    p.Ala14CysfsTer17, not the one-base-shifted frames."""
+    cds = "GCT" * 30 + "AAC" + "GCT" * 10
+    t = cq.Transcript(
+        transcript_id="NM_152503.8", chrom="20", start=1000, end=1122,
+        strand=-1, cds_start=1000, cds_end=1122, cds_sequence=cds,
+        cdna_coding_start=1, cdna_coding_end=len(cds), spliced_seq=cds,
+        exons=[(1000, 1122)], translation_stable_id="NP_689716.4",
+    )
+    assert (cq.hgvs_p(t, 1030, "-", "CTTATAGACAGGGCCCCGCGGCCGGCACT")
+            == "NP_689716.4:p.Asn31LysfsTer10")
+    cds2 = "GCT" * 12 + "AACGCA" + "AA" + "AAA" * 14 + "TAAG"
+    t2 = cq.Transcript(
+        transcript_id="XM_005260608.5", chrom="20", start=2000, end=2089,
+        strand=-1, cds_start=2000, cds_end=2089, cds_sequence=cds2,
+        cdna_coding_start=1, cdna_coding_end=len(cds2), spliced_seq=cds2,
+        exons=[(2000, 2089)], translation_stable_id="XP_005260665.1",
+    )
+    assert cq.hgvs_p(t2, 2050, "-", "A") == "XP_005260665.1:p.Ala14CysfsTer17"
+
+
+def test_chr14_frameshift_insertion_cofires_stop_lost():
+    """rs chr14_xm024449570_frameshift_insertion_cofires_stop_lost: a
+    frameshift insertion inside the stop codon co-emits stop_lost."""
+    t = cq.Transcript(
+        transcript_id="XM_024449570.1", chrom="14", start=1000, end=1008,
+        strand=1, cds_start=1000, cds_end=1008, cds_sequence="ATGGCTTGA",
+        exons=[(1000, 1008)], translation_seq="MA*",
+    )
+    assert set(C(t, 1007, "-", "G")) == {"frameshift_variant", "stop_lost"}
+
+
+def test_hgvsp_prefix_falls_back_to_transcript_stable_id():
+    """rs translation_for_hgvsp_falls_back_to_transcript_stable_id: without
+    a cached translation stable id, HGVSp prefixes with the transcript's."""
+    t = tx("ENST0FALLBACK.2", 1000, 1011, 1, cds=(1000, 1011),
+           exons=[(1000, 1011)], cds_sequence="ATGGCTGAATGA")
+    out = cq.hgvs_p(t, 1004, "C", "T")
+    assert out is not None and out.startswith("ENST0FALLBACK.2:p.")
+
+
+def test_start_retained_heuristic_and_raw_cdna_bounds():
+    """rs start_retained_heuristic_indel_after/past_start_codon +
+    raw_cdna_position_before/after segment boundary Nones."""
+    t = tx("tx1", 100, 200, 1, cds=(100, 200), exons=[(100, 200)])
+    # deletion touching the LAST base of the start codon: start_lost
+    assert "start_lost" in C(t, 102, "GC", "")
+    # deletion entirely past the start codon: neither start term
+    got = set(C(t, 103, "T", ""))
+    assert "start_lost" not in got and "start_retained_variant" not in got
+    # positions outside the first/last exon have no raw cDNA position
+    for strand in (1, -1):
+        g = cq.Transcript(transcript_id="T", chrom="22", start=100, end=400,
+                          strand=strand, exons=[(100, 200), (300, 400)])
+        for pos in (95, 99, 401, 405):
+            assert cq.raw_cdna_position_from_genomic(g, pos) is None
