@@ -2688,6 +2688,68 @@ def _classify_substitution(t: Transcript, vs: int, ref: str, alt: str) -> set[st
     return {"missense_variant"}
 
 
+def peptide_from_codon_allele(codon: str) -> str | None:
+    """One side of a VEP codon-allele string → its peptide (reference
+    peptide_from_codon_allele, transcript_consequence.rs:7883-7918 /
+    Ensembl TranscriptVariationAllele::peptide()): alphabetic bases only,
+    case-insensitive, a trailing partial codon appends ``X`` (unless the
+    peptide is a lone stop), no bases renders ``-``; an untranslatable
+    triplet aborts."""
+    if codon == "-":
+        return "-"
+    peptide = []
+    triplet = ""
+    saw_base = False
+    for ch in codon:
+        if not ch.isalpha():
+            continue
+        saw_base = True
+        triplet += ch.upper()
+        if len(triplet) == 3:
+            aa = CODON_TABLE.get(triplet)
+            if aa is None:
+                return None
+            peptide.append(aa)
+            triplet = ""
+    if not saw_base:
+        return "-"
+    pep = "".join(peptide)
+    if triplet and pep != "*":
+        pep += "X"
+    return pep or "-"
+
+
+def pep_allele_string_from_codon_allele_string(codon_allele_string: str) -> str | None:
+    """VEP ``pep_allele_string`` from a codons column value (reference
+    pep_allele_string_from_codon_allele_string,
+    transcript_consequence.rs:7867-7876): translate both sides; identical
+    peptides collapse to the single value."""
+    if "/" not in codon_allele_string:
+        return None
+    ref_codon, alt_codon = codon_allele_string.split("/", 1)
+    ref_pep = peptide_from_codon_allele(ref_codon)
+    alt_pep = peptide_from_codon_allele(alt_codon)
+    if ref_pep is None or alt_pep is None:
+        return None
+    return ref_pep if ref_pep == alt_pep else f"{ref_pep}/{alt_pep}"
+
+
+def frameshift_deletion_partial_stop_lost_from_codon_allele_string(
+    codon_allele_string: str,
+) -> bool | None:
+    """Partial-stop-lost detection from the codons column (reference
+    transcript_consequence.rs:7919-7926): the ref peptide carries a stop
+    the alt loses into a partial codon (X)."""
+    if "/" not in codon_allele_string:
+        return None
+    ref_codon, alt_codon = codon_allele_string.split("/", 1)
+    ref_pep = peptide_from_codon_allele(ref_codon)
+    alt_pep = peptide_from_codon_allele(alt_codon)
+    if ref_pep is None or alt_pep is None:
+        return None
+    return "*" in ref_pep and "*" not in alt_pep and "X" in alt_pep
+
+
 def _pep_with_partial(s: str) -> str:
     """Per-codon peptide where a trailing partial codon renders ``X`` (the
     reference's peptide_from_codon_allele — used by the frameshift-deletion

@@ -2756,3 +2756,44 @@ def test_start_retained_heuristic_and_raw_cdna_bounds():
                           strand=strand, exons=[(100, 200), (300, 400)])
         for pos in (95, 99, 401, 405):
             assert cq.raw_cdna_position_from_genomic(g, pos) is None
+
+
+def test_codon_allele_string_helpers_battery():
+    """rs pep_allele_string_from_codon_allele_string_matches_chr1_
+    frameshifts + frameshift_deletion_partial_stop_lost_detected_from_
+    codon_alleles + classify_deletion_frameshift_preserves_ref_aa_
+    before_x."""
+    f = cq.pep_allele_string_from_codon_allele_string
+    assert f("Ccc/cc") == "P/X"
+    assert f("aaCAAGAAGAag/aaag") == "NKKK/KX"
+    assert f("-/TT") == "-/X"
+    g = cq.frameshift_deletion_partial_stop_lost_from_codon_allele_string
+    assert g("tGa/ta") is True
+    assert g("tcATAA/tc") is True
+    assert g("TAA/-") is False
+    # frameshift deletion preserves the ref AA before the X
+    t = tx("T", 1000, 1017, 1, cds=(1000, 1017), exons=[(1000, 1017)],
+           cds_sequence="ATGAAAAAAGCTGAATGA")
+    aa = cq.annotation_details(t, 1003, "A", "")["amino_acids"]
+    assert "X" in aa and aa.split("/")[0] != "X"
+
+
+def test_compute_flags_and_cdna_position_battery():
+    """rs compute_flags_* + compute_cdna_position_{snv,insertion,deletion}:
+    FLAGS re-derivation order and the VEP cDNA position strings, including
+    the '0-1' exon-left-boundary insertion form."""
+    def mk(exons, **kw):
+        return cq.Transcript(transcript_id="tx1", chrom="22",
+                             start=exons[0][0], end=exons[-1][1], strand=1,
+                             exons=exons, **kw)
+    assert cq.compute_flags(mk([(100, 200)])) is None
+    assert cq.compute_flags(mk([(100, 200)], cds_start_nf=True)) == "cds_start_NF"
+    assert (cq.compute_flags(mk([(100, 200)], cds_start_nf=True, cds_end_nf=True))
+            == "cds_start_NF&cds_end_NF")
+    assert cq.compute_flags(mk([(100, 200)], cds_end_nf=True)) == "cds_end_NF"
+    t = mk([(100, 200)])
+    assert cq.annotation_details(t, 150, "A", "G")["cdna_position_str"] == "51"
+    assert cq.annotation_details(t, 150, "-", "ACG")["cdna_position_str"] == "50-51"
+    assert cq.annotation_details(t, 110, "NNNNNN", "")["cdna_position_str"] == "11-16"
+    t = mk([(200, 300)])
+    assert cq.annotation_details(t, 200, "-", "ACG")["cdna_position_str"] == "0-1"
