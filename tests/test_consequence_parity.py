@@ -2797,3 +2797,18 @@ def test_compute_flags_and_cdna_position_battery():
     assert cq.annotation_details(t, 110, "NNNNNN", "")["cdna_position_str"] == "11-16"
     t = mk([(200, 300)])
     assert cq.annotation_details(t, 200, "-", "ACG")["cdna_position_str"] == "0-1"
+
+
+def test_inserted_stop_and_immediate_codon_battery():
+    """rs inframe_insertion_introducing_stop_in_inserted_sequence_is_stop_
+    retained + frameshift_insertion_immediate_codon_becomes_stop_sets_
+    stop_gained (whose assertion is the NEGATIVE: a frameshift insertion
+    not creating an immediate stop stays bare)."""
+    def mk(cds):
+        n = len(cds)
+        return tx("T", 1000, 1000 + n - 1, 1, cds=(1000, 1000 + n - 1),
+                  exons=[(1000, 1000 + n - 1)], cds_sequence=cds)
+
+    got = set(C(mk("ATGCTGAAATGA"), 1003, "-", "CTGTGA"))
+    assert "stop_retained_variant" in got and "inframe_insertion" in got
+    assert set(C(mk("ATGACTGCTTGA"), 1004, "-", "AA")) == {"frameshift_variant"}
