@@ -29,6 +29,7 @@ from datafusion_bio_functions_spark.operators.dedup import (
     minhash_dedup,
     ngram_jaccard_dedup,
     simhash_dedup,
+    substring_dup_spans,
 )
 from datafusion_bio_functions_spark.operators.multimodal import decode_media, extract_features
 from datafusion_bio_functions_spark.operators.pileup import depth
@@ -442,6 +443,7 @@ _GATE_ORDER = [
     "nearest_k3",
     "nearest_excl_overlaps",
     "depth_chunked",
+    "substring_dup_spans",
 ]
 
 
@@ -625,6 +627,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sessionize"] = _sessionize_q
     q["dedup_exact"] = lambda spark, sf: exact_dedup(_docs_dup(spark, sf), output="groups")
+    # span-level exact dedup: windowed substring duplication across docs
+    q["substring_dup_spans"] = lambda spark, sf: substring_dup_spans(
+        _docs_dup(spark, sf), window=50, stride=10, output="doc_stats"
+    )
     q["doc_tokens"] = lambda spark, sf: _docs(spark, sf).select(
         "doc_id",
         token_count("text").alias("n_tokens"),
@@ -1518,6 +1524,9 @@ SELECT user_id, min(ep) AS session_start_epoch, max(ep) AS session_end_epoch,
        count(*) AS n_events, CAST(sum(vc) AS BIGINT) AS value_cents_sum
 FROM i GROUP BY user_id, sess"""
     o["dedup_exact"] = osql.exact_dedup_groups_sql(DOCS_DUP_SQL)
+    o["substring_dup_spans"] = osql.substring_dup_spans_sql(
+        DOCS_DUP_SQL, window=50, stride=10
+    )
     o["text_stats"] = osql.text_stats_sql("SELECT * FROM documents")
     o["lang_id"] = osql.lang_id_sql("SELECT * FROM documents")
     o["similarity_topk"] = osql.cosine_topk_sql(

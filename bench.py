@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "lang_id",
     "similarity_topk",
     "minhash_pairs",
+    "substring_dup_spans",
     "sessionize",
     "consequence_regions",
     "regulatory_features",

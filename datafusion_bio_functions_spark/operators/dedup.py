@@ -82,6 +82,85 @@ def exact_dedup(
     raise ValueError(f"unknown output mode {output!r}")
 
 
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+    stride: int = 10,
+    output: str = "doc_stats",
+) -> DataFrame:
+    """Span-level EXACT substring duplication over a document corpus — the
+    windowed re-expression of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): slide a
+    ``window``-char window with ``stride`` over the normalized text, and a
+    window whose exact content appears in ≥2 DISTINCT documents is a
+    duplicated span.  Complements the doc-level family (exact/minhash/
+    simhash/ngram): it catches shared boilerplate headers, quoted blocks,
+    and template fragments inside otherwise-unique documents.
+
+    ``output='doc_stats'`` → one row per windowable doc:
+    ``(doc_id, total_windows, dup_windows, dup_ratio)``.
+    ``output='spans'`` → the flagged ``(doc_id, win_pos, win_hash)`` rows.
+
+    Scale shape: window hashing is a JVM higher-order-function expression
+    (no Python), the cross-doc test is ONE hash shuffle
+    (groupBy(win_hash) with map-side partial countDistinct), and docs get
+    flags back via a left-semi hash join keyed on the same column — no
+    all-pairs stage anywhere.  Within-doc repeats do not count as
+    duplication (countDistinct(doc) ≥ 2), matching the training-data
+    definition.
+    """
+    if window < 2 or stride < 1:
+        raise ValueError(f"window must be ≥2 and stride ≥1, got {window}/{stride}")
+    if output not in ("doc_stats", "spans"):
+        raise ValueError(f"unknown output mode {output!r}")
+    norm = (
+        _ensure_parallelism(df)
+        .select(F.col(id_col), _norm_text(text_col).alias("__norm"))
+        .filter(F.length("__norm") >= window)
+    )
+    wins = norm.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.length("__norm") - (window - 1), F.lit(stride)
+                ),
+                lambda i: F.struct(
+                    i.alias("win_pos"),
+                    F.xxhash64(F.col("__norm").substr(i, F.lit(window))).alias(
+                        "win_hash"
+                    ),
+                ),
+            )
+        ).alias("__w"),
+    ).select(id_col, F.col("__w.win_pos"), F.col("__w.win_hash"))
+    dup_hashes = (
+        wins.groupBy("win_hash")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("win_hash")
+    )
+    flagged = wins.join(dup_hashes, "win_hash", "left_semi")
+    if output == "spans":
+        return flagged.select(id_col, "win_pos", "win_hash")
+    totals = wins.groupBy(id_col).agg(F.count(F.lit(1)).alias("total_windows"))
+    dups = flagged.groupBy(id_col).agg(F.count(F.lit(1)).alias("dup_windows"))
+    return (
+        totals.join(dups, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("total_windows"),
+            F.coalesce(F.col("dup_windows"), F.lit(0)).alias("dup_windows"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("dup_windows") / F.col("total_windows"), 6),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # minhash + LSH
 # ---------------------------------------------------------------------------

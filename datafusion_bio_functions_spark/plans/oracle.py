@@ -520,6 +520,42 @@ SELECT id_a, id_b, round(inter::DOUBLE / uni, 6) AS jaccard
 FROM pairs WHERE inter::DOUBLE / uni >= {threshold}"""
 
 
+def substring_dup_spans_sql(
+    t: str,
+    window: int = 50,
+    stride: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Ground truth for ``dedup.substring_dup_spans(output='doc_stats')``:
+    windows on the actual SUBSTRINGS (no hashing), duplicated = the same
+    window content in ≥2 distinct documents.  DuckDB range() is
+    end-exclusive → +2 closes Spark's inclusive sequence bound."""
+    return f"""
+WITH all_docs AS ({t}),
+norm_docs AS (
+  SELECT {id_col}, lower(trim(regexp_replace({text_col}, '\\s+', ' ', 'g'))) AS norm
+  FROM all_docs
+), w AS (
+  SELECT {id_col},
+         unnest([substr(norm, i, {window})
+                 FOR i IN range(1, length(norm) - {window} + 2, {stride})]) AS s
+  FROM norm_docs
+  WHERE length(norm) >= {window}
+), d AS (
+  SELECT s FROM w GROUP BY s HAVING count(DISTINCT {id_col}) >= 2
+), totals AS (
+  SELECT {id_col}, count(*) AS total_windows FROM w GROUP BY {id_col}
+), dups AS (
+  SELECT w.{id_col}, count(*) AS dup_windows
+  FROM w JOIN d USING (s) GROUP BY w.{id_col}
+)
+SELECT t.{id_col}, t.total_windows,
+       coalesce(u.dup_windows, 0) AS dup_windows,
+       round(coalesce(u.dup_windows, 0)::DOUBLE / t.total_windows, 6) AS dup_ratio
+FROM totals t LEFT JOIN dups u USING ({id_col})"""
+
+
 def jaccard_pairs_word_sql(
     t: str,
     n: int = 3,

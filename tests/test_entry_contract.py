@@ -38,8 +38,10 @@ PREVIOUSLY_UNSTAMPED = {
 ROWS_ONLY = {"annotate_vep_full", "lsh_ann_prod"}
 
 
-def test_queries_frozen_at_64():
-    assert len(entry_mod.queries()) == 64
+def test_queries_frozen_at_65():
+    # 50 stamped + 15 oracle-verified tail rows (substring_dup_spans
+    # joined the tail in round 6)
+    assert len(entry_mod.queries()) == 65
 
 
 def test_gate_order_is_applied():
@@ -73,6 +75,9 @@ def test_tail_rows_are_twins_of_stamped_families():
         "nearest_k3": "nearest",
         "nearest_excl_overlaps": "nearest",
         "depth_chunked": "depth_blocks",
+        # span-level exact-substring variant of the dedup family (round 6);
+        # oracle-verified in-repo by tests/test_gate_tail.py every run
+        "substring_dup_spans": "dedup_exact",
     }
     for row in tail:
         assert row in family, f"non-twin row {row} demoted out of the stamp window"

@@ -452,3 +452,60 @@ def test_collapse_exact_edge_inputs(spark):
         for r in minhash_dedup(nulls, threshold=0.9, collapse_exact=False).collect()
     )
     assert got == want == [(1, 2, 1.0)]
+
+
+def test_substring_dup_spans_flags_shared_boilerplate(spark):
+    """Span-level exact dedup: two docs sharing a 60-char boilerplate
+    header are flagged with identical dup-window counts; a unique doc has
+    zero; a WITHIN-doc repeat alone does not count (cross-doc rule); short
+    docs (< window) emit no row."""
+    from datafusion_bio_functions_spark.operators.dedup import substring_dup_spans
+
+    boiler = "this is the standard legal disclaimer header of the corpus x "  # 61
+    assert len(boiler) == 61
+    rows = [
+        (1, boiler + "alpha body text that is entirely unique aaaaaaaaaaaa"),
+        (2, boiler + "beta body text wholly different zzzzzzzzzzzzzzzzzzzz"),
+        (3, "completely unrelated document with no shared fragments at all here"),
+        (4, ("selfrepeat" * 12)),  # 120 chars of within-doc repetition only
+        (5, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in substring_dup_spans(df, window=50, stride=10).collect()
+    }
+    assert 5 not in out  # below the window size: no windows at all
+    assert out[1]["dup_windows"] > 0
+    assert out[1]["dup_windows"] == out[2]["dup_windows"]
+    # only the boilerplate prefix duplicates, not the whole doc
+    assert out[1]["dup_windows"] < out[1]["total_windows"]
+    assert out[3]["dup_windows"] == 0
+    assert out[4]["dup_windows"] == 0  # within-doc repeats excluded
+    assert out[1]["dup_ratio"] == round(
+        out[1]["dup_windows"] / out[1]["total_windows"], 6
+    )
+    # spans mode returns the flagged window positions
+    spans = substring_dup_spans(df, window=50, stride=10, output="spans")
+    span_docs = {r["doc_id"] for r in spans.collect()}
+    assert span_docs == {1, 2}
+    # bad args raise
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        substring_dup_spans(df, window=1)
+    with _pytest.raises(ValueError):
+        substring_dup_spans(df, output="banana")
+
+
+def test_substring_dup_spans_plan_is_hash_shuffle_not_cartesian(spark):
+    """Scale shape: the cross-doc test is a hash aggregate + (broadcast|
+    shuffled-hash|sort-merge) LEFT SEMI join on win_hash — no cartesian /
+    BroadcastNestedLoop anywhere, and the window hashing stays JVM-side
+    (no BatchEvalPython)."""
+    from datafusion_bio_functions_spark.operators.dedup import substring_dup_spans
+
+    df = spark.createDataFrame([(1, "x" * 80), (2, "y" * 80)], ["doc_id", "text"])
+    plan = substring_dup_spans(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan
