@@ -4325,6 +4325,52 @@ def _shifted_insertion_dup_span(
     return span
 
 
+def _is_native_refseq_transcript(t: Transcript) -> bool:
+    """reference is_native_refseq_transcript (hgvs.rs:293-299)."""
+    if t.source == "RefSeq":
+        return True
+    return t.transcript_id[:2] in ("NM", "NR", "XM", "XR")
+
+
+def hgvsc_uses_genomic_shift(
+    t: Transcript, ref: str, alt: str, shift: "HgvsShift | None"
+) -> bool:
+    """Whether HGVSc consumes the precomputed genomic shift (reference
+    hgvsc_uses_genomic_shift, hgvs.rs:300-328): pure indels only; on
+    native-RefSeq rows whose BAM-edit replay FAILED, the shift is kept
+    only when the (USED_REF-adjusted) HGVS alleles still match the shift's
+    original genomic payload
+    (test_format_hgvsc_refseq_failed_bam_edit_suppresses_shifted_utr_
+    deletion / _keeps_shift_when_alleles_match)."""
+    if shift is None:
+        return False
+    ref_n = "" if ref in ("-", None) else ref
+    alt_n = "" if alt in ("-", None) else alt
+    if (not ref_n) == (not alt_n):  # not a pure indel
+        return False
+    if _is_native_refseq_transcript(t) and t.bam_edit_status == "failed":
+        s_ref = shift.ref_orig_allele_string.replace("-", "")
+        s_alt = shift.alt_orig_allele_string.replace("-", "")
+        return ref_n.upper() == s_ref.upper() and alt_n.upper() == s_alt.upper()
+    return True
+
+
+def hgvsc_offset_for_output(
+    t: Transcript, ref: str, alt: str, hgvsc: str | None,
+    shift: "HgvsShift | None",
+) -> int | None:
+    """The VEP ``HGVS_OFFSET`` column: the signed genomic shift length when
+    the shift was used for HGVSc — negative on minus-strand transcripts
+    (reference hgvsc_offset_for_output, hgvs.rs:330-352)."""
+    if shift is None or hgvsc is None:
+        return None
+    if not hgvsc_uses_genomic_shift(t, ref, alt, shift):
+        return None
+    if shift.shift_length == 0:
+        return None
+    return -shift.shift_length if t.strand < 0 else shift.shift_length
+
+
 #: original-consequence terms that allow HGVSp output — Ensembl only emits
 #: HGVSp when the original transcript variation is coding ($pre->{coding}),
 #: even when 3'-shifting later moves an intronic indel into the CDS
@@ -4538,7 +4584,15 @@ def hgvs_c(
     ref = "" if ref in ("-", None) else ref
     alt = "" if alt in ("-", None) else alt
     pos, ref, alt = _normalize_for_hgvs(pos, ref, alt)
-    if shift is not None and (not ref) != (not alt):  # pure shiftable indel
+    # the shift gate compares the USED_REF-adjusted allele (the engine
+    # passes hgvsc_ref_allele = used_ref.unwrap_or(ref) into format_hgvsc,
+    # transcript_consequence.rs:1020-1021) — compute it up front
+    _gate_ref = ref
+    if ref and uses_refseq_transcript_reference(t):
+        _gate_ref = (
+            used_ref_for_transcript_variant(t, pos, pos + len(ref) - 1, ref) or ref
+        )
+    if hgvsc_uses_genomic_shift(t, _gate_ref, alt, shift):
         s_pos, s_ref, s_alt = _shifted_variant_for_notation(ref, alt, shift)
         if s_pos is not None:
             # shifted-insertion duplication of a flank context — rendered

@@ -1237,3 +1237,54 @@ def test_nm015120_shifted_insertion_collapses_to_silent_window():
     assert out is not None
     assert out.startswith("NP_055935.4:p.Glu25") or out.startswith("NP_055935.4:p.GluGlu25")
     assert out.endswith("="), f"must collapse to silent notation, got {out}"
+
+
+def test_failed_bam_edit_hgvsc_shift_gate_and_offset():
+    """hgvs.rs test_format_hgvsc_refseq_failed_bam_edit_suppresses_
+    shifted_utr_deletion / _keeps_shift_when_alleles_match +
+    test_hgvs_offset_{forward,reverse}: on failed-BAM-edit native-RefSeq
+    rows the genomic shift is kept only when the USED_REF-adjusted HGVS
+    alleles still match the shift's original payload; HGVS_OFFSET is the
+    signed shift length (negative on minus strand) when the shift is
+    consumed."""
+    seq = list("A" * 7000)
+    seq[2768], seq[2769] = "T", "C"
+    seq[4917] = "T"  # edited cdna 4918 = genomic 4916 (+2 past the 1447 edit)
+    t = cq.Transcript(
+        transcript_id="NM_001172437.2", chrom="7", start=1, end=7000,
+        strand=1, cds_start=1, cds_end=2355, source="RefSeq",
+        cdna_coding_start=263, cdna_coding_end=2617,
+        spliced_seq="".join(seq), exons=[(1, 7000)],
+        bam_edit_status="failed",
+        refseq_edits=[RefSeqEdit(1447, 1447, 2)],
+    )
+    # USED_REF at the original span reads 'AAAA' ≠ shift payload 'ACAG' →
+    # shift suppressed → unshifted star coordinates
+    s = cq.HgvsShift(
+        strand=1, shift_length=4, start=5864, end=5867,
+        shifted_allele_string="ACAG", shifted_output_allele="-",
+        ref_orig_allele_string="ACAG", alt_orig_allele_string="-",
+        shifted_compare_allele="-",
+    )
+    assert (cq.hgvs_c(t, 5860, "ACAG", "-", shift=s)
+            == "NM_001172437.2:c.*3245_*3248del")
+    # alleles match the payload → shift kept → shifted star coordinate
+    s2 = cq.HgvsShift(
+        strand=1, shift_length=6, start=4922, end=4922,
+        shifted_allele_string="T", shifted_output_allele="-",
+        ref_orig_allele_string="T", alt_orig_allele_string="-",
+        shifted_compare_allele="-",
+    )
+    assert cq.hgvs_c(t, 4916, "T", "-", shift=s2) == "NM_001172437.2:c.*2307del"
+    assert cq.hgvsc_offset_for_output(t, "T", "-", "x", s2) == 6
+    tm = cq.Transcript(transcript_id="NM_X.1", chrom="7", start=1, end=100,
+                       strand=-1, exons=[(1, 100)], source="RefSeq")
+    s3 = cq.HgvsShift(
+        strand=-1, shift_length=3, start=50, end=50,
+        shifted_allele_string="T", shifted_output_allele="-",
+        ref_orig_allele_string="T", alt_orig_allele_string="-",
+        shifted_compare_allele="-",
+    )
+    assert cq.hgvsc_offset_for_output(tm, "T", "-", "x", s3) == -3
+    # substitutions never consume the shift
+    assert not cq.hgvsc_uses_genomic_shift(tm, "A", "G", s3)
