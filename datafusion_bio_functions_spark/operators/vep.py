@@ -86,6 +86,19 @@ def _check_contract(df: DataFrame, required: Sequence[str], what: str) -> None:
             )
 
 
+def csq_escape_col(c: "F.Column") -> "F.Column":
+    """VEP CSQ field escaping (reference ``csq_escape``,
+    ``annotate_provider.rs`` test_csq_escape_*): the CSQ string's own
+    delimiters inside a field VALUE are rewritten — ``,`` and ``|`` become
+    ``&``, ``;`` percent-encodes to ``%3B``, and a field that is exactly
+    ``-`` empties (VEP's missing-value dash); NULL renders empty."""
+    s = F.coalesce(c.cast("string"), F.lit(""))
+    escaped = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(s, ",", "&"), r"\|", "&"), ";", "%3B"
+    )
+    return F.when(s == "-", F.lit("")).otherwise(escaped)
+
+
 def _check_requested_columns(df: DataFrame, columns: Sequence[str], what: str) -> None:
     """Clear error naming any projected column absent from the cache
     (schema_contract.rs validate_requested_columns)."""
@@ -915,11 +928,11 @@ def _annotate_codon(
         F.col("alt"),
         F.concat_ws("&", F.col("__terms")),
         F.col("__res.impact"),
-        F.coalesce(F.col("__t_symbol"), F.lit("")),
-        F.coalesce(F.col("__t_gene"), F.lit("")),
-        F.coalesce(F.col("__t_id"), F.lit("")),
-        F.coalesce(F.col("__res.hgvsc"), F.lit("")),
-        F.coalesce(F.col("__res.hgvsp"), F.lit("")),
+        csq_escape_col(F.col("__t_symbol")),
+        csq_escape_col(F.col("__t_gene")),
+        csq_escape_col(F.col("__t_id")),
+        csq_escape_col(F.col("__res.hgvsc")),
+        csq_escape_col(F.col("__res.hgvsp")),
     )
     with_entry = paired.withColumn(
         "__entry", F.when(F.col("__terms").isNotNull(), entry_csq)

@@ -598,3 +598,24 @@ def test_schema_contract_type_validation(spark):
     # unknown requested projection column names the column
     with pytest.raises(ValueError, match="nonexistent"):
         lookup_variants(vcf, good, columns=["nonexistent"])
+
+
+def test_csq_escape_reference_cases(spark):
+    """annotate_provider.rs test_csq_escape_*: CSQ delimiters inside field
+    values rewrite (','/'|' → '&', ';' → '%3B'), a bare '-' empties, and
+    ordinary values (including internal dashes) pass through."""
+    from datafusion_bio_functions_spark.operators.vep import csq_escape_col
+    from pyspark.sql import functions as F
+
+    rows = [("A0A0J9YXY3.52,P0DPF7.28",), ("a|b",), ("a;b",), ("-",),
+            ("ENST00000684052",), ("c.11-3_11-2del",), (None,)]
+    out = [
+        r["e"]
+        for r in spark.createDataFrame(rows, ["v"])
+        .select(csq_escape_col(F.col("v")).alias("e"))
+        .collect()
+    ]
+    assert out == [
+        "A0A0J9YXY3.52&P0DPF7.28", "a&b", "a%3Bb", "",
+        "ENST00000684052", "c.11-3_11-2del", "",
+    ]
