@@ -1288,3 +1288,28 @@ def test_failed_bam_edit_hgvsc_shift_gate_and_offset():
     assert cq.hgvsc_offset_for_output(tm, "T", "-", "x", s3) == -3
     # substitutions never consume the shift
     assert not cq.hgvsc_uses_genomic_shift(tm, "A", "G", s3)
+
+
+def test_refseq_offset_rule_battery_matches_provider_semantics():
+    """annotate_provider.rs test_refseq_misalignment_offset_matches_vep_
+    rules (replayed against the in-use sequence-offset function): summed
+    deltas of edits ENDING before the position; skip_refseq_offset edits
+    excluded; insertion form (end < start) counts replacement_len; pure
+    deletions count -(span); parse_cdna_position_start strips span/intron
+    suffixes.  (The provider layer gates on coding NM_/XM_ ids only; the
+    transcript-consequence variant this engine routes through also covers
+    NR_/XR_ — reference transcript_consequence.rs:7652-7673.)"""
+    t = cq.Transcript(
+        transcript_id="NM_000001", chrom="1", start=1, end=1000, strand=1,
+        exons=[(1, 1000)], source="RefSeq",
+        refseq_edits=[RefSeqEdit(10, 9, 3), RefSeqEdit(20, 20, 1, True),
+                      RefSeqEdit(30, 31, None), RefSeqEdit(40, 40, 1, True)],
+    )
+    assert cq.parse_cdna_position_start("35-36") == 35
+    assert cq.parse_cdna_position_start("35+2") == 35
+    f = cq.refseq_sequence_offset_for_cdna
+    assert f(t, 35) == 1    # +3 insertion, skip, -2 deletion → net +1
+    assert f(t, 5) is None  # no edit ends before 5
+    assert f(t, 10) == 3    # only the insertion applies
+    # PEG10 same-coordinate multibase form counts the FULL insertion
+    assert cq.refseq_edit_offset_delta(RefSeqEdit(1447, 1447, 2)) == 2
