@@ -327,6 +327,7 @@ def annotate_vep(
     mirnas: DataFrame | None = None,
     translations: DataFrame | None = None,
     sift: DataFrame | None = None,
+    domains: DataFrame | None = None,
 ) -> DataFrame:
     """Annotation pipeline: known-variant lookup + consequence assignment.
 
@@ -395,14 +396,15 @@ def annotate_vep(
             downstream_distance, full_schema,
             regulatory=regulatory, motifs=motifs, structural=structural,
             mirnas=mirnas, translations=translations, sift=sift,
+            domains=domains,
         )
     if any(
         x is not None
-        for x in (regulatory, motifs, structural, mirnas, translations, sift)
+        for x in (regulatory, motifs, structural, mirnas, translations, sift, domains)
     ):
         raise ValueError(
-            "regulatory/motifs/structural/mirnas/translations/sift context "
-            "requires the codon engine"
+            "regulatory/motifs/structural/mirnas/translations/sift/domains "
+            "context requires the codon engine"
         )
     if full_schema:
         raise ValueError("full_schema=True requires the codon engine (transcripts)")
@@ -553,6 +555,7 @@ def _annotate_codon(
     mirnas: DataFrame | None = None,
     translations: DataFrame | None = None,
     sift: DataFrame | None = None,
+    domains: DataFrame | None = None,
 ) -> DataFrame:
     """Variant×transcript pairing (broadcast range join on chrom) + per-pair
     classification through ``functions.consequence.classify`` in one
@@ -1254,6 +1257,69 @@ def _annotate_codon(
             "__s_polyphen_prediction", "__s_polyphen_score"
         ).alias("PolyPhen")
 
+    # DOMAINS lookup (reference lookup_domains, annotate_provider.rs:5990-
+    # 6056): protein-coordinate feature overlaps of the best transcript,
+    # labels 'analysis:hseqname' with space/;/= → '_', joined by '&'.
+    # The transcript's feature list is pre-aggregated (annotation-sized)
+    # and broadcast; the filter/label walk is a JVM higher-order function.
+    domains_col = F.lit(None).cast("string").alias("DOMAINS")
+    if domains is not None:
+        _check_contract(domains, ("transcript_id", "start", "end"), "domains")
+
+        def _d(name: str) -> "F.Column":
+            return (
+                F.col(name).cast("string")
+                if name in domains.columns
+                else F.lit(None).cast("string")
+            ).alias(name)
+
+        dtbl = (
+            domains.select(
+                F.col("transcript_id").alias("__d_tx"),
+                F.struct(
+                    F.col("start").cast("long").alias("s"),
+                    F.col("end").cast("long").alias("e"),
+                    _d("analysis"),
+                    _d("hseqname"),
+                ).alias("__d_f"),
+            )
+            .groupBy("__d_tx")
+            .agg(F.collect_list("__d_f").alias("__d_feats"))
+        )
+        grouped = grouped.join(
+            F.broadcast(dtbl), F.col("__best.feature") == F.col("__d_tx"), "left"
+        )
+        pp = F.col("__best.protein_position_str")
+        arr = F.split(pp, "-")
+        ps_raw = F.element_at(arr, 1).cast("long")
+        pe_raw = F.when(F.size(arr) > 1, F.element_at(arr, 2).cast("long")).otherwise(
+            ps_raw
+        )
+        # VEP's Mapper.map_insert swaps translation start/end for insertions
+        # (amino_acids '-/X'), excluding features touching only the exact
+        # insertion boundary
+        is_ins = F.col("__best.amino_acids").startswith("-/")
+        ps = F.when(is_ins, pe_raw).otherwise(ps_raw)
+        pe = F.when(is_ins, ps_raw).otherwise(pe_raw)
+        valid = pp.isNotNull() & ~pp.contains("?") & ps.isNotNull() & pe.isNotNull()
+        labels = F.transform(
+            F.filter(
+                F.coalesce(F.col("__d_feats"), F.array()),
+                lambda f: (ps <= f["e"]) & (pe >= f["s"]),
+            ),
+            lambda f: F.regexp_replace(
+                F.concat_ws(
+                    ":",
+                    *[F.when(f[k].isNotNull(), f[k]) for k in ("analysis", "hseqname")],
+                ),
+                r"[ ;=]",
+                "_",
+            ),
+        )
+        domains_col = F.when(
+            valid, F.nullif(F.array_join(labels, "&"), F.lit(""))
+        ).alias("DOMAINS")
+
     meta_backed = {o for o, _ in VEP_TX_META_COLUMNS} | {"FLAGS"}
     null_tx_cols = []
     for c in VEP_NULL_TRANSCRIPT_COLUMNS:
@@ -1261,6 +1327,8 @@ def _annotate_codon(
             null_tx_cols.append(sift_col)
         elif c == "PolyPhen":
             null_tx_cols.append(polyphen_col)
+        elif c == "DOMAINS":
+            null_tx_cols.append(domains_col)
         elif c in meta_backed:
             null_tx_cols.append(F.col("__best.meta")[c].alias(c))
         else:

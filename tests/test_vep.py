@@ -619,3 +619,40 @@ def test_csq_escape_reference_cases(spark):
         "A0A0J9YXY3.52&P0DPF7.28", "a&b", "a%3Bb", "",
         "ENST00000684052", "c.11-3_11-2del", "",
     ]
+
+
+def test_annotate_vep_domains_table(spark):
+    """DOMAINS from the domains context table (reference lookup_domains,
+    annotate_provider.rs:5990-6056 + test_lookup_domains_*): protein-span
+    overlaps render 'analysis:hseqname' (spaces/;/= → '_') joined by '&';
+    non-overlapping features are excluded; insertions swap the protein
+    bounds so boundary-touch features drop."""
+    from datafusion_bio_functions_spark.operators.vep import annotate_vep
+
+    vcf = spark.createDataFrame(
+        [("1", 1103, 1103, "G", "A")],  # codon 2 missense -> protein pos 2
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [], "chrom string, start long, end long, variation_name string, allele_string string",
+    )
+    tx = spark.createDataFrame(
+        [("T1", "1", 1100, 1108, 1, "protein_coding", "G1", "GENE1", 1100, 1108, "ATGGCTTAA")],
+        "transcript_id string, chrom string, start long, end long, strand int, "
+        "biotype string, gene_stable_id string, gene_symbol string, "
+        "cds_start long, cds_end long, cds_sequence string",
+    )
+    domains = spark.createDataFrame(
+        [("T1", 1, 2, "Pfam", "PF00069"),
+         ("T1", 2, 3, "Gene3D db", "1.10.510.10"),
+         ("T1", 3, 3, "PROSITE profiles", "PS50011"),  # no overlap with pos 2
+         ("T2", 1, 9, "Pfam", "PF99999")],
+        "transcript_id string, start long, end long, analysis string, hseqname string",
+    )
+    r = annotate_vep(
+        vcf, cache, transcripts=tx, full_schema=True, domains=domains
+    ).collect()[0]
+    assert r.DOMAINS == "Pfam:PF00069&Gene3D_db:1.10.510.10"
+    # no domains table → NULL stub unchanged
+    r0 = annotate_vep(vcf, cache, transcripts=tx, full_schema=True).collect()[0]
+    assert r0.DOMAINS is None
