@@ -92,6 +92,112 @@ def trim_sequences_ensembl(
     return ("".join(r) or "-", "".join(a) or "-", start, end, changed)
 
 
+def parse_variant_allele_string(allele_string: str) -> tuple[str, list[str]] | None:
+    """``REF/ALT[/ALT...]`` → (ref, alts) (reference
+    parse_variant_allele_string, allele.rs:157-168)."""
+    if allele_string.startswith("/") or "/" not in allele_string:
+        return None
+    ref_allele, *alts = allele_string.split("/")
+    if not alts:
+        return None
+    return ref_allele, alts
+
+
+def _trim_directions(ref_allele: str, alt_allele: str) -> tuple[bool, ...]:
+    """Ensembl checks both left-first and right-first trim order for
+    non-SNV alleles, a single pass for SNVs (allele.rs:176-182)."""
+    if len(ref_allele) > 1 or len(alt_allele) > 1:
+        return (False, True)
+    return (False,)
+
+
+def get_matched_variant_alleles(
+    a_allele_string: str, a_pos: int,
+    b_allele_string: str, b_pos: int,
+    a_strand: int = 1, b_strand: int = 1,
+) -> list[tuple[str, int, str, int]]:
+    """Ensembl ``get_matched_variant_alleles()`` (reference allele.rs:190-262
+    / Utils::Sequence.pm L1098-1258): minimize every alt of both variants
+    with ``trim_sequences`` in both trim orders and match on the
+    ``(trimmed_ref, trimmed_alt, trimmed_pos)`` key — so a point variant
+    matches inside an MNV window and a repeat-shifted deletion matches its
+    anchored twin.  Returns ``(a_allele, a_index, b_allele, b_index)``
+    tuples."""
+    pa = parse_variant_allele_string(a_allele_string)
+    pb = parse_variant_allele_string(b_allele_string)
+    if pa is None or pb is None or a_pos == 0 or b_pos == 0:
+        return []
+    a_ref_raw, a_alts_raw = pa
+    b_ref_raw, b_alts_raw = pb
+    a_ref = a_ref_raw
+    flip = a_strand != b_strand
+    if flip:
+        a_ref = _revcomp_or_none(a_ref)
+        if a_ref is None:
+            return []
+    minimised: list[tuple[str, str, int]] = []  # (key, orig_a_alt, a_index)
+    for a_index, orig_a_alt in enumerate(a_alts_raw):
+        a_alt = orig_a_alt
+        if flip:
+            a_alt = _revcomp_or_none(a_alt)
+            if a_alt is None:
+                return []
+        for end_first in _trim_directions(a_ref, orig_a_alt):
+            tr, ta, tp, _, _ = trim_sequences_ensembl(
+                a_ref, a_alt, a_pos, None, end_first, 1
+            )
+            minimised.append((f"{tr}_{ta}_{tp}", orig_a_alt, a_index))
+    matches: list[tuple[str, int, str, int]] = []
+    seen: set[tuple[str, int, str, int]] = set()
+    for b_index, orig_b_alt in enumerate(b_alts_raw):
+        for end_first in _trim_directions(b_ref_raw, orig_b_alt):
+            tr, ta, tp, _, _ = trim_sequences_ensembl(
+                b_ref_raw, orig_b_alt, b_pos, None, end_first, 1
+            )
+            key = f"{tr}_{ta}_{tp}"
+            hit = next((m for m in minimised if m[0] == key), None)
+            if hit is not None:
+                matched = (hit[1], hit[2], orig_b_alt, b_index)
+                if matched not in seen:
+                    seen.add(matched)
+                    matches.append(matched)
+                break
+    return matches
+
+
+_COMP = str.maketrans("ACGTNacgtn", "TGCANtgcan")
+
+
+def _revcomp_or_none(seq: str) -> str | None:
+    if seq == "-":
+        return "-"
+    if any(ch not in "ACGTNacgtn" for ch in seq):
+        return None
+    return seq.translate(_COMP)[::-1]
+
+
+def match_alleles_ensembl(
+    vcf_ref: str, vcf_alt: str, pos: int,
+    allele_string: str, existing_pos: int,
+) -> bool:
+    """Coordinate-aware existing-variant match: the raw VCF pair (multi-alt
+    ``,``/``|`` accepted) against a cache allele string at its own start —
+    Ensembl VEP ``compare_existing()`` via get_matched_variant_alleles
+    (reference compare_existing_variant, variant_lookup_exec.rs:429-500;
+    pinned by compare_existing_variant_matches_point_existing_variant_
+    within_mnv)."""
+    if not vcf_ref or not vcf_alt or not allele_string:
+        return False
+    alts = "/".join(a for a in vcf_alt.replace("|", ",").split(",") if a)
+    if not alts:
+        return False
+    return bool(
+        get_matched_variant_alleles(
+            f"{vcf_ref}/{alts}", pos, allele_string, existing_pos
+        )
+    )
+
+
 def _vep_prefix_suffix_len(ref_allele: str, alt_allele: str) -> tuple[int, int]:
     """allele.rs:700-738: SNVs are untouched; common prefix always trimmed;
     suffix trimmed only for indels (length-changing), never MNVs."""
@@ -242,6 +348,13 @@ def match_allele_udf(r: pd.Series, a: pd.Series, s: pd.Series) -> pd.Series:
 @pandas_udf(BooleanType())
 def match_allele_relaxed_udf(r: pd.Series, a: pd.Series, s: pd.Series) -> pd.Series:
     return _nullsafe(allele_matches_relaxed, r, a, s)
+
+
+@pandas_udf(BooleanType())
+def match_alleles_ensembl_udf(
+    r: pd.Series, a: pd.Series, p: pd.Series, s: pd.Series, cp: pd.Series
+) -> pd.Series:
+    return _nullsafe(match_alleles_ensembl, r, a, p, s, cp)
 
 
 @pandas_udf(StringType())

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from ..functions.alleles import (
     match_allele_relaxed_udf,
     match_allele_udf,
+    match_alleles_ensembl_udf,
     vep_norm_end_udf,
     vep_norm_start_udf,
 )
@@ -184,6 +185,18 @@ def lookup_variants(
 
     matcher = match_allele_udf if match_mode == "exact" else match_allele_relaxed_udf
     allele_ok = matcher(F.col("ref"), F.col("alt"), F.col("__c_allele_string"))
+    if extended_probes and match_mode == "exact":
+        # the overlap-probe path compares through Ensembl's
+        # get_matched_variant_alleles (both-trim-order minimization keyed on
+        # coordinates) so a point existing variant matches INSIDE an MNV
+        # window and repeat-shifted indels match their anchored twins
+        # (reference compare_existing_variant via collect_overlapping_
+        # candidates, variant_lookup_exec.rs:429-500; pinned by
+        # compare_existing_variant_matches_point_existing_variant_within_mnv)
+        allele_ok = allele_ok | match_alleles_ensembl_udf(
+            F.col("ref"), F.col("alt"), F.col("start").cast("long"),
+            F.col("__c_allele_string"), F.col("__c_start"),
+        )
 
     if filter_op is None:
         from ..functions.coordinates import CoordinateNormalizer

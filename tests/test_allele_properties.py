@@ -162,3 +162,29 @@ def test_reference_allele_unit_battery():
         62689175, "CATACATATATATATATATATATATAT", "CATATATATATATAT"
     ) == ("ATACATATATATATATATATATATAT", "ATATATATATATAT", 62689176)
     assert vcf_to_vep_input_allele(100, "A", "ATG") == ("-", "TG", 101)
+
+
+def test_get_matched_variant_alleles_reference_battery():
+    """allele.rs test_get_matched_variant_alleles_* + variant_lookup_exec
+    compare_existing_variant_matches_point_existing_variant_within_mnv:
+    both-trim-order minimization keyed on (ref, alt, pos)."""
+    from datafusion_bio_functions_spark.functions import alleles as al
+
+    # repeat-shifted deletion matches its anchored twin
+    assert al.get_matched_variant_alleles("AAA/A", 100, "AA/-", 101) == [
+        ("A", 0, "-", 0)
+    ]
+    # multiallelic matches only the shared alt with per-side indices
+    assert al.get_matched_variant_alleles("A/G/T", 100, "A/C/T", 100) == [
+        ("T", 1, "T", 1)
+    ]
+    # a point existing variant matches inside an MNV window
+    assert al.get_matched_variant_alleles(
+        "GATT/TATT", 59546535, "G/T", 59546535
+    ) == [("TATT", 0, "T", 0)]
+    assert al.match_alleles_ensembl("GATT", "TATT", 59546535, "G/T", 59546535)
+    # mismatched positions do not match
+    assert not al.match_alleles_ensembl("GATT", "TATT", 59546535, "G/T", 59546536)
+    # malformed allele strings are rejected
+    assert al.get_matched_variant_alleles("A", 100, "A/T", 100) == []
+    assert al.get_matched_variant_alleles("/T", 100, "A/T", 100) == []

@@ -656,3 +656,36 @@ def test_annotate_vep_domains_table(spark):
     # no domains table → NULL stub unchanged
     r0 = annotate_vep(vcf, cache, transcripts=tx, full_schema=True).collect()[0]
     assert r0.DOMAINS is None
+
+
+def test_lookup_extended_probes_matches_point_variant_inside_mnv(spark):
+    """variant_lookup_exec.rs compare_existing_variant_matches_point_
+    existing_variant_within_mnv + collect_overlapping_candidates_keeps_
+    point_existing_variants_inside_mnv_window: with extended_probes the
+    overlap path matches through Ensembl's get_matched_variant_alleles, so
+    a point G/T inside a GATT>TATT window matches (exact mode still
+    requires exact coordinates) and a repeat-shifted deletion matches its
+    anchored twin."""
+    from datafusion_bio_functions_spark.operators.vep import lookup_variants
+
+    vcf = spark.createDataFrame(
+        [("1", 59546535, 59546538, "GATT", "TATT")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [("1", 59546535, 59546535, "rsPOINT", "G/T")],
+        "chrom string, start long, end long, variation_name string, allele_string string",
+    )
+    assert lookup_variants(vcf, cache).collect()[0].variation_name is None
+    assert (lookup_variants(vcf, cache, extended_probes=True)
+            .collect()[0].variation_name == "rsPOINT")
+    vcf2 = spark.createDataFrame(
+        [("1", 100, 102, "AAA", "A")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache2 = spark.createDataFrame(
+        [("1", 101, 102, "rsDEL", "AA/-")],
+        "chrom string, start long, end long, variation_name string, allele_string string",
+    )
+    assert (lookup_variants(vcf2, cache2, extended_probes=True)
+            .collect()[0].variation_name == "rsDEL")
