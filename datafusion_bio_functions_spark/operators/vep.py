@@ -185,6 +185,16 @@ def lookup_variants(
 
     matcher = match_allele_udf if match_mode == "exact" else match_allele_relaxed_udf
     allele_ok = matcher(F.col("ref"), F.col("alt"), F.col("__c_allele_string"))
+    # unknown-allele records (no '/' in the allele string, e.g.
+    # HGMD_MUTATION / COSMIC ids) match on EXACT VEP-normalized coordinates
+    # only (reference compare_existing_variant_alleles,
+    # variant_lookup_exec.rs:456-496; pinned by compare_existing_variant_
+    # allows_unknown_alleles_on_exact_shifted_coords_only)
+    allele_ok = allele_ok | (
+        ~F.col("__c_allele_string").contains("/")
+        & (F.col("__c_start") == F.col("__vstart"))
+        & (F.col("__c_end") == F.col("__vend"))
+    )
     if extended_probes and match_mode == "exact":
         # the overlap-probe path compares through Ensembl's
         # get_matched_variant_alleles (both-trim-order minimization keyed on

@@ -689,3 +689,30 @@ def test_lookup_extended_probes_matches_point_variant_inside_mnv(spark):
     )
     assert (lookup_variants(vcf2, cache2, extended_probes=True)
             .collect()[0].variation_name == "rsDEL")
+
+
+def test_lookup_unknown_alleles_match_on_exact_coords_only(spark):
+    """variant_lookup_exec.rs compare_existing_variant_allows_unknown_
+    alleles_on_exact_shifted_coords_only: an existing record whose allele
+    string has no '/' (HGMD/COSMIC ids) attaches only at the exact
+    VEP-normalized coordinates, in both exact and probe modes."""
+    from datafusion_bio_functions_spark.operators.vep import lookup_variants
+
+    vcf = spark.createDataFrame(
+        [("1", 100, 103, "ACGT", "A")],  # VEP-normalized del at 101-103
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    hit = spark.createDataFrame(
+        [("1", 101, 103, "rsHGMD", "HGMD_MUTATION")],
+        "chrom string, start long, end long, variation_name string, allele_string string",
+    )
+    miss = spark.createDataFrame(
+        [("1", 100, 103, "rsHGMD", "HGMD_MUTATION")],
+        "chrom string, start long, end long, variation_name string, allele_string string",
+    )
+    assert lookup_variants(vcf, hit).collect()[0].variation_name == "rsHGMD"
+    assert lookup_variants(vcf, miss).collect()[0].variation_name is None
+    assert (lookup_variants(vcf, hit, extended_probes=True)
+            .collect()[0].variation_name == "rsHGMD")
+    assert (lookup_variants(vcf, miss, extended_probes=True)
+            .collect()[0].variation_name is None)
