@@ -188,3 +188,26 @@ def test_get_matched_variant_alleles_reference_battery():
     # malformed allele strings are rejected
     assert al.get_matched_variant_alleles("A", 100, "A/T", 100) == []
     assert al.get_matched_variant_alleles("/T", 100, "A/T", 100) == []
+
+
+def test_compare_space_minimization_reference_cases():
+    """variant_lookup_exec.rs compare_existing_variant_uses_minimized_
+    compare_allele_space_for_repeat_insertions + _uses_compare_coords_for_
+    unknown_insertions: the both-order trim inside get_matched_variant_
+    alleles reproduces VEP's compare space, so the repeat insertion
+    TTA>TATATATA matches the '-/…/ATATA/…' multiallelic at alt index 2,
+    and the VEP-normalized coords give the swapped insertion form the
+    unknown-allele rule keys on."""
+    from datafusion_bio_functions_spark.functions import alleles as al
+
+    matched = al.get_matched_variant_alleles(
+        "TA/ATATATA", 119247098, "-/A/ATA/ATATA/ATATATA", 119247098
+    )
+    assert [(m[1], m[3]) for m in matched] == [(0, 2)]
+    assert matched[0][2] == "ATATA"
+    assert al.match_alleles_ensembl(
+        "TTA", "TATATATA", 119247097, "-/A/ATA/ATATA/ATATATA", 119247098
+    )
+    # swapped insertion form for the unknown-allele exact-coords rule
+    assert al.vep_norm_start(119247097, "TTA", "TATATATA") == 119247098
+    assert al.vep_norm_end(119247097, "TTA", "TATATATA") == 119247097
