@@ -1570,6 +1570,88 @@ def miss_worklist(
     return kept.unionByName(collapsed)
 
 
+def propagate_gene_hgnc(transcripts: DataFrame) -> DataFrame:
+    """Gene-symbol / HGNC-id propagation across a transcript table — the
+    DataFrame re-expression of the reference's buffer-local machinery
+    (``apply_buffer_local_hgnc_propagation``,
+    ``annotate_provider.rs:7477-7548``): VEP donates NATIVE HGNC ids to
+    same-symbol rows and fills missing symbol/source/HGNC from same-gene
+    donors.
+
+    Rules (pinned by the reference's test_buffer_local_hgnc_* batteries):
+
+    * only ``hgnc_id_native`` values seed the symbol→HGNC donor map —
+      cache-promoted effective ids never propagate;
+    * effective ``hgnc_id`` = native → existing effective → symbol donor →
+      same-``gene_stable_id`` native donor;
+    * missing ``gene_symbol`` / ``gene_symbol_source`` fill from the
+      same-gene donor.
+
+    The reference scopes donors to its streaming buffer (its stateful
+    tests exist precisely because buffer boundaries LOSE donors and need
+    carry-over state); a DataFrame computes the donor maps globally in two
+    gene-level aggregates — strictly more complete, no state machine.
+    Donor choice is deterministic: the lexicographically-first
+    ``transcript_id`` with a value wins (the reference's encounter order
+    is buffer-dependent).  Donor maps are gene-count sized → broadcast.
+    """
+    _check_contract(transcripts, ("transcript_id",), "transcripts")
+    cols = transcripts.columns
+
+    def _c(name: str) -> "F.Column":
+        return F.col(name) if name in cols else F.lit(None).cast("string")
+
+    base = transcripts.withColumn("__hgnc_native", _c("hgnc_id_native")).withColumn(
+        "__hgnc_eff", _c("hgnc_id")
+    )
+    # symbol → native HGNC donor map (first transcript_id with a value)
+    by_symbol = (
+        base.filter(F.col("__hgnc_native").isNotNull() & _c("gene_symbol").isNotNull())
+        .groupBy(_c("gene_symbol").alias("__sym"))
+        .agg(F.min_by("__hgnc_native", F.col("transcript_id")).alias("__sym_hgnc"))
+    )
+    # gene_stable_id → first non-null symbol/source/native donors
+    by_gene = (
+        base.filter(_c("gene_stable_id").isNotNull())
+        .groupBy(_c("gene_stable_id").alias("__gid"))
+        .agg(
+            F.min_by(
+                _c("gene_symbol"),
+                F.when(_c("gene_symbol").isNotNull(), F.col("transcript_id")),
+            ).alias("__g_sym"),
+            F.min_by(
+                _c("gene_symbol_source"),
+                F.when(_c("gene_symbol_source").isNotNull(), F.col("transcript_id")),
+            ).alias("__g_src"),
+            F.min_by(
+                F.col("__hgnc_native"),
+                F.when(F.col("__hgnc_native").isNotNull(), F.col("transcript_id")),
+            ).alias("__g_hgnc"),
+        )
+    )
+    out = (
+        base.join(F.broadcast(by_symbol), _c("gene_symbol") == F.col("__sym"), "left")
+        .join(F.broadcast(by_gene), _c("gene_stable_id") == F.col("__gid"), "left")
+        .withColumn(
+            "hgnc_id",
+            F.coalesce(
+                F.col("__hgnc_native"), F.col("__hgnc_eff"),
+                F.col("__sym_hgnc"), F.col("__g_hgnc"),
+            ),
+        )
+        .withColumn("gene_symbol", F.coalesce(_c("gene_symbol"), F.col("__g_sym")))
+    )
+    if "gene_symbol_source" in cols:
+        out = out.withColumn(
+            "gene_symbol_source",
+            F.coalesce(F.col("gene_symbol_source"), F.col("__g_src")),
+        )
+    return out.drop(
+        "__hgnc_native", "__hgnc_eff", "__sym", "__sym_hgnc",
+        "__gid", "__g_sym", "__g_src", "__g_hgnc",
+    )
+
+
 def regulatory_features(
     vcf: DataFrame,
     regulatory: DataFrame | None = None,

@@ -716,3 +716,33 @@ def test_lookup_unknown_alleles_match_on_exact_coords_only(spark):
             .collect()[0].variation_name == "rsHGMD")
     assert (lookup_variants(vcf, miss, extended_probes=True)
             .collect()[0].variation_name is None)
+
+
+def test_propagate_gene_hgnc_reference_rules(spark):
+    """annotate_provider.rs test_buffer_local_hgnc_propagation_* replays:
+    native HGNC donates to same-symbol rows; cache-promoted effective ids
+    never seed propagation; same-gene donors refill symbol/source/HGNC."""
+    from datafusion_bio_functions_spark.operators.vep import propagate_gene_hgnc
+
+    schema = ("transcript_id string, gene_stable_id string, gene_symbol string, "
+              "gene_symbol_source string, hgnc_id_native string, hgnc_id string")
+    rows = [
+        # native donor (Ensembl) + RefSeq twin sharing the symbol
+        ("ENST00000919191", "ENSG00000182158", "NBAS", "HGNC", "HGNC:15625", None),
+        ("XR_007076390.1", "GENE:NBAS", "NBAS", "EntrezGene", None, None),
+        # cache-promoted effective id must NOT propagate to the twin
+        ("ENST00000426186", "ENSG00000225475", "ANAPC1P1", "HGNC", None, "HGNC:44150"),
+        ("NR_037931.2", "GENE:ANAPC1P1", "ANAPC1P1", "EntrezGene", None, None),
+        # same-gene refill: symbol/source/native flow within a stable id
+        ("ENST0A", "ENSG0A", "GENEA", "HGNC", "HGNC:1", None),
+        ("ENST0B", "ENSG0A", None, None, None, None),
+    ]
+    out = {r["transcript_id"]: r
+           for r in propagate_gene_hgnc(spark.createDataFrame(rows, schema)).collect()}
+    assert out["XR_007076390.1"]["hgnc_id"] == "HGNC:15625"  # symbol donor
+    assert out["ENST00000919191"]["hgnc_id"] == "HGNC:15625"  # native kept
+    assert out["ENST00000426186"]["hgnc_id"] == "HGNC:44150"  # effective kept
+    assert out["NR_037931.2"]["hgnc_id"] is None  # promoted id never seeds
+    assert out["ENST0B"]["gene_symbol"] == "GENEA"  # same-gene refill
+    assert out["ENST0B"]["gene_symbol_source"] == "HGNC"
+    assert out["ENST0B"]["hgnc_id"] == "HGNC:1"
