@@ -2812,3 +2812,37 @@ def test_inserted_stop_and_immediate_codon_battery():
     got = set(C(mk("ATGCTGAAATGA"), 1003, "-", "CTGTGA"))
     assert "stop_retained_variant" in got and "inframe_insertion" in got
     assert set(C(mk("ATGACTGCTTGA"), 1004, "-", "AA")) == {"frameshift_variant"}
+
+
+def test_negative_strand_phase_padded_terminal_stop_snv():
+    """rs negative_strand_terminal_stop_snv_classifies_stop_lost_with_
+    phase_padding (real ENST00000609196 CDS-only cache, 1-N phase pad,
+    minus strand): the terminal-stop SNV classifies stop_lost at protein
+    158.  Documented residual vs the reference: VEP numbers the CDS
+    position one past the padded sequence (474, codons taG/taC read
+    through that numbering); this engine reports the in-sequence 473 with
+    no codon string — same protein coordinate, same term."""
+    CDS = (
+        "NCCCGTTGTTTGCTGGCTGGGCTTTTCCAGTGTCAGAAAGAAGGACCCATCATCATCCACACTGATG"
+        "AAGCAGATTCAGAAGTCTTGTATCCCAACTACCAAAGCTGCTGGAGCCTGAGGCAGAGAACCAGAGG"
+        "CCGGAGGCAGACTGCCTCTTTACAGCCAGGAATCTCAGAGGATTTGAAAAAGGTGAAGGACAGGATG"
+        "GGCATTGACAGTAGTGATAAAGTGGACTTCTTCATCCTCCTGGACAACGTGGCTGCCGAGCAGGCAC"
+        "ACAACCTCCCAAGCTGCCCCATGCTGAAGAGATTTGCAAGGATGATCGAACAGAGAGCTGTGGACAC"
+        "ATCCTTGTACATACTGCCCAAGGAAGACAGGGAAAGTCTTCAGATGGCAGTAGGCCCATTCCTCCAC"
+        "ATCCTAGAGAGCAACCTGCTGAAAGCCATGGACTCTGCCACTGCCCCCGACAAGATCAGGACTTGCA"
+        "GGTAG"
+    )
+    t = cq.Transcript(
+        transcript_id="ENST00000609196", chrom="1",
+        start=147629652, end=147659001, strand=-1,
+        cds_start=147631053, cds_end=147659001,
+        cds_sequence=CDS, cdna_coding_start=1, cdna_coding_end=473,
+        cdna_seq=CDS,
+        exons=[(147658960, 147659001), (147655161, 147655248),
+               (147654194, 147654326), (147652449, 147652549),
+               (147650143, 147650238), (147629652, 147631065)],
+    )
+    assert C(t, 147631053, "C", "G") == ["stop_lost"]
+    d = cq.annotation_details(t, 147631053, "C", "G")
+    assert d["protein_position_str"] == "158"
+    assert d["cds_position_str"] in ("473", "474")  # see docstring
