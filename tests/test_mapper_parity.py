@@ -1313,3 +1313,22 @@ def test_refseq_offset_rule_battery_matches_provider_semantics():
     assert f(t, 10) == 3    # only the insertion applies
     # PEG10 same-coordinate multibase form counts the FULL insertion
     assert cq.refseq_edit_offset_delta(RefSeqEdit(1447, 1447, 2)) == 2
+
+
+def test_refseq_shift_gate_ignores_same_length_coding_substitution_edit():
+    """rs refseq_uses_transcript_shift_for_hgvsp_ignores_same_length_
+    coding_substitution_edit (NM_001291927.1): a same-length coding
+    substitution edit (zero length delta) keeps the edited-sequence state
+    but must NOT trigger RefSeq protein-HGVS transcript shifting."""
+    t = cq.Transcript(
+        transcript_id="NM_001291927.1", chrom="11",
+        start=89324353, end=89490978, strand=-1,
+        cds_start=89326756, cds_end=89490972,
+        source="RefSeq", bam_edit_status="ok",
+        cdna_coding_start=7, cdna_coding_end=1806,
+        refseq_edits=[RefSeqEdit(1014, 1014, 1, True)],
+        exons=[(89324353, 89490978)],
+    )
+    assert cq.uses_refseq_transcript_reference(t)
+    assert cq.refseq_has_edited_sequence_state(t)
+    assert not cq.refseq_uses_transcript_shift_for_hgvsp(t)
