@@ -43,7 +43,17 @@ Scope notes vs the reference:
   through the mapper-aware pipeline on live RefSeq rows; ``p.``
   substitutions, inframe del/ins/delins, frameshift ``fsTer#`` and
   stop-lost ``extTer#`` when CDS context is available, prefixed with
-  the translation stable id when cached.
+  the translation stable id when cached.  Both notations also consume
+  an externally computed genomic 3'-shift (``HgvsShift``; VEP derives
+  it from the reference FASTA): ``hgvs_c(shift=...)`` renders the
+  shifted variant with flank-context dup detection, shifted-span
+  suppression, and the failed-BAM-edit allele-match gate;
+  ``protein_hgvs_for_output`` replays the shifted variant through the
+  coding-terms/star-equal gates.  The reference's ``format_hgvsp``
+  notation pipeline (clip → peptide 3'-shift → duplication →
+  flanking → render, incl. ``resolve_frameshift_hgvs``) is ported as
+  a standalone :class:`ProteinHgvs` formatter
+  (tests/test_hgvsp_formatter_parity.py).
 """
 
 from __future__ import annotations
