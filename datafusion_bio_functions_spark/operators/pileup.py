@@ -363,7 +363,20 @@ def _probe_alignments(df: DataFrame, simple, contig_col: str) -> tuple[bool, boo
     row = df.limit(limit + 1).agg(*probe_cols).collect()[0]
     fits = row["n"] <= limit
     all_simple = bool(fits and simple is not None and (row["n_complex"] or 0) == 0)
-    res = (fits, all_simple, int(row["n_contigs"] or 0))
+    n_contigs = int(row["n_contigs"] or 0)
+    if not fits:
+        # the bounded probe samples the HEAD of the frame, and alignment
+        # inputs are typically contig-sorted — the prefix can see far fewer
+        # contigs than exist and misroute a many-contig input to 'chunked'.
+        # Over-cap inputs are about to pay a full multi-pass computation
+        # anyway, so one column-pruned single-pass HLL sketch (map-side
+        # partials, tiny shuffle) buys an unbiased count; memoized with the
+        # rest of the probe so twins ride the memo.
+        n_contigs = int(
+            df.agg(F.approx_count_distinct(contig_col).alias("nc")).collect()[0]["nc"]
+            or 0
+        )
+    res = (fits, all_simple, n_contigs)
     if key is not None:
         if len(_GROUPED_FIT_MEMO) > 1024:
             _GROUPED_FIT_MEMO.clear()

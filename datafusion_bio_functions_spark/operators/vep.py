@@ -91,11 +91,17 @@ def csq_escape_col(c: "F.Column") -> "F.Column":
     """VEP CSQ field escaping (reference ``csq_escape``,
     ``annotate_provider.rs`` test_csq_escape_*): the CSQ string's own
     delimiters inside a field VALUE are rewritten — ``,`` and ``|`` become
-    ``&``, ``;`` percent-encodes to ``%3B``, and a field that is exactly
-    ``-`` empties (VEP's missing-value dash); NULL renders empty."""
+    ``&``, ``;`` percent-encodes to ``%3B``, whitespace becomes ``_``
+    (per-char, like the reference's ``ch.is_whitespace()`` arm), and a field
+    that is exactly ``-`` empties (VEP's missing-value dash); NULL renders
+    empty."""
     s = F.coalesce(c.cast("string"), F.lit(""))
     escaped = F.regexp_replace(
-        F.regexp_replace(F.regexp_replace(s, ",", "&"), r"\|", "&"), ";", "%3B"
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(s, ",", "&"), r"\|", "&"), ";", "%3B"
+        ),
+        r"\s",
+        "_",
     )
     return F.when(s == "-", F.lit("")).otherwise(escaped)
 
@@ -1325,19 +1331,28 @@ def _annotate_codon(
         ps = F.when(is_ins, pe_raw).otherwise(ps_raw)
         pe = F.when(is_ins, ps_raw).otherwise(pe_raw)
         valid = pp.isNotNull() & ~pp.contains("?") & ps.isNotNull() & pe.isNotNull()
-        labels = F.transform(
-            F.filter(
-                F.coalesce(F.col("__d_feats"), F.array()),
-                lambda f: (ps <= f["e"]) & (pe >= f["s"]),
-            ),
-            lambda f: F.regexp_replace(
-                F.concat_ws(
-                    ":",
-                    *[F.when(f[k].isNotNull(), f[k]) for k in ("analysis", "hseqname")],
+        # the reference's lookup_domains skips a feature whose analysis AND
+        # hseqname are both NULL (parts.is_empty → continue) instead of
+        # emitting an empty label into the '&' join
+        labels = F.filter(
+            F.transform(
+                F.filter(
+                    F.coalesce(F.col("__d_feats"), F.array()),
+                    lambda f: (ps <= f["e"]) & (pe >= f["s"]),
                 ),
-                r"[ ;=]",
-                "_",
+                lambda f: F.regexp_replace(
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.when(f[k].isNotNull(), f[k])
+                            for k in ("analysis", "hseqname")
+                        ],
+                    ),
+                    r"[ ;=]",
+                    "_",
+                ),
             ),
+            lambda lbl: lbl != "",
         )
         domains_col = F.when(
             valid, F.nullif(F.array_join(labels, "&"), F.lit(""))

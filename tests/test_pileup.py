@@ -180,3 +180,39 @@ def test_depth_grouped_mixed_cigars_equals_window(spark):
     want = canon(depth(df, min_mapq=20, algorithm="window"))
     assert canon(depth(df, min_mapq=20, algorithm="grouped")) == want
     assert want  # non-trivial
+
+
+def test_over_cap_contig_probe_is_not_prefix_biased(spark):
+    """Over the grouped guard the window-vs-chunked route needs the real
+    contig count: a contig-sorted input whose HEAD shows one contig must
+    still route to 'window' when the full frame carries >= parallelism
+    contigs (the bounded prefix probe alone would misroute to 'chunked')."""
+    from datafusion_bio_functions_spark.operators import pileup as P
+
+    par = spark.sparkContext.defaultParallelism
+    n_contigs = par + 2
+    rows = []
+    for ci in range(n_contigs):
+        for s in range(1, 6):
+            rows.append((f"chr{ci:03d}", s * 10, 0, "5M", 60))
+    # contig-sorted single partition: any prefix sample sees chr000 first
+    df = spark.createDataFrame(
+        rows, "chrom string, start long, flags int, cigar string, mapping_quality int"
+    ).coalesce(1).sortWithinPartitions("chrom", "start")
+
+    spark.conf.set("spark.bio.depth.groupedMaxSegments", "3")  # force over-cap
+    try:
+        P._GROUPED_FIT_MEMO.clear()
+        simple = None
+        fits, _, probed = P._probe_alignments(df, simple, "chrom")
+        assert not fits
+        assert probed >= par, f"probe saw {probed} contigs, expected >= {par}"
+        assert P._over_cap_algorithm(df, probed) == "window"
+        # and the over-cap routes still agree with each other on values
+        def canon(out):
+            return sorted(map(tuple, out.collect()))
+        want = canon(P.depth(df, algorithm="window"))
+        assert canon(P.depth(df)) == want
+    finally:
+        spark.conf.unset("spark.bio.depth.groupedMaxSegments")
+        P._GROUPED_FIT_MEMO.clear()

@@ -608,7 +608,8 @@ def test_csq_escape_reference_cases(spark):
     from pyspark.sql import functions as F
 
     rows = [("A0A0J9YXY3.52,P0DPF7.28",), ("a|b",), ("a;b",), ("-",),
-            ("ENST00000684052",), ("c.11-3_11-2del",), (None,)]
+            ("ENST00000684052",), ("c.11-3_11-2del",), (None,),
+            ("gene symbol",), ("a\tb c",)]
     out = [
         r["e"]
         for r in spark.createDataFrame(rows, ["v"])
@@ -618,6 +619,7 @@ def test_csq_escape_reference_cases(spark):
     assert out == [
         "A0A0J9YXY3.52&P0DPF7.28", "a&b", "a%3Bb", "",
         "ENST00000684052", "c.11-3_11-2del", "",
+        "gene_symbol", "a_b_c",
     ]
 
 
@@ -646,6 +648,9 @@ def test_annotate_vep_domains_table(spark):
         [("T1", 1, 2, "Pfam", "PF00069"),
          ("T1", 2, 3, "Gene3D db", "1.10.510.10"),
          ("T1", 3, 3, "PROSITE profiles", "PS50011"),  # no overlap with pos 2
+         # analysis AND hseqname both NULL: reference skips it entirely
+         # (parts.is_empty → continue) — must NOT inject '&&' or stray '&'
+         ("T1", 1, 9, None, None),
          ("T2", 1, 9, "Pfam", "PF99999")],
         "transcript_id string, start long, end long, analysis string, hseqname string",
     )
