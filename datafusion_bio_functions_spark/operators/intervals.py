@@ -143,6 +143,11 @@ _BIN_WIDTH_MEMO: dict[tuple, int] = {}
 #: aggregate in _nearest_radius construction) — same semantic-plan keying
 #: as the bin-width memo
 _RADIUS_MEMO: dict[tuple, int] = {}
+#: nearest-radius fallback-emptiness verdicts: did every probe find k
+#: in-radius candidates?  A deterministic property of (left, right, k,
+#: radius params) — same standard as the other probe memos.  On a hit the
+#: rebuild skips the kernel materialization the emptiness check costs.
+_NEAREST_FB_MEMO: dict[tuple, bool] = {}
 
 
 def _plan_key(df: DataFrame):
@@ -168,6 +173,7 @@ def clear_probe_caches() -> None:
     the memo keys fingerprint the file LISTING, not file contents."""
     _BIN_WIDTH_MEMO.clear()
     _RADIUS_MEMO.clear()
+    _NEAREST_FB_MEMO.clear()
     _CHUNK_WIDTH_MEMO.clear()
     _FITS_BROADCAST_MEMO.clear()
     _COLLECT_INDEX_MEMO.clear()
@@ -1887,7 +1893,22 @@ def _nearest_radius(
     # the radius kernel emits shrunk-coordinate distances; the cogroup
     # fallback already rawifies its own, so adjust only the solved side
     solved = _rawify_strict_distance(solved, shrink, compute_distance)
-    if fb_probes.limit(1).count() == 0:
+    try:
+        fb_key = (
+            _plan_key(left), lc, ls, le, _plan_key(right), rc, rs, re_,
+            k, include_overlaps, filter_op, radius, shrink,
+        )
+    except Exception:  # pragma: no cover - connect-mode frame
+        fb_key = None
+    if fb_key is not None and fb_key in _NEAREST_FB_MEMO:
+        fb_empty = _NEAREST_FB_MEMO[fb_key]
+    else:
+        fb_empty = fb_probes.limit(1).count() == 0
+        if fb_key is not None:
+            if len(_NEAREST_FB_MEMO) > 1024:
+                _NEAREST_FB_MEMO.clear()
+            _NEAREST_FB_MEMO[fb_key] = fb_empty
+    if fb_empty:
         out = solved
     else:
         fallback = nearest(
