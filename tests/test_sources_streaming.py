@@ -382,3 +382,62 @@ def test_read_vcf_gzip_and_bgzf(spark, tmp_path):
     assert len(want) == 500
     assert sorted(map(tuple, read_vcf(spark, str(gz)).collect())) == want
     assert sorted(map(tuple, read_vcf(spark, str(bgzf)).collect())) == want
+
+
+def test_streaming_overlap_matches_batch_join(spark, tmp_path):
+    """Stream-static binned overlap == the batch interval_join inner join,
+    including the long-interval broadcast route and the canonical-bin
+    dedupe (no distinct, no state)."""
+    from datafusion_bio_functions_spark.operators.intervals import interval_join
+    from datafusion_bio_functions_spark.streaming.overlap_stream import (
+        streaming_overlap,
+    )
+
+    rows = [("chr1", i * 40 + 1, i * 40 + 60) for i in range(50)]
+    rows += [("chr2", 5, 9), ("chr2", 100, 100)]
+    rows += [("chr1", 1, 100_000)]  # long row → broadcast range route
+    reads = spark.createDataFrame(rows, "contig string, pos_start long, pos_end long")
+    anno = spark.createDataFrame(
+        [("chr1", 30, 120), ("chr1", 500, 700), ("chr1", 95_000, 99_000),
+         ("chr2", 1, 7), ("chr3", 1, 10)],
+        "contig string, pos_start long, pos_end long",
+    )
+    want = sorted(
+        map(tuple, interval_join(reads, anno, bin_width=64).collect())
+    )
+    src = str(tmp_path / "reads")
+    reads.write.parquet(src)
+    stream = spark.readStream.schema(reads.schema).parquet(src)
+    out = streaming_overlap(stream, anno, bin_width=64)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("ovl_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ovl"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM ovl_stream").collect()))
+    assert got == want and len(got) >= 10
+    # strict twin agrees with the batch strict join
+    want_s = sorted(
+        map(tuple, interval_join(reads, anno, filter_op="strict", bin_width=64).collect())
+    )
+    outs = streaming_overlap(stream, anno, filter_op="strict", bin_width=64)
+    qs = (
+        outs.writeStream.format("memory").queryName("ovl_stream_s")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ovl_s"))
+        .trigger(availableNow=True).start()
+    )
+    qs.awaitTermination(120)
+    got_s = sorted(map(tuple, spark.sql("SELECT * FROM ovl_stream_s").collect()))
+    assert got_s == want_s
+    # auto bin width derives from the static side without touching the stream
+    out_auto = streaming_overlap(stream, anno)
+    assert out_auto.isStreaming
+    # contract checks
+    with pytest.raises(ValueError, match="streaming left"):
+        streaming_overlap(reads, anno)
+    with pytest.raises(ValueError, match="static"):
+        streaming_overlap(stream, stream)
