@@ -34,6 +34,10 @@ from datafusion_bio_functions_spark.operators.dedup import (
 from datafusion_bio_functions_spark.operators.multimodal import decode_media, extract_features
 from datafusion_bio_functions_spark.operators.pileup import depth
 from datafusion_bio_functions_spark.functions.text import bpe_token_count
+from datafusion_bio_functions_spark.functions.text import (
+    repetition_filter,
+    repetition_stats,
+)
 from datafusion_bio_functions_spark.operators.similarity import (
     cosine_near_dup_exact,
     cosine_topk,
@@ -444,6 +448,8 @@ _GATE_ORDER = [
     "nearest_excl_overlaps",
     "depth_chunked",
     "substring_dup_spans",
+    "repetition_stats",
+    "repetition_filter",
 ]
 
 
@@ -643,6 +649,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = lambda spark, sf: _docs(spark, sf).select(
         "doc_id", _lang_id("text").alias("lang_pred")
     )
+    # Gopher-style intra-document n-gram repetition metrics + threshold
+    # filter (the duplicated corpus exercises both keep branches)
+    q["repetition_stats"] = lambda spark, sf: repetition_stats(_docs(spark, sf))
+    q["repetition_filter"] = lambda spark, sf: repetition_filter(
+        _docs_dup(spark, sf)
+    ).select("doc_id")
     q["similarity_topk"] = lambda spark, sf: cosine_topk(
         _read(spark, sf, "embeddings").filter(F.col("vec_id") < 50),
         _read(spark, sf, "embeddings"),
@@ -1529,6 +1541,8 @@ FROM i GROUP BY user_id, sess"""
     )
     o["text_stats"] = osql.text_stats_sql("SELECT * FROM documents")
     o["lang_id"] = osql.lang_id_sql("SELECT * FROM documents")
+    o["repetition_stats"] = osql.repetition_stats_sql("SELECT * FROM documents")
+    o["repetition_filter"] = osql.repetition_filter_sql(DOCS_DUP_SQL)
     o["similarity_topk"] = osql.cosine_topk_sql(
         "SELECT * FROM embeddings WHERE vec_id < 50", "SELECT * FROM embeddings", k=10
     )

@@ -164,3 +164,96 @@ def scrub_pii(col: Column | str) -> Column:
     for pat, token in PII_PATTERNS:
         c = F.regexp_replace(c, pat, token)
     return c
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (Gopher-style n-gram repetition metrics)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document word n-gram repetition metrics — the Gopher/Dolma
+    repetition-removal signals (Rae et al. 2021, "Scaling Language Models",
+    table A1): one row per input document with
+
+    * ``n_ngrams``          — total word n-gram occurrences (0 when the doc
+                              has fewer than ``n`` words);
+    * ``top_ngram_count``   — occurrences of the most frequent n-gram;
+    * ``top_ngram_frac``    — ``top_ngram_count / n_ngrams`` (NULL when
+                              ``n_ngrams`` is 0);
+    * ``dup_ngram_frac``    — fraction of n-gram occurrences whose gram
+                              appears more than once (NULL when 0).
+
+    Plan: tokenize + gram assembly are codegen higher-order functions
+    (``split``/``transform``/``slice`` — no UDF), then one explode and two
+    hash aggregations keyed by ``(doc, gram)`` / ``doc`` — both map-side
+    combined and shuffle-parallel, no window, no driver collect.  At 100 TB
+    the (doc, gram) aggregate is the only wide stage and its key space is
+    bounded by the corpus token count.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if text_col not in df.columns or id_col not in df.columns:
+        raise ValueError(f"columns {text_col!r}/{id_col!r} not found in input")
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        df.select(F.col(id_col), F.explode_outer(grams).alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    has = F.col("__g").isNotNull()
+    return per_gram.groupBy(id_col).agg(
+        F.coalesce(F.sum(F.when(has, F.col("__c"))), F.lit(0))
+        .cast("long")
+        .alias("n_ngrams"),
+        F.coalesce(F.max(F.when(has, F.col("__c"))), F.lit(0))
+        .cast("long")
+        .alias("top_ngram_count"),
+        (
+            F.max(F.when(has, F.col("__c")))
+            / F.sum(F.when(has, F.col("__c")))
+        ).alias("top_ngram_frac"),
+        (
+            # coalesce the numerator only: a doc with grams but no
+            # duplicates reads 0.0, a doc with no grams stays NULL (the
+            # denominator is NULL there)
+            F.coalesce(F.sum(F.when(has & (F.col("__c") > 1), F.col("__c"))), F.lit(0))
+            / F.sum(F.when(has, F.col("__c")))
+        ).alias("dup_ngram_frac"),
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    max_top_frac: float = 0.20,
+    max_dup_frac: float = 0.60,
+) -> DataFrame:
+    """Drop documents whose ``n``-gram repetition exceeds the Gopher-style
+    thresholds (defaults: top 2-gram fraction > 0.20 or duplicated-2-gram
+    fraction > 0.60 → removed).  Documents with fewer than ``n`` words have
+    no repetition signal and are KEPT.  One broadcastless left-semi join on
+    the doc id against the stats frame — shuffle-parallel end to end."""
+    stats = repetition_stats(df, text_col=text_col, id_col=id_col, n=n)
+    keep = stats.filter(
+        F.col("top_ngram_frac").isNull()
+        | (
+            (F.col("top_ngram_frac") <= max_top_frac)
+            & (F.col("dup_ngram_frac") <= max_dup_frac)
+        )
+    ).select(id_col)
+    return df.join(keep, id_col, "left_semi")

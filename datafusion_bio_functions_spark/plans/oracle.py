@@ -587,3 +587,50 @@ toks AS (
 )
 SELECT id_a, id_b, round(inter::DOUBLE / uni, 6) AS jaccard
 FROM pairs WHERE inter::DOUBLE / uni >= {threshold}"""
+
+
+def repetition_stats_sql(
+    t: str, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> str:
+    """Mirror of ``functions.text.repetition_stats``: same tokenization
+    (lower/trim/``\\s+`` split), same gram assembly (1-based n-slices joined
+    by one space), same aggregates; docs with fewer than ``n`` words emit
+    ``n_ngrams = 0`` with NULL fractions via the left join."""
+    c, i = text_col, id_col
+    return f"""WITH w AS (
+  SELECT {i}, string_split_regex(lower(trim({c})), '\\s+') AS wds FROM ({t})
+),
+g AS (
+  SELECT {i}, array_to_string(wds[idx : idx + {n - 1}], ' ') AS gram
+  FROM w, UNNEST(generate_series(1, len(wds) - {n - 1})) AS u(idx)
+  WHERE len(wds) >= {n}
+),
+gc AS (SELECT {i}, gram, count(*) AS c FROM g GROUP BY {i}, gram),
+agg AS (
+  SELECT {i}, SUM(c) AS n_ngrams, MAX(c) AS top,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+  FROM gc GROUP BY {i}
+)
+SELECT w.{i},
+       CAST(coalesce(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(a.top, 0) AS BIGINT) AS top_ngram_count,
+       a.top / a.n_ngrams AS top_ngram_frac,
+       a.dup / a.n_ngrams AS dup_ngram_frac
+FROM w LEFT JOIN agg a USING ({i})"""
+
+
+def repetition_filter_sql(
+    t: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    max_top_frac: float = 0.20,
+    max_dup_frac: float = 0.60,
+) -> str:
+    """Mirror of ``functions.text.repetition_filter`` projected to the doc
+    id: docs kept when they have no repetition signal or sit under both
+    thresholds."""
+    stats = repetition_stats_sql(t, text_col, id_col, n)
+    return f"""SELECT {id_col} FROM ({stats})
+WHERE top_ngram_frac IS NULL
+   OR (top_ngram_frac <= {max_top_frac} AND dup_ngram_frac <= {max_dup_frac})"""

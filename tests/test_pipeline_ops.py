@@ -94,6 +94,53 @@ def test_lang_id_behavior(spark):
     assert [r[0] for r in df.select(lang_id("text")).collect()] == ["en", "de", "und"]
 
 
+def test_repetition_stats_behavior(spark):
+    from datafusion_bio_functions_spark.functions.text import (
+        repetition_filter,
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"),          # grams: ab,ba,ab,ba,ab -> top 3/5, dup 5/5
+         (2, "x y z w q"),            # all-distinct grams -> dup 0.0
+         (3, "hi"),                   # < n words -> zero signal
+         (4, None),                   # null text -> zero signal
+         (5, "spam spam spam spam")], # one gram 3x -> top/dup 1.0
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert (got[1].n_ngrams, got[1].top_ngram_count) == (5, 3)
+    assert abs(got[1].top_ngram_frac - 0.6) < 1e-12 and got[1].dup_ngram_frac == 1.0
+    assert (got[2].n_ngrams, got[2].top_ngram_count) == (4, 1)
+    assert got[2].dup_ngram_frac == 0.0            # grams but no dups: 0, not NULL
+    for d in (3, 4):
+        assert got[d].n_ngrams == 0 and got[d].top_ngram_frac is None
+        assert got[d].dup_ngram_frac is None
+    # filter: repetitive docs drop, signal-free docs KEEP
+    kept = sorted(r.doc_id for r in repetition_filter(docs).collect())
+    assert kept == [3, 4]
+    kept2 = sorted(
+        r.doc_id
+        for r in repetition_filter(docs, max_top_frac=0.9, max_dup_frac=1.0).collect()
+    )
+    assert kept2 == [1, 2, 3, 4]  # only the 1.0-top spam doc drops
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n must"):
+        repetition_stats(docs, n=0)
+    with _pytest.raises(ValueError, match="not found"):
+        repetition_stats(docs, text_col="body")
+
+
+def test_repetition_stats_matches_oracle(spark, documents, duck):
+    from tests.conftest import assert_frames_match
+
+    from datafusion_bio_functions_spark.functions.text import repetition_stats
+
+    got = repetition_stats(documents)
+    want = duck.sql(osql.repetition_stats_sql("SELECT * FROM documents"))
+    assert_frames_match(got, want)
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
