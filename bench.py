@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "hash_sample",
     "mix_domains",
     "decontaminate",
+    "repetition_stats",
+    "repetition_filter",
 ]
 
 

@@ -263,6 +263,17 @@ def lookup_variants(
 #: ``functions.consequence`` (reference so_terms.rs:5-299).
 from ..functions.consequence import SO_RANK, SO_TERMS_BY_RANK  # noqa: E402,F401
 
+
+def _so_rank_map() -> "F.Column":
+    """term → 1-based severity rank as ONE parsed SQL literal: the
+    equivalent ``map_from_arrays(array(lit...), ...)`` tree costs ~84 py4j
+    round-trips per build (terms are fixed identifiers — no quoting
+    hazard); this is a single ``F.expr`` call."""
+    pairs = ", ".join(
+        f"'{t}', {i + 1}" for i, (t, _) in enumerate(SO_TERMS_BY_RANK)
+    )
+    return F.expr(f"map({pairs})")
+
 # ---------------------------------------------------------------------------
 # full VEP annotation layout (reference annotate_provider.rs:145-707:
 # 42 transcript-level + 29 frequency + 9 variant-level + 7 cache-only
@@ -489,11 +500,7 @@ def annotate_vep(
             "consequence",
             F.when(F.col("__t_chrom").isNull(), "intergenic_variant").otherwise(consequence),
         )
-        rank_map = F.map_from_arrays(
-            F.array(*[F.lit(t_) for t_, _ in SO_TERMS_BY_RANK]),
-            F.array(*[F.lit(i + 1) for i in range(len(SO_TERMS_BY_RANK))]),
-        )
-        near = near.withColumn("__rank", rank_map[F.col("consequence")])
+        near = near.withColumn("__rank", _so_rank_map()[F.col("consequence")])
         grouped = near.groupBy(*[F.col(c) for c in looked.columns]).agg(
             F.min_by("consequence", "__rank").alias("most_severe_consequence"),
             F.array_sort(F.collect_set("consequence")).alias("__all_csq"),
@@ -951,10 +958,7 @@ def _annotate_codon(
         ),
     )
 
-    rank_map = F.map_from_arrays(
-        F.array(*[F.lit(term) for term, _ in SO_TERMS_BY_RANK]),
-        F.array(*[F.lit(i + 1) for i in range(len(SO_TERMS_BY_RANK))]),
-    )
+    rank_map = _so_rank_map()
     entry_csq = F.concat_ws(
         "|",
         F.col("alt"),

@@ -39,9 +39,10 @@ ROWS_ONLY = {"annotate_vep_full", "lsh_ann_prod"}
 
 
 def test_queries_frozen_at_65():
-    # 50 stamped + 15 oracle-verified tail rows (substring_dup_spans
-    # joined the tail in round 6)
-    assert len(entry_mod.queries()) == 65
+    # 50 stamped + 17 oracle-verified tail rows (substring_dup_spans
+    # joined the tail in round 6; repetition_stats/repetition_filter in
+    # round 7)
+    assert len(entry_mod.queries()) == 67
 
 
 def test_gate_order_is_applied():
@@ -78,6 +79,10 @@ def test_tail_rows_are_twins_of_stamped_families():
         # span-level exact-substring variant of the dedup family (round 6);
         # oracle-verified in-repo by tests/test_gate_tail.py every run
         "substring_dup_spans": "dedup_exact",
+        # Gopher repetition signals: text-analysis family twins (round 7);
+        # oracle-verified by tests/test_gate_tail.py + test_pipeline_ops
+        "repetition_stats": "text_stats",
+        "repetition_filter": "text_stats",
     }
     for row in tail:
         assert row in family, f"non-twin row {row} demoted out of the stamp window"
