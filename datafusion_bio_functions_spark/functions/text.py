@@ -200,16 +200,24 @@ def repetition_stats(
         raise ValueError("n must be >= 1")
     if text_col not in df.columns or id_col not in df.columns:
         raise ValueError(f"columns {text_col!r}/{id_col!r} not found in input")
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # materialize the words array in its own projection: an inline
+    # split(...) referenced inside the transform lambda is NOT hoisted by
+    # Catalyst's subexpression elimination — the text would re-split once
+    # per emitted gram (measured 5× wall on the sf0.1 corpus)
+    words_df = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__w"),
+    )
+    w = F.col("__w")
     grams = F.when(
-        F.size(words) >= n,
+        F.size(w) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
+            F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
     per_gram = (
-        df.select(F.col(id_col), F.explode_outer(grams).alias("__g"))
+        words_df.select(F.col(id_col), F.explode_outer(grams).alias("__g"))
         .groupBy(id_col, "__g")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
