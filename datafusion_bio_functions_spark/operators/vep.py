@@ -334,6 +334,35 @@ VEP_CACHE_ONLY_COLUMNS: list[str] = [
     "clinvar_ids", "cosmic_ids", "dbsnp_ids",
 ]
 
+#: Default-mode CSQ field order — 74 fields: 29 base + 12 Batch 1 + 33
+#: Batch 3 (reference CSQ_FIELD_NAMES, golden_benchmark.rs:464-541, itself
+#: VEP release/115 Constants.pm).  The codon engine's CSQ string emits one
+#: full-width entry per transcript/feature in exactly this order; fields
+#: the engine has no data source for render empty, like the reference on a
+#: cache without that column.  (The reference's refseq/merged cache modes
+#: splice REFSEQ_MATCH..BAM_EDIT before VARIANT_CLASS and --everything
+#: switches to the 80-field layout — not modeled here; the typed
+#: full-schema columns carry those values instead.)
+VEP_CSQ_FIELDS: list[str] = [
+    "Allele", "Consequence", "IMPACT", "SYMBOL", "Gene", "Feature_type",
+    "Feature", "BIOTYPE", "EXON", "INTRON", "HGVSc", "HGVSp",
+    "cDNA_position", "CDS_position", "Protein_position", "Amino_acids",
+    "Codons", "Existing_variation", "DISTANCE", "STRAND", "FLAGS",
+    "SYMBOL_SOURCE", "HGNC_ID", "MOTIF_NAME", "MOTIF_POS", "HIGH_INF_POS",
+    "MOTIF_SCORE_CHANGE", "TRANSCRIPTION_FACTORS", "SOURCE",
+    "VARIANT_CLASS", "CANONICAL", "TSL", "MANE_SELECT",
+    "MANE_PLUS_CLINICAL", "ENSP", "GENE_PHENO", "CCDS", "SWISSPROT",
+    "TREMBL", "UNIPARC", "UNIPROT_ISOFORM",
+    "AF", "AFR_AF", "AMR_AF", "EAS_AF", "EUR_AF", "SAS_AF",
+    "gnomADe_AF", "gnomADe_AFR", "gnomADe_AMR", "gnomADe_ASJ",
+    "gnomADe_EAS", "gnomADe_FIN", "gnomADe_MID", "gnomADe_NFE",
+    "gnomADe_REMAINING", "gnomADe_SAS",
+    "gnomADg_AF", "gnomADg_AFR", "gnomADg_AMI", "gnomADg_AMR",
+    "gnomADg_ASJ", "gnomADg_EAS", "gnomADg_FIN", "gnomADg_MID",
+    "gnomADg_NFE", "gnomADg_REMAINING", "gnomADg_SAS",
+    "MAX_AF", "MAX_AF_POPS", "CLIN_SIG", "SOMATIC", "PHENO", "PUBMED",
+]
+
 
 def variant_class_col(ref, alt) -> "F.Column":
     """SQL-expressible VEP ``VARIANT_CLASS`` (mirrors
@@ -959,19 +988,71 @@ def _annotate_codon(
     )
 
     rank_map = _so_rank_map()
-    entry_csq = F.concat_ws(
+
+    # ── full-width CSQ entry parts (reference per-transcript writer,
+    # annotate_provider.rs:4430-4475 — the 74-field default layout,
+    # VEP_CSQ_FIELDS).  Existing_variation (field 18) and the 33-field
+    # Batch 3 suffix are per-VARIANT (colocated-cache aggregates) and are
+    # spliced in after the rollup joins back to the looked rows; the entry
+    # carries the two per-transcript spans around them.  concat_ws drops
+    # NULL args (shifting fields), so every slot coalesces to ''. ──
+    def _e(c: "F.Column") -> "F.Column":
+        return F.coalesce(c.cast("string"), F.lit(""))
+
+    def _m(key: str) -> "F.Column":
+        # indexing a NULL map yields NULL → ''
+        return F.coalesce(F.col("__t_meta")[F.lit(key)], F.lit(""))
+
+    entry_p1 = F.concat_ws(
         "|",
         F.col("alt"),
         F.concat_ws("&", F.col("__terms")),
-        F.col("__res.impact"),
+        _e(F.col("__res.impact")),
         csq_escape_col(F.col("__t_symbol")),
         csq_escape_col(F.col("__t_gene")),
+        F.lit("Transcript"),
         csq_escape_col(F.col("__t_id")),
+        _e(F.col("__t_biotype")),
+        _e(F.col("__res.exon")),
+        _e(F.col("__res.intron")),
         csq_escape_col(F.col("__res.hgvsc")),
         csq_escape_col(F.col("__res.hgvsp")),
+        _e(F.col("__res.cdna_position_str")),
+        _e(F.col("__res.cds_position_str")),
+        _e(F.col("__res.protein_position_str")),
+        _e(F.col("__res.amino_acids")),
+        _e(F.col("__res.codons")),
+    )
+    entry_p2 = F.concat_ws(
+        "|",
+        _e(F.col("__res.distance")),       # DISTANCE
+        _e(F.col("__t_strand")),           # STRAND ('1' / '-1')
+        _m("FLAGS"),
+        _m("SYMBOL_SOURCE"),
+        _m("HGNC_ID"),
+        # MOTIF_NAME..TRANSCRIPTION_FACTORS: always empty, like the
+        # reference (motif consequence data not exposed)
+        F.lit(""), F.lit(""), F.lit(""), F.lit(""), F.lit(""),
+        F.lit(""),                         # SOURCE (non-merged mode: empty)
+        variant_class_col(F.col("ref"), F.col("alt")),
+        _m("CANONICAL"),
+        _m("TSL"),
+        _m("MANE_SELECT"),
+        _m("MANE_PLUS_CLINICAL"),
+        _m("ENSP"),
+        _m("GENE_PHENO"),
+        _m("CCDS"),
+        # SWISSPROT/TREMBL are the two metadata fields the reference
+        # csq_escape()s in the writer (annotate_provider.rs:4309-4313)
+        csq_escape_col(F.col("__t_meta")[F.lit("SWISSPROT")]),
+        csq_escape_col(F.col("__t_meta")[F.lit("TREMBL")]),
+        _m("UNIPARC"),
+        _m("UNIPROT_ISOFORM"),
     )
     with_entry = paired.withColumn(
-        "__entry", F.when(F.col("__terms").isNotNull(), entry_csq)
+        "__e1", F.when(F.col("__terms").isNotNull(), entry_p1)
+    ).withColumn(
+        "__e2", F.when(F.col("__terms").isNotNull(), entry_p2)
     ).withColumn(
         # rank-prefixed term so a plain min() picks the most severe one
         "__best_term",
@@ -1030,7 +1111,7 @@ def _annotate_codon(
         with_entry.withColumn("__best_struct", best_struct)
         .withColumn("__is_tx", F.col("__terms").isNotNull())
         .select(
-            *vcf_cols, "__entry", "__best_term", "__best_key",
+            *vcf_cols, "__e1", "__e2", "__best_term", "__best_key",
             "__best_struct", "__is_tx",
         )
     )
@@ -1092,11 +1173,25 @@ def _annotate_codon(
             *[F.lit(x) for term, imp in SO_TERMS_BY_RANK for x in (term, imp)]
         )
         f_impact = impact_map[F.col("feature_term")]
-        f_entry = F.concat_ws(
+        # feature entries in the same 74-field layout: SYMBOL/Gene empty,
+        # Feature_type from the term family, Feature = the feature id
+        f_type = (
+            F.when(F.col("feature_term") == "TF_binding_site_variant", "MotifFeature")
+            .when(F.col("feature_term") == "regulatory_region_variant", "RegulatoryFeature")
+            .otherwise(F.lit(""))
+        )
+        f_p1 = F.concat_ws(
             "|",
             F.col("alt"), F.col("feature_term"), f_impact,
-            F.lit(""), F.lit(""), F.coalesce(F.col("feature_id"), F.lit("")),
-            F.lit(""), F.lit(""),
+            F.lit(""), F.lit(""), f_type,
+            csq_escape_col(F.col("feature_id")),
+            *[F.lit("")] * 10,
+        )
+        f_p2 = F.concat_ws(
+            "|",
+            *[F.lit("")] * 11,
+            variant_class_col(F.col("ref"), F.col("alt")),
+            *[F.lit("")] * 11,
         )
         f_best_term = F.format_string(
             "%02d|%s", rank_map[F.col("feature_term")], F.col("feature_term")
@@ -1125,7 +1220,8 @@ def _annotate_codon(
         pre = pre.unionByName(
             feats.select(
                 *vcf_cols,
-                f_entry.alias("__entry"),
+                f_p1.alias("__e1"),
+                f_p2.alias("__e2"),
                 f_best_term.alias("__best_term"),
                 F.concat_ws(
                     "|", f_best_term, F.coalesce(F.col("feature_id"), F.lit("sv"))
@@ -1141,20 +1237,21 @@ def _annotate_codon(
         # by entry string — the reference sorts TranscriptConsequences by
         # (feature_type rank, id) with Transcript < Regulatory < Motif
         # (transcript_consequence.rs feature_type_rank tests)
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.when(F.col("__is_tx"), 0).otherwise(1).alias("r"),
-                            F.col("__entry").alias("e"),
-                        )
+        # CSQ entries as (prefix, suffix) spans, sorted transcript-first
+        # then lexicographically; the per-variant Existing_variation and
+        # Batch-3 fields splice in after the join back to the looked rows
+        F.filter(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.when(F.col("__is_tx"), 0).otherwise(1).alias("r"),
+                        F.col("__e1").alias("e1"),
+                        F.col("__e2").alias("e2"),
                     )
-                ),
-                lambda x: x["e"],
+                )
             ),
-        ).alias("CSQ"),
+            lambda x: x["e1"].isNotNull(),
+        ).alias("__entries"),
         # typed columns of the most-severe transcript entry: min_by on
         # the rank-prefixed term + transcript_id (reference emits ~80
         # typed columns, annotate_provider.rs:2270-2296; this is the
@@ -1162,32 +1259,102 @@ def _annotate_codon(
         F.min_by("__best_struct", "__best_key").alias("__best"),
         F.max(F.when(F.col("__is_tx"), 1).otherwise(0)).alias("__has_tx"),
     )
+    ig_p1 = F.concat_ws(
+        "|", F.col("alt"), F.lit("intergenic_variant"), F.lit("MODIFIER"),
+        *[F.lit("")] * 14,
+    )
+    ig_p2 = F.concat_ws(
+        "|", *[F.lit("")] * 11,
+        variant_class_col(F.col("ref"), F.col("alt")),
+        *[F.lit("")] * 11,
+    )
     if feat_frames:
         # reference fallback: feature-only variants still carry the
         # intergenic entry (no transcript was hit)
         rolled = rolled.withColumn(
-            "CSQ",
+            "__entries",
             F.when(
-                (F.col("__has_tx") == 0) & (F.col("CSQ") != ""),
-                F.concat_ws(
-                    ",",
-                    F.col("CSQ"),
-                    F.concat_ws(
-                        "|", F.col("alt"), F.lit("intergenic_variant"), F.lit("MODIFIER")
+                (F.col("__has_tx") == 0) & (F.size("__entries") > 0),
+                F.concat(
+                    F.col("__entries"),
+                    F.array(
+                        F.struct(
+                            F.lit(1).alias("r"),
+                            ig_p1.alias("e1"),
+                            ig_p2.alias("e2"),
+                        )
                     ),
                 ),
-            ).otherwise(F.col("CSQ")),
+            ).otherwise(F.col("__entries")),
         )
     # re-attach the per-variant rollup to every looked row (one variant may
     # carry several colocated cache matches)
     looked_cols = list(looked.columns)
-    grouped = looked.join(rolled, list(vcf_cols), "left")
+    # per-variant CSQ field sources: Existing_variation / CLIN_SIG are the
+    # '&'-joined colocated-cache aggregates (reference ColocatedVariantFields,
+    # annotate_provider.rs:3990-4060; '&' join order here is sorted for
+    # determinism), frequency fields the per-variant max of each cache
+    # column rendered as strings
+    _fp = [(o, c) for o, c in VEP_FREQUENCY_COLUMNS if c in looked.columns]
+    va_aggs = [
+        F.concat_ws(
+            "&", F.array_sort(F.collect_set(F.col("variation_name")))
+        ).alias("__csq_ev"),
+        (
+            F.concat_ws("&", F.array_sort(F.collect_set(F.col("clin_sig"))))
+            if "clin_sig" in looked.columns
+            else F.lit("")
+        ).alias("__csq_clin"),
+        *[
+            F.max(F.col(c).cast("double")).alias(f"__csq_af_{o}") for o, c in _fp
+        ],
+    ]
+    va = looked.groupBy(*[F.col(c) for c in vcf_cols]).agg(*va_aggs)
+    grouped = looked.join(rolled, list(vcf_cols), "left").join(
+        va, list(vcf_cols), "left"
+    )
+    af_by_out = {o: F.col(f"__csq_af_{o}") for o, _ in _fp}
+    af_strs = [
+        F.coalesce(af_by_out[o].cast("string"), F.lit(""))
+        if o in af_by_out
+        else F.lit("")
+        for o, _ in VEP_FREQUENCY_COLUMNS
+    ]
+    if _fp:
+        _vals = [af_by_out[o] for o, _ in _fp]
+        _mx = F.greatest(*_vals) if len(_vals) > 1 else _vals[0]
+        max_af_s = F.coalesce(_mx.cast("string"), F.lit(""))
+        max_pops_s = F.concat_ws(
+            "&",
+            F.filter(
+                F.array(*[F.when(af_by_out[o] == _mx, F.lit(o)) for o, _ in _fp]),
+                lambda x: x.isNotNull(),
+            ),
+        )
+    else:
+        max_af_s, max_pops_s = F.lit(""), F.lit("")
+    batch3 = F.concat_ws(
+        "|",
+        *af_strs,
+        max_af_s,
+        max_pops_s,
+        F.coalesce(F.col("__csq_clin"), F.lit("")),
+        F.lit(""), F.lit(""), F.lit(""),  # SOMATIC / PHENO / PUBMED
+    )
+    ev_s = F.coalesce(F.col("__csq_ev"), F.lit(""))
     intergenic = F.lit("intergenic_variant")
     csq_col = (
         F.when(
-            F.col("CSQ") == "", F.concat_ws("|", F.col("alt"), intergenic, F.lit("MODIFIER"))
+            F.size("__entries") > 0,
+            F.array_join(
+                F.transform(
+                    F.col("__entries"),
+                    lambda x: F.concat_ws("|", x["e1"], ev_s, x["e2"], batch3),
+                ),
+                ",",
+            ),
         )
-        .otherwise(F.col("CSQ"))
+        .otherwise(F.concat_ws("|", ig_p1, ev_s, ig_p2, batch3))
         .alias("CSQ")
     )
     ms_col = F.coalesce(F.col("__ms"), intergenic).alias("most_severe_consequence")

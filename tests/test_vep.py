@@ -376,12 +376,24 @@ def test_annotate_vep_context_feature_arms(spark):
     assert "ENSR1" in rows[150].CSQ
     assert "5_prime_UTR_variant" in rows[150].CSQ  # the transcript entry
     assert "intergenic_variant" not in rows[150].CSQ
-    # feature-only variant: regulatory entry + the intergenic fallback entry
+    # feature-only variant: regulatory entry + the intergenic fallback entry,
+    # each a full-width 74-field record (VEP_CSQ_FIELDS)
+    from datafusion_bio_functions_spark.operators.vep import VEP_CSQ_FIELDS
+
     assert rows[9000].most_severe_consequence == "regulatory_region_variant"
-    assert "ENSR2" in rows[9000].CSQ
-    assert rows[9000].CSQ.endswith("G|intergenic_variant|MODIFIER")
-    # nothing at all: plain intergenic
+    entries = rows[9000].CSQ.split(",")
+    assert len(entries) == 2
+    reg_f = entries[0].split("|")
+    assert len(reg_f) == len(VEP_CSQ_FIELDS) == 74
+    assert reg_f[:3] == ["G", "regulatory_region_variant", "MODIFIER"]
+    assert reg_f[5] == "RegulatoryFeature" and reg_f[6] == "ENSR2"
+    assert reg_f[29] == "SNV"  # VARIANT_CLASS slot
+    ig_f = entries[1].split("|")
+    assert len(ig_f) == 74
+    assert ig_f[:3] == ["G", "intergenic_variant", "MODIFIER"]
+    # nothing at all: plain intergenic (full-width placeholder)
     assert rows[30000].most_severe_consequence == "intergenic_variant"
+    assert len(rows[30000].CSQ.split(",")[0].split("|")) == 74
 
 
 def test_annotate_vep_mirna_and_translations_tables(spark):
@@ -751,3 +763,56 @@ def test_propagate_gene_hgnc_reference_rules(spark):
     assert out["ENST0B"]["gene_symbol"] == "GENEA"  # same-gene refill
     assert out["ENST0B"]["gene_symbol_source"] == "HGNC"
     assert out["ENST0B"]["hgnc_id"] == "HGNC:1"
+
+
+def test_csq_string_is_full_width_74_field_layout(spark):
+    """The codon engine's CSQ entries follow the reference's default
+    74-field layout exactly (CSQ_FIELD_NAMES, golden_benchmark.rs:464-541;
+    writer annotate_provider.rs:4460-4475): per-transcript fields in
+    slots 1-17/19-29/31-41, per-variant Existing_variation (18),
+    VARIANT_CLASS (30) and the 33-field Batch-3 suffix (42-74) from the
+    colocated cache aggregates; unsourced fields render empty."""
+    from datafusion_bio_functions_spark.operators.vep import (
+        VEP_CSQ_FIELDS,
+        annotate_vep,
+    )
+
+    vcf = spark.createDataFrame(
+        [("1", 1103, 1103, "G", "A")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [("1", 1103, 1103, "rs77", "G/A", "pathogenic", 0.25, 0.125),
+         ("1", 1103, 1103, "rs12", "G/A", "benign", 0.25, 0.5)],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string, clin_sig string, AF float, gnomADe float",
+    )
+    tx = spark.createDataFrame(
+        [("T1", "1", 1100, 1108, 1, "protein_coding", "G1", "GENE1",
+          1100, 1108, "ATGGCTTAA", True)],
+        "transcript_id string, chrom string, start long, end long, strand int, "
+        "biotype string, gene_stable_id string, gene_symbol string, "
+        "cds_start long, cds_end long, cds_sequence string, is_canonical boolean",
+    )
+    r = annotate_vep(vcf, cache, transcripts=tx).collect()[0]
+    f = dict(zip(VEP_CSQ_FIELDS, r.CSQ.split("|")))
+    assert len(r.CSQ.split("|")) == 74
+    assert f["Allele"] == "A"
+    assert f["Consequence"] == "missense_variant"
+    assert f["IMPACT"] == "MODERATE"
+    assert f["SYMBOL"] == "GENE1" and f["Gene"] == "G1"
+    assert f["Feature_type"] == "Transcript" and f["Feature"] == "T1"
+    assert f["BIOTYPE"] == "protein_coding"
+    assert f["Protein_position"] == "2" and f["Amino_acids"] == "A/T"
+    # colocated aggregates: both rs ids '&'-joined, both clin_sigs
+    assert f["Existing_variation"] == "rs12&rs77"
+    assert f["CLIN_SIG"] == "benign&pathogenic"
+    assert f["STRAND"] == "1"
+    assert f["CANONICAL"] == "YES"
+    assert f["VARIANT_CLASS"] == "SNV"
+    assert f["AF"] == "0.25"
+    assert f["gnomADe_AF"] == "0.5"
+    assert f["MAX_AF"] == "0.5" and f["MAX_AF_POPS"] == "gnomADe_AF"
+    # unsourced fields are EMPTY, not dropped: MOTIF block + SOURCE + tail
+    for k in ("MOTIF_NAME", "SOURCE", "SWISSPROT", "SOMATIC", "PHENO", "PUBMED"):
+        assert f[k] == ""
