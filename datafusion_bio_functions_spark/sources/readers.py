@@ -197,9 +197,15 @@ def annotate_to_vcf(
     ``annotate_vep``, fold the CSQ string into the INFO column, and stream
     the annotated rows to VCF text.  ``progress(done, total)`` is invoked
     around the job (the reference's per-batch callback is a single-process
-    luxury; distributed writes report at job granularity).  Returns the row
-    count written."""
-    from ..operators.vep import annotate_vep
+    luxury; distributed writes report at job granularity).  A
+    ``00_header.vcf`` file carrying the ``##INFO=<ID=CSQ,...>`` header with
+    the Format field list (reference ``vcf_sink.rs:358-372``) is written
+    alongside the body parts — sorted-concat consumers read a valid VCF,
+    and ``read_vcf`` skips ``#`` lines either way.  Returns the row count
+    written."""
+    import os
+
+    from ..operators.vep import VEP_CSQ_FIELDS, annotate_vep
 
     ann = annotate_vep(vcf, cache, **annotate_kwargs)
     total = ann.count()
@@ -213,6 +219,18 @@ def annotate_to_vcf(
         if c not in out.columns:
             out = out.withColumn(c, F.lit("."))
     write_vcf(out, path, info_col="info")
+    try:
+        fmt = "|".join(VEP_CSQ_FIELDS)
+        header = (
+            "##fileformat=VCFv4.2\n"
+            '##INFO=<ID=CSQ,Number=.,Type=String,Description="Consequence '
+            f'annotations from annotate_vep. Format: {fmt}">\n'
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        )
+        with open(os.path.join(path, "00_header.vcf"), "w") as fh:
+            fh.write(header)
+    except OSError:
+        pass  # non-local filesystem: body parts only (header is advisory)
     if progress is not None:
         progress(total, total)
     return total

@@ -294,6 +294,11 @@ def test_annotate_to_vcf_roundtrip(spark, tmp_path):
     assert rows[100].info.startswith("CSQ=") and "rs1" in rows[100].info
     # cache misses still carry a CSQ entry (allele + empty annotation fields)
     assert rows[200].info.startswith("CSQ=")
+    # the sink ships the CSQ INFO header with the Format field list
+    # (vcf_sink.rs:358-372) in a file sorted-concat readers pick up first
+    import os
+    hdr = open(os.path.join(out, "00_header.vcf")).read()
+    assert "##INFO=<ID=CSQ" in hdr and "Format: Allele|Consequence|IMPACT" in hdr
 
 
 def test_read_bed(spark, tmp_path):
