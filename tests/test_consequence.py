@@ -274,7 +274,21 @@ class TestAnnotateVepCodon:
         r = by_pos[("chr1", 114)]
         assert r.most_severe_consequence == "missense_variant"
         assert r.existing_variation == "rs1"
-        assert "T|missense_variant|MODERATE|GENE1|G1|T1|T1:c.5C>T|T1:p.Ala2Val" == r.CSQ
+        # full-width 74-field entry (VEP_CSQ_FIELDS): transcript span,
+        # per-variant existing/CLIN_SIG splice, empty unsourced slots
+        f = r.CSQ.split("|")
+        assert len(f) == 74
+        assert f[:8] == [
+            "T", "missense_variant", "MODERATE", "GENE1", "G1",
+            "Transcript", "T1", "protein_coding",
+        ]
+        assert f[8] == "1/2"              # EXON
+        assert f[10] == "T1:c.5C>T" and f[11] == "T1:p.Ala2Val"
+        assert f[12:17] == ["15", "5", "2", "A/V", "gCt/gTt"]
+        assert f[17] == "rs1"             # Existing_variation splice
+        assert f[19] == "1"               # STRAND
+        assert f[29] == "SNV"             # VARIANT_CLASS
+        assert f[70] == "pathogenic"      # CLIN_SIG
         assert r.matched is True
         # typed columns of the most-severe transcript entry
         assert (r.impact, r.gene_symbol, r.gene_stable_id, r.feature) == (
@@ -293,7 +307,10 @@ class TestAnnotateVepCodon:
 
         ig = by_pos[("chr2", 999)]
         assert ig.most_severe_consequence == "intergenic_variant"
-        assert ig.CSQ == "C|intergenic_variant|MODIFIER"
+        igf = ig.CSQ.split("|")
+        assert len(igf) == 74
+        assert igf[:3] == ["C", "intergenic_variant", "MODIFIER"]
+        assert igf[29] == "SNV" and all(x == "" for i, x in enumerate(igf[3:]) if i + 3 != 29)
         assert ig.matched is False
 
     def test_multi_transcript_rollup(self, spark, vep_frames):
