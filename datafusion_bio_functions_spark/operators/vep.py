@@ -364,6 +364,27 @@ VEP_CSQ_FIELDS: list[str] = [
 ]
 
 
+def vep_csq_fields(mode: str = "ensembl") -> list[str]:
+    """CSQ field order for a cache mode (reference csq_field_names_for_mode,
+    golden_benchmark.rs:652-714, non-everything arm): the refseq cache mode
+    replaces the SOURCE slot with the five RefSeq provenance fields; merged
+    keeps SOURCE among them (78 / 79 fields)."""
+    fields = list(VEP_CSQ_FIELDS)
+    i = fields.index("SOURCE")
+    if mode == "refseq":
+        fields[i : i + 1] = [
+            "REFSEQ_MATCH", "REFSEQ_OFFSET", "GIVEN_REF", "USED_REF", "BAM_EDIT",
+        ]
+    elif mode == "merged":
+        fields[i : i + 1] = [
+            "REFSEQ_MATCH", "SOURCE", "REFSEQ_OFFSET", "GIVEN_REF", "USED_REF",
+            "BAM_EDIT",
+        ]
+    elif mode != "ensembl":
+        raise ValueError(f"csq_mode must be ensembl|refseq|merged, got {mode!r}")
+    return fields
+
+
 def variant_class_col(ref, alt) -> "F.Column":
     """SQL-expressible VEP ``VARIANT_CLASS`` (mirrors
     ``functions.consequence.variant_class``)."""
@@ -397,8 +418,16 @@ def annotate_vep(
     translations: DataFrame | None = None,
     sift: DataFrame | None = None,
     domains: DataFrame | None = None,
+    csq_mode: str = "ensembl",
 ) -> DataFrame:
     """Annotation pipeline: known-variant lookup + consequence assignment.
+
+    ``csq_mode`` (codon engine): the CSQ string layout for the cache
+    source mode — ``'ensembl'`` (74 fields, default), ``'refseq'``
+    (REFSEQ_MATCH/REFSEQ_OFFSET/GIVEN_REF/USED_REF/BAM_EDIT replace the
+    SOURCE slot, 78 fields) or ``'merged'`` (SOURCE kept among them, 79
+    fields) — reference ``csq_field_names_for_mode`` and the per-mode
+    writer arms (``annotate_provider.rs:4444-4475``).
 
     ``sift`` (codon engine, ``full_schema=True``): per-substitution
     protein-function predictions ``(transcript_id, protein_position,
@@ -460,12 +489,13 @@ def annotate_vep(
         looked = lookup_variants(
             vcf, cache, match_mode=match_mode, extended_probes=extended_probes
         )
+        vep_csq_fields(csq_mode)  # validate early
         return _annotate_codon(
             looked, vcf.columns, transcripts, exons, upstream_distance,
             downstream_distance, full_schema,
             regulatory=regulatory, motifs=motifs, structural=structural,
             mirnas=mirnas, translations=translations, sift=sift,
-            domains=domains,
+            domains=domains, csq_mode=csq_mode,
         )
     if any(
         x is not None
@@ -477,6 +507,8 @@ def annotate_vep(
         )
     if full_schema:
         raise ValueError("full_schema=True requires the codon engine (transcripts)")
+    if csq_mode != "ensembl":
+        raise ValueError("csq_mode requires the codon engine (transcripts)")
     if engine != "positional":
         raise ValueError(f"engine must be 'auto', 'codon' or 'positional', got {engine!r}")
     looked = lookup_variants(
@@ -621,6 +653,7 @@ def _annotate_codon(
     translations: DataFrame | None = None,
     sift: DataFrame | None = None,
     domains: DataFrame | None = None,
+    csq_mode: str = "ensembl",
 ) -> DataFrame:
     """Variant×transcript pairing (broadcast range join on chrom) + per-pair
     classification through ``functions.consequence.classify`` in one
@@ -1023,6 +1056,34 @@ def _annotate_codon(
         _e(F.col("__res.amino_acids")),
         _e(F.col("__res.codons")),
     )
+    # SOURCE-slot span by cache mode (reference per-mode writer arms,
+    # annotate_provider.rs:4444-4475 + csq_field_names_for_mode): the
+    # refseq provenance fields are per-transcript values the engine already
+    # carries; REFSEQ_OFFSET renders only when an HGVSc was emitted, like
+    # the reference's refseq_offset_value gate
+    _roff = F.when(
+        F.col("__res.hgvsc").isNotNull(), F.col("__res.refseq_offset")
+    )
+    if csq_mode == "refseq":
+        src_span = [
+            _e(F.col("__t_refseq.refseq_match")),
+            _e(_roff),
+            _e(F.col("__res.given_ref")),
+            _e(F.col("__res.used_ref")),
+            _e(F.upper(F.col("__t_refseq.bam"))),
+        ]
+    elif csq_mode == "merged":
+        src_span = [
+            _e(F.col("__t_refseq.refseq_match")),
+            _e(F.col("__t_refseq.src")),
+            _e(_roff),
+            _e(F.col("__res.given_ref")),
+            _e(F.col("__res.used_ref")),
+            _e(F.upper(F.col("__t_refseq.bam"))),
+        ]
+    else:
+        src_span = [F.lit("")]             # SOURCE (ensembl mode: empty)
+    n_src = len(src_span)
     entry_p2 = F.concat_ws(
         "|",
         _e(F.col("__res.distance")),       # DISTANCE
@@ -1033,7 +1094,7 @@ def _annotate_codon(
         # MOTIF_NAME..TRANSCRIPTION_FACTORS: always empty, like the
         # reference (motif consequence data not exposed)
         F.lit(""), F.lit(""), F.lit(""), F.lit(""), F.lit(""),
-        F.lit(""),                         # SOURCE (non-merged mode: empty)
+        *src_span,
         variant_class_col(F.col("ref"), F.col("alt")),
         _m("CANONICAL"),
         _m("TSL"),
@@ -1189,7 +1250,7 @@ def _annotate_codon(
         )
         f_p2 = F.concat_ws(
             "|",
-            *[F.lit("")] * 11,
+            *[F.lit("")] * (10 + n_src),
             variant_class_col(F.col("ref"), F.col("alt")),
             *[F.lit("")] * 11,
         )
@@ -1264,7 +1325,7 @@ def _annotate_codon(
         *[F.lit("")] * 14,
     )
     ig_p2 = F.concat_ws(
-        "|", *[F.lit("")] * 11,
+        "|", *[F.lit("")] * (10 + n_src),
         variant_class_col(F.col("ref"), F.col("alt")),
         *[F.lit("")] * 11,
     )

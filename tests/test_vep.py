@@ -816,3 +816,52 @@ def test_csq_string_is_full_width_74_field_layout(spark):
     # unsourced fields are EMPTY, not dropped: MOTIF block + SOURCE + tail
     for k in ("MOTIF_NAME", "SOURCE", "SWISSPROT", "SOMATIC", "PHENO", "PUBMED"):
         assert f[k] == ""
+
+
+def test_csq_mode_refseq_and_merged_splices(spark):
+    """csq_mode layout splices (reference csq_field_names_for_mode,
+    golden_benchmark.rs:652-714 + the per-mode writer arms): refseq
+    replaces the SOURCE slot with the five RefSeq provenance fields (78
+    fields), merged keeps SOURCE among them (79); the values come from the
+    per-transcript engine state."""
+    from datafusion_bio_functions_spark.operators.vep import (
+        annotate_vep,
+        vep_csq_fields,
+    )
+
+    assert len(vep_csq_fields("ensembl")) == 74
+    assert len(vep_csq_fields("refseq")) == 78
+    assert len(vep_csq_fields("merged")) == 79
+    assert "SOURCE" not in vep_csq_fields("refseq")
+    assert vep_csq_fields("merged").index("SOURCE") == 29
+    with pytest.raises(ValueError, match="csq_mode"):
+        vep_csq_fields("everything")
+
+    vcf = spark.createDataFrame(
+        [("1", 1103, 1103, "G", "A")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [], "chrom string, start long, end long, variation_name string, allele_string string",
+    )
+    tx = spark.createDataFrame(
+        [("NM_1.1", "1", 1100, 1108, 1, "protein_coding", "G1", "GENE1",
+          1100, 1108, "ATGGCTTAA", "RefSeq", "ok", "Perfect match")],
+        "transcript_id string, chrom string, start long, end long, strand int, "
+        "biotype string, gene_stable_id string, gene_symbol string, "
+        "cds_start long, cds_end long, cds_sequence string, source string, "
+        "bam_edit_status string, refseq_match string",
+    )
+    for mode, width in (("refseq", 78), ("merged", 79)):
+        r = annotate_vep(vcf, cache, transcripts=tx, csq_mode=mode).collect()[0]
+        f = dict(zip(vep_csq_fields(mode), r.CSQ.split("|")))
+        assert len(r.CSQ.split("|")) == width
+        assert f["REFSEQ_MATCH"] == "Perfect match"
+        assert f["BAM_EDIT"] == "OK"
+        assert f["GIVEN_REF"] == "G" and f["USED_REF"] == "G"
+        assert f["VARIANT_CLASS"] == "SNV"
+        if mode == "merged":
+            assert f["SOURCE"] == "RefSeq"
+    # positional engine rejects non-default csq_mode
+    with pytest.raises(ValueError, match="codon engine"):
+        annotate_vep(vcf, cache, csq_mode="refseq")
