@@ -288,3 +288,52 @@ def test_normalize_variant_consistent_with_vep_norm_udf_family(spark, pos, ref, 
         assert r == ""
     else:
         assert ve == vep_norm_end(pos, ref, alt)
+
+
+_texts = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(alphabet=" abcz", min_size=0, max_size=40),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=_texts)
+@SETTINGS
+def test_repetition_stats_matches_python_counter(spark, texts):
+    """repetition_stats == a direct Counter-based per-doc computation, and
+    repetition_filter keeps exactly the under-threshold + signal-free docs."""
+    from collections import Counter
+
+    from datafusion_bio_functions_spark.functions.text import (
+        repetition_filter,
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert set(got) == set(range(len(texts)))
+    keep_want = set()
+    for i, t in enumerate(texts):
+        words = (t or "").strip().lower().split() if t and t.strip() else []
+        grams = [" ".join(words[j : j + 2]) for j in range(len(words) - 1)]
+        r = got[i]
+        if len(words) < 2:
+            assert (r.n_ngrams, r.top_ngram_count) == (0, 0)
+            assert r.top_ngram_frac is None and r.dup_ngram_frac is None
+            keep_want.add(i)
+            continue
+        c = Counter(grams)
+        total, top = len(grams), max(c.values())
+        dup = sum(v for v in c.values() if v > 1)
+        assert (r.n_ngrams, r.top_ngram_count) == (total, top)
+        assert abs(r.top_ngram_frac - top / total) < 1e-12
+        assert abs(r.dup_ngram_frac - dup / total) < 1e-12
+        if top / total <= 0.2 and dup / total <= 0.6:
+            keep_want.add(i)
+    kept = {r.doc_id for r in repetition_filter(docs).collect()}
+    assert kept == keep_want
