@@ -364,6 +364,19 @@ VEP_CSQ_FIELDS: list[str] = [
 ]
 
 
+#: cache columns holding GLOBAL allele frequencies — formatted/excluded
+#: specially per the reference's AF_COLUMNS table (annotate_provider.rs:
+#: 812-999): the global AF renders %.4f in CSQ (format_af_4f) and none of
+#: the three participate in MAX_AF / MAX_AF_POPS (max_af_pop: None)
+VEP_CSQ_GLOBAL_AF_COLS = ("AF", "gnomADe", "gnomADg")
+#: gnomAD SUB-population frequencies are not emitted in individual CSQ
+#: slots outside --everything (emit_in_csq: false) — they still feed MAX_AF
+VEP_CSQ_SUPPRESSED_AF_COLS = tuple(
+    c for _, c in VEP_FREQUENCY_COLUMNS
+    if c.startswith("gnomAD") and c not in ("gnomADe", "gnomADg")
+)
+
+
 def vep_csq_fields(mode: str = "ensembl") -> list[str]:
     """CSQ field order for a cache mode (reference csq_field_names_for_mode,
     golden_benchmark.rs:652-714, non-everything arm): the refseq cache mode
@@ -1374,21 +1387,32 @@ def _annotate_codon(
     grouped = looked.join(rolled, list(vcf_cols), "left").join(
         va, list(vcf_cols), "left"
     )
-    af_by_out = {o: F.col(f"__csq_af_{o}") for o, _ in _fp}
-    af_strs = [
-        F.coalesce(af_by_out[o].cast("string"), F.lit(""))
-        if o in af_by_out
-        else F.lit("")
-        for o, _ in VEP_FREQUENCY_COLUMNS
-    ]
-    if _fp:
-        _vals = [af_by_out[o] for o, _ in _fp]
+    af_by_cache = {c: F.col(f"__csq_af_{o}") for o, c in _fp}
+    # per-slot CSQ rendering (reference AF_COLUMNS table): the global AF
+    # formats %.4f (format_af_4f), gnomAD sub-pop slots render empty
+    # outside --everything (emit_in_csq: false), everything else raw
+    af_strs = []
+    for _, c in VEP_FREQUENCY_COLUMNS:
+        if c not in af_by_cache or c in VEP_CSQ_SUPPRESSED_AF_COLS:
+            af_strs.append(F.lit(""))
+        elif c == "AF":
+            af_strs.append(
+                F.coalesce(
+                    F.format_string("%.4f", af_by_cache[c]), F.lit("")
+                )
+            )
+        else:
+            af_strs.append(F.coalesce(af_by_cache[c].cast("string"), F.lit("")))
+    # MAX_AF over sub-population columns only, short pop names
+    _sp = [(o, c) for o, c in _fp if c not in VEP_CSQ_GLOBAL_AF_COLS]
+    if _sp:
+        _vals = [af_by_cache[c] for _, c in _sp]
         _mx = F.greatest(*_vals) if len(_vals) > 1 else _vals[0]
         max_af_s = F.coalesce(_mx.cast("string"), F.lit(""))
         max_pops_s = F.concat_ws(
             "&",
             F.filter(
-                F.array(*[F.when(af_by_out[o] == _mx, F.lit(o)) for o, _ in _fp]),
+                F.array(*[F.when(af_by_cache[c] == _mx, F.lit(c)) for _, c in _sp]),
                 lambda x: x.isNotNull(),
             ),
         )
@@ -1446,15 +1470,22 @@ def _annotate_codon(
         (F.col(c).cast("float") if c in looked_cols else F.lit(None).cast("float")).alias(o)
         for o, c in VEP_FREQUENCY_COLUMNS
     ]
-    if freq_present:
-        vals = [F.col(c).cast("float") for _, c in freq_present]
+    # MAX_AF excludes the three GLOBAL frequencies (AF / gnomADe / gnomADg:
+    # max_af_pop None in the reference's AF_COLUMNS table,
+    # annotate_provider.rs:812-999) and MAX_AF_POPS names pops by their
+    # SHORT cache names (AFR, gnomADe_AFR, ...)
+    _subpops = [
+        (o, c) for o, c in freq_present if c not in VEP_CSQ_GLOBAL_AF_COLS
+    ]
+    if _subpops:
+        vals = [F.col(c).cast("float") for _, c in _subpops]
         max_af = F.greatest(*vals) if len(vals) > 1 else vals[0]
         max_pops = F.concat_ws(
             "&",
             F.filter(
                 F.array(*[
-                    F.when(F.col(c).cast("float") == max_af, F.lit(o))
-                    for o, c in freq_present
+                    F.when(F.col(c).cast("float") == max_af, F.lit(c))
+                    for _, c in _subpops
                 ]),
                 lambda x: x.isNotNull(),
             ),

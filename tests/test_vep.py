@@ -291,9 +291,10 @@ def test_annotate_vep_full_schema(spark):
     # span strings per the reference's Utf8 CSQ position columns
     assert (hit["cDNA_position"], hit["CDS_position"], hit["Protein_position"]) == ("103", "3", "1")
     assert hit["Existing_variation"] == "rs1" and hit["CLIN_SIG"] == "benign"
-    # cache carries AF → frequency passthrough + MAX_AF derivation
-    assert abs(hit["AF"] - 0.25) < 1e-6 and abs(hit["MAX_AF"] - 0.25) < 1e-6
-    assert hit["MAX_AF_POPS"] == "AF"
+    # cache carries AF → frequency passthrough; the GLOBAL AF is excluded
+    # from MAX_AF (reference AF_COLUMNS max_af_pop: None for globals)
+    assert abs(hit["AF"] - 0.25) < 1e-6 and hit["MAX_AF"] is None
+    assert hit["MAX_AF_POPS"] is None
     assert hit["gnomADe_AF"] is None  # absent cache col → typed NULL
     assert hit["VARIANT_CLASS"] == "SNV"
     far = rows[120]  # upstream of TXF by 880
@@ -782,10 +783,11 @@ def test_csq_string_is_full_width_74_field_layout(spark):
         "chrom string, start long, end long, ref string, alt string",
     )
     cache = spark.createDataFrame(
-        [("1", 1103, 1103, "rs77", "G/A", "pathogenic", 0.25, 0.125),
-         ("1", 1103, 1103, "rs12", "G/A", "benign", 0.25, 0.5)],
+        [("1", 1103, 1103, "rs77", "G/A", "pathogenic", 0.25, 0.125, 0.0625),
+         ("1", 1103, 1103, "rs12", "G/A", "benign", 0.25, 0.5, 0.03125)],
         "chrom string, start long, end long, variation_name string, "
-        "allele_string string, clin_sig string, AF float, gnomADe float",
+        "allele_string string, clin_sig string, AF float, gnomADe float, "
+        "AFR float",
     )
     tx = spark.createDataFrame(
         [("T1", "1", 1100, 1108, 1, "protein_coding", "G1", "GENE1",
@@ -810,9 +812,11 @@ def test_csq_string_is_full_width_74_field_layout(spark):
     assert f["STRAND"] == "1"
     assert f["CANONICAL"] == "YES"
     assert f["VARIANT_CLASS"] == "SNV"
-    assert f["AF"] == "0.25"
-    assert f["gnomADe_AF"] == "0.5"
-    assert f["MAX_AF"] == "0.5" and f["MAX_AF_POPS"] == "gnomADe_AF"
+    assert f["AF"] == "0.2500"       # global AF renders %.4f (format_af_4f)
+    assert f["gnomADe_AF"] == "0.5"  # gnomAD GLOBAL renders raw
+    # MAX_AF over SUB-populations only (globals excluded), short pop names
+    assert f["MAX_AF"] == "0.0625" and f["MAX_AF_POPS"] == "AFR"
+    assert f["AFR_AF"] == "0.0625"
     # unsourced fields are EMPTY, not dropped: MOTIF block + SOURCE + tail
     for k in ("MOTIF_NAME", "SOURCE", "SWISSPROT", "SOMATIC", "PHENO", "PUBMED"):
         assert f[k] == ""
