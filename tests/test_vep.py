@@ -869,3 +869,27 @@ def test_csq_mode_refseq_and_merged_splices(spark):
     # positional engine rejects non-default csq_mode
     with pytest.raises(ValueError, match="codon engine"):
         annotate_vep(vcf, cache, csq_mode="refseq")
+
+
+def test_csq_field_indices_replay_reference_battery(spark):
+    """Replay of the reference's own field-index assertions
+    (golden_benchmark.rs csq_field_names_has_74_entries +
+    csq_field_names_for_refseq_and_merged_modes_insert_expected_fields,
+    rs:1296-1333): exact positions of the mode-splice block."""
+    from datafusion_bio_functions_spark.operators.vep import vep_csq_fields
+
+    base = vep_csq_fields("ensembl")
+    assert len(base) == 74
+    assert base[0] == "Allele" and base[28] == "SOURCE"
+    r = vep_csq_fields("refseq")
+    assert len(r) == 78
+    assert r[28:34] == [
+        "REFSEQ_MATCH", "REFSEQ_OFFSET", "GIVEN_REF", "USED_REF",
+        "BAM_EDIT", "VARIANT_CLASS",
+    ]
+    m = vep_csq_fields("merged")
+    assert len(m) == 79
+    assert m[28:35] == [
+        "REFSEQ_MATCH", "SOURCE", "REFSEQ_OFFSET", "GIVEN_REF", "USED_REF",
+        "BAM_EDIT", "VARIANT_CLASS",
+    ]
