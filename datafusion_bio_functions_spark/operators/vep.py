@@ -1051,7 +1051,9 @@ def _annotate_codon(
 
     entry_p1 = F.concat_ws(
         "|",
-        F.col("alt"),
+        # every slot coalesces: a NULL in concat_ws silently DROPS the
+        # field and shifts the whole layout
+        _e(F.col("alt")),
         F.concat_ws("&", F.col("__terms")),
         _e(F.col("__res.impact")),
         csq_escape_col(F.col("__t_symbol")),
@@ -1256,7 +1258,8 @@ def _annotate_codon(
         )
         f_p1 = F.concat_ws(
             "|",
-            F.col("alt"), F.col("feature_term"), f_impact,
+            F.coalesce(F.col("alt"), F.lit("")),
+            F.col("feature_term"), F.coalesce(f_impact, F.lit("")),
             F.lit(""), F.lit(""), f_type,
             csq_escape_col(F.col("feature_id")),
             *[F.lit("")] * 10,
@@ -1334,7 +1337,8 @@ def _annotate_codon(
         F.max(F.when(F.col("__is_tx"), 1).otherwise(0)).alias("__has_tx"),
     )
     ig_p1 = F.concat_ws(
-        "|", F.col("alt"), F.lit("intergenic_variant"), F.lit("MODIFIER"),
+        "|", F.coalesce(F.col("alt"), F.lit("")),
+        F.lit("intergenic_variant"), F.lit("MODIFIER"),
         *[F.lit("")] * 14,
     )
     ig_p2 = F.concat_ws(
