@@ -339,10 +339,9 @@ VEP_CACHE_ONLY_COLUMNS: list[str] = [
 #: VEP release/115 Constants.pm).  The codon engine's CSQ string emits one
 #: full-width entry per transcript/feature in exactly this order; fields
 #: the engine has no data source for render empty, like the reference on a
-#: cache without that column.  (The reference's refseq/merged cache modes
-#: splice REFSEQ_MATCH..BAM_EDIT before VARIANT_CLASS and --everything
-#: switches to the 80-field layout — not modeled here; the typed
-#: full-schema columns carry those values instead.)
+#: cache without that column.  (The refseq/merged cache modes splice
+#: REFSEQ_MATCH..BAM_EDIT before VARIANT_CLASS — ``vep_csq_fields`` — and
+#: ``csq_everything=True`` switches to the 80-field layout below.)
 VEP_CSQ_FIELDS: list[str] = [
     "Allele", "Consequence", "IMPACT", "SYMBOL", "Gene", "Feature_type",
     "Feature", "BIOTYPE", "EXON", "INTRON", "HGVSc", "HGVSp",
@@ -377,25 +376,79 @@ VEP_CSQ_SUPPRESSED_AF_COLS = tuple(
 )
 
 
-def vep_csq_fields(mode: str = "ensembl") -> list[str]:
+#: ``--everything`` CSQ field order — 80 fields (reference
+#: CSQ_FIELD_NAMES_EVERYTHING, golden_benchmark.rs:543-640, itself VEP
+#: release/115 Constants.pm).  Differences from the 74-field default:
+#: SOURCE removed, VARIANT_CLASS moves up to follow FLAGS, generic MANE +
+#: APPRIS/SIFT/PolyPhen/DOMAINS/miRNA/HGVS_OFFSET slots added, gnomAD
+#: sub-population names gain an ``_AF`` suffix, and the MOTIF block moves
+#: to the tail (positions 75-79).
+VEP_CSQ_FIELDS_EVERYTHING: list[str] = [
+    "Allele", "Consequence", "IMPACT", "SYMBOL", "Gene", "Feature_type",
+    "Feature", "BIOTYPE", "EXON", "INTRON", "HGVSc", "HGVSp",
+    "cDNA_position", "CDS_position", "Protein_position", "Amino_acids",
+    "Codons", "Existing_variation", "DISTANCE", "STRAND", "FLAGS",
+    "VARIANT_CLASS", "SYMBOL_SOURCE", "HGNC_ID", "CANONICAL", "MANE",
+    "MANE_SELECT", "MANE_PLUS_CLINICAL", "TSL", "APPRIS", "CCDS", "ENSP",
+    "SWISSPROT", "TREMBL", "UNIPARC", "UNIPROT_ISOFORM", "GENE_PHENO",
+    "SIFT", "PolyPhen", "DOMAINS", "miRNA", "HGVS_OFFSET",
+    "AF", "AFR_AF", "AMR_AF", "EAS_AF", "EUR_AF", "SAS_AF",
+    "gnomADe_AF", "gnomADe_AFR_AF", "gnomADe_AMR_AF", "gnomADe_ASJ_AF",
+    "gnomADe_EAS_AF", "gnomADe_FIN_AF", "gnomADe_MID_AF", "gnomADe_NFE_AF",
+    "gnomADe_REMAINING_AF", "gnomADe_SAS_AF",
+    "gnomADg_AF", "gnomADg_AFR_AF", "gnomADg_AMI_AF", "gnomADg_AMR_AF",
+    "gnomADg_ASJ_AF", "gnomADg_EAS_AF", "gnomADg_FIN_AF", "gnomADg_MID_AF",
+    "gnomADg_NFE_AF", "gnomADg_REMAINING_AF", "gnomADg_SAS_AF",
+    "MAX_AF", "MAX_AF_POPS", "CLIN_SIG", "SOMATIC", "PHENO", "PUBMED",
+    "MOTIF_NAME", "MOTIF_POS", "HIGH_INF_POS", "MOTIF_SCORE_CHANGE",
+    "TRANSCRIPTION_FACTORS",
+]
+
+#: RefSeq provenance splices per cache source mode (refseq drops SOURCE,
+#: merged keeps it among the five provenance fields)
+_REFSEQ_SPLICE = ["REFSEQ_MATCH", "REFSEQ_OFFSET", "GIVEN_REF", "USED_REF", "BAM_EDIT"]
+_MERGED_SPLICE = [
+    "REFSEQ_MATCH", "SOURCE", "REFSEQ_OFFSET", "GIVEN_REF", "USED_REF", "BAM_EDIT",
+]
+
+
+def vep_csq_fields(mode: str = "ensembl", everything: bool = False) -> list[str]:
     """CSQ field order for a cache mode (reference csq_field_names_for_mode,
-    golden_benchmark.rs:652-714, non-everything arm): the refseq cache mode
+    golden_benchmark.rs:652-714).  Non-everything: the refseq cache mode
     replaces the SOURCE slot with the five RefSeq provenance fields; merged
-    keeps SOURCE among them (78 / 79 fields)."""
+    keeps SOURCE among them (78 / 79 fields).  ``everything=True`` switches
+    to the 80-field ``--everything`` layout, where the refseq/merged splice
+    lands just before GENE_PHENO (85 / 86 fields)."""
+    if mode not in ("ensembl", "refseq", "merged"):
+        raise ValueError(f"csq_mode must be ensembl|refseq|merged, got {mode!r}")
+    if everything:
+        fields = list(VEP_CSQ_FIELDS_EVERYTHING)
+        i = fields.index("GENE_PHENO")
+        if mode == "refseq":
+            fields[i:i] = _REFSEQ_SPLICE
+        elif mode == "merged":
+            fields[i:i] = _MERGED_SPLICE
+        return fields
     fields = list(VEP_CSQ_FIELDS)
     i = fields.index("SOURCE")
     if mode == "refseq":
-        fields[i : i + 1] = [
-            "REFSEQ_MATCH", "REFSEQ_OFFSET", "GIVEN_REF", "USED_REF", "BAM_EDIT",
-        ]
+        fields[i : i + 1] = _REFSEQ_SPLICE
     elif mode == "merged":
-        fields[i : i + 1] = [
-            "REFSEQ_MATCH", "SOURCE", "REFSEQ_OFFSET", "GIVEN_REF", "USED_REF",
-            "BAM_EDIT",
-        ]
-    elif mode != "ensembl":
-        raise ValueError(f"csq_mode must be ensembl|refseq|merged, got {mode!r}")
+        fields[i : i + 1] = _MERGED_SPLICE
     return fields
+
+
+def _vep_alt_expr() -> "F.Column":
+    """VEP-minimized ALT allele (reference vcf_to_vep_allele,
+    allele.rs:283-329): the writer renders THIS as the CSQ ``Allele``
+    slot and keys frequency pair-strings on it — not the raw VCF alt
+    (an anchored insertion C→CT minimizes to ``T``, a deletion to
+    ``-``)."""
+    from ..functions.alleles import vep_allele_udf
+
+    return F.substring_index(
+        vep_allele_udf(F.col("ref"), F.col("alt")), "/", -1
+    )
 
 
 def variant_class_col(ref, alt) -> "F.Column":
@@ -432,6 +485,7 @@ def annotate_vep(
     sift: DataFrame | None = None,
     domains: DataFrame | None = None,
     csq_mode: str = "ensembl",
+    csq_everything: bool = False,
 ) -> DataFrame:
     """Annotation pipeline: known-variant lookup + consequence assignment.
 
@@ -441,6 +495,21 @@ def annotate_vep(
     SOURCE slot, 78 fields) or ``'merged'`` (SOURCE kept among them, 79
     fields) — reference ``csq_field_names_for_mode`` and the per-mode
     writer arms (``annotate_provider.rs:4444-4475``).
+
+    ``csq_everything=True`` (codon engine): VEP ``--everything`` — the
+    80-field CSQ layout (reference ``CSQ_FIELD_NAMES_EVERYTHING``,
+    ``golden_benchmark.rs:543-640``, writer arm
+    ``annotate_provider.rs:4318-4455``): VARIANT_CLASS follows FLAGS, a
+    generic MANE slot is derived from MANE_SELECT / MANE_PLUS_CLINICAL,
+    APPRIS / per-entry SIFT / PolyPhen / DOMAINS / miRNA / HGVS_OFFSET
+    slots are filled, gnomAD sub-population frequencies are UN-suppressed
+    (reference ``emit_in_csq || flags.everything``,
+    ``annotate_provider.rs:1837``), and the MOTIF block moves to the
+    trailing five slots.  Combines with ``csq_mode``: the refseq/merged
+    provenance splice lands before GENE_PHENO (85 / 86 fields).
+    HGVS_OFFSET renders empty — the genomic 3'-shift hash it mirrors is
+    FASTA-derived (``hgvs.rs:326-345``) and this pipeline runs without a
+    reference FASTA, the same degradation as a reference run without one.
 
     ``sift`` (codon engine, ``full_schema=True``): per-substitution
     protein-function predictions ``(transcript_id, protein_position,
@@ -502,13 +571,13 @@ def annotate_vep(
         looked = lookup_variants(
             vcf, cache, match_mode=match_mode, extended_probes=extended_probes
         )
-        vep_csq_fields(csq_mode)  # validate early
+        vep_csq_fields(csq_mode, csq_everything)  # validate early
         return _annotate_codon(
             looked, vcf.columns, transcripts, exons, upstream_distance,
             downstream_distance, full_schema,
             regulatory=regulatory, motifs=motifs, structural=structural,
             mirnas=mirnas, translations=translations, sift=sift,
-            domains=domains, csq_mode=csq_mode,
+            domains=domains, csq_mode=csq_mode, csq_everything=csq_everything,
         )
     if any(
         x is not None
@@ -520,8 +589,10 @@ def annotate_vep(
         )
     if full_schema:
         raise ValueError("full_schema=True requires the codon engine (transcripts)")
-    if csq_mode != "ensembl":
-        raise ValueError("csq_mode requires the codon engine (transcripts)")
+    if csq_mode != "ensembl" or csq_everything:
+        raise ValueError(
+            "csq_mode/csq_everything require the codon engine (transcripts)"
+        )
     if engine != "positional":
         raise ValueError(f"engine must be 'auto', 'codon' or 'positional', got {engine!r}")
     looked = lookup_variants(
@@ -667,6 +738,7 @@ def _annotate_codon(
     sift: DataFrame | None = None,
     domains: DataFrame | None = None,
     csq_mode: str = "ensembl",
+    csq_everything: bool = False,
 ) -> DataFrame:
     """Variant×transcript pairing (broadcast range join on chrom) + per-pair
     classification through ``functions.consequence.classify`` in one
@@ -686,6 +758,7 @@ def _annotate_codon(
             "cdna_coding_start", "cdna_coding_end",
             "source", "bam_edit_status", "has_non_polya_rna_edit",
             "refseq_edits", "cdna_mapper_segments", "refseq_match",
+            "ncrna_structure",
         )
     }
     # RefSeq edited-transcript context (reference TranscriptFeature fields,
@@ -779,6 +852,13 @@ def _annotate_codon(
             else F.lit(None).cast("long")
         ).alias("__t_cce"),
         refseq_ctx.alias("__t_refseq"),
+        # ncRNA dot-bracket secondary structure (reference ncrna_structure
+        # transcript attribute) — drives the --everything miRNA CSQ slot
+        (
+            F.col("ncrna_structure")
+            if opt["ncrna_structure"]
+            else F.lit(None).cast("string")
+        ).alias("__t_ncrna"),
         _tx_meta_map(t).alias("__t_meta"),
     ]
     tctx = t.select(*tsel)
@@ -865,6 +945,10 @@ def _annotate_codon(
             T.StructField("given_ref", T.StringType(), True),
             T.StructField("used_ref", T.StringType(), True),
             T.StructField("refseq_offset", T.LongType(), True),
+            # --everything miRNA slot: secondary-structure terms for the
+            # variant's cDNA span (reference mirna_structure_field,
+            # annotate_provider.rs:1991-2090)
+            T.StructField("mirna_struct", T.StringType(), True),
         ]
     )
     _detail_keys = (
@@ -872,7 +956,7 @@ def _annotate_codon(
         "protein_position", "amino_acids", "codons", "distance",
         "cdna_position_str", "cds_position_str", "protein_position_str",
     )
-    _refseq_keys = ("given_ref", "used_ref", "refseq_offset")
+    _refseq_keys = ("given_ref", "used_ref", "refseq_offset", "mirna_struct")
 
     # no type hints: scalar pandas UDF (Series... -> DataFrame for a struct
     # return); string hints would fail to resolve against the local import
@@ -882,7 +966,7 @@ def _annotate_codon(
         ts, te, strand, biotype,
         cds_s, cds_e, cds_seq, exlist, mirna,
         spliced, cdna, utr3, ccs, cce, refseq_s, tl_prot, tl_sid,
-        tl_canon_cds, tl_canon_prot,
+        tl_canon_cds, tl_canon_prot, ncrna,
     ):
         out = {"terms": [], "impact": [], "hgvsc": [], "hgvsp": []}
         for k_ in _detail_keys + _refseq_keys:
@@ -903,10 +987,11 @@ def _annotate_codon(
             if isinstance(refseq_s, pd.DataFrame)
             else refseq_s.tolist(),
             tl_prot.tolist(), tl_sid.tolist(),
-            tl_canon_cds.tolist(), tl_canon_prot.tolist(),
+            tl_canon_cds.tolist(), tl_canon_prot.tolist(), ncrna.tolist(),
         )
         for (p, r, a, t_id, tsv, tev, stv, btv, csv_, cev, seqv, ex, mir,
-             spl, cdn, u3, ccsv, ccev, rsq, tlp, tls, tlcc, tlcp) in rows:
+             spl, cdn, u3, ccsv, ccev, rsq, tlp, tls, tlcc, tlcp,
+             ncv) in rows:
             if t_id is None or pd.isna(tsv):
                 out["terms"].append(None)
                 out["impact"].append(None)
@@ -1009,6 +1094,23 @@ def _annotate_codon(
                 if out["hgvsc"][-1] is not None
                 else None
             )
+            # --everything miRNA slot: cDNA span parsed from the display
+            # string ("N" / "N-M"), like the reference writer's own parse
+            # (annotate_provider.rs:4404-4420)
+            mir_s = None
+            if ncv is not None and btv == "miRNA":
+                cps = det["cdna_position_str"]
+                cs0 = ce0 = None
+                if cps:
+                    parts = str(cps).split("-")
+                    try:
+                        cs0 = int(parts[0])
+                        ce0 = int(parts[1]) if len(parts) > 1 else cs0
+                    except ValueError:
+                        cs0 = ce0 = None
+                if cs0 is not None and cs0 > 0:
+                    mir_s = cq.mirna_structure_field(str(ncv), str(btv), cs0, ce0)
+            out["mirna_struct"].append(mir_s)
         return pd.DataFrame(out)
 
     paired = paired.withColumn(
@@ -1022,6 +1124,7 @@ def _annotate_codon(
             F.col("__t_ccs"), F.col("__t_cce"), F.col("__t_refseq"),
             F.col("__tl_prot"), F.col("__tl_sid"),
             F.col("__tl_canon_cds"), F.col("__tl_canon_prot"),
+            F.col("__t_ncrna"),
         ),
     )
     # a transcript within the ±pad window can still yield no term (e.g. on
@@ -1032,6 +1135,137 @@ def _annotate_codon(
             F.lit(None).cast("array<string>")
         ),
     )
+
+    # ── per-entry SIFT / PolyPhen / DOMAINS (reference lookup_sift_polyphen
+    # annotate_provider.rs:2111-2176 / lookup_domains :5990-6056): computed
+    # per (variant, transcript) pair so the --everything CSQ entries and the
+    # typed best-transcript columns read the SAME values; both context
+    # tables are annotation-sized → broadcast joins ──
+    if sift is not None:
+        _check_contract(
+            sift, ("transcript_id", "protein_position", "alt_aa"), "sift"
+        )
+
+        def _s(name: str, typ: str) -> "F.Column":
+            # scores keep their NATIVE numeric type — float→double widening
+            # before rendering would print representation noise
+            return (
+                F.col(name) if name in sift.columns else F.lit(None).cast(typ)
+            ).alias(f"__s_{name}")
+
+        stbl = sift.select(
+            F.col("transcript_id").alias("__s_tx"),
+            F.col("protein_position").cast("long").alias("__s_pp"),
+            F.col("alt_aa").alias("__s_aa"),
+            _s("sift_prediction", "string"),
+            _s("sift_score", "double"),
+            _s("polyphen_prediction", "string"),
+            _s("polyphen_score", "double"),
+        ).dropDuplicates(["__s_tx", "__s_pp", "__s_aa"])
+        aa = F.col("__res.amino_acids")
+        # single-AA substitutions with a non-range protein position only
+        # (the reference parses the position string and skips spans)
+        alt_aa = F.when(
+            aa.rlike(r"^[A-Z*]/[A-Z*]$")
+            & F.col("__res.protein_position_str").rlike(r"^[0-9]+$"),
+            F.substring(aa, 3, 1),
+        )
+        paired = paired.withColumn("__alt_aa", alt_aa).join(
+            F.broadcast(stbl),
+            (F.col("__t_id") == F.col("__s_tx"))
+            & (F.col("__res.protein_position") == F.col("__s_pp"))
+            & (F.col("__alt_aa") == F.col("__s_aa")),
+            "left",
+        )
+
+        def _fmt(pred: str, score: str) -> "F.Column":
+            # VEP --sift b / --polyphen b rendering: prediction(score),
+            # spaces collapsed to underscores
+            p = F.regexp_replace(F.col(pred), " - ", " ")
+            p = F.regexp_replace(p, " ", "_")
+            return F.when(
+                F.col(pred).isNotNull(),
+                F.concat(p, F.lit("("), F.col(score).cast("string"), F.lit(")")),
+            )
+
+        paired = paired.withColumn(
+            "__e_sift", _fmt("__s_sift_prediction", "__s_sift_score")
+        ).withColumn(
+            "__e_polyphen", _fmt("__s_polyphen_prediction", "__s_polyphen_score")
+        )
+    else:
+        paired = paired.withColumn(
+            "__e_sift", F.lit(None).cast("string")
+        ).withColumn("__e_polyphen", F.lit(None).cast("string"))
+
+    if domains is not None:
+        _check_contract(domains, ("transcript_id", "start", "end"), "domains")
+
+        def _d(name: str) -> "F.Column":
+            return (
+                F.col(name).cast("string")
+                if name in domains.columns
+                else F.lit(None).cast("string")
+            ).alias(name)
+
+        dtbl = (
+            domains.select(
+                F.col("transcript_id").alias("__d_tx"),
+                F.struct(
+                    F.col("start").cast("long").alias("s"),
+                    F.col("end").cast("long").alias("e"),
+                    _d("analysis"),
+                    _d("hseqname"),
+                ).alias("__d_f"),
+            )
+            .groupBy("__d_tx")
+            .agg(F.collect_list("__d_f").alias("__d_feats"))
+        )
+        paired = paired.join(
+            F.broadcast(dtbl), F.col("__t_id") == F.col("__d_tx"), "left"
+        )
+        pp = F.col("__res.protein_position_str")
+        arr = F.split(pp, "-")
+        ps_raw = F.element_at(arr, 1).cast("long")
+        pe_raw = F.when(F.size(arr) > 1, F.element_at(arr, 2).cast("long")).otherwise(
+            ps_raw
+        )
+        # VEP's Mapper.map_insert swaps translation start/end for insertions
+        # (amino_acids '-/X'), excluding features touching only the exact
+        # insertion boundary
+        is_ins = F.col("__res.amino_acids").startswith("-/")
+        ps = F.when(is_ins, pe_raw).otherwise(ps_raw)
+        pe = F.when(is_ins, ps_raw).otherwise(pe_raw)
+        valid = pp.isNotNull() & ~pp.contains("?") & ps.isNotNull() & pe.isNotNull()
+        # the reference's lookup_domains skips a feature whose analysis AND
+        # hseqname are both NULL (parts.is_empty → continue) instead of
+        # emitting an empty label into the '&' join
+        labels = F.filter(
+            F.transform(
+                F.filter(
+                    F.coalesce(F.col("__d_feats"), F.array()),
+                    lambda f: (ps <= f["e"]) & (pe >= f["s"]),
+                ),
+                lambda f: F.regexp_replace(
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.when(f[k].isNotNull(), f[k])
+                            for k in ("analysis", "hseqname")
+                        ],
+                    ),
+                    r"[ ;=]",
+                    "_",
+                ),
+            ),
+            lambda lbl: lbl != "",
+        )
+        paired = paired.withColumn(
+            "__e_domains",
+            F.when(valid, F.nullif(F.array_join(labels, "&"), F.lit(""))),
+        )
+    else:
+        paired = paired.withColumn("__e_domains", F.lit(None).cast("string"))
 
     rank_map = _so_rank_map()
 
@@ -1052,8 +1286,10 @@ def _annotate_codon(
     entry_p1 = F.concat_ws(
         "|",
         # every slot coalesces: a NULL in concat_ws silently DROPS the
-        # field and shifts the whole layout
-        _e(F.col("alt")),
+        # field and shifts the whole layout.  The Allele slot carries the
+        # VEP-MINIMIZED alt (reference writer renders vep_allele,
+        # annotate_provider.rs:3977/4076), not the raw VCF alt
+        _e(_vep_alt_expr()),
         F.concat_ws("&", F.col("__terms")),
         _e(F.col("__res.impact")),
         csq_escape_col(F.col("__t_symbol")),
@@ -1096,35 +1332,90 @@ def _annotate_codon(
             _e(F.col("__res.used_ref")),
             _e(F.upper(F.col("__t_refseq.bam"))),
         ]
+    elif csq_everything:
+        src_span = []                      # --everything drops the SOURCE slot
     else:
         src_span = [F.lit("")]             # SOURCE (ensembl mode: empty)
     n_src = len(src_span)
-    entry_p2 = F.concat_ws(
-        "|",
-        _e(F.col("__res.distance")),       # DISTANCE
-        _e(F.col("__t_strand")),           # STRAND ('1' / '-1')
-        _m("FLAGS"),
-        _m("SYMBOL_SOURCE"),
-        _m("HGNC_ID"),
-        # MOTIF_NAME..TRANSCRIPTION_FACTORS: always empty, like the
-        # reference (motif consequence data not exposed)
-        F.lit(""), F.lit(""), F.lit(""), F.lit(""), F.lit(""),
-        *src_span,
-        variant_class_col(F.col("ref"), F.col("alt")),
-        _m("CANONICAL"),
-        _m("TSL"),
-        _m("MANE_SELECT"),
-        _m("MANE_PLUS_CLINICAL"),
-        _m("ENSP"),
-        _m("GENE_PHENO"),
-        _m("CCDS"),
-        # SWISSPROT/TREMBL are the two metadata fields the reference
-        # csq_escape()s in the writer (annotate_provider.rs:4309-4313)
-        csq_escape_col(F.col("__t_meta")[F.lit("SWISSPROT")]),
-        csq_escape_col(F.col("__t_meta")[F.lit("TREMBL")]),
-        _m("UNIPARC"),
-        _m("UNIPROT_ISOFORM"),
-    )
+    if csq_everything:
+        # --everything entry span (reference writer arm, annotate_provider
+        # .rs:4318-4455): VARIANT_CLASS follows FLAGS, generic MANE derives
+        # from the MANE_SELECT / MANE_PLUS_CLINICAL slots (VEP OutputFactory
+        # MANE output), APPRIS arrives pre-abbreviated from the meta map,
+        # SIFT/PolyPhen/DOMAINS/miRNA are the per-entry context values
+        # (DOMAINS gated on a coding CDS mapping, VEP's $pre->{coding}),
+        # HGVS_OFFSET mirrors the FASTA-derived genomic-shift hash → empty
+        # without a FASTA; the refseq/merged provenance splice lands before
+        # GENE_PHENO (csq_field_names_for_mode everything arm)
+        _msel = F.col("__t_meta")[F.lit("MANE_SELECT")]
+        _mplus = F.col("__t_meta")[F.lit("MANE_PLUS_CLINICAL")]
+        mane_generic = (
+            F.when(_msel.isNotNull() & (_msel != ""), "MANE_Select")
+            .when(_mplus.isNotNull() & (_mplus != ""), "MANE_Plus_Clinical")
+            .otherwise("")
+        )
+        _is_coding = F.col("__res.cds_position_str").isNotNull() & (
+            F.col("__res.cds_position_str") != ""
+        )
+        entry_p2 = F.concat_ws(
+            "|",
+            _e(F.col("__res.distance")),   # DISTANCE
+            _e(F.col("__t_strand")),       # STRAND ('1' / '-1')
+            _m("FLAGS"),
+            variant_class_col(F.col("ref"), F.col("alt")),
+            _m("SYMBOL_SOURCE"),
+            _m("HGNC_ID"),
+            _m("CANONICAL"),
+            mane_generic,
+            _m("MANE_SELECT"),
+            _m("MANE_PLUS_CLINICAL"),
+            _m("TSL"),
+            _m("APPRIS"),
+            _m("CCDS"),
+            _m("ENSP"),
+            csq_escape_col(F.col("__t_meta")[F.lit("SWISSPROT")]),
+            csq_escape_col(F.col("__t_meta")[F.lit("TREMBL")]),
+            _m("UNIPARC"),
+            _m("UNIPROT_ISOFORM"),
+            *src_span,
+            _m("GENE_PHENO"),
+            _e(F.col("__e_sift")),
+            _e(F.col("__e_polyphen")),
+            _e(F.when(_is_coding, F.col("__e_domains"))),
+            _e(F.col("__res.mirna_struct")),
+            F.lit(""),                     # HGVS_OFFSET (no FASTA shift)
+        )
+        # intergenic/feature entries: 3 leading empties, VARIANT_CLASS,
+        # then the remaining slots empty
+        _empty_e2_pre, _empty_e2_post = 3, 20 + n_src
+    else:
+        entry_p2 = F.concat_ws(
+            "|",
+            _e(F.col("__res.distance")),       # DISTANCE
+            _e(F.col("__t_strand")),           # STRAND ('1' / '-1')
+            _m("FLAGS"),
+            _m("SYMBOL_SOURCE"),
+            _m("HGNC_ID"),
+            # MOTIF_NAME..TRANSCRIPTION_FACTORS: always empty, like the
+            # reference (motif consequence data not exposed)
+            F.lit(""), F.lit(""), F.lit(""), F.lit(""), F.lit(""),
+            *src_span,
+            variant_class_col(F.col("ref"), F.col("alt")),
+            _m("CANONICAL"),
+            _m("TSL"),
+            _m("MANE_SELECT"),
+            _m("MANE_PLUS_CLINICAL"),
+            _m("ENSP"),
+            _m("GENE_PHENO"),
+            _m("CCDS"),
+            # SWISSPROT/TREMBL are the two metadata fields the reference
+            # csq_escape()s in the writer (annotate_provider.rs:4309-4313)
+            csq_escape_col(F.col("__t_meta")[F.lit("SWISSPROT")]),
+            csq_escape_col(F.col("__t_meta")[F.lit("TREMBL")]),
+            _m("UNIPARC"),
+            _m("UNIPROT_ISOFORM"),
+        )
+        _empty_e2_pre, _empty_e2_post = 10 + n_src, 11
     with_entry = paired.withColumn(
         "__e1", F.when(F.col("__terms").isNotNull(), entry_p1)
     ).withColumn(
@@ -1180,6 +1471,9 @@ def _annotate_codon(
             F.upper(F.col("__t_refseq.bam")).alias("bam_edit"),
             F.col("__t_refseq.src").alias("source"),
             F.col("__t_refseq.refseq_match").alias("refseq_match"),
+            F.col("__e_sift").alias("sift"),
+            F.col("__e_polyphen").alias("polyphen"),
+            F.col("__e_domains").alias("domains"),
             F.col("__t_meta").alias("meta"),
         ),
     )
@@ -1258,7 +1552,7 @@ def _annotate_codon(
         )
         f_p1 = F.concat_ws(
             "|",
-            F.coalesce(F.col("alt"), F.lit("")),
+            F.coalesce(_vep_alt_expr(), F.lit("")),
             F.col("feature_term"), F.coalesce(f_impact, F.lit("")),
             F.lit(""), F.lit(""), f_type,
             csq_escape_col(F.col("feature_id")),
@@ -1266,9 +1560,9 @@ def _annotate_codon(
         )
         f_p2 = F.concat_ws(
             "|",
-            *[F.lit("")] * (10 + n_src),
+            *[F.lit("")] * _empty_e2_pre,
             variant_class_col(F.col("ref"), F.col("alt")),
-            *[F.lit("")] * 11,
+            *[F.lit("")] * _empty_e2_post,
         )
         f_best_term = F.format_string(
             "%02d|%s", rank_map[F.col("feature_term")], F.col("feature_term")
@@ -1292,6 +1586,7 @@ def _annotate_codon(
             ns.alias("given_ref"), ns.alias("used_ref"),
             nl.alias("refseq_offset"), ns.alias("bam_edit"),
             ns.alias("source"), ns.alias("refseq_match"),
+            ns.alias("sift"), ns.alias("polyphen"), ns.alias("domains"),
             F.lit(None).cast("map<string,string>").alias("meta"),
         )
         pre = pre.unionByName(
@@ -1337,14 +1632,14 @@ def _annotate_codon(
         F.max(F.when(F.col("__is_tx"), 1).otherwise(0)).alias("__has_tx"),
     )
     ig_p1 = F.concat_ws(
-        "|", F.coalesce(F.col("alt"), F.lit("")),
+        "|", F.coalesce(_vep_alt_expr(), F.lit("")),
         F.lit("intergenic_variant"), F.lit("MODIFIER"),
         *[F.lit("")] * 14,
     )
     ig_p2 = F.concat_ws(
-        "|", *[F.lit("")] * (10 + n_src),
+        "|", *[F.lit("")] * _empty_e2_pre,
         variant_class_col(F.col("ref"), F.col("alt")),
-        *[F.lit("")] * 11,
+        *[F.lit("")] * _empty_e2_post,
     )
     if feat_frames:
         # reference fallback: feature-only variants still carry the
@@ -1374,6 +1669,69 @@ def _annotate_codon(
     # determinism), frequency fields the per-variant max of each cache
     # column rendered as strings
     _fp = [(o, c) for o, c in VEP_FREQUENCY_COLUMNS if c in looked.columns]
+    # ── per-row AF VALUE extraction (reference frequency_fields,
+    # annotate_provider.rs:1717-1830): numeric cache columns carry the
+    # matched allele's frequency directly (per-allele relational layout);
+    # STRING columns are Ensembl 'allele:freq,allele:freq' pair encodings —
+    # parse, pick the MATCHED (VEP-minimized) allele's frequency, and for
+    # the biallelic global AF interpolate the missing allele as 1−total
+    # (extract_af_for_allele + the interpolation arm).  Each column yields
+    # a display STRING (__afs: the raw cache slice, native-type rendering
+    # for numeric columns) plus a numeric twin (__afn) so MAX_AF compares
+    # numerically while CSQ renders the raw value. ──
+    looked_af = looked
+    _ltypes = dict(looked.dtypes)
+    _str_af = {c for _, c in _fp if _ltypes.get(c) == "string"}
+    if _str_af:
+        looked_af = looked_af.withColumn("__vep_alt", _vep_alt_expr())
+    _af_cols = []
+    for o, c in _fp:
+        if c in _str_af:
+            entries = F.filter(
+                F.transform(
+                    F.split(F.col(c), ","),
+                    lambda p: F.struct(
+                        F.substring_index(p, ":", 1).alias("a"),
+                        F.when(
+                            p.contains(":"), F.substring_index(p, ":", -1)
+                        ).alias("f"),
+                    ),
+                ),
+                # entries without ':' are skipped (split_once fails)
+                lambda s: s["f"].isNotNull(),
+            )
+            chosen = F.try_element_at(
+                F.filter(entries, lambda s: s["a"] == F.col("__vep_alt")),
+                F.lit(1),
+            )["f"]
+            if c == "AF" and "allele_string" in looked.columns:
+                ex = F.split(F.col("allele_string"), "/")
+                keys = F.transform(entries, lambda s: s["a"])
+                missing = F.filter(
+                    ex, lambda a: ~F.exists(keys, lambda k: k == a)
+                )
+                total = F.aggregate(
+                    entries,
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + F.coalesce(s["f"].cast("double"), F.lit(0.0)),
+                )
+                interp = (
+                    (F.size(ex) == 2)
+                    & (F.size(missing) == 1)
+                    & (F.try_element_at(missing, F.lit(1)) == F.col("__vep_alt"))
+                )
+                chosen = F.coalesce(
+                    chosen,
+                    F.when(interp, (F.lit(1.0) - total).cast("string")),
+                )
+            vals, valn = chosen, chosen.cast("double")
+        else:
+            vals = F.col(c).cast("string")
+            valn = F.col(c).cast("double")
+        _af_cols += [vals.alias(f"__afs_{o}"), valn.alias(f"__afn_{o}")]
+    if _af_cols:
+        looked_af = looked_af.select("*", *_af_cols)
     va_aggs = [
         F.concat_ws(
             "&", F.array_sort(F.collect_set(F.col("variation_name")))
@@ -1384,39 +1742,65 @@ def _annotate_codon(
             else F.lit("")
         ).alias("__csq_clin"),
         *[
-            F.max(F.col(c).cast("double")).alias(f"__csq_af_{o}") for o, c in _fp
+            F.max(F.col(f"__afn_{o}")).alias(f"__csq_afn_{o}") for o, _ in _fp
+        ],
+        *[
+            F.max_by(F.col(f"__afs_{o}"), F.col(f"__afn_{o}")).alias(
+                f"__csq_af_{o}"
+            )
+            for o, _ in _fp
         ],
     ]
-    va = looked.groupBy(*[F.col(c) for c in vcf_cols]).agg(*va_aggs)
-    grouped = looked.join(rolled, list(vcf_cols), "left").join(
-        va, list(vcf_cols), "left"
-    )
+    va = looked_af.groupBy(*[F.col(c) for c in vcf_cols]).agg(*va_aggs)
+    # rolled and va are BOTH variant-cardinality aggregates on the same
+    # keys: pre-join them, then ONE join against the (largest) looked frame
+    per_variant = rolled.join(va, list(vcf_cols), "full")
+    grouped = looked_af.join(per_variant, list(vcf_cols), "left")
     af_by_cache = {c: F.col(f"__csq_af_{o}") for o, c in _fp}
+    af_num = {c: F.col(f"__csq_afn_{o}") for o, c in _fp}
     # per-slot CSQ rendering (reference AF_COLUMNS table): the global AF
     # formats %.4f (format_af_4f), gnomAD sub-pop slots render empty
-    # outside --everything (emit_in_csq: false), everything else raw
+    # outside --everything (emit_in_csq: false — but --everything
+    # un-suppresses them: emit_in_csq || flags.everything,
+    # annotate_provider.rs:1837), everything else raw
+    _suppressed = () if csq_everything else VEP_CSQ_SUPPRESSED_AF_COLS
     af_strs = []
     for _, c in VEP_FREQUENCY_COLUMNS:
-        if c not in af_by_cache or c in VEP_CSQ_SUPPRESSED_AF_COLS:
+        if c not in af_by_cache or c in _suppressed:
             af_strs.append(F.lit(""))
         elif c == "AF":
+            # NULL must be guarded explicitly: format_string('%.4f', NULL)
+            # returns the literal string 'null' (Java Formatter), not SQL
+            # NULL, so a bare coalesce never fires
             af_strs.append(
-                F.coalesce(
-                    F.format_string("%.4f", af_by_cache[c]), F.lit("")
-                )
+                F.when(
+                    af_num[c].isNotNull(),
+                    F.format_string("%.4f", af_num[c]),
+                ).otherwise(F.lit(""))
             )
         else:
-            af_strs.append(F.coalesce(af_by_cache[c].cast("string"), F.lit("")))
-    # MAX_AF over sub-population columns only, short pop names
+            af_strs.append(F.coalesce(af_by_cache[c], F.lit("")))
+    # MAX_AF over sub-population columns only, short pop names; comparisons
+    # in double, but the RENDERED value is the winning column's raw string
+    # (the reference emits the raw cache slice)
     _sp = [(o, c) for o, c in _fp if c not in VEP_CSQ_GLOBAL_AF_COLS]
     if _sp:
-        _vals = [af_by_cache[c] for _, c in _sp]
+        _vals = [af_num[c] for _, c in _sp]
         _mx = F.greatest(*_vals) if len(_vals) > 1 else _vals[0]
-        max_af_s = F.coalesce(_mx.cast("string"), F.lit(""))
+        max_af_s = F.coalesce(
+            *[
+                F.when(af_num[c] == _mx, af_by_cache[c])
+                for _, c in _sp
+            ],
+            F.lit(""),
+        )
         max_pops_s = F.concat_ws(
             "&",
             F.filter(
-                F.array(*[F.when(af_by_cache[c] == _mx, F.lit(c)) for _, c in _sp]),
+                F.array(*[
+                    F.when(af_num[c] == _mx, F.lit(c))
+                    for _, c in _sp
+                ]),
                 lambda x: x.isNotNull(),
             ),
         )
@@ -1429,6 +1813,9 @@ def _annotate_codon(
         max_pops_s,
         F.coalesce(F.col("__csq_clin"), F.lit("")),
         F.lit(""), F.lit(""), F.lit(""),  # SOMATIC / PHENO / PUBMED
+        # --everything: the MOTIF block moves to the trailing five slots
+        # (always empty, like the reference's `{batch3_suffix}|||||`)
+        *([F.lit("")] * 5 if csq_everything else []),
     )
     ev_s = F.coalesce(F.col("__csq_ev"), F.lit(""))
     intergenic = F.lit("intergenic_variant")
@@ -1470,8 +1857,14 @@ def _annotate_codon(
         )
 
     freq_present = [(o, c) for o, c in VEP_FREQUENCY_COLUMNS if c in looked_cols]
+    # typed frequencies read the per-row extracted values (__afn: native
+    # numerics AND parsed pair-string matched-allele frequencies alike)
     freq_cols = [
-        (F.col(c).cast("float") if c in looked_cols else F.lit(None).cast("float")).alias(o)
+        (
+            F.col(f"__afn_{o}").cast("float")
+            if c in looked_cols
+            else F.lit(None).cast("float")
+        ).alias(o)
         for o, c in VEP_FREQUENCY_COLUMNS
     ]
     # MAX_AF excludes the three GLOBAL frequencies (AF / gnomADe / gnomADg:
@@ -1482,14 +1875,14 @@ def _annotate_codon(
         (o, c) for o, c in freq_present if c not in VEP_CSQ_GLOBAL_AF_COLS
     ]
     if _subpops:
-        vals = [F.col(c).cast("float") for _, c in _subpops]
+        vals = [F.col(f"__afn_{o}").cast("float") for o, _ in _subpops]
         max_af = F.greatest(*vals) if len(vals) > 1 else vals[0]
         max_pops = F.concat_ws(
             "&",
             F.filter(
                 F.array(*[
-                    F.when(F.col(c).cast("float") == max_af, F.lit(c))
-                    for _, c in _subpops
+                    F.when(F.col(f"__afn_{o}").cast("float") == max_af, F.lit(c))
+                    for o, c in _subpops
                 ]),
                 lambda x: x.isNotNull(),
             ),
@@ -1502,128 +1895,11 @@ def _annotate_codon(
         ]
     paired_tx = F.col("__best").isNotNull()
 
-    # SIFT/PolyPhen lookup (reference lookup_sift_polyphen,
-    # annotate_provider.rs:2099-2176): single-AA substitutions only,
-    # keyed by (transcript, protein_position, alt amino acid)
-    sift_col = F.lit(None).cast("string").alias("SIFT")
-    polyphen_col = F.lit(None).cast("string").alias("PolyPhen")
-    if sift is not None:
-        _check_contract(
-            sift, ("transcript_id", "protein_position", "alt_aa"), "sift"
-        )
-
-        def _s(name: str, typ: str) -> "F.Column":
-            return (
-                F.col(name).cast(typ)
-                if name in sift.columns
-                else F.lit(None).cast(typ)
-            ).alias(f"__s_{name}")
-
-        stbl = sift.select(
-            F.col("transcript_id").alias("__s_tx"),
-            F.col("protein_position").cast("long").alias("__s_pp"),
-            F.col("alt_aa").alias("__s_aa"),
-            _s("sift_prediction", "string"),
-            _s("sift_score", "double"),
-            _s("polyphen_prediction", "string"),
-            _s("polyphen_score", "double"),
-        ).dropDuplicates(["__s_tx", "__s_pp", "__s_aa"])
-        aa = F.col("__best.amino_acids")
-        alt_aa = F.when(aa.rlike(r"^[A-Z*]/[A-Z*]$"), F.substring(aa, 3, 1))
-        grouped = grouped.withColumn("__alt_aa", alt_aa).join(
-            F.broadcast(stbl),
-            (F.col("__best.feature") == F.col("__s_tx"))
-            & (F.col("__best.protein_position") == F.col("__s_pp"))
-            & (F.col("__alt_aa") == F.col("__s_aa")),
-            "left",
-        )
-
-        def _fmt(pred: str, score: str) -> "F.Column":
-            # VEP --sift b / --polyphen b rendering: prediction(score),
-            # spaces collapsed to underscores
-            p = F.regexp_replace(F.col(pred), " - ", " ")
-            p = F.regexp_replace(p, " ", "_")
-            return F.when(
-                F.col(pred).isNotNull(),
-                F.concat(p, F.lit("("), F.col(score).cast("string"), F.lit(")")),
-            )
-
-        sift_col = _fmt("__s_sift_prediction", "__s_sift_score").alias("SIFT")
-        polyphen_col = _fmt(
-            "__s_polyphen_prediction", "__s_polyphen_score"
-        ).alias("PolyPhen")
-
-    # DOMAINS lookup (reference lookup_domains, annotate_provider.rs:5990-
-    # 6056): protein-coordinate feature overlaps of the best transcript,
-    # labels 'analysis:hseqname' with space/;/= → '_', joined by '&'.
-    # The transcript's feature list is pre-aggregated (annotation-sized)
-    # and broadcast; the filter/label walk is a JVM higher-order function.
-    domains_col = F.lit(None).cast("string").alias("DOMAINS")
-    if domains is not None:
-        _check_contract(domains, ("transcript_id", "start", "end"), "domains")
-
-        def _d(name: str) -> "F.Column":
-            return (
-                F.col(name).cast("string")
-                if name in domains.columns
-                else F.lit(None).cast("string")
-            ).alias(name)
-
-        dtbl = (
-            domains.select(
-                F.col("transcript_id").alias("__d_tx"),
-                F.struct(
-                    F.col("start").cast("long").alias("s"),
-                    F.col("end").cast("long").alias("e"),
-                    _d("analysis"),
-                    _d("hseqname"),
-                ).alias("__d_f"),
-            )
-            .groupBy("__d_tx")
-            .agg(F.collect_list("__d_f").alias("__d_feats"))
-        )
-        grouped = grouped.join(
-            F.broadcast(dtbl), F.col("__best.feature") == F.col("__d_tx"), "left"
-        )
-        pp = F.col("__best.protein_position_str")
-        arr = F.split(pp, "-")
-        ps_raw = F.element_at(arr, 1).cast("long")
-        pe_raw = F.when(F.size(arr) > 1, F.element_at(arr, 2).cast("long")).otherwise(
-            ps_raw
-        )
-        # VEP's Mapper.map_insert swaps translation start/end for insertions
-        # (amino_acids '-/X'), excluding features touching only the exact
-        # insertion boundary
-        is_ins = F.col("__best.amino_acids").startswith("-/")
-        ps = F.when(is_ins, pe_raw).otherwise(ps_raw)
-        pe = F.when(is_ins, ps_raw).otherwise(pe_raw)
-        valid = pp.isNotNull() & ~pp.contains("?") & ps.isNotNull() & pe.isNotNull()
-        # the reference's lookup_domains skips a feature whose analysis AND
-        # hseqname are both NULL (parts.is_empty → continue) instead of
-        # emitting an empty label into the '&' join
-        labels = F.filter(
-            F.transform(
-                F.filter(
-                    F.coalesce(F.col("__d_feats"), F.array()),
-                    lambda f: (ps <= f["e"]) & (pe >= f["s"]),
-                ),
-                lambda f: F.regexp_replace(
-                    F.concat_ws(
-                        ":",
-                        *[
-                            F.when(f[k].isNotNull(), f[k])
-                            for k in ("analysis", "hseqname")
-                        ],
-                    ),
-                    r"[ ;=]",
-                    "_",
-                ),
-            ),
-            lambda lbl: lbl != "",
-        )
-        domains_col = F.when(
-            valid, F.nullif(F.array_join(labels, "&"), F.lit(""))
-        ).alias("DOMAINS")
+    # SIFT/PolyPhen/DOMAINS: per-entry values computed on the paired frame
+    # above ride the best-transcript struct into the typed layout
+    sift_col = F.col("__best.sift").alias("SIFT")
+    polyphen_col = F.col("__best.polyphen").alias("PolyPhen")
+    domains_col = F.col("__best.domains").alias("DOMAINS")
 
     meta_backed = {o for o, _ in VEP_TX_META_COLUMNS} | {"FLAGS"}
     null_tx_cols = []
@@ -1643,7 +1919,7 @@ def _annotate_codon(
         csq_col,
         ms_col,
         # ── transcript-level (computed) ──
-        F.col("alt").alias("Allele"),
+        _vep_alt_expr().alias("Allele"),
         F.concat_ws("&", F.col("__best.terms")).alias("Consequence"),
         F.coalesce(F.col("__best.impact"), F.lit("MODIFIER")).alias("IMPACT"),
         F.col("__best.symbol").alias("SYMBOL"),

@@ -205,7 +205,7 @@ def annotate_to_vcf(
     written."""
     import os
 
-    from ..operators.vep import VEP_CSQ_FIELDS, annotate_vep
+    from ..operators.vep import annotate_vep, vep_csq_fields
 
     ann = annotate_vep(vcf, cache, **annotate_kwargs)
     total = ann.count()
@@ -220,7 +220,25 @@ def annotate_to_vcf(
             out = out.withColumn(c, F.lit("."))
     write_vcf(out, path, info_col="info")
     try:
-        fmt = "|".join(VEP_CSQ_FIELDS)
+        # the advertised Format list must agree with the entry layout the
+        # body actually carries: codon-engine entries follow
+        # vep_csq_fields(csq_mode, csq_everything) (74/78/79 or 80/85/86
+        # fields); the positional engine emits its own short 5-field layout
+        engine = annotate_kwargs.get("engine", "auto")
+        if engine == "auto":
+            engine = (
+                "codon"
+                if annotate_kwargs.get("transcripts") is not None
+                else "positional"
+            )
+        if engine == "codon":
+            fields = vep_csq_fields(
+                annotate_kwargs.get("csq_mode", "ensembl"),
+                annotate_kwargs.get("csq_everything", False),
+            )
+        else:
+            fields = ["Allele", "Consequence", "Existing_variation", "SYMBOL", "Gene"]
+        fmt = "|".join(fields)
         header = (
             "##fileformat=VCFv4.2\n"
             '##INFO=<ID=CSQ,Number=.,Type=String,Description="Consequence '

@@ -893,3 +893,307 @@ def test_csq_field_indices_replay_reference_battery(spark):
         "REFSEQ_MATCH", "SOURCE", "REFSEQ_OFFSET", "GIVEN_REF", "USED_REF",
         "BAM_EDIT", "VARIANT_CLASS",
     ]
+
+
+def test_csq_everything_field_names_replay_reference_battery():
+    """Replay of the reference's --everything field-order assertions
+    (golden_benchmark.rs csq_field_names_everything_has_80_entries
+    :1287-1313 + the everything refseq/merged splice checks :1335-1352):
+    80 fields, VARIANT_CLASS follows FLAGS, generic MANE at 25, the
+    APPRIS/SIFT/PolyPhen/DOMAINS/miRNA/HGVS_OFFSET block, _AF-suffixed
+    gnomAD sub-pops, the trailing MOTIF block, and the provenance splice
+    before GENE_PHENO (85 / 86 fields)."""
+    from datafusion_bio_functions_spark.operators.vep import vep_csq_fields
+
+    e = vep_csq_fields(everything=True)
+    assert len(e) == 80
+    assert e[0] == "Allele" and e[1] == "Consequence"
+    assert e[6] == "Feature" and e[17] == "Existing_variation"
+    assert e[19] == "STRAND" and e[20] == "FLAGS"
+    assert e[21] == "VARIANT_CLASS"
+    assert e[24] == "CANONICAL" and e[25] == "MANE"
+    assert e[29] == "APPRIS" and e[35] == "UNIPROT_ISOFORM"
+    assert e[37] == "SIFT" and e[38] == "PolyPhen"
+    assert e[39] == "DOMAINS" and e[40] == "miRNA"
+    assert e[41] == "HGVS_OFFSET" and e[42] == "AF"
+    assert e[49] == "gnomADe_AFR_AF" and e[58] == "gnomADg_AF"
+    assert e[69] == "MAX_AF" and e[74] == "PUBMED"
+    assert e[75] == "MOTIF_NAME" and e[79] == "TRANSCRIPTION_FACTORS"
+    assert "SOURCE" not in e
+
+    er = vep_csq_fields("refseq", everything=True)
+    assert len(er) == 85
+    assert er[36:42] == [
+        "REFSEQ_MATCH", "REFSEQ_OFFSET", "GIVEN_REF", "USED_REF",
+        "BAM_EDIT", "GENE_PHENO",
+    ]
+    em = vep_csq_fields("merged", everything=True)
+    assert len(em) == 86
+    assert em[36:43] == [
+        "REFSEQ_MATCH", "SOURCE", "REFSEQ_OFFSET", "GIVEN_REF", "USED_REF",
+        "BAM_EDIT", "GENE_PHENO",
+    ]
+
+
+def test_csq_everything_entry_layout_end_to_end(spark):
+    """csq_everything=True end-to-end (reference writer arm,
+    annotate_provider.rs:4318-4455): 80-field entries with VARIANT_CLASS
+    after FLAGS, generic MANE derived from MANE_SELECT, abbreviated
+    APPRIS, per-entry SIFT/PolyPhen/DOMAINS, UN-suppressed gnomAD sub-pop
+    slots (emit_in_csq || everything, rs:1837), empty HGVS_OFFSET (no
+    FASTA shift) and the empty trailing MOTIF block."""
+    from datafusion_bio_functions_spark.operators.vep import (
+        annotate_vep,
+        vep_csq_fields,
+    )
+
+    vcf = spark.createDataFrame(
+        [("1", 1103, 1103, "G", "A")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [("1", 1103, 1103, "rs77", "G/A", "pathogenic", 0.25, 0.5, 0.0625)],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string, clin_sig string, AF float, gnomADe float, "
+        "gnomADe_AFR float",
+    )
+    tx = spark.createDataFrame(
+        [("T1", "1", 1100, 1108, 1, "protein_coding", "G1", "GENE1",
+          1100, 1108, "ATGGCTTAA", True, "NM_000001.1", "principal1")],
+        "transcript_id string, chrom string, start long, end long, strand int, "
+        "biotype string, gene_stable_id string, gene_symbol string, "
+        "cds_start long, cds_end long, cds_sequence string, "
+        "is_canonical boolean, mane_select string, appris string",
+    )
+    sift = spark.createDataFrame(
+        [("T1", 2, "T", "deleterious", 0.05, "probably damaging", 0.92)],
+        "transcript_id string, protein_position long, alt_aa string, "
+        "sift_prediction string, sift_score double, "
+        "polyphen_prediction string, polyphen_score double",
+    )
+    domains = spark.createDataFrame(
+        [("T1", 1, 3, "Pfam", "PF00001")],
+        "transcript_id string, start long, end long, analysis string, "
+        "hseqname string",
+    )
+    r = annotate_vep(
+        vcf, cache, transcripts=tx, sift=sift, domains=domains,
+        csq_everything=True,
+    ).collect()[0]
+    parts = r.CSQ.split("|")
+    assert len(parts) == 80
+    f = dict(zip(vep_csq_fields(everything=True), parts))
+    assert f["Allele"] == "A"
+    assert f["Consequence"] == "missense_variant"
+    assert f["FLAGS"] == "" and f["VARIANT_CLASS"] == "SNV"
+    assert f["CANONICAL"] == "YES"
+    # generic MANE derives from the MANE_SELECT slot (OutputFactory.pm)
+    assert f["MANE"] == "MANE_Select" and f["MANE_SELECT"] == "NM_000001.1"
+    assert f["APPRIS"] == "P1"       # principal1 abbreviates (format_appris)
+    assert f["SIFT"] == "deleterious(0.05)"
+    assert f["PolyPhen"] == "probably_damaging(0.92)"
+    assert f["DOMAINS"] == "Pfam:PF00001"
+    assert f["miRNA"] == "" and f["HGVS_OFFSET"] == ""
+    assert f["Existing_variation"] == "rs77"
+    assert f["AF"] == "0.2500" and f["gnomADe_AF"] == "0.5"
+    # --everything UN-suppresses the gnomAD sub-pop slots
+    assert f["gnomADe_AFR_AF"] == "0.0625"
+    assert f["MAX_AF"] == "0.0625" and f["MAX_AF_POPS"] == "gnomADe_AFR"
+    assert f["CLIN_SIG"] == "pathogenic"
+    # trailing MOTIF block: present and empty
+    for k in ("MOTIF_NAME", "MOTIF_POS", "HIGH_INF_POS",
+              "MOTIF_SCORE_CHANGE", "TRANSCRIPTION_FACTORS"):
+        assert f[k] == ""
+
+    # everything + refseq provenance splice (85 fields)
+    tx_r = tx.withColumn("source", F.lit("RefSeq")).withColumn(
+        "bam_edit_status", F.lit("ok")
+    ).withColumn("refseq_match", F.lit("Perfect match"))
+    r2 = annotate_vep(
+        vcf, cache, transcripts=tx_r, csq_mode="refseq", csq_everything=True
+    ).collect()[0]
+    parts2 = r2.CSQ.split("|")
+    assert len(parts2) == 85
+    f2 = dict(zip(vep_csq_fields("refseq", everything=True), parts2))
+    assert f2["REFSEQ_MATCH"] == "Perfect match" and f2["BAM_EDIT"] == "OK"
+    assert f2["GIVEN_REF"] == "G" and f2["USED_REF"] == "G"
+
+
+def test_csq_allele_slot_is_vep_minimized(spark):
+    """The CSQ Allele slot carries the VEP-minimized alt (reference writer
+    renders vcf_to_vep_allele's alt, annotate_provider.rs:3977/4076):
+    anchored insertions minimize to the inserted bases, deletions to '-';
+    raw VCF alts never appear for indels."""
+    from datafusion_bio_functions_spark.operators.vep import (
+        VEP_CSQ_FIELDS,
+        annotate_vep,
+    )
+
+    vcf = spark.createDataFrame(
+        [("1", 1103, 1103, "G", "GT"),      # insertion → 'T'
+         ("1", 1105, 1106, "GA", "G")],     # deletion  → '-'
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [], "chrom string, start long, end long, variation_name string, "
+        "allele_string string",
+    )
+    tx = spark.createDataFrame(
+        [("T1", "1", 1100, 1108, 1, "protein_coding", "G1", "GENE1")],
+        "transcript_id string, chrom string, start long, end long, strand int, "
+        "biotype string, gene_stable_id string, gene_symbol string",
+    )
+    rows = {r.alt: r for r in annotate_vep(vcf, cache, transcripts=tx).collect()}
+    ins = dict(zip(VEP_CSQ_FIELDS, rows["GT"].CSQ.split("|")))
+    dele = dict(zip(VEP_CSQ_FIELDS, rows["G"].CSQ.split("|")))
+    assert ins["Allele"] == "T" and ins["VARIANT_CLASS"] == "insertion"
+    assert dele["Allele"] == "-" and dele["VARIANT_CLASS"] == "deletion"
+
+
+def test_csq_af_null_guard_and_native_float_rendering(spark):
+    """Pinned ADVICE regressions: (1) a matched variant with a NULL global
+    AF renders an EMPTY CSQ AF slot — format_string('%.4f', NULL) returns
+    the literal 'null' (Java Formatter) unless guarded; (2) FloatType
+    cache frequencies render their native value ('0.1'), not the
+    float→double widening noise ('0.10000000149011612'), in sub-pop slots
+    and MAX_AF alike (reference emits the raw cache value)."""
+    from datafusion_bio_functions_spark.operators.vep import (
+        VEP_CSQ_FIELDS,
+        annotate_vep,
+    )
+
+    vcf = spark.createDataFrame(
+        [("1", 1103, 1103, "G", "A")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [("1", 1103, 1103, "rs77", "G/A", None, 0.1)],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string, AF float, AFR float",
+    )
+    tx = spark.createDataFrame(
+        [("T1", "1", 1100, 1108, 1, "protein_coding", "G1", "GENE1")],
+        "transcript_id string, chrom string, start long, end long, strand int, "
+        "biotype string, gene_stable_id string, gene_symbol string",
+    )
+    r = annotate_vep(vcf, cache, transcripts=tx).collect()[0]
+    f = dict(zip(VEP_CSQ_FIELDS, r.CSQ.split("|")))
+    assert f["AF"] == ""             # NULL guarded: no literal 'null'
+    assert "null" not in r.CSQ
+    assert f["AFR_AF"] == "0.1"      # native float rendering, no noise
+    assert f["MAX_AF"] == "0.1" and f["MAX_AF_POPS"] == "AFR"
+
+
+def test_annotate_to_vcf_header_matches_csq_mode(spark, tmp_path):
+    """The sink's ##INFO CSQ Format list follows the entry layout actually
+    written (ADVICE r7): vep_csq_fields(csq_mode, csq_everything) for the
+    codon engine, the short 5-field layout for the positional engine."""
+    from datafusion_bio_functions_spark.operators.vep import vep_csq_fields
+    from datafusion_bio_functions_spark.sources.readers import annotate_to_vcf
+
+    vcf = spark.createDataFrame(
+        [("1", 1103, 1103, "G", "A")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [("1", 1103, 1103, "rs77", "G/A")],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string",
+    )
+    tx = spark.createDataFrame(
+        [("T1", "1", 1100, 1108, 1, "protein_coding", "G1", "GENE1",
+          "RefSeq", "ok", "Perfect match")],
+        "transcript_id string, chrom string, start long, end long, strand int, "
+        "biotype string, gene_stable_id string, gene_symbol string, "
+        "source string, bam_edit_status string, refseq_match string",
+    )
+
+    def header(path):
+        return (path / "00_header.vcf").read_text()
+
+    p1 = tmp_path / "refseq"
+    annotate_to_vcf(vcf, cache, str(p1), transcripts=tx, csq_mode="refseq")
+    assert "|".join(vep_csq_fields("refseq")) in header(p1)
+
+    p2 = tmp_path / "everything"
+    annotate_to_vcf(vcf, cache, str(p2), transcripts=tx, csq_everything=True)
+    assert "|".join(vep_csq_fields(everything=True)) in header(p2)
+
+    p3 = tmp_path / "positional"
+    annotate_to_vcf(vcf, cache, str(p3))
+    assert "Allele|Consequence|Existing_variation|SYMBOL|Gene" in header(p3)
+    assert "VARIANT_CLASS" not in header(p3)
+
+
+def test_csq_af_pair_string_parsing_and_interpolation(spark):
+    """Ensembl pair-encoded AF cache columns (reference frequency_fields +
+    extract_af_for_allele, annotate_provider.rs:1717-1830, 2190-2210):
+    'allele:freq,allele:freq' strings parse per entry, the MATCHED
+    (VEP-minimized) allele's frequency is chosen, and the biallelic global
+    AF interpolates the missing allele as 1−total.  A pair-encoded cache
+    and a numeric per-allele cache must produce IDENTICAL CSQ and typed AF
+    values."""
+    from datafusion_bio_functions_spark.operators.vep import (
+        VEP_CSQ_FIELDS,
+        annotate_vep,
+        vep_csq_fields,
+    )
+
+    vcf = spark.createDataFrame(
+        [("1", 1103, 1103, "G", "A"),
+         ("1", 1105, 1105, "T", "C")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    tx = spark.createDataFrame(
+        [("T1", "1", 1100, 1108, 1, "protein_coding", "G1", "GENE1")],
+        "transcript_id string, chrom string, start long, end long, strand int, "
+        "biotype string, gene_stable_id string, gene_symbol string",
+    )
+    # pair-encoded layout: AFR carries both alleles, AF only the REF allele
+    # (the matched ALT 'A' is missing → biallelic interpolation: 1−0.9=0.1);
+    # the second variant's AF carries the matched allele directly
+    pair_cache = spark.createDataFrame(
+        [("1", 1103, 1103, "rs77", "G/A", "G:0.9", "A:0.0625,G:0.9375"),
+         ("1", 1105, 1105, "rs88", "T/C", "C:0.25,T:0.75", "C:0.125")],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string, AF string, AFR string",
+    )
+    num_cache = spark.createDataFrame(
+        [("1", 1103, 1103, "rs77", "G/A", 0.1, 0.0625),
+         ("1", 1105, 1105, "rs88", "T/C", 0.25, 0.125)],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string, AF double, AFR double",
+    )
+    for cache in (pair_cache, num_cache):
+        rows = {
+            r.start: r
+            for r in annotate_vep(vcf, cache, transcripts=tx).collect()
+        }
+        f1 = dict(zip(VEP_CSQ_FIELDS, rows[1103].CSQ.split("|")))
+        assert f1["AF"] == "0.1000"      # interpolated (pair) == direct (num)
+        assert f1["AFR_AF"] == "0.0625"  # matched allele A picked from pairs
+        assert f1["MAX_AF"] == "0.0625" and f1["MAX_AF_POPS"] == "AFR"
+        f2 = dict(zip(VEP_CSQ_FIELDS, rows[1105].CSQ.split("|")))
+        assert f2["AF"] == "0.2500" and f2["AFR_AF"] == "0.125"
+        # typed layout reads the same extracted values
+        trows = {
+            r.start: r
+            for r in annotate_vep(
+                vcf, cache, transcripts=tx, full_schema=True
+            ).collect()
+        }
+        assert abs(trows[1103]["AF"] - 0.1) < 1e-6
+        assert abs(trows[1103]["AFR_AF"] - 0.0625) < 1e-6
+        assert abs(trows[1105]["MAX_AF"] - 0.125) < 1e-6
+
+    # a pair string whose alleles don't include the matched alt (and a
+    # non-biallelic allele_string) yields an EMPTY slot, like the reference
+    miss_cache = spark.createDataFrame(
+        [("1", 1103, 1103, "rs99", "G/A/T", "G:0.5", "G:0.5")],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string, AF string, AFR string",
+    )
+    r = annotate_vep(vcf, miss_cache, transcripts=tx).collect()
+    hit = [x for x in r if x.start == 1103][0]
+    fm = dict(zip(VEP_CSQ_FIELDS, hit.CSQ.split("|")))
+    assert fm["AF"] == "" and fm["AFR_AF"] == "" and fm["MAX_AF"] == ""
