@@ -1197,3 +1197,50 @@ def test_csq_af_pair_string_parsing_and_interpolation(spark):
     hit = [x for x in r if x.start == 1103][0]
     fm = dict(zip(VEP_CSQ_FIELDS, hit.CSQ.split("|")))
     assert fm["AF"] == "" and fm["AFR_AF"] == "" and fm["MAX_AF"] == ""
+
+
+def test_csq_placeholder_width_all_modes(spark):
+    """Replay of the reference's placeholder-layout width battery
+    (annotate_provider.rs test_csq_placeholder_layout_matches_schema_width_
+    for_all_modes :8930 + aligns_refseq_and_merged_fields :8973): a variant
+    with NO transcript hit renders an intergenic placeholder entry of the
+    full mode width — 74/78/79 and 80/85/86 — with VARIANT_CLASS /
+    Batch-3 values in their mode-specific slots and empty provenance."""
+    from datafusion_bio_functions_spark.operators.vep import (
+        annotate_vep,
+        vep_csq_fields,
+    )
+
+    vcf = spark.createDataFrame(
+        [("1", 50, 50, "G", "A")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [("1", 50, 50, "rs123", "G/A", "pathogenic", 0.1)],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string, clin_sig string, AF double",
+    )
+    # transcript far away on another contig → intergenic placeholder
+    tx = spark.createDataFrame(
+        [("T1", "9", 1_000_000, 1_000_600, 1, "protein_coding", "G1", "GENE1")],
+        "transcript_id string, chrom string, start long, end long, strand int, "
+        "biotype string, gene_stable_id string, gene_symbol string",
+    )
+    for everything in (False, True):
+        for mode in ("ensembl", "refseq", "merged"):
+            fields = vep_csq_fields(mode, everything)
+            r = annotate_vep(
+                vcf, cache, transcripts=tx, csq_mode=mode,
+                csq_everything=everything,
+            ).collect()[0]
+            parts = r.CSQ.split("|")
+            assert len(parts) == len(fields), (mode, everything, len(parts))
+            f = dict(zip(fields, parts))
+            assert f["Consequence"] == "intergenic_variant"
+            assert f["VARIANT_CLASS"] == "SNV"
+            assert f["Existing_variation"] == "rs123"
+            assert f["CLIN_SIG"] == "pathogenic"
+            assert f["AF"] == "0.1000"
+            assert f["REFSEQ_MATCH" if mode != "ensembl" else "SYMBOL"] == ""
+            assert f["MOTIF_NAME"] == "" and f["TRANSCRIPTION_FACTORS"] == ""
+            assert r.most_severe_consequence == "intergenic_variant"
