@@ -3797,6 +3797,57 @@ def format_appris_col(col):
     )
 
 
+def format_hgvsp_output(
+    raw_hgvsp: str,
+    remove_hgvsp_version: bool = False,
+    no_escape: bool = False,
+    prediction_format: bool = False,
+) -> str:
+    """Output-time HGVSp transform (reference ``format_hgvsp_output``,
+    annotate_provider.rs:2418-2449; Ensembl VEP OutputFactory.pm
+    L1706-1715): optionally strip the translation version
+    (``ENSP1.2:p.X`` → ``ENSP1:p.X``, only when the suffix is all
+    digits), optionally parenthesize the protein change (``--hgvsp
+    (prediction format)``), and — by DEFAULT — URI-escape ``=`` to
+    ``%3D`` (VCF INFO reserves ``=``; ``no_escape`` disables it)."""
+    out = raw_hgvsp
+    if remove_hgvsp_version:
+        head, sep, tail = out.partition(":p.")
+        if sep:
+            base, dot, version = head.rpartition(".")
+            if dot and version.isdigit():
+                head = base
+            out = f"{head}{sep}{tail}"
+    if prediction_format:
+        head, sep, tail = out.partition(":p.")
+        if sep:
+            out = f"{head}{sep}({tail})"
+    if not no_escape:
+        out = out.replace("=", "%3D")
+    return out
+
+
+def format_hgvsp_output_col(
+    col,
+    remove_hgvsp_version: bool = False,
+    no_escape: bool = False,
+    prediction_format: bool = False,
+):
+    """Column twin of :func:`format_hgvsp_output` (kept adjacent so the
+    two renderings cannot drift).  The lazy ``^(.*?):p\\.`` prefix mirrors
+    the scalar twin's FIRST-occurrence ``:p.`` split."""
+    from pyspark.sql import functions as F
+
+    out = col
+    if remove_hgvsp_version:
+        out = F.regexp_replace(out, r"^(.*?)\.[0-9]+(:p\.)", r"$1$2")
+    if prediction_format:
+        out = F.regexp_replace(out, r"^(.*?):p\.(.*)$", r"$1:p.($2)")
+    if not no_escape:
+        out = F.replace(out, F.lit("="), F.lit("%3D"))
+    return out
+
+
 def format_prediction(prediction: str, score: float) -> str:
     """SIFT/PolyPhen ``prediction(score)`` rendering (reference
     format_prediction): spaces to underscores, the ``' - '`` separator

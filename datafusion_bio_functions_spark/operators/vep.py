@@ -128,8 +128,16 @@ def lookup_variants(
     extended_probes: bool = False,
     broadcast_vcf: bool | None = None,
     filter_op: str | None = None,
+    allowed_failed: int = 0,
 ) -> DataFrame:
     """Known-variant annotation: VCF LEFT-joined to the variation cache.
+
+    ``allowed_failed``: when the cache carries a ``failed`` column, rows
+    with ``failed > allowed_failed`` are dropped BEFORE matching — VEP's
+    ``filter_variation()`` QC filter (reference ``variant_lookup_exec.rs:
+    1213-1222``, options_json key ``failed``; default 0 excludes failed
+    variants).  The filter is a plain Catalyst predicate, so it pushes
+    into the cache scan.
 
     * coordinates are VEP-normalized on the VCF side (``vep_norm_start`` /
       ``vep_norm_end`` — prefix/suffix trim shifts, insertions encoded
@@ -158,6 +166,11 @@ def lookup_variants(
     _check_contract(cache, CACHE_REQUIRED, "cache")
     if match_mode not in ("exact", "relaxed"):
         raise ValueError(f"match_mode must be 'exact' or 'relaxed', got {match_mode!r}")
+    if "failed" in cache.columns:
+        cache = cache.filter(
+            F.coalesce(F.col("failed").cast("long"), F.lit(0))
+            <= F.lit(int(allowed_failed))
+        )
 
     if columns is None:
         columns = [
@@ -451,6 +464,322 @@ def _vep_alt_expr() -> "F.Column":
     )
 
 
+# ---------------------------------------------------------------------------
+# transcript selection (VEP --refseq/--merged/--gencode_basic/... filters)
+# ---------------------------------------------------------------------------
+
+#: RefSeq accession start: two uppercase letters, '_', a digit (reference
+#: is_default_refseq_transcript_id, annotate_provider.rs:5715-5749)
+_REFSEQ_ACCESSION_RE = r"^[A-Z]{2}_[0-9]"
+
+
+class TranscriptSelectionFlags:
+    """VEP transcript-set selection switches (reference
+    ``TranscriptSelectionFlags``, ``annotate_provider.rs:1224-1315``):
+    which rows of the transcripts context table participate in
+    annotation.  ``source_mode`` mirrors ``--refseq`` / ``--merged``
+    (default: Ensembl-source transcripts only); ``gencode_basic`` /
+    ``gencode_primary`` / ``all_refseq`` / ``exclude_predicted``
+    replicate the corresponding VEP filters, with the reference's
+    mutual-exclusion validation and error texts."""
+
+    __slots__ = (
+        "source_mode", "gencode_basic", "gencode_primary",
+        "all_refseq", "exclude_predicted",
+    )
+
+    def __init__(
+        self,
+        source_mode: str = "ensembl",
+        gencode_basic: bool = False,
+        gencode_primary: bool = False,
+        all_refseq: bool = False,
+        exclude_predicted: bool = False,
+    ) -> None:
+        self.source_mode = source_mode
+        self.gencode_basic = gencode_basic
+        self.gencode_primary = gencode_primary
+        self.all_refseq = all_refseq
+        self.exclude_predicted = exclude_predicted
+
+    @classmethod
+    def from_options(cls, options=None) -> "TranscriptSelectionFlags":
+        """Validate an options mapping (reference ``from_options_json``,
+        ``annotate_provider.rs:1232-1296`` — same rejected combinations,
+        same messages)."""
+        if options is None:
+            options = {}
+        if isinstance(options, TranscriptSelectionFlags):
+            return options
+        get = lambda k: bool(options.get(k, False))  # noqa: E731
+        refseq, merged = get("refseq"), get("merged")
+        gencode_basic, gencode_primary = get("gencode_basic"), get("gencode_primary")
+        all_refseq, exclude_predicted = get("all_refseq"), get("exclude_predicted")
+        if refseq and merged:
+            raise ValueError(
+                "annotate_vep(): --refseq and --merged are mutually exclusive"
+            )
+        if refseq and gencode_basic:
+            raise ValueError(
+                "annotate_vep(): --refseq and --gencode_basic are mutually exclusive"
+            )
+        if refseq and gencode_primary:
+            raise ValueError(
+                "annotate_vep(): --refseq and --gencode_primary are mutually exclusive"
+            )
+        if gencode_basic and gencode_primary:
+            raise ValueError(
+                "annotate_vep(): --gencode_basic and --gencode_primary "
+                "are mutually exclusive"
+            )
+        source_mode = "merged" if merged else ("refseq" if refseq else "ensembl")
+        if source_mode == "ensembl" and all_refseq:
+            raise ValueError(
+                "annotate_vep(): --all_refseq requires --refseq or --merged"
+            )
+        if source_mode == "ensembl" and exclude_predicted:
+            raise ValueError(
+                "annotate_vep(): --exclude_predicted requires --refseq or --merged"
+            )
+        return cls(
+            source_mode, gencode_basic, gencode_primary,
+            all_refseq, exclude_predicted,
+        )
+
+
+class HgvsFlags:
+    """HGVS emission switches (reference ``HgvsFlags``,
+    ``annotate_provider.rs:1176-1212``; Ensembl VEP Config.pm):
+    ``everything``/``hgvs`` imply ``hgvsc``+``hgvsp``; ``no_escape`` /
+    ``remove_hgvsp_version`` / ``hgvsp_use_prediction`` shape the
+    output-time HGVSp transform (``format_hgvsp_output``).  The pipeline
+    DEFAULT (``annotate_vep(hgvs_options=None)``) is hgvsc+hgvsp on —
+    i.e. a reference run with ``--hgvs`` — because this engine derives
+    HGVS from the transcript CDS model rather than a FASTA, so there is
+    no FASTA prerequisite to gate on."""
+
+    __slots__ = ("hgvsc", "hgvsp", "no_escape", "remove_hgvsp_version",
+                 "hgvsp_use_prediction")
+
+    def __init__(
+        self,
+        hgvsc: bool = True,
+        hgvsp: bool = True,
+        no_escape: bool = False,
+        remove_hgvsp_version: bool = False,
+        hgvsp_use_prediction: bool = False,
+    ) -> None:
+        self.hgvsc = hgvsc
+        self.hgvsp = hgvsp
+        self.no_escape = no_escape
+        self.remove_hgvsp_version = remove_hgvsp_version
+        self.hgvsp_use_prediction = hgvsp_use_prediction
+
+    @classmethod
+    def from_options(cls, options=None) -> "HgvsFlags":
+        if options is None:
+            return cls()
+        if isinstance(options, HgvsFlags):
+            return options
+        get = lambda k: bool(options.get(k, False))  # noqa: E731
+        hgvs = get("everything") or get("hgvs")
+        return cls(
+            hgvsc=hgvs or get("hgvsc"),
+            hgvsp=hgvs or get("hgvsp"),
+            no_escape=get("no_escape"),
+            remove_hgvsp_version=get("remove_hgvsp_version"),
+            hgvsp_use_prediction=get("hgvsp_use_prediction"),
+        )
+
+
+def _af_flag_group(output_name: str) -> int:
+    """AF flag group of a frequency output column (reference AF_COLUMNS
+    ``flag_group``, annotate_provider.rs:811-999): 0 = global AF (--af),
+    1 = 1000-genomes continental (--af_1kg), 2 = gnomAD exomes
+    (--af_gnomade), 3 = gnomAD genomes (--af_gnomadg)."""
+    if output_name == "AF":
+        return 0
+    if output_name.startswith("gnomADe"):
+        return 2
+    if output_name.startswith("gnomADg"):
+        return 3
+    return 1
+
+
+class VepFlags:
+    """Colocated-variant emission switches (reference ``VepFlags``,
+    ``annotate_provider.rs:1110-1162``; VEP Config.pm): ``check_existing``
+    gates the whole colocated block (Existing_variation / CLIN_SIG /
+    frequencies), the four ``af*`` switches gate their AF_COLUMNS flag
+    groups, ``max_af`` the MAX_AF/MAX_AF_POPS pair.  Implication rules
+    replicate the reference: ``everything`` turns on every sub-flag, and
+    any AF flag implies ``check_existing``.  The pipeline DEFAULT
+    (``annotate_vep(vep_options=None)``) is all-enabled — the engine's
+    historical permissive mode; pass a mapping (``{}`` for the
+    reference's raw all-off defaults) for reference semantics."""
+
+    __slots__ = ("check_existing", "af", "af_1kg", "af_gnomade",
+                 "af_gnomadg", "max_af", "pubmed")
+
+    def __init__(
+        self,
+        check_existing: bool = True,
+        af: bool = True,
+        af_1kg: bool = True,
+        af_gnomade: bool = True,
+        af_gnomadg: bool = True,
+        max_af: bool = True,
+        pubmed: bool = True,
+    ) -> None:
+        self.check_existing = check_existing
+        self.af = af
+        self.af_1kg = af_1kg
+        self.af_gnomade = af_gnomade
+        self.af_gnomadg = af_gnomadg
+        self.max_af = max_af
+        self.pubmed = pubmed
+
+    @classmethod
+    def from_options(cls, options=None) -> "VepFlags":
+        if options is None:
+            return cls()
+        if isinstance(options, VepFlags):
+            return options
+        get = lambda k: bool(options.get(k, False))  # noqa: E731
+        everything = get("everything")
+        af = everything or get("af")
+        af_1kg = everything or get("af_1kg")
+        af_gnomade = everything or get("af_gnomade")
+        af_gnomadg = everything or get("af_gnomadg")
+        max_af = everything or get("max_af")
+        pubmed = everything or get("pubmed")
+        check_existing = (
+            get("check_existing") or af or af_1kg or af_gnomade
+            or af_gnomadg or max_af or pubmed
+        )
+        return cls(check_existing, af, af_1kg, af_gnomade, af_gnomadg,
+                   max_af, pubmed)
+
+    def af_group_enabled(self, group: int) -> bool:
+        return (self.af, self.af_1kg, self.af_gnomade, self.af_gnomadg)[group]
+
+
+def transcript_selection_predicate(
+    flags: TranscriptSelectionFlags, columns: Sequence[str]
+) -> "F.Column":
+    """Row predicate over the transcripts table (reference
+    ``passes_transcript_selection``, ``annotate_provider.rs:5751-5783`` and
+    its source predicates ``:5642-5749``), as a Catalyst expression so the
+    filter evaluates inside the scan, pushes down to parquet where
+    possible, and shrinks the broadcast transcript side before the
+    variant×transcript pairing.  Optional columns (``source``,
+    ``display_xref_id``, ``is_gencode_basic``, ``is_gencode_primary``)
+    degrade to the reference struct's defaults (NULL / false) when the
+    table does not carry them."""
+    tid = F.col("transcript_id")
+    has = lambda c: c in columns  # noqa: E731
+    src = F.col("source").cast("string") if has("source") else F.lit(None).cast("string")
+    is_ensembl = F.coalesce(src == "Ensembl", F.lit(False)) | tid.startswith("ENST")
+    is_refseq = F.coalesce(src == "RefSeq", F.lit(False)) | F.substring(
+        tid, 1, 2
+    ).isin("NM", "NR", "XM", "XR")
+    is_predicted = tid.startswith("XM_") | tid.startswith("XR_")
+
+    # is_default_refseq_transcript_id (:5715): accession-shaped id, or a
+    # mitochondrial stable id, or an accession/MT-shaped display xref
+    acc = tid.rlike(_REFSEQ_ACCESSION_RE)
+    chrom = (
+        F.regexp_replace(F.col("chrom").cast("string"), "^chr", "")
+        if has("chrom")
+        else F.lit(None).cast("string")
+    )
+    is_mt = F.coalesce(chrom.isin("M", "MT", "m", "mt"), F.lit(False))
+    stripped = F.regexp_replace(tid, "^rna-", "")
+    mt_stable = tid.rlike(r"^[0-9]{4}$") | stripped.rlike(r"^[A-Z0-9]{3,}$")
+    dx = (
+        F.col("display_xref_id").cast("string")
+        if has("display_xref_id")
+        else F.lit(None).cast("string")
+    )
+    dx_ok = F.coalesce(
+        dx.rlike(_REFSEQ_ACCESSION_RE) | dx.rlike(r"^[0-9]{4}$"), F.lit(False)
+    )
+    default_refseq_id = acc | (is_mt & mt_stable) | dx_ok
+
+    refseq_kept = F.lit(flags.all_refseq) | default_refseq_id
+    if flags.source_mode == "refseq":
+        source_ok = is_refseq & refseq_kept
+    elif flags.source_mode == "merged":
+        source_ok = F.when(is_refseq, refseq_kept).otherwise(is_ensembl)
+    else:
+        source_ok = is_ensembl
+
+    pred = tid.isNotNull() & (tid != "")
+    if flags.gencode_basic:
+        gb = (
+            F.col("is_gencode_basic").cast("boolean")
+            if has("is_gencode_basic")
+            else F.lit(False)
+        )
+        pred = pred & F.coalesce(gb, F.lit(False))
+    if flags.gencode_primary:
+        gp = (
+            F.col("is_gencode_primary").cast("boolean")
+            if has("is_gencode_primary")
+            else F.lit(False)
+        )
+        pred = pred & F.coalesce(gp, F.lit(False))
+    if flags.exclude_predicted:
+        pred = pred & ~is_predicted
+    return F.coalesce(pred & source_ok, F.lit(False))
+
+
+def passes_transcript_selection(tx, flags: TranscriptSelectionFlags) -> bool:
+    """Scalar twin of :func:`transcript_selection_predicate` (kept adjacent
+    so the two cannot drift) — mirrors the reference row function
+    ``passes_transcript_selection`` for direct battery replay.  ``tx`` is a
+    mapping with the transcript columns (missing keys = struct defaults)."""
+    tid = tx.get("transcript_id") or ""
+    if not tid:
+        return False
+    if flags.gencode_basic and not tx.get("is_gencode_basic", False):
+        return False
+    if flags.gencode_primary and not tx.get("is_gencode_primary", False):
+        return False
+    is_predicted = tid.startswith("XM_") or tid.startswith("XR_")
+    if flags.exclude_predicted and is_predicted:
+        return False
+    src = tx.get("source")
+    is_ensembl = src == "Ensembl" or tid.startswith("ENST")
+    is_refseq = src == "RefSeq" or tid[:2] in ("NM", "NR", "XM", "XR")
+
+    def _default_refseq_id() -> bool:
+        import re
+
+        if re.match(_REFSEQ_ACCESSION_RE, tid):
+            return True
+        chrom = (tx.get("chrom") or "").removeprefix("chr")
+        if chrom in ("M", "MT", "m", "mt"):
+            stripped = tid.removeprefix("rna-")
+            if re.fullmatch(r"[0-9]{4}", tid) or re.fullmatch(
+                r"[A-Z0-9]{3,}", stripped
+            ):
+                return True
+        dx = tx.get("display_xref_id")
+        return bool(
+            dx
+            and (re.match(_REFSEQ_ACCESSION_RE, dx) or re.fullmatch(r"[0-9]{4}", dx))
+        )
+
+    if flags.source_mode == "refseq":
+        return is_refseq and (flags.all_refseq or _default_refseq_id())
+    if flags.source_mode == "merged":
+        if is_refseq:
+            return flags.all_refseq or _default_refseq_id()
+        return is_ensembl
+    return is_ensembl
+
+
 def variant_class_col(ref, alt) -> "F.Column":
     """SQL-expressible VEP ``VARIANT_CLASS`` (mirrors
     ``functions.consequence.variant_class``)."""
@@ -486,8 +815,47 @@ def annotate_vep(
     domains: DataFrame | None = None,
     csq_mode: str = "ensembl",
     csq_everything: bool = False,
+    transcript_selection=None,
+    hgvs_options=None,
+    vep_options=None,
+    allowed_failed: int = 0,
 ) -> DataFrame:
     """Annotation pipeline: known-variant lookup + consequence assignment.
+
+    ``vep_options`` (codon engine): a mapping of VEP colocated-variant
+    switches ``{'check_existing'/'af'/'af_1kg'/'af_gnomade'/'af_gnomadg'/
+    'max_af'/'pubmed'/'everything': bool}`` (reference ``VepFlags``,
+    ``annotate_provider.rs:1110-1162``).  ``None`` (default) enables
+    everything — the engine's historical permissive mode; an explicit
+    mapping replicates the reference's raw defaults (``{}`` disables the
+    whole colocated block, like a reference call without flags; any AF
+    flag implies ``check_existing`` per VEP).
+
+    ``hgvs_options`` (codon engine): a mapping of VEP HGVS switches
+    ``{'hgvs'/'hgvsc'/'hgvsp'/'everything': bool, 'no_escape': bool,
+    'remove_hgvsp_version': bool, 'hgvsp_use_prediction': bool}``
+    (reference ``HgvsFlags.from_options_json``,
+    ``annotate_provider.rs:1186-1208``).  ``None`` (default) behaves as
+    a reference run with ``--hgvs``: both HGVSc and HGVSp emit.  An
+    explicit mapping replicates the reference's raw defaults — pass
+    ``{}`` to suppress HGVS output entirely, like a reference call
+    without HGVS flags.  HGVSp values pass through the output-time
+    transform (``format_hgvsp_output``, ``annotate_provider.rs:
+    2418-2449``): translation-version strip, prediction-format parens,
+    and the DEFAULT ``=`` → ``%3D`` escape for VCF INFO safety.
+
+    ``transcript_selection`` (codon engine): a mapping of VEP
+    transcript-set switches ``{'refseq': bool, 'merged': bool,
+    'gencode_basic': bool, 'gencode_primary': bool, 'all_refseq': bool,
+    'exclude_predicted': bool}`` (or a prebuilt
+    :class:`TranscriptSelectionFlags`) — reference
+    ``TranscriptSelectionFlags.from_options_json``
+    (``annotate_provider.rs:1232-1296``) + ``passes_transcript_selection``
+    (``:5751-5783``).  The filter is a Catalyst predicate on the
+    transcripts table, so it prunes before the broadcast pairing.  When
+    ``csq_mode`` is left at its default, the refseq/merged source mode
+    also selects the matching CSQ provenance layout (reference
+    ``refseq_fields()`` / ``source_field()``).
 
     ``csq_mode`` (codon engine): the CSQ string layout for the cache
     source mode — ``'ensembl'`` (74 fields, default), ``'refseq'``
@@ -568,8 +936,16 @@ def annotate_vep(
     if engine == "codon":
         if transcripts is None:
             raise ValueError("engine='codon' requires a transcripts DataFrame")
+        if transcript_selection is not None:
+            flags = TranscriptSelectionFlags.from_options(transcript_selection)
+            transcripts = transcripts.filter(
+                transcript_selection_predicate(flags, transcripts.columns)
+            )
+            if csq_mode == "ensembl" and flags.source_mode != "ensembl":
+                csq_mode = flags.source_mode
         looked = lookup_variants(
-            vcf, cache, match_mode=match_mode, extended_probes=extended_probes
+            vcf, cache, match_mode=match_mode, extended_probes=extended_probes,
+            allowed_failed=allowed_failed,
         )
         vep_csq_fields(csq_mode, csq_everything)  # validate early
         return _annotate_codon(
@@ -578,6 +954,8 @@ def annotate_vep(
             regulatory=regulatory, motifs=motifs, structural=structural,
             mirnas=mirnas, translations=translations, sift=sift,
             domains=domains, csq_mode=csq_mode, csq_everything=csq_everything,
+            hgvs_flags=HgvsFlags.from_options(hgvs_options),
+            vep_flags=VepFlags.from_options(vep_options),
         )
     if any(
         x is not None
@@ -593,10 +971,20 @@ def annotate_vep(
         raise ValueError(
             "csq_mode/csq_everything require the codon engine (transcripts)"
         )
+    if (
+        transcript_selection is not None
+        or hgvs_options is not None
+        or vep_options is not None
+    ):
+        raise ValueError(
+            "transcript_selection/hgvs_options/vep_options require the "
+            "codon engine (transcripts)"
+        )
     if engine != "positional":
         raise ValueError(f"engine must be 'auto', 'codon' or 'positional', got {engine!r}")
     looked = lookup_variants(
-        vcf, cache, match_mode=match_mode, extended_probes=extended_probes
+        vcf, cache, match_mode=match_mode, extended_probes=extended_probes,
+        allowed_failed=allowed_failed,
     )
 
     if transcripts is not None:
@@ -739,6 +1127,8 @@ def _annotate_codon(
     domains: DataFrame | None = None,
     csq_mode: str = "ensembl",
     csq_everything: bool = False,
+    hgvs_flags: "HgvsFlags | None" = None,
+    vep_flags: "VepFlags | None" = None,
 ) -> DataFrame:
     """Variant×transcript pairing (broadcast range join on chrom) + per-pair
     classification through ``functions.consequence.classify`` in one
@@ -1076,7 +1466,14 @@ def _annotate_codon(
             out["terms"].append(terms if terms else None)
             out["impact"].append(cq.SO_IMPACT.get(ms) if ms else None)
             out["hgvsc"].append(cq.hgvs_c(tr, p, r, a))
-            out["hgvsp"].append(cq.hgvs_p(tr, p, r, a))
+            # the reference's HGVSp OUTPUT dispatch (transcript_consequence
+            # .rs:4807-5010), not bare hgvs_p: suppresses protein notation
+            # for non-coding original terms and replays edited-RefSeq
+            # transcript-sequence shifts; genomic shift state is None — it
+            # is FASTA-derived and this pipeline runs without a FASTA
+            out["hgvsp"].append(
+                cq.protein_hgvs_for_output(tr, p, r, a, None, terms)
+            )
             det = cq.annotation_details(tr, p, r, a)
             for k_ in _detail_keys:
                 out[k_].append(det[k_])
@@ -1134,6 +1531,30 @@ def _annotate_codon(
         F.when(F.size(F.col("__res.terms")) > 0, F.col("__res.terms")).otherwise(
             F.lit(None).cast("array<string>")
         ),
+    )
+
+    # ── HGVS output gating + the output-time HGVSp transform (reference
+    # hgvs_flags consumption at BOTH writers, annotate_provider.rs:
+    # 4243-4260 CSQ entry / 4645-4660 typed column): hgvsc/hgvsp switch
+    # the slots off entirely; format_hgvsp_output strips the translation
+    # version / parenthesizes the prediction form / escapes '=' → '%3D'
+    # by default (no_escape inverts) ──
+    from ..functions.consequence import format_hgvsp_output_col
+
+    hf = hgvs_flags if hgvs_flags is not None else HgvsFlags()
+    paired = paired.withColumn(
+        "__hgvsc",
+        F.col("__res.hgvsc") if hf.hgvsc else F.lit(None).cast("string"),
+    ).withColumn(
+        "__hgvsp",
+        format_hgvsp_output_col(
+            F.col("__res.hgvsp"),
+            hf.remove_hgvsp_version,
+            hf.no_escape,
+            hf.hgvsp_use_prediction,
+        )
+        if hf.hgvsp
+        else F.lit(None).cast("string"),
     )
 
     # ── per-entry SIFT / PolyPhen / DOMAINS (reference lookup_sift_polyphen
@@ -1299,8 +1720,8 @@ def _annotate_codon(
         _e(F.col("__t_biotype")),
         _e(F.col("__res.exon")),
         _e(F.col("__res.intron")),
-        csq_escape_col(F.col("__res.hgvsc")),
-        csq_escape_col(F.col("__res.hgvsp")),
+        csq_escape_col(F.col("__hgvsc")),
+        csq_escape_col(F.col("__hgvsp")),
         _e(F.col("__res.cdna_position_str")),
         _e(F.col("__res.cds_position_str")),
         _e(F.col("__res.protein_position_str")),
@@ -1313,7 +1734,7 @@ def _annotate_codon(
     # carries; REFSEQ_OFFSET renders only when an HGVSc was emitted, like
     # the reference's refseq_offset_value gate
     _roff = F.when(
-        F.col("__res.hgvsc").isNotNull(), F.col("__res.refseq_offset")
+        F.col("__hgvsc").isNotNull(), F.col("__res.refseq_offset")
     )
     if csq_mode == "refseq":
         src_span = [
@@ -1450,8 +1871,8 @@ def _annotate_codon(
             F.col("__t_symbol").alias("symbol"),
             F.col("__t_biotype").alias("biotype"),
             F.col("__res.impact").alias("impact"),
-            F.col("__res.hgvsc").alias("hgvsc"),
-            F.col("__res.hgvsp").alias("hgvsp"),
+            F.col("__hgvsc").alias("hgvsc"),
+            F.col("__hgvsp").alias("hgvsp"),
             F.col("__terms").alias("terms"),
             F.col("__t_strand").alias("strand"),
             F.col("__res.exon").alias("exon"),
@@ -1467,7 +1888,7 @@ def _annotate_codon(
             F.col("__res.protein_position_str").alias("protein_position_str"),
             F.col("__res.given_ref").alias("given_ref"),
             F.col("__res.used_ref").alias("used_ref"),
-            F.col("__res.refseq_offset").alias("refseq_offset"),
+            _roff.alias("refseq_offset"),
             F.upper(F.col("__t_refseq.bam")).alias("bam_edit"),
             F.col("__t_refseq.src").alias("source"),
             F.col("__t_refseq.refseq_match").alias("refseq_match"),
@@ -1668,7 +2089,19 @@ def _annotate_codon(
     # annotate_provider.rs:3990-4060; '&' join order here is sorted for
     # determinism), frequency fields the per-variant max of each cache
     # column rendered as strings
+    vf = vep_flags if vep_flags is not None else VepFlags()
     _fp = [(o, c) for o, c in VEP_FREQUENCY_COLUMNS if c in looked.columns]
+    # flag gating (reference should_process, annotate_provider.rs:1738):
+    # a frequency column is even EXTRACTED only when its flag group or
+    # max_af wants it, and never when check_existing is off — the whole
+    # colocated block is skipped then (:4012)
+    if not vf.check_existing:
+        _fp = []
+    else:
+        _fp = [
+            (o, c) for o, c in _fp
+            if vf.max_af or vf.af_group_enabled(_af_flag_group(o))
+        ]
     # ── per-row AF VALUE extraction (reference frequency_fields,
     # annotate_provider.rs:1717-1830): numeric cache columns carry the
     # matched allele's frequency directly (per-allele relational layout);
@@ -1765,8 +2198,12 @@ def _annotate_codon(
     # annotate_provider.rs:1837), everything else raw
     _suppressed = () if csq_everything else VEP_CSQ_SUPPRESSED_AF_COLS
     af_strs = []
-    for _, c in VEP_FREQUENCY_COLUMNS:
-        if c not in af_by_cache or c in _suppressed:
+    for o, c in VEP_FREQUENCY_COLUMNS:
+        if (
+            c not in af_by_cache
+            or c in _suppressed
+            or not vf.af_group_enabled(_af_flag_group(o))
+        ):
             af_strs.append(F.lit(""))
         elif c == "AF":
             # NULL must be guarded explicitly: format_string('%.4f', NULL)
@@ -1784,7 +2221,7 @@ def _annotate_codon(
     # in double, but the RENDERED value is the winning column's raw string
     # (the reference emits the raw cache slice)
     _sp = [(o, c) for o, c in _fp if c not in VEP_CSQ_GLOBAL_AF_COLS]
-    if _sp:
+    if _sp and vf.max_af:
         _vals = [af_num[c] for _, c in _sp]
         _mx = F.greatest(*_vals) if len(_vals) > 1 else _vals[0]
         max_af_s = F.coalesce(
@@ -1811,13 +2248,21 @@ def _annotate_codon(
         *af_strs,
         max_af_s,
         max_pops_s,
-        F.coalesce(F.col("__csq_clin"), F.lit("")),
+        (
+            F.coalesce(F.col("__csq_clin"), F.lit(""))
+            if vf.check_existing
+            else F.lit("")
+        ),
         F.lit(""), F.lit(""), F.lit(""),  # SOMATIC / PHENO / PUBMED
         # --everything: the MOTIF block moves to the trailing five slots
         # (always empty, like the reference's `{batch3_suffix}|||||`)
         *([F.lit("")] * 5 if csq_everything else []),
     )
-    ev_s = F.coalesce(F.col("__csq_ev"), F.lit(""))
+    ev_s = (
+        F.coalesce(F.col("__csq_ev"), F.lit(""))
+        if vf.check_existing
+        else F.lit("")
+    )
     intergenic = F.lit("intergenic_variant")
     csq_col = (
         F.when(
@@ -1834,11 +2279,16 @@ def _annotate_codon(
         .alias("CSQ")
     )
     ms_col = F.coalesce(F.col("__ms"), intergenic).alias("most_severe_consequence")
+    _ev_typed = (
+        F.coalesce(F.col("variation_name"), F.lit(""))
+        if vf.check_existing
+        else F.lit("")
+    )
     if not full_schema:
         return grouped.select(
             *looked_cols,
             ms_col,
-            F.coalesce(F.col("variation_name"), F.lit("")).alias("existing_variation"),
+            _ev_typed.alias("existing_variation"),
             csq_col,
             F.coalesce(F.col("__best.impact"), F.lit("MODIFIER")).alias("impact"),
             F.col("__best.symbol").alias("gene_symbol"),
@@ -1856,13 +2306,22 @@ def _annotate_codon(
             F.col(name).cast(typ) if name in looked_cols else F.lit(None).cast(typ)
         )
 
-    freq_present = [(o, c) for o, c in VEP_FREQUENCY_COLUMNS if c in looked_cols]
+    def _coloc(name: str, typ: str = "string") -> "F.Column":
+        # colocated-variant passthrough: the whole block types NULL when
+        # check_existing is off (reference :4012 — variant_fields default)
+        if not vf.check_existing:
+            return F.lit(None).cast(typ)
+        return _cache(name, typ)
+
     # typed frequencies read the per-row extracted values (__afn: native
-    # numerics AND parsed pair-string matched-allele frequencies alike)
+    # numerics AND parsed pair-string matched-allele frequencies alike);
+    # a column types NULL when the cache lacks it OR its flag group is off
+    # (reference af_values filled only under af_group_enabled, :1787)
+    _extracted = {o for o, _ in _fp}
     freq_cols = [
         (
             F.col(f"__afn_{o}").cast("float")
-            if c in looked_cols
+            if o in _extracted and vf.af_group_enabled(_af_flag_group(o))
             else F.lit(None).cast("float")
         ).alias(o)
         for o, c in VEP_FREQUENCY_COLUMNS
@@ -1872,9 +2331,9 @@ def _annotate_codon(
     # annotate_provider.rs:812-999) and MAX_AF_POPS names pops by their
     # SHORT cache names (AFR, gnomADe_AFR, ...)
     _subpops = [
-        (o, c) for o, c in freq_present if c not in VEP_CSQ_GLOBAL_AF_COLS
+        (o, c) for o, c in _fp if c not in VEP_CSQ_GLOBAL_AF_COLS
     ]
-    if _subpops:
+    if _subpops and vf.max_af:
         vals = [F.col(f"__afn_{o}").cast("float") for o, _ in _subpops]
         max_af = F.greatest(*vals) if len(vals) > 1 else vals[0]
         max_pops = F.concat_ws(
@@ -1939,7 +2398,7 @@ def _annotate_codon(
         F.col("__best.protein_position_str").alias("Protein_position"),
         F.col("__best.amino_acids").alias("Amino_acids"),
         F.col("__best.codons").alias("Codons"),
-        F.coalesce(F.col("variation_name"), F.lit("")).alias("Existing_variation"),
+        _ev_typed.alias("Existing_variation"),
         F.col("__best.distance").alias("DISTANCE"),
         F.col("__best.strand").alias("STRAND"),
         variant_class_col(F.col("ref"), F.col("alt")).alias("VARIANT_CLASS"),
@@ -1953,20 +2412,27 @@ def _annotate_codon(
         *max_af_cols,
         # ── variant-level (9) ── cache passthrough when the variation
         # cache carries the column (somatic/pheno flags, pubmed ids)
-        _cache("clin_sig").alias("CLIN_SIG"),
+        _coloc("clin_sig").alias("CLIN_SIG"),
         *[
-            (_cache(c.lower()) if c in ("SOMATIC", "PHENO", "PUBMED")
-             else F.lit(None).cast("string")).alias(c)
+            (
+                _coloc(c.lower())
+                if c in ("SOMATIC", "PHENO")
+                else (
+                    _coloc("pubmed")
+                    if c == "PUBMED" and vf.pubmed
+                    else F.lit(None).cast("string")
+                )
+            ).alias(c)
             for c in VEP_NULL_VARIANT_COLUMNS
         ],
         # ── cache-only passthrough (7) ──
-        _cache("clin_sig_allele").alias("clin_sig_allele"),
-        _cache("clinical_impact").alias("clinical_impact"),
-        _cache("minor_allele").alias("minor_allele"),
-        _cache("minor_allele_freq", "float").alias("minor_allele_freq"),
-        _cache("clinvar_ids").alias("clinvar_ids"),
-        _cache("cosmic_ids").alias("cosmic_ids"),
-        _cache("dbsnp_ids").alias("dbsnp_ids"),
+        _coloc("clin_sig_allele").alias("clin_sig_allele"),
+        _coloc("clinical_impact").alias("clinical_impact"),
+        _coloc("minor_allele").alias("minor_allele"),
+        _coloc("minor_allele_freq", "float").alias("minor_allele_freq"),
+        _coloc("clinvar_ids").alias("clinvar_ids"),
+        _coloc("cosmic_ids").alias("cosmic_ids"),
+        _coloc("dbsnp_ids").alias("dbsnp_ids"),
         # ── RefSeq provenance sextet, LAST like the reference layout
         # (annotate_provider.rs:640-720, values :4266-4285):
         # REFSEQ_MATCH/SOURCE are transcript-cache passthrough, the

@@ -32,7 +32,12 @@ Argument conventions mirror ``table_function.rs:59-259``:
 * annotate_vep: table names + trailing JSON options literal
   (``bio-function-vep/src/annotate_table_function.rs:19-132``; options keys
   here: ``match_mode, extended_probes, upstream_distance,
-  downstream_distance, engine``),
+  downstream_distance, engine`` plus the reference's boolean flag
+  families — transcript selection ``refseq/merged/gencode_basic/
+  gencode_primary/all_refseq/exclude_predicted``, HGVS ``hgvs/hgvsc/
+  hgvsp/no_escape/remove_hgvsp_version/hgvsp_use_prediction``,
+  colocated ``check_existing/af/af_1kg/af_gnomade/af_gnomadg/max_af/
+  pubmed`` and ``everything``),
 * backticks in string args rejected (SQL-injection guard, ``:40-57``).
 """
 
@@ -347,15 +352,45 @@ def _eval_udtf(spark: SparkSession, name: str, args: list[object]) -> DataFrame:
             )
         tdf = spark.table(tables[0]) if len(tables) >= 1 else None
         edf = spark.table(tables[1]) if len(tables) == 2 else None
-        allowed = {"match_mode", "extended_probes", "upstream_distance",
-                   "downstream_distance", "engine", "full_schema",
-                   "regulatory", "motifs", "structural", "mirnas",
-                   "translations", "sift"}
+        # reference options_json boolean families, parsed from the SAME
+        # top-level object (TranscriptSelectionFlags/HgvsFlags/VepFlags
+        # .from_options_json, annotate_provider.rs:1110-1296) and mapped
+        # to the matching annotate_vep() keyword groups
+        _sel_keys = {"refseq", "merged", "gencode_basic", "gencode_primary",
+                     "all_refseq", "exclude_predicted"}
+        _hgvs_keys = {"hgvs", "hgvsc", "hgvsp", "no_escape",
+                      "remove_hgvsp_version", "hgvsp_use_prediction"}
+        _vep_keys = {"check_existing", "af", "af_1kg", "af_gnomade",
+                     "af_gnomadg", "max_af", "pubmed"}
+        allowed = (
+            {"match_mode", "extended_probes", "upstream_distance",
+             "downstream_distance", "engine", "full_schema",
+             "regulatory", "motifs", "structural", "mirnas",
+             "translations", "sift", "everything", "failed"}
+            | _sel_keys | _hgvs_keys | _vep_keys
+        )
         bad = set(opts) - allowed
         if bad:
             raise BioSqlError(
                 f"annotate_vep() unknown options_json keys: {sorted(bad)}"
             )
+        everything = bool(opts.pop("everything", False))
+        sel = {k: opts.pop(k) for k in list(opts) if k in _sel_keys}
+        hgvs = {k: opts.pop(k) for k in list(opts) if k in _hgvs_keys}
+        vepf = {k: opts.pop(k) for k in list(opts) if k in _vep_keys}
+        if everything:
+            hgvs["everything"] = vepf["everything"] = True
+            opts["csq_everything"] = True
+        if sel:
+            opts["transcript_selection"] = sel
+        if hgvs or everything:
+            opts["hgvs_options"] = hgvs
+        if vepf or everything:
+            opts["vep_options"] = vepf
+        if "failed" in opts:
+            # reference options_json key "failed" → allowed_failed
+            # (variant_lookup_exec.rs QC filter threshold)
+            opts["allowed_failed"] = int(opts.pop("failed"))
         # context-feature arms name registered tables (the reference resolves
         # the same arms from its partitioned-cache layout by convention:
         # regulatory/ motif/ structural/, annotate_provider.rs:8198-8209)

@@ -208,3 +208,40 @@ def test_annotate_vep_udtf_context_arms(spark, vep_views):
             "SELECT * FROM annotate_vep('sqlvcf', 'sqlcache', 'sqltx', "
             "'{\"regulatory\": 5}')",
         )
+
+
+def test_annotate_vep_udtf_reference_flag_families(spark, vep_views):
+    """The reference parses transcript-selection / HGVS / colocated flag
+    families from the SAME top-level options_json
+    (annotate_provider.rs:1110-1296) — the SQL surface maps them to the
+    matching annotate_vep() keyword groups."""
+    # af=true implies check_existing (VEP implication) → rs1 renders
+    got = bio_sql(
+        spark,
+        "SELECT start, existing_variation AS ev FROM annotate_vep("
+        "'sqlvcf', 'sqlcache', 'sqltx', '{\"af\": true}') ORDER BY start",
+    )
+    assert [r.ev for r in got.collect()] == ["rs1", ""]
+    # raw reference defaults (no flags) empty the colocated block: the
+    # presence of ANY vep-flag key switches off the permissive default
+    got = bio_sql(
+        spark,
+        "SELECT start, existing_variation AS ev FROM annotate_vep("
+        "'sqlvcf', 'sqlcache', 'sqltx', '{\"check_existing\": false}') "
+        "ORDER BY start",
+    )
+    assert [r.ev for r in got.collect()] == ["", ""]
+    # refseq selection drops the ENST transcript -> both rows intergenic
+    got = bio_sql(
+        spark,
+        "SELECT most_severe_consequence AS msc FROM annotate_vep("
+        "'sqlvcf', 'sqlcache', 'sqltx', '{\"refseq\": true}')",
+    )
+    assert {r.msc for r in got.collect()} == {"intergenic_variant"}
+    # invalid combination propagates the reference's error text
+    with pytest.raises(Exception, match="mutually exclusive"):
+        bio_sql(
+            spark,
+            "SELECT * FROM annotate_vep('sqlvcf', 'sqlcache', 'sqltx', "
+            "'{\"refseq\": true, \"merged\": true}')",
+        )

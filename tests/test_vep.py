@@ -1244,3 +1244,432 @@ def test_csq_placeholder_width_all_modes(spark):
             assert f["REFSEQ_MATCH" if mode != "ensembl" else "SYMBOL"] == ""
             assert f["MOTIF_NAME"] == "" and f["TRANSCRIPTION_FACTORS"] == ""
             assert r.most_severe_consequence == "intergenic_variant"
+
+
+def test_transcript_selection_flags_reject_invalid_combinations():
+    """annotate_provider.rs test_transcript_selection_flags_reject_invalid_
+    combinations (:8897): the reference's rejected switch combinations and
+    message fragments."""
+    from datafusion_bio_functions_spark.operators.vep import (
+        TranscriptSelectionFlags,
+    )
+
+    for opts, frag in [
+        ({"refseq": True, "merged": True}, "--refseq and --merged"),
+        ({"refseq": True, "gencode_basic": True}, "--refseq and --gencode_basic"),
+        ({"refseq": True, "gencode_primary": True}, "--refseq and --gencode_primary"),
+        (
+            {"gencode_basic": True, "gencode_primary": True},
+            "--gencode_basic and --gencode_primary",
+        ),
+        ({"all_refseq": True}, "--all_refseq requires --refseq or --merged"),
+        (
+            {"exclude_predicted": True},
+            "--exclude_predicted requires --refseq or --merged",
+        ),
+    ]:
+        with pytest.raises(ValueError, match=frag.replace("--", "--")):
+            TranscriptSelectionFlags.from_options(opts)
+
+
+def test_passes_transcript_selection_reference_battery(spark):
+    """annotate_provider.rs test_passes_transcript_selection_matches_vep_
+    refseq_filters (:9409): the same six transcripts × six selections,
+    replayed against BOTH the scalar twin and the Catalyst predicate
+    (actual DataFrame filter) so the two cannot drift."""
+    from datafusion_bio_functions_spark.operators.vep import (
+        TranscriptSelectionFlags,
+        passes_transcript_selection,
+        transcript_selection_predicate,
+    )
+
+    rows = [
+        # (transcript_id, source, display_xref_id, gencode_basic, gencode_primary)
+        ("ENST00000311111", "Ensembl", None, False, False),
+        ("NM_000001", "RefSeq", None, False, False),
+        ("CCDS1234.1", "RefSeq", "CCDS1234", False, False),
+        ("XM_123456", "RefSeq", None, False, False),
+        ("ENST00000322222", "Ensembl", None, True, True),
+    ]
+    t = spark.createDataFrame(
+        [(tid, "1", 1, 100, src, dx, gb, gp) for tid, src, dx, gb, gp in rows],
+        "transcript_id string, chrom string, start long, end long, "
+        "source string, display_xref_id string, "
+        "is_gencode_basic boolean, is_gencode_primary boolean",
+    )
+
+    cases = [
+        # (options, expected surviving transcript_ids)
+        (None, {"ENST00000311111", "ENST00000322222"}),
+        # CCDS excluded without all_refseq; XM_ is an accession-shaped
+        # default id (only exclude_predicted removes it)
+        ({"refseq": True}, {"NM_000001", "XM_123456"}),
+        (
+            {"merged": True, "all_refseq": True},
+            {"ENST00000311111", "ENST00000322222", "NM_000001",
+             "CCDS1234.1", "XM_123456"},
+        ),
+        (
+            {"merged": True, "all_refseq": True, "exclude_predicted": True},
+            {"ENST00000311111", "ENST00000322222", "NM_000001", "CCDS1234.1"},
+        ),
+        ({"gencode_basic": True}, {"ENST00000322222"}),
+        ({"merged": True, "gencode_primary": True}, {"ENST00000322222"}),
+    ]
+    cols = t.columns
+    for opts, expected in cases:
+        flags = TranscriptSelectionFlags.from_options(opts)
+        got = {
+            r.transcript_id
+            for r in t.filter(transcript_selection_predicate(flags, cols)).collect()
+        }
+        assert got == expected, (opts, got)
+        scalar = {
+            tid
+            for tid, src, dx, gb, gp in rows
+            if passes_transcript_selection(
+                {
+                    "transcript_id": tid, "chrom": "1", "source": src,
+                    "display_xref_id": dx, "is_gencode_basic": gb,
+                    "is_gencode_primary": gp,
+                },
+                flags,
+            )
+        }
+        assert scalar == expected, (opts, scalar)
+
+
+def test_transcript_selection_mitochondrial_default_ids():
+    """is_default_refseq_transcript_id's mitochondrial arm
+    (annotate_provider.rs:5715-5749): 4-digit stable ids and rna-prefixed
+    uppercase ids count as default RefSeq ids on chrM only."""
+    from datafusion_bio_functions_spark.operators.vep import (
+        TranscriptSelectionFlags,
+        passes_transcript_selection,
+    )
+
+    flags = TranscriptSelectionFlags.from_options({"refseq": True})
+    mt = {"transcript_id": "4577", "chrom": "MT", "source": "RefSeq"}
+    assert passes_transcript_selection(mt, flags)
+    assert passes_transcript_selection({**mt, "transcript_id": "rna-TRNF"}, flags)
+    # same ids off the mitochondrion are not default accessions
+    assert not passes_transcript_selection({**mt, "chrom": "1"}, flags)
+    assert not passes_transcript_selection(
+        {**mt, "chrom": "1", "transcript_id": "rna-TRNF"}, flags
+    )
+    # display xref fallback works anywhere
+    assert passes_transcript_selection(
+        {
+            "transcript_id": "CCDS9.1", "chrom": "1", "source": "RefSeq",
+            "display_xref_id": "NM_000123",
+        },
+        flags,
+    )
+
+
+def test_annotate_vep_transcript_selection_end_to_end(spark):
+    """transcript_selection filters the pairing AND (csq_mode left default)
+    picks the matching provenance CSQ layout: a refseq selection keeps only
+    the NM_ transcript and renders the 78-field refseq layout."""
+    from datafusion_bio_functions_spark.operators.vep import vep_csq_fields
+
+    vcf = spark.createDataFrame(
+        [("1", 1103, 1103, "G", "A")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [], "chrom string, start long, end long, variation_name string, "
+        "allele_string string",
+    )
+    tx = spark.createDataFrame(
+        [
+            ("ENST00000001", "1", 1100, 1108, 1, "protein_coding",
+             "G1", "GENE1", "Ensembl"),
+            ("NM_000001", "1", 1100, 1108, 1, "protein_coding",
+             "G1", "GENE1", "RefSeq"),
+        ],
+        "transcript_id string, chrom string, start long, end long, "
+        "strand int, biotype string, gene_stable_id string, "
+        "gene_symbol string, source string",
+    )
+    out = annotate_vep(
+        vcf, cache, transcripts=tx, transcript_selection={"refseq": True},
+    )
+    r = out.collect()[0]
+    fields = vep_csq_fields("refseq")
+    entries = r.CSQ.split(",")
+    assert len(entries) == 1  # the Ensembl transcript was filtered out
+    parts = entries[0].split("|")
+    assert len(parts) == len(fields) == 78
+    f = dict(zip(fields, parts))
+    assert f["Feature"] == "NM_000001"
+    # positional engine rejects the option
+    with pytest.raises(ValueError, match="codon engine"):
+        annotate_vep(vcf, cache, transcript_selection={"refseq": True})
+
+
+def test_annotate_vep_sift_skip_semantics(spark):
+    """annotate_provider.rs test_lookup_sift_polyphen_non_substitution_
+    skipped / _missing_transcript (:8616,:8650): multi-residue alt AAs,
+    range protein positions, and transcripts absent from the prediction
+    table all leave SIFT/PolyPhen NULL."""
+    from datafusion_bio_functions_spark.operators.vep import annotate_vep
+
+    vcf = spark.createDataFrame(
+        [
+            ("1", 1103, 1103, "G", "A"),      # A/T missense at codon 2 (T1)
+            ("1", 1104, 1103, "-", "TTT"),    # inframe insertion: range pos
+        ],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [], "chrom string, start long, end long, variation_name string, "
+        "allele_string string",
+    )
+    tx = spark.createDataFrame(
+        [("T_MISSING", "1", 1100, 1108, 1, "protein_coding", "G1", "GENE1",
+          1100, 1108, "ATGGCTTAA")],
+        "transcript_id string, chrom string, start long, end long, "
+        "strand int, biotype string, gene_stable_id string, "
+        "gene_symbol string, cds_start long, cds_end long, "
+        "cds_sequence string",
+    )
+    # prediction table keyed by a DIFFERENT transcript: missing-transcript
+    # lookups stay empty even when position+alt match
+    sift = spark.createDataFrame(
+        [("T_OTHER", 2, "T", "deleterious", 0.01, "probably damaging", 0.95)],
+        "transcript_id string, protein_position long, alt_aa string, "
+        "sift_prediction string, sift_score double, "
+        "polyphen_prediction string, polyphen_score double",
+    )
+    rows = annotate_vep(
+        vcf, cache, transcripts=tx, full_schema=True, sift=sift
+    ).orderBy("start").collect()
+    assert all(r.SIFT is None and r.PolyPhen is None for r in rows)
+
+
+def test_format_hgvsp_output_twins(spark):
+    """format_hgvsp_output (annotate_provider.rs:2418-2449; VEP
+    OutputFactory.pm L1706-1715): version strip only when the suffix is
+    all digits, prediction parens around the FIRST :p. suffix, '=' → %3D
+    by default — scalar and Column twins agree on every case."""
+    from datafusion_bio_functions_spark.functions.consequence import (
+        format_hgvsp_output,
+        format_hgvsp_output_col,
+    )
+
+    cases = [
+        # (raw, remove_version, no_escape, prediction, expected)
+        ("ENSP1.2:p.Ala2Val", False, False, False, "ENSP1.2:p.Ala2Val"),
+        ("ENSP1.2:p.Ala2Val", True, False, False, "ENSP1:p.Ala2Val"),
+        ("ENSP0.1.2:p.Ala2Val", True, False, False, "ENSP0.1:p.Ala2Val"),
+        # non-digit version → untouched
+        ("ENSP1.x:p.Ala2Val", True, False, False, "ENSP1.x:p.Ala2Val"),
+        ("ENSP1:p.Ala2Val", True, False, False, "ENSP1:p.Ala2Val"),
+        # synonymous: default escapes '='
+        ("ENSP1.2:p.Ala2=", False, False, False, "ENSP1.2:p.Ala2%3D"),
+        ("ENSP1.2:p.Ala2=", False, True, False, "ENSP1.2:p.Ala2="),
+        # prediction format parenthesizes the whole suffix
+        ("ENSP1.2:p.Ala2Val", False, False, True, "ENSP1.2:p.(Ala2Val)"),
+        ("ENSP1.2:p.Ala2=", True, False, True, "ENSP1:p.(Ala2%3D)"),
+        # no :p. → only the escape applies
+        ("nonsense=", False, False, True, "nonsense%3D"),
+    ]
+    for raw, rv, ne, pf, want in cases:
+        assert format_hgvsp_output(raw, rv, ne, pf) == want, (raw, rv, ne, pf)
+    df = spark.createDataFrame([(raw,) for raw, *_ in cases], "raw string")
+    for i, (raw, rv, ne, pf, want) in enumerate(cases):
+        got = (
+            df.filter(F.col("raw") == raw)
+            .select(format_hgvsp_output_col(F.col("raw"), rv, ne, pf).alias("o"))
+            .collect()[0].o
+        )
+        assert got == want, ("column twin", raw, rv, ne, pf, got)
+
+
+def test_annotate_vep_hgvs_options_end_to_end(spark):
+    """hgvs_flags at the writers (annotate_provider.rs:4243-4260 CSQ /
+    4645-4660 typed): the default escapes synonymous '=' to %3D in both
+    the CSQ entry and the typed HGVSp; hgvs_options={} (reference raw
+    default) empties both HGVS slots; no_escape keeps '='."""
+    from datafusion_bio_functions_spark.operators.vep import (
+        annotate_vep,
+        vep_csq_fields,
+    )
+
+    vcf = spark.createDataFrame(
+        [("1", 1105, 1105, "T", "C")],   # GCT->GCC codon 2: synonymous
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [], "chrom string, start long, end long, variation_name string, "
+        "allele_string string",
+    )
+    tx = spark.createDataFrame(
+        [("T1", "1", 1100, 1108, 1, "protein_coding", "G1", "GENE1",
+          1100, 1108, "ATGGCTTAA")],
+        "transcript_id string, chrom string, start long, end long, "
+        "strand int, biotype string, gene_stable_id string, "
+        "gene_symbol string, cds_start long, cds_end long, "
+        "cds_sequence string",
+    )
+    fields = vep_csq_fields("ensembl")
+
+    r = annotate_vep(vcf, cache, transcripts=tx, full_schema=True).collect()[0]
+    f = dict(zip(fields, r.CSQ.split("|")))
+    assert f["Consequence"] == "synonymous_variant"
+    assert f["HGVSp"] == "T1:p.Ala2%3D"
+    assert r.HGVSp == "T1:p.Ala2%3D"
+    assert f["HGVSc"] == "T1:c.6T>C" and r.HGVSc == "T1:c.6T>C"
+
+    r = annotate_vep(
+        vcf, cache, transcripts=tx, full_schema=True,
+        hgvs_options={"hgvs": True, "no_escape": True},
+    ).collect()[0]
+    f = dict(zip(fields, r.CSQ.split("|")))
+    assert f["HGVSp"] == "T1:p.Ala2=" and r.HGVSp == "T1:p.Ala2="
+
+    # reference raw defaults: no hgvs flags → both slots empty
+    r = annotate_vep(
+        vcf, cache, transcripts=tx, full_schema=True, hgvs_options={},
+    ).collect()[0]
+    f = dict(zip(fields, r.CSQ.split("|")))
+    assert f["HGVSc"] == "" and f["HGVSp"] == ""
+    assert r.HGVSc is None and r.HGVSp is None
+    assert f["Consequence"] == "synonymous_variant"  # terms unaffected
+
+    # positional engine rejects the option
+    with pytest.raises(ValueError, match="codon engine"):
+        annotate_vep(vcf, cache, hgvs_options={"hgvs": True})
+
+
+def test_vep_flags_implication_rules():
+    """VepFlags.from_options (annotate_provider.rs:1110-1162): everything
+    implies every sub-flag; any AF flag implies check_existing; the raw
+    mapping default is all-off."""
+    from datafusion_bio_functions_spark.operators.vep import VepFlags
+
+    raw = VepFlags.from_options({})
+    assert not raw.check_existing and not raw.af and not raw.max_af
+
+    ce = VepFlags.from_options({"af_gnomadg": True})
+    assert ce.check_existing and ce.af_gnomadg
+    assert not ce.af and not ce.af_1kg and not ce.af_gnomade and not ce.max_af
+
+    ev = VepFlags.from_options({"everything": True})
+    assert all(
+        getattr(ev, k)
+        for k in ("check_existing", "af", "af_1kg", "af_gnomade",
+                  "af_gnomadg", "max_af", "pubmed")
+    )
+
+    permissive = VepFlags.from_options(None)
+    assert permissive.check_existing and permissive.af and permissive.max_af
+
+
+def test_annotate_vep_vep_options_gating(spark):
+    """vep_options gates the colocated block (reference :4012 and the
+    AF_COLUMNS flag groups): {} empties Existing_variation/CLIN_SIG/AF;
+    af alone renders only the global AF; max_af alone extracts
+    frequencies for MAX_AF but keeps every CSQ AF slot empty."""
+    from datafusion_bio_functions_spark.operators.vep import (
+        annotate_vep,
+        vep_csq_fields,
+    )
+
+    vcf = spark.createDataFrame(
+        [("1", 1103, 1103, "G", "A")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [("1", 1103, 1103, "rs77", "G/A", "pathogenic", 0.25, 0.5)],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string, clin_sig string, AF double, AFR double",
+    )
+    tx = spark.createDataFrame(
+        [("T1", "1", 1100, 1108, 1, "protein_coding", "G1", "GENE1")],
+        "transcript_id string, chrom string, start long, end long, "
+        "strand int, biotype string, gene_stable_id string, "
+        "gene_symbol string",
+    )
+    fields = vep_csq_fields("ensembl")
+
+    # permissive default: everything renders
+    r = annotate_vep(vcf, cache, transcripts=tx, full_schema=True).collect()[0]
+    f = dict(zip(fields, r.CSQ.split("|")))
+    assert f["Existing_variation"] == "rs77" and f["CLIN_SIG"] == "pathogenic"
+    assert f["AF"] == "0.2500" and f["AFR_AF"] == "0.5"
+    assert f["MAX_AF"] == "0.5" and f["MAX_AF_POPS"] == "AFR"
+    assert r.Existing_variation == "rs77" and r.CLIN_SIG == "pathogenic"
+    assert abs(r.AF - 0.25) < 1e-6 and abs(r.MAX_AF - 0.5) < 1e-6
+
+    # reference raw defaults: the whole colocated block is off
+    r = annotate_vep(
+        vcf, cache, transcripts=tx, full_schema=True, vep_options={},
+    ).collect()[0]
+    f = dict(zip(fields, r.CSQ.split("|")))
+    assert f["Existing_variation"] == "" and f["CLIN_SIG"] == ""
+    assert f["AF"] == "" and f["AFR_AF"] == ""
+    assert f["MAX_AF"] == "" and f["MAX_AF_POPS"] == ""
+    assert r.Existing_variation == "" and r.CLIN_SIG is None
+    assert r.AF is None and r.MAX_AF is None
+
+    # --af alone: global AF only (check_existing implied)
+    r = annotate_vep(
+        vcf, cache, transcripts=tx, full_schema=True,
+        vep_options={"af": True},
+    ).collect()[0]
+    f = dict(zip(fields, r.CSQ.split("|")))
+    assert f["AF"] == "0.2500" and f["AFR_AF"] == ""
+    assert f["MAX_AF"] == "" and f["Existing_variation"] == "rs77"
+    assert abs(r.AF - 0.25) < 1e-6 and r.AFR_AF is None and r.MAX_AF is None
+
+    # --max_af alone: frequencies feed MAX_AF but no AF slot renders
+    r = annotate_vep(
+        vcf, cache, transcripts=tx, full_schema=True,
+        vep_options={"max_af": True},
+    ).collect()[0]
+    f = dict(zip(fields, r.CSQ.split("|")))
+    assert f["AF"] == "" and f["AFR_AF"] == ""
+    assert f["MAX_AF"] == "0.5" and f["MAX_AF_POPS"] == "AFR"
+    assert r.AF is None and r.AFR_AF is None and abs(r.MAX_AF - 0.5) < 1e-6
+
+
+def test_lookup_variants_failed_filter(spark):
+    """VEP filter_variation() QC filter (variant_lookup_exec.rs:1213-1222,
+    options_json key 'failed'): cache rows with failed > allowed_failed are
+    dropped BEFORE matching; default 0 excludes failed variants, NULL
+    failed counts as 0."""
+    vcf = spark.createDataFrame(
+        [("1", 100, 100, "A", "T"), ("1", 200, 200, "G", "C")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [("1", 100, 100, "rs_failed", "A/T", 1),
+         ("1", 200, 200, "rs_ok", "G/C", None)],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string, failed int",
+    )
+    rows = {r.start: r for r in lookup_variants(vcf, cache).collect()}
+    assert rows[100].variation_name is None and rows[100].matched is False
+    assert rows[200].variation_name == "rs_ok" and rows[200].matched is True
+
+    rows = {
+        r.start: r
+        for r in lookup_variants(vcf, cache, allowed_failed=1).collect()
+    }
+    assert rows[100].variation_name == "rs_failed"
+
+    # threaded through annotate_vep + the SQL surface 'failed' key
+    from datafusion_bio_functions_spark.sql_surface import bio_sql
+
+    out = annotate_vep(vcf, cache).orderBy("start").collect()
+    assert out[0].existing_variation == "" and out[1].existing_variation == "rs_ok"
+    vcf.createOrReplaceTempView("failvcf")
+    cache.createOrReplaceTempView("failcache")
+    got = bio_sql(
+        spark,
+        "SELECT start, existing_variation AS ev FROM annotate_vep("
+        "'failvcf', 'failcache', '{\"failed\": 1}') ORDER BY start",
+    )
+    assert [r.ev for r in got.collect()] == ["rs_failed", "rs_ok"]
