@@ -273,6 +273,48 @@ def _transcripts(spark, sf_dir):
     )
 
 
+#: (label, options) pairs for the transcript-selection gate row — one
+#: output frame per selection mode
+TX_SELECTION_CASES = [
+    ("ensembl_default", None),
+    ("refseq", {"refseq": True}),
+    ("merged", {"merged": True}),
+    ("merged_all", {"merged": True, "all_refseq": True}),
+    ("merged_all_xp", {"merged": True, "all_refseq": True,
+                       "exclude_predicted": True}),
+    ("gencode_basic", {"gencode_basic": True}),
+]
+
+
+def _tx_sourced(spark, sf_dir):
+    """Source-labelled transcript view for the selection predicate gate
+    row: Ensembl/RefSeq sources, accession-shaped (NM_/XM_) and CCDS ids,
+    mitochondrial 4-digit stable ids, display-xref fallbacks, gencode
+    flags — every arm of is_default_refseq_transcript_id gets rows."""
+    n = _read(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    ks = k.cast("string")
+    tid = (
+        F.when(k % 5 == 0, F.lpad(ks, 4, "0"))
+        .when(k % 4 == 0, F.concat(F.lit("NM_00"), ks))
+        .when(k % 4 == 1, F.concat(F.lit("ENST0000"), ks))
+        .when(k % 4 == 2, F.concat(F.lit("XM_0"), ks))
+        .otherwise(F.concat(F.lit("CCDS"), ks, F.lit(".1")))
+    )
+    return n.select(
+        tid.alias("transcript_id"),
+        F.when(k % 5 == 0, "MT").otherwise((k % 3 + 1).cast("string")).alias("chrom"),
+        F.lit(1).cast("long").alias("start"),
+        F.lit(1000).cast("long").alias("end"),
+        F.when(k % 4 == 1, "Ensembl").otherwise("RefSeq").alias("source"),
+        F.when(k % 8 == 3, F.concat(F.lit("NM_9"), ks))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("display_xref_id"),
+        (k % 2 == 0).alias("is_gencode_basic"),
+        (k % 6 == 0).alias("is_gencode_primary"),
+    )
+
+
 def _tx_exons(spark, sf_dir):
     """Two exons per transcript: [start, start+250] and [start+350, end]."""
     t = _transcripts(spark, sf_dir)
@@ -450,6 +492,8 @@ _GATE_ORDER = [
     "substring_dup_spans",
     "repetition_stats",
     "repetition_filter",
+    "lookup_failed",
+    "tx_selection",
 ]
 
 
@@ -543,6 +587,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["annotate_existing"] = lambda spark, sf: annotate_vep(
         _vcf(spark, sf), _var_cache(spark, sf)
     ).select("chrom", "start", "end", "ref", "alt", "existing_variation")
+
+    # VEP filter_variation() QC gate (variant_lookup_exec.rs:1213-1222):
+    # cache rows with failed > allowed_failed (default 0) drop BEFORE
+    # matching; ~1/7 of the derived cache is flagged failed
+    def _var_cache_failed(spark, sf):
+        return _var_cache(spark, sf).withColumn(
+            "failed",
+            F.when(
+                F.substring("variation_name", 3, 20).cast("long") % 7 == 0, 1
+            ).otherwise(0),
+        )
+
+    q["lookup_failed"] = lambda spark, sf: lookup_variants(
+        _vcf(spark, sf),
+        _var_cache_failed(spark, sf),
+        columns=["variation_name", "allele_string", "clin_sig"],
+    )
+
+    # transcript-selection predicate (passes_transcript_selection,
+    # annotate_provider.rs:5751-5783) over a source-labelled transcript
+    # view exercising every arm: Ensembl/RefSeq sources, accession-shaped
+    # and CCDS ids, XM_ predicted rows, mitochondrial stable ids,
+    # display-xref fallbacks, gencode flags; one frame per selection mode,
+    # value-checked against an independent SQL formulation
+    def _tx_selection(spark, sf):
+        from datafusion_bio_functions_spark.operators.vep import (
+            TranscriptSelectionFlags,
+            transcript_selection_predicate,
+        )
+
+        t = _tx_sourced(spark, sf)
+        frames = []
+        for label, opts in TX_SELECTION_CASES:
+            flags = TranscriptSelectionFlags.from_options(opts)
+            frames.append(
+                t.filter(
+                    transcript_selection_predicate(flags, t.columns)
+                ).select(F.lit(label).alias("selection"), "transcript_id")
+            )
+        out = frames[0]
+        for fdf in frames[1:]:
+            out = out.unionByName(fdf)
+        return out
+
+    q["tx_selection"] = _tx_selection
 
     def _tpch_pricing(spark, sf):
         li = _read(spark, sf, "lineitem")
@@ -1467,6 +1556,63 @@ SELECT v.chrom, v.start, v."end", v.ref, v.alt,
 FROM v LEFT JOIN c
   ON v.chrom = c.chrom AND v.start = c.start AND v."end" = c."end"
  AND c.allele_string = concat(v.ref, '/', v.alt)"""
+    # the failed-variant QC filter drops flagged cache rows BEFORE matching
+    # (failed <= allowed_failed, default 0)
+    o["lookup_failed"] = f"""
+WITH v AS ({VCF_SQL}),
+c AS (SELECT * FROM ({VAR_CACHE_SQL})
+      WHERE CAST(substr(variation_name, 3) AS BIGINT) % 7 <> 0)
+SELECT v.chrom, v.start, v."end", v.ref, v.alt,
+       c.variation_name, c.allele_string, c.clin_sig,
+       (c.variation_name IS NOT NULL) AS matched
+FROM v LEFT JOIN c
+  ON v.chrom = c.chrom AND v.start = c.start AND v."end" = c."end"
+ AND c.allele_string = concat(v.ref, '/', v.alt)"""
+    # independent SQL formulation of passes_transcript_selection over the
+    # same derived view (predicates spelled out, not shared with the
+    # Column builder)
+    o["tx_selection"] = """
+WITH t AS (
+  SELECT
+    CASE WHEN n_nationkey % 5 = 0 THEN lpad(CAST(n_nationkey AS VARCHAR), 4, '0')
+         WHEN n_nationkey % 4 = 0 THEN concat('NM_00', CAST(n_nationkey AS VARCHAR))
+         WHEN n_nationkey % 4 = 1 THEN concat('ENST0000', CAST(n_nationkey AS VARCHAR))
+         WHEN n_nationkey % 4 = 2 THEN concat('XM_0', CAST(n_nationkey AS VARCHAR))
+         ELSE concat('CCDS', CAST(n_nationkey AS VARCHAR), '.1') END AS transcript_id,
+    CASE WHEN n_nationkey % 5 = 0 THEN 'MT'
+         ELSE CAST(n_nationkey % 3 + 1 AS VARCHAR) END AS chrom,
+    CASE WHEN n_nationkey % 4 = 1 THEN 'Ensembl' ELSE 'RefSeq' END AS source,
+    CASE WHEN n_nationkey % 8 = 3 THEN concat('NM_9', CAST(n_nationkey AS VARCHAR))
+         ELSE NULL END AS display_xref_id,
+    (n_nationkey % 2 = 0) AS gb
+  FROM nation
+), p AS (
+  SELECT *,
+    (source = 'Ensembl' OR starts_with(transcript_id, 'ENST')) AS is_ens,
+    (source = 'RefSeq'
+      OR substr(transcript_id, 1, 2) IN ('NM', 'NR', 'XM', 'XR')) AS is_rsq,
+    (starts_with(transcript_id, 'XM_')
+      OR starts_with(transcript_id, 'XR_')) AS is_pred,
+    (regexp_matches(transcript_id, '^[A-Z]{2}_[0-9]')
+      OR (chrom IN ('M', 'MT', 'm', 'mt')
+          AND (regexp_full_match(transcript_id, '[0-9]{4}')
+               OR regexp_full_match(
+                    regexp_replace(transcript_id, '^rna-', ''),
+                    '[A-Z0-9]{3,}')))
+      OR (display_xref_id IS NOT NULL
+          AND (regexp_matches(display_xref_id, '^[A-Z]{2}_[0-9]')
+               OR regexp_full_match(display_xref_id, '[0-9]{4}')))) AS def_id
+  FROM t
+)
+SELECT 'ensembl_default' AS selection, transcript_id FROM p WHERE is_ens
+UNION ALL SELECT 'refseq', transcript_id FROM p WHERE is_rsq AND def_id
+UNION ALL SELECT 'merged', transcript_id FROM p
+  WHERE CASE WHEN is_rsq THEN def_id ELSE is_ens END
+UNION ALL SELECT 'merged_all', transcript_id FROM p
+  WHERE CASE WHEN is_rsq THEN TRUE ELSE is_ens END
+UNION ALL SELECT 'merged_all_xp', transcript_id FROM p
+  WHERE (CASE WHEN is_rsq THEN TRUE ELSE is_ens END) AND NOT is_pred
+UNION ALL SELECT 'gencode_basic', transcript_id FROM p WHERE gb AND is_ens"""
     o["tpch_order_priority"] = """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders

@@ -1470,9 +1470,13 @@ def _annotate_codon(
             # .rs:4807-5010), not bare hgvs_p: suppresses protein notation
             # for non-coding original terms and replays edited-RefSeq
             # transcript-sequence shifts; genomic shift state is None — it
-            # is FASTA-derived and this pipeline runs without a FASTA
+            # is FASTA-derived and this pipeline runs without a FASTA.
+            # Sequence-less transcripts can never yield HGVSp (hgvs_p's
+            # first guard) — skip the dispatch's normalize/shift prechecks
             out["hgvsp"].append(
                 cq.protein_hgvs_for_output(tr, p, r, a, None, terms)
+                if tr.cds_sequence is not None
+                else None
             )
             det = cq.annotation_details(tr, p, r, a)
             for k_ in _detail_keys:

@@ -39,10 +39,10 @@ ROWS_ONLY = {"annotate_vep_full", "lsh_ann_prod"}
 
 
 def test_queries_frozen_at_65():
-    # 50 stamped + 17 oracle-verified tail rows (substring_dup_spans
+    # 50 stamped + 19 oracle-verified tail rows (substring_dup_spans
     # joined the tail in round 6; repetition_stats/repetition_filter in
-    # round 7)
-    assert len(entry_mod.queries()) == 67
+    # round 7; lookup_failed/tx_selection in round 8)
+    assert len(entry_mod.queries()) == 69
 
 
 def test_gate_order_is_applied():
@@ -83,6 +83,12 @@ def test_tail_rows_are_twins_of_stamped_families():
         # oracle-verified by tests/test_gate_tail.py + test_pipeline_ops
         "repetition_stats": "text_stats",
         "repetition_filter": "text_stats",
+        # round-8 VEP option-surface twins: the failed-variant QC filter is
+        # a lookup_variants parameter twin; the selection-predicate battery
+        # is a twin of the annotate lookup family; both oracle-verified by
+        # tests/test_gate_tail.py every run
+        "lookup_failed": "lookup_variants",
+        "tx_selection": "lookup_variants",
     }
     for row in tail:
         assert row in family, f"non-twin row {row} demoted out of the stamp window"
