@@ -943,6 +943,11 @@ def annotate_vep(
             )
             if csq_mode == "ensembl" and flags.source_mode != "ensembl":
                 csq_mode = flags.source_mode
+        if "hgnc_id_native" in transcripts.columns:
+            # the reference propagates gene symbol/HGNC ids across the
+            # buffer-local transcript set before the engine runs
+            # (apply_buffer_local_hgnc_propagation) — region-scoped here
+            transcripts = propagate_gene_hgnc(transcripts)
         looked = lookup_variants(
             vcf, cache, match_mode=match_mode, extended_probes=extended_probes,
             allowed_failed=allowed_failed,
@@ -2615,13 +2620,20 @@ def propagate_gene_hgnc(transcripts: DataFrame) -> DataFrame:
     * missing ``gene_symbol`` / ``gene_symbol_source`` fill from the
       same-gene donor.
 
-    The reference scopes donors to its streaming buffer (its stateful
-    tests exist precisely because buffer boundaries LOSE donors and need
-    carry-over state); a DataFrame computes the donor maps globally in two
-    gene-level aggregates — strictly more complete, no state machine.
-    Donor choice is deterministic: the lexicographically-first
-    ``transcript_id`` with a value wins (the reference's encounter order
-    is buffer-dependent).  Donor maps are gene-count sized → broadcast.
+    Donor SCOPE: when the table carries coordinates (``chrom``/``start``/
+    ``end``), donation is scoped to VEP's 1 Mb transcript-cache regions
+    (``VEP_TRANSCRIPT_CACHE_REGION_SIZE_BP``, ``annotate_provider.rs:
+    6894``, ``transcript_cache_regions`` ``:7261``) — a donor reaches a
+    same-symbol transcript only where their touched-region sets intersect,
+    reproducing the NET behavior of the reference's stateful buffer
+    machinery (carry-over within a region, pruning across regions —
+    ``test_stateful_buffer_local_transcripts_{carry,keep,prune}``)
+    without a state machine: both sides explode to their regions
+    (transcripts span ≤ a few Mb → a handful of rows each) and the donor
+    maps stay gene-count sized → broadcast.  Without coordinates the maps
+    are global.  Donor choice is deterministic: the lexicographically-
+    first ``transcript_id`` with a value wins (the reference's encounter
+    order is buffer-dependent).
     """
     _check_contract(transcripts, ("transcript_id",), "transcripts")
     cols = transcripts.columns
@@ -2629,19 +2641,38 @@ def propagate_gene_hgnc(transcripts: DataFrame) -> DataFrame:
     def _c(name: str) -> "F.Column":
         return F.col(name) if name in cols else F.lit(None).cast("string")
 
+    scoped = all(c in cols for c in ("chrom", "start", "end"))
     base = transcripts.withColumn("__hgnc_native", _c("hgnc_id_native")).withColumn(
         "__hgnc_eff", _c("hgnc_id")
     )
-    # symbol → native HGNC donor map (first transcript_id with a value)
+    region_mb = 1_000_000
+    if scoped:
+        def _rg(c: str) -> "F.Column":
+            return F.floor(
+                F.greatest(F.col(c).cast("long") - 1, F.lit(0)) / F.lit(region_mb)
+            ).cast("long")
+
+        regioned = base.withColumn(
+            "__region", F.explode(F.sequence(_rg("start"), _rg("end")))
+        ).withColumn("__rkey", F.concat_ws(":", F.col("chrom"), F.col("__region")))
+        sym_keys = [F.col("__rkey").alias("__sk_r")]
+        gene_keys = [F.col("__rkey").alias("__gk_r")]
+    else:
+        regioned = base
+        sym_keys, gene_keys = [], []
+    # symbol → native HGNC donor map (first transcript_id with a value),
+    # per cache region when scoped
     by_symbol = (
-        base.filter(F.col("__hgnc_native").isNotNull() & _c("gene_symbol").isNotNull())
-        .groupBy(_c("gene_symbol").alias("__sym"))
+        regioned.filter(
+            F.col("__hgnc_native").isNotNull() & _c("gene_symbol").isNotNull()
+        )
+        .groupBy(*sym_keys, _c("gene_symbol").alias("__sym"))
         .agg(F.min_by("__hgnc_native", F.col("transcript_id")).alias("__sym_hgnc"))
     )
     # gene_stable_id → first non-null symbol/source/native donors
     by_gene = (
-        base.filter(_c("gene_stable_id").isNotNull())
-        .groupBy(_c("gene_stable_id").alias("__gid"))
+        regioned.filter(_c("gene_stable_id").isNotNull())
+        .groupBy(*gene_keys, _c("gene_stable_id").alias("__gid"))
         .agg(
             F.min_by(
                 _c("gene_symbol"),
@@ -2657,18 +2688,41 @@ def propagate_gene_hgnc(transcripts: DataFrame) -> DataFrame:
             ).alias("__g_hgnc"),
         )
     )
-    out = (
-        base.join(F.broadcast(by_symbol), _c("gene_symbol") == F.col("__sym"), "left")
-        .join(F.broadcast(by_gene), _c("gene_stable_id") == F.col("__gid"), "left")
-        .withColumn(
-            "hgnc_id",
-            F.coalesce(
-                F.col("__hgnc_native"), F.col("__hgnc_eff"),
-                F.col("__sym_hgnc"), F.col("__g_hgnc"),
-            ),
+    if scoped:
+        # receiver regions join the scoped maps; a transcript touching
+        # multiple regions keeps the lexicographically-least donor value
+        joined = (
+            regioned.join(
+                F.broadcast(by_symbol),
+                (_c("gene_symbol") == F.col("__sym"))
+                & (F.col("__rkey") == F.col("__sk_r")),
+                "left",
+            )
+            .join(
+                F.broadcast(by_gene),
+                (_c("gene_stable_id") == F.col("__gid"))
+                & (F.col("__rkey") == F.col("__gk_r")),
+                "left",
+            )
         )
-        .withColumn("gene_symbol", F.coalesce(_c("gene_symbol"), F.col("__g_sym")))
-    )
+        donors = joined.groupBy("transcript_id").agg(
+            F.min("__sym_hgnc").alias("__sym_hgnc"),
+            F.min("__g_sym").alias("__g_sym"),
+            F.min("__g_src").alias("__g_src"),
+            F.min("__g_hgnc").alias("__g_hgnc"),
+        )
+        out = base.join(F.broadcast(donors), "transcript_id", "left")
+    else:
+        out = base.join(
+            F.broadcast(by_symbol), _c("gene_symbol") == F.col("__sym"), "left"
+        ).join(F.broadcast(by_gene), _c("gene_stable_id") == F.col("__gid"), "left")
+    out = out.withColumn(
+        "hgnc_id",
+        F.coalesce(
+            F.col("__hgnc_native"), F.col("__hgnc_eff"),
+            F.col("__sym_hgnc"), F.col("__g_hgnc"),
+        ),
+    ).withColumn("gene_symbol", F.coalesce(_c("gene_symbol"), F.col("__g_sym")))
     if "gene_symbol_source" in cols:
         out = out.withColumn(
             "gene_symbol_source",
@@ -2676,7 +2730,8 @@ def propagate_gene_hgnc(transcripts: DataFrame) -> DataFrame:
         )
     return out.drop(
         "__hgnc_native", "__hgnc_eff", "__sym", "__sym_hgnc",
-        "__gid", "__g_sym", "__g_src", "__g_hgnc",
+        "__gid", "__g_sym", "__g_src", "__g_hgnc", "__region", "__rkey",
+        "__sk_r", "__gk_r",
     )
 
 

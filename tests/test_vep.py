@@ -1673,3 +1673,88 @@ def test_lookup_variants_failed_filter(spark):
         "'failvcf', 'failcache', '{\"failed\": 1}') ORDER BY start",
     )
     assert [r.ev for r in got.collect()] == ["rs_failed", "rs_ok"]
+
+
+def test_propagate_gene_hgnc_region_scoping(spark):
+    """annotate_provider.rs test_stateful_buffer_local_transcripts_* net
+    behavior (:9589-:9862): HGNC donation is scoped to VEP's 1 Mb
+    transcript-cache regions — a donor reaches a same-symbol transcript
+    sharing a region (carry-over within/across adjacent buffers) but NOT
+    one in a distant region (the prune test's XR_REGION1)."""
+    from datafusion_bio_functions_spark.operators.vep import propagate_gene_hgnc
+
+    schema = (
+        "transcript_id string, chrom string, start long, end long, "
+        "gene_stable_id string, gene_symbol string, "
+        "gene_symbol_source string, hgnc_id_native string, hgnc_id string"
+    )
+    rows = [
+        # donor at region 0 (chr2:100-200)
+        ("ENST_DONOR", "chr2", 100, 200, "ENSG00000123456", "PDK1",
+         "HGNC", "HGNC:8809", None),
+        # same symbol, spans region 0 → receives (the carry case)
+        ("XR_REGION0", "chr2", 100, 700_000, "5163", "PDK1",
+         "EntrezGene", None, None),
+        # same symbol, region 1 only (1.05 Mb) → pruned, stays None
+        ("XR_REGION1", "chr2", 1_050_000, 1_060_000, "5163", "PDK1",
+         "EntrezGene", None, None),
+        # same symbol on ANOTHER chromosome → never receives
+        ("XR_OTHERCHROM", "chr3", 150, 250, "5163", "PDK1",
+         "EntrezGene", None, None),
+        # receiver spanning regions 0-1 reaches the region-0 donor
+        ("XR_SPANNING", "chr2", 500_000, 1_200_000, "5163", "PDK1",
+         "EntrezGene", None, None),
+    ]
+    out = {
+        r["transcript_id"]: r
+        for r in propagate_gene_hgnc(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert out["ENST_DONOR"]["hgnc_id"] == "HGNC:8809"
+    assert out["XR_REGION0"]["hgnc_id"] == "HGNC:8809"
+    assert out["XR_REGION1"]["hgnc_id"] is None
+    assert out["XR_OTHERCHROM"]["hgnc_id"] is None
+    assert out["XR_SPANNING"]["hgnc_id"] == "HGNC:8809"
+    # coordinate-less tables keep the global donor maps (legacy path)
+    legacy = spark.createDataFrame(
+        [("A", "G1", "S", "HGNC", "HGNC:1", None),
+         ("B", "G2", "S", "EntrezGene", None, None)],
+        "transcript_id string, gene_stable_id string, gene_symbol string, "
+        "gene_symbol_source string, hgnc_id_native string, hgnc_id string",
+    )
+    got = {r["transcript_id"]: r for r in propagate_gene_hgnc(legacy).collect()}
+    assert got["B"]["hgnc_id"] == "HGNC:1"
+
+
+def test_annotate_vep_hgnc_propagation_in_pipeline(spark):
+    """A transcripts table carrying hgnc_id_native propagates through the
+    annotate pipeline (reference apply_buffer_local_hgnc_propagation runs
+    before the engine): the same-symbol, same-region RefSeq twin's typed
+    HGNC_ID fills from the Ensembl donor."""
+    from datafusion_bio_functions_spark.operators.vep import annotate_vep
+
+    vcf = spark.createDataFrame(
+        [("1", 1103, 1103, "G", "A")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [], "chrom string, start long, end long, variation_name string, "
+        "allele_string string",
+    )
+    tx = spark.createDataFrame(
+        [
+            # donor transcript far away (same region) seeds the symbol map
+            ("ENST_DONOR", "1", 50_000, 51_000, 1, "protein_coding",
+             "ENSG1", "GENE1", "HGNC", "HGNC:42", None),
+            # the paired transcript lacks a native id
+            ("NM_TWIN", "1", 1100, 1108, 1, "protein_coding",
+             "GENE:G1", "GENE1", "EntrezGene", None, None),
+        ],
+        "transcript_id string, chrom string, start long, end long, "
+        "strand int, biotype string, gene_stable_id string, "
+        "gene_symbol string, gene_symbol_source string, "
+        "hgnc_id_native string, hgnc_id string",
+    )
+    out = annotate_vep(vcf, cache, transcripts=tx, full_schema=True)
+    r = {x.Feature: x for x in out.collect()}
+    assert "NM_TWIN" in r
+    assert r["NM_TWIN"].HGNC_ID == "HGNC:42"
