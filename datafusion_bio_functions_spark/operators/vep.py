@@ -1910,9 +1910,11 @@ def _annotate_codon(
     pre = (
         with_entry.withColumn("__best_struct", best_struct)
         .withColumn("__is_tx", F.col("__terms").isNotNull())
+        .withColumn("__ftr", F.lit(0))
+        .withColumn("__fid", F.col("__t_id"))
         .select(
             *vcf_cols, "__e1", "__e2", "__best_term", "__best_key",
-            "__best_struct", "__is_tx",
+            "__best_struct", "__is_tx", "__ftr", "__fid",
         )
     )
 
@@ -2019,6 +2021,14 @@ def _annotate_codon(
             ns.alias("sift"), ns.alias("polyphen"), ns.alias("domains"),
             F.lit(None).cast("map<string,string>").alias("meta"),
         )
+        # concat group rank: Transcript(0) < RegulatoryFeature(1) <
+        # MotifFeature(2) < None(3) (reference FeatureType::rank,
+        # feature_type_rank_matches_vep_concat_order)
+        f_rank = (
+            F.when(f_type == "RegulatoryFeature", 1)
+            .when(f_type == "MotifFeature", 2)
+            .otherwise(3)
+        )
         pre = pre.unionByName(
             feats.select(
                 *vcf_cols,
@@ -2030,23 +2040,27 @@ def _annotate_codon(
                 ).alias("__best_key"),
                 f_struct.alias("__best_struct"),
                 F.lit(False).alias("__is_tx"),
+                f_rank.alias("__ftr"),
+                F.col("feature_id").alias("__fid"),
             )
         )
 
     rolled = pre.groupBy(*[F.col(c) for c in vcf_cols]).agg(
         F.substring_index(F.min("__best_term"), "|", -1).alias("__ms"),
-        # CSQ concat order: transcript entries before feature entries, then
-        # by entry string — the reference sorts TranscriptConsequences by
-        # (feature_type rank, id) with Transcript < Regulatory < Motif
-        # (transcript_consequence.rs feature_type_rank tests)
-        # CSQ entries as (prefix, suffix) spans, sorted transcript-first
-        # then lexicographically; the per-variant Existing_variation and
-        # Batch-3 fields splice in after the join back to the looked rows
+        # CSQ concat order: grouped by feature type (Transcript <
+        # RegulatoryFeature < MotifFeature < None — reference FeatureType::
+        # rank, feature_type_rank_matches_vep_concat_order), then sorted by
+        # FEATURE ID within each group (reference transcript_consequences_
+        # sort_by_feature_type_then_id; pinned e2e by test_csq_entries_
+        # sorted_by_feature_id_within_feature_type).  Entries are (prefix,
+        # suffix) spans; the per-variant Existing_variation and Batch-3
+        # fields splice in after the join back to the looked rows
         F.filter(
             F.array_sort(
                 F.collect_list(
                     F.struct(
-                        F.when(F.col("__is_tx"), 0).otherwise(1).alias("r"),
+                        F.col("__ftr").alias("r"),
+                        F.coalesce(F.col("__fid"), F.lit("")).alias("fid"),
                         F.col("__e1").alias("e1"),
                         F.col("__e2").alias("e2"),
                     )
@@ -2082,7 +2096,8 @@ def _annotate_codon(
                     F.col("__entries"),
                     F.array(
                         F.struct(
-                            F.lit(1).alias("r"),
+                            F.lit(3).alias("r"),
+                            F.lit("").alias("fid"),
                             ig_p1.alias("e1"),
                             ig_p2.alias("e2"),
                         )

@@ -1758,3 +1758,52 @@ def test_annotate_vep_hgnc_propagation_in_pipeline(spark):
     r = {x.Feature: x for x in out.collect()}
     assert "NM_TWIN" in r
     assert r["NM_TWIN"].HGNC_ID == "HGNC:42"
+
+
+def test_csq_entries_grouped_by_feature_type_then_sorted_by_id(spark):
+    """annotate_table_function.rs test_csq_entries_sorted_by_feature_id_
+    within_feature_type (:2261) + test_csq_entries_grouped_by_feature_
+    type_then_sorted_by_id (:2366): Transcript entries precede
+    RegulatoryFeature entries precede MotifFeature entries, and within
+    each group entries sort by feature id — regardless of supply order."""
+    from datafusion_bio_functions_spark.operators.vep import (
+        annotate_vep,
+        vep_csq_fields,
+    )
+
+    vcf = spark.createDataFrame(
+        [("1", 155, 155, "A", "T")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [], "chrom string, start long, end long, variation_name string, "
+        "allele_string string",
+    )
+    # deliberately non-lexicographic supply order (C > A > B)
+    tx = spark.createDataFrame(
+        [("ENST00000900000", "1", 100, 250, 1, "protein_coding", "G1", "GENE1"),
+         ("ENST00000100000", "1", 100, 250, 1, "protein_coding", "G1", "GENE1"),
+         ("ENST00000500000", "1", 100, 250, 1, "protein_coding", "G1", "GENE1")],
+        "transcript_id string, chrom string, start long, end long, "
+        "strand int, biotype string, gene_stable_id string, gene_symbol string",
+    )
+    reg = spark.createDataFrame(
+        [("1", 120, 200, "ENSR0009", "promoter"),
+         ("1", 120, 200, "ENSR0001", "promoter")],
+        "chrom string, start long, end long, feature_id string, feature_type string",
+    )
+    mot = spark.createDataFrame(
+        [("1", 150, 160, "ENSM0002"), ("1", 150, 160, "ENSM0001")],
+        "chrom string, start long, end long, feature_id string",
+    )
+    out = annotate_vep(
+        vcf, cache, transcripts=tx, regulatory=reg, motifs=mot
+    ).collect()[0]
+    fields = vep_csq_fields("ensembl")
+    entries = [dict(zip(fields, e.split("|"))) for e in out.CSQ.split(",")]
+    types = [e["Feature_type"] for e in entries]
+    ids = [e["Feature"] for e in entries]
+    assert types == ["Transcript"] * 3 + ["RegulatoryFeature"] * 2 + ["MotifFeature"] * 2
+    assert ids[:3] == ["ENST00000100000", "ENST00000500000", "ENST00000900000"]
+    assert ids[3:5] == ["ENSR0001", "ENSR0009"]
+    assert ids[5:] == ["ENSM0001", "ENSM0002"]
