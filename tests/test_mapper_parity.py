@@ -965,7 +965,9 @@ def test_annotate_vep_plumbs_cached_translation_protein(spark):
     assert len(out) == 1
     row = out[0].asDict()
     assert row["most_severe_consequence"] == "synonymous_variant"
-    assert row["hgvsp"] == "NP_775871.2:p.Arg3="
+    # pipeline output passes format_hgvsp_output: '=' escapes to %3D by
+    # default (the raw notation is pinned above via hgvs_p directly)
+    assert row["hgvsp"] == "NP_775871.2:p.Arg3%3D"
 
 
 def test_full_schema_emits_refseq_provenance_sextet(spark):

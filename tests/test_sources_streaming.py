@@ -298,7 +298,10 @@ def test_annotate_to_vcf_roundtrip(spark, tmp_path):
     # (vcf_sink.rs:358-372) in a file sorted-concat readers pick up first
     import os
     hdr = open(os.path.join(out, "00_header.vcf")).read()
-    assert "##INFO=<ID=CSQ" in hdr and "Format: Allele|Consequence|IMPACT" in hdr
+    # positional-engine sink (no transcripts): the header's Format list
+    # follows the short phase-A entry layout, not the codon 74-field one
+    assert "##INFO=<ID=CSQ" in hdr
+    assert "Format: Allele|Consequence|Existing_variation|SYMBOL|Gene" in hdr
 
 
 def test_read_bed(spark, tmp_path):
