@@ -494,6 +494,7 @@ _GATE_ORDER = [
     "repetition_filter",
     "lookup_failed",
     "tx_selection",
+    "dedup_translations",
 ]
 
 
@@ -632,6 +633,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out
 
     q["tx_selection"] = _tx_selection
+
+    # cache-ingest translation dedup (cache_builder.rs:77-88): one row per
+    # transcript, own-region source file preferred, then smallest
+    # cdna_coding_start NULLS LAST, then source_file
+    def _dedup_translations(spark, sf):
+        from datafusion_bio_functions_spark.sources.readers import (
+            dedup_translations,
+        )
+
+        s = _read(spark, sf, "supplier")
+        k = F.col("s_suppkey")
+        start = (k % 20) * 400_000 + 100
+        rs = (F.floor((start - 1) / 1_000_000) * 1_000_000 + 1).cast("long")
+        tl = s.select(
+            F.concat(F.lit("TR"), (k % 20).cast("string")).alias("transcript_id"),
+            start.cast("long").alias("start"),
+            F.when(k % 3 == 0, F.lit(None).cast("long"))
+            .otherwise((k % 97).cast("long"))
+            .alias("cdna_coding_start"),
+            F.when(
+                k % 4 == 0,
+                F.concat(
+                    F.lit("/cache/"), rs.cast("string"), F.lit("-"),
+                    (rs + 999_999).cast("string"), F.lit(".gz"),
+                ),
+            )
+            .otherwise(F.concat(F.lit("/cache/other-"), k.cast("string"), F.lit(".gz")))
+            .alias("source_file"),
+        )
+        return dedup_translations(tl)
+
+    q["dedup_translations"] = _dedup_translations
 
     def _tpch_pricing(spark, sf):
         li = _read(spark, sf, "lineitem")
@@ -1568,6 +1601,42 @@ SELECT v.chrom, v.start, v."end", v.ref, v.alt,
 FROM v LEFT JOIN c
   ON v.chrom = c.chrom AND v.start = c.start AND v."end" = c."end"
  AND c.allele_string = concat(v.ref, '/', v.alt)"""
+    # translation dedup: the same window rule spelled out in DuckDB SQL
+    # (reference build_translation_dedup_query_with_where_clause)
+    o["dedup_translations"] = """
+WITH tl AS (
+  SELECT concat('TR', CAST(s_suppkey % 20 AS VARCHAR)) AS transcript_id,
+         CAST((s_suppkey % 20) * 400000 + 100 AS BIGINT) AS start,
+         CASE WHEN s_suppkey % 3 = 0 THEN NULL
+              ELSE CAST(s_suppkey % 97 AS BIGINT) END AS cdna_coding_start,
+         CASE WHEN s_suppkey % 4 = 0 THEN
+                concat('/cache/',
+                       CAST(CAST(floor(((s_suppkey % 20) * 400000 + 99) / 1000000)
+                                 * 1000000 + 1 AS BIGINT) AS VARCHAR),
+                       '-',
+                       CAST(CAST(floor(((s_suppkey % 20) * 400000 + 99) / 1000000)
+                                 * 1000000 + 1000000 AS BIGINT) AS VARCHAR),
+                       '.gz')
+              ELSE concat('/cache/other-', CAST(s_suppkey AS VARCHAR), '.gz')
+         END AS source_file
+  FROM supplier
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY transcript_id
+    ORDER BY
+      CASE WHEN source_file LIKE concat(
+        '%/',
+        CAST(CAST(floor((start - 1) / 1000000) * 1000000 + 1 AS BIGINT) AS VARCHAR),
+        '-',
+        CAST(CAST(floor((start - 1) / 1000000) * 1000000 + 1000000 AS BIGINT) AS VARCHAR),
+        '.gz') THEN 0 ELSE 1 END,
+      cdna_coding_start NULLS LAST,
+      source_file
+  ) AS _rn
+  FROM tl
+)
+SELECT transcript_id, start, cdna_coding_start, source_file
+FROM ranked WHERE _rn = 1"""
     # independent SQL formulation of passes_transcript_selection over the
     # same derived view (predicates spelled out, not shared with the
     # Column builder)

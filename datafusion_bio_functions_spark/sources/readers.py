@@ -302,3 +302,95 @@ def write_bucketed_table(
     if path is not None:
         w = w.option("path", path)
     w.bucketBy(n_buckets, bucket_col).sortBy(*sort_cols).saveAsTable(table_name)
+
+
+#: VEP Ensembl-cache region width used by the builder's dedup preference
+#: (reference cache_builder.rs VEP_CACHE_REGION_SIZE_BP)
+VEP_CACHE_REGION_SIZE_BP = 1_000_000
+
+
+def dedup_translations(df: DataFrame) -> DataFrame:
+    """Cache-ingest translation dedup (reference
+    ``build_translation_dedup_query_with_where_clause``,
+    ``cache_builder.rs:77-88``): an Ensembl cache can carry one
+    transcript's translation row in several region spill files; keep ONE
+    row per ``transcript_id``, preferring (1) the row whose
+    ``source_file`` is the transcript's OWN 1 Mb cache region file
+    (``.../<region_start>-<region_end>.gz``), then (2) the smallest
+    ``cdna_coding_start`` with NULLs last, then (3) ``source_file`` as
+    the deterministic tie-break.  Window + row_number — one shuffle on
+    transcript_id, no collect."""
+    from pyspark.sql import Window
+
+    region_start = (
+        F.floor((F.col("start").cast("long") - 1) / F.lit(VEP_CACHE_REGION_SIZE_BP))
+        * F.lit(VEP_CACHE_REGION_SIZE_BP)
+        + F.lit(1)
+    ).cast("long")
+    region_end = (region_start + F.lit(VEP_CACHE_REGION_SIZE_BP) - 1).cast("long")
+    own_region = F.concat(
+        F.lit("/"), region_start.cast("string"), F.lit("-"),
+        region_end.cast("string"), F.lit(".gz"),
+    )
+    pref = (
+        F.when(
+            F.col("source_file").endswith(own_region), 0
+        ).otherwise(1)
+        if "source_file" in df.columns
+        else F.lit(1)
+    )
+    sf = F.col("source_file") if "source_file" in df.columns else F.lit("")
+    ccs = (
+        F.col("cdna_coding_start").cast("long")
+        if "cdna_coding_start" in df.columns
+        else F.lit(None).cast("long")
+    )
+    w = Window.partitionBy("transcript_id").orderBy(
+        pref.asc(), ccs.asc_nulls_last(), sf.asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_transcripts(df: DataFrame, key: str = "stable_id") -> DataFrame:
+    """Cache-ingest transcript dedup (reference export query contract,
+    ``cache_builder.rs`` ``test_build_query_transcript_dedup``: ROW_NUMBER
+    PARTITION BY stable_id, keep ``_rn = 1``).  The upstream window order
+    is not vendored; this uses the deterministic (chrom, start, id) order
+    so re-runs pick the same row."""
+    from pyspark.sql import Window
+
+    def _c(name: str) -> "F.Column":
+        return F.col(name) if name in df.columns else F.lit(None)
+
+    w = Window.partitionBy(key).orderBy(
+        _c("chrom").asc_nulls_last(),
+        _c("start").asc_nulls_last(),
+        F.col(key).asc(),
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_exons(df: DataFrame) -> DataFrame:
+    """Cache-ingest exon dedup (reference ``test_build_query_exon_dedup``:
+    ROW_NUMBER PARTITION BY transcript_id, exon_number)."""
+    from pyspark.sql import Window
+
+    def _c(name: str) -> "F.Column":
+        return F.col(name) if name in df.columns else F.lit(None)
+
+    w = Window.partitionBy("transcript_id", "exon_number").orderBy(
+        _c("start").asc_nulls_last(), _c("end").asc_nulls_last()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

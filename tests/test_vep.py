@@ -1807,3 +1807,51 @@ def test_csq_entries_grouped_by_feature_type_then_sorted_by_id(spark):
     assert ids[:3] == ["ENST00000100000", "ENST00000500000", "ENST00000900000"]
     assert ids[3:5] == ["ENSR0001", "ENSR0009"]
     assert ids[5:] == ["ENSM0001", "ENSM0002"]
+
+
+def test_cache_ingest_dedup_rules(spark):
+    """cache_builder.rs dedup contracts: translations keep one row per
+    transcript preferring the transcript's OWN 1 Mb region file, then
+    smallest cdna_coding_start NULLS LAST, then source_file
+    (build_translation_dedup_query_with_where_clause :77-88); transcripts
+    dedup by stable_id; exons by (transcript_id, exon_number)."""
+    from datafusion_bio_functions_spark.sources.readers import (
+        dedup_exons,
+        dedup_transcripts,
+        dedup_translations,
+    )
+
+    tl = spark.createDataFrame(
+        [
+            # T1 at start=1_500_000 → own region 1000001-2000000
+            ("T1", 1_500_000, 10, "/c/5000001-6000000.gz"),
+            ("T1", 1_500_000, 99, "/c/1000001-2000000.gz"),  # own region wins
+            # T2: no own-region row; smallest cdna_coding_start wins,
+            # NULLs last
+            ("T2", 100, None, "/c/a.gz"),
+            ("T2", 100, 7, "/c/b.gz"),
+            ("T2", 100, 3, "/c/c.gz"),
+            # T3: full tie on pref+ccs → source_file tie-break
+            ("T3", 100, 5, "/c/z.gz"),
+            ("T3", 100, 5, "/c/a.gz"),
+        ],
+        "transcript_id string, start long, cdna_coding_start int, "
+        "source_file string",
+    )
+    out = {r.transcript_id: r for r in dedup_translations(tl).collect()}
+    assert out["T1"].source_file == "/c/1000001-2000000.gz"
+    assert out["T2"].cdna_coding_start == 3
+    assert out["T3"].source_file == "/c/a.gz"
+
+    tx = spark.createDataFrame(
+        [("S1", "1", 100), ("S1", "1", 50), ("S2", "2", 10)],
+        "stable_id string, chrom string, start long",
+    )
+    got = {r.stable_id: r for r in dedup_transcripts(tx).collect()}
+    assert len(got) == 2 and got["S1"].start == 50
+
+    ex = spark.createDataFrame(
+        [("T1", 1, 100, 200), ("T1", 1, 100, 200), ("T1", 2, 300, 400)],
+        "transcript_id string, exon_number int, start long, end long",
+    )
+    assert dedup_exons(ex).count() == 2
