@@ -129,8 +129,16 @@ def lookup_variants(
     broadcast_vcf: bool | None = None,
     filter_op: str | None = None,
     allowed_failed: int = 0,
+    chrom_normalize: bool | None = None,
 ) -> DataFrame:
     """Known-variant annotation: VCF LEFT-joined to the variation cache.
+
+    ``chrom_normalize``: ``None`` (default) probes both sides (bounded,
+    64 rows) and joins on ``chr``-stripped contig keys only when the two
+    frames use DIFFERENT prefix forms (a ``chr1`` VCF against a ``1``
+    cache) — the reference strips the prefix at every row-level chrom
+    comparison.  Pass True/False to force.  The raw equi-key is kept when
+    forms agree so chrom-partitioned caches stay partition-prunable.
 
     ``allowed_failed``: when the cache carries a ``failed`` column, rows
     with ``failed > allowed_failed`` are dropped BEFORE matching — VEP's
@@ -234,7 +242,13 @@ def lookup_variants(
     if filter_op not in ("weak", "strict"):
         raise ValueError(f"filter_op must be 'weak' or 'strict', got {filter_op!r}")
 
-    chrom_eq = F.col("chrom") == F.col("__c_chrom")
+    if chrom_normalize is None:
+        chrom_normalize = _chrom_forms_differ(vcf, cache)
+    chrom_eq = (
+        _chrom_key(F.col("chrom")) == _chrom_key(F.col("__c_chrom"))
+        if chrom_normalize
+        else F.col("chrom") == F.col("__c_chrom")
+    )
     if extended_probes:
         # overlap the normalized span (insertions: start>end → use min/max);
         # strict (coordinate-system mismatch) shrinks the probe by one per
@@ -590,6 +604,28 @@ class HgvsFlags:
             remove_hgvsp_version=get("remove_hgvsp_version"),
             hgvsp_use_prediction=get("hgvsp_use_prediction"),
         )
+
+
+def _chrom_forms_differ(a: DataFrame, b: DataFrame, b_col: str = "chrom") -> bool:
+    """Bounded probe (64 rows/side, like the repo's broadcast guards): do
+    the two frames disagree on the ``chr`` contig-name prefix?  The
+    reference strips ``chr`` at every row-level chrom comparison
+    (``annotate_provider.rs:4002,4128``, contig discovery ``:3640-3650``)
+    so a ``chr1`` VCF annotates against a ``1`` cache; Spark-side we keep
+    the raw equi-key (partition-pruning friendly) when both sides use one
+    form and switch to a normalized key only on mismatch."""
+
+    def forms(df: DataFrame, col: str) -> set[bool]:
+        rows = df.select(F.col(col).cast("string").alias("c")).limit(64).collect()
+        return {r.c.startswith("chr") for r in rows if r.c is not None}
+
+    return len(forms(a, "chrom") | forms(b, b_col)) > 1
+
+
+def _chrom_key(col: "F.Column") -> "F.Column":
+    """Row-level contig key with the ``chr`` prefix stripped (reference
+    ``normalize_chrom``/``strip_prefix("chr")``)."""
+    return F.regexp_replace(col.cast("string"), "^chr", "")
 
 
 def _af_flag_group(output_name: str) -> int:
@@ -1022,9 +1058,14 @@ def annotate_vep(
             F.col("__t_strand") >= 0,
             (pos > F.col("__t_end")) & (pos <= F.col("__t_end") + down),
         ).otherwise((pos < F.col("__t_start")) & (pos >= F.col("__t_start") - down))
+        _t_chrom_eq = (
+            _chrom_key(F.col("chrom")) == _chrom_key(F.col("__t_chrom"))
+            if _chrom_forms_differ(looked, transcripts)
+            else F.col("chrom") == F.col("__t_chrom")
+        )
         near = looked.join(
             F.broadcast(t),
-            (F.col("chrom") == F.col("__t_chrom")) & (inside | upstream | downstream),
+            _t_chrom_eq & (inside | upstream | downstream),
             "left",
         )
         consequence = (
@@ -1305,9 +1346,16 @@ def _annotate_codon(
     # matched it — pair DISTINCT variants with transcripts so a variant
     # with many colocated cache records costs the consequence engine once
     variants = looked.select(*vcf_cols).distinct()
+    # contig-form mismatch (chr1 vs 1) switches the pairing to normalized
+    # keys — the reference strips 'chr' at every row-level comparison
+    _t_chrom_eq = (
+        _chrom_key(F.col("chrom")) == _chrom_key(F.col("__t_chrom"))
+        if _chrom_forms_differ(variants, transcripts)
+        else F.col("chrom") == F.col("__t_chrom")
+    )
     paired = variants.join(
         F.broadcast(tctx),
-        (F.col("chrom") == F.col("__t_chrom"))
+        _t_chrom_eq
         & (pos <= F.col("__t_end") + pad)
         & (vend >= F.col("__t_start") - pad),
         "left",
@@ -1959,7 +2007,11 @@ def _annotate_codon(
         feat_frames.append(
             variants.join(
                 F.broadcast(mi),
-                (F.col("chrom") == F.col("__fc"))
+                (
+                    _chrom_key(F.col("chrom")) == _chrom_key(F.col("__fc"))
+                    if _chrom_forms_differ(variants, mirnas)
+                    else F.col("chrom") == F.col("__fc")
+                )
                 & (vpos <= F.col("__fe"))
                 & (vend_ >= F.col("__fs")),
             ).select(
@@ -2821,10 +2873,14 @@ def regulatory_features(
         biotype = (
             F.col("__ft") if has_type else F.lit(None).cast("string")
         ).alias("feature_biotype")
+        _fc_eq = (
+            _chrom_key(F.col("chrom")) == _chrom_key(F.col("__fc"))
+            if _chrom_forms_differ(vcf, regulatory)
+            else F.col("chrom") == F.col("__fc")
+        )
         hits = vcf.join(
             F.broadcast(reg),
-            (F.col("chrom") == F.col("__fc"))
-            & _feat_overlap(F.col("__fs"), F.col("__fe")),
+            _fc_eq & _feat_overlap(F.col("__fs"), F.col("__fe")),
         )
         parts.append(
             hits.select(
@@ -2854,11 +2910,15 @@ def regulatory_features(
             F.col("end").cast("long").alias("__fe"),
             F.col("feature_id").alias("feature_id"),
         )
+        _mc_eq = (
+            _chrom_key(F.col("chrom")) == _chrom_key(F.col("__fc"))
+            if _chrom_forms_differ(vcf, motifs)
+            else F.col("chrom") == F.col("__fc")
+        )
         parts.append(
             vcf.join(
                 F.broadcast(mot),
-                (F.col("chrom") == F.col("__fc"))
-                & _feat_overlap(F.col("__fs"), F.col("__fe")),
+                _mc_eq & _feat_overlap(F.col("__fs"), F.col("__fe")),
             ).select(
                 *vcf.columns,
                 "feature_id",
@@ -2933,10 +2993,15 @@ def structural_terms(vcf: DataFrame, structural: DataFrame) -> DataFrame:
         .where(F.col("feature_term").isNotNull())
     )
     pos, vend = F.col("start").cast("long"), F.col("end").cast("long")
+    _fc_eq = (
+        _chrom_key(F.col("chrom")) == _chrom_key(F.col("__fc"))
+        if _chrom_forms_differ(vcf, structural)
+        else F.col("chrom") == F.col("__fc")
+    )
     return (
         vcf.join(
             F.broadcast(sv),
-            (F.col("chrom") == F.col("__fc")) & (pos <= F.col("__fe")) & (vend >= F.col("__fs")),
+            _fc_eq & (pos <= F.col("__fe")) & (vend >= F.col("__fs")),
         )
         .select(*vcf.columns, "feature_term")
         .distinct()

@@ -1855,3 +1855,58 @@ def test_cache_ingest_dedup_rules(spark):
         "transcript_id string, exon_number int, start long, end long",
     )
     assert dedup_exons(ex).count() == 2
+
+
+def test_chrom_prefix_normalization_across_frames(spark):
+    """The reference strips the 'chr' contig prefix at every row-level
+    comparison (annotate_provider.rs:4002,4128 + contig discovery
+    :3640-3650): a chr-prefixed VCF annotates against a bare-contig cache
+    and transcript set, and vice versa.  Same-form frames keep the raw
+    equi-key (plan-shape fast path)."""
+    from datafusion_bio_functions_spark.operators.vep import (
+        annotate_vep,
+        lookup_variants,
+    )
+
+    vcf = spark.createDataFrame(
+        [("chr1", 1103, 1103, "G", "A")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [("1", 1103, 1103, "rs9", "G/A")],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string",
+    )
+    r = lookup_variants(vcf, cache).collect()[0]
+    assert r.variation_name == "rs9" and r.matched is True
+    # forced off: raw equality misses
+    r = lookup_variants(vcf, cache, chrom_normalize=False).collect()[0]
+    assert r.variation_name is None
+
+    tx = spark.createDataFrame(
+        [("T1", "1", 1100, 1108, 1, "protein_coding", "G1", "GENE1",
+          1100, 1108, "ATGGCTTAA")],
+        "transcript_id string, chrom string, start long, end long, "
+        "strand int, biotype string, gene_stable_id string, "
+        "gene_symbol string, cds_start long, cds_end long, "
+        "cds_sequence string",
+    )
+    out = annotate_vep(vcf, cache, transcripts=tx).collect()[0]
+    assert out.most_severe_consequence == "missense_variant"
+    assert out.existing_variation == "rs9"
+    # reverse orientation: bare VCF, chr-prefixed context
+    vcf2 = spark.createDataFrame(
+        [("1", 1103, 1103, "G", "A")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    tx2 = tx.withColumn("chrom", F.concat(F.lit("chr"), F.col("chrom")))
+    reg = spark.createDataFrame(
+        [("chr1", 1100, 1200, "ENSR1", "promoter")],
+        "chrom string, start long, end long, feature_id string, "
+        "feature_type string",
+    )
+    out = annotate_vep(
+        vcf2, cache, transcripts=tx2, regulatory=reg
+    ).collect()[0]
+    assert out.most_severe_consequence == "missense_variant"
+    assert "ENSR1" in out.CSQ
