@@ -495,6 +495,7 @@ _GATE_ORDER = [
     "lookup_failed",
     "tx_selection",
     "dedup_translations",
+    "line_dedup",
 ]
 
 
@@ -665,6 +666,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_translations(tl)
 
     q["dedup_translations"] = _dedup_translations
+
+    # C4-style corpus line dedup over a derived 6-word-line view of the
+    # documents table (the raw synthetic docs carry no newlines)
+    def _line_dedup(spark, sf):
+        from datafusion_bio_functions_spark.operators.dedup import line_dedup
+
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        words = F.split(F.col("text"), " ")
+        n = F.ceil(F.size(words) / F.lit(6)).cast("int")
+        lined = d.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), n - 1),
+                    lambda i: F.array_join(
+                        F.slice(words, i * F.lit(6) + F.lit(1), F.lit(6)), " "
+                    ),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+        return line_dedup(lined).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "text",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+        )
+
+    q["line_dedup"] = _line_dedup
 
     def _tpch_pricing(spark, sf):
         li = _read(spark, sf, "lineitem")
@@ -1601,6 +1631,33 @@ SELECT v.chrom, v.start, v."end", v.ref, v.alt,
 FROM v LEFT JOIN c
   ON v.chrom = c.chrom AND v.start = c.start AND v."end" = c."end"
  AND c.allele_string = concat(v.ref, '/', v.alt)"""
+    # line dedup: C4 first-occurrence-wins over the same derived 6-word
+    # line view, spelled out with DuckDB's window + rollup
+    o["line_dedup"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+         array_to_string(list_slice(ws, CAST(t.i*6+1 AS BIGINT),
+                                        CAST(t.i*6+6 AS BIGINT)), ' ') AS line
+  FROM w, unnest(generate_series(0, CAST(ceil(len(ws)/6.0) AS BIGINT) - 1)) AS t(i)
+),
+ranked AS (
+  SELECT doc_id, i, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, i) AS rn
+  FROM chunks WHERE trim(line) <> ''
+),
+kept AS (
+  SELECT doc_id, i, line FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, i, line FROM chunks WHERE trim(line) = ''
+),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM chunks GROUP BY doc_id),
+roll AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text,
+                count(*) AS n_kept
+         FROM kept GROUP BY doc_id)
+SELECT t.doc_id, coalesce(roll.text, '') AS text, t.n_lines,
+       coalesce(roll.n_kept, 0) AS n_kept
+FROM tot t LEFT JOIN roll ON t.doc_id = roll.doc_id"""
     # translation dedup: the same window rule spelled out in DuckDB SQL
     # (reference build_translation_dedup_query_with_where_clause)
     o["dedup_translations"] = """

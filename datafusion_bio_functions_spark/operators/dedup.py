@@ -1153,3 +1153,67 @@ def dedup_clusters(
     return out.withColumn(
         "is_canonical", F.col(id_col).cast("long") == F.col("component")
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_words: int = 1,
+) -> DataFrame:
+    """Corpus-level LINE deduplication, the C4 recipe (Raffel et al. 2020
+    §2.2: "we discarded all but one of any three-sentence span occurring
+    more than once", applied here at line granularity like most open
+    reimplementations): split every document into lines on ``sep`` (a
+    regex), keep only the FIRST occurrence of each line across the whole
+    corpus (ordered by ``(id, line_no)``), and reassemble the survivors in
+    original order.  Lines shorter than ``min_words`` whitespace-words (or
+    blank) bypass the dedup and are always kept — they carry no signal and
+    would otherwise form giant skew groups.
+
+    Plan: posexplode → ONE hash shuffle (window over the line value) on
+    the eligible lines only → per-doc rollup; documents whose every line
+    was dropped survive with empty text.  Output: ``(id, text, n_lines,
+    n_kept)``.
+    """
+    from pyspark.sql import Window
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("__ln", "__line"),
+    )
+    eligible = (F.length(F.trim(F.col("__line"))) > 0) & (
+        F.size(F.split(F.trim(F.col("__line")), r"\s+", -1)) >= min_words
+    )
+    el = lines.filter(eligible)
+    inel = lines.filter(~eligible)
+    w = Window.partitionBy("__line").orderBy(F.col(id_col), F.col("__ln"))
+    kept = (
+        el.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .unionByName(inel)
+    )
+    rolled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__ln"), F.col("__line")))
+                ),
+                lambda x: x["__line"],
+            ),
+            "\n",
+        ).alias("__text_kept"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rolled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__text_kept"), F.lit("")).alias(text_col),
+            F.col("n_lines"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )

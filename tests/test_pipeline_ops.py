@@ -556,3 +556,32 @@ def test_substring_dup_spans_plan_is_hash_shuffle_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_line_dedup_c4_semantics(spark):
+    """C4 line dedup: first occurrence (by doc order, then position) of a
+    line survives corpus-wide, later copies are dropped, short/blank lines
+    bypass the filter, fully-deduplicated docs survive with empty text."""
+    from datafusion_bio_functions_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox\nunique to doc one\n"),
+            (2, "the quick brown fox\nanother line"),
+            (3, "the quick brown fox"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert out[1].text == "the quick brown fox\nunique to doc one\n"
+    assert out[1].n_lines == 3 and out[1].n_kept == 3  # incl. blank bypass
+    assert out[2].text == "another line"
+    assert out[3].text == "" and out[3].n_kept == 0 and out[3].n_lines == 1
+    # min_words raises the bypass bar: 2-word lines dedup, 1-word don't
+    docs2 = spark.createDataFrame(
+        [(1, "alpha\nbeta gamma"), (2, "alpha\nbeta gamma")],
+        "doc_id int, text string",
+    )
+    out2 = {r.doc_id: r for r in line_dedup(docs2, min_words=2).collect()}
+    assert out2[1].text == "alpha\nbeta gamma"
+    assert out2[2].text == "alpha"
