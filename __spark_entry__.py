@@ -672,7 +672,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _line_dedup(spark, sf):
         from datafusion_bio_functions_spark.operators.dedup import line_dedup
 
-        d = _read(spark, sf, "documents").select("doc_id", "text")
+        # spread the scan BEFORE the heavy line-building project — scaled
+        # parquet arrives as 1-5 row groups and would pin the string stage
+        # to as many cores (the dedup-family parallelism rule)
+        d = (
+            _read(spark, sf, "documents")
+            .select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
         words = F.split(F.col("text"), " ")
         n = F.ceil(F.size(words) / F.lit(6)).cast("int")
         lined = d.select(

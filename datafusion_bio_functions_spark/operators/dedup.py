@@ -1172,13 +1172,15 @@ def line_dedup(
     blank) bypass the dedup and are always kept — they carry no signal and
     would otherwise form giant skew groups.
 
-    Plan: posexplode → ONE hash shuffle (window over the line value) on
-    the eligible lines only → per-doc rollup; documents whose every line
-    was dropped survive with empty text.  Output: ``(id, text, n_lines,
-    n_kept)``.
+    Plan: posexplode → ONE hash aggregate keyed on the line value (the
+    first occurrence is ``min(struct(id, line_no))``, so the partial
+    aggregate combines map-side and duplicate-heavy corpora SHRINK before
+    the shuffle — a window would sort-shuffle every line instance) →
+    per-doc rollup; ``n_lines`` comes straight off the document row (no
+    second explode).  Documents whose every line was dropped survive with
+    empty text.  Output: ``(id, text, n_lines, n_kept)``.
     """
-    from pyspark.sql import Window
-
+    docs = _ensure_parallelism(docs)
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep, -1)).alias("__ln", "__line"),
@@ -1188,11 +1190,14 @@ def line_dedup(
     )
     el = lines.filter(eligible)
     inel = lines.filter(~eligible)
-    w = Window.partitionBy("__line").orderBy(F.col(id_col), F.col("__ln"))
     kept = (
-        el.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        el.groupBy("__line")
+        .agg(F.min(F.struct(F.col(id_col), F.col("__ln"))).alias("__f"))
+        .select(
+            F.col("__f")[id_col].alias(id_col),
+            F.col("__f.__ln").alias("__ln"),
+            "__line",
+        )
         .unionByName(inel)
     )
     rolled = kept.groupBy(id_col).agg(
@@ -1207,9 +1212,12 @@ def line_dedup(
         ).alias("__text_kept"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
     return (
-        totals.join(rolled, id_col, "left")
+        docs.select(
+            F.col(id_col),
+            F.size(F.split(F.col(text_col), sep, -1)).cast("long").alias("n_lines"),
+        )
+        .join(rolled, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("__text_kept"), F.lit("")).alias(text_col),
