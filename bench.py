@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "repetition_stats",
     "repetition_filter",
+    "line_dedup",
 ]
 
 

@@ -232,8 +232,19 @@ def annotate_to_vcf(
                 else "positional"
             )
         if engine == "codon":
+            csq_mode = annotate_kwargs.get("csq_mode", "ensembl")
+            sel = annotate_kwargs.get("transcript_selection")
+            if csq_mode == "ensembl" and sel is not None:
+                # a refseq/merged transcript selection switches the BODY to
+                # the matching provenance layout (annotate_vep does the
+                # same derivation) — the header must follow
+                from ..operators.vep import TranscriptSelectionFlags
+
+                sel_mode = TranscriptSelectionFlags.from_options(sel).source_mode
+                if sel_mode != "ensembl":
+                    csq_mode = sel_mode
             fields = vep_csq_fields(
-                annotate_kwargs.get("csq_mode", "ensembl"),
+                csq_mode,
                 annotate_kwargs.get("csq_everything", False),
             )
         else:

@@ -1910,3 +1910,38 @@ def test_chrom_prefix_normalization_across_frames(spark):
     ).collect()[0]
     assert out.most_severe_consequence == "missense_variant"
     assert "ENSR1" in out.CSQ
+
+
+def test_annotate_to_vcf_header_follows_transcript_selection(spark, tmp_path):
+    """A refseq transcript_selection switches the body entries to the
+    78-field provenance layout — the sink's advertised Format list must
+    follow the same derivation (header/body agreement rule)."""
+    import os
+
+    from datafusion_bio_functions_spark.operators.vep import vep_csq_fields
+    from datafusion_bio_functions_spark.sources.readers import annotate_to_vcf
+
+    vcf = spark.createDataFrame(
+        [("1", 1103, 1103, "G", "A")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [], "chrom string, start long, end long, variation_name string, "
+        "allele_string string",
+    )
+    tx = spark.createDataFrame(
+        [("NM_000001", "1", 1100, 1108, 1, "protein_coding", "G1", "GENE1",
+          "RefSeq")],
+        "transcript_id string, chrom string, start long, end long, "
+        "strand int, biotype string, gene_stable_id string, "
+        "gene_symbol string, source string",
+    )
+    out = str(tmp_path / "sel_vcf")
+    annotate_to_vcf(
+        vcf, cache, out, transcripts=tx,
+        transcript_selection={"refseq": True},
+    )
+    hdr = open(os.path.join(out, "00_header.vcf")).read()
+    fmt = hdr.split("Format: ")[1].split('"')[0]
+    assert fmt.split("|") == vep_csq_fields("refseq")
+    assert len(fmt.split("|")) == 78
