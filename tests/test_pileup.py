@@ -216,3 +216,41 @@ def test_over_cap_contig_probe_is_not_prefix_biased(spark):
     finally:
         spark.conf.unset("spark.bio.depth.groupedMaxSegments")
         P._GROUPED_FIT_MEMO.clear()
+
+
+def test_binary_cigar_edge_battery(spark):
+    """Replays the reference's binary-CIGAR unit batteries end-to-end
+    (cigar.rs test_binary_*_events/_depth, :581-700): insertions consume
+    no reference, deletions and N skips split blocks, soft/hard clips are
+    ignored, = and X advance like M, and empty CIGAR bytes contribute
+    nothing."""
+
+    def ops(*pairs):
+        # (len, code) ops packed as the BAM little-endian u32 form
+        return bytearray(b"".join(struct.pack("<I", (l << 4) | c) for l, c in pairs))
+
+    M, I, D, N, S, H, EQ, X = 0, 1, 2, 3, 4, 5, 7, 8
+    rows = [
+        # 5M2I3M: insertion merges into one 8-base block
+        ("c1", 100, 0, ops((5, M), (2, I), (3, M)), 60),
+        # 5M3D5M: deletion splits the blocks
+        ("c2", 100, 0, ops((5, M), (3, D), (5, M)), 60),
+        # 5M100N5M: reference skip jumps far
+        ("c3", 100, 0, ops((5, M), (100, N), (5, M)), 60),
+        # 3S10M2S5H: clips consume no reference
+        ("c4", 100, 0, ops((3, S), (10, M), (2, S), (5, H)), 60),
+        # 3=2X5M: sequence-match/mismatch codes advance like M
+        ("c5", 100, 0, ops((3, EQ), (2, X), (5, M)), 60),
+        # empty CIGAR bytes: the read is skipped entirely
+        ("c6", 100, 0, bytearray(b""), 60),
+    ]
+    got = blocks_of(depth(aln(spark, rows)))
+    assert got == [
+        ("c1", 100, 107, 1),
+        ("c2", 100, 104, 1),
+        ("c2", 108, 112, 1),
+        ("c3", 100, 104, 1),
+        ("c3", 205, 209, 1),
+        ("c4", 100, 109, 1),
+        ("c5", 100, 109, 1),
+    ]
