@@ -606,20 +606,54 @@ class HgvsFlags:
         )
 
 
-def _chrom_forms_differ(a: DataFrame, b: DataFrame, b_col: str = "chrom") -> bool:
-    """Bounded probe (64 rows/side, like the repo's broadcast guards): do
-    the two frames disagree on the ``chr`` contig-name prefix?  The
+#: memoized contig-prefix form sets, keyed like the interval-probe memos
+#: (semantic plan hash + input-file fingerprint)
+_CHROM_FORM_MEMO: dict = {}
+
+
+def _chrom_forms(df: DataFrame) -> frozenset:
+    """EXACT contig-prefix form set of a frame: a distinct aggregate over
+    the boolean ``chr``-prefix flag — one column-pruned pass with partial
+    (map-side) aggregation, the same discovery scan the reference's
+    ``discover_vcf_contigs`` runs (``annotate_provider.rs:3640-3650``).
+    Exact matters: a frame MIXING chr-prefixed and bare contigs (chr1..22
+    plus a bare ``MT``) must still trigger key normalization — a row-limit
+    sample can miss the minority form and is partition-order dependent.
+    Memoized by semantic plan key so repeated pipeline builds over the
+    same frame pay once."""
+    try:
+        from .intervals import _plan_key
+
+        key = _plan_key(df)
+    except Exception:
+        key = None
+    if key is not None and key in _CHROM_FORM_MEMO:
+        return _CHROM_FORM_MEMO[key]
+    rows = (
+        df.select(
+            F.col("chrom").cast("string").startswith("chr").alias("f")
+        )
+        .filter(F.col("f").isNotNull())
+        .distinct()
+        .limit(3)
+        .collect()
+    )
+    out = frozenset(bool(r.f) for r in rows)
+    if key is not None:
+        _CHROM_FORM_MEMO[key] = out
+    return out
+
+
+def _chrom_forms_differ(a: DataFrame, b: DataFrame) -> bool:
+    """Do two frames disagree on the ``chr`` contig-name prefix?  The
     reference strips ``chr`` at every row-level chrom comparison
-    (``annotate_provider.rs:4002,4128``, contig discovery ``:3640-3650``)
-    so a ``chr1`` VCF annotates against a ``1`` cache; Spark-side we keep
-    the raw equi-key (partition-pruning friendly) when both sides use one
-    form and switch to a normalized key only on mismatch."""
-
-    def forms(df: DataFrame, col: str) -> set[bool]:
-        rows = df.select(F.col(col).cast("string").alias("c")).limit(64).collect()
-        return {r.c.startswith("chr") for r in rows if r.c is not None}
-
-    return len(forms(a, "chrom") | forms(b, b_col)) > 1
+    (``annotate_provider.rs:4002,4128``) so a ``chr1`` VCF annotates
+    against a ``1`` cache; Spark-side we keep the raw equi-key
+    (partition-pruning friendly) when both sides use one uniform form and
+    switch to a normalized key otherwise.  Probe the CHEAPEST frame that
+    carries each side's chrom values — the base tables, not derived
+    joins."""
+    return len(_chrom_forms(a) | _chrom_forms(b)) > 1
 
 
 def _chrom_key(col: "F.Column") -> "F.Column":
@@ -655,7 +689,7 @@ class VepFlags:
     reference's raw all-off defaults) for reference semantics."""
 
     __slots__ = ("check_existing", "af", "af_1kg", "af_gnomade",
-                 "af_gnomadg", "max_af", "pubmed")
+                 "af_gnomadg", "max_af", "pubmed", "everything")
 
     def __init__(
         self,
@@ -666,6 +700,7 @@ class VepFlags:
         af_gnomadg: bool = True,
         max_af: bool = True,
         pubmed: bool = True,
+        everything: bool = False,
     ) -> None:
         self.check_existing = check_existing
         self.af = af
@@ -674,6 +709,9 @@ class VepFlags:
         self.af_gnomadg = af_gnomadg
         self.max_af = max_af
         self.pubmed = pubmed
+        # retained: the reference un-suppresses gnomAD sub-pop CSQ slots on
+        # emit_in_csq || flags.everything (annotate_provider.rs:1837)
+        self.everything = everything
 
     @classmethod
     def from_options(cls, options=None) -> "VepFlags":
@@ -694,7 +732,7 @@ class VepFlags:
             or af_gnomadg or max_af or pubmed
         )
         return cls(check_existing, af, af_1kg, af_gnomade, af_gnomadg,
-                   max_af, pubmed)
+                   max_af, pubmed, everything)
 
     def af_group_enabled(self, group: int) -> bool:
         return (self.af, self.af_1kg, self.af_gnomade, self.af_gnomadg)[group]
@@ -814,6 +852,26 @@ def passes_transcript_selection(tx, flags: TranscriptSelectionFlags) -> bool:
             return flags.all_refseq or _default_refseq_id()
         return is_ensembl
     return is_ensembl
+
+
+def resolve_engine(engine: str, transcripts) -> str:
+    """annotate_vep's auto-engine rule, shared with the VCF sink so the
+    two can never drift: 'auto' becomes 'codon' when a transcripts table
+    is given, else 'positional'."""
+    if engine == "auto":
+        return "codon" if transcripts is not None else "positional"
+    return engine
+
+
+def resolve_csq_mode(csq_mode: str, transcript_selection) -> str:
+    """annotate_vep's selection-derived CSQ mode rule, shared with the
+    VCF sink: a refseq/merged transcript selection with the default
+    csq_mode selects the matching provenance layout."""
+    if csq_mode == "ensembl" and transcript_selection is not None:
+        sm = TranscriptSelectionFlags.from_options(transcript_selection).source_mode
+        if sm != "ensembl":
+            return sm
+    return csq_mode
 
 
 def variant_class_col(ref, alt) -> "F.Column":
@@ -967,8 +1025,7 @@ def annotate_vep(
     ``Allele|Consequence|IMPACT|SYMBOL|Gene|Feature|HGVSc|HGVSp``) +
     ``most_severe_consequence`` + ``existing_variation``.
     """
-    if engine == "auto":
-        engine = "codon" if transcripts is not None else "positional"
+    engine = resolve_engine(engine, transcripts)
     if engine == "codon":
         if transcripts is None:
             raise ValueError("engine='codon' requires a transcripts DataFrame")
@@ -977,8 +1034,7 @@ def annotate_vep(
             transcripts = transcripts.filter(
                 transcript_selection_predicate(flags, transcripts.columns)
             )
-            if csq_mode == "ensembl" and flags.source_mode != "ensembl":
-                csq_mode = flags.source_mode
+            csq_mode = resolve_csq_mode(csq_mode, transcript_selection)
         if "hgnc_id_native" in transcripts.columns:
             # the reference propagates gene symbol/HGNC ids across the
             # buffer-local transcript set before the engine runs
@@ -997,6 +1053,7 @@ def annotate_vep(
             domains=domains, csq_mode=csq_mode, csq_everything=csq_everything,
             hgvs_flags=HgvsFlags.from_options(hgvs_options),
             vep_flags=VepFlags.from_options(vep_options),
+            vcf_chrom_forms=_chrom_forms(vcf),
         )
     if any(
         x is not None
@@ -1060,7 +1117,7 @@ def annotate_vep(
         ).otherwise((pos < F.col("__t_start")) & (pos >= F.col("__t_start") - down))
         _t_chrom_eq = (
             _chrom_key(F.col("chrom")) == _chrom_key(F.col("__t_chrom"))
-            if _chrom_forms_differ(looked, transcripts)
+            if _chrom_forms_differ(vcf, transcripts)
             else F.col("chrom") == F.col("__t_chrom")
         )
         near = looked.join(
@@ -1175,6 +1232,7 @@ def _annotate_codon(
     csq_everything: bool = False,
     hgvs_flags: "HgvsFlags | None" = None,
     vep_flags: "VepFlags | None" = None,
+    vcf_chrom_forms: "frozenset | None" = None,
 ) -> DataFrame:
     """Variant×transcript pairing (broadcast range join on chrom) + per-pair
     classification through ``functions.consequence.classify`` in one
@@ -1345,12 +1403,23 @@ def _annotate_codon(
     # classification depends only on the variant, not on which cache rows
     # matched it — pair DISTINCT variants with transcripts so a variant
     # with many colocated cache records costs the consequence engine once
-    variants = looked.select(*vcf_cols).distinct()
+    variants = (
+        looked.select(*vcf_cols)
+        .distinct()
+        # the VEP-minimized alt is an Arrow-UDF round-trip: compute it ONCE
+        # per distinct variant here — the CSQ Allele slot (per-pair frame),
+        # the feature entries, and the intergenic entry all reference the
+        # column instead of re-instantiating the UDF expression
+        .withColumn("__vep_alt", _vep_alt_expr())
+    )
     # contig-form mismatch (chr1 vs 1) switches the pairing to normalized
     # keys — the reference strips 'chr' at every row-level comparison
+    _vforms = (
+        vcf_chrom_forms if vcf_chrom_forms is not None else _chrom_forms(looked)
+    )
     _t_chrom_eq = (
         _chrom_key(F.col("chrom")) == _chrom_key(F.col("__t_chrom"))
-        if _chrom_forms_differ(variants, transcripts)
+        if len(_vforms | _chrom_forms(transcripts)) > 1
         else F.col("chrom") == F.col("__t_chrom")
     )
     paired = variants.join(
@@ -1767,7 +1836,7 @@ def _annotate_codon(
         # field and shifts the whole layout.  The Allele slot carries the
         # VEP-MINIMIZED alt (reference writer renders vep_allele,
         # annotate_provider.rs:3977/4076), not the raw VCF alt
-        _e(_vep_alt_expr()),
+        _e(F.col("__vep_alt")),
         F.concat_ws("&", F.col("__terms")),
         _e(F.col("__res.impact")),
         csq_escape_col(F.col("__t_symbol")),
@@ -1961,8 +2030,8 @@ def _annotate_codon(
         .withColumn("__ftr", F.lit(0))
         .withColumn("__fid", F.col("__t_id"))
         .select(
-            *vcf_cols, "__e1", "__e2", "__best_term", "__best_key",
-            "__best_struct", "__is_tx", "__ftr", "__fid",
+            *vcf_cols, "__vep_alt", "__e1", "__e2", "__best_term",
+            "__best_key", "__best_struct", "__is_tx", "__ftr", "__fid",
         )
     )
 
@@ -1972,13 +2041,14 @@ def _annotate_codon(
     if regulatory is not None or motifs is not None:
         feat_frames.append(
             regulatory_features(variants, regulatory, motifs).select(
-                *vcf_cols, "feature_id", "feature_term"
+                *vcf_cols, "__vep_alt", "feature_id", "feature_term"
             )
         )
     if structural is not None:
         feat_frames.append(
             structural_terms(variants, structural).select(
                 *vcf_cols,
+                "__vep_alt",
                 F.lit(None).cast("string").alias("feature_id"),
                 "feature_term",
             )
@@ -2009,13 +2079,13 @@ def _annotate_codon(
                 F.broadcast(mi),
                 (
                     _chrom_key(F.col("chrom")) == _chrom_key(F.col("__fc"))
-                    if _chrom_forms_differ(variants, mirnas)
+                    if len(_vforms | _chrom_forms(mirnas)) > 1
                     else F.col("chrom") == F.col("__fc")
                 )
                 & (vpos <= F.col("__fe"))
                 & (vend_ >= F.col("__fs")),
             ).select(
-                *vcf_cols, "feature_id",
+                *vcf_cols, "__vep_alt", "feature_id",
                 F.lit("mature_miRNA_variant").alias("feature_term"),
             )
         )
@@ -2036,7 +2106,7 @@ def _annotate_codon(
         )
         f_p1 = F.concat_ws(
             "|",
-            F.coalesce(_vep_alt_expr(), F.lit("")),
+            F.coalesce(F.col("__vep_alt"), F.lit("")),
             F.col("feature_term"), F.coalesce(f_impact, F.lit("")),
             F.lit(""), F.lit(""), f_type,
             csq_escape_col(F.col("feature_id")),
@@ -2094,6 +2164,7 @@ def _annotate_codon(
                 F.lit(False).alias("__is_tx"),
                 f_rank.alias("__ftr"),
                 F.col("feature_id").alias("__fid"),
+                F.col("__vep_alt"),
             )
         )
 
@@ -2126,12 +2197,16 @@ def _annotate_codon(
         # high-value subset)
         F.min_by("__best_struct", "__best_key").alias("__best"),
         F.max(F.when(F.col("__is_tx"), 1).otherwise(0)).alias("__has_tx"),
+        F.first("__vep_alt").alias("__ig_alt"),
     )
-    ig_p1 = F.concat_ws(
-        "|", F.coalesce(_vep_alt_expr(), F.lit("")),
-        F.lit("intergenic_variant"), F.lit("MODIFIER"),
-        *[F.lit("")] * 14,
-    )
+    def _ig_p1(alt_col) -> "F.Column":
+        return F.concat_ws(
+            "|", F.coalesce(alt_col, F.lit("")),
+            F.lit("intergenic_variant"), F.lit("MODIFIER"),
+            *[F.lit("")] * 14,
+        )
+
+    ig_p1 = _ig_p1(F.col("__vep_alt"))
     ig_p2 = F.concat_ws(
         "|", *[F.lit("")] * _empty_e2_pre,
         variant_class_col(F.col("ref"), F.col("alt")),
@@ -2150,7 +2225,7 @@ def _annotate_codon(
                         F.struct(
                             F.lit(3).alias("r"),
                             F.lit("").alias("fid"),
-                            ig_p1.alias("e1"),
+                            _ig_p1(F.col("__ig_alt")).alias("e1"),
                             ig_p2.alias("e2"),
                         )
                     ),
@@ -2188,11 +2263,9 @@ def _annotate_codon(
     # a display STRING (__afs: the raw cache slice, native-type rendering
     # for numeric columns) plus a numeric twin (__afn) so MAX_AF compares
     # numerically while CSQ renders the raw value. ──
-    looked_af = looked
     _ltypes = dict(looked.dtypes)
     _str_af = {c for _, c in _fp if _ltypes.get(c) == "string"}
-    if _str_af:
-        looked_af = looked_af.withColumn("__vep_alt", _vep_alt_expr())
+    looked_af = looked.withColumn("__vep_alt", _vep_alt_expr())
     _af_cols = []
     for o, c in _fp:
         if c in _str_af:
@@ -2272,7 +2345,11 @@ def _annotate_codon(
     # outside --everything (emit_in_csq: false — but --everything
     # un-suppresses them: emit_in_csq || flags.everything,
     # annotate_provider.rs:1837), everything else raw
-    _suppressed = () if csq_everything else VEP_CSQ_SUPPRESSED_AF_COLS
+    _suppressed = (
+        ()
+        if (csq_everything or vf.everything)
+        else VEP_CSQ_SUPPRESSED_AF_COLS
+    )
     af_strs = []
     for o, c in VEP_FREQUENCY_COLUMNS:
         if (
@@ -2454,7 +2531,7 @@ def _annotate_codon(
         csq_col,
         ms_col,
         # ── transcript-level (computed) ──
-        _vep_alt_expr().alias("Allele"),
+        F.col("__vep_alt").alias("Allele"),
         F.concat_ws("&", F.col("__best.terms")).alias("Consequence"),
         F.coalesce(F.col("__best.impact"), F.lit("MODIFIER")).alias("IMPACT"),
         F.col("__best.symbol").alias("SYMBOL"),
@@ -2715,12 +2792,20 @@ def propagate_gene_hgnc(transcripts: DataFrame) -> DataFrame:
     region_mb = 1_000_000
     if scoped:
         def _rg(c: str) -> "F.Column":
-            return F.floor(
-                F.greatest(F.col(c).cast("long") - 1, F.lit(0)) / F.lit(region_mb)
+            # NULL coordinates must stay NULL (greatest() IGNORES nulls and
+            # would silently park unplaced rows in region 0)
+            v = F.col(c).cast("long")
+            return F.when(
+                v.isNotNull(),
+                F.floor(F.greatest(v - 1, F.lit(0)) / F.lit(region_mb)),
             ).cast("long")
 
+        # explode_OUTER: a row with NULL coordinates (sequence(NULL,..) is
+        # NULL) must stay in the frame — it cannot donate or receive across
+        # regions (its __rkey is NULL, never equi-matching) but keeps its
+        # own native/effective values through the final coalesce
         regioned = base.withColumn(
-            "__region", F.explode(F.sequence(_rg("start"), _rg("end")))
+            "__region", F.explode_outer(F.sequence(_rg("start"), _rg("end")))
         ).withColumn("__rkey", F.concat_ws(":", F.col("chrom"), F.col("__region")))
         sym_keys = [F.col("__rkey").alias("__sk_r")]
         gene_keys = [F.col("__rkey").alias("__gk_r")]

@@ -224,27 +224,20 @@ def annotate_to_vcf(
         # body actually carries: codon-engine entries follow
         # vep_csq_fields(csq_mode, csq_everything) (74/78/79 or 80/85/86
         # fields); the positional engine emits its own short 5-field layout
-        engine = annotate_kwargs.get("engine", "auto")
-        if engine == "auto":
-            engine = (
-                "codon"
-                if annotate_kwargs.get("transcripts") is not None
-                else "positional"
-            )
-        if engine == "codon":
-            csq_mode = annotate_kwargs.get("csq_mode", "ensembl")
-            sel = annotate_kwargs.get("transcript_selection")
-            if csq_mode == "ensembl" and sel is not None:
-                # a refseq/merged transcript selection switches the BODY to
-                # the matching provenance layout (annotate_vep does the
-                # same derivation) — the header must follow
-                from ..operators.vep import TranscriptSelectionFlags
+        from ..operators.vep import resolve_csq_mode, resolve_engine
 
-                sel_mode = TranscriptSelectionFlags.from_options(sel).source_mode
-                if sel_mode != "ensembl":
-                    csq_mode = sel_mode
+        engine = resolve_engine(
+            annotate_kwargs.get("engine", "auto"),
+            annotate_kwargs.get("transcripts"),
+        )
+        if engine == "codon":
+            # the SAME resolution rules annotate_vep applies — shared
+            # helpers so the advertised header cannot drift from the body
             fields = vep_csq_fields(
-                csq_mode,
+                resolve_csq_mode(
+                    annotate_kwargs.get("csq_mode", "ensembl"),
+                    annotate_kwargs.get("transcript_selection"),
+                ),
                 annotate_kwargs.get("csq_everything", False),
             )
         else:
@@ -370,8 +363,10 @@ def dedup_transcripts(df: DataFrame, key: str = "stable_id") -> DataFrame:
     """Cache-ingest transcript dedup (reference export query contract,
     ``cache_builder.rs`` ``test_build_query_transcript_dedup``: ROW_NUMBER
     PARTITION BY stable_id, keep ``_rn = 1``).  The upstream window order
-    is not vendored; this uses the deterministic (chrom, start, id) order
-    so re-runs pick the same row."""
+    is not vendored; this orders by (chrom, start) with a FULL-ROW content
+    hash as the final tie-break — duplicate spill rows usually share the
+    coordinates but differ in payload, and without the hash the pick would
+    be shuffle-order dependent across re-runs."""
     from pyspark.sql import Window
 
     def _c(name: str) -> "F.Column":
@@ -380,7 +375,7 @@ def dedup_transcripts(df: DataFrame, key: str = "stable_id") -> DataFrame:
     w = Window.partitionBy(key).orderBy(
         _c("chrom").asc_nulls_last(),
         _c("start").asc_nulls_last(),
-        F.col(key).asc(),
+        F.xxhash64(*[F.col(c) for c in df.columns]).asc(),
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -391,14 +386,18 @@ def dedup_transcripts(df: DataFrame, key: str = "stable_id") -> DataFrame:
 
 def dedup_exons(df: DataFrame) -> DataFrame:
     """Cache-ingest exon dedup (reference ``test_build_query_exon_dedup``:
-    ROW_NUMBER PARTITION BY transcript_id, exon_number)."""
+    ROW_NUMBER PARTITION BY transcript_id, exon_number), full-row content
+    hash as the deterministic tie-break (duplicate spill rows share
+    coordinates by construction)."""
     from pyspark.sql import Window
 
     def _c(name: str) -> "F.Column":
         return F.col(name) if name in df.columns else F.lit(None)
 
     w = Window.partitionBy("transcript_id", "exon_number").orderBy(
-        _c("start").asc_nulls_last(), _c("end").asc_nulls_last()
+        _c("start").asc_nulls_last(),
+        _c("end").asc_nulls_last(),
+        F.xxhash64(*[F.col(c) for c in df.columns]).asc(),
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -1945,3 +1945,82 @@ def test_annotate_to_vcf_header_follows_transcript_selection(spark, tmp_path):
     fmt = hdr.split("Format: ")[1].split('"')[0]
     assert fmt.split("|") == vep_csq_fields("refseq")
     assert len(fmt.split("|")) == 78
+
+
+def test_vep_options_everything_unsuppresses_gnomad_subpops(spark):
+    """Reference emit_in_csq || flags.everything (annotate_provider.rs:1837):
+    vep_options={'everything': True} fills the gnomAD sub-population CSQ
+    slots even in the default 74-field layout."""
+    from datafusion_bio_functions_spark.operators.vep import (
+        annotate_vep,
+        vep_csq_fields,
+    )
+
+    vcf = spark.createDataFrame(
+        [("1", 1103, 1103, "G", "A")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [("1", 1103, 1103, "rs1", "G/A", 0.125)],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string, gnomADe_AFR double",
+    )
+    tx = spark.createDataFrame(
+        [("T1", "1", 1100, 1108, 1, "protein_coding", "G1", "GENE1")],
+        "transcript_id string, chrom string, start long, end long, "
+        "strand int, biotype string, gene_stable_id string, gene_symbol string",
+    )
+    fields = vep_csq_fields("ensembl")
+    # default permissive flags: the sub-pop slot is SUPPRESSED outside
+    # --everything, like the reference's emit_in_csq=false
+    r = annotate_vep(vcf, cache, transcripts=tx).collect()[0]
+    assert dict(zip(fields, r.CSQ.split("|")))["gnomADe_AFR"] == ""
+    # the everything flag un-suppresses it without the 80-field layout
+    r = annotate_vep(
+        vcf, cache, transcripts=tx, vep_options={"everything": True},
+    ).collect()[0]
+    assert dict(zip(fields, r.CSQ.split("|")))["gnomADe_AFR"] == "0.125"
+
+
+def test_chrom_forms_probe_is_exact_on_mixed_frames(spark):
+    """A frame MIXING chr-prefixed and bare contigs (chr1 rows plus a bare
+    MT minority) must trigger key normalization — the form probe is a
+    distinct aggregate, not a row-limit sample."""
+    rows = [("chr1", i, i, "A", "T") for i in range(1, 400)] + [
+        ("MT", 500, 500, "A", "T")
+    ]
+    vcf = spark.createDataFrame(
+        rows, "chrom string, start long, end long, ref string, alt string"
+    )
+    cache = spark.createDataFrame(
+        [("MT", 500, 500, "rs_mt", "A/T")],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string",
+    )
+    got = lookup_variants(vcf, cache).filter("matched").collect()
+    assert len(got) == 1 and got[0].variation_name == "rs_mt"
+
+
+def test_cache_ingest_dedup_is_deterministic_on_full_ties(spark):
+    """Duplicate spill rows sharing the window's order keys but differing
+    in payload pick a content-hash-stable winner: two runs agree."""
+    from datafusion_bio_functions_spark.sources.readers import (
+        dedup_exons,
+        dedup_transcripts,
+    )
+
+    tx = spark.createDataFrame(
+        [("S1", "1", 100, 900, "/spill/b.gz"), ("S1", "1", 100, 700, "/spill/a.gz")],
+        "stable_id string, chrom string, start long, end long, source_file string",
+    )
+    a = dedup_transcripts(tx).collect()
+    b = dedup_transcripts(tx).collect()
+    assert len(a) == 1 and a == b
+
+    ex = spark.createDataFrame(
+        [("T1", 1, 100, 200, "x"), ("T1", 1, 100, 200, "y")],
+        "transcript_id string, exon_number int, start long, end long, tag string",
+    )
+    a = dedup_exons(ex).collect()
+    b = dedup_exons(ex).collect()
+    assert len(a) == 1 and a == b
