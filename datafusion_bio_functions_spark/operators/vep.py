@@ -2040,13 +2040,30 @@ def _annotate_codon(
     feat_frames = []
     if regulatory is not None or motifs is not None:
         feat_frames.append(
-            regulatory_features(variants, regulatory, motifs).select(
+            regulatory_features(
+                variants, regulatory, motifs,
+                chrom_normalize=bool(
+                    len(
+                        _vforms
+                        | _chrom_forms(
+                            regulatory if regulatory is not None else motifs
+                        )
+                        | (_chrom_forms(motifs) if motifs is not None else set())
+                    )
+                    > 1
+                ),
+            ).select(
                 *vcf_cols, "__vep_alt", "feature_id", "feature_term"
             )
         )
     if structural is not None:
         feat_frames.append(
-            structural_terms(variants, structural).select(
+            structural_terms(
+                variants, structural,
+                chrom_normalize=bool(
+                    len(_vforms | _chrom_forms(structural)) > 1
+                ),
+            ).select(
                 *vcf_cols,
                 "__vep_alt",
                 F.lit(None).cast("string").alias("feature_id"),
@@ -2891,6 +2908,7 @@ def regulatory_features(
     vcf: DataFrame,
     regulatory: DataFrame | None = None,
     motifs: DataFrame | None = None,
+    chrom_normalize: bool | None = None,
 ) -> DataFrame:
     """Regulatory/motif feature annotation (the regulatory arm of the
     reference's ``annotate_vep`` options, ``annotate_provider.rs`` regulatory
@@ -2958,9 +2976,14 @@ def regulatory_features(
         biotype = (
             F.col("__ft") if has_type else F.lit(None).cast("string")
         ).alias("feature_biotype")
+        _norm = (
+            chrom_normalize
+            if chrom_normalize is not None
+            else _chrom_forms_differ(vcf, regulatory)
+        )
         _fc_eq = (
             _chrom_key(F.col("chrom")) == _chrom_key(F.col("__fc"))
-            if _chrom_forms_differ(vcf, regulatory)
+            if _norm
             else F.col("chrom") == F.col("__fc")
         )
         hits = vcf.join(
@@ -2995,9 +3018,14 @@ def regulatory_features(
             F.col("end").cast("long").alias("__fe"),
             F.col("feature_id").alias("feature_id"),
         )
+        _mnorm = (
+            chrom_normalize
+            if chrom_normalize is not None
+            else _chrom_forms_differ(vcf, motifs)
+        )
         _mc_eq = (
             _chrom_key(F.col("chrom")) == _chrom_key(F.col("__fc"))
-            if _chrom_forms_differ(vcf, motifs)
+            if _mnorm
             else F.col("chrom") == F.col("__fc")
         )
         parts.append(
@@ -3017,7 +3045,9 @@ def regulatory_features(
     return out
 
 
-def structural_terms(vcf: DataFrame, structural: DataFrame) -> DataFrame:
+def structural_terms(
+    vcf: DataFrame, structural: DataFrame, chrom_normalize: bool | None = None
+) -> DataFrame:
     """Structural-variant consequence terms from a structural context table
     ``(chrom, start, end, feature_kind, event_kind [, feature_id])`` —
     the reference's SV arm of ``annotate_vep`` (context parse + kind/event
@@ -3080,7 +3110,11 @@ def structural_terms(vcf: DataFrame, structural: DataFrame) -> DataFrame:
     pos, vend = F.col("start").cast("long"), F.col("end").cast("long")
     _fc_eq = (
         _chrom_key(F.col("chrom")) == _chrom_key(F.col("__fc"))
-        if _chrom_forms_differ(vcf, structural)
+        if (
+            chrom_normalize
+            if chrom_normalize is not None
+            else _chrom_forms_differ(vcf, structural)
+        )
         else F.col("chrom") == F.col("__fc")
     )
     return (
