@@ -539,3 +539,75 @@ def test_pileup_zero_based_blocks(spark):
     assert sorted(map(tuple, depth(two, zero_based=True).collect())) == want
     # partition invariance (the reference's multi-partition MemTable case)
     assert sorted(map(tuple, depth(two.repartition(4), zero_based=True).collect())) == want
+
+
+def test_coverage_fbrain_golden_parquet(spark):
+    """The reference's OWN real-data golden (integration_test.rs
+    test_coverage_parquet, :724-815): coverage of the 438,694 exons by the
+    198,621 fBrain-DS14718 reads, FilterOp::Strict, compared row-for-row
+    against the polars-bio-generated expected_coverage.parquet shipped in
+    testing/data/ranges/."""
+    import os
+
+    base = "/root/reference/testing/data/ranges"
+    if not os.path.isdir(base):
+        pytest.skip("reference testing data not available")
+    from pyspark.sql import functions as F
+
+    from datafusion_bio_functions_spark.operators.intervals import coverage
+
+    fbrain = spark.read.parquet(f"{base}/fBrain-DS14718")
+    exons = spark.read.parquet(f"{base}/exons")
+    got = (
+        coverage(fbrain, exons, filter_op="strict")
+        .select("contig", "pos_start", "pos_end", F.col("coverage").cast("long").alias("coverage"))
+        .orderBy("contig", "pos_start", "pos_end", "coverage")
+        .collect()
+    )
+    exp = (
+        spark.read.parquet(f"{base}/expected_coverage.parquet")
+        .select("contig", "pos_start", "pos_end", F.col("coverage").cast("long").alias("coverage"))
+        .orderBy("contig", "pos_start", "pos_end", "coverage")
+        .collect()
+    )
+    assert len(got) == len(exp) == 438_694
+    assert got == exp
+
+
+def test_cluster_exons_issue_373_real_parquet(spark):
+    """The reference's real-exons cluster boundary pin (integration_test.rs
+    test_cluster_exons_issue_373_target_partitions_preserve_boundaries):
+    clusters spanning parquet partition boundaries keep one extent — the
+    five probed exons report the exact (cluster_start, cluster_end) the
+    reference asserts, including the 10 duplicate chr18 rows."""
+    import os
+
+    base = "/root/reference/testing/data/ranges"
+    if not os.path.isdir(base):
+        pytest.skip("reference testing data not available")
+    exons = spark.read.parquet(f"{base}/exons")
+    got = (
+        bio.cluster(exons)
+        .filter(
+            """
+            (contig = 'chr11' AND pos_start = 62379907 AND pos_end = 62380237) OR
+            (contig = 'chr11' AND pos_start = 62380212 AND pos_end = 62381343) OR
+            (contig = 'chr12' AND pos_start = 53776037 AND pos_end = 53777406) OR
+            (contig = 'chr15' AND pos_start = 89074843 AND pos_end = 89074946) OR
+            (contig = 'chr18' AND pos_start = 52946781 AND pos_end = 52946887)
+            """
+        )
+        .select("contig", "pos_start", "pos_end", "cluster_start", "cluster_end")
+        .orderBy("contig", "pos_start", "pos_end")
+        .collect()
+    )
+    rows = [tuple(r) for r in got]
+    assert rows[:4] == [
+        ("chr11", 62379907, 62380237, 62379907, 62381343),
+        ("chr11", 62380212, 62381343, 62379907, 62381343),
+        ("chr12", 53776037, 53777406, 53775893, 53777406),
+        ("chr15", 89074843, 89074946, 89073853, 89074946),
+    ]
+    chr18 = rows[4:]
+    assert len(chr18) == 11
+    assert set(chr18) == {("chr18", 52946781, 52946887, 52946781, 52946905)}
