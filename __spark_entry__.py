@@ -496,6 +496,7 @@ _GATE_ORDER = [
     "tx_selection",
     "dedup_translations",
     "line_dedup",
+    "semantic_dedup",
 ]
 
 
@@ -822,6 +823,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["near_dup_cosine"] = lambda spark, sf: cosine_near_dup_exact(
         _read(spark, sf, "embeddings"), threshold=0.45
     )
+
+    # SemDedup-style semantic dedup, candidate-complete twin (n_clusters=1
+    # considers every pair, so the exhaustive SQL oracle applies while the
+    # full machinery — block-pair GEMM, components, keep-min-id — runs).
+    # Production clustering (n_clusters>1) is pinned by the subset property
+    # and agreement tests in tests/test_pipeline_extras.py.
+    def _semantic_dedup_q(spark, sf):
+        from datafusion_bio_functions_spark.operators.similarity import semantic_dedup
+
+        return semantic_dedup(
+            _read(spark, sf, "embeddings"), threshold=0.45, n_clusters=1,
+            output="keep",
+        ).select("vec_id")
+
+    q["semantic_dedup"] = _semantic_dedup_q
     q["bpe_tokens"] = lambda spark, sf: _docs(spark, sf).select(
         "doc_id", bpe_token_count("text").alias("n_bpe_tokens")
     )
@@ -1503,6 +1519,9 @@ def oracle_sql() -> dict[str, str]:
     o["merge_chunked"] = osql.merge_sql(INTERVALS_M_SQL)
     o["cluster_chunked"] = osql.cluster_sql(INTERVALS_M_SQL)
     o["near_dup_cosine"] = osql.cosine_near_dup_sql(
+        "SELECT * FROM embeddings", threshold=0.45
+    )
+    o["semantic_dedup"] = osql.semantic_dedup_keep_sql(
         "SELECT * FROM embeddings", threshold=0.45
     )
     o["bpe_tokens"] = osql.bpe_tokens_sql("SELECT * FROM documents")

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "repetition_stats",
     "repetition_filter",
     "line_dedup",
+    "semantic_dedup",
 ]
 
 

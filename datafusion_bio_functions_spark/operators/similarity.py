@@ -303,9 +303,23 @@ def cosine_near_dup_exact(
     if method != "arrow":
         raise ValueError(f"method must be 'arrow' or 'sql', got {method!r}")
 
-    v = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
-    ).withColumn("__blk", F.pmod(F.hash(F.col("id")), F.lit(n_blocks)))
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+    return _blocked_near_dup_pairs(v, float(threshold), n_blocks)
+
+
+def _blocked_near_dup_pairs(
+    v: DataFrame, threshold: float, n_blocks: int, scope_col: str | None = None
+) -> DataFrame:
+    """Block-pair GEMM near-duplicate pairs over ``v`` = (id, __v[, scope]):
+    rows are hashed into ``n_blocks`` blocks; each vector is replicated once
+    per unordered block pair it participates in, and each (block_a, block_b)
+    group computes its cosine matrix as one float64 numpy matmul inside
+    ``applyInPandas``.  With ``scope_col`` set, the block-pair groups are
+    additionally keyed by that column, so only same-scope pairs are emitted
+    (the within-cluster restriction SemDedup is built on).  Cosine is
+    rounded to 6 decimals BEFORE thresholding, so the value is reproducible
+    across engines regardless of float summation order."""
+    v = v.withColumn("__blk", F.pmod(F.hash(F.col("id")), F.lit(n_blocks)))
     # one replica per unordered block pair the row participates in; a vector
     # pair (block i, block j) meets in exactly the (min,max) group
     pair_structs = F.array(
@@ -317,14 +331,15 @@ def cosine_near_dup_exact(
             for o in range(n_blocks)
         ]
     )
-    rep = v.select("id", "__v", "__blk", F.explode(pair_structs).alias("__p")).select(
-        "id", "__v", "__blk", F.col("__p.bi").alias("bi"), F.col("__p.bj").alias("bj")
+    keep = ["id", "__v", "__blk"] + ([scope_col] if scope_col else [])
+    rep = v.select(*keep, F.explode(pair_structs).alias("__p")).select(
+        *keep, F.col("__p.bi").alias("bi"), F.col("__p.bj").alias("bj")
     )
 
     thr = float(threshold)
 
     def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        bi, bj = key
+        bi, bj = key[-2], key[-1]
         a_rows = pdf[pdf["__blk"] == bi]
         b_rows = pdf[pdf["__blk"] == bj]
         if a_rows.empty or b_rows.empty:
@@ -352,7 +367,8 @@ def cosine_near_dup_exact(
             lo, hi = np.minimum(la, lb), np.maximum(la, lb)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine_sim": cos[ia, ib]})
 
-    return rep.groupBy("bi", "bj").applyInPandas(
+    group_cols = ([scope_col] if scope_col else []) + ["bi", "bj"]
+    return rep.groupBy(*group_cols).applyInPandas(
         gemm, schema="id_a long, id_b long, cosine_sim double"
     )
 
@@ -428,6 +444,23 @@ def train_ivf_centroids(
     return cent.tolist()
 
 
+def _centroid_assign_kernel(cent: "np.ndarray", n: int):
+    """Arrow-batched top-``n`` nearest-centroid assignment: one float64
+    matmul of each batch against the (broadcast-closure) centroid matrix.
+    Shared by the IVF search path and ``semantic_dedup``."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ cent.T
+        top = np.argsort(-sims, axis=1)[:, :n]
+        return pd.Series(list(top.astype("int32")))
+
+    return assign
+
+
 def ivf_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -461,22 +494,14 @@ def ivf_cosine_topk(
         )
     cent = np.array(centroids, dtype=np.float64)
 
-    def make_assign(n: int):
-        @F.pandas_udf(T.ArrayType(T.IntegerType()))
-        def assign(v: pd.Series) -> pd.Series:
-            x = np.array(v.tolist(), dtype=np.float64)
-            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-            sims = x @ cent.T
-            top = np.argsort(-sims, axis=1)[:, :n]
-            return pd.Series(list(top.astype("int32")))
-        return assign
-
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
-    ).withColumn("centroid_id", make_assign(1)(F.col("__cv"))[0])
+    ).withColumn("centroid_id", _centroid_assign_kernel(cent, 1)(F.col("__cv"))[0])
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
-    ).withColumn("centroid_id", F.explode(make_assign(nprobe)(F.col("__qv"))))
+    ).withColumn(
+        "centroid_id", F.explode(_centroid_assign_kernel(cent, nprobe)(F.col("__qv")))
+    )
     cand = (
         q.join(c, "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -495,4 +520,70 @@ def ivf_cosine_topk(
             F.col("__sim").alias("cosine_sim"),
             F.col("rank").cast("long").alias("rank"),
         )
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    dim: int = 64,
+    n_blocks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    seed: int = 7,
+    output: str = "keep",
+) -> DataFrame:
+    """SemDedup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public method): cluster embeddings with the IVF
+    k-means coarse quantizer, find near-duplicate pairs (rounded cosine
+    >= ``threshold``) WITHIN each cluster only, connected-components the
+    pair graph, and keep the minimum id per component.
+
+    ``output='keep'`` (default) returns the surviving rows of ``df`` (all
+    original columns); ``'components'`` returns (id, component) for every
+    row that participates in at least one near-dup pair; ``'pairs'``
+    returns (id_a, id_b, cosine_sim) with id_a < id_b.
+
+    ``n_clusters=1`` skips clustering entirely — every pair is considered,
+    making the operator candidate-complete and therefore SQL-oracle-able
+    (the gate twin).  At production ``n_clusters``, cross-cluster pairs
+    are never examined: that is SemDedup's documented approximation, and
+    the dropped set is provably a SUBSET of the exhaustive dropped set
+    (every within-cluster edge to a smaller id also exists globally), so
+    clustering can only under-delete, never over-delete.
+
+    Scale: assignment is one Arrow matmul pass (no shuffle); the pair
+    stage shuffles each row ``n_blocks`` times keyed by
+    (cluster, block_a, block_b) so the O(|cluster|^2) flops split into
+    executor-sized GEMM tasks; components run on the sparse near-dup
+    graph.  At 100 TB raise ``n_clusters`` proportionally to corpus size
+    (fixed target cluster width) and ``n_blocks`` with cluster width —
+    no stage ever materializes an all-pairs frame.
+    """
+    if output not in ("keep", "components", "pairs"):
+        raise ValueError(
+            f"output must be 'keep', 'components' or 'pairs', got {output!r}"
+        )
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+    if n_clusters <= 1:
+        v = v.withColumn("__cid", F.lit(0))
+    else:
+        if centroids is None:
+            centroids = train_ivf_centroids(df, n_clusters, dim, vec_col, seed=seed)
+        cent = np.array(centroids, dtype=np.float64)
+        v = v.withColumn("__cid", _centroid_assign_kernel(cent, 1)(F.col("__v"))[0])
+    pairs = _blocked_near_dup_pairs(v, float(threshold), n_blocks, scope_col="__cid")
+    if output == "pairs":
+        return pairs
+    from .dedup import connected_components
+
+    comps = connected_components(pairs)
+    if output == "components":
+        return comps
+    dropped = comps.filter(F.col("id") != F.col("component")).select("id")
+    return df.join(
+        dropped.withColumnRenamed("id", id_col), id_col, "left_anti"
     )

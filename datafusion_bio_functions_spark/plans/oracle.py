@@ -634,3 +634,28 @@ def repetition_filter_sql(
     return f"""SELECT {id_col} FROM ({stats})
 WHERE top_ngram_frac IS NULL
    OR (top_ngram_frac <= {max_top_frac} AND dup_ngram_frac <= {max_dup_frac})"""
+
+
+def semantic_dedup_keep_sql(
+    t: str, threshold: float, id_col: str = "vec_id", vec: str = "embedding"
+) -> str:
+    """Mirror of ``operators.similarity.semantic_dedup(n_clusters=1,
+    output='keep')`` projected to the id column: exhaustive rounded-cosine
+    near-dup pairs (the candidate-complete twin considers every pair),
+    connected components via a recursive CTE, keep the minimum id per
+    component plus all untouched rows."""
+    pairs = cosine_near_dup_sql(t, threshold, id_col=id_col, vec=vec)
+    return f"""WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach (id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT {id_col} FROM ({t})
+WHERE {id_col} NOT IN (SELECT id FROM comp WHERE id <> component)"""

@@ -361,3 +361,112 @@ def test_pack_documents_stream_matches_batch_across_many_arrow_batches(spark):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
     assert stream == batch
     assert len(stream) == 1000
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDedup-style embedding-cluster dedup)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_corpus(spark):
+    """Three near-dup groups + two singletons, in separable directions so a
+    2-means split is stable under the deterministic sorted-sample trainer."""
+    import math as _m
+
+    def unit(x, y, z):
+        n = _m.sqrt(x * x + y * y + z * z)
+        return [x / n, y / n, z / n]
+
+    rows = [
+        (1, unit(1.0, 0.0, 0.0)),
+        (2, unit(0.999, 0.02, 0.0)),    # dup of 1
+        (3, unit(0.998, -0.02, 0.01)),  # dup of 1
+        (10, unit(0.0, 1.0, 0.0)),
+        (11, unit(0.01, 0.999, 0.0)),   # dup of 10
+        (20, unit(0.0, 0.0, 1.0)),      # singleton
+        (21, unit(1.0, 1.0, 1.0)),      # singleton
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_keep_exhaustive(spark):
+    from datafusion_bio_functions_spark.operators.similarity import semantic_dedup
+
+    df = _semdedup_corpus(spark)
+    kept = sorted(
+        r.vec_id
+        for r in semantic_dedup(df, threshold=0.95, n_clusters=1).select(
+            "vec_id"
+        ).collect()
+    )
+    # min id survives each component; singletons untouched
+    assert kept == [1, 10, 20, 21]
+
+
+def test_semantic_dedup_outputs_agree(spark):
+    from datafusion_bio_functions_spark.operators.similarity import (
+        cosine_near_dup_exact,
+        semantic_dedup,
+    )
+
+    df = _semdedup_corpus(spark)
+    pairs = sorted(
+        (r.id_a, r.id_b)
+        for r in semantic_dedup(df, threshold=0.95, n_clusters=1, output="pairs").collect()
+    )
+    exact = sorted(
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_exact(df, threshold=0.95).collect()
+    )
+    assert pairs == exact == [(1, 2), (1, 3), (2, 3), (10, 11)]
+    comps = {
+        r.id: r.component
+        for r in semantic_dedup(df, threshold=0.95, n_clusters=1, output="components").collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_semantic_dedup_clustered_under_deletes_only(spark):
+    """Production clustering may only UNDER-delete vs the exhaustive twin
+    (within-cluster edges are a subset of all edges), and with separable
+    groups it still finds every duplicate."""
+    from datafusion_bio_functions_spark.operators.similarity import semantic_dedup
+
+    df = _semdedup_corpus(spark)
+    exhaustive = set(
+        r.vec_id
+        for r in semantic_dedup(df, threshold=0.95, n_clusters=1).select("vec_id").collect()
+    )
+    for n_clusters in (2, 3):
+        kept = set(
+            r.vec_id
+            for r in semantic_dedup(
+                df, threshold=0.95, n_clusters=n_clusters, dim=3
+            ).select("vec_id").collect()
+        )
+        assert exhaustive <= kept, n_clusters
+        # deterministic under the fixed seed: second run is identical
+        again = set(
+            r.vec_id
+            for r in semantic_dedup(
+                df, threshold=0.95, n_clusters=n_clusters, dim=3
+            ).select("vec_id").collect()
+        )
+        assert kept == again, n_clusters
+
+
+def test_semantic_dedup_keep_preserves_schema(spark):
+    from datafusion_bio_functions_spark.operators.similarity import semantic_dedup
+
+    df = _semdedup_corpus(spark).withColumn("label", F.col("vec_id") % 3)
+    out = semantic_dedup(df, threshold=0.95, n_clusters=1)
+    assert out.columns == df.columns
+
+
+def test_semantic_dedup_rejects_bad_output(spark):
+    import pytest as _pytest
+
+    from datafusion_bio_functions_spark.operators.similarity import semantic_dedup
+
+    with _pytest.raises(ValueError, match="output"):
+        semantic_dedup(_semdedup_corpus(spark), output="nope")
