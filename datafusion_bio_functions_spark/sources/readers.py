@@ -165,24 +165,39 @@ def read_vcf(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def write_vcf(df: DataFrame, path: str, info_col: str | None = None) -> None:
+def write_vcf(
+    df: DataFrame,
+    path: str,
+    info_col: str | None = None,
+    sample_name: str | None = None,
+    gt_col: str = "GT",
+) -> None:
     """Serialize the VCF contract frame back to VCF body text (one part per
     partition; the reference's vcf_sink streams batch-wise the same way,
-    ``vcf_sink.rs:1-60``)."""
+    ``vcf_sink.rs:1-60``).  With ``sample_name`` set, a single-sample
+    ``FORMAT``/genotype column pair is appended to every row — the
+    reference's output contract (``tests/vcf_output_roundtrip.rs:86-96``):
+    the FORMAT field is ``GT`` and a missing/null genotype renders as the
+    VCF missing genotype ``./.``."""
     info = F.col(info_col) if info_col else F.lit(".")
-    out = df.select(
-        F.concat_ws(
-            "\t",
-            F.col("chrom"),
-            F.col("start").cast("string"),
-            F.coalesce(F.col("id"), F.lit(".")),
-            F.col("ref"),
-            F.col("alt"),
-            F.coalesce(F.col("qual"), F.lit(".")),
-            F.coalesce(F.col("filter"), F.lit(".")),
-            info,
-        ).alias("value")
-    )
+    fields = [
+        F.col("chrom"),
+        F.col("start").cast("string"),
+        F.coalesce(F.col("id"), F.lit(".")),
+        F.col("ref"),
+        F.col("alt"),
+        F.coalesce(F.col("qual"), F.lit(".")),
+        F.coalesce(F.col("filter"), F.lit(".")),
+        info,
+    ]
+    if sample_name is not None:
+        gt = (
+            F.coalesce(F.col(gt_col), F.lit("./."))
+            if gt_col in df.columns
+            else F.lit("./.")
+        )
+        fields += [F.lit("GT"), gt]
+    out = df.select(F.concat_ws("\t", *fields).alias("value"))
     out.write.mode("overwrite").text(path)
 
 
@@ -191,6 +206,8 @@ def annotate_to_vcf(
     cache: DataFrame,
     path: str,
     progress=None,
+    sample_name: str | None = None,
+    gt_col: str = "GT",
     **annotate_kwargs,
 ) -> int:
     """The reference's ``annotate_to_vcf()`` (``vcf_sink.rs:1-60``): run
@@ -215,10 +232,18 @@ def annotate_to_vcf(
         "info",
         F.when(F.col("CSQ") != "", F.concat(F.lit("CSQ="), F.col("CSQ"))).otherwise("."),
     )
+    # a genotype column on the INPUT frame rides through to the sample
+    # column even when annotate_vep does not project it
+    if sample_name is not None and gt_col not in out.columns and gt_col in vcf.columns:
+        out = out.join(
+            vcf.select("chrom", "start", "ref", "alt", gt_col),
+            ["chrom", "start", "ref", "alt"],
+            "left",
+        )
     for c in ("id", "qual", "filter"):
         if c not in out.columns:
             out = out.withColumn(c, F.lit("."))
-    write_vcf(out, path, info_col="info")
+    write_vcf(out, path, info_col="info", sample_name=sample_name, gt_col=gt_col)
     try:
         # the advertised Format list must agree with the entry layout the
         # body actually carries: codon-engine entries follow
@@ -243,11 +268,22 @@ def annotate_to_vcf(
         else:
             fields = ["Allele", "Consequence", "Existing_variation", "SYMBOL", "Gene"]
         fmt = "|".join(fields)
+        # single-sample output adds the GT FORMAT declaration and the sample
+        # column name (reference tests/vcf_output_roundtrip.rs:17-31,146-156)
+        format_line = (
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+            if sample_name is not None
+            else ""
+        )
+        columns = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+        if sample_name is not None:
+            columns += f"\tFORMAT\t{sample_name}"
         header = (
             "##fileformat=VCFv4.2\n"
             '##INFO=<ID=CSQ,Number=.,Type=String,Description="Consequence '
             f'annotations from annotate_vep. Format: {fmt}">\n'
-            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+            f"{format_line}"
+            f"{columns}\n"
         )
         with open(os.path.join(path, "00_header.vcf"), "w") as fh:
             fh.write(header)

@@ -449,3 +449,106 @@ def test_streaming_overlap_matches_batch_join(spark, tmp_path):
         streaming_overlap(reads, anno)
     with pytest.raises(ValueError, match="static"):
         streaming_overlap(stream, stream)
+
+
+def test_vcf_sink_sample_gt_roundtrip(spark, tmp_path):
+    """Replay of the reference's VCF output round-trip battery
+    (tests/vcf_output_roundtrip.rs:133-231): single-sample sink carries the
+    sample name in the column header, a ##FORMAT GT declaration, per-row GT
+    values, CSQ preserved in INFO, and '.' INFO when CSQ is empty."""
+    import os
+
+    from datafusion_bio_functions_spark.sources.readers import annotate_to_vcf
+
+    # the reference battery's three-row frame (roundtrip.rs:102-130): two
+    # annotated variants + one CSQ-less row with a reference genotype
+    vcf = spark.createDataFrame(
+        [
+            ("chr1", 100, 100, "A", "T", "0/1"),
+            ("chr1", 200, 200, "C", "G", "1/1"),
+            ("chr2", 300, 300, "G", "A", "0/0"),
+        ],
+        "chrom string, start long, end long, ref string, alt string, GT string",
+    )
+    cache = spark.createDataFrame(
+        [("chr1", 100, 100, "rs1", "A/T"), ("chr1", 200, 200, "rs2", "C/G")],
+        "chrom string, start long, end long, variation_name string, allele_string string",
+    )
+    out = str(tmp_path / "gt_vcf")
+    n = annotate_to_vcf(vcf, cache, out, sample_name="HG002")
+    assert n == 3
+
+    hdr = open(os.path.join(out, "00_header.vcf")).read()
+    # header carries the sample (roundtrip.rs:149-150) and GT FORMAT
+    # declaration (roundtrip.rs:156)
+    assert hdr.rstrip().splitlines()[-1].endswith("\tFORMAT\tHG002")
+    assert '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">' in hdr
+
+    body = []
+    for part in sorted(os.listdir(out)):
+        if part.startswith("part-"):
+            body += [
+                l for l in open(os.path.join(out, part)).read().splitlines() if l
+            ]
+    assert len(body) == 3  # roundtrip.rs:165
+    rows = {f.split("\t")[1]: f.split("\t") for f in body}
+    # positions/alleles correct (roundtrip.rs:179-191)
+    assert rows["100"][0] == "chr1" and rows["100"][3] == "A" and rows["100"][4] == "T"
+    # every row: FORMAT field is GT, genotype rides through from the input
+    assert rows["100"][8] == "GT" and rows["100"][9] == "0/1"
+    assert rows["200"][9] == "1/1"
+    assert rows["300"][9] == "0/0"
+    # annotated rows keep CSQ in INFO (roundtrip.rs:216-226)
+    assert rows["100"][7].startswith("CSQ=") and "rs1" in rows["100"][7]
+
+
+def test_vcf_sink_gt_missing_renders_dotted(spark, tmp_path):
+    """A null/absent genotype renders as './.' (roundtrip.rs:84 unwrap_or)."""
+    import os
+
+    from datafusion_bio_functions_spark.sources.readers import write_vcf
+
+    df = spark.createDataFrame(
+        [("chr1", 100, ".", "A", "T", ".", ".", "0/1"), ("chr1", 200, ".", "C", "G", ".", ".", None)],
+        "chrom string, start long, id string, ref string, alt string, "
+        "qual string, filter string, GT string",
+    )
+    out = str(tmp_path / "dotted")
+    write_vcf(df, out, sample_name="S1")
+    body = []
+    for part in sorted(os.listdir(out)):
+        if part.startswith("part-"):
+            body += [l for l in open(os.path.join(out, part)).read().splitlines() if l]
+    rows = {f.split("\t")[1]: f.split("\t") for f in body}
+    assert rows["100"][9] == "0/1"
+    assert rows["200"][9] == "./."
+    # no GT column at all → every genotype is './.'
+    out2 = str(tmp_path / "dotted2")
+    write_vcf(df.drop("GT"), out2, sample_name="S1")
+    body2 = []
+    for part in sorted(os.listdir(out2)):
+        if part.startswith("part-"):
+            body2 += [l for l in open(os.path.join(out2, part)).read().splitlines() if l]
+    assert all(f.split("\t")[9] == "./." for f in body2)
+
+
+def test_vcf_sink_empty_input_header_only(spark, tmp_path):
+    """Empty input still produces a parseable header-only VCF with the
+    sample name (roundtrip.rs:233-247)."""
+    import os
+
+    from datafusion_bio_functions_spark.sources.readers import annotate_to_vcf, read_vcf
+
+    vcf = spark.createDataFrame(
+        [], "chrom string, start long, end long, ref string, alt string, GT string"
+    )
+    cache = spark.createDataFrame(
+        [("chr1", 100, 100, "rs1", "A/T")],
+        "chrom string, start long, end long, variation_name string, allele_string string",
+    )
+    out = str(tmp_path / "empty_vcf")
+    n = annotate_to_vcf(vcf, cache, out, sample_name="HG002")
+    assert n == 0
+    hdr = open(os.path.join(out, "00_header.vcf")).read()
+    assert hdr.rstrip().splitlines()[-1].endswith("\tFORMAT\tHG002")
+    assert read_vcf(spark, out).count() == 0
