@@ -75,3 +75,65 @@ class CoordinateNormalizer:
         when they differ (the boundary-shrink encoding,
         coordinate.rs:49-59)."""
         return "weak" if self.same_system() else "strict"
+
+
+# ---------------------------------------------------------------------------
+# Genomic chromosome ordering (cache builder / key encoding parity)
+# ---------------------------------------------------------------------------
+
+#: Canonical chromosomes in genomic code order — the reference's
+#: CHROM_CODE_ORDER / MAIN_CHROMS (cache_builder.rs:52-62).
+MAIN_CHROMS: tuple[str, ...] = tuple(
+    [str(i) for i in range(1, 23)] + ["X", "Y", "MT"]
+)
+
+#: First code for non-canonical contigs (key_encoding.rs:36).
+NON_CANONICAL_START = 26
+
+
+def chrom_code(col: "F.Column | str") -> "F.Column":
+    """Genomic chromosome code as a Spark expression — the ordering half of
+    the reference's fjall key encoding (``key_encoding.rs:13-36,60-75``):
+    the ``chr`` prefix is stripped, autosomes map to 1-22, X=23, Y=24,
+    MT=25, and every non-canonical contig maps to the shared
+    NON_CANONICAL_START code (26).  The reference disambiguates
+    non-canonical contigs with a registration-order registry whose codes
+    are lexicographic for registered contigs
+    (``cache_builder.rs:3140-3186``); a relational engine gets the same
+    total order by sorting on ``(chrom_code, bare_name)`` — see
+    :func:`genomic_sort_keys`."""
+    c = F.col(col) if isinstance(col, str) else col
+    bare = F.regexp_replace(c, "^chr", "")
+    return F.coalesce(
+        F.when(bare.rlike("^([1-9]|1[0-9]|2[0-2])$"), bare.cast("int")),
+        F.when(bare == "X", F.lit(23))
+        .when(bare == "Y", F.lit(24))
+        .when(bare == "MT", F.lit(25)),
+        F.lit(NON_CANONICAL_START),
+    ).cast("int")
+
+
+def genomic_sort_keys(col: "F.Column | str") -> list:
+    """Sort keys reproducing the reference's cache ordering: canonical
+    chromosomes in code order (1..22, X, Y, MT — NOT alphabetical, the
+    exact trap ``split_chroms`` guards against, ``cache_builder.rs:2086``),
+    then non-canonical contigs lexicographically after them
+    (``test_chrom_batches_ordering_main_then_other``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [chrom_code(c), F.regexp_replace(c, "^chr", "")]
+
+
+def split_chroms(chroms: list[str] | None) -> tuple[list[str], list[str]]:
+    """Python mirror of the reference's ``split_chroms``
+    (``cache_builder.rs:2080-2108``): partition a contig list into
+    (main, other) with main sorted by genomic code and other left in input
+    order; ``None`` defaults to the full MAIN_CHROMS list."""
+    if chroms is None:
+        return list(MAIN_CHROMS), []
+    main_set = set(MAIN_CHROMS)
+    code = {c: i for i, c in enumerate(MAIN_CHROMS)}
+    main = sorted(
+        (c for c in chroms if c in main_set), key=lambda c: code[c]
+    )
+    other = [c for c in chroms if c not in main_set]
+    return main, other

@@ -314,9 +314,23 @@ def build_sorted_cache(
     statistics then provide point-lookup data skipping.  ``compression``
     defaults to zstd and ``row_group_mb`` tunes parquet block size, the two
     knobs the reference's builder tunes for scan-time skipping
-    (``cache_builder.rs:1-41``, fjall proposal zstd/table-size targets)."""
+    (``cache_builder.rs:1-41``, fjall proposal zstd/table-size targets).
+    Ordering is GENOMIC, not alphabetical: canonical chromosomes sort by
+    code (1..22, X, Y, MT) with non-canonical contigs after them — the
+    reference sorts main chroms by CHROM_CODE_ORDER precisely because
+    schema-metadata order is alphabetical (``cache_builder.rs:2086-2096``)."""
+    from ..functions.coordinates import genomic_sort_keys
+
+    # range partitions follow GENOMIC key order (locality + balance across
+    # tasks); the within-partition sort must LEAD with the raw partition
+    # column — the parquet writer re-sorts by it otherwise (unstably,
+    # destroying the pos order row-group skipping depends on).  Within one
+    # chrom the genomic keys are constant, so (chrom, pos) yields the same
+    # per-file ordering.
     rp = df.repartitionByRange(
-        *( [partitions] if partitions else [] ), F.col(chrom_col), F.col(pos_col)
+        *( [partitions] if partitions else [] ),
+        *genomic_sort_keys(chrom_col),
+        F.col(pos_col),
     ).sortWithinPartitions(chrom_col, pos_col)
     writer = rp.write.mode("overwrite").option("compression", compression)
     if row_group_mb:

@@ -611,3 +611,102 @@ def test_cluster_exons_issue_373_real_parquet(spark):
     chr18 = rows[4:]
     assert len(chr18) == 11
     assert set(chr18) == {("chr18", 52946781, 52946887, 52946781, 52946905)}
+
+
+# ---------------------------------------------------------------------------
+# Genomic chromosome ordering (cache_builder.rs / key_encoding.rs batteries)
+# ---------------------------------------------------------------------------
+
+
+def test_chrom_code_truth_table(spark):
+    """key_encoding.rs:13-36 (canonical codes), :272-284 (chr prefix
+    stripped), cache_builder.rs test_other_chroms_after_main_chroms_in_
+    chrom_code (:3163 — non-canonical codes exceed the main max)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_bio_functions_spark.functions.coordinates import chrom_code
+
+    rows = [
+        ("1",), ("9",), ("10",), ("22",), ("X",), ("Y",), ("MT",),
+        ("chr5",), ("chrX",), ("GL000220.1",), ("HG1012_PATCH",),
+    ]
+    df = spark.createDataFrame(rows, "chrom string")
+    got = {
+        r.chrom: r.code
+        for r in df.select("chrom", chrom_code("chrom").alias("code")).collect()
+    }
+    assert got["1"] == 1 and got["9"] == 9 and got["10"] == 10 and got["22"] == 22
+    assert got["X"] == 23 and got["Y"] == 24 and got["MT"] == 25
+    # chr prefix stripped (key_encoding.rs:281)
+    assert got["chr5"] == 5 and got["chrX"] == 23
+    # non-canonical contigs sort after every canonical code
+    assert got["GL000220.1"] > 25 and got["HG1012_PATCH"] > 25
+
+
+def test_genomic_sort_keys_main_then_other(spark):
+    """cache_builder.rs test_chrom_batches_ordering_main_then_other (:3178):
+    main chroms first in CODE order (1,2,10 — not alphabetical 1,10,2),
+    then non-canonical contigs lexicographically."""
+    from pyspark.sql import functions as F
+
+    from datafusion_bio_functions_spark.functions.coordinates import genomic_sort_keys
+
+    chroms = ["10", "2", "X", "chr1", "MT", "KI270733.1", "GL000220.1", "HG1012_PATCH", "Y"]
+    df = spark.createDataFrame([(c,) for c in chroms], "chrom string")
+    got = [r.chrom for r in df.orderBy(*genomic_sort_keys("chrom")).collect()]
+    assert got == ["chr1", "2", "10", "X", "Y", "MT",
+                   "GL000220.1", "HG1012_PATCH", "KI270733.1"]
+
+
+def test_split_chroms_reference_battery():
+    """cache_builder.rs split_chroms tests (:2080-2108 + the in-module
+    battery): known chroms split main/other with main in numeric code
+    order; None defaults to the full MAIN_CHROMS; all-non-canonical gives
+    an empty main list; MT is a main chrom."""
+    from datafusion_bio_functions_spark.functions.coordinates import (
+        MAIN_CHROMS,
+        split_chroms,
+    )
+
+    # test_split_chroms_with_known_chroms + returns_numeric_order
+    main, other = split_chroms(["10", "2", "GL000220.1", "1", "X"])
+    assert main == ["1", "2", "10", "X"]
+    assert other == ["GL000220.1"]
+    # test_split_chroms_none_defaults_to_main + mt_included_in_main_chroms
+    main, other = split_chroms(None)
+    assert main == list(MAIN_CHROMS) and other == []
+    assert "MT" in main and main[-3:] == ["X", "Y", "MT"]
+    # test_split_chroms_all_non_canonical
+    main, other = split_chroms(["GL000220.1", "KI270733.1"])
+    assert main == [] and other == ["GL000220.1", "KI270733.1"]
+    # test_main_chroms_in_code_order / chrom_code_order_is_ascending
+    assert list(MAIN_CHROMS) == [str(i) for i in range(1, 23)] + ["X", "Y", "MT"]
+
+
+def test_build_sorted_cache_genomic_order(spark, tmp_path):
+    """The written cache is in GENOMIC order (1,2,10,X — not the
+    alphabetical 1,10,2,X a raw string sort gives), the exact trap the
+    reference's split_chroms sort guards against (cache_builder.rs:2086)."""
+    import duckdb
+
+    from datafusion_bio_functions_spark.sources.readers import build_sorted_cache
+
+    rows = [("10", 5), ("2", 9), ("1", 3), ("X", 1), ("1", 1), ("GL000220.1", 2), ("2", 2)]
+    df = spark.createDataFrame(rows, "chrom string, start long")
+    out = str(tmp_path / "cache")
+    build_sorted_cache(df, out, partitions=1)
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT chrom, start FROM read_parquet('{out}/*/*.parquet', hive_partitioning=1)"
+    ).fetchall()
+    # hive partition dirs list alphabetically; re-derive the written order
+    # from the single range partition instead: every chrom's rows must be
+    # contiguous and position-sorted, with genomic chrom succession
+    order = []
+    for c, s in got:
+        if not order or order[-1][0] != c:
+            order.append((c, [s]))
+        else:
+            order[-1][1].append(s)
+    for _, starts in order:
+        assert starts == sorted(starts)
