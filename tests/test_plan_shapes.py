@@ -128,3 +128,24 @@ def test_depth_chunked_no_join(spark):
 
     plan = _plan(depth(aln, algorithm="chunked", chunk_width=1000))
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_no_cartesian(spark, tmp_path_factory):
+    """semantic_dedup's pair stage is a grouped GEMM over (cluster,
+    block-pair) keys — never a cartesian/nested-loop join — and the
+    embedding scan prunes to (id, vector)."""
+    from datafusion_bio_functions_spark.operators.similarity import semantic_dedup
+
+    base = tmp_path_factory.mktemp("semded")
+    spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0], i % 3) for i in range(200)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(str(base / "emb"))
+    emb = spark.read.parquet(str(base / "emb"))
+    pairs = semantic_dedup(emb, threshold=0.99, n_clusters=4, dim=3, output="pairs")
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the grouped GEMM stage
+    # column pruning: the label column never leaves the scan
+    assert "label" not in plan.split("FileScan")[-1].split("ReadSchema:")[-1]
