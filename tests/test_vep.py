@@ -2024,3 +2024,51 @@ def test_cache_ingest_dedup_is_deterministic_on_full_ties(spark):
     a = dedup_exons(ex).collect()
     b = dedup_exons(ex).collect()
     assert len(a) == 1 and a == b
+
+
+def test_lookup_matches_shifted_or_unshifted_indel(spark):
+    """variant_lookup_exec.rs compare_existing_variant_matches_shifted_or_
+    unshifted_input: an input deletion written at its UNSHIFTED anchor
+    (AAA/A at 100) matches a cache record stored in the shifted compare
+    space (AA/- at 101-102), and vice versa — both orientations reach the
+    same minimized allele space on the probe path."""
+    from datafusion_bio_functions_spark.operators.vep import lookup_variants
+
+    # unshifted-input form: AAA>A anchored at 100 (vep-norm → 101-102 AA/-)
+    unshifted = spark.createDataFrame(
+        [("1", 100, 102, "AAA", "A")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [("1", 101, 102, "rsDEL", "AA/-")],
+        "chrom string, start long, end long, variation_name string, allele_string string",
+    )
+    # exact mode already matches: vep_norm trims the anchor base
+    assert lookup_variants(unshifted, cache).collect()[0].variation_name == "rsDEL"
+    # repeat-shifted twin one period downstream still matches on the
+    # probe path (the anchored/shifted dual of the same event)
+    shifted_cache = spark.createDataFrame(
+        [("1", 102, 103, "rsDEL2", "AA/-")],
+        "chrom string, start long, end long, variation_name string, allele_string string",
+    )
+    got = lookup_variants(unshifted, shifted_cache, extended_probes=True).collect()[0]
+    assert got.variation_name == "rsDEL2"
+
+
+def test_lookup_deduplicates_exact_and_probe_hits(spark):
+    """variant_lookup_exec.rs collect_overlapping_candidates_deduplicates_
+    exact_and_tree_hits: a cache record reachable through BOTH the exact
+    coordinate probe and the overlap probe contributes exactly one output
+    row (the reference dedups by existing-variant id before compare)."""
+    from datafusion_bio_functions_spark.operators.vep import lookup_variants
+
+    vcf = spark.createDataFrame(
+        [("1", 100, 100, "A", "T")],
+        "chrom string, start long, end long, ref string, alt string",
+    )
+    cache = spark.createDataFrame(
+        [("1", 100, 100, "rs1", "A/T")],
+        "chrom string, start long, end long, variation_name string, allele_string string",
+    )
+    rows = lookup_variants(vcf, cache, extended_probes=True).collect()
+    assert len(rows) == 1 and rows[0].variation_name == "rs1"
