@@ -154,8 +154,14 @@ def depth(
             f"depth algorithm must be 'auto', 'window', 'chunked' or 'grouped', got {algorithm!r}"
         )
     c, s, fl, cg, mq = cols or DEFAULT_ALN_COLS
+    # unmapped-shaped rows never produce events: null chrom/start are
+    # skipped up front (reference events.rs test_null_chroms_skipped; the
+    # '*' unavailable CIGAR already yields zero segments downstream) — a
+    # plain predicate, so it pushes into the scan
     df = alignments.filter(
-        (F.col(fl).cast("int").bitwiseAND(F.lit(flag_mask)) == 0)
+        F.col(c).isNotNull()
+        & F.col(s).isNotNull()
+        & (F.col(fl).cast("int").bitwiseAND(F.lit(flag_mask)) == 0)
         & (F.col(mq).cast("int") >= min_mapq)
     )
     start_1b = f"{s} + 1" if zero_based else s

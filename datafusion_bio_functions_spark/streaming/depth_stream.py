@@ -31,6 +31,11 @@ def streaming_depth_events(alignments: DataFrame, zero_based: bool = False) -> D
     """Stateless stream stage: alignments → (contig, pos, delta) coverage
     events, ready for a windowed/stateful accumulation downstream."""
     start_1b = "start + 1" if zero_based else "start"
+    # unmapped-shaped rows (null chrom/start) never produce events — the
+    # batch twin's skip rule (reference events.rs test_null_chroms_skipped)
+    alignments = alignments.filter(
+        F.col("chrom").isNotNull() & F.col("start").isNotNull()
+    )
     seg = alignments.withColumn("__segs", F.expr(_cigar_segments_sql(start_1b, "cigar")))
     return (
         # explode_outer + null filter: a plain explode makes Catalyst infer

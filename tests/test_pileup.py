@@ -254,3 +254,31 @@ def test_binary_cigar_edge_battery(spark):
         ("c4", 100, 109, 1),
         ("c5", 100, 109, 1),
     ]
+
+
+def test_depth_skips_null_chrom_and_star_cigar(spark):
+    """events.rs test_null_chroms_skipped + test_star_cigar_skipped: rows
+    with a null chrom/start never produce blocks, and the '*' unavailable
+    CIGAR contributes zero segments."""
+    from datafusion_bio_functions_spark.operators.pileup import depth
+
+    df = spark.createDataFrame(
+        [
+            ("chr1", 100, 0, "5M", 60),
+            ("chr1", 102, 0, "*", 60),   # unavailable CIGAR
+            (None, 100, 0, "5M", 60),    # null chrom
+            ("chr1", None, 0, "5M", 60), # null start
+        ],
+        "chrom string, start long, flags int, cigar string, mapping_quality int",
+    )
+    got = [tuple(r) for r in depth(df).collect()]
+    assert got == [("chr1", 100, 104, 1)]
+    # binary-CIGAR arm applies the same skip
+    import struct
+
+    bin_5m = struct.pack("<I", (5 << 4) | 0)  # 5M
+    dfb = spark.createDataFrame(
+        [("chr1", 100, 0, bin_5m, 60), (None, 100, 0, bin_5m, 60)],
+        "chrom string, start long, flags int, cigar binary, mapping_quality int",
+    )
+    assert [tuple(r) for r in depth(dfb).collect()] == [("chr1", 100, 104, 1)]
