@@ -497,8 +497,21 @@ def _finalize_blocks(
             hi.cast("long").alias("pos_end"),
             F.lit(0).cast(T.IntegerType()).alias("coverage"),
         ).filter(F.col("pos_start") <= F.col("pos_end"))
+        # covered runs clip to the declared contig bounds — a read running
+        # past the contig length writes only the in-bounds positions
+        # (reference dense bounds check: out-of-array events are skipped)
+        covered = (
+            blocks.join(lens, "contig", "inner")
+            .select(
+                "contig",
+                F.greatest(F.col("pos_start"), lo.cast("long")).alias("pos_start"),
+                F.least(F.col("pos_end"), hi.cast("long")).alias("pos_end"),
+                "coverage",
+            )
+            .filter(F.col("pos_start") <= F.col("pos_end"))
+        )
         blocks = (
-            blocks.join(lens.select("contig"), "contig", "inner")  # clip to listed contigs
+            covered
             .unionByName(gap_before)
             .unionByName(gap_tail)
             .unionByName(empty)

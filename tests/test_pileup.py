@@ -282,3 +282,25 @@ def test_depth_skips_null_chrom_and_star_cigar(spark):
         "chrom string, start long, flags int, cigar binary, mapping_quality int",
     )
     assert [tuple(r) for r in depth(dfb).collect()] == [("chr1", 100, 104, 1)]
+
+
+def test_depth_dense_bounds_clip(spark):
+    """cigar.rs test_dense_bounds_check: dense per-base output clips to the
+    declared contig length — a read running past it writes only in-bounds
+    positions, in both coordinate modes."""
+    from datafusion_bio_functions_spark.operators.pileup import depth
+
+    aln = spark.createDataFrame(
+        [("chr1", 6, 0, "10M", 60)],
+        "chrom string, start long, flags int, cigar string, mapping_quality int",
+    )
+    lens = spark.createDataFrame([("chr1", 8)], "contig string, length long")
+    got = sorted(tuple(r) for r in depth(aln, per_base=True, contig_lengths=lens).collect())
+    assert got == [("chr1", p, 1 if p >= 6 else 0) for p in range(1, 9)]
+    # 0-based: positions [0..len), read at 0-based start 5 covers 5..7
+    aln0 = spark.createDataFrame(
+        [("chr1", 5, 0, "10M", 60)],
+        "chrom string, start long, flags int, cigar string, mapping_quality int",
+    )
+    got0 = sorted(tuple(r) for r in depth(aln0, per_base=True, contig_lengths=lens, zero_based=True).collect())
+    assert got0 == [("chr1", p, 1 if p >= 5 else 0) for p in range(0, 8)]
