@@ -364,7 +364,7 @@ def _eval_udtf(spark: SparkSession, name: str, args: list[object]) -> DataFrame:
                      "af_gnomadg", "max_af", "pubmed"}
         allowed = (
             {"match_mode", "extended_probes", "upstream_distance",
-             "downstream_distance", "engine", "full_schema",
+             "downstream_distance", "distance", "engine", "full_schema",
              "regulatory", "motifs", "structural", "mirnas",
              "translations", "sift", "everything", "failed"}
             | _sel_keys | _hgvs_keys | _vep_keys
@@ -374,6 +374,31 @@ def _eval_udtf(spark: SparkSession, name: str, args: list[object]) -> DataFrame:
             raise BioSqlError(
                 f"annotate_vep() unknown options_json keys: {sorted(bad)}"
             )
+        if "distance" in opts:
+            # VEP --distance: a non-negative int (or numeric string) sets
+            # both windows; an "up,down" pair string sets them separately
+            # (reference parse_json_distance_option,
+            # annotate_provider.rs:2386-2410; invalid values fall back to
+            # the 5000/5000 default exactly as the reference's
+            # unwrap_or does)
+            raw = opts.pop("distance")
+            parts = (
+                [raw] if isinstance(raw, (int, float))
+                else [p.strip() for p in str(raw).split(",")]
+            )
+
+            def _part(v):
+                try:
+                    n = int(v)
+                except (TypeError, ValueError):
+                    return None
+                return n if n >= 0 else None
+
+            vals = [_part(p) for p in parts]
+            if len(vals) == 1 and vals[0] is not None:
+                opts["upstream_distance"] = opts["downstream_distance"] = vals[0]
+            elif len(vals) == 2 and None not in vals:
+                opts["upstream_distance"], opts["downstream_distance"] = vals
         everything = bool(opts.pop("everything", False))
         sel = {k: opts.pop(k) for k in list(opts) if k in _sel_keys}
         hgvs = {k: opts.pop(k) for k in list(opts) if k in _hgvs_keys}

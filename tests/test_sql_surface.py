@@ -245,3 +245,35 @@ def test_annotate_vep_udtf_reference_flag_families(spark, vep_views):
             "SELECT * FROM annotate_vep('sqlvcf', 'sqlcache', 'sqltx', "
             "'{\"refseq\": true, \"merged\": true}')",
         )
+
+
+def test_annotate_vep_udtf_distance_option(spark, vep_views):
+    """annotate_table_function.rs test_annotate_vep_respects_options_json_
+    distance_for_upstream_and_downstream: the options_json 'distance' key
+    accepts a non-negative number (both windows) or an 'up,down' pair
+    string; invalid values fall back to the 5000/5000 default
+    (parse_json_distance_option, annotate_provider.rs:2386-2410)."""
+    # far transcript at [9000, 9500]; variant at 100: distance 8900 — inside
+    # only when the window is widened beyond the default 5000
+    far_tx = spark.createDataFrame(
+        [("ENSTFAR", "1", 9000, 9500, 1, "protein_coding", "ENSG9", "GENE9")],
+        ["transcript_id", "chrom", "start", "end", "strand", "biotype",
+         "gene_stable_id", "gene_symbol"],
+    )
+    far_tx.createOrReplaceTempView("sqlfartx")
+
+    def msc(opts):
+        return bio_sql(
+            spark,
+            "SELECT most_severe_consequence AS msc FROM annotate_vep("
+            f"'sqlvcf', 'sqlcache', 'sqlfartx', '{opts}') WHERE start = 100",
+        ).collect()[0].msc
+
+    assert msc('{}') == "intergenic_variant"
+    assert msc('{"distance": 10000}') == "upstream_gene_variant"
+    assert msc('{"distance": "10000,20000"}') == "upstream_gene_variant"
+    # downstream-only widening does not capture an upstream transcript
+    assert msc('{"distance": "1000,20000"}') == "intergenic_variant"
+    # invalid → default 5000/5000 (reference unwrap_or)
+    assert msc('{"distance": "oops"}') == "intergenic_variant"
+    assert msc('{"distance": -5}') == "intergenic_variant"
