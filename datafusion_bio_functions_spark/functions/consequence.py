@@ -4519,6 +4519,7 @@ def protein_hgvs_for_output(
     t: Transcript, pos: int, ref: str, alt: str,
     shift: "HgvsShift | None",
     terms: list[str] | None = None,
+    shift_hgvs: bool = True,
 ) -> str | None:
     """HGVSp output dispatch with genomic-shift replay (reference
     protein_hgvs_for_output, transcript_consequence.rs:4807-5010):
@@ -4538,6 +4539,12 @@ def protein_hgvs_for_output(
         terms = classify(t, pos, ref, alt)
     if not original_terms_allow_protein_hgvs(terms):
         return None
+    if not shift_hgvs:
+        # --shift_hgvs 0: the reference's gate returns the FALLBACK — the
+        # original unshifted notation — skipping every shift replay
+        # (RefSeq transcript-sequence shift included)
+        # (transcript_consequence.rs:4824-4826)
+        return hgvs_p(t, pos, ref, alt)
     ref_n = "" if ref in ("-", None) else ref
     alt_n = "" if alt in ("-", None) else alt
     is_insertion = not ref_n and bool(alt_n)

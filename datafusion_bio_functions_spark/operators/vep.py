@@ -572,19 +572,24 @@ class HgvsFlags:
     HGVS from the transcript CDS model rather than a FASTA, so there is
     no FASTA prerequisite to gate on."""
 
-    __slots__ = ("hgvsc", "hgvsp", "no_escape", "remove_hgvsp_version",
-                 "hgvsp_use_prediction")
+    __slots__ = ("hgvsc", "hgvsp", "shift_hgvs", "no_escape",
+                 "remove_hgvsp_version", "hgvsp_use_prediction")
 
     def __init__(
         self,
         hgvsc: bool = True,
         hgvsp: bool = True,
+        shift_hgvs: bool | None = None,
         no_escape: bool = False,
         remove_hgvsp_version: bool = False,
         hgvsp_use_prediction: bool = False,
     ) -> None:
         self.hgvsc = hgvsc
         self.hgvsp = hgvsp
+        # reference default: shifting follows the HGVS switches unless the
+        # option is set explicitly (HgvsFlags.from_options_json,
+        # annotate_provider.rs:1197-1200 — unwrap_or(hgvsc || hgvsp))
+        self.shift_hgvs = (hgvsc or hgvsp) if shift_hgvs is None else bool(shift_hgvs)
         self.no_escape = no_escape
         self.remove_hgvsp_version = remove_hgvsp_version
         self.hgvsp_use_prediction = hgvsp_use_prediction
@@ -600,6 +605,9 @@ class HgvsFlags:
         return cls(
             hgvsc=hgvs or get("hgvsc"),
             hgvsp=hgvs or get("hgvsp"),
+            shift_hgvs=(
+                bool(options["shift_hgvs"]) if "shift_hgvs" in options else None
+            ),
             no_escape=get("no_escape"),
             remove_hgvsp_version=get("remove_hgvsp_version"),
             hgvsp_use_prediction=get("hgvsp_use_prediction"),
@@ -1470,6 +1478,10 @@ def _annotate_codon(
     )
     _refseq_keys = ("given_ref", "used_ref", "refseq_offset", "mirna_struct")
 
+    # engine-level 3'-shift switch, captured into the Arrow closure
+    # (reference new_with_hgvs_shift, transcript_consequence.rs:7791-7795)
+    _shift_hgvs = hgvs_flags.shift_hgvs if hgvs_flags is not None else True
+
     # no type hints: scalar pandas UDF (Series... -> DataFrame for a struct
     # return); string hints would fail to resolve against the local import
     @F.pandas_udf(res_type, F.PandasUDFType.SCALAR)
@@ -1596,7 +1608,9 @@ def _annotate_codon(
             # Sequence-less transcripts can never yield HGVSp (hgvs_p's
             # first guard) — skip the dispatch's normalize/shift prechecks
             out["hgvsp"].append(
-                cq.protein_hgvs_for_output(tr, p, r, a, None, terms)
+                cq.protein_hgvs_for_output(
+                    tr, p, r, a, None, terms, shift_hgvs=_shift_hgvs
+                )
                 if tr.cds_sequence is not None
                 else None
             )

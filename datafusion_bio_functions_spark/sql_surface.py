@@ -358,7 +358,7 @@ def _eval_udtf(spark: SparkSession, name: str, args: list[object]) -> DataFrame:
         # to the matching annotate_vep() keyword groups
         _sel_keys = {"refseq", "merged", "gencode_basic", "gencode_primary",
                      "all_refseq", "exclude_predicted"}
-        _hgvs_keys = {"hgvs", "hgvsc", "hgvsp", "no_escape",
+        _hgvs_keys = {"hgvs", "hgvsc", "hgvsp", "shift_hgvs", "no_escape",
                       "remove_hgvsp_version", "hgvsp_use_prediction"}
         _vep_keys = {"check_existing", "af", "af_1kg", "af_gnomade",
                      "af_gnomadg", "max_af", "pubmed"}

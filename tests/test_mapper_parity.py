@@ -1334,3 +1334,31 @@ def test_refseq_shift_gate_ignores_same_length_coding_substitution_edit():
     assert cq.uses_refseq_transcript_reference(t)
     assert cq.refseq_has_edited_sequence_state(t)
     assert not cq.refseq_uses_transcript_shift_for_hgvsp(t)
+
+
+def test_protein_hgvs_for_output_shift_hgvs_false_returns_unshifted():
+    """--shift_hgvs 0 gate (transcript_consequence.rs:4824-4826, Config.pm
+    shift_hgvs): protein_hgvs_for_output skips every shift replay —
+    RefSeq transcript-sequence shift included — and returns the original
+    unshifted notation."""
+    five = "AGGCGGGCGGCACTGCGCCTAAGCTGGGCCACAACCGCCAGTCAGGGCTCTCCCCTTCCCCTCCCTCCCCCCCTCCTCCTCCTCCTCTGCCGCCCAGAGCGAGACACCAAC"
+    edited_cds = "ATGGAGCCCGAGGATCTGCCATGGCCGGGCGAGCTGGAGGAGGAGGAGGAGGAGGAGGAGGAGGAGGAGGAGGAAGAGGAGGAGGCTGCAGCGGCGGCGGCGGCGAACGTGGACGACGTAGTGGTCGTGGAGGAGGTGGAGGAAGAGGCGGGGCGGGAGTTGGACTCCGACTCTCACTACGGGCCCCAGCATCTGGAAAGTATAGACGACGAGGAGGACGAGGAGGCCAAGGCCTGG"
+    canonical_cds = edited_cds + "CTG"
+    edited_tr = "MEPEDLPWPGELEEEEEEEEEEEEEEEEEAAAAAAANVDDVVVVEEVEEEAGRELDSDSHYGPQHLESIDDEEDEEAKAW"
+    canon_tr = "MEPEDLPWPGELEEEEEEEEEEEEEEEEAAAAAAANVDDVVVVEEVEEEAGRELDSDSHYGPQHLESIDDEEDEEAKAWL"
+    t = _tx("NM_015120.4", 73385758, 73386108, cds_start=73385869,
+            cds_end=73386108, source="BestRefSeq", bam_edit_status="ok",
+            has_non_polya_rna_edit=True, cdna_coding_start=112,
+            cdna_coding_end=351, spliced_seq=five + edited_cds,
+            cds_sequence=edited_cds, cds_sequence_canonical=canonical_cds,
+            translation_seq=edited_tr, translation_stable_id="NP_055935.4",
+            translation_seq_canonical=canon_tr)
+    t.refseq_edits = [RefSeqEdit(186, 185, 3)]
+    shifted = cq.protein_hgvs_for_output(t, 73385903, "-", "GGA", None)
+    unshifted = cq.protein_hgvs_for_output(
+        t, 73385903, "-", "GGA", None, shift_hgvs=False
+    )
+    assert shifted is not None and shifted.endswith("=")
+    # the gate returns the original hgvs_p notation verbatim
+    assert unshifted == cq.hgvs_p(t, 73385903, "-", "GGA")
+    assert unshifted != shifted

@@ -277,3 +277,14 @@ def test_annotate_vep_udtf_distance_option(spark, vep_views):
     # invalid → default 5000/5000 (reference unwrap_or)
     assert msc('{"distance": "oops"}') == "intergenic_variant"
     assert msc('{"distance": -5}') == "intergenic_variant"
+
+
+def test_annotate_vep_udtf_shift_hgvs_key_accepted(spark, vep_views):
+    """options_json 'shift_hgvs' is a recognized HGVS-family key
+    (HgvsFlags.from_options_json, annotate_provider.rs:1197-1200)."""
+    got = bio_sql(
+        spark,
+        "SELECT start FROM annotate_vep('sqlvcf', 'sqlcache', 'sqltx', "
+        "'{\"hgvs\": true, \"shift_hgvs\": false}')",
+    )
+    assert got.count() == 2
