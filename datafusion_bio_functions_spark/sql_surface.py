@@ -362,18 +362,37 @@ def _eval_udtf(spark: SparkSession, name: str, args: list[object]) -> DataFrame:
                       "remove_hgvsp_version", "hgvsp_use_prediction"}
         _vep_keys = {"check_existing", "af", "af_1kg", "af_gnomade",
                      "af_gnomadg", "max_af", "pubmed"}
+        # the reference's physical-layout knobs (annotate_provider.rs
+        # options_json keys): partitioned/use_fjall pick its storage
+        # backend and buffer_size its batch window — all meaningless on
+        # Spark (parquet + Catalyst own those decisions), tolerated so a
+        # reference options object runs unchanged
+        _layout_noops = {"partitioned", "use_fjall", "buffer_size"}
         allowed = (
             {"match_mode", "extended_probes", "upstream_distance",
              "downstream_distance", "distance", "engine", "full_schema",
              "regulatory", "motifs", "structural", "mirnas",
-             "translations", "sift", "everything", "failed"}
-            | _sel_keys | _hgvs_keys | _vep_keys
+             "translations", "sift", "translations_sift_table",
+             "reference_fasta_path", "everything", "failed"}
+            | _sel_keys | _hgvs_keys | _vep_keys | _layout_noops
         )
         bad = set(opts) - allowed
         if bad:
             raise BioSqlError(
                 f"annotate_vep() unknown options_json keys: {sorted(bad)}"
             )
+        if "reference_fasta_path" in opts:
+            raise BioSqlError(
+                "annotate_vep() reference_fasta_path is not supported: this "
+                "engine derives HGVS from the transcript CDS model; load the "
+                "FASTA-derived context into the transcripts table instead"
+            )
+        for k in _layout_noops:
+            opts.pop(k, None)
+        if "translations_sift_table" in opts:
+            # the reference's key naming its SIFT/PolyPhen prediction table
+            # maps onto the relational sift= context arm
+            opts.setdefault("sift", opts.pop("translations_sift_table"))
         if "distance" in opts:
             # VEP --distance: a non-negative int (or numeric string) sets
             # both windows; an "up,down" pair string sets them separately

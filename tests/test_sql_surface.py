@@ -288,3 +288,22 @@ def test_annotate_vep_udtf_shift_hgvs_key_accepted(spark, vep_views):
         "'{\"hgvs\": true, \"shift_hgvs\": false}')",
     )
     assert got.count() == 2
+
+
+def test_annotate_vep_udtf_reference_layout_keys(spark, vep_views):
+    """The reference's physical-layout options_json keys are tolerated
+    no-ops (partitioned/use_fjall/buffer_size — Spark owns those
+    decisions), translations_sift_table maps onto the sift= context arm,
+    and reference_fasta_path gets a targeted error, not 'unknown key'."""
+    got = bio_sql(
+        spark,
+        "SELECT start FROM annotate_vep('sqlvcf', 'sqlcache', "
+        "'{\"partitioned\": true, \"use_fjall\": false, \"buffer_size\": 50000}')",
+    )
+    assert got.count() == 2
+    with pytest.raises(BioSqlError, match="reference_fasta_path"):
+        bio_sql(
+            spark,
+            "SELECT * FROM annotate_vep('sqlvcf', 'sqlcache', "
+            "'{\"reference_fasta_path\": \"/x.fa\"}')",
+        )
