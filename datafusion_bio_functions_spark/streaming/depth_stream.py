@@ -15,6 +15,8 @@ DataFrames: the same logical plan runs bounded or unbounded.
   (``applyInPandasWithState``): exact first-seen dedup across micro-batches,
   state sharded by fingerprint prefix so no single group's state grows with
   the whole corpus.
+* ``streaming_event_join``    — watermarked stream-stream time-range join
+  (the impression→click shape); the range predicate bounds the state store.
 """
 
 from __future__ import annotations
@@ -133,3 +135,50 @@ def streaming_dedup(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_event_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream event join — the impression→click shape a
+    training-data pipeline runs continuously: each LEFT event joins RIGHT
+    events with the same key whose timestamp lands in
+    ``[left.ts, left.ts + max_delay]``.
+
+    Spark-native state management: both sides are watermarked, and the
+    time-RANGE predicate in the join condition is what lets the state
+    store evict rows once the watermark passes ``max_delay`` — an
+    unbounded equi-join would accumulate state forever, which is why the
+    genomic stream-static overlap join (``overlap_stream``) broadcasts
+    its static side instead.  ``how='left_outer'`` emits unmatched left
+    events (with NULL right columns) after their join window closes.
+
+    Output: every left column prefixed ``l_``, every right column
+    prefixed ``r_`` (both sides keep their key and timestamp so delay
+    analysis stays expressible downstream).
+    """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
+    if not left.isStreaming or not right.isStreaming:
+        raise ValueError(
+            "streaming_event_join expects two STREAMING frames; use a plain "
+            "join (with broadcast) when one side is static"
+        )
+    l = left.withWatermark(ts_col, watermark)
+    r = right.withWatermark(ts_col, watermark)
+    for c in l.columns:
+        l = l.withColumnRenamed(c, f"l_{c}")
+    for c in r.columns:
+        r = r.withColumnRenamed(c, f"r_{c}")
+    cond = (
+        (F.col(f"l_{key_col}") == F.col(f"r_{key_col}"))
+        & (F.col(f"r_{ts_col}") >= F.col(f"l_{ts_col}"))
+        & (F.col(f"r_{ts_col}") <= F.col(f"l_{ts_col}") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, how)

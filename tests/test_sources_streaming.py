@@ -552,3 +552,82 @@ def test_vcf_sink_empty_input_header_only(spark, tmp_path):
     hdr = open(os.path.join(out, "00_header.vcf")).read()
     assert hdr.rstrip().splitlines()[-1].endswith("\tFORMAT\tHG002")
     assert read_vcf(spark, out).count() == 0
+
+
+def test_streaming_event_join_inner_and_outer(spark, tmp_path):
+    """Watermarked stream-stream event join: right events join a left event
+    only within [l.ts, l.ts + max_delay]; left_outer emits unmatched left
+    rows with NULL right columns once their window closes."""
+    import pytest as _pytest
+
+    from datafusion_bio_functions_spark.streaming.depth_stream import (
+        streaming_event_join,
+    )
+
+    imps = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00", "imp_a"),
+         (2, "2026-01-01 10:00:00", "imp_b"),
+         (3, "2026-01-01 10:00:00", "imp_c"),
+         # watermark driver: the GLOBAL watermark is the min across both
+         # watermarked inputs, so each side needs a late row to advance it
+         (6, "2026-01-01 20:00:00", "imp_wm")],
+        "user_id long, ts string, tag string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = spark.createDataFrame(
+        [(1, "2026-01-01 10:30:00", "click_in"),     # inside 1h window
+         (2, "2026-01-01 12:30:00", "click_late"),   # outside the window
+         (1, "2026-01-01 09:30:00", "click_before"), # before the impression
+         (9, "2026-01-01 10:30:00", "click_nouser"), # no matching key
+         # watermark driver: pushes event time far past every join window
+         (8, "2026-01-01 20:00:00", "wm")],
+        "user_id long, ts string, tag string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src_l, src_r = str(tmp_path / "imps"), str(tmp_path / "clicks")
+    imps.write.parquet(src_l)
+    clicks.write.parquet(src_r)
+    sl = spark.readStream.schema(imps.schema).parquet(src_l)
+    sr = spark.readStream.schema(clicks.schema).parquet(src_r)
+
+    out = streaming_event_join(sl, sr, max_delay="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("evjoin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_inner"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = [(r.l_user_id, r.r_tag) for r in spark.sql("SELECT * FROM evjoin").collect()]
+    assert rows == [(1, "click_in")]
+
+    outer = streaming_event_join(sl, sr, max_delay="1 hour", how="left_outer")
+    sink = str(tmp_path / "outer_sink")
+
+    def run_outer():
+        # a FILE sink: the memory sink cannot restart from a checkpoint,
+        # and the outer join needs a second trigger (watermark advances
+        # take effect on the NEXT microbatch)
+        q2 = (
+            outer.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_outer"))
+            .trigger(availableNow=True).start()
+        )
+        q2.awaitTermination(120)
+
+    run_outer()
+    # feed one more late row and trigger again so closed windows flush NULLs
+    for src in (src_l, src_r):
+        spark.createDataFrame(
+            [(7, "2026-01-02 00:00:00", "wm2")], "user_id long, ts string, tag string"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode("append").parquet(src)
+    run_outer()
+    got = {r.l_user_id: r.r_tag for r in spark.read.parquet(sink).collect()}
+    assert got[1] == "click_in"
+    # unmatched impressions surface with NULL right side after the window
+    assert got[2] is None and got[3] is None
+
+    with _pytest.raises(ValueError, match="STREAMING"):
+        streaming_event_join(imps, sr)
+    with _pytest.raises(ValueError, match="how"):
+        streaming_event_join(sl, sr, how="full")
