@@ -63,6 +63,10 @@ def exact_dedup(
 
     ``output='kept'``   → original rows, one representative (min id) per group.
     ``output='groups'`` → ``(fingerprint, keep_id, n_dups)`` summary.
+
+    NULL texts dedup among THEMSELVES (missing content is byte-identical
+    to missing content — the null fingerprint forms one group) but never
+    against the empty string, whose fingerprint is a real hash.
     """
     # spread first: a few-row-group parquet arrives as 1-5 scan partitions,
     # which would serialize the md5+regexp fingerprint pass (sf10 probe:
@@ -164,6 +168,12 @@ def substring_dup_spans(
 # ---------------------------------------------------------------------------
 # minhash + LSH
 # ---------------------------------------------------------------------------
+
+
+#: surrogate content for NULL texts in the near-dup generators: keeps the
+#: null≡null grouping while never colliding with the empty string (real
+#: text cannot contain NUL bytes after normalization)
+_NULL_TEXT_SENTINEL = "\x00__null_text__\x00"
 
 
 def _norm_text(col: Column | str) -> Column:
@@ -574,13 +584,21 @@ def minhash_dedup(
     sample (≥50 %), off below (the extra stages outweigh the savings
     unless the representative set is much smaller than the corpus).
     """
+    # NULL texts dedup among THEMSELVES but never against genuinely EMPTY
+    # documents: the Arrow shingle kernel coerces None to "", so without a
+    # sentinel every malformed (null-text) row would near-dup-pair with
+    # every empty document.  The sentinel keeps null≡null (exact_dedup's
+    # null-fingerprint group) while separating it from "".
+    content = df.withColumn(
+        text_col, F.coalesce(F.col(text_col), F.lit(_NULL_TEXT_SENTINEL))
+    )
     if collapse_exact == "auto":
-        collapse_exact = _should_collapse(df, text_col)
+        collapse_exact = _should_collapse(content, text_col)
     if collapse_exact:
-        groups, reps, member_map = _exact_collapse(df, text_col, id_col)
+        groups, reps, member_map = _exact_collapse(content, text_col, id_col)
     else:
         groups = None
-        reps = df
+        reps = content
     # shingling + signatures are the expensive stage and feed three
     # consumers (band join + two shingle joins) — materialize once; the
     # cache is released when the returned DataFrame is garbage-collected
@@ -827,6 +845,10 @@ def simhash_dedup(
         sim = simhash64(text_col, hash_method=hash_method)
     else:
         raise ValueError(f"method must be 'arrow' or 'sql', got {method!r}")
+    # same null-text sentinel as minhash_dedup: null≡null, never null≡""
+    df = df.withColumn(
+        text_col, F.coalesce(F.col(text_col), F.lit(_NULL_TEXT_SENTINEL))
+    )
     if collapse_exact == "auto":
         collapse_exact = _should_collapse(df, text_col)
     if collapse_exact:

@@ -470,3 +470,37 @@ def test_semantic_dedup_rejects_bad_output(spark):
 
     with _pytest.raises(ValueError, match="output"):
         semantic_dedup(_semdedup_corpus(spark), output="nope")
+
+
+def test_dedup_null_text_semantics(spark):
+    """NULL texts dedup among THEMSELVES (missing ≡ missing, one group)
+    but never against genuinely EMPTY documents — the Arrow shingle
+    kernels coerce None to "", so without the sentinel every malformed
+    row would near-dup-pair with every empty document."""
+    from datafusion_bio_functions_spark.operators.dedup import (
+        exact_dedup,
+        minhash_dedup,
+        ngram_jaccard_dedup,
+        simhash_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, None), (4, None), (5, "real text here")],
+        "doc_id long, text string",
+    )
+    # exact: empties collapse to 1, nulls collapse to 3 — separate groups
+    assert sorted(r.doc_id for r in exact_dedup(docs).collect()) == [1, 3, 5]
+    # near-dup generators: empty-vs-empty and null-vs-null, NEVER across
+    for fn in (
+        lambda: minhash_dedup(docs, threshold=0.9),
+        lambda: simhash_dedup(docs, max_hamming=3),
+        lambda: ngram_jaccard_dedup(docs, n=3, threshold=0.8),
+    ):
+        pairs = sorted((r.id_a, r.id_b) for r in fn().collect())
+        assert pairs == [(1, 2), (3, 4)], pairs
+    kept = sorted(
+        r.doc_id for r in minhash_dedup(docs, threshold=0.9, output="kept").collect()
+    )
+    assert kept == [1, 3, 5]
+    comps = minhash_dedup(docs, threshold=0.9, output="components").collect()
+    assert sorted((r.id, r.component) for r in comps) == [(1, 1), (2, 1), (3, 3), (4, 3)]
