@@ -39,11 +39,11 @@ ROWS_ONLY = {"annotate_vep_full", "lsh_ann_prod"}
 
 
 def test_queries_frozen_at_65():
-    # 50 stamped + 21 oracle-verified tail rows (substring_dup_spans
+    # 50 stamped + 22 oracle-verified tail rows (substring_dup_spans
     # joined the tail in round 6; repetition_stats/repetition_filter in
-    # round 7; lookup_failed/tx_selection/dedup_translations/line_dedup
-    # in round 8)
-    assert len(entry_mod.queries()) == 71
+    # round 7; lookup_failed/tx_selection/dedup_translations/line_dedup/
+    # semantic_dedup in round 8)
+    assert len(entry_mod.queries()) == 72
 
 
 def test_gate_order_is_applied():
@@ -95,6 +95,8 @@ def test_tail_rows_are_twins_of_stamped_families():
         "dedup_translations": "lookup_variants",
         # C4 line-level dedup: granularity twin of the dedup family
         "line_dedup": "dedup_exact",
+        # SemDedup: clustering/keep-rule twin of the embedding near-dup row
+        "semantic_dedup": "near_dup_cosine",
     }
     for row in tail:
         assert row in family, f"non-twin row {row} demoted out of the stamp window"
