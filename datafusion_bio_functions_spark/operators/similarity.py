@@ -42,7 +42,9 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: an all-zero vector has no defined cosine — NULL (dropped
+    # by every threshold/rank consumer) instead of an ANSI-mode error
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def _pair_cosine_kernel():
@@ -89,10 +91,10 @@ def cosine_topk(
     """
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
-    )
+    ).filter(F.col("__qv").isNotNull())
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
-    )
+    ).filter(F.col("__cv").isNotNull())
     sim = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -179,13 +181,17 @@ def lsh_cosine_topk(
 
         return buckets
 
-    c0 = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv"))
+    c0 = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    ).filter(F.col("__cv").isNotNull())
     c = c0.select(
         "neighbor_id",
         "__cv",
         F.posexplode(_buckets_kernel()(F.col("__cv"))).alias("table", "bucket"),
     )
-    q0 = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv"))
+    q0 = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    ).filter(F.col("__qv").isNotNull())
     qb = q0.select(
         "query_id", "__qv", F.posexplode(_buckets_kernel()(F.col("__qv"))).alias("table", "__b0")
     )
@@ -282,6 +288,7 @@ def cosine_near_dup_exact(
     ``method='sql'``: the all-JVM expression formulation (strict sequential
     summation; one crossJoin, Catalyst broadcasts the smaller side)."""
     if method == "sql":
+        df = df.filter(F.col(vec_col).isNotNull())
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")).withColumn(
             "__na", l2_norm(F.col("__va"))
         )
@@ -294,7 +301,11 @@ def cosine_near_dup_exact(
             .withColumn(
                 "cosine_sim",
                 F.round(
-                    dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+                    F.try_divide(
+                        dot(F.col("__va"), F.col("__vb")),
+                        F.col("__na") * F.col("__nb"),
+                    ),
+                    6,
                 ),
             )
             .filter(F.col("cosine_sim") >= threshold)
@@ -318,8 +329,13 @@ def _blocked_near_dup_pairs(
     additionally keyed by that column, so only same-scope pairs are emitted
     (the within-cluster restriction SemDedup is built on).  Cosine is
     rounded to 6 decimals BEFORE thresholding, so the value is reproducible
-    across engines regardless of float summation order."""
-    v = v.withColumn("__blk", F.pmod(F.hash(F.col("id")), F.lit(n_blocks)))
+    across engines regardless of float summation order.  NULL vectors have
+    no cosine against anything and are dropped here (the GEMM would crash
+    on a ragged batch); an all-zero vector yields NaN cosines, which the
+    threshold mask drops silently."""
+    v = v.filter(F.col("__v").isNotNull()).withColumn(
+        "__blk", F.pmod(F.hash(F.col("id")), F.lit(n_blocks))
+    )
     # one replica per unordered block pair the row participates in; a vector
     # pair (block i, block j) meets in exactly the (min,max) group
     pair_structs = F.array(
@@ -387,8 +403,10 @@ def cosine_near_dup_pairs(
     split by a single sign flip are still found; output (id_a, id_b,
     cosine_sim), id_a < id_b."""
     planes = _hyperplanes(dim, n_planes, seed)
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")).withColumn(
-        "__b0", _bucket_expr(F.col("__v"), planes)
+    v = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .withColumn("__b0", _bucket_expr(F.col("__v"), planes))
     )
     probes = F.array(
         F.col("__b0"), *[F.col("__b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
@@ -424,6 +442,7 @@ def train_ivf_centroids(
 
     sample = (
         corpus.select(F.col(vec_col).alias("v"))
+        .filter(F.col("v").isNotNull())
         .limit(sample_size)
         .collect()
     )
@@ -496,10 +515,12 @@ def ivf_cosine_topk(
 
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
-    ).withColumn("centroid_id", _centroid_assign_kernel(cent, 1)(F.col("__cv"))[0])
+    ).filter(F.col("__cv").isNotNull()).withColumn(
+        "centroid_id", _centroid_assign_kernel(cent, 1)(F.col("__cv"))[0]
+    )
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
-    ).withColumn(
+    ).filter(F.col("__qv").isNotNull()).withColumn(
         "centroid_id", F.explode(_centroid_assign_kernel(cent, nprobe)(F.col("__qv")))
     )
     cand = (
@@ -567,7 +588,11 @@ def semantic_dedup(
         raise ValueError(
             f"output must be 'keep', 'components' or 'pairs', got {output!r}"
         )
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+    # null-vector rows take no part in pair generation/components;
+    # output='keep' retains them (the dropped-id anti-join never sees them)
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
     if n_clusters <= 1:
         v = v.withColumn("__cid", F.lit(0))
     else:

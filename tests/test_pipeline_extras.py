@@ -504,3 +504,42 @@ def test_dedup_null_text_semantics(spark):
     assert kept == [1, 3, 5]
     comps = minhash_dedup(docs, threshold=0.9, output="components").collect()
     assert sorted((r.id, r.component) for r in comps) == [(1, 1), (2, 1), (3, 3), (4, 3)]
+
+
+def test_similarity_null_and_zero_vectors(spark):
+    """NULL embeddings take no part in any similarity scoring (the numpy
+    kernels would crash on a ragged batch); all-zero vectors yield NaN
+    cosines which the threshold/rank paths drop silently.  output='keep'
+    retains null-vector rows untouched."""
+    import warnings
+
+    from datafusion_bio_functions_spark.operators.similarity import (
+        cosine_near_dup_exact,
+        cosine_topk,
+        ivf_cosine_topk,
+        lsh_cosine_topk,
+        semantic_dedup,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.01]), (3, None), (4, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # zero-vector 0/0 RuntimeWarnings
+        for method in ("arrow", "sql"):
+            pairs = sorted(
+                (r.id_a, r.id_b)
+                for r in cosine_near_dup_exact(emb, threshold=0.9, method=method).collect()
+            )
+            assert pairs == [(1, 2)], (method, pairs)
+        topk = cosine_topk(emb, emb, k=1).collect()
+        assert all(r.query_id != 3 and r.neighbor_id != 3 for r in topk)
+        lsh = lsh_cosine_topk(emb, emb, k=1, dim=2, n_planes=2, n_tables=2).collect()
+        assert all(r.query_id != 3 and r.neighbor_id != 3 for r in lsh)
+        ivf = ivf_cosine_topk(emb, emb, k=1, n_centroids=2, nprobe=2, dim=2).collect()
+        assert all(r.query_id != 3 and r.neighbor_id != 3 for r in ivf)
+        kept = sorted(
+            r.vec_id for r in semantic_dedup(emb, threshold=0.9, n_clusters=1).collect()
+        )
+        assert kept == [1, 3, 4]
