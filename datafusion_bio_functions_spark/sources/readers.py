@@ -149,19 +149,31 @@ def read_vcf(spark: SparkSession, path: str) -> DataFrame:
     """Parse a (possibly bgzip-less) VCF text file into the VCF contract
     frame (chrom, start, end, id, ref, alt, qual, filter, info).  ``end`` is
     ``start + len(ref) - 1`` (1-based closed, reference
-    ``variant_lookup_exec.rs:941-952``)."""
-    lines = spark.read.text(path).filter(~F.col("value").startswith("#"))
+    ``variant_lookup_exec.rs:941-952``).
+
+    Malformed body lines are SKIPPED, not fatal: blank lines, lines with
+    fewer than the 8 fixed VCF columns, and rows whose POS does not parse
+    as an integer (one bad line must not kill a 100 TB ingest; ANSI mode
+    would otherwise raise on the array index / cast)."""
+    lines = spark.read.text(path).filter(
+        ~F.col("value").startswith("#") & (F.length(F.trim(F.col("value"))) > 0)
+    )
     p = F.split(F.col("value"), "\t")
-    return lines.select(
-        p.getItem(0).alias("chrom"),
-        p.getItem(1).cast("long").alias("start"),
-        (p.getItem(1).cast("long") + F.length(p.getItem(3)) - 1).alias("end"),
-        p.getItem(2).alias("id"),
-        p.getItem(3).alias("ref"),
-        p.getItem(4).alias("alt"),
-        p.getItem(5).alias("qual"),
-        p.getItem(6).alias("filter"),
-        p.getItem(7).alias("info"),
+    start = F.expr("try_cast(split(value, '\t')[1] AS BIGINT)")
+    return (
+        lines.filter(F.size(p) >= 8)
+        .select(
+            F.get(p, 0).alias("chrom"),
+            start.alias("start"),
+            (start + F.length(F.get(p, 3)) - 1).alias("end"),
+            F.get(p, 2).alias("id"),
+            F.get(p, 3).alias("ref"),
+            F.get(p, 4).alias("alt"),
+            F.get(p, 5).alias("qual"),
+            F.get(p, 6).alias("filter"),
+            F.get(p, 7).alias("info"),
+        )
+        .filter(F.col("start").isNotNull())
     )
 
 

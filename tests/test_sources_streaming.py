@@ -631,3 +631,20 @@ def test_streaming_event_join_inner_and_outer(spark, tmp_path):
         streaming_event_join(imps, sr)
     with _pytest.raises(ValueError, match="how"):
         streaming_event_join(sl, sr, how="full")
+
+
+def test_read_vcf_skips_malformed_lines(spark, tmp_path):
+    """Malformed VCF body lines are skipped, never fatal: blank lines,
+    truncated (<8 column) lines, and rows with a non-numeric POS."""
+    src = tmp_path / "malformed.vcf"
+    src.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "1\t100\trs1\tA\tT\t50\tPASS\tDP=10\n"
+        "\n"
+        "1\t200\n"
+        "2\tnotanumber\t.\tG\tC\t.\t.\t.\n"
+        "2\t300\trs3\tG\tGTT\t99\tPASS\tAF=0.5\n"
+    )
+    rows = sorted((r.chrom, r.start) for r in read_vcf(spark, str(src)).collect())
+    assert rows == [("1", 100), ("2", 300)]
