@@ -78,16 +78,22 @@ def read_bed(
         & ~F.col("value").startswith("browser")
         & (F.length(F.trim(F.col("value"))) > 0)
     )
-    start = F.get(p, 1).cast("long") + (1 if one_based else 0)
+    # try_cast: a malformed coordinate nulls the row (dropped below)
+    # instead of raising under ANSI mode and killing the scan
+    start = F.get(p, 1).try_cast("long") + (1 if one_based else 0)
     out = lines.select(
         F.get(p, 0).alias("contig"),
         start.alias("pos_start"),
-        F.get(p, 2).cast("long").alias("pos_end"),
+        F.get(p, 2).try_cast("long").alias("pos_end"),
         F.get(p, 3).alias("name"),
-        F.get(p, 4).cast("int").alias("score"),
+        F.get(p, 4).try_cast("int").alias("score"),
         F.get(p, 5).alias("strand"),
     )
-    return out.filter(F.col("contig").isNotNull() & F.col("pos_start").isNotNull())
+    return out.filter(
+        F.col("contig").isNotNull()
+        & F.col("pos_start").isNotNull()
+        & F.col("pos_end").isNotNull()
+    )
 
 
 def _gtf_attr(attrs: "F.Column", key: str) -> "F.Column":
@@ -107,8 +113,8 @@ def read_gtf(spark: SparkSession, path: str) -> DataFrame:
         F.get(p, 0).alias("chrom"),
         F.get(p, 1).alias("source"),
         F.get(p, 2).alias("feature"),
-        F.get(p, 3).cast("long").alias("start"),
-        F.get(p, 4).cast("long").alias("end"),
+        F.get(p, 3).try_cast("long").alias("start"),
+        F.get(p, 4).try_cast("long").alias("end"),
         F.get(p, 5).alias("score"),
         F.get(p, 6).alias("strand"),
         F.get(p, 7).alias("frame"),

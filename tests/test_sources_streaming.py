@@ -648,3 +648,24 @@ def test_read_vcf_skips_malformed_lines(spark, tmp_path):
     )
     rows = sorted((r.chrom, r.start) for r in read_vcf(spark, str(src)).collect())
     assert rows == [("1", 100), ("2", 300)]
+
+
+def test_read_bed_gtf_skip_malformed(spark, tmp_path):
+    """Non-numeric coordinates null-out via try_cast and the row drops —
+    one malformed line must not kill the scan (ANSI mode would raise)."""
+    from datafusion_bio_functions_spark.sources.readers import read_bed
+
+    bed = tmp_path / "m.bed"
+    bed.write_text("track name=x\nchr1\t10\t20\n\nchr2\t5\nchr3\tbad\t30\nchr4\t1\t9\n")
+    rows = sorted((r.contig, r.pos_start, r.pos_end) for r in read_bed(spark, str(bed)).collect())
+    assert rows == [("chr1", 11, 20), ("chr4", 2, 9)]
+    from datafusion_bio_functions_spark.sources.readers import read_gtf
+
+    gtf = tmp_path / "m.gtf"
+    gtf.write_text(
+        '#c\nchr1\tsrc\ttranscript\t1\t10\t.\t+\t.\tgene_id "g";\n'
+        "\nchr1\tsrc\n"
+        'chr1\tsrc\texon\tbad\t10\t.\t+\t.\tgene_id "g";\n'
+    )
+    got = read_gtf(spark, str(gtf)).collect()
+    assert [(r.feature, r.start) for r in got if r.start is not None] == [("transcript", 1)]
