@@ -108,6 +108,14 @@ def _fake_meta(content: bytes, media_type: str) -> dict:
     }
 
 
+def _require_cols(df: DataFrame, cols: "tuple[str, ...]", fn: str) -> None:
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"{fn}() missing required column(s) {missing}; available: {df.columns}"
+        )
+
+
 def decode_media(
     df: DataFrame,
     content_col: str = "content",
@@ -117,6 +125,7 @@ def decode_media(
     """Append a ``media_meta`` struct per row via Arrow-batched mapInPandas.
     ``decode``: 'fake' (deterministic pseudo-decode), 'real' or any name
     registered via :func:`register_media_decoder`."""
+    _require_cols(df, (content_col, media_type_col), "decode_media")
     decoder = _resolve_decoder(
         decode,
         "meta",
@@ -160,6 +169,7 @@ def extract_features(
         "register_media_decoder('real', features=...) to plug one in",
     )
 
+    _require_cols(df, (content_col,), "extract_features")
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("features", T.ArrayType(T.FloatType()))]
     )
@@ -203,6 +213,7 @@ def resize_media(
     (PIL/cv2) would use, and the metadata struct is updated to the new
     dimensions.  Fake mode truncates/pads the bytes to the implied size —
     deterministic, shape-correct, obviously fake."""
+    _require_cols(df, (content_col, meta_col), "resize_media")
     decoder = _resolve_decoder(
         decode,
         "resize",
@@ -249,6 +260,7 @@ def sample_frames(
     """Explode one row per sampled frame index (videos only) — pure Spark:
     ``sequence(0, n_frames-1, every_nth)`` + explode.  A real frame decoder
     would then map over (content, frame_idx) batches."""
+    _require_cols(df, (meta_col,), "sample_frames")
     return df.filter(F.col(f"{meta_col}.media_type") == "video").select(
         "*",
         F.explode(

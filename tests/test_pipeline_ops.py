@@ -585,3 +585,26 @@ def test_line_dedup_c4_semantics(spark):
     out2 = {r.doc_id: r for r in line_dedup(docs2, min_words=2).collect()}
     assert out2[1].text == "alpha\nbeta gamma"
     assert out2[2].text == "alpha"
+
+
+def test_multimodal_missing_column_message(spark):
+    """A missing content/meta column raises a clear driver-side ValueError
+    naming the column, not an opaque Python-worker KeyError."""
+    import pytest as _pytest
+
+    from datafusion_bio_functions_spark.operators.multimodal import (
+        decode_media,
+        extract_features,
+        resize_media,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, data binary")
+    with _pytest.raises(ValueError, match="decode_media.*content"):
+        decode_media(df)
+    with _pytest.raises(ValueError, match="extract_features.*content"):
+        extract_features(df)
+    with _pytest.raises(ValueError, match="resize_media.*content"):
+        resize_media(df, 32, 32)
+    with _pytest.raises(ValueError, match="sample_frames.*media_meta"):
+        sample_frames(df)
