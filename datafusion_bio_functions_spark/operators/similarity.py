@@ -547,7 +547,7 @@ def ivf_cosine_topk(
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: "int | str" = "auto",
     dim: int = 64,
     n_blocks: int = 4,
     id_col: str = "vec_id",
@@ -567,6 +567,11 @@ def semantic_dedup(
     original columns); ``'components'`` returns (id, component) for every
     row that participates in at least one near-dup pair; ``'pairs'``
     returns (id_a, id_b, cosine_sim) with id_a < id_b.
+
+    ``n_clusters='auto'`` (default) sizes the quantizer to the corpus:
+    ``max(1, round(n / cluster_target))`` clusters for ``cluster_target``
+    ≈ 1024 rows each, so per-cluster GEMM work stays executor-sized at any
+    scale (a parquet count is one metadata-cheap aggregate job).
 
     ``n_clusters=1`` skips clustering entirely — every pair is considered,
     making the operator candidate-complete and therefore SQL-oracle-able
@@ -588,6 +593,10 @@ def semantic_dedup(
         raise ValueError(
             f"output must be 'keep', 'components' or 'pairs', got {output!r}"
         )
+    if n_clusters == "auto":
+        n_clusters = max(1, round(df.count() / 1024))
+    elif not isinstance(n_clusters, int):
+        raise ValueError(f"n_clusters must be an int or 'auto', got {n_clusters!r}")
     # null-vector rows take no part in pair generation/components;
     # output='keep' retains them (the dropped-id anti-join never sees them)
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")).filter(

@@ -151,11 +151,18 @@ def gtf_exons(gtf: DataFrame) -> DataFrame:
     )
 
 
-def read_vcf(spark: SparkSession, path: str) -> DataFrame:
+def read_vcf(
+    spark: SparkSession, path: str, with_genotypes: bool = False
+) -> DataFrame:
     """Parse a (possibly bgzip-less) VCF text file into the VCF contract
     frame (chrom, start, end, id, ref, alt, qual, filter, info).  ``end`` is
     ``start + len(ref) - 1`` (1-based closed, reference
     ``variant_lookup_exec.rs:941-952``).
+
+    ``with_genotypes=True`` appends a ``GT`` column from the first sample
+    column of single-sample files (the sink's ``sample_name=`` output
+    round-trips): the GT sub-field is looked up by its position in the
+    per-row FORMAT field, NULL when the row carries no sample data.
 
     Malformed body lines are SKIPPED, not fatal: blank lines, lines with
     fewer than the 8 fixed VCF columns, and rows whose POS does not parse
@@ -166,21 +173,29 @@ def read_vcf(spark: SparkSession, path: str) -> DataFrame:
     )
     p = F.split(F.col("value"), "\t")
     start = F.expr("try_cast(split(value, '\t')[1] AS BIGINT)")
-    return (
-        lines.filter(F.size(p) >= 8)
-        .select(
-            F.get(p, 0).alias("chrom"),
-            start.alias("start"),
-            (start + F.length(F.get(p, 3)) - 1).alias("end"),
-            F.get(p, 2).alias("id"),
-            F.get(p, 3).alias("ref"),
-            F.get(p, 4).alias("alt"),
-            F.get(p, 5).alias("qual"),
-            F.get(p, 6).alias("filter"),
-            F.get(p, 7).alias("info"),
+    cols = [
+        F.get(p, 0).alias("chrom"),
+        start.alias("start"),
+        (start + F.length(F.get(p, 3)) - 1).alias("end"),
+        F.get(p, 2).alias("id"),
+        F.get(p, 3).alias("ref"),
+        F.get(p, 4).alias("alt"),
+        F.get(p, 5).alias("qual"),
+        F.get(p, 6).alias("filter"),
+        F.get(p, 7).alias("info"),
+    ]
+    if with_genotypes:
+        # position of 'GT' in the FORMAT field → same slot of the first
+        # sample column (the VCF FORMAT contract)
+        fmt = F.split(F.get(p, 8), ":")
+        gt_idx = F.array_position(fmt, "GT")
+        cols.append(
+            F.when(
+                (F.size(p) >= 10) & (gt_idx > 0),
+                F.get(F.split(F.get(p, 9), ":"), gt_idx.cast("int") - 1),
+            ).alias("GT")
         )
-        .filter(F.col("start").isNotNull())
-    )
+    return lines.filter(F.size(p) >= 8).select(*cols).filter(F.col("start").isNotNull())
 
 
 def write_vcf(

@@ -543,3 +543,20 @@ def test_similarity_null_and_zero_vectors(spark):
             r.vec_id for r in semantic_dedup(emb, threshold=0.9, n_clusters=1).collect()
         )
         assert kept == [1, 3, 4]
+
+
+def test_semantic_dedup_auto_clusters(spark):
+    """n_clusters='auto' sizes the quantizer to the corpus (~1024 rows per
+    cluster, min 1): a tiny corpus degenerates to the exhaustive twin."""
+    import pytest as _pytest
+
+    from datafusion_bio_functions_spark.operators.similarity import semantic_dedup
+
+    df = _semdedup_corpus(spark)
+    auto = sorted(r.vec_id for r in semantic_dedup(df, threshold=0.95).collect())
+    exhaustive = sorted(
+        r.vec_id for r in semantic_dedup(df, threshold=0.95, n_clusters=1).collect()
+    )
+    assert auto == exhaustive == [1, 10, 20, 21]
+    with _pytest.raises(ValueError, match="n_clusters"):
+        semantic_dedup(df, n_clusters="nope")

@@ -669,3 +669,32 @@ def test_read_bed_gtf_skip_malformed(spark, tmp_path):
     )
     got = read_gtf(spark, str(gtf)).collect()
     assert [(r.feature, r.start) for r in got if r.start is not None] == [("transcript", 1)]
+
+
+def test_read_vcf_with_genotypes_roundtrip(spark, tmp_path):
+    """The sink's single-sample output round-trips: read_vcf(with_genotypes
+    =True) recovers the GT column via the FORMAT-slot lookup, NULL for
+    rows without sample data or with './.'-style placeholders intact."""
+    from datafusion_bio_functions_spark.sources.readers import write_vcf
+
+    df = spark.createDataFrame(
+        [("chr1", 100, ".", "A", "T", ".", ".", "0/1"),
+         ("chr1", 200, ".", "C", "G", ".", ".", None)],
+        "chrom string, start long, id string, ref string, alt string, "
+        "qual string, filter string, GT string",
+    )
+    out = str(tmp_path / "gt_rt")
+    write_vcf(df, out, sample_name="S1")
+    back = {r.start: r.GT for r in read_vcf(spark, out, with_genotypes=True).collect()}
+    assert back == {100: "0/1", 200: "./."}
+    # multi-subfield FORMAT: GT found by position, not assumed first
+    rich = tmp_path / "rich.vcf"
+    rich.write_text(
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+        "chr1\t300\t.\tG\tA\t.\t.\t.\tDP:GT:GQ\t12:1/1:99\n"
+        "chr1\t400\t.\tG\tA\t.\t.\t.\n"  # 8-column row: GT NULL
+    )
+    got = {r.start: r.GT for r in read_vcf(spark, str(rich), with_genotypes=True).collect()}
+    assert got == {300: "1/1", 400: None}
+    # default stays the 9-column contract frame
+    assert "GT" not in read_vcf(spark, out).columns
