@@ -478,15 +478,20 @@ def _finalize_blocks(
         b = b.withColumn("__prev_end", F.lag("pos_end").over(w)).withColumn(
             "__is_last", F.lead("pos_start").over(w).isNull()
         )
+        # gap runs clamp to the declared bounds too: a block lying (partly
+        # or wholly) past the contig end would otherwise leak out-of-bounds
+        # zero positions through the gap arithmetic
         gap_before = b.select(
             "contig",
-            F.coalesce(F.col("__prev_end") + 1, lo.cast("long")).alias("pos_start"),
-            (F.col("pos_start") - 1).alias("pos_end"),
+            F.greatest(
+                F.coalesce(F.col("__prev_end") + 1, lo.cast("long")), lo.cast("long")
+            ).alias("pos_start"),
+            F.least(F.col("pos_start") - 1, hi.cast("long")).alias("pos_end"),
             F.lit(0).cast(T.IntegerType()).alias("coverage"),
         ).filter(F.col("pos_start") <= F.col("pos_end"))
         gap_tail = b.filter(F.col("__is_last")).select(
             "contig",
-            (F.col("pos_end") + 1).alias("pos_start"),
+            F.greatest(F.col("pos_end") + 1, lo.cast("long")).alias("pos_start"),
             hi.cast("long").alias("pos_end"),
             F.lit(0).cast(T.IntegerType()).alias("coverage"),
         ).filter(F.col("pos_start") <= F.col("pos_end"))

@@ -570,8 +570,10 @@ def semantic_dedup(
 
     ``n_clusters='auto'`` (default) sizes the quantizer to the corpus:
     ``max(1, round(n / cluster_target))`` clusters for ``cluster_target``
-    ≈ 1024 rows each, so per-cluster GEMM work stays executor-sized at any
-    scale (a parquet count is one metadata-cheap aggregate job).
+    ≈ 1024 rows each (n counted from the null-filtered frame; one count
+    job), capped at 4096 lists with the training sample scaled to keep
+    ≥ ~40 vectors per centroid — per-cluster GEMM work stays
+    executor-sized at any scale and the trainer never starves.
 
     ``n_clusters=1`` skips clustering entirely — every pair is considered,
     making the operator candidate-complete and therefore SQL-oracle-able
@@ -593,20 +595,31 @@ def semantic_dedup(
         raise ValueError(
             f"output must be 'keep', 'components' or 'pairs', got {output!r}"
         )
-    if n_clusters == "auto":
-        n_clusters = max(1, round(df.count() / 1024))
-    elif not isinstance(n_clusters, int):
-        raise ValueError(f"n_clusters must be an int or 'auto', got {n_clusters!r}")
     # null-vector rows take no part in pair generation/components;
     # output='keep' retains them (the dropped-id anti-join never sees them)
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")).filter(
         F.col("__v").isNotNull()
     )
+    sample_size = 10_000
+    if n_clusters == "auto":
+        # sized from the NULL-FILTERED frame (the rows that actually enter
+        # the pair stage); one count job — reuses the scan's aggregate
+        # pushdown on parquet, one upstream execution otherwise.  Capped at
+        # 4096 lists so the trainer's bounded sample stays >= ~40 vectors
+        # per centroid (the standard IVF training floor) — beyond the cap
+        # cluster width grows past the 1024 target instead of the sample
+        # degenerating.
+        n_clusters = min(4096, max(1, round(v.count() / 1024)))
+        sample_size = max(10_000, 40 * n_clusters)
+    elif not isinstance(n_clusters, int):
+        raise ValueError(f"n_clusters must be an int or 'auto', got {n_clusters!r}")
     if n_clusters <= 1:
         v = v.withColumn("__cid", F.lit(0))
     else:
         if centroids is None:
-            centroids = train_ivf_centroids(df, n_clusters, dim, vec_col, seed=seed)
+            centroids = train_ivf_centroids(
+                df, n_clusters, dim, vec_col, sample_size=sample_size, seed=seed
+            )
         cent = np.array(centroids, dtype=np.float64)
         v = v.withColumn("__cid", _centroid_assign_kernel(cent, 1)(F.col("__v"))[0])
     pairs = _blocked_near_dup_pairs(v, float(threshold), n_blocks, scope_col="__cid")

@@ -487,6 +487,21 @@ def _vep_alt_expr() -> "F.Column":
 _REFSEQ_ACCESSION_RE = r"^[A-Z]{2}_[0-9]"
 
 
+def _opt_bool(v) -> bool:
+    """JSON-ish boolean coercion for options values: real booleans/numbers
+    use truthiness; STRINGS parse by content ("0"/"false"/"no"/"off"/"" are
+    False) — ``bool("0")`` is True in Python, which would silently invert a
+    quoted ``"shift_hgvs": "0"``.  Unrecognized strings raise."""
+    if isinstance(v, str):
+        low = v.strip().lower()
+        if low in ("", "0", "false", "no", "off"):
+            return False
+        if low in ("1", "true", "yes", "on"):
+            return True
+        raise ValueError(f"expected a boolean option value, got {v!r}")
+    return bool(v)
+
+
 class TranscriptSelectionFlags:
     """VEP transcript-set selection switches (reference
     ``TranscriptSelectionFlags``, ``annotate_provider.rs:1224-1315``):
@@ -525,7 +540,7 @@ class TranscriptSelectionFlags:
             options = {}
         if isinstance(options, TranscriptSelectionFlags):
             return options
-        get = lambda k: bool(options.get(k, False))  # noqa: E731
+        get = lambda k: _opt_bool(options.get(k, False))  # noqa: E731
         refseq, merged = get("refseq"), get("merged")
         gencode_basic, gencode_primary = get("gencode_basic"), get("gencode_primary")
         all_refseq, exclude_predicted = get("all_refseq"), get("exclude_predicted")
@@ -600,13 +615,13 @@ class HgvsFlags:
             return cls()
         if isinstance(options, HgvsFlags):
             return options
-        get = lambda k: bool(options.get(k, False))  # noqa: E731
+        get = lambda k: _opt_bool(options.get(k, False))  # noqa: E731
         hgvs = get("everything") or get("hgvs")
         return cls(
             hgvsc=hgvs or get("hgvsc"),
             hgvsp=hgvs or get("hgvsp"),
             shift_hgvs=(
-                bool(options["shift_hgvs"]) if "shift_hgvs" in options else None
+                _opt_bool(options["shift_hgvs"]) if "shift_hgvs" in options else None
             ),
             no_escape=get("no_escape"),
             remove_hgvsp_version=get("remove_hgvsp_version"),
@@ -727,7 +742,7 @@ class VepFlags:
             return cls()
         if isinstance(options, VepFlags):
             return options
-        get = lambda k: bool(options.get(k, False))  # noqa: E731
+        get = lambda k: _opt_bool(options.get(k, False))  # noqa: E731
         everything = get("everything")
         af = everything or get("af")
         af_1kg = everything or get("af_1kg")

@@ -119,7 +119,14 @@ def read_gtf(spark: SparkSession, path: str) -> DataFrame:
         F.get(p, 6).alias("strand"),
         F.get(p, 7).alias("frame"),
         F.get(p, 8).alias("attributes"),
-    ).filter(F.col("feature").isNotNull())
+    ).filter(
+        # malformed lines (missing feature, non-numeric/truncated
+        # coordinates) drop here — a NULL start would otherwise corrupt
+        # the downstream exon/transcript contracts silently
+        F.col("feature").isNotNull()
+        & F.col("start").isNotNull()
+        & F.col("end").isNotNull()
+    )
 
 
 def gtf_transcripts(gtf: DataFrame) -> DataFrame:

@@ -402,11 +402,19 @@ def _eval_udtf(spark: SparkSession, name: str, args: list[object]) -> DataFrame:
             # unwrap_or does)
             raw = opts.pop("distance")
             parts = (
-                [raw] if isinstance(raw, (int, float))
+                [raw]
+                if isinstance(raw, (int, float)) and not isinstance(raw, bool)
                 else [p.strip() for p in str(raw).split(",")]
             )
 
             def _part(v):
+                # integers only — a fractional or boolean value is INVALID
+                # (falls back to the 5000/5000 default like the reference's
+                # unwrap_or), never silently truncated to a tiny window
+                if isinstance(v, bool) or (
+                    isinstance(v, float) and not v.is_integer()
+                ):
+                    return None
                 try:
                     n = int(v)
                 except (TypeError, ValueError):

@@ -304,3 +304,11 @@ def test_depth_dense_bounds_clip(spark):
     )
     got0 = sorted(tuple(r) for r in depth(aln0, per_base=True, contig_lengths=lens, zero_based=True).collect())
     assert got0 == [("chr1", p, 1 if p >= 5 else 0) for p in range(0, 8)]
+    # a block WHOLLY beyond the contig end must not leak zero positions
+    # past the bound through the gap arithmetic either
+    aln_far = spark.createDataFrame(
+        [("chr1", 12, 0, "5M", 60), ("chr1", 2, 0, "2M", 60)],
+        "chrom string, start long, flags int, cigar string, mapping_quality int",
+    )
+    got_far = sorted(tuple(r) for r in depth(aln_far, per_base=True, contig_lengths=lens).collect())
+    assert got_far == [("chr1", p, 1 if p in (2, 3) else 0) for p in range(1, 9)]

@@ -668,7 +668,9 @@ def test_read_bed_gtf_skip_malformed(spark, tmp_path):
         'chr1\tsrc\texon\tbad\t10\t.\t+\t.\tgene_id "g";\n'
     )
     got = read_gtf(spark, str(gtf)).collect()
-    assert [(r.feature, r.start) for r in got if r.start is not None] == [("transcript", 1)]
+    # the malformed-coordinate exon row drops entirely (a NULL start would
+    # silently corrupt the downstream exon contract)
+    assert [(r.feature, r.start) for r in got] == [("transcript", 1)]
 
 
 def test_read_vcf_with_genotypes_roundtrip(spark, tmp_path):

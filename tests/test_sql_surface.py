@@ -274,9 +274,12 @@ def test_annotate_vep_udtf_distance_option(spark, vep_views):
     assert msc('{"distance": "10000,20000"}') == "upstream_gene_variant"
     # downstream-only widening does not capture an upstream transcript
     assert msc('{"distance": "1000,20000"}') == "intergenic_variant"
-    # invalid → default 5000/5000 (reference unwrap_or)
+    # invalid → default 5000/5000 (reference unwrap_or): non-numeric,
+    # negative, fractional (never truncated), boolean
     assert msc('{"distance": "oops"}') == "intergenic_variant"
     assert msc('{"distance": -5}') == "intergenic_variant"
+    assert msc('{"distance": 2.9}') == "intergenic_variant"
+    assert msc('{"distance": true}') == "intergenic_variant"
 
 
 def test_annotate_vep_udtf_shift_hgvs_key_accepted(spark, vep_views):

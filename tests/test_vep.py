@@ -2072,3 +2072,25 @@ def test_lookup_deduplicates_exact_and_probe_hits(spark):
     )
     rows = lookup_variants(vcf, cache, extended_probes=True).collect()
     assert len(rows) == 1 and rows[0].variation_name == "rs1"
+
+
+def test_option_flags_string_boolean_coercion():
+    """Quoted JSON-ish booleans parse by CONTENT: '\"shift_hgvs\": \"0\"'
+    means off (bool('0') is True in Python — the naive coercion silently
+    inverted it); unrecognized strings raise."""
+    import pytest as _pytest
+
+    from datafusion_bio_functions_spark.operators.vep import (
+        HgvsFlags,
+        TranscriptSelectionFlags,
+        VepFlags,
+    )
+
+    assert HgvsFlags.from_options({"shift_hgvs": "0"}).shift_hgvs is False
+    assert HgvsFlags.from_options({"shift_hgvs": "false"}).shift_hgvs is False
+    assert HgvsFlags.from_options({"shift_hgvs": "1"}).shift_hgvs is True
+    assert HgvsFlags.from_options({"hgvs": "0"}).hgvsc is False
+    assert VepFlags.from_options({"af": "off"}).af is False
+    assert TranscriptSelectionFlags.from_options({"refseq": "no"}).source_mode == "ensembl"
+    with _pytest.raises(ValueError, match="boolean"):
+        HgvsFlags.from_options({"shift_hgvs": "maybe"})
