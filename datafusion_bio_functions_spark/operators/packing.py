@@ -62,9 +62,11 @@ def pack_documents(
         F.col(token_col).cast("long") if token_col is not None
         else token_count(text_col)
     )
+    # a NULL text/token count packs as a zero-length document — the fold
+    # kernels would otherwise crash on the NaN it becomes in pandas
     base = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        tokens.alias("n_tokens"),
+        F.coalesce(tokens, F.lit(0)).alias("n_tokens"),
     ).withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("long"))
 
     schema = "doc_id long, shard long, pack_id long, n_tokens long"

@@ -608,3 +608,21 @@ def test_multimodal_missing_column_message(spark):
         resize_media(df, 32, 32)
     with _pytest.raises(ValueError, match="sample_frames.*media_meta"):
         sample_frames(df)
+
+
+def test_pack_documents_null_text(spark):
+    """A NULL text packs as a zero-length document in both fold forms (the
+    pandas kernels crashed on the NaN token count before)."""
+    from datafusion_bio_functions_spark.operators.packing import pack_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e")], "doc_id long, text string"
+    )
+    for stream in (False, True):
+        rows = {
+            r.doc_id: r.n_tokens
+            for r in pack_documents(
+                docs, budget=10, n_shards=2, stream_per_shard=stream
+            ).collect()
+        }
+        assert rows == {1: 3, 2: 0, 3: 2}, (stream, rows)
