@@ -72,8 +72,14 @@ def _iter_records(
     data: bytes, binary_cigar: bool, include_unmapped: bool
 ) -> Iterator[tuple]:
     """Yield (chrom, start0, flags, cigar, mapq) from raw .bam bytes."""
-    raw = gzip.decompress(data)  # BGZF = concatenated gzip members
-    refs, off = _parse_header(raw)
+    try:
+        raw = gzip.decompress(data)  # BGZF = concatenated gzip members
+    except (gzip.BadGzipFile, EOFError) as e:
+        raise ValueError(
+            "not a BGZF/BAM byte stream (bad gzip framing): "
+            f"{len(data)} bytes starting {data[:8]!r}"
+        ) from e
+    refs, off = _parse_header(raw)  # raises on a missing BAM\1 magic
     n = len(raw)
     while off < n:
         (block_size,) = struct.unpack_from("<i", raw, off)

@@ -368,3 +368,25 @@ def test_bgzf_compress_roundtrip():
     data = b"x" * 200_000
     comp = bgzf_compress(data, block_payload=4096)
     assert gzip.decompress(comp) == data
+
+
+def test_read_bam_clear_error_on_non_bam(spark, tmp_path):
+    """A non-BGZF file raises a clear ValueError naming the framing problem
+    instead of a bare BadGzipFile from deep inside the worker; an empty
+    file yields zero rows."""
+    import gzip as _gzip
+
+    import pytest as _pytest
+
+    bad = tmp_path / "garbage.bam"
+    bad.write_bytes(b"not a bam at all" * 10)
+    with _pytest.raises(Exception, match="not a BGZF/BAM byte stream"):
+        read_bam(spark, str(bad)).count()
+    # valid gzip but not BAM content → the BAM\1 magic error surfaces
+    notbam = tmp_path / "notbam.bam"
+    notbam.write_bytes(_gzip.compress(b"plain text payload"))
+    with _pytest.raises(Exception, match="missing BAM"):
+        read_bam(spark, str(notbam)).count()
+    empty = tmp_path / "empty.bam"
+    empty.write_bytes(b"")
+    assert read_bam(spark, str(empty)).count() == 0
