@@ -497,6 +497,7 @@ _GATE_ORDER = [
     "dedup_translations",
     "line_dedup",
     "semantic_dedup",
+    "hash_split",
 ]
 
 
@@ -857,6 +858,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id")
 
     q["hash_sample"] = _hash_sample_q
+
+    def _hash_split_q(spark, sf):
+        from datafusion_bio_functions_spark.operators.sampling import hash_split
+
+        return hash_split(
+            _read(spark, sf, "documents"),
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+            key_col="doc_id",
+            seed=5,
+        ).select("doc_id", "split")
+
+    q["hash_split"] = _hash_split_q
 
     def _mix_domains_q(spark, sf):
         from datafusion_bio_functions_spark.operators.sampling import mix_domains
@@ -1608,6 +1621,12 @@ FROM documents"""
 SELECT doc_id FROM documents
 WHERE ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#', '7')), 1, 16))::UBIGINT::DOUBLE
       / {_U} < 0.35"""
+    o["hash_split"] = f"""
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#', '5')), 1, 16))::UBIGINT::DOUBLE / {_U} < 0.8 THEN 'train'
+            WHEN ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#', '5')), 1, 16))::UBIGINT::DOUBLE / {_U} < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents"""
     o["mix_domains"] = f"""
 SELECT doc_id, source FROM documents
 WHERE ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#', '3')), 1, 16))::UBIGINT::DOUBLE

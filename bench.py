@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "repetition_filter",
     "line_dedup",
     "semantic_dedup",
+    "hash_split",
 ]
 
 

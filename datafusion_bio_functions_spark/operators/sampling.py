@@ -57,3 +57,41 @@ def mix_domains(
     for d, w in weights.items():
         frac = F.when(F.col(domain_col) == d, F.lit(float(w))).otherwise(frac)
     return df.filter(hash_uniform(key_col, seed) < frac)
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment: each row gets the
+    label whose cumulative-fraction interval its ``hash_uniform`` value
+    lands in — disjoint, exhaustive (fractions must sum to 1 within 1e-9),
+    reproducible across runs/engines, and STABLE under corpus growth: a
+    row's label depends only on (key, seed), so appending new documents
+    never reassigns existing ones (the property that keeps eval sets
+    uncontaminated across dataset versions).
+
+    One JVM expression per row — no shuffle; filters on the label column
+    push down like any predicate.  Insertion order of ``fractions`` fixes
+    the interval layout, so the same dict always yields the same split.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    for name, w in fractions.items():
+        if w < 0.0:
+            raise ValueError(f"fraction for {name!r} must be >= 0, got {w}")
+    u = hash_uniform(key_col, seed)
+    label = None
+    hi = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        hi += fractions[name]
+        cond = u < F.lit(hi)
+        label = F.when(cond, F.lit(name)) if label is None else label.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    label = last if label is None else label.otherwise(last)
+    return df.withColumn(split_col, label)

@@ -626,3 +626,32 @@ def test_pack_documents_null_text(spark):
             ).collect()
         }
         assert rows == {1: 3, 2: 0, 3: 2}, (stream, rows)
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    """hash_split: disjoint exhaustive labels, deterministic under the
+    seed, and STABLE under corpus growth (a row's label depends only on
+    key+seed, so appending documents never reassigns existing ones)."""
+    import pytest as _pytest
+
+    from datafusion_bio_functions_spark.operators.sampling import hash_split
+
+    docs = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in hash_split(docs, fr, seed=5).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs, fr, seed=5).collect()}
+    assert a == b and set(a.values()) == {"train", "val", "test"}
+    # roughly proportional (md5-uniform; loose bounds)
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 700 < n_train < 900
+    # growth stability: the first 1000 keep their labels in a 2000-row corpus
+    grown = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    g = {r.doc_id: r.split for r in hash_split(grown, fr, seed=5).collect()}
+    assert all(g[k] == v for k, v in a.items())
+    # different seed reassigns
+    c = {r.doc_id: r.split for r in hash_split(docs, fr, seed=6).collect()}
+    assert c != a
+    with _pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, {"train": 0.5, "val": 0.1})
+    with _pytest.raises(ValueError, match=">= 0"):
+        hash_split(docs, {"train": 1.5, "val": -0.5})
