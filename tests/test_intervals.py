@@ -663,3 +663,47 @@ def test_custom_column_name_matching_mode_token(spark):
         spark, "SELECT * FROM merge('modecol_t', 'c', 'strict', 'e')"
     ).collect()))
     assert got == [("chr1", 1, 10, 1), ("chr1", 40, 50, 1)]
+
+
+def test_nearest_index_battery_replay(spark):
+    """nearest_index.rs in-module battery, replayed through the operator:
+    overlaps rank first then nearest fills (distance tie broken toward the
+    smaller start — nearest_k_includes_overlaps_then_fills_nearest), and
+    include_overlaps=False excludes the overlap entirely
+    (nearest_k_non_overlap_excludes_overlapping_candidates)."""
+    import datafusion_bio_functions_spark as bio
+
+    probe = spark.createDataFrame(
+        [("c", 35, 35)], "contig string, pos_start long, pos_end long"
+    )
+    cands = spark.createDataFrame(
+        [("c", 10, 20), ("c", 30, 40), ("c", 50, 60)],
+        "contig string, pos_start long, pos_end long",
+    )
+    for algo in ("radius", "cogroup"):
+        got = sorted(
+            (r.distance, r.left_pos_start)
+            for r in bio.nearest(cands, probe, k=2, algorithm=algo).collect()
+        )
+        # overlap (30,40) at distance 0 first; the 15-bp tie between (10,20)
+        # and (50,60) resolves to the smaller start
+        assert got == [(0, 30), (15, 10)], (algo, got)
+        got_no = sorted(
+            (r.distance, r.left_pos_start)
+            for r in bio.nearest(
+                cands, probe, k=2, include_overlaps=False, algorithm=algo
+            ).collect()
+        )
+        assert got_no == [(15, 10), (15, 50)], (algo, got_no)
+
+
+def test_merge_adjacent_intervals(spark):
+    """interval_tree.rs test_merge_intervals_adjacent: touching intervals
+    (1,5)+(5,10) merge into (1,10)."""
+    import datafusion_bio_functions_spark as bio
+
+    t = spark.createDataFrame(
+        [("c", 1, 5), ("c", 5, 10)], "contig string, pos_start long, pos_end long"
+    )
+    got = [(r.pos_start, r.pos_end) for r in bio.merge(t).collect()]
+    assert got == [(1, 10)]
