@@ -498,6 +498,7 @@ _GATE_ORDER = [
     "line_dedup",
     "semantic_dedup",
     "hash_split",
+    "normalize_text",
 ]
 
 
@@ -810,6 +811,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = lambda spark, sf: _docs(spark, sf).select(
         "doc_id", _lang_id("text").alias("lang_pred")
     )
+
+    # C4/CCNet-style normalization: NFC (Arrow unicodedata pass) + control
+    # strip; the corpus gets deterministic combining marks and control
+    # bytes injected so the normalization does real work
+    def _normalize_text_q(spark, sf):
+        from datafusion_bio_functions_spark.functions.text import normalize_text
+
+        d = _docs(spark, sf)
+        dirty = F.concat(
+            F.col("text"),
+            F.lit(" cafe"), F.lit("\u0301"),          # e + combining acute
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\u0007")).otherwise(F.lit("")),
+            F.lit(" fin"),
+        )
+        return d.select("doc_id", normalize_text(dirty).alias("clean"))
+
+    q["normalize_text"] = _normalize_text_q
     # Gopher-style intra-document n-gram repetition metrics + threshold
     # filter (the duplicated corpus exercises both keep branches)
     q["repetition_stats"] = lambda spark, sf: repetition_stats(_docs(spark, sf))
@@ -1621,6 +1639,13 @@ FROM documents"""
 SELECT doc_id FROM documents
 WHERE ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#', '7')), 1, 16))::UBIGINT::DOUBLE
       / {_U} < 0.35"""
+    o["normalize_text"] = r"""
+SELECT doc_id,
+       regexp_replace(
+         nfc_normalize(text || ' cafe' || chr(769) ||
+                       CASE WHEN doc_id % 3 = 0 THEN chr(7) ELSE '' END || ' fin'),
+         '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g') AS clean
+FROM documents"""
     o["hash_split"] = f"""
 SELECT doc_id,
        CASE WHEN ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#', '5')), 1, 16))::UBIGINT::DOUBLE / {_U} < 0.8 THEN 'train'

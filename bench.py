@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "line_dedup",
     "semantic_dedup",
     "hash_split",
+    "normalize_text",
 ]
 
 

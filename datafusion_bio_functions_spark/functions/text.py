@@ -274,3 +274,34 @@ def repetition_filter(
         )
     ).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def normalize_text(col: Column | str, collapse_whitespace: bool = False) -> Column:
+    """C4/CCNet-style text normalization: Unicode NFC composition plus
+    control-character removal (C0/C1 and DEL, keeping ``\\t``/``\\n``/
+    ``\\r``), optionally collapsing whitespace runs to single spaces.
+
+    NFC is an Arrow-batched ``unicodedata.normalize`` pass (no Spark
+    built-in exposes ICU normalization); the control strip and whitespace
+    collapse are JVM regexes applied AFTER composition so the DuckDB
+    oracle (``nfc_normalize`` + the same regexes) reproduces values
+    byte-for-byte.  NULL passes through as NULL.
+    """
+    # lambda form: __future__ annotations stringify type hints in this
+    # module, which pandas_udf signature inference cannot resolve
+    def _nfc_batch(texts):
+        import unicodedata
+
+        return texts.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    _nfc = F.pandas_udf(_nfc_batch, "string")
+
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(
+        _nfc(c), r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]", ""
+    )
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out

@@ -39,11 +39,11 @@ ROWS_ONLY = {"annotate_vep_full", "lsh_ann_prod"}
 
 
 def test_queries_frozen_at_65():
-    # 50 stamped + 23 oracle-verified tail rows (substring_dup_spans
+    # 50 stamped + 24 oracle-verified tail rows (substring_dup_spans
     # joined the tail in round 6; repetition_stats/repetition_filter in
     # round 7; lookup_failed/tx_selection/dedup_translations/line_dedup/
     # semantic_dedup in round 8)
-    assert len(entry_mod.queries()) == 73
+    assert len(entry_mod.queries()) == 74
 
 
 def test_gate_order_is_applied():
@@ -99,6 +99,9 @@ def test_tail_rows_are_twins_of_stamped_families():
         "semantic_dedup": "near_dup_cosine",
         # deterministic split labels: the interval form of hash_sample
         "hash_split": "hash_sample",
+        # NFC+control-strip normalization: expression twin of the text
+        # scrub/stats family
+        "normalize_text": "scrub_pii",
     }
     for row in tail:
         assert row in family, f"non-twin row {row} demoted out of the stamp window"

@@ -560,3 +560,29 @@ def test_semantic_dedup_auto_clusters(spark):
     assert auto == exhaustive == [1, 10, 20, 21]
     with _pytest.raises(ValueError, match="n_clusters"):
         semantic_dedup(df, n_clusters="nope")
+
+
+def test_normalize_text(spark):
+    """C4/CCNet-style normalization: NFC composition (e + combining acute
+    -> é), C0/C1/DEL control strip keeping tab/newline, NULL passthrough,
+    optional whitespace collapse."""
+    from datafusion_bio_functions_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "café \x07bell"),
+            (2, "tabs\tand\nnewlines"),
+            (3, None),
+            (4, "a  lot   of space"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n for r in df.select("doc_id", normalize_text("text").alias("n")).collect()}
+    assert got[1] == "café bell"          # composed + bell stripped
+    assert got[2] == "tabs\tand\nnewlines"     # tab/newline kept
+    assert got[3] is None
+    coll = {r.doc_id: r.n for r in df.select(
+        "doc_id", normalize_text("text", collapse_whitespace=True).alias("n")
+    ).collect()}
+    assert coll[4] == "a lot of space"
+    assert coll[2] == "tabs and newlines"
