@@ -162,6 +162,7 @@ def extract_features(
     ``(b - 128) / 128`` — exactly representable in float32, so an external
     SQL oracle recovers the bytes via ``round(x * 128)`` bit-for-bit (a real
     encoder would emit L2-normalized floats instead)."""
+    _require_cols(df, (content_col,), "extract_features")
     decoder = _resolve_decoder(
         decode,
         "features",
@@ -169,7 +170,6 @@ def extract_features(
         "register_media_decoder('real', features=...) to plug one in",
     )
 
-    _require_cols(df, (content_col,), "extract_features")
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("features", T.ArrayType(T.FloatType()))]
     )

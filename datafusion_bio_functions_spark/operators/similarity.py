@@ -611,7 +611,7 @@ def semantic_dedup(
         # degenerating.
         n_clusters = min(4096, max(1, round(v.count() / 1024)))
         sample_size = max(10_000, 40 * n_clusters)
-    elif not isinstance(n_clusters, int):
+    elif isinstance(n_clusters, bool) or not isinstance(n_clusters, int):
         raise ValueError(f"n_clusters must be an int or 'auto', got {n_clusters!r}")
     if n_clusters <= 1:
         v = v.withColumn("__cid", F.lit(0))

@@ -68,17 +68,27 @@ def _parse_header(raw: bytes) -> tuple[list[tuple[str, int]], int]:
     return refs, off
 
 
+def _decompress_bgzf(data: bytes) -> bytes:
+    """Decompress concatenated gzip members with a CLEAR error for every
+    corruption mode — bad framing (BadGzipFile/EOFError), a corrupt
+    DEFLATE body (zlib.error) — instead of a bare exception from deep
+    inside the executor."""
+    import zlib
+
+    try:
+        return gzip.decompress(data)  # BGZF = concatenated gzip members
+    except (gzip.BadGzipFile, EOFError, zlib.error) as e:
+        raise ValueError(
+            "not a valid BGZF/BAM byte stream "
+            f"({type(e).__name__}: {e}); {len(data)} bytes starting {data[:8]!r}"
+        ) from e
+
+
 def _iter_records(
     data: bytes, binary_cigar: bool, include_unmapped: bool
 ) -> Iterator[tuple]:
     """Yield (chrom, start0, flags, cigar, mapq) from raw .bam bytes."""
-    try:
-        raw = gzip.decompress(data)  # BGZF = concatenated gzip members
-    except (gzip.BadGzipFile, EOFError) as e:
-        raise ValueError(
-            "not a BGZF/BAM byte stream (bad gzip framing): "
-            f"{len(data)} bytes starting {data[:8]!r}"
-        ) from e
+    raw = _decompress_bgzf(data)
     refs, off = _parse_header(raw)  # raises on a missing BAM\1 magic
     n = len(raw)
     while off < n:
@@ -620,7 +630,7 @@ def bam_contig_lengths(spark: SparkSession, path: str) -> DataFrame:
     def decode(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             for content in pdf["content"]:
-                raw = gzip.decompress(bytes(content))
+                raw = _decompress_bgzf(bytes(content))
                 refs, _ = _parse_header(raw)
                 yield pd.DataFrame(refs, columns=["contig", "length"])
 

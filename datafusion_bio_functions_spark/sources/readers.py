@@ -179,7 +179,9 @@ def read_vcf(
         ~F.col("value").startswith("#") & (F.length(F.trim(F.col("value"))) > 0)
     )
     p = F.split(F.col("value"), "\t")
-    start = F.expr("try_cast(split(value, '\t')[1] AS BIGINT)")
+    # F.get is null-safe on out-of-bounds and try_cast on malformed text,
+    # so correctness does not hinge on filter ordering under ANSI
+    start = F.get(p, 1).try_cast("long")
     cols = [
         F.get(p, 0).alias("chrom"),
         start.alias("start"),

@@ -426,10 +426,22 @@ def _eval_udtf(spark: SparkSession, name: str, args: list[object]) -> DataFrame:
                 opts["upstream_distance"] = opts["downstream_distance"] = vals[0]
             elif len(vals) == 2 and None not in vals:
                 opts["upstream_distance"], opts["downstream_distance"] = vals
-        everything = bool(opts.pop("everything", False))
-        sel = {k: opts.pop(k) for k in list(opts) if k in _sel_keys}
-        hgvs = {k: opts.pop(k) for k in list(opts) if k in _hgvs_keys}
-        vepf = {k: opts.pop(k) for k in list(opts) if k in _vep_keys}
+        # boolean-family values coerce by CONTENT through the same
+        # _opt_bool the flag classes use (a quoted "0"/"false" means off —
+        # naive bool() silently inverted it); bad values surface as the
+        # SQL seam's own error type
+        def _sql_bool(key, v):
+            try:
+                return vp._opt_bool(v)
+            except ValueError:
+                raise BioSqlError(
+                    f"annotate_vep() option {key!r} expects a boolean, got {v!r}"
+                )
+
+        everything = _sql_bool("everything", opts.pop("everything", False))
+        sel = {k: _sql_bool(k, opts.pop(k)) for k in list(opts) if k in _sel_keys}
+        hgvs = {k: _sql_bool(k, opts.pop(k)) for k in list(opts) if k in _hgvs_keys}
+        vepf = {k: _sql_bool(k, opts.pop(k)) for k in list(opts) if k in _vep_keys}
         if everything:
             hgvs["everything"] = vepf["everything"] = True
             opts["csq_everything"] = True

@@ -380,7 +380,7 @@ def test_read_bam_clear_error_on_non_bam(spark, tmp_path):
 
     bad = tmp_path / "garbage.bam"
     bad.write_bytes(b"not a bam at all" * 10)
-    with _pytest.raises(Exception, match="not a BGZF/BAM byte stream"):
+    with _pytest.raises(Exception, match="BGZF/BAM byte stream"):
         read_bam(spark, str(bad)).count()
     # valid gzip but not BAM content → the BAM\1 magic error surfaces
     notbam = tmp_path / "notbam.bam"
@@ -390,3 +390,21 @@ def test_read_bam_clear_error_on_non_bam(spark, tmp_path):
     empty = tmp_path / "empty.bam"
     empty.write_bytes(b"")
     assert read_bam(spark, str(empty)).count() == 0
+
+
+def test_bam_corrupt_deflate_clear_error(spark, tmp_path):
+    """A BGZF stream with valid gzip framing but a corrupt DEFLATE body
+    (zlib.error, not BadGzipFile) still gets the clear codec error, on
+    both the record and the contig-lengths decode paths."""
+    import gzip as _gzip
+
+    import pytest as _pytest
+
+    good = _gzip.compress(b"payload" * 50)
+    corrupt = good[:20] + bytes(b ^ 0xFF for b in good[20:40]) + good[40:]
+    bad = tmp_path / "corrupt.bam"
+    bad.write_bytes(corrupt)
+    with _pytest.raises(Exception, match="not a valid BGZF/BAM byte stream"):
+        read_bam(spark, str(bad)).count()
+    with _pytest.raises(Exception, match="not a valid BGZF/BAM byte stream"):
+        bam_contig_lengths(spark, str(bad)).count()

@@ -38,7 +38,7 @@ PREVIOUSLY_UNSTAMPED = {
 ROWS_ONLY = {"annotate_vep_full", "lsh_ann_prod"}
 
 
-def test_queries_frozen_at_65():
+def test_queries_gate_row_count():
     # 50 stamped + 24 oracle-verified tail rows (substring_dup_spans
     # joined the tail in round 6; repetition_stats/repetition_filter in
     # round 7; lookup_failed/tx_selection/dedup_translations/line_dedup/

@@ -310,3 +310,23 @@ def test_annotate_vep_udtf_reference_layout_keys(spark, vep_views):
             "SELECT * FROM annotate_vep('sqlvcf', 'sqlcache', "
             "'{\"reference_fasta_path\": \"/x.fa\"}')",
         )
+
+
+def test_annotate_vep_udtf_quoted_boolean_families(spark, vep_views):
+    """The SQL seam coerces quoted booleans by CONTENT across every flag
+    family ('\"everything\": \"0\"' means OFF — naive bool() inverted it)
+    and reports bad values as BioSqlError."""
+    # quoted "0" everything must NOT enable the 80-field layout: the run
+    # succeeds with the default behavior
+    got = bio_sql(
+        spark,
+        "SELECT start FROM annotate_vep('sqlvcf', 'sqlcache', 'sqltx', "
+        "'{\"everything\": \"0\"}')",
+    )
+    assert got.count() == 2
+    with pytest.raises(BioSqlError, match="boolean"):
+        bio_sql(
+            spark,
+            "SELECT * FROM annotate_vep('sqlvcf', 'sqlcache', 'sqltx', "
+            "'{\"hgvs\": \"maybe\"}')",
+        )
