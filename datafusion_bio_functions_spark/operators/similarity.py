@@ -14,6 +14,7 @@
 
 from __future__ import annotations
 
+import math
 import random
 
 import numpy as np
@@ -318,6 +319,28 @@ def cosine_near_dup_exact(
     return _blocked_near_dup_pairs(v, float(threshold), n_blocks)
 
 
+# rows per side of one inner matmul slab inside the block-pair GEMM task;
+# the per-slab cosine matrix is at most _GEMM_SLAB² float64 (~128 MB), so
+# peak task memory stays bounded no matter how wide a block grows (skewed
+# clusters, corpora past the n_clusters auto cap).  Module-level so tests
+# can shrink it and pin slabbed == unslabbed output.
+_GEMM_SLAB = 4096
+
+# target rows per (scope-local) block for the auto n_blocks derivation:
+# flops per GEMM task stay ≤ ~target² · dim while shuffle volume grows
+# only linearly (n · n_blocks replicas).
+_BLOCK_TARGET_ROWS = 8192
+
+
+def _auto_n_blocks(n_rows: int, n_clusters: int) -> int:
+    """Blocks needed so the AVERAGE scope (cluster) splits into blocks of
+    ≤ ``_BLOCK_TARGET_ROWS`` rows.  Skewed clusters can exceed the average;
+    the ``_GEMM_SLAB`` loop inside the task is the hard memory bound —
+    this knob only spreads the O(width²) flops across executor tasks."""
+    width = n_rows / max(1, n_clusters)
+    return max(1, math.ceil(width / _BLOCK_TARGET_ROWS))
+
+
 def _blocked_near_dup_pairs(
     v: DataFrame, threshold: float, n_blocks: int, scope_col: str | None = None
 ) -> DataFrame:
@@ -368,20 +391,42 @@ def _blocked_near_dup_pairs(
         ids_b = b_rows["id"].to_numpy()
         na = np.linalg.norm(ma, axis=1)
         nb = np.linalg.norm(mb, axis=1)
-        cos = np.round((ma @ mb.T) / np.outer(na, nb), 6)
-        mask = cos >= thr
-        if bi == bj:
-            # same block on both sides: keep the strict upper triangle by id
-            mask &= ids_a[:, None] < ids_b[None, :]
-            ia, ib = np.nonzero(mask)
-            lo, hi = ids_a[ia], ids_b[ib]
-        else:
-            # disjoint blocks: every unordered pair appears exactly once in
-            # this matrix, in arbitrary id orientation — normalize to lo<hi
-            ia, ib = np.nonzero(mask)
-            la, lb = ids_a[ia], ids_b[ib]
-            lo, hi = np.minimum(la, lb), np.maximum(la, lb)
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine_sim": cos[ia, ib]})
+        # slab both sides: each inner matmul materializes at most a
+        # _GEMM_SLAB × _GEMM_SLAB cosine matrix, so peak task memory is
+        # bounded even when a skewed block is far wider than the target
+        slab = _GEMM_SLAB
+        outs: list[pd.DataFrame] = []
+        for i0 in range(0, len(ids_a), slab):
+            ma_s, na_s = ma[i0 : i0 + slab], na[i0 : i0 + slab]
+            ia_s = ids_a[i0 : i0 + slab]
+            for j0 in range(0, len(ids_b), slab):
+                mb_s, nb_s = mb[j0 : j0 + slab], nb[j0 : j0 + slab]
+                ib_s = ids_b[j0 : j0 + slab]
+                cos = np.round((ma_s @ mb_s.T) / np.outer(na_s, nb_s), 6)
+                mask = cos >= thr
+                if bi == bj:
+                    # same block on both sides: strict upper triangle by id
+                    # (holds per slab — the mask is elementwise on ids)
+                    mask &= ia_s[:, None] < ib_s[None, :]
+                    ia, ib = np.nonzero(mask)
+                    lo, hi = ia_s[ia], ib_s[ib]
+                else:
+                    # disjoint blocks: every unordered pair appears exactly
+                    # once, arbitrary id orientation — normalize to lo<hi
+                    ia, ib = np.nonzero(mask)
+                    la, lb = ia_s[ia], ib_s[ib]
+                    lo, hi = np.minimum(la, lb), np.maximum(la, lb)
+                if len(ia):
+                    outs.append(
+                        pd.DataFrame(
+                            {"id_a": lo, "id_b": hi, "cosine_sim": cos[ia, ib]}
+                        )
+                    )
+        if not outs:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
+            )
+        return pd.concat(outs, ignore_index=True)
 
     group_cols = ([scope_col] if scope_col else []) + ["bi", "bj"]
     return rep.groupBy(*group_cols).applyInPandas(
@@ -549,7 +594,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     n_clusters: "int | str" = "auto",
     dim: int = 64,
-    n_blocks: int = 4,
+    n_blocks: "int | str" = "auto",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
@@ -587,9 +632,15 @@ def semantic_dedup(
     stage shuffles each row ``n_blocks`` times keyed by
     (cluster, block_a, block_b) so the O(|cluster|^2) flops split into
     executor-sized GEMM tasks; components run on the sparse near-dup
-    graph.  At 100 TB raise ``n_clusters`` proportionally to corpus size
-    (fixed target cluster width) and ``n_blocks`` with cluster width —
-    no stage ever materializes an all-pairs frame.
+    graph.  ``n_blocks='auto'`` (default) derives the block count from
+    the estimated cluster width (``count / n_clusters``, target
+    ``_BLOCK_TARGET_ROWS`` ≈ 8 K rows per block), so past the 4096-list
+    cap — where cluster width grows with the corpus — the flops keep
+    splitting into bounded tasks automatically.  Independently of the
+    block count, the GEMM task slabs its matmul in ``_GEMM_SLAB``-row
+    chunks, so per-task cosine-matrix memory is hard-capped (~128 MB)
+    even for skewed clusters far wider than the average.  No stage ever
+    materializes an all-pairs frame.
     """
     if output not in ("keep", "components", "pairs"):
         raise ValueError(
@@ -601,18 +652,26 @@ def semantic_dedup(
         F.col("__v").isNotNull()
     )
     sample_size = 10_000
+    cnt: int | None = None
+    if n_clusters == "auto" or n_blocks == "auto":
+        # one count job shared by both auto knobs, sized from the
+        # NULL-FILTERED frame (the rows that actually enter the pair
+        # stage) — reuses the scan's aggregate pushdown on parquet, one
+        # upstream execution otherwise
+        cnt = v.count()
     if n_clusters == "auto":
-        # sized from the NULL-FILTERED frame (the rows that actually enter
-        # the pair stage); one count job — reuses the scan's aggregate
-        # pushdown on parquet, one upstream execution otherwise.  Capped at
-        # 4096 lists so the trainer's bounded sample stays >= ~40 vectors
-        # per centroid (the standard IVF training floor) — beyond the cap
-        # cluster width grows past the 1024 target instead of the sample
-        # degenerating.
-        n_clusters = min(4096, max(1, round(v.count() / 1024)))
+        # Capped at 4096 lists so the trainer's bounded sample stays
+        # >= ~40 vectors per centroid (the standard IVF training floor) —
+        # beyond the cap cluster width grows past the 1024 target instead
+        # of the sample degenerating (n_blocks='auto' absorbs the growth).
+        n_clusters = min(4096, max(1, round(cnt / 1024)))
         sample_size = max(10_000, 40 * n_clusters)
     elif isinstance(n_clusters, bool) or not isinstance(n_clusters, int):
         raise ValueError(f"n_clusters must be an int or 'auto', got {n_clusters!r}")
+    if n_blocks == "auto":
+        n_blocks = _auto_n_blocks(cnt, n_clusters)
+    elif isinstance(n_blocks, bool) or not isinstance(n_blocks, int) or n_blocks < 1:
+        raise ValueError(f"n_blocks must be a positive int or 'auto', got {n_blocks!r}")
     if n_clusters <= 1:
         v = v.withColumn("__cid", F.lit(0))
     else:
