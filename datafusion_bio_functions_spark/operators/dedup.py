@@ -1183,6 +1183,7 @@ def line_dedup(
     id_col: str = "doc_id",
     sep: str = "\n",
     min_words: int = 1,
+    join_sep: str = "\n",
 ) -> DataFrame:
     """Corpus-level LINE deduplication, the C4 recipe (Raffel et al. 2020
     §2.2: "we discarded all but one of any three-sentence span occurring
@@ -1194,56 +1195,103 @@ def line_dedup(
     blank) bypass the dedup and are always kept — they carry no signal and
     would otherwise form giant skew groups.
 
-    Plan: posexplode → ONE hash aggregate keyed on the line value (the
-    first occurrence is ``min(struct(id, line_no))``, so the partial
-    aggregate combines map-side and duplicate-heavy corpora SHRINK before
-    the shuffle — a window would sort-shuffle every line instance) →
-    per-doc rollup; ``n_lines`` comes straight off the document row (no
-    second explode).  Documents whose every line was dropped survive with
-    empty text.  Output: ``(id, text, n_lines, n_kept)``.
+    Plan: ONE projection (the split runs once) → ONE explode → two hash
+    aggregates, no join.  Eligible lines group on the line VALUE (first
+    occurrence = ``min(struct(id, line_no))``, so the partial aggregate
+    combines map-side and duplicate-heavy corpora SHRINK before the
+    shuffle — a window would sort-shuffle every line instance); bypass
+    lines fold into the SAME aggregate under a per-instance unique key
+    ``(id, line_no)``, so each instance is its own group and survives.
+    Every document additionally emits one SENTINEL row (line_no −1,
+    NULL line) that is bypass-unique and carries the document's
+    ``n_lines``, so fully-deduplicated documents survive (empty text)
+    without re-scanning the input for a doc-level frame — round 8
+    consumed the upstream twice (exploded lines + a doc-side n_lines
+    branch), re-running the split and any expensive upstream projection
+    over the corpus twice.  Survivors are rejoined with ``join_sep``
+    (``sep`` is a regex and can't be inverted — set ``join_sep`` when
+    splitting on a custom pattern).  Output: ``(id, text, n_lines,
+    n_kept)``.
     """
     docs = _ensure_parallelism(docs)
-    lines = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("__ln", "__line"),
+    arr = F.split(F.col(text_col), sep, -1)
+    sentinel = F.struct(
+        F.lit(-1).alias("__ln"), F.lit(None).cast("string").alias("__line")
     )
-    eligible = (F.length(F.trim(F.col("__line"))) > 0) & (
-        F.size(F.split(F.trim(F.col("__line")), r"\s+", -1)) >= min_words
+    lines = (
+        docs.select(
+            F.col(id_col),
+            # NULL text → NULL size (docs still surface via the sentinel,
+            # n_lines NULL — the pre-round-9 left-join contract)
+            F.size(arr).cast("long").alias("__nl"),
+            F.explode(
+                F.concat(
+                    F.array(sentinel),
+                    F.transform(
+                        F.coalesce(arr, F.array()),
+                        lambda x, i: F.struct(
+                            i.alias("__ln"), x.alias("__line")
+                        ),
+                    ),
+                )
+            ).alias("__e"),
+        )
+        .select(
+            id_col,
+            "__nl",
+            F.col("__e.__ln").alias("__ln"),
+            F.col("__e.__line").alias("__line"),
+        )
+        .withColumn(
+            "__el",
+            F.coalesce(
+                (F.length(F.trim(F.col("__line"))) > 0)
+                & (
+                    F.size(F.split(F.trim(F.col("__line")), r"\s+", -1))
+                    >= min_words
+                ),
+                F.lit(False),  # sentinel's NULL line must key per-instance
+            ),
+        )
     )
-    el = lines.filter(eligible)
-    inel = lines.filter(~eligible)
+    # bypass (ineligible) instances and sentinels get a per-instance unique
+    # key so the min-struct aggregate returns them verbatim; eligible lines
+    # share the (NULL, NULL, value) key and collapse to their first
+    # occurrence.  __nl rides along: the winning instance's doc is the one
+    # the rollup groups it under, so the value is always the right doc's.
     kept = (
-        el.groupBy("__line")
-        .agg(F.min(F.struct(F.col(id_col), F.col("__ln"))).alias("__f"))
+        lines.groupBy(
+            F.when(~F.col("__el"), F.col(id_col)).alias("__ki"),
+            F.when(~F.col("__el"), F.col("__ln")).alias("__kl"),
+            "__line",
+        )
+        .agg(
+            F.min(
+                F.struct(F.col(id_col), F.col("__ln"), F.col("__nl"))
+            ).alias("__f")
+        )
         .select(
             F.col("__f")[id_col].alias(id_col),
             F.col("__f.__ln").alias("__ln"),
+            F.col("__f.__nl").alias("__nl"),
             "__line",
         )
-        .unionByName(inel)
     )
-    rolled = kept.groupBy(id_col).agg(
+    return kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("__ln"), F.col("__line")))
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__ln"), F.col("__line")))
+                    ),
+                    lambda x: x["__ln"] >= 0,
                 ),
                 lambda x: x["__line"],
             ),
-            "\n",
-        ).alias("__text_kept"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    return (
-        docs.select(
-            F.col(id_col),
-            F.size(F.split(F.col(text_col), sep, -1)).cast("long").alias("n_lines"),
-        )
-        .join(rolled, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("__text_kept"), F.lit("")).alias(text_col),
-            F.col("n_lines"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-        )
-    )
+            join_sep,
+        ).alias(text_col),
+        F.max("__nl").alias("n_lines"),
+        F.sum(F.when(F.col("__ln") >= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+    ).select(id_col, text_col, "n_lines", "n_kept")

@@ -585,6 +585,18 @@ def test_line_dedup_c4_semantics(spark):
     out2 = {r.doc_id: r for r in line_dedup(docs2, min_words=2).collect()}
     assert out2[1].text == "alpha\nbeta gamma"
     assert out2[2].text == "alpha"
+    # custom split regex + matching join separator: survivors rejoin with
+    # join_sep, not a hardcoded newline
+    docs3 = spark.createDataFrame(
+        [(1, "one fish | two fish"), (2, "one fish | red fish")],
+        "doc_id int, text string",
+    )
+    out3 = {
+        r.doc_id: r
+        for r in line_dedup(docs3, sep=r" \| ", join_sep=" | ").collect()
+    }
+    assert out3[1].text == "one fish | two fish"
+    assert out3[2].text == "red fish" and out3[2].n_lines == 2
 
 
 def test_multimodal_missing_column_message(spark):

@@ -149,3 +149,17 @@ def test_semantic_dedup_no_cartesian(spark, tmp_path_factory):
     assert "FlatMapGroupsInPandas" in plan  # the grouped GEMM stage
     # column pruning: the label column never leaves the scan
     assert "label" not in plan.split("FileScan")[-1].split("ReadSchema:")[-1]
+
+
+def test_line_dedup_single_generate(spark):
+    """line_dedup scans the exploded lines frame ONCE: exactly one Generate
+    (posexplode) in the executed plan — round 8 filtered the exploded frame
+    twice, running the explode+split over the corpus twice."""
+    from datafusion_bio_functions_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "a b c\nd e f\na b c") for i in range(50)], "doc_id long, text string"
+    )
+    plan = _plan(line_dedup(docs))
+    assert plan.count("Generate") == 1, plan
+    assert "CartesianProduct" not in plan
