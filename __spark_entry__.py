@@ -114,6 +114,8 @@ TRANSCRIPTS_SQL = (
     "CAST((n_nationkey * 701) % 4000 + 800 AS BIGINT) AS \"end\", "
     "CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE -1 END AS strand, "
     "CASE WHEN n_nationkey % 5 = 0 THEN 'lincRNA' ELSE 'protein_coding' END AS biotype, "
+    "concat('G', CAST(n_nationkey AS VARCHAR)) AS gene_stable_id, "
+    "n_name AS gene_symbol, "
     "CAST((n_nationkey * 701) % 4000 + 300 AS BIGINT) AS cds_start, "
     "CAST((n_nationkey * 701) % 4000 + 700 AS BIGINT) AS cds_end "
     "FROM nation"
@@ -1003,14 +1005,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "INTRON", "cDNA_position", "CDS_position", "Protein_position",
         "DISTANCE", "VARIANT_CLASS",
     )
-    # full-depth output (CSQ string, HGVS, typed best-transcript columns):
-    # array column flattened to sorted JSON for the driver's canonicalizer
+    # full-depth output, value-checked (round 9, VERDICT r8 #3): the full
+    # pipeline runs (CSQ/HGVS computed inside the Arrow UDF regardless of
+    # projection), and the SQL-expressible columns — lookup metadata,
+    # best-transcript gene/feature/biotype, and the FULL consequence-term
+    # list as sorted JSON — are hash-compared against the DuckDB window-
+    # flag oracle.  Engine-only columns (CSQ, hgvsc, hgvsp) stay out of
+    # the compare; their values are pinned by the parity batteries.
     q["annotate_vep_full"] = lambda spark, sf: annotate_vep(
         _vcf(spark, sf),
         _var_cache(spark, sf),
         transcripts=_transcripts(spark, sf),
         exons=_tx_exons(spark, sf),
-    ).withColumn("consequence_terms", F.to_json(F.array_sort("consequence_terms")))
+    ).select(
+        "chrom", "start", "end", "ref", "alt", "variation_name",
+        "allele_string", "clin_sig", "matched", "existing_variation",
+        "most_severe_consequence", "impact", "gene_symbol",
+        "gene_stable_id", "feature", "biotype",
+        F.to_json(F.array_sort("consequence_terms")).alias(
+            "consequence_terms"
+        ),
+    )
     # md5-derived token hashes → the DuckDB bit-vote oracle reproduces the
     # exact simhash bit pattern; pigeonhole candidates are complete for
     # hamming <= chunks-1 so output == the all-pairs oracle
@@ -1417,6 +1432,172 @@ FROM v LEFT JOIN b
 """
 
 
+#: full-pipeline value oracle (round 9, VERDICT r8 #3): lookup columns +
+#: best-transcript gene metadata + the FULL per-pair consequence-term list
+#: assembled from independent window flags on this geometry (exons rel
+#: [0,250]/[350,600], intron [251,349], CDS [100,500]).  The flags mirror
+#: functions/consequence.py's SNV predicates: _variant_overlaps_intron's
+#: inner body [+2,-2], _add_intron_splice_terms' donor/acceptor/5th-base/
+#: donor-region/polypyrimidine/splice-region windows, the noncoding
+#: exon/parent pair, start/stop_lost boundary windows, the UTR split, and
+#: _strip_parent_terms (5th base suppresses donor_region; any donor/
+#: acceptor family term suppresses splice_region; specific coding terms
+#: suppress coding_sequence_variant).  The rank cascade is the same one
+#: validated hash-green by the annotate_vep / annotate_vep_typed rows.
+ANNOTATE_VEP_FULL_ORACLE_TMPL = """
+WITH v AS ({vcf}), c AS ({cache}), t AS ({tx}),
+look AS (
+  SELECT v.chrom, v.start, v."end", v.ref, v.alt,
+         c.variation_name, c.allele_string, c.clin_sig,
+         (c.variation_name IS NOT NULL) AS matched,
+         coalesce(c.variation_name, '') AS existing_variation
+  FROM v LEFT JOIN c
+    ON v.chrom = c.chrom AND v.start = c.start AND v."end" = c."end"
+   AND c.allele_string = concat(v.ref, '/', v.alt)
+),
+pair AS (
+  SELECT l.chrom, l.start, l."end", l.ref, l.alt,
+         t.transcript_id, t.strand, t.biotype, t.gene_symbol,
+         t.gene_stable_id, l.start - t.start AS d,
+    CASE
+      WHEN l.start BETWEEN t.start AND t."end" THEN
+        CASE
+          WHEN (t.strand >= 0 AND l.start - t.start BETWEEN 348 AND 349)
+            OR (t.strand <  0 AND l.start - t.start BETWEEN 251 AND 252) THEN 2
+          WHEN (t.strand >= 0 AND l.start - t.start BETWEEN 251 AND 252)
+            OR (t.strand <  0 AND l.start - t.start BETWEEN 348 AND 349) THEN 3
+          WHEN t.biotype = 'protein_coding'
+           AND ((t.strand >= 0 AND l.start - t.start BETWEEN 498 AND 500)
+             OR (t.strand <  0 AND l.start - t.start BETWEEN 100 AND 102)) THEN 6
+          WHEN t.biotype = 'protein_coding'
+           AND ((t.strand >= 0 AND l.start - t.start BETWEEN 100 AND 102)
+             OR (t.strand <  0 AND l.start - t.start BETWEEN 498 AND 500)) THEN 7
+          WHEN l.start - t.start = CASE WHEN t.strand >= 0 THEN 255 ELSE 345 END THEN 15
+          WHEN (t.strand >= 0 AND l.start - t.start BETWEEN 253 AND 256)
+            OR (t.strand <  0 AND l.start - t.start BETWEEN 344 AND 347) THEN 17
+          WHEN l.start - t.start BETWEEN 253 AND 258
+            OR l.start - t.start BETWEEN 342 AND 347
+            OR l.start - t.start BETWEEN 248 AND 250
+            OR l.start - t.start BETWEEN 350 AND 352 THEN 16
+          WHEN (t.strand >= 0 AND l.start - t.start BETWEEN 333 AND 347)
+            OR (t.strand <  0 AND l.start - t.start BETWEEN 253 AND 267) THEN 18
+          WHEN t.biotype = 'protein_coding'
+           AND (l.start - t.start <= 250 OR l.start - t.start >= 350)
+           AND l.start - t.start BETWEEN 100 AND 500 THEN 23
+          WHEN t.biotype = 'protein_coding'
+           AND (l.start - t.start <= 250 OR l.start - t.start >= 350)
+           AND ((t.strand >= 0 AND l.start - t.start < 100)
+             OR (t.strand < 0 AND l.start - t.start > 500)) THEN 25
+          WHEN t.biotype = 'protein_coding'
+           AND (l.start - t.start <= 250 OR l.start - t.start >= 350) THEN 26
+          WHEN t.biotype <> 'protein_coding'
+           AND (l.start - t.start <= 250 OR l.start - t.start >= 350) THEN 27
+          WHEN l.start - t.start BETWEEN 251 AND 349 THEN 28
+        END
+      WHEN t.strand >= 0 AND l.start < t.start AND t.start - l.start <= 5000 THEN 32
+      WHEN t.strand <  0 AND l.start > t."end" AND l.start - t."end" <= 5000 THEN 32
+      WHEN t.strand >= 0 AND l.start > t."end" AND l.start - t."end" <= 5000 THEN 33
+      WHEN t.strand <  0 AND l.start < t.start AND t.start - l.start <= 5000 THEN 33
+    END AS rnk
+  FROM look l JOIN t ON l.chrom = t.chrom
+    AND l.start <= t."end" + 5000 AND l.start >= t.start - 5000
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY chrom, start, "end", ref, alt
+      ORDER BY rnk, transcript_id) AS rn
+  FROM pair WHERE rnk IS NOT NULL
+),
+b0 AS (SELECT * FROM ranked WHERE rn = 1),
+b AS (
+  SELECT b0.*,
+    (rnk < 32) AS intx,
+    (d BETWEEN 0 AND 250 OR d BETWEEN 350 AND 600) AS exonic,
+    ((strand >= 0 AND d IN (251, 252))
+      OR (strand < 0 AND d IN (348, 349))) AS f_donor,
+    ((strand >= 0 AND d IN (348, 349))
+      OR (strand < 0 AND d IN (251, 252))) AS f_acceptor,
+    ((strand >= 0 AND d = 255) OR (strand < 0 AND d = 345)) AS f_d5,
+    ((strand >= 0 AND d BETWEEN 253 AND 256)
+      OR (strand < 0 AND d BETWEEN 344 AND 347)) AS f_dreg,
+    ((strand >= 0 AND d BETWEEN 333 AND 347)
+      OR (strand < 0 AND d BETWEEN 253 AND 267)) AS f_ppt,
+    (d BETWEEN 253 AND 258 OR d BETWEEN 342 AND 347
+      OR d BETWEEN 248 AND 250 OR d BETWEEN 350 AND 352) AS f_sr,
+    ((strand >= 0 AND d BETWEEN 100 AND 102)
+      OR (strand < 0 AND d BETWEEN 498 AND 500)) AS f_start,
+    ((strand >= 0 AND d BETWEEN 498 AND 500)
+      OR (strand < 0 AND d BETWEEN 100 AND 102)) AS f_stop
+  FROM b0
+)
+SELECT l.chrom, l.start, l."end", l.ref, l.alt,
+  l.variation_name, l.allele_string, l.clin_sig, l.matched,
+  l.existing_variation,
+  CASE b.rnk
+    WHEN 2 THEN 'splice_acceptor_variant'
+    WHEN 3 THEN 'splice_donor_variant'
+    WHEN 6 THEN 'stop_lost'
+    WHEN 7 THEN 'start_lost'
+    WHEN 15 THEN 'splice_donor_5th_base_variant'
+    WHEN 16 THEN 'splice_region_variant'
+    WHEN 17 THEN 'splice_donor_region_variant'
+    WHEN 18 THEN 'splice_polypyrimidine_tract_variant'
+    WHEN 23 THEN 'coding_sequence_variant'
+    WHEN 25 THEN '5_prime_UTR_variant'
+    WHEN 26 THEN '3_prime_UTR_variant'
+    WHEN 27 THEN 'non_coding_transcript_exon_variant'
+    WHEN 28 THEN 'intron_variant'
+    WHEN 32 THEN 'upstream_gene_variant'
+    WHEN 33 THEN 'downstream_gene_variant'
+    ELSE 'intergenic_variant' END AS most_severe_consequence,
+  CASE WHEN b.rnk IN (2, 3, 6, 7) THEN 'HIGH'
+       WHEN b.rnk IN (15, 16, 17, 18) THEN 'LOW'
+       ELSE 'MODIFIER' END AS impact,
+  b.gene_symbol, b.gene_stable_id,
+  b.transcript_id AS feature, b.biotype,
+  CASE WHEN b.transcript_id IS NULL THEN NULL
+    ELSE to_json(list_sort(list_filter([
+      CASE WHEN b.rnk = 32 THEN 'upstream_gene_variant' END,
+      CASE WHEN b.rnk = 33 THEN 'downstream_gene_variant' END,
+      CASE WHEN b.intx AND b.d BETWEEN 253 AND 347
+           THEN 'intron_variant' END,
+      CASE WHEN b.intx AND b.f_donor THEN 'splice_donor_variant' END,
+      CASE WHEN b.intx AND b.f_acceptor THEN 'splice_acceptor_variant' END,
+      CASE WHEN b.intx AND b.f_d5
+           THEN 'splice_donor_5th_base_variant' END,
+      CASE WHEN b.intx AND b.f_dreg AND NOT b.f_d5
+           THEN 'splice_donor_region_variant' END,
+      CASE WHEN b.intx AND b.f_ppt
+           THEN 'splice_polypyrimidine_tract_variant' END,
+      CASE WHEN b.intx AND b.f_sr
+            AND NOT (b.f_donor OR b.f_acceptor OR b.f_dreg)
+           THEN 'splice_region_variant' END,
+      CASE WHEN b.intx AND b.biotype <> 'protein_coding' AND b.exonic
+           THEN 'non_coding_transcript_exon_variant' END,
+      CASE WHEN b.intx AND b.biotype <> 'protein_coding' AND NOT b.exonic
+           THEN 'non_coding_transcript_variant' END,
+      CASE WHEN b.intx AND b.biotype = 'protein_coding' AND b.exonic
+            AND b.f_start THEN 'start_lost' END,
+      CASE WHEN b.intx AND b.biotype = 'protein_coding' AND b.exonic
+            AND b.f_stop THEN 'stop_lost' END,
+      CASE WHEN b.intx AND b.biotype = 'protein_coding' AND b.exonic
+            AND b.d BETWEEN 100 AND 500 AND NOT b.f_start AND NOT b.f_stop
+           THEN 'coding_sequence_variant' END,
+      CASE WHEN b.intx AND b.biotype = 'protein_coding' AND b.exonic
+            AND ((b.strand >= 0 AND b.d < 100)
+              OR (b.strand < 0 AND b.d > 500))
+           THEN '5_prime_UTR_variant' END,
+      CASE WHEN b.intx AND b.biotype = 'protein_coding' AND b.exonic
+            AND ((b.strand >= 0 AND b.d > 500)
+              OR (b.strand < 0 AND b.d < 100))
+           THEN '3_prime_UTR_variant' END
+    ], x -> x IS NOT NULL))) END AS consequence_terms
+FROM look l LEFT JOIN b
+  ON l.chrom = b.chrom AND l.start = b.start AND l."end" = b."end"
+ AND l.ref = b.ref AND l.alt = b.alt
+"""
+
+
 MISS_WORKLIST_ORACLE_TMPL = """
 WITH v AS ({vcf}), cch AS ({cache}),
 miss AS (
@@ -1495,6 +1676,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["simhash_pairs"] = SIMHASH_ORACLE_TMPL.format(docs=DOCS_DUP_SQL, max_hamming=3)
     o["annotate_vep"] = ANNOTATE_VEP_ORACLE_TMPL.format(
+        vcf=VCF_SQL, cache=VAR_CACHE_SQL, tx=TRANSCRIPTS_SQL
+    )
+    o["annotate_vep_full"] = ANNOTATE_VEP_FULL_ORACLE_TMPL.format(
         vcf=VCF_SQL, cache=VAR_CACHE_SQL, tx=TRANSCRIPTS_SQL
     )
     o["ivf_ann_topk"] = osql.cosine_topk_sql(

@@ -34,8 +34,9 @@ PREVIOUSLY_UNSTAMPED = {
     "media_meta",
 }
 
-# rows intentionally without a DuckDB oracle (driver records rows-only)
-ROWS_ONLY = {"annotate_vep_full", "lsh_ann_prod"}
+# rows intentionally without a DuckDB oracle (driver records rows-only);
+# annotate_vep_full gained a value oracle in round 9 (VERDICT r8 #3)
+ROWS_ONLY = {"lsh_ann_prod"}
 
 
 def test_queries_gate_row_count():
