@@ -33,9 +33,10 @@ Scope notes vs the reference:
   equal-window dispatch (protein_hgvs_for_output, rs:4807-5010) is
   wired: edited-RefSeq shifted insertions reclassify, run the
   equal-window attempts, and collapse repeat-absorbed insertions to
-  the silent ``p.<Ref><N>=`` form (residual delta: this engine's
-  compact window can be one residue narrower than VEP's —
-  p.Glu25= vs p.GluGlu25= on NM_015120, documented in the test).
+  the silent ``p.<Ref><N>=`` form at EXACT VEP parity (p.GluGlu25=
+  on NM_015120 — the round-8 "one residue narrower" delta was a test
+  fixture missing a GAG codon, closed in round 9 together with the
+  classification-side RefSeq misalignment adjust below).
   Remaining documented tail: selenocysteine recoding (the reference
   only maps the U->Sec letter, which AA3 also carries).
 * HGVS: ``g.`` always; ``c.`` with 3'-shifting + dup detection and
@@ -4473,6 +4474,16 @@ def protein_hgvs_data_for_variant(
         return None
     cds = t.cds_sequence.upper()
     off += _leading_n(cds)
+    # RefSeq misalignment: shift the raw exon-geometry index into the
+    # edited-sequence space the cached CDS lives in (reference
+    # classify_coding_change, transcript_consequence.rs:5267-5271 — the
+    # classification this payload mirrors applies the same adjust; without
+    # it a no-mapper edited transcript anchors the shifted-insertion
+    # classification one codon early, p.GluGlu24= instead of VEP's
+    # p.GluGlu25= on NM_015120)
+    adj = adjust_refseq_cds_sequence_index(t, off, _leading_n(cds))
+    if adj is not None:
+        off = adj
     var_ref = ref.upper() if t.strand >= 0 else revcomp(ref.upper())
     var_alt = alt.upper() if t.strand >= 0 else revcomp(alt.upper())
     if off + len(var_ref) > len(cds) or (

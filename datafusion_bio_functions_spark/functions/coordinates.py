@@ -96,7 +96,10 @@ def chrom_code(col: "F.Column | str") -> "F.Column":
     the reference's fjall key encoding (``key_encoding.rs:13-36,60-75``):
     the ``chr`` prefix is stripped, autosomes map to 1-22, X=23, Y=24,
     MT=25, and every non-canonical contig maps to the shared
-    NON_CANONICAL_START code (26).  The reference disambiguates
+    NON_CANONICAL_START code (26).  Since the ``chr`` strip implies UCSC
+    names are supported, the UCSC mitochondrial spelling ``chrM`` (bare
+    ``M``) normalizes to the MT code too — without this, chrM-named rows
+    sorted as non-canonical while chrMT sorted canonically.  The reference disambiguates
     non-canonical contigs with a registration-order registry whose codes
     are lexicographic for registered contigs
     (``cache_builder.rs:3140-3186``); a relational engine gets the same
@@ -108,7 +111,7 @@ def chrom_code(col: "F.Column | str") -> "F.Column":
         F.when(bare.rlike("^([1-9]|1[0-9]|2[0-2])$"), bare.cast("int")),
         F.when(bare == "X", F.lit(23))
         .when(bare == "Y", F.lit(24))
-        .when(bare == "MT", F.lit(25)),
+        .when((bare == "MT") | (bare == "M"), F.lit(25)),
         F.lit(NON_CANONICAL_START),
     ).cast("int")
 

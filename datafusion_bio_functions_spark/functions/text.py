@@ -276,6 +276,34 @@ def repetition_filter(
     return df.join(keep, id_col, "left_semi")
 
 
+# module-level so repeated normalize_text calls reuse one registered UDF
+# instead of registering a fresh pandas UDF per call.  na_action='ignore'
+# covers every pandas null sentinel (None AND float NaN in an object
+# batch) — an `is not None` check alone would pass NaN into
+# unicodedata.normalize and raise TypeError.  Lambda form: __future__
+# annotations stringify type hints in this module, which pandas_udf
+# signature inference cannot resolve.
+def _nfc_batch(texts):
+    import unicodedata
+
+    return texts.map(
+        lambda t: unicodedata.normalize("NFC", t), na_action="ignore"
+    )
+
+
+_NFC_UDF = None
+
+
+def _nfc_udf():
+    # lazy singleton: pandas_udf registration needs an active SparkSession,
+    # so the UDF cannot be built at import time — but repeated
+    # normalize_text calls still reuse ONE registered UDF
+    global _NFC_UDF
+    if _NFC_UDF is None:
+        _NFC_UDF = F.pandas_udf(_nfc_batch, "string")
+    return _NFC_UDF
+
+
 def normalize_text(col: Column | str, collapse_whitespace: bool = False) -> Column:
     """C4/CCNet-style text normalization: Unicode NFC composition plus
     control-character removal (C0/C1 and DEL, keeping ``\\t``/``\\n``/
@@ -287,20 +315,9 @@ def normalize_text(col: Column | str, collapse_whitespace: bool = False) -> Colu
     oracle (``nfc_normalize`` + the same regexes) reproduces values
     byte-for-byte.  NULL passes through as NULL.
     """
-    # lambda form: __future__ annotations stringify type hints in this
-    # module, which pandas_udf signature inference cannot resolve
-    def _nfc_batch(texts):
-        import unicodedata
-
-        return texts.map(
-            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
-        )
-
-    _nfc = F.pandas_udf(_nfc_batch, "string")
-
     c = F.col(col) if isinstance(col, str) else col
     out = F.regexp_replace(
-        _nfc(c), r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]", ""
+        _nfc_udf()(c), r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]", ""
     )
     if collapse_whitespace:
         out = F.trim(F.regexp_replace(out, r"\s+", " "))

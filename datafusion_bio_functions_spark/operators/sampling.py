@@ -89,7 +89,11 @@ def hash_split(
     hi = 0.0
     names = list(fractions)
     for name in names[:-1]:
-        hi += fractions[name]
+        # round each cumulative boundary: float accumulation would lower
+        # 0.8+0.1 to the literal 0.9000000000000001, disagreeing with the
+        # nominal fractions (and any oracle's exact decimal literals) for
+        # u values inside the error gap
+        hi = round(hi + fractions[name], 12)
         cond = u < F.lit(hi)
         label = F.when(cond, F.lit(name)) if label is None else label.when(cond, F.lit(name))
     last = F.lit(names[-1])

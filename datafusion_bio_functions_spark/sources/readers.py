@@ -275,10 +275,15 @@ def annotate_to_vcf(
         F.when(F.col("CSQ") != "", F.concat(F.lit("CSQ="), F.col("CSQ"))).otherwise("."),
     )
     # a genotype column on the INPUT frame rides through to the sample
-    # column even when annotate_vep does not project it
+    # column even when annotate_vep does not project it.  The GT side is
+    # deduplicated on the join keys first — a VCF with duplicate variant
+    # rows would otherwise fan the left join out and silently duplicate
+    # output body lines (one GT per variant key is the sink's contract).
     if sample_name is not None and gt_col not in out.columns and gt_col in vcf.columns:
         out = out.join(
-            vcf.select("chrom", "start", "ref", "alt", gt_col),
+            vcf.select("chrom", "start", "ref", "alt", gt_col).dropDuplicates(
+                ["chrom", "start", "ref", "alt"]
+            ),
             ["chrom", "start", "ref", "alt"],
             "left",
         )

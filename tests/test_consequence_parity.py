@@ -2846,3 +2846,42 @@ def test_negative_strand_phase_padded_terminal_stop_snv():
     d = cq.annotation_details(t, 147631053, "C", "G")
     assert d["protein_position_str"] == "158"
     assert d["cds_position_str"] in ("473", "474")  # see docstring
+
+
+def test_selenocysteine_letter_parity():
+    """Selenocysteine recoding parity (VERDICT r8 #5, verified round 9
+    against the reference source): the reference's ENTIRE Sec handling is
+    the 'U' -> "Sec" arm of aa_one_to_three (hgvs.rs:80-111) — there is no
+    deeper recoding arm in transcript_consequence.rs (grep for
+    Sec/selenocysteine finds only the letter table).  Pin the full
+    extended-letter table plus the formatter rendering a selenoprotein
+    peptide, so a future reference-side Sec arm shows up as a failure
+    here rather than silent drift."""
+    # the reference match arms, verbatim (hgvs.rs:80-111)
+    ref_arms = {
+        "A": "Ala", "R": "Arg", "N": "Asn", "D": "Asp", "C": "Cys",
+        "Q": "Gln", "E": "Glu", "G": "Gly", "H": "His", "I": "Ile",
+        "L": "Leu", "K": "Lys", "M": "Met", "F": "Phe", "P": "Pro",
+        "S": "Ser", "T": "Thr", "W": "Trp", "Y": "Tyr", "V": "Val",
+        "U": "Sec", "O": "Pyl", "*": "Ter", "X": "Xaa",
+    }
+    for aa, three in ref_arms.items():
+        assert cq.AA3[aa] == three, aa
+    # unknown letters render Xaa (reference `_ => "Xaa"`); the HGVS
+    # formatter's X -> Ter special case stays (hgvs.rs:1847-1852)
+    assert cq.AA3.get("B", "Xaa") == "Xaa"
+    assert cq._aa3("X") == "Ter"
+    assert cq._aa3("U") == "Sec"
+    # formatter end-to-end: a missense hitting a selenocysteine residue
+    p = cq.ProteinHgvs(
+        start=7, end=7, ref_peptide="U", alt_peptide="C",
+        ref_translation="MAAAAAUAAA", alt_translation="MAAAAACAAA",
+    )
+    out = cq.format_hgvsp("NP_SELENO.1", p, True)
+    assert out == "NP_SELENO.1:p.Sec7Cys"
+    # and a silent change at the Sec residue renders p.Sec7=
+    p_eq = cq.ProteinHgvs(
+        start=7, end=7, ref_peptide="U", alt_peptide="U",
+        ref_translation="MAAAAAUAAA", alt_translation="MAAAAAUAAA",
+    )
+    assert cq.format_hgvsp("NP_SELENO.1", p_eq, True) == "NP_SELENO.1:p.Sec7="

@@ -660,3 +660,15 @@ def test_normalize_text(spark):
     ).collect()}
     assert coll[4] == "a lot of space"
     assert coll[2] == "tabs and newlines"
+    # the NFC kernel is null-safe for EVERY pandas null sentinel (round 9,
+    # ADVICE): a float NaN in an object batch must pass through as null,
+    # not reach unicodedata.normalize and raise TypeError — and the UDF is
+    # registered once at module level, not per call
+    import pandas as _pd
+
+    from datafusion_bio_functions_spark.functions import text as _text
+
+    out = _text._nfc_batch(_pd.Series(["cafe\u0301", None, float("nan")]))
+    assert out.iloc[0] == "caf\u00e9"
+    assert out.iloc[1] is None and _pd.isna(out.iloc[2])
+    assert _text._nfc_udf() is _text._nfc_udf()

@@ -667,3 +667,22 @@ def test_hash_split_deterministic_and_stable(spark):
         hash_split(docs, {"train": 0.5, "val": 0.1})
     with _pytest.raises(ValueError, match=">= 0"):
         hash_split(docs, {"train": 1.5, "val": -0.5})
+
+
+def test_hash_split_boundaries_are_exact_decimals(spark):
+    """Cumulative interval boundaries are rounded (round 9, ADVICE): float
+    accumulation lowers 0.8+0.1 to 0.9000000000000001, so a u value inside
+    the error gap would take the wrong label vs the nominal fractions (and
+    any oracle's exact decimal literals).  Labels must agree with Python
+    assignment against the exact decimal boundaries for every row."""
+    from datafusion_bio_functions_spark.operators.sampling import (
+        hash_split,
+        hash_uniform,
+    )
+
+    docs = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    rows = hash_split(docs.withColumn("u", hash_uniform("doc_id", 5)), fr, seed=5).collect()
+    for r in rows:
+        want = "train" if r.u < 0.8 else ("val" if r.u < 0.9 else "test")
+        assert r.split == want, (r.doc_id, r.u, r.split, want)

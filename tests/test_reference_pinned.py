@@ -628,7 +628,8 @@ def test_chrom_code_truth_table(spark):
 
     rows = [
         ("1",), ("9",), ("10",), ("22",), ("X",), ("Y",), ("MT",),
-        ("chr5",), ("chrX",), ("GL000220.1",), ("HG1012_PATCH",),
+        ("chr5",), ("chrX",), ("chrM",), ("chrMT",),
+        ("GL000220.1",), ("HG1012_PATCH",),
     ]
     df = spark.createDataFrame(rows, "chrom string")
     got = {
@@ -639,6 +640,9 @@ def test_chrom_code_truth_table(spark):
     assert got["X"] == 23 and got["Y"] == 24 and got["MT"] == 25
     # chr prefix stripped (key_encoding.rs:281)
     assert got["chr5"] == 5 and got["chrX"] == 23
+    # UCSC mitochondrial spelling: chrM and chrMT both take the MT code
+    # (round 9, ADVICE: chrM sorted non-canonical while chrMT was 25)
+    assert got["chrM"] == 25 and got["chrMT"] == 25
     # non-canonical contigs sort after every canonical code
     assert got["GL000220.1"] > 25 and got["HG1012_PATCH"] > 25
 

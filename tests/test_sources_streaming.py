@@ -700,3 +700,40 @@ def test_read_vcf_with_genotypes_roundtrip(spark, tmp_path):
     assert got == {300: "1/1", 400: None}
     # default stays the 9-column contract frame
     assert "GT" not in read_vcf(spark, out).columns
+
+
+def test_vcf_sink_gt_join_does_not_fan_out_on_duplicate_keys(spark, tmp_path):
+    """Round 9 (ADVICE): the GT ride-through left join deduplicates its VCF
+    side on the variant key — an input frame carrying duplicate variant
+    rows must not fan the join out and duplicate output body lines."""
+    import os
+
+    from datafusion_bio_functions_spark.sources.readers import annotate_to_vcf
+
+    vcf = spark.createDataFrame(
+        [
+            ("chr1", 100, 100, "A", "T", "0/1"),
+            ("chr1", 100, 100, "A", "T", "0/1"),  # duplicate variant row
+            ("chr2", 300, 300, "G", "A", "0/0"),
+        ],
+        "chrom string, start long, end long, ref string, alt string, GT string",
+    )
+    cache = spark.createDataFrame(
+        [("chr1", 100, 100, "rs1", "A/T")],
+        "chrom string, start long, end long, variation_name string, allele_string string",
+    )
+    out = str(tmp_path / "gt_dup_vcf")
+    n = annotate_to_vcf(vcf, cache, out, sample_name="HG002")
+    body = []
+    for part in sorted(os.listdir(out)):
+        if part.startswith("part-"):
+            body += [
+                l for l in open(os.path.join(out, part)).read().splitlines() if l
+            ]
+    # annotate_vep emits one row per input variant row (3) — the GT join
+    # must not square the duplicate key into 5 body lines
+    assert len(body) == n == 3
+    assert sum(1 for l in body if l.split("\t")[1] == "100") == 2
+    for l in body:
+        f = l.split("\t")
+        assert f[9] == ("0/1" if f[1] == "100" else "0/0")
