@@ -1948,6 +1948,92 @@ def perform_shift_ensembl(
     return shift_length, "".join(check), "".join(hgvs), var_start, var_end
 
 
+def build_hgvs_genomic_shift(
+    fetch,
+    chrom: str,
+    ref_allele: str,
+    alt_allele: str,
+    start: int,
+    end: int,
+    strand: int,
+) -> "HgvsShift | None":
+    """Genomic 3'-shift state for a simple indel, from a reference-genome
+    lookup (reference ``build_hgvs_genomic_shift``, hgvs.rs:364-520;
+    Ensembl ``TranscriptVariationAllele::_genomic_shift()``): expand the
+    variant slice by 1000 bp both sides, roll the event allele along the
+    flank with :func:`perform_shift_ensembl` (always on forward-strand
+    coordinates), and capture the flank/context sequences Ensembl's
+    transcript-HGVS duplication detection reads.
+
+    ``fetch(chrom, start, end) -> str`` supplies 1-based inclusive genome
+    sequence — pluggable (pyfaidx, a broadcast dict of contigs, a 2bit
+    reader), since this engine does not bundle a FASTA codec.  Alleles and
+    coordinates must already be VEP-normalized (``vcf_to_vep_allele`` /
+    ``vep_norm_start``/``vep_norm_end``), matching the reference provider's
+    call site (annotate_provider.rs:4126-4150, which builds one shift per
+    strand sign for every indel).  Returns None for non-indels."""
+    if ref_allele == "-" and alt_allele and alt_allele != "-":
+        seq_to_check, is_ins = alt_allele, True
+    elif alt_allele == "-" and ref_allele and ref_allele != "-":
+        seq_to_check, is_ins = ref_allele, False
+    else:
+        return None
+    hgvs_output = alt_allele
+    area = 1000
+    pre_end = start - 1
+    pre_start = max(pre_end - area + 1, 1)
+    post_start = end + 1
+    post_end = post_start + area - 1
+    pre_seq = (
+        str(fetch(chrom, pre_start, pre_end)).upper()
+        if pre_end >= pre_start and pre_end > 0
+        else ""
+    )
+    post_seq = (
+        str(fetch(chrom, post_start, post_end)).upper()
+        if post_end >= post_start and post_start > 0
+        else ""
+    )
+    # Ensembl always passes seq_strand=1 to the genomic perform_shift —
+    # the shift is computed on forward-strand coordinates
+    shift_length, shifted_seq, shifted_out, s_start, s_end = perform_shift_ensembl(
+        seq_to_check, hgvs_output, post_seq, pre_seq, start, end, strand < 0, 1
+    )
+    inserted_len = len(shifted_out)
+    display_start = s_start if strand >= 0 else s_start - shift_length
+    five_ctx = three_ctx = ""
+    if is_ins and inserted_len > 0:
+        # adjacent reference sequence on the transcript 5'/3' sides of the
+        # shifted insertion point — the dup-detection inputs (hgvs.rs:460)
+        if strand >= 0:
+            f_s, f_e = max(display_start - inserted_len, 1), max(display_start - 1, 0)
+            t_s, t_e = display_start, display_start + inserted_len - 1
+        else:
+            f_s, f_e = display_start, display_start + inserted_len - 1
+            t_s, t_e = max(display_start - inserted_len, 1), max(display_start - 1, 0)
+        five_ctx = str(fetch(chrom, f_s, f_e)).upper() if f_e >= f_s and f_e > 0 else ""
+        three_ctx = str(fetch(chrom, t_s, t_e)).upper() if t_e >= t_s and t_e > 0 else ""
+    return HgvsShift(
+        strand=strand,
+        shift_length=shift_length,
+        start=s_start,
+        end=s_end,
+        shifted_allele_string=shifted_seq,
+        shifted_compare_allele=shifted_seq if is_ins else "-",
+        shifted_output_allele=shifted_out,
+        ref_orig_allele_string=ref_allele,
+        alt_orig_allele_string=alt_allele,
+        five_prime_flanking_seq=(
+            "" if shift_length == 0 else pre_seq[-(shift_length + 1) :]
+        ),
+        three_prime_flanking_seq=(
+            "" if shift_length == 0 else post_seq[: shift_length + 1]
+        ),
+        five_prime_context=five_ctx,
+        three_prime_context=three_ctx,
+    )
+
+
 def unshifted_cdna_bounds_for_hgvs_shift(
     t: Transcript, variant_start: int, variant_end: int, ref: str, alt: str
 ) -> tuple[int, int] | None:
@@ -4510,20 +4596,72 @@ def protein_hgvs_data_for_variant(
         if t.translation_seq_canonical is not None
         else prot_old
     )
-    terms = classify(t, pos, ref or "-", alt or "-")
+    # flags come from the classification of the SAME event: this module's
+    # left-flank anchor (pos = 5' flank) maps to classify's bare-insertion
+    # convention (pos = first position after the anchor) by +1 — without
+    # it a pure insertion classifies one base upstream, firing start_lost
+    # for codon-boundary insertions the reference leaves as frameshift-only
+    terms = classify(t, pos + 1 if not ref else pos, ref or "-", alt or "-")
+    preferred = (
+        translated_alt_protein_for_hgvs(t, new_cds)
+        if frameshift or "stop_lost" in terms
+        else None
+    )
+    # failed-BAM-edit rows: the reference derives HGVS peptide alleles from
+    # the classification's amino_acids, whose REFERENCE side reads the
+    # CACHED protein, not the raw-CDS translation (reference
+    # reference_aas_for_consequence feeding build_protein_hgvs_data's
+    # peptide_alleles — raw translations of failed edits carry internal
+    # stops that must not surface as Ter in HGVSp)
+    ref_peptide = _local_peptide_from_codon_window(ref_codon)
+    if cached is not None and ci1 < len(cached):
+        cached_window = cached[ci0 : ci1 + 1]
+        if len(cached_window) == len(ref_peptide):
+            ref_peptide = cached_window
     return ProteinHgvs(
         start=ci0 + 1,
         end=ci1 + 1,
-        ref_peptide=_local_peptide_from_codon_window(ref_codon),
+        ref_peptide=ref_peptide,
         alt_peptide=_local_peptide_from_codon_window(alt_codon),
         ref_translation=ref_translation,
-        alt_translation=translate(new_cds),
-        alt_translation_extension=translated_alt_protein_for_hgvs(t, new_cds),
+        # frameshift / stop-lost payloads carry the UTR-EXTENDED alternate
+        # translation as both the walked translation and the extension —
+        # plain events keep the mutated-CDS translation with NO extension
+        # (reference preferred_hgvs_alt_translation, rs:6320-6352: without
+        # this a frameshift deletion at the protein's last codon walks past
+        # the alternate's end and renders `del` instead of `fsTer#`)
+        alt_translation=(
+            preferred if preferred is not None else translate(new_cds)
+        ),
+        alt_translation_extension=preferred,
         frameshift=frameshift,
         start_lost="start_lost" in terms,
         stop_lost="stop_lost" in terms,
         native_refseq=refseq_has_edited_sequence_state(t),
     )
+
+
+def protein_hgvs_via_formatter(
+    t: Transcript, pos: int, ref: str, alt: str, shift_hgvs: bool = True
+) -> str | None:
+    """Unshifted HGVSp through the CLASSIFICATION payload + the ported
+    reference formatter — the reference's own architecture (its fallback
+    is always ``format_hgvsp(translation, cc.protein_hgvs, shift_hgvs)``,
+    transcript_consequence.rs:1034-1042).  Round 9: the pipeline's
+    unshifted path previously rendered through :func:`hgvs_p`'s bespoke
+    walk, which diverged from the reference formatter on start-lost
+    rendering (``p.<Ref>N?`` for ANY first residue, not just Met), the
+    frameshift stop-distance rule (absolute first-``*`` search per
+    Ensembl's ``_stop_loss_extra_AA``), and the peptide-level insertion
+    shift/duplication pipeline — all verified against the reference
+    implementation run on a 9102-pair differential grid."""
+    if t.cds_sequence is None:
+        return None
+    pd = protein_hgvs_data_for_variant(t, pos, ref, alt)
+    if pd is None:
+        return None
+    pid = t.translation_stable_id or t.transcript_id
+    return format_hgvsp(pid, pd, shift_hgvs)
 
 
 def protein_hgvs_for_output(
@@ -4555,14 +4693,41 @@ def protein_hgvs_for_output(
         # original unshifted notation — skipping every shift replay
         # (RefSeq transcript-sequence shift included)
         # (transcript_consequence.rs:4824-4826)
-        return hgvs_p(t, pos, ref, alt)
+        return protein_hgvs_via_formatter(t, pos, ref, alt, shift_hgvs)
     ref_n = "" if ref in ("-", None) else ref
     alt_n = "" if alt in ("-", None) else alt
+    # VEP-normalize raw VCF-anchored indels (shared prefix, and suffix for
+    # length-changing pairs) — the reference dispatch receives the
+    # from_vcf-trimmed VariantInput, and this dispatch's conventions below
+    # (left-flank anchor, swapped insertion coords) assume BARE alleles.
+    # Round 9: anchored inputs previously fell through as non-insertions,
+    # mis-anchoring the shifted-TVA window by the anchor length.
+    pos_eff = pos
+    if ref_n and alt_n and len(ref_n) != len(alt_n):
+        pre = 0
+        for x, y in zip(ref_n, alt_n):
+            if x != y:
+                break
+            pre += 1
+        suf = 0
+        m = min(len(ref_n), len(alt_n)) - pre
+        while (
+            suf < m
+            and ref_n[len(ref_n) - 1 - suf] == alt_n[len(alt_n) - 1 - suf]
+        ):
+            suf += 1
+        r2 = ref_n[pre : len(ref_n) - suf]
+        a2 = alt_n[pre : len(alt_n) - suf]
+        if pre or suf:
+            # pure insertion keeps pos as the 5' FLANK (last shared base);
+            # deletions/delins anchor at the first changed base
+            pos_eff = pos + pre - 1 if not r2 else pos + pre
+            ref_n, alt_n = r2, a2
     is_insertion = not ref_n and bool(alt_n)
     # VEP parser coordinates: insertions are the SWAPPED form
     # (start == end + 1) around this module's left-flank anchor ``pos``
-    vs0 = pos + 1 if is_insertion else pos
-    ve0 = pos if is_insertion else pos + max(len(ref_n), 1) - 1
+    vs0 = pos_eff + 1 if is_insertion else pos_eff
+    ve0 = pos_eff if is_insertion else pos_eff + max(len(ref_n), 1) - 1
     # edited-RefSeq rows compute their own transcript-sequence shift;
     # insertions PREFER it over the genomic shift, deletions the reverse
     # (reference protein_hgvs_for_output, rs:4833-4843)
@@ -4573,8 +4738,8 @@ def protein_hgvs_for_output(
         )
     shift = (refseq_shift or shift) if is_insertion else (shift or refseq_shift)
     if shift is None:  # no shift state: the original notation verbatim
-        return hgvs_p(t, pos, ref, alt)
-    original = hgvs_p(t, pos, ref, alt)
+        return protein_hgvs_via_formatter(t, pos, ref, alt, shift_hgvs)
+    original = protein_hgvs_via_formatter(t, pos, ref, alt, shift_hgvs)
     # star-equal insertion suppression: VEP's hgvs_protein returns undef
     # for an insertion whose original peptides are ref='*' alt='*' — BEFORE
     # the zero-shift early return (reference
@@ -4624,21 +4789,34 @@ def protein_hgvs_for_output(
                 return literal_s
             if shifted_s is not None:
                 return shifted_s
-    sv = protein_hgvs_shifted_variant(
-        vs0, ve0, ref_n or "-", alt_n or "-", vs0, ve0, ref_n or "-", alt_n or "-",
-        shift, t.strand,
+    # generic shifted arm (reference rs:4884-5000): the shifted TVA peptide
+    # window renders through the formatter, with the ORIGINAL classification
+    # payload as the fallback — round 9 replaced the bespoke hgvs_p
+    # re-derivation here, which anchored insertion windows one codon off
+    # and missed the peptide-level shift/duplication pipeline (verified
+    # against the reference implementation on the differential grid)
+    pd_original = protein_hgvs_data_for_variant(t, pos, ref, alt)
+    shifted_data = shifted_tva_protein_hgvs_data(
+        t, vs0, ve0, ref_n or "-", alt_n or "-",
+        vs0, ve0, ref_n or "-", alt_n or "-",
+        shift, fallback=pd_original,
     )
     # VEP guard: the shifted coordinates must still map through the
     # transcript mapper to protein coordinates, else HGVSp is undef with
     # NO unshifted fallback (transcript_consequence.rs:4988-4994)
-    if shifted_tva_coords_from_mapper(t, sv.start, sv.end) is None:
+    if shift.shift_length > 0:
+        sv = protein_hgvs_shifted_variant(
+            vs0, ve0, ref_n or "-", alt_n or "-",
+            vs0, ve0, ref_n or "-", alt_n or "-",
+            shift, t.strand,
+        )
+        if shifted_tva_coords_from_mapper(t, sv.start, sv.end) is None:
+            return None
+    data = shifted_data if shifted_data is not None else pd_original
+    if data is None:
         return None
-    # back to the left-flank anchor for the formatter replay
-    anchor = sv.start - 1 if is_insertion else sv.start
-    shifted_out = hgvs_p(t, anchor, sv.ref, sv.alt)
-    if shifted_out is not None:
-        return shifted_out
-    return hgvs_p(t, pos, ref, alt)
+    pid = t.translation_stable_id or t.transcript_id
+    return format_hgvsp(pid, data, True)
 
 
 def hgvs_c(

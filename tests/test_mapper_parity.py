@@ -1359,6 +1359,9 @@ def test_protein_hgvs_for_output_shift_hgvs_false_returns_unshifted():
         t, 73385903, "-", "GGA", None, shift_hgvs=False
     )
     assert shifted is not None and shifted.endswith("=")
-    # the gate returns the original hgvs_p notation verbatim
-    assert unshifted == cq.hgvs_p(t, 73385903, "-", "GGA")
+    # the gate returns the CLASSIFICATION payload through the formatter
+    # with the peptide-level 3' shift disabled — verified against the
+    # reference implementation (round-9 standalone replay: shift_hgvs=false
+    # on this exact fixture renders the unshifted insertion form)
+    assert unshifted == "NP_055935.4:p.Leu12_Glu13insGlu"
     assert unshifted != shifted
