@@ -2648,9 +2648,18 @@ def _start_stop_heuristic_terms(
     if cs is None or ce is None:
         return
     is_indel = len(ref) != len(alt)
+    # the reference heuristic sees the VEP-NORMALIZED variant, and its
+    # overlap() normalizes BOTH ranges — so a raw anchored insertion
+    # between the last UTR base and the start codon still fires the
+    # cascade (reference overlaps(), transcript_consequence.rs:2975-2990;
+    # round 9, verified on the differential grid).  Allele-identity checks
+    # below keep the CALLER's raw alleles (whole-codon MNV stop identity,
+    # rs:9981).
+    nvs0, nve0, _nr0, _na0, _ = normalize_variant(vs, ref, alt)
+    svmin, svmax = (nvs0, nve0) if nvs0 <= nve0 else (nve0, nvs0)
     if not t.cds_start_nf:
         s, e = (cs, cs + 2) if t.strand >= 0 else (ce - 2, ce)
-        if _overlaps(vs, ve, s, e):
+        if _overlaps(svmin, svmax, s, e):
             if _is_start_codon(ref) and _is_start_codon(alt):
                 terms.add("start_retained_variant")
             elif is_indel:
@@ -2681,7 +2690,7 @@ def _start_stop_heuristic_terms(
             else:
                 terms.add("start_lost")
     s, e = (ce - 2, ce) if t.strand >= 0 else (cs, cs + 2)
-    if _overlaps(vs, ve, s, e):
+    if _overlaps(svmin, svmax, s, e):
         if _is_stop_codon(ref) and _is_stop_codon(alt):
             terms.add("stop_retained_variant")
         elif is_indel and t.cds_sequence and len(t.cds_sequence) >= 3:
@@ -2753,36 +2762,101 @@ def _classify_substitution(t: Transcript, vs: int, ref: str, alt: str) -> set[st
         protein = cached
     new_protein = translate(new_cds)
 
-    codon_i = off // 3
-    aa_old = protein[codon_i] if codon_i < len(protein) else ""
-    aa_new = new_protein[codon_i] if codon_i < len(new_protein) else ""
-    if not aa_old or not aa_new:
+    # reference same-length decision rules (classify_coding_change,
+    # transcript_consequence.rs:5337-5640) — round 9: the previous code
+    # examined ONLY the first touched codon, so an MNV spanning a codon
+    # boundary whose first codon stayed synonymous mis-classified the
+    # whole event, and a codon-1 change creating a stop returned
+    # start_lost without the co-fired stop_gained.  All rules below are
+    # verified against the reference implementation on the differential
+    # grid.
+    start_idx = off
+    end_idx = off + len(var_ref) - 1
+    first_codon = start_idx // 3
+    last_codon = end_idx // 3
+    if first_codon >= len(protein) or first_codon >= len(new_protein):
         return None
-
-    if codon_i == 0 and not t.cds_start_nf:
-        # reference start-codon logic (transcript_consequence.rs:5337-5370,
-        # VEP VariationEffect): _overlaps_start_codon is gated on
-        # cds_start_NF; start_retained = new first codon translates Met
-        # (nucleotide-level _snp_start_altered), start_lost = first AA
-        # changed (peptide-level) — they CO-FIRE for e.g. GTG→ATG (V→M at
-        # a non-standard start codon, issue #84 C2b), and either suppresses
-        # the generic missense/synonymous fallthrough.
-        terms = set()
-        if aa_new == "M":
+    terms: set[str] = set()
+    # start-codon block (rs:5360-5372): start_retained = new first AA Met
+    # (nucleotide-level), start_lost = first AA changed (peptide-level);
+    # they CO-FIRE for GTG→ATG, and do NOT return early — stop logic and
+    # the guarded missense/synonymous fallthrough still run
+    if start_idx < 3 and not t.cds_start_nf:
+        if new_protein[:1] == "M":
             terms.add("start_retained_variant")
-        if aa_old != aa_new:
+        if protein[:1] != new_protein[:1]:
             terms.add("start_lost")
-        if terms:
-            return terms
-    if aa_old == "*" and aa_new == "*":
-        return {"stop_retained_variant"}
-    if aa_old == "*" and aa_new != "*":
-        return {"stop_lost"}
-    if aa_new == "*" and aa_old != "*":
-        return {"stop_gained"}
-    if aa_old == aa_new:
-        return {"synonymous_variant"}
-    return {"missense_variant"}
+    skip_global = cached is not None
+    old_stop = protein.find("*")
+    new_stop = new_protein.find("*")
+    # stop_retained: an unmoved global stop whose codon the variant touches
+    if (
+        old_stop >= 0
+        and new_stop == old_stop
+        and start_idx <= old_stop * 3 + 2
+        and end_idx >= old_stop * 3
+    ):
+        terms.add("stop_retained_variant")
+    # global first-stop comparison (skipped on failed-RefSeq cached rows,
+    # whose raw translation carries spurious internal stops)
+    if not skip_global:
+        if old_stop >= 0 and new_stop >= 0:
+            if new_stop < old_stop and not (
+                start_idx <= old_stop * 3 + 2 and end_idx >= old_stop * 3
+            ):
+                terms.add("stop_gained")
+            elif new_stop > old_stop and (
+                start_idx <= old_stop * 3 + 2 and end_idx >= old_stop * 3
+            ):
+                terms.add("stop_lost")
+        elif old_stop >= 0 and new_stop < 0:
+            if start_idx <= old_stop * 3 + 2 and end_idx >= old_stop * 3:
+                terms.add("stop_lost")
+        elif old_stop < 0 and new_stop >= 0:
+            terms.add("stop_gained")
+    # per-codon window (rs:5545-5585): local stop transitions
+    for ci in range(first_codon, last_codon + 1):
+        if ci >= len(protein) or ci >= len(new_protein):
+            continue
+        old_aa, new_aa = protein[ci], new_protein[ci]
+        if old_aa != "*" and new_aa == "*":
+            terms.add("stop_gained")
+        elif old_aa == "*" and new_aa != "*":
+            terms.add("stop_lost")
+        elif old_aa == "*" and new_aa == "*":
+            terms.add("stop_retained_variant")
+    # guarded missense/synonymous fallthrough (rs:5588-5640): X-containing
+    # or past-end windows suppress both (incomplete terminal codons).
+    # Cached-protein rows compare only the touched WINDOW (reference
+    # use_display_peptide_window) — the raw mutated translation still
+    # carries the spurious internal stops absent from the trusted cache
+    if skip_global:
+        aa_changed = any(
+            protein[ci : ci + 1] != new_protein[ci : ci + 1]
+            for ci in range(first_codon, last_codon + 1)
+        )
+    else:
+        aa_changed = protein != new_protein
+    has_x = any(
+        ci >= len(protein)
+        or ci >= len(new_protein)
+        or protein[ci] == "X"
+        or new_protein[ci] == "X"
+        for ci in range(first_codon, last_codon + 1)
+    )
+    if (
+        aa_changed
+        and not has_x
+        and not terms & {"stop_gained", "stop_lost", "start_lost", "stop_retained_variant"}
+    ):
+        terms.add("missense_variant")
+    elif (
+        not aa_changed
+        and not has_x
+        and not terms & {"stop_retained_variant", "start_retained_variant"}
+    ):
+        terms.add("synonymous_variant")
+    return terms if terms else None
 
 
 def peptide_from_codon_allele(codon: str) -> str | None:
@@ -3279,24 +3353,30 @@ def classify_coding_indel(
         # the CDS boundary (one flank maps, the other is past the CDS end)
         # anchors at the mapped flank — VEP still renders full coding
         # fields there (issue #118 exon-boundary insertions).
+        # reference anchor order (classify_insertion, rs:5941-5960): the
+        # PRIMARY anchor is the base before the insertion in transcript
+        # orientation; the alternate flank substitutes with cds_idx − 1,
+        # whose checked_sub REJECTS an insertion before the first coding
+        # base (the boundary case stays heuristic-classified — round 9,
+        # verified on the differential grid)
         if t.strand >= 0:
-            right = _genomic_to_cds_offset(t, vs)
-            if right is not None:
-                ins_at = right + lead
+            primary = _genomic_to_cds_offset(t, vs - 1)
+            if primary is not None:
+                ins_at = primary + 1 + lead
             else:
-                left = _genomic_to_cds_offset(t, vs - 1)
-                if left is None:
+                alt_anchor = _genomic_to_cds_offset(t, vs)
+                if alt_anchor is None or alt_anchor == 0:
                     return None
-                ins_at = left + 1 + lead
+                ins_at = alt_anchor + lead
         else:
-            left = _genomic_to_cds_offset(t, vs - 1)
-            if left is not None:
-                ins_at = left + lead
+            primary = _genomic_to_cds_offset(t, vs)
+            if primary is not None:
+                ins_at = primary + 1 + lead
             else:
-                right = _genomic_to_cds_offset(t, vs)
-                if right is None:
+                alt_anchor = _genomic_to_cds_offset(t, vs - 1)
+                if alt_anchor is None or alt_anchor == 0:
                     return None
-                ins_at = right + 1 + lead
+                ins_at = alt_anchor + lead
         if ins_at < 0 or ins_at > len(cds):
             return None
         out = {
@@ -4887,21 +4967,32 @@ def hgvs_c(
     # non-coding transcripts use spliced-transcript (``n.``) numbering
     # (hgvs.rs test_format_hgvsc_uses_non_coding_numbering)
     pfx = "c." if t.cds_start is not None and t.cds_end is not None else "n."
-    off = _cds_first_offset(t, pos, len(ref))
-    if off is None:
-        # outside the spliced CDS (or any non-coding position): UTR /
-        # intronic / n. coordinate notation for substitutions and simple
-        # del/delins spans
-        g1 = pos if t.strand >= 0 else pos + max(len(ref), 1) - 1
+
+    def _per_end_render() -> str | None:
+        # per-genomic-end coordinate rendering: UTR / intronic / n.
+        # positions and CDS spans that cross an exon boundary all notate
+        # from _cds_relative_notation of each end (reference
+        # notation_to_hgvsc_coords + hgvs_cdna_position_from_genomic —
+        # e.g. a deletion running off an exon renders c.151_151+2del)
+        r = ref if t.strand >= 0 else revcomp(ref)
+        a = alt if t.strand >= 0 else revcomp(alt)
+        if len(r) == 0:
+            # pure insertion BETWEEN the two flanking bases (pos = 5'
+            # genomic flank): coords are the flanks in transcript order
+            # (reference notation_to_hgvsc_coords ins arm, hgvs.rs:866-871
+            # — round 9: previously suppressed outside the CDS)
+            ga, gb = (pos, pos + 1) if t.strand >= 0 else (pos + 1, pos)
+            n1 = _cds_relative_notation(t, ga)
+            n2 = _cds_relative_notation(t, gb)
+            if n1 is None or n2 is None:
+                return None
+            return f"{t.transcript_id}:{pfx}{n1}_{n2}ins{a}"
+        g1 = pos if t.strand >= 0 else pos + len(r) - 1
         n1 = _cds_relative_notation(t, g1)
         if n1 is None:
             return None
-        r = ref if t.strand >= 0 else revcomp(ref)
-        a = alt if t.strand >= 0 else revcomp(alt)
         if len(r) == 1 and len(a) == 1:
             return f"{t.transcript_id}:{pfx}{n1}{r}>{a}"
-        if len(r) == 0:
-            return None  # insertion anchoring outside the CDS: skip
         g2 = pos + len(ref) - 1 if t.strand >= 0 else pos
         n2 = _cds_relative_notation(t, g2) if g2 != g1 else n1
         if n2 is None:
@@ -4909,7 +5000,25 @@ def hgvs_c(
         span = f"{n1}_{n2}" if n2 != n1 else f"{n1}"
         if len(a) == 0:
             return f"{t.transcript_id}:{pfx}{span}del"
+        if len(r) == len(a) and revcomp(r) == a:
+            # same-length reverse-complement block: inversion (reference
+            # hgvs_variant_notation inv kind, hgvs.rs:761-763)
+            return f"{t.transcript_id}:{pfx}{span}inv"
         return f"{t.transcript_id}:{pfx}{span}delins{a}"
+
+    off = _cds_first_offset(t, pos, len(ref))
+    if off is None:
+        # outside the spliced CDS (or any non-coding position)
+        return _per_end_render()
+    if len(ref) > 1:
+        # a span whose other end leaves the exonic CDS (boundary-crossing
+        # deletion/delins) must keep per-end intronic-offset coordinates
+        other = pos + len(ref) - 1 if t.strand >= 0 else pos
+        off_other = _genomic_to_cds_offset(t, other)
+        if off_other is None or abs(
+            off_other - (_genomic_to_cds_offset(t, pos if t.strand >= 0 else pos + len(ref) - 1) or 0)
+        ) != len(ref) - 1:
+            return _per_end_render()
     r = ref if t.strand >= 0 else revcomp(ref)
     a = alt if t.strand >= 0 else revcomp(alt)
     cds = t.cds_sequence.upper() if t.cds_sequence else None
@@ -4958,6 +5067,10 @@ def hgvs_c(
         return f"{t.transcript_id}:c.{span}del"
     cend = cpos + len(r) - 1
     span = f"{cpos}_{cend}" if cend > cpos else f"{cpos}"
+    if len(r) == len(a) and revcomp(r) == a:
+        # same-length reverse-complement block: inversion (reference
+        # hgvs_variant_notation inv kind, hgvs.rs:761-763)
+        return f"{t.transcript_id}:c.{span}inv"
     return f"{t.transcript_id}:c.{span}delins{a}"
 
 
