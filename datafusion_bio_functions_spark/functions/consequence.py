@@ -3377,10 +3377,20 @@ def classify_coding_indel(
                 if alt_anchor is None or alt_anchor == 0:
                     return None
                 ins_at = alt_anchor + lead
+        # RefSeq misalignment: SEQUENCE operations shift into the edited
+        # space the cached CDS lives in (reference classify_insertion,
+        # rs:5958-5960); DISPLAY positions keep the raw exon-geometry
+        # index + the output-time offset (reference raw_cds_position_*,
+        # rs:5500-5514 — annotation_details applies that shift itself).
+        # Round 9, verified on the edited-transcript grid.
+        raw_ins_at = ins_at
+        adj = adjust_refseq_cds_sequence_index(t, ins_at - 1, lead)
+        if adj is not None:
+            ins_at = adj + 1
         if ins_at < 0 or ins_at > len(cds):
             return None
         out = {
-            "cds_position_start": ins_at, "cds_position_end": ins_at + 1,
+            "cds_position_start": raw_ins_at, "cds_position_end": raw_ins_at + 1,
             "protein_position_start": None, "protein_position_end": None,
             "codons": None, "amino_acids": None,
             "stop_retained": False, "stop_gained": False, "stop_lost": False,
@@ -3396,6 +3406,7 @@ def classify_coding_indel(
                 out, t, vs, ve, ref, alt, cds, new_cds, lead, frameshift
             )
         u = ins_at - lead
+        u_raw = raw_ins_at - lead
         if frameshift and u > 0 and u % 3 == 0:
             # codon-boundary frameshift insertion: no existing codon is
             # disrupted, so VEP renders the dash form like the inframe
@@ -3403,13 +3414,13 @@ def classify_coding_indel(
             # position the FLANKING-codon range (reference
             # classify_frameshift_insertion_at_boundary_codons_dash_format
             # / _uses_dash_ref / _protein_position_range)
-            out["protein_position_start"] = u // 3
-            out["protein_position_end"] = u // 3 + 1
+            out["protein_position_start"] = u_raw // 3
+            out["protein_position_end"] = u_raw // 3 + 1
             out["codons"] = f"-/{seq}"
             out["amino_acids"] = "-/X"
         elif frameshift:
             c0 = (max(ins_at - 1, 0) // 3) * 3
-            codon_i = c0 // 3
+            codon_i = max(raw_ins_at - 1, 0) // 3  # display: raw space
             out["protein_position_start"] = out["protein_position_end"] = codon_i + 1
             ref_codon = cds[c0 : c0 + 3]
             alt_codon = new_cds[c0 : c0 + 3 + len(seq)]
@@ -3426,13 +3437,13 @@ def classify_coding_indel(
             if aa_old != "*" and "*" in translate(new_cds[c0:]):
                 pass  # downstream stop from the shifted frame — fsTer in HGVSp
         elif ins_at % 3 == 0:  # inframe at a codon boundary
-            out["protein_position_start"] = ins_at // 3
-            out["protein_position_end"] = ins_at // 3 + 1
+            out["protein_position_start"] = raw_ins_at // 3
+            out["protein_position_end"] = raw_ins_at // 3 + 1
             out["codons"] = f"-/{seq}"
             out["amino_acids"] = f"-/{translate(seq)}"
         else:  # inframe within a codon
             c0 = (ins_at // 3) * 3
-            codon_i = c0 // 3
+            codon_i = raw_ins_at // 3  # display: raw space
             out["protein_position_start"] = codon_i + 1
             out["protein_position_end"] = codon_i + 1 + len(seq) // 3
             ref_codon = cds[c0 : c0 + 3]
@@ -3455,6 +3466,14 @@ def classify_coding_indel(
     if s0 is None:
         return None
     s0 += lead
+    # RefSeq misalignment into edited-sequence space for SEQUENCE ops;
+    # display positions keep the raw index (reference deletion path,
+    # rs:3263-3268 vs raw_cds_position_*, rs:5500-5514; round 9, verified
+    # on the edited-transcript grid)
+    raw_s0 = s0
+    adj = adjust_refseq_cds_sequence_index(t, s0, lead)
+    if adj is not None:
+        s0 = adj
     ln = len(dref)
     if s0 + ln > len(cds) or cds[s0 : s0 + ln] != dref:
         return None
@@ -3463,9 +3482,9 @@ def classify_coding_indel(
     c0 = (s0 // 3) * 3
     c1 = ((s0 + ln - 1) // 3) * 3 + 3
     out = {
-        "cds_position_start": s0 + 1, "cds_position_end": s0 + ln,
-        "protein_position_start": s0 // 3 + 1,
-        "protein_position_end": (s0 + ln - 1) // 3 + 1,
+        "cds_position_start": raw_s0 + 1, "cds_position_end": raw_s0 + ln,
+        "protein_position_start": raw_s0 // 3 + 1,
+        "protein_position_end": (raw_s0 + ln - 1) // 3 + 1,
         "codons": None, "amino_acids": None,
         "stop_retained": False, "stop_gained": False, "stop_lost": False,
         "start_retained": False, "start_lost": False,
@@ -4617,6 +4636,61 @@ def original_terms_allow_protein_hgvs(terms: list[str]) -> bool:
     return any(term in _PROTEIN_HGVS_TERMS for term in terms)
 
 
+def alternate_translation_for_vep_hgvs(
+    t: Transcript, pos: int, ref: str, alt: str
+) -> str | None:
+    """VEP's HGVS-specific alternate translation: apply the variant to the
+    HGVSP REFERENCE CDS (the CANONICAL cache when present — not the edited
+    transcript sequence), append the 3'UTR, translate (reference
+    alternate_translation_for_vep_hgvs, transcript_consequence.rs:3681-3775
+    / Ensembl ``_get_alternate_cds``).  On edited-RefSeq rows this differs
+    from translating the mutated EDITED cds — frameshift fsTer distances
+    read the canonical frame (round 9, verified on the edited-transcript
+    differential grid).  ``pos``/``ref``/``alt`` use this module's
+    left-flank anchor convention (empty ref = pure insertion after pos)."""
+    reference_cds = reference_translateable_seq_for_hgvsp_of(t)
+    if reference_cds is None:
+        return None
+    lead = _leading_n(reference_cds)
+    ref_n = "" if ref in ("-", None) else ref
+    alt_n = "" if alt in ("-", None) else alt
+    if len(ref_n) == 0:
+        vstart = pos + 1  # VEP swapped insertion start
+        anchor = vstart - 1 if t.strand >= 0 else vstart
+        raw = genomic_to_cds_index(t, anchor)
+        if raw is None:
+            altp = vstart if t.strand >= 0 else vstart - 1
+            r2 = genomic_to_cds_index(t, altp)
+            raw = (r2 - 1) if (r2 is not None and r2 >= 1) else None
+        if raw is None:
+            return None
+        raw += lead
+        adj = adjust_refseq_cds_sequence_index_for_hgvsp_reference(t, raw, lead)
+        cds_idx = adj if adj is not None else raw
+        cds_start_1, cds_end_1 = cds_idx + 2, cds_idx + 1
+    else:
+        idxs = []
+        for p in range(pos, pos + len(ref_n)):
+            raw = genomic_to_cds_index(t, p)
+            if raw is None:
+                return None
+            raw += lead
+            adj = adjust_refseq_cds_sequence_index_for_hgvsp_reference(t, raw, lead)
+            idxs.append(adj if adj is not None else raw)
+        idxs.sort()
+        cds_start_1, cds_end_1 = idxs[0] + 1, idxs[-1] + 1
+    if cds_start_1 == 0 or cds_start_1 > len(reference_cds) + 1:
+        return None
+    if cds_end_1 > len(reference_cds):
+        return None
+    a = (alt_n if t.strand >= 0 else revcomp(alt_n)).upper()
+    alt_seq = reference_cds[: cds_start_1 - 1] + a + reference_cds[cds_end_1:]
+    utr = three_prime_utr_seq_of(t)
+    if utr:
+        alt_seq += utr
+    return translate(alt_seq.upper())
+
+
 def protein_hgvs_data_for_variant(
     t: Transcript, pos: int, ref: str, alt: str
 ) -> ProteinHgvs | None:
@@ -4667,6 +4741,15 @@ def protein_hgvs_data_for_variant(
     alt_window_len = len(ref_codon) + len(var_alt) - len(var_ref)
     alt_codon = new_cds[win_s : win_s + alt_window_len] if alt_window_len > 0 else ""
     frameshift = (len(var_alt) - len(var_ref)) % 3 != 0
+    # codon-boundary pure insertion: the reference payload carries the
+    # classification's DASH form — ref '-' over the flanking-codon pair,
+    # higher position first (build_protein_hgvs_data's insertion swap,
+    # rs:3394-3400, consuming class.amino_acids "-/X" / "-/<pep>"; round 9,
+    # verified on the edited-transcript differential grid)
+    _ldn = _leading_n(cds)
+    boundary_ins = (
+        not var_ref and (ins_point - _ldn) % 3 == 0 and ins_point > _ldn
+    )
     prot_old = translate(cds)
     cached = failed_refseq_cached_protein(t, cds)
     if cached is not None:
@@ -4682,11 +4765,14 @@ def protein_hgvs_data_for_variant(
     # it a pure insertion classifies one base upstream, firing start_lost
     # for codon-boundary insertions the reference leaves as frameshift-only
     terms = classify(t, pos + 1 if not ref else pos, ref or "-", alt or "-")
-    preferred = (
-        translated_alt_protein_for_hgvs(t, new_cds)
-        if frameshift or "stop_lost" in terms
-        else None
-    )
+    preferred = None
+    if frameshift or "stop_lost" in terms:
+        # reference preferred_alt_translation_extension_for_hgvsp: the
+        # canonical-space VEP alternate wins; the edited-cds translation
+        # is the fallback (rs:3647-3654,6320-6330)
+        preferred = alternate_translation_for_vep_hgvs(
+            t, pos, ref, alt
+        ) or translated_alt_protein_for_hgvs(t, new_cds)
     # failed-BAM-edit rows: the reference derives HGVS peptide alleles from
     # the classification's amino_acids, whose REFERENCE side reads the
     # CACHED protein, not the raw-CDS translation (reference
@@ -4698,11 +4784,20 @@ def protein_hgvs_data_for_variant(
         cached_window = cached[ci0 : ci1 + 1]
         if len(cached_window) == len(ref_peptide):
             ref_peptide = cached_window
+    alt_peptide = _local_peptide_from_codon_window(alt_codon)
+    p_start, p_end = ci0 + 1, ci1 + 1
+    if boundary_ins:
+        pep_lo = (ins_point - _ldn) // 3
+        p_start, p_end = pep_lo + 1, pep_lo
+        ref_peptide = "-"
+        alt_peptide = (
+            "X" if frameshift else _local_peptide_from_codon_window(var_alt)
+        )
     return ProteinHgvs(
-        start=ci0 + 1,
-        end=ci1 + 1,
+        start=p_start,
+        end=p_end,
         ref_peptide=ref_peptide,
-        alt_peptide=_local_peptide_from_codon_window(alt_codon),
+        alt_peptide=alt_peptide,
         ref_translation=ref_translation,
         # frameshift / stop-lost payloads carry the UTR-EXTENDED alternate
         # translation as both the walked translation and the extension —
@@ -5009,6 +5104,17 @@ def hgvs_c(
     off = _cds_first_offset(t, pos, len(ref))
     if off is None:
         # outside the spliced CDS (or any non-coding position)
+        return _per_end_render()
+    if (
+        uses_refseq_transcript_reference(t)
+        and (t.cdna_mapper_segments or t.refseq_edits)
+        and (len(ref) != 1 or len(alt) != 1)
+    ):
+        # live RefSeq transcript state: indel/MNV coordinates must ride the
+        # mapper/edit-aware pipeline per end (c.66_67, not the raw exon-
+        # geometry c.63_64) — VEP's 3'-shift and duplication come only from
+        # the genomic shift state on these rows, never from the raw-offset
+        # walk below (round 9, verified on the edited-transcript grid)
         return _per_end_render()
     if len(ref) > 1:
         # a span whose other end leaves the exonic CDS (boundary-crossing

@@ -155,3 +155,124 @@ def test_reference_grid_parity():
         "whitelisted rows now MATCH the reference — parity improved; "
         f"remove them from known_tail.json: {dict(list(healed.items())[:10])}"
     )
+
+
+def _transcripts_ext():
+    txs = []
+    for line in open(os.path.join(FIX, "transcripts2.tsv")):
+        f = line.rstrip("\n").split("\t")
+        exons = [tuple(map(int, seg.split("-"))) for seg in f[10].split(";")]
+        edits = [
+            cq.RefSeqEdit(*[int(x) for x in e.split("-")])
+            for e in f[17].split(";")
+            if e
+        ]
+        segs = []
+        if len(f) > 20 and f[20]:
+            for e in f[20].split(";"):
+                p = [int(x) for x in e.split("-")]
+                segs.append(cq.MapperSegment(p[0], p[1], p[2], p[3], p[4]))
+        t = cq.Transcript(
+            transcript_id=f[0], chrom=f[1], start=int(f[2]), end=int(f[3]),
+            strand=int(f[4]), biotype=f[5],
+            cds_start=int(f[6]), cds_end=int(f[7]),
+            cdna_coding_start=int(f[8]), cdna_coding_end=int(f[9]),
+            exons=exons, spliced_seq=f[11], cds_sequence=f[12],
+            translation_seq=f[13],
+            source=f[14] or None, bam_edit_status=f[15] or None,
+            has_non_polya_rna_edit=(f[16] == "1"),
+            cds_sequence_canonical=f[18] or None,
+            translation_seq_canonical=f[19] or None,
+            translation_stable_id=f"NP_{f[0]}",
+        )
+        t.refseq_edits = edits
+        if segs:
+            t.cdna_mapper_segments = segs
+        txs.append(t)
+    return txs
+
+
+@pytest.mark.slow
+def test_reference_grid_parity_refseq_edited():
+    """Extension grid: NM_-style transcripts carrying an RNA-edit 3-base
+    insertion (NM_G.1) and the same edit expressed as explicit cdna mapper
+    segments (NM_H.1), over the identical 1517-variant set.  The reference
+    implementation PANICS (slice out of range, classify_coding_change) on
+    the insertion at the CDS-end base of the edited transcript — that
+    variant is excluded (``known_tail2.json['panics']``) and stands as a
+    documented reference crash this engine handles.  8 residual rows are
+    whitelisted (pre-transcript insertions the reference suppresses,
+    CDS-end boundary deletions, insertions at the transcript's last base)."""
+    genome = open(os.path.join(FIX, "genome.txt")).read().strip()
+
+    def fetch(chrom, s, e):
+        return genome[s - 1 : e]
+
+    expected = {}
+    with gzip.open(os.path.join(FIX, "ref_out2.jsonl.gz"), "rt") as fh:
+        for line in fh:
+            r = json.loads(line)
+            expected[(r["pos"], r["ref"], r["alt"], r["tx"])] = r
+
+    meta = json.load(open(os.path.join(FIX, "known_tail2.json")))
+    panics = {tuple(p) for p in meta["panics"]}
+    tail = {tuple(e["key"]): set(e["fields"]) for e in meta["tail"]}
+    expected = {
+        k: v
+        for k, v in expected.items()
+        if k[3] != "PANIC" and (k[0], k[1], k[2]) not in panics
+    }
+
+    txs = _transcripts_ext()
+    got = {}
+    for line in open(os.path.join(FIX, "variants.tsv")):
+        f = line.rstrip("\n").split("\t")
+        pos, ref, alt = int(f[1]), f[3], f[4]
+        if (pos, ref, alt) in panics:
+            continue
+        sh_f = None
+        if len(ref) != len(alt):
+            vr, va = al.vcf_to_vep_allele(ref, alt)
+            vs = al.vep_norm_start(pos, ref, alt)
+            ve = al.vep_norm_end(pos, ref, alt)
+            sh_f = cq.build_hgvs_genomic_shift(fetch, "1", vr, va, vs, ve, 1)
+        for t in txs:
+            terms = cq.classify(t, pos, ref, alt, 5000, 5000)
+            if not terms:
+                continue
+            det = cq.annotation_details(t, pos, ref, alt)
+            got[(pos, ref, alt, t.transcript_id)] = {
+                "terms": sorted(terms),
+                "exon": det["exon"], "intron": det["intron"],
+                "cdna": det["cdna_position_str"],
+                "cds": det["cds_position_str"],
+                "protein": det["protein_position_str"],
+                "aa": det["amino_acids"], "codons": det["codons"],
+                "distance": det["distance"],
+                "hgvsc": cq.hgvs_c(t, pos, ref, alt, shift=sh_f),
+                "hgvsp": cq.protein_hgvs_for_output(
+                    t, pos, ref, alt, sh_f, terms, shift_hgvs=True
+                ),
+            }
+
+    assert set(expected) == set(got)
+    unexpected = {}
+    healed = {}
+    for k in sorted(expected):
+        for fld in FIELDS:
+            same = expected[k][fld] == got[k][fld]
+            if k in tail and fld in tail[k]:
+                if same:
+                    healed.setdefault(k, []).append(fld)
+                continue
+            if not same:
+                unexpected.setdefault(k, []).append(
+                    (fld, expected[k][fld], got[k][fld])
+                )
+    assert not unexpected, (
+        f"{len(unexpected)} rows diverged: {dict(list(unexpected.items())[:5])}"
+    )
+    assert not healed, (
+        "whitelisted rows now MATCH — shrink known_tail2.json: "
+        f"{dict(list(healed.items())[:10])}"
+    )
