@@ -2723,6 +2723,10 @@ def _classify_substitution(t: Transcript, vs: int, ref: str, alt: str) -> set[st
     off = _genomic_to_cds_offset(t, vs)
     if off is None:
         return None
+    if any(
+        _nm_raw_cdna_outside_coding(t, p) for p in range(vs, vs + len(ref))
+    ):
+        return None
     off += lead
     var_ref = ref.upper() if t.strand >= 0 else revcomp(ref.upper())
     var_alt = alt.upper() if t.strand >= 0 else revcomp(alt.upper())
@@ -3325,6 +3329,24 @@ def _indel_start_flags(out: dict, cds: str, new_cds: str, lead: int, frameshift:
         out["start_lost"] = True
 
 
+def _nm_raw_cdna_outside_coding(t: Transcript, gpos: int) -> bool:
+    """Reference genomic_to_cds_index NM-arm gate: the RAW exon-geometry
+    cdna index is bound-checked against the (EDITED-space) cdna_coding
+    bounds — on a deletion-edited transcript the genomic bases near the
+    CDS end fall PAST the shrunken coding_end and the classification
+    refuses them (terms stay heuristic coding_sequence_variant; round 9,
+    verified on the edited-transcript differential grid)."""
+    if not (
+        prefers_exon_geometry_over_mapper(t)
+        and (t.refseq_edits or t.cdna_mapper_segments)
+        and t.cdna_coding_start is not None
+        and t.cdna_coding_end is not None
+    ):
+        return False
+    n = genomic_to_cdna_index_for_transcript(t, gpos)
+    return n is None or n < t.cdna_coding_start or n > t.cdna_coding_end
+
+
 def classify_coding_indel(
     t: Transcript, vs: int, ve: int, ref: str, alt: str, is_ins: bool
 ) -> dict | None:
@@ -3464,6 +3486,8 @@ def classify_coding_indel(
     first_g = vs if t.strand >= 0 else ve
     s0 = _genomic_to_cds_offset(t, first_g)
     if s0 is None:
+        return None
+    if any(_nm_raw_cdna_outside_coding(t, p) for p in range(vs, ve + 1)):
         return None
     s0 += lead
     # RefSeq misalignment into edited-sequence space for SEQUENCE ops;
@@ -4149,6 +4173,31 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
         out["distance"] = None if dist is None else int(dist)
         return out
     out["exon"], out["intron"] = exon_intron_numbers(t, lo, hi)
+    # a non-insertion touching a base the RefSeq edit machinery DELETED
+    # from the transcript has no CDS mapping: the reference suppresses the
+    # typed codon fields (cds/protein positions, amino_acids, codons) but
+    # keeps cDNA/exon/HGVSc (round 9, verified on the edited-transcript
+    # differential grid; same condition as classify's deleted_refseq_gap)
+    if not is_ins and (
+        (
+            prefers_exon_geometry_over_mapper(t)
+            and (len(t.cdna_mapper_segments) >= 2 or bool(t.refseq_edits))
+            and any(
+                mapper_deleted_gap_cdna_index(t, p) is not None
+                or refseq_deleted_edit_cdna_index(t, p) is not None
+                for p in range(vs, ve + 1)
+            )
+        )
+        or any(_nm_raw_cdna_outside_coding(t, p) for p in range(vs, ve + 1))
+    ):
+        n0 = genomic_to_cdna_index_for_transcript(t, pos if t.strand >= 0 else hi)
+        if n0 is not None:
+            out["cdna_position"] = (
+                edited_transcript_cdna_index(t, n0)
+                if t.cds_start is not None and t.cds_end is not None
+                else edited_transcript_sequence_cdna_index(t, n0)
+            )
+        return out
     n = genomic_to_cdna_index_for_transcript(t, pos if t.strand >= 0 else hi)
     if n is not None:
         if not uses_refseq_transcript_reference(t):
@@ -4163,6 +4212,21 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
     g_last = (hi if t.strand >= 0 else lo) if ref else None
     last_off = _genomic_to_cds_offset(t, g_last) if g_last is not None else None
     if off is None:
+        nvs0, nve0, nref0, nalt0, nins0 = normalize_variant(pos, ref, alt)
+        if nins0 and nalt0:
+            # pure insertion whose left-flank anchor is outside the CDS
+            # (e.g. the transcript-end boundary on the minus strand):
+            # classification maps the other flank (reference issue #118 /
+            # classify_insertion alternate anchor; round 9, verified on
+            # the edited-transcript differential grid)
+            cls = classify_coding_indel(t, nvs0, nve0, nref0, nalt0, nins0)
+            if cls is not None:
+                out["codons"] = cls["codons"]
+                out["amino_acids"] = cls["amino_acids"]
+                out["cds_position"] = cls["cds_position_start"]
+                out["protein_position"] = cls["protein_position_start"]
+                _set_span_strs(cls["cds_position_start"], cls["cds_position_end"])
+                return out
         # boundary-spanning deletion: start unmappable (intron/UTR-side)
         # but the end reaches the CDS → "?-N" spans (reference
         # complex_indel_spanning_intron_into_cds_keeps_partial_unknown_bounds)
@@ -5092,6 +5156,13 @@ def hgvs_c(
         n2 = _cds_relative_notation(t, g2) if g2 != g1 else n1
         if n2 is None:
             return None
+        # a span crossing a deleted-edit gap can map non-monotonically —
+        # HGVS spans always render ascending (reference c.52_53del)
+        try:
+            if n2 != n1 and int(n1) > int(n2):
+                n1, n2 = n2, n1
+        except ValueError:
+            pass  # intronic/UTR-offset coordinate strings keep their order
         span = f"{n1}_{n2}" if n2 != n1 else f"{n1}"
         if len(a) == 0:
             return f"{t.transcript_id}:{pfx}{span}del"

@@ -200,8 +200,8 @@ def test_reference_grid_parity_refseq_edited():
     implementation PANICS (slice out of range, classify_coding_change) on
     the insertion at the CDS-end base of the edited transcript — that
     variant is excluded (``known_tail2.json['panics']``) and stands as a
-    documented reference crash this engine handles.  8 residual rows are
-    whitelisted (pre-transcript insertions the reference suppresses,
+    documented reference crash this engine handles.  the residual rows whitelisted in known_tail2.json are
+    documented (pre-transcript insertions the reference suppresses,
     CDS-end boundary deletions, insertions at the transcript's last base)."""
     genome = open(os.path.join(FIX, "genome.txt")).read().strip()
 
@@ -230,13 +230,15 @@ def test_reference_grid_parity_refseq_edited():
         pos, ref, alt = int(f[1]), f[3], f[4]
         if (pos, ref, alt) in panics:
             continue
-        sh_f = None
+        sh_f = sh_r = None
         if len(ref) != len(alt):
             vr, va = al.vcf_to_vep_allele(ref, alt)
             vs = al.vep_norm_start(pos, ref, alt)
             ve = al.vep_norm_end(pos, ref, alt)
             sh_f = cq.build_hgvs_genomic_shift(fetch, "1", vr, va, vs, ve, 1)
+            sh_r = cq.build_hgvs_genomic_shift(fetch, "1", vr, va, vs, ve, -1)
         for t in txs:
+            sh = sh_f if t.strand >= 0 else sh_r
             terms = cq.classify(t, pos, ref, alt, 5000, 5000)
             if not terms:
                 continue
@@ -249,9 +251,9 @@ def test_reference_grid_parity_refseq_edited():
                 "protein": det["protein_position_str"],
                 "aa": det["amino_acids"], "codons": det["codons"],
                 "distance": det["distance"],
-                "hgvsc": cq.hgvs_c(t, pos, ref, alt, shift=sh_f),
+                "hgvsc": cq.hgvs_c(t, pos, ref, alt, shift=sh),
                 "hgvsp": cq.protein_hgvs_for_output(
-                    t, pos, ref, alt, sh_f, terms, shift_hgvs=True
+                    t, pos, ref, alt, sh, terms, shift_hgvs=True
                 ),
             }
 
