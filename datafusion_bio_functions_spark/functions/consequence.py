@@ -3843,22 +3843,36 @@ def variant_class(ref: str, alt: str) -> str:
     return "indel"
 
 
-def exon_intron_numbers(t: Transcript, lo: int, hi: int) -> tuple[str | None, str | None]:
+def exon_intron_numbers(
+    t: Transcript, lo: int, hi: int, is_ins: bool = False, ins_point: int = 0
+) -> tuple[str | None, str | None]:
     """VEP ``EXON`` / ``INTRON`` columns: ``"i/total"`` in transcript
     orientation for the exon/intron overlapped by [lo, hi] (None when not
     overlapping any).  Multi-feature spans report the first overlapped
-    feature in transcript order, matching VEP's per-feature rendering."""
+    feature in transcript order, matching VEP's per-feature rendering.
+    Insertions use VEP's inverted-coordinate feature overlap
+    (``fs < P <= fe``, reference feature_overlaps) — an insertion at an
+    exon's last base sits in the junction GAP and overlaps neither the
+    exon nor the intron (round 9, verified on the differential grid)."""
     exons = t.sorted_exons()
     n_ex = len(exons)
     n_in = n_ex - 1
     ex_hit = in_hit = None
     for i in range(n_ex):
         es, ee = exons[i]
-        if not (hi < es or lo > ee):
+        if (
+            (es < ins_point <= ee)
+            if is_ins
+            else not (hi < es or lo > ee)
+        ):
             ex_hit = i if ex_hit is None else ex_hit
         if i < n_ex - 1:
             is_, ie = exons[i][1] + 1, exons[i + 1][0] - 1
-            if is_ <= ie and not (hi < is_ or lo > ie):
+            if is_ <= ie and (
+                (is_ < ins_point <= ie)
+                if is_ins
+                else not (hi < is_ or lo > ie)
+            ):
                 in_hit = i if in_hit is None else in_hit
     if t.strand < 0:  # transcript orientation numbers from the 3' genomic end
         ex_hit = None if ex_hit is None else n_ex - 1 - ex_hit
@@ -4144,8 +4158,6 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
         "cds_position_str": None, "protein_position_str": None,
         "cdna_position_str": None,
     }
-    out["cdna_position_str"] = cdna_span_str(t, pos, ref, alt)
-
     def _set_span_strs(s1: int | None, e1: int | None) -> None:
         """Ensembl display strings for the CDS/protein spans: equal bounds
         collapse, an unmappable bound renders '?', and under cds_start_nf
@@ -4168,11 +4180,19 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
         out["protein_position_str"] = format_coords(p1, p2)
     vs, ve, _r, _a, is_ins = normalize_variant(pos, ref, alt)
     in_tx = (t.start < vs <= t.end) if is_ins else _overlaps(vs, ve, t.start, t.end)
+    if not (is_ins and vs > t.end):
+        # cDNA display: an insertion past the transcript's LAST base has no
+        # mappable right flank and renders no cdna_position (reference,
+        # round-9 differential grid); the before-first-base insertion keeps
+        # its '0-1' boundary form (compute_flags/cdna battery)
+        out["cdna_position_str"] = cdna_span_str(t, pos, ref, alt)
     if not in_tx:  # up/downstream: DISTANCE column
         _term, dist = _upstream_downstream_term(t, vs, ve, is_ins, 10**9, 10**9)
         out["distance"] = None if dist is None else int(dist)
         return out
-    out["exon"], out["intron"] = exon_intron_numbers(t, lo, hi)
+    out["exon"], out["intron"] = exon_intron_numbers(
+        t, lo, hi, is_ins=is_ins, ins_point=vs
+    )
     # a non-insertion touching a base the RefSeq edit machinery DELETED
     # from the transcript has no CDS mapping: the reference suppresses the
     # typed codon fields (cds/protein positions, amino_acids, codons) but
@@ -5061,6 +5081,7 @@ def protein_hgvs_for_output(
 def hgvs_c(
     t: Transcript, pos: int, ref: str, alt: str,
     shift: "HgvsShift | None" = None,
+    _shifted_replay: bool = False,
 ) -> str | None:
     """cDNA notation: substitutions, del/ins/dup/delins with 3'-shifting and
     dup detection when ``cds_sequence`` context is available (reference
@@ -5088,6 +5109,20 @@ def hgvs_c(
         _gate_ref = (
             used_ref_for_transcript_variant(t, pos, pos + len(ref) - 1, ref) or ref
         )
+    # the ORIGINAL variant must touch the transcript: VEP derives HGVSc
+    # coordinates from the row's cDNA display, which is absent for a
+    # variant outside the transcript span — a 3'-shift rolling an outside
+    # insertion INTO the transcript does not resurrect it (reference
+    # hgvsc_coords_from_output_cdna_position; round 9, verified on the
+    # differential grid).  The gate judges the ORIGINAL coordinates only:
+    # a legitimate shift REPLAY may land outside the span (exonic deletion
+    # rolled past the annotated end — format_hgvsc_genomic_shift_cluster)
+    if not _shifted_replay:
+        if not ref:
+            if not (t.start < pos + 1 <= t.end):
+                return None
+        elif not _overlaps(pos, pos + len(ref) - 1, t.start, t.end):
+            return None
     if hgvsc_uses_genomic_shift(t, _gate_ref, alt, shift):
         s_pos, s_ref, s_alt = _shifted_variant_for_notation(ref, alt, shift)
         if s_pos is not None:
@@ -5116,7 +5151,7 @@ def hgvs_c(
                 # coords (test_format_hgvsc_suppresses_shifted_noncoding_
                 # coords_past_transcript_end / _utr_coords_past_valid_
                 # star_range)
-                return hgvs_c(t, s_pos, s_ref, s_alt)
+                return hgvs_c(t, s_pos, s_ref, s_alt, _shifted_replay=True)
     # HGVSc renders against the USED_REF — the edited transcript's own
     # reference bases — on RefSeq rows with live transcript state
     # (reference engine: hgvsc_ref_allele = used_ref.unwrap_or(ref),
