@@ -3344,7 +3344,10 @@ def _nm_raw_cdna_outside_coding(t: Transcript, gpos: int) -> bool:
     ):
         return False
     n = genomic_to_cdna_index_for_transcript(t, gpos)
-    return n is None or n < t.cdna_coding_start or n > t.cdna_coding_end
+    # intronic positions (no cdna index) are NOT out-of-bounds — they keep
+    # the partial-unknown "?" span rendering; only a mappable cdna index
+    # past the edited coding bounds refuses classification
+    return n is not None and (n < t.cdna_coding_start or n > t.cdna_coding_end)
 
 
 def classify_coding_indel(
@@ -4268,7 +4271,16 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
             out["protein_position"] = cls["protein_position_start"]
             _set_span_strs(cls["cds_position_start"], cls["cds_position_end"])
         elif ref:
-            _set_span_strs(off + 1, None if last_off is None else last_off + 1)
+            # partial spans anchor at the NORMALIZED first affected base —
+            # a VCF-anchored deletion's anchor base is NOT deleted
+            # (reference '154-?' on the edited two-exon boundary deletion;
+            # round 9, differential grid)
+            off_n = _cds_first_offset(t, nvs, max(len(nref), 1))
+            last_n = _genomic_to_cds_offset(t, nve if t.strand >= 0 else nvs)
+            _set_span_strs(
+                None if off_n is None else off_n + 1,
+                None if last_n is None else last_n + 1,
+            )
         return out
     _set_span_strs(off + 1, None if last_off is None else last_off + 1)
     if t.cds_sequence is None:
@@ -5191,13 +5203,23 @@ def hgvs_c(
         n2 = _cds_relative_notation(t, g2) if g2 != g1 else n1
         if n2 is None:
             return None
-        # a span crossing a deleted-edit gap can map non-monotonically —
-        # HGVS spans always render ascending (reference c.52_53del)
-        try:
-            if n2 != n1 and int(n1) > int(n2):
+        # a span crossing a deleted-edit gap or an intron can map
+        # non-monotonically — HGVS spans render ascending by coordinate
+        # head (intronic offsets tiebreak), reference c.151+2_154del
+        h1 = _split_hgvs_coord(n1)
+        h2 = _split_hgvs_coord(n2)
+        if n2 != n1 and h1 is not None and h2 is not None:
+            def _key(h):
+                head, suffix = h
+                off = 0
+                if suffix:
+                    try:
+                        off = int(suffix)
+                    except ValueError:
+                        off = 0
+                return (head, off)
+            if _key(h1) > _key(h2):
                 n1, n2 = n2, n1
-        except ValueError:
-            pass  # intronic/UTR-offset coordinate strings keep their order
         span = f"{n1}_{n2}" if n2 != n1 else f"{n1}"
         if len(a) == 0:
             return f"{t.transcript_id}:{pfx}{span}del"
