@@ -2727,6 +2727,16 @@ def _classify_substitution(t: Transcript, vs: int, ref: str, alt: str) -> set[st
         _nm_raw_cdna_outside_coding(t, p) for p in range(vs, vs + len(ref))
     ):
         return None
+    if len(ref) > 1:
+        # every touched base must map to CONTIGUOUS spliced-CDS offsets —
+        # an MNV crossing an exon|intron boundary cannot classify at the
+        # codon level (reference refuses these; round 9, differential grid)
+        offs = [_genomic_to_cds_offset(t, p) for p in range(vs, vs + len(ref))]
+        if any(o is None for o in offs):
+            return None
+        so = sorted(offs)
+        if so[-1] - so[0] != len(ref) - 1:
+            return None
     off += lead
     var_ref = ref.upper() if t.strand >= 0 else revcomp(ref.upper())
     var_alt = alt.upper() if t.strand >= 0 else revcomp(alt.upper())
@@ -3483,6 +3493,18 @@ def classify_coding_indel(
             out, cds, new_cds, ins_at, len(seq),
             len(seq) // 3 if not frameshift else 0,
         )
+        # the protein span derives from BOTH flanking codons; when the
+        # downstream flank has no (in-bounds) CDS mapping — insertion after
+        # the last coding base, or past an edited coding end — the span
+        # collapses to the single mappable codon (reference per-flank
+        # genomic2pep; round 9, differential grid)
+        rflank = vs if t.strand >= 0 else vs - 1
+        if ins_at >= len(cds) or (
+            _genomic_to_cds_offset(t, rflank) is None
+            or _nm_raw_cdna_outside_coding(t, rflank)
+        ):
+            if out["protein_position_start"] is not None:
+                out["protein_position_end"] = out["protein_position_start"]
         return out
 
     # deletion / delins: transcript-orientation first affected index
@@ -3492,6 +3514,13 @@ def classify_coding_indel(
         return None
     if any(_nm_raw_cdna_outside_coding(t, p) for p in range(vs, ve + 1)):
         return None
+    if ve > vs:
+        offs = [_genomic_to_cds_offset(t, p) for p in range(vs, ve + 1)]
+        if any(o is None for o in offs):
+            return None
+        so = sorted(offs)
+        if so[-1] - so[0] != ve - vs:
+            return None
     s0 += lead
     # RefSeq misalignment into edited-sequence space for SEQUENCE ops;
     # display positions keep the raw index (reference deletion path,
@@ -4285,6 +4314,15 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
     _set_span_strs(off + 1, None if last_off is None else last_off + 1)
     if t.cds_sequence is None:
         return out
+    if len(ref) > 1:
+        # boundary-crossing MNV: no codon-level rendering (same contiguity
+        # rule as the classification; round 9, differential grid)
+        _offs = [_genomic_to_cds_offset(t, p) for p in range(lo, hi + 1)]
+        if any(o is None for o in _offs):
+            return out
+        _so = sorted(_offs)
+        if _so[-1] - _so[0] != len(ref) - 1:
+            return out
     cds = t.cds_sequence.upper()
     var_ref = ref.upper() if t.strand >= 0 else revcomp(ref.upper())
     var_alt = alt.upper() if t.strand >= 0 else revcomp(alt.upper())
@@ -4808,6 +4846,29 @@ def protein_hgvs_data_for_variant(
     off = _cds_first_offset(t, pos, len(ref))
     if off is None:
         return None
+    # the classification layer's refusal rules apply to the HGVSp payload
+    # too: edited-bounds overruns, deleted-gap bases, and boundary-crossing
+    # spans produce no protein notation (round 9, differential grid)
+    if ref:
+        span = range(pos, pos + len(ref))
+        if any(_nm_raw_cdna_outside_coding(t, p) for p in span):
+            return None
+        if prefers_exon_geometry_over_mapper(t) and (
+            len(t.cdna_mapper_segments) >= 2 or t.refseq_edits
+        ):
+            if any(
+                mapper_deleted_gap_cdna_index(t, p) is not None
+                or refseq_deleted_edit_cdna_index(t, p) is not None
+                for p in span
+            ):
+                return None
+        if len(ref) > 1:
+            offs = [_genomic_to_cds_offset(t, p) for p in span]
+            if any(o is None for o in offs):
+                return None
+            so = sorted(offs)
+            if so[-1] - so[0] != len(ref) - 1:
+                return None
     cds = t.cds_sequence.upper()
     off += _leading_n(cds)
     # RefSeq misalignment: shift the raw exon-geometry index into the
@@ -4846,6 +4907,17 @@ def protein_hgvs_data_for_variant(
     boundary_ins = (
         not var_ref and (ins_point - _ldn) % 3 == 0 and ins_point > _ldn
     )
+    # stop-retained insertion: VEP overrides frameshift -> inframe
+    # regardless of alt_len % 3 (reference classify_insertion,
+    # rs:6210-6215 — the payload then renders the flanking-insertion form
+    # p.Ter97_Leu98insThr with the RE-FRAMED inserted residues, not
+    # fsTer; round 9, verified on the differential grid)
+    stop_retained_ins = False
+    if not var_ref and frameshift:
+        cls_flags = classify_coding_indel(t, pos + 1, pos, "-", alt, True)
+        stop_retained_ins = bool(cls_flags and cls_flags.get("stop_retained"))
+        if stop_retained_ins:
+            frameshift = False
     prot_old = translate(cds)
     cached = failed_refseq_cached_protein(t, cds)
     if cached is not None:
@@ -4886,9 +4958,18 @@ def protein_hgvs_data_for_variant(
         pep_lo = (ins_point - _ldn) // 3
         p_start, p_end = pep_lo + 1, pep_lo
         ref_peptide = "-"
-        alt_peptide = (
-            "X" if frameshift else _local_peptide_from_codon_window(var_alt)
-        )
+        if frameshift:
+            alt_peptide = "X"
+        elif stop_retained_ins or len(var_alt) % 3 != 0:
+            # demoted frameshift: the inserted residues come from the
+            # RE-FRAMED alternate translation (reference boundary-inframe
+            # slice new_aas[ins_codon ..= (ins_point+alt_len-1)/3])
+            new_aas = translate(new_cds)
+            a0 = (ins_point - _ldn) // 3
+            a1 = (ins_point - _ldn + len(var_alt) - 1) // 3 + 1
+            alt_peptide = new_aas[a0 : min(a1, len(new_aas))] or "X"
+        else:
+            alt_peptide = _local_peptide_from_codon_window(var_alt)
     return ProteinHgvs(
         start=p_start,
         end=p_end,
@@ -5010,16 +5091,35 @@ def protein_hgvs_for_output(
     shift = (refseq_shift or shift) if is_insertion else (shift or refseq_shift)
     if shift is None:  # no shift state: the original notation verbatim
         return protein_hgvs_via_formatter(t, pos, ref, alt, shift_hgvs)
-    original = protein_hgvs_via_formatter(t, pos, ref, alt, shift_hgvs)
+    pd0 = (
+        protein_hgvs_data_for_variant(t, pos, ref, alt)
+        if t.cds_sequence is not None
+        else None
+    )
     # star-equal insertion suppression: VEP's hgvs_protein returns undef
-    # for an insertion whose original peptides are ref='*' alt='*' — BEFORE
-    # the zero-shift early return (reference
-    # protein_hgvs_for_output_suppresses_star_equal_insertions, rs:15843)
-    if (
-        not ref_n and alt_n and original is not None
-        and re.search(r":p\.Ter\d+=$", original)
-    ):
-        return None
+    # for an insertion whose original PAYLOAD peptides are ref='*' alt='*'
+    # — BEFORE the zero-shift early return (reference checks the
+    # ProteinHgvsData alleles, rs:4850-4860; round 9 moved this off the
+    # formatted-string regex, which the stop-retained insertion rendering
+    # no longer matches)
+    if not ref_n and alt_n:
+        if (
+            pd0 is not None
+            and pd0.ref_peptide == "*"
+            and pd0.alt_peptide == "*"
+        ):
+            return None
+        # the silent-at-stop form can also surface through the legacy
+        # notation walk (p.TerN=) — the reference suppresses these too
+        # (its grid rows emit no HGVSp for stop-boundary insertions)
+        _legacy = hgvs_p(t, pos, ref, alt)
+        if _legacy is not None and re.search(r":p\.Ter\d+=$", _legacy):
+            return None
+    original = (
+        format_hgvsp(t.translation_stable_id or t.transcript_id, pd0, shift_hgvs)
+        if pd0 is not None
+        else None
+    )
     if shift.shift_length == 0 or len(ref_n) == len(alt_n):
         return original
     # edited-RefSeq shifted-insertion candidate cascade (reference
