@@ -4278,6 +4278,20 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
                 out["cds_position"] = cls["cds_position_start"]
                 out["protein_position"] = cls["protein_position_start"]
                 _set_span_strs(cls["cds_position_start"], cls["cds_position_end"])
+            if (
+                cls is not None
+                and cls["protein_position_start"] is not None
+                and cls["protein_position_start"] == cls["protein_position_end"]
+                and out["protein_position_str"]
+                and "-" in str(out["protein_position_str"])
+            ):
+                # the classification collapsed the protein span (insertion
+                # flank with no in-bounds CDS mapping): the display string
+                # keeps only the mappable codon (reference '101' vs the
+                # cds-derived '101-102'; round 9, differential grid)
+                out["protein_position_str"] = str(
+                    out["protein_position_str"]
+                ).split("-")[0]
                 return out
         # boundary-spanning deletion: start unmappable (intron/UTR-side)
         # but the end reaches the CDS → "?-N" spans (reference
@@ -4299,6 +4313,20 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
             out["cds_position"] = cls["cds_position_start"]
             out["protein_position"] = cls["protein_position_start"]
             _set_span_strs(cls["cds_position_start"], cls["cds_position_end"])
+            if (
+                cls is not None
+                and cls["protein_position_start"] is not None
+                and cls["protein_position_start"] == cls["protein_position_end"]
+                and out["protein_position_str"]
+                and "-" in str(out["protein_position_str"])
+            ):
+                # the classification collapsed the protein span (insertion
+                # flank with no in-bounds CDS mapping): the display string
+                # keeps only the mappable codon (reference '101' vs the
+                # cds-derived '101-102'; round 9, differential grid)
+                out["protein_position_str"] = str(
+                    out["protein_position_str"]
+                ).split("-")[0]
         elif ref:
             # partial spans anchor at the NORMALIZED first affected base —
             # a VCF-anchored deletion's anchor base is NOT deleted
