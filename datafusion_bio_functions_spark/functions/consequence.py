@@ -690,6 +690,13 @@ def surrounding_peptides(
     if start < 0:
         return None
     if length is not None:
+        # reference uses str::get(start..start+len), which is None when the
+        # window extends past the translation — an insertion flanked by the
+        # LAST residue has no downstream flank pair and the whole HGVSp
+        # renders None (reference surrounding_peptides, hgvs.rs:1786-1806;
+        # NM_I.1 1103 C>CCTC on the round-10 differential grid)
+        if start + length > len(ref_trans):
+            return None
         return ref_trans[start : start + length]
     return ref_trans[start:]
 
@@ -2080,15 +2087,19 @@ def unshifted_cdna_bounds_for_hgvs_shift(
 
 
 def refseq_transcript_shift_for_hgvs_protein(
-    t: Transcript, variant_start: int, variant_end: int, ref: str, alt: str
+    t: Transcript, variant_start: int, variant_end: int, ref: str, alt: str,
+    existing: "HgvsShift | None" = None,
 ) -> HgvsShift | None:
     """Edited-RefSeq transcript-sequence 3' shift for protein HGVS
     (reference refseq_transcript_shift_for_hgvs_protein,
-    transcript_consequence.rs:4631-4805, fresh-computation path; the
-    precomputed-shift reuse branch needs Ensembl's variation-feature shift
-    hashes, which this engine does not carry).  None when the transcript
-    has no real coding-overlapping edit evidence, the event is not a pure
-    indel, or the flanking window is unreadable."""
+    transcript_consequence.rs:4631-4805).  ``existing`` is the
+    precomputed GENOMIC shift for the transcript strand: Ensembl's
+    ``_return_3prime()`` reuses it — skipping the transcript-sequence
+    recomputation — when the edited transcript's flanking sequence around
+    the variant still matches the genomic shift's cached flanks (or the
+    window cannot even be cut to the expected length).  None when the
+    transcript has no real coding-overlapping edit evidence, the event is
+    not a pure indel, or the flanking window is unreadable."""
     if not refseq_uses_transcript_shift_for_hgvsp(t):
         return None
     is_insertion = ref in ("-", "") and alt not in ("-", "")
@@ -2107,6 +2118,33 @@ def refseq_transcript_shift_for_hgvs_protein(
         start_cdna, end_cdna = cdna_hi, cdna_lo
     else:
         start_cdna, end_cdna = cdna_lo, cdna_hi
+    if existing is not None:
+        # existing-genomic-shift reuse branch (reference rs:4664-4705):
+        # cut the transcript window around the unshifted cDNA span, flip it
+        # back to genomic forward orientation, and keep the genomic shift
+        # when its cached flanks still match the (edited) transcript
+        sl = existing.shift_length
+        whole_start = max(start_cdna - sl - 2, 0)
+        whole_len = max((end_cdna - start_cdna + 1) + 2 * (sl + 1), 0)
+        whole_end = min(whole_start + whole_len, len(seq))
+        whole_seq = seq[whole_start:whole_end]
+        if t.strand != 1:
+            whole_seq = revcomp(whole_seq).upper()
+        expected_len = (
+            2 * (sl + 1)
+            if is_insertion
+            else 2 * (sl + 1) + len(existing.shifted_allele_string)
+        )
+        if len(whole_seq) != expected_len:
+            return existing
+        flank = sl + 1
+        if (
+            whole_seq[:flank].upper()
+            == existing.five_prime_flanking_seq.upper()
+            and whole_seq[-flank:].upper()
+            == existing.three_prime_flanking_seq.upper()
+        ):
+            return existing
     area = 1000
     search_start = max(start_cdna - area - 1, 0)
     search_end = min(end_cdna + area, len(seq))
@@ -3395,23 +3433,17 @@ def classify_coding_indel(
         # base (the boundary case stays heuristic-classified — round 9,
         # verified on the differential grid)
         if t.strand >= 0:
-            primary = _genomic_to_cds_offset(t, vs - 1)
-            if primary is not None:
-                ins_at = primary + 1 + lead
-            else:
-                alt_anchor = _genomic_to_cds_offset(t, vs)
-                if alt_anchor is None or alt_anchor == 0:
-                    return None
-                ins_at = alt_anchor + lead
+            anchor_g, alt_anchor_g = vs - 1, vs
         else:
-            primary = _genomic_to_cds_offset(t, vs)
-            if primary is not None:
-                ins_at = primary + 1 + lead
-            else:
-                alt_anchor = _genomic_to_cds_offset(t, vs - 1)
-                if alt_anchor is None or alt_anchor == 0:
-                    return None
-                ins_at = alt_anchor + lead
+            anchor_g, alt_anchor_g = vs, vs - 1
+        primary = genomic_to_cds_index(t, anchor_g)
+        alt_anchor = genomic_to_cds_index(t, alt_anchor_g)
+        if primary is not None:
+            ins_at = primary + 1 + lead
+        else:
+            if alt_anchor is None or alt_anchor == 0:
+                return None
+            ins_at = alt_anchor + lead
         # RefSeq misalignment: SEQUENCE operations shift into the edited
         # space the cached CDS lives in (reference classify_insertion,
         # rs:5958-5960); DISPLAY positions keep the raw exon-geometry
@@ -3445,18 +3477,14 @@ def classify_coding_indel(
         if frameshift and u > 0 and u % 3 == 0:
             # codon-boundary frameshift insertion: no existing codon is
             # disrupted, so VEP renders the dash form like the inframe
-            # boundary case — codons "-/<INS>", amino acids "-/X", protein
-            # position the FLANKING-codon range (reference
+            # boundary case — codons "-/<INS>", amino acids "-/X"
+            # (reference
             # classify_frameshift_insertion_at_boundary_codons_dash_format
-            # / _uses_dash_ref / _protein_position_range)
-            out["protein_position_start"] = u_raw // 3
-            out["protein_position_end"] = u_raw // 3 + 1
+            # / _uses_dash_ref)
             out["codons"] = f"-/{seq}"
             out["amino_acids"] = "-/X"
         elif frameshift:
             c0 = (max(ins_at - 1, 0) // 3) * 3
-            codon_i = max(raw_ins_at - 1, 0) // 3  # display: raw space
-            out["protein_position_start"] = out["protein_position_end"] = codon_i + 1
             ref_codon = cds[c0 : c0 + 3]
             alt_codon = new_cds[c0 : c0 + 3 + len(seq)]
             rendered_alt = "".join(
@@ -3472,15 +3500,10 @@ def classify_coding_indel(
             if aa_old != "*" and "*" in translate(new_cds[c0:]):
                 pass  # downstream stop from the shifted frame — fsTer in HGVSp
         elif ins_at % 3 == 0:  # inframe at a codon boundary
-            out["protein_position_start"] = raw_ins_at // 3
-            out["protein_position_end"] = raw_ins_at // 3 + 1
             out["codons"] = f"-/{seq}"
             out["amino_acids"] = f"-/{translate(seq)}"
         else:  # inframe within a codon
             c0 = (ins_at // 3) * 3
-            codon_i = raw_ins_at // 3  # display: raw space
-            out["protein_position_start"] = codon_i + 1
-            out["protein_position_end"] = codon_i + 1 + len(seq) // 3
             ref_codon = cds[c0 : c0 + 3]
             alt_span = new_cds[c0 : c0 + 3 + len(seq)]
             rendered_alt = "".join(
@@ -3493,18 +3516,34 @@ def classify_coding_indel(
             out, cds, new_cds, ins_at, len(seq),
             len(seq) // 3 if not frameshift else 0,
         )
-        # the protein span derives from BOTH flanking codons; when the
-        # downstream flank has no (in-bounds) CDS mapping — insertion after
-        # the last coding base, or past an edited coding end — the span
-        # collapses to the single mappable codon (reference per-flank
-        # genomic2pep; round 9, differential grid)
-        rflank = vs if t.strand >= 0 else vs - 1
-        if ins_at >= len(cds) or (
-            _genomic_to_cds_offset(t, rflank) is None
-            or _nm_raw_cdna_outside_coding(t, rflank)
-        ):
-            if out["protein_position_start"] is not None:
-                out["protein_position_end"] = out["protein_position_start"]
+        # protein span rule (reference classify_insertion ins_at_boundary,
+        # rs:6036-6050): peptides of the two DISPLAY-space cds flanks span
+        # only when (a) both genomic flanks map into the CDS and land in
+        # different codons, or (b) only the far flank maps and the
+        # (sequence-space) insertion point sits on a codon boundary;
+        # otherwise the span collapses to the near-flank codon.
+        n_pad = lead
+        disp_s = (
+            adjust_refseq_cds_output_position(t, raw_ins_at, n_pad)
+            or raw_ins_at
+        )
+        disp_e = (
+            adjust_refseq_cds_output_position(t, raw_ins_at + 1, n_pad)
+            or (raw_ins_at + 1)
+        )
+        pep_a, pep_b = (disp_s + 2) // 3, (disp_e + 2) // 3
+        if primary is not None and alt_anchor is not None:
+            boundary = pep_a != pep_b
+        elif primary is None and alt_anchor is not None:
+            boundary = ins_at % 3 == 0
+        else:
+            boundary = False
+        if boundary:
+            out["protein_position_start"] = min(pep_a, pep_b)
+            out["protein_position_end"] = max(pep_a, pep_b)
+        else:
+            out["protein_position_start"] = pep_a
+            out["protein_position_end"] = pep_a
         return out
 
     # deletion / delins: transcript-orientation first affected index
@@ -3947,6 +3986,55 @@ def format_coords(start: int | None, end: int | None) -> str | None:
     return f"{lo}-{hi}"
 
 
+def _partial_coding_span_raw(
+    t: Transcript, vs: int, ve: int
+) -> tuple[int | None, int | None] | None:
+    """RAW 1-based CDS bounds (lead-padded, pre-display-adjust) of the
+    coding overlap of the NORMALIZED variant span [vs, ve], with a ``None``
+    bound on each side the variant extends past the coding region in
+    transcript orientation (reference partial_coding_overlap_classification,
+    transcript_consequence.rs:8026-8112: VEP keeps the known coding-side
+    bound of a complex CDS↔UTR/intron indel and emits ``?`` for the
+    unknown side).  Returns None when the span has NO coding overlap —
+    a deletion whose normalized bases are all UTR/intronic renders no
+    cds/protein positions even when its (undeleted) VCF anchor base is
+    coding."""
+    segs = _coding_segments(t)
+    if not segs:
+        return None
+    if t.strand < 0:  # transcript order
+        segs = segs[::-1]
+    first_idx = last_idx = None
+    first_g = last_g = None
+    offset = 0
+    for seg_start, seg_end in segs:
+        o_s, o_e = max(vs, seg_start), min(ve, seg_end)
+        if o_s <= o_e:
+            first_g = o_s if first_g is None else min(first_g, o_s)
+            last_g = o_e if last_g is None else max(last_g, o_e)
+            if t.strand >= 0:
+                seg_first, seg_last = o_s - seg_start, o_e - seg_start
+            else:
+                seg_first, seg_last = seg_end - o_e, seg_end - o_s
+            fi, li = offset + seg_first, offset + seg_last
+            first_idx = fi if first_idx is None else min(first_idx, fi)
+            last_idx = li if last_idx is None else max(last_idx, li)
+        offset += seg_end - seg_start + 1
+    if first_idx is None:
+        return None
+    if t.strand >= 0:
+        extends_before = vs < first_g
+        extends_after = ve > last_g
+    else:
+        extends_before = ve > last_g
+        extends_after = vs < first_g
+    lead = _leading_n(t.cds_sequence) if t.cds_sequence else 0
+    return (
+        None if extends_before else first_idx + lead + 1,
+        None if extends_after else last_idx + lead + 1,
+    )
+
+
 def cdna_span_str(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
     """cDNA_position display string (reference ``compute_cdna_position``,
     transcript_consequence.rs:7217-7326): exon-gated span over the spliced
@@ -4190,14 +4278,25 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
         "cds_position_str": None, "protein_position_str": None,
         "cdna_position_str": None,
     }
-    def _set_span_strs(s1: int | None, e1: int | None) -> None:
+    def _set_span_strs(
+        s1: int | None,
+        e1: int | None,
+        prot: tuple[int | None, int | None] | None = None,
+    ) -> None:
         """Ensembl display strings for the CDS/protein spans: equal bounds
         collapse, an unmappable bound renders '?', and under cds_start_nf
         with N-phase padding a start inside the pad becomes unknown
         (reference use_unknown_start_format,
-        transcript_consequence.rs:964-985)."""
+        transcript_consequence.rs:964-985).  ``prot`` overrides the
+        cds-derived protein bounds with the classification's own (already
+        display-space) values — insertions decide span-vs-collapse from
+        their flank mappings, not from the cds span (reference
+        classify_insertion ins_at_boundary, rs:6036-6050)."""
         n_pad = _leading_n(t.cds_sequence) if t.cds_sequence else 0
-        if t.cds_start_nf and n_pad > 0 and s1 is not None and s1 <= n_pad:
+        start_unknown = (
+            t.cds_start_nf and n_pad > 0 and s1 is not None and s1 <= n_pad
+        )
+        if start_unknown:
             s1 = None
         # RefSeq misalignment: display positions follow the padded raw CDS
         # index space, then shift by the mapper-space offsets (reference
@@ -4206,8 +4305,13 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
             s1 = adjust_refseq_cds_output_position(t, s1, n_pad) or s1
         if e1 is not None:
             e1 = adjust_refseq_cds_output_position(t, e1, n_pad) or e1
-        p1 = None if s1 is None else (s1 - 1) // 3 + 1
-        p2 = None if e1 is None else (e1 - 1) // 3 + 1
+        if prot is not None:
+            p1, p2 = prot
+        else:
+            p1 = None if s1 is None else (s1 - 1) // 3 + 1
+            p2 = None if e1 is None else (e1 - 1) // 3 + 1
+        if start_unknown:
+            p1 = None
         out["cds_position_str"] = format_coords(s1, e1)
         out["protein_position_str"] = format_coords(p1, p2)
     vs, ve, _r, _a, is_ins = normalize_variant(pos, ref, alt)
@@ -4277,27 +4381,21 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
                 out["amino_acids"] = cls["amino_acids"]
                 out["cds_position"] = cls["cds_position_start"]
                 out["protein_position"] = cls["protein_position_start"]
-                _set_span_strs(cls["cds_position_start"], cls["cds_position_end"])
-            if (
-                cls is not None
-                and cls["protein_position_start"] is not None
-                and cls["protein_position_start"] == cls["protein_position_end"]
-                and out["protein_position_str"]
-                and "-" in str(out["protein_position_str"])
-            ):
-                # the classification collapsed the protein span (insertion
-                # flank with no in-bounds CDS mapping): the display string
-                # keeps only the mappable codon (reference '101' vs the
-                # cds-derived '101-102'; round 9, differential grid)
-                out["protein_position_str"] = str(
-                    out["protein_position_str"]
-                ).split("-")[0]
+                _set_span_strs(
+                    cls["cds_position_start"], cls["cds_position_end"],
+                    prot=(cls["protein_position_start"],
+                          cls["protein_position_end"]),
+                )
                 return out
-        # boundary-spanning deletion: start unmappable (intron/UTR-side)
-        # but the end reaches the CDS → "?-N" spans (reference
-        # complex_indel_spanning_intron_into_cds_keeps_partial_unknown_bounds)
-        if last_off is not None:
-            _set_span_strs(None, last_off + 1)
+        # boundary-spanning deletion: the NORMALIZED span's coding overlap
+        # keeps the known bound and renders '?' on the side the variant
+        # extends past the CDS (reference
+        # partial_coding_overlap_classification; a span with NO coding
+        # overlap — anchor-base-only contact — renders nothing)
+        if not nins0:
+            span = _partial_coding_span_raw(t, nvs0, nve0)
+            if span is not None:
+                _set_span_strs(*span)
         return out
     _lead_pad = _leading_n(t.cds_sequence) if t.cds_sequence else 0
     _disp_cds = adjust_refseq_cds_output_position(t, off + 1, _lead_pad) or (off + 1)
@@ -4312,32 +4410,22 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
             out["amino_acids"] = cls["amino_acids"]
             out["cds_position"] = cls["cds_position_start"]
             out["protein_position"] = cls["protein_position_start"]
-            _set_span_strs(cls["cds_position_start"], cls["cds_position_end"])
-            if (
-                cls is not None
-                and cls["protein_position_start"] is not None
-                and cls["protein_position_start"] == cls["protein_position_end"]
-                and out["protein_position_str"]
-                and "-" in str(out["protein_position_str"])
-            ):
-                # the classification collapsed the protein span (insertion
-                # flank with no in-bounds CDS mapping): the display string
-                # keeps only the mappable codon (reference '101' vs the
-                # cds-derived '101-102'; round 9, differential grid)
-                out["protein_position_str"] = str(
-                    out["protein_position_str"]
-                ).split("-")[0]
-        elif ref:
-            # partial spans anchor at the NORMALIZED first affected base —
-            # a VCF-anchored deletion's anchor base is NOT deleted
-            # (reference '154-?' on the edited two-exon boundary deletion;
-            # round 9, differential grid)
-            off_n = _cds_first_offset(t, nvs, max(len(nref), 1))
-            last_n = _genomic_to_cds_offset(t, nve if t.strand >= 0 else nvs)
             _set_span_strs(
-                None if off_n is None else off_n + 1,
-                None if last_n is None else last_n + 1,
+                cls["cds_position_start"], cls["cds_position_end"],
+                prot=(
+                    (cls["protein_position_start"],
+                     cls["protein_position_end"])
+                    if nins else None
+                ),
             )
+        elif ref:
+            # partial spans from the NORMALIZED span's coding overlap —
+            # a VCF-anchored deletion's anchor base is NOT deleted
+            # (reference partial_coding_overlap_classification; '154-?' on
+            # the edited two-exon boundary deletion, round-9 grid)
+            span = _partial_coding_span_raw(t, nvs, nve)
+            if span is not None:
+                _set_span_strs(*span)
         return out
     _set_span_strs(off + 1, None if last_off is None else last_off + 1)
     if t.cds_sequence is None:
@@ -5114,7 +5202,7 @@ def protein_hgvs_for_output(
     refseq_shift = None
     if len(ref_n) != len(alt_n) and refseq_uses_transcript_shift_for_hgvsp(t):
         refseq_shift = refseq_transcript_shift_for_hgvs_protein(
-            t, vs0, ve0, ref_n or "-", alt_n or "-"
+            t, vs0, ve0, ref_n or "-", alt_n or "-", existing=shift
         )
     shift = (refseq_shift or shift) if is_insertion else (shift or refseq_shift)
     if shift is None:  # no shift state: the original notation verbatim
@@ -5166,8 +5254,14 @@ def protein_hgvs_for_output(
             t, sv_ref.start - 1, "-", sv_ref.alt
         )
         literal_shifted = literal_shifted_indel_protein_hgvs_data(t, shift)
+        # the shifted-TVA candidate carries the ORIGINAL classification's
+        # frameshift/start/stop flags (reference computes `shifted` once,
+        # WITH fallback, before the insertion cascade — rs:4884-4887; a
+        # stop-retained re-framed insertion must not fall back to the
+        # len%3 frameshift default)
         shifted_window = shifted_tva_protein_hgvs_data(
             t, vs0, ve0, "-", alt_n, vs0, ve0, "-", alt_n, shift,
+            fallback=pd0,
         )
         if class_protein is not None:
             for candidate in (literal_shifted, shifted_window):
