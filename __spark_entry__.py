@@ -994,12 +994,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # positional subset (EXON/INTRON/cDNA/CDS/protein positions, DISTANCE,
     # STRAND, VARIANT_CLASS) is pure geometry on this context → oracled by
     # the same rank cascade + transcript_id tie-break in SQL
+    # seqless_positions='geometric': the synthetic gate transcripts carry
+    # no CDS sequence, and the geometric position arm is exactly what this
+    # row's SQL oracle derives — the engine DEFAULT ('reference') emits
+    # None there, matching the reference engine (round-10 compat switch)
     q["annotate_vep_typed"] = lambda spark, sf: annotate_vep(
         _vcf(spark, sf),
         _var_cache(spark, sf),
         transcripts=_transcripts(spark, sf),
         exons=_tx_exons(spark, sf),
         full_schema=True,
+        seqless_positions="geometric",
     ).select(
         "chrom", "start", "end", "ref", "alt", "Feature", "STRAND", "EXON",
         "INTRON", "cDNA_position", "CDS_position", "Protein_position",
@@ -1069,9 +1074,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n_tables=16,
     )
     # the LSH scale path at PRODUCTION parameters (6 sign bits x 12 tables,
-    # multiprobe): output is not SQL-reproducible (bucket membership depends
-    # on the hyperplane draws), so this row is rows-only; its quality claim
-    # is carried by the value-checked lsh_recall_at_k row below
+    # multiprobe): VALUE-oracled since round 10 — the hyperplane draws are
+    # deterministic, so the oracle embeds them as literals and DuckDB
+    # replays buckets + multiprobe join + exact rerank bit-identically
+    # (plans.oracle.lsh_cosine_topk_sql)
     q["lsh_ann_prod"] = lambda spark, sf: lsh_cosine_topk(
         _read(spark, sf, "embeddings").filter(F.col("vec_id") < 50),
         _read(spark, sf, "embeddings"),
@@ -1687,9 +1693,13 @@ def oracle_sql() -> dict[str, str]:
     o["lsh_ann_topk"] = osql.cosine_topk_sql(
         "SELECT * FROM embeddings WHERE vec_id < 50", "SELECT * FROM embeddings", k=10
     )
+    o["lsh_ann_prod"] = osql.lsh_cosine_topk_sql(
+        "SELECT * FROM embeddings WHERE vec_id < 50",
+        "SELECT * FROM embeddings",
+        k=10, n_planes=6, n_tables=12,
+    )
     # recall >= floor as a value check (VERDICT r3 #5): the boolean is the
-    # assertion; n_queries ties the row to the data ("lsh_ann_prod" itself
-    # is rows-only by nature of approximate output)
+    # assertion; n_queries ties the row to the data
     o["lsh_recall_at_k"] = (
         "SELECT CAST(10 AS BIGINT) AS k, "
         "(SELECT count(DISTINCT vec_id) FROM embeddings WHERE vec_id < 50) AS n_queries, "
@@ -1744,8 +1754,7 @@ def oracle_sql() -> dict[str, str]:
     o["regulatory_features"] = f"""
 WITH v AS ({VCF_SQL}), r AS ({REGULATORY_SQL})
 SELECT v.chrom, v.start, v."end", v.ref, v.alt, r.feature_id,
-       CASE WHEN r.feature_type = 'TF_binding_site' THEN 'TF_binding_site_variant'
-            ELSE 'regulatory_region_variant' END AS feature_term,
+       'regulatory_region_variant' AS feature_term,
        r.feature_type AS feature_biotype
 FROM v JOIN r ON v.chrom = r.chrom AND v.start <= r."end" AND v."end" >= r.start"""
     o["structural_terms"] = f"""

@@ -3463,6 +3463,18 @@ def classify_coding_indel(
             "stop_retained": False, "stop_gained": False, "stop_lost": False,
             "start_retained": False, "start_lost": False,
         }
+        # incomplete terminal codon: VEP completes the reading frame with
+        # 3'UTR bases before translating, so codon windows near the CDS end
+        # read padded sequence (reference classify_insertion effective_cds,
+        # rs:5970-6000 / Ensembl Transcript::translate complete_codons;
+        # round-10 grid, frameshift-intron + cds_start_NF arms).  The pad
+        # applies only when the UTR can fully complete the codon.
+        _rem = len(cds) % 3
+        if _rem:
+            _utr = three_prime_utr_seq_of(t) or ""
+            _pad = _utr[: 3 - _rem].upper()
+            if len(_pad) == 3 - _rem:
+                cds = cds + _pad
         new_cds = cds[:ins_at] + seq + cds[ins_at:]
         frameshift = len(seq) % 3 != 0
         # start-codon overlap for insertions: the point must fall INSIDE
@@ -3472,8 +3484,11 @@ def classify_coding_indel(
             _apply_indel_start_flags(
                 out, t, vs, ve, ref, alt, cds, new_cds, lead, frameshift
             )
-        u = ins_at - lead
-        u_raw = raw_ins_at - lead
+        # codon-boundary decisions use the PADDED sequence-space insertion
+        # point — the cds string carries the leading-N pad and the reference
+        # tests ins_point % 3 directly (classify_insertion at_codon_boundary,
+        # rs:6261; round-10 grid, cds_start_NF arm)
+        u = ins_at
         if frameshift and u > 0 and u % 3 == 0:
             # codon-boundary frameshift insertion: no existing codon is
             # disrupted, so VEP renders the dash form like the inframe
@@ -3516,6 +3531,16 @@ def classify_coding_indel(
             out, cds, new_cds, ins_at, len(seq),
             len(seq) // 3 if not frameshift else 0,
         )
+        # the displayed amino acids derive from the CODONS string through
+        # VEP's pep_allele rule — whole codons translate, a trailing
+        # partial codon appends 'X', identical sides collapse (reference
+        # amino_acids_for_output → pep_allele_string_from_codon_allele_
+        # string; round-10 grid: 'R/SX' for a mid-codon frameshift
+        # insertion, not the bare 'R/X')
+        if out["codons"]:
+            pep = pep_allele_string_from_codon_allele_string(out["codons"])
+            if pep is not None:
+                out["amino_acids"] = pep
         # protein span rule (reference classify_insertion ins_at_boundary,
         # rs:6036-6050): peptides of the two DISPLAY-space cds flanks span
         # only when (a) both genomic flanks map into the CDS and land in
@@ -3596,18 +3621,28 @@ def classify_coding_indel(
         for i, b in enumerate(ref_span)
     )
     remaining = (cds[c0:s0] + seq + cds[s0 + ln : c1]).lower()
-    aa_ref = translate(ref_span)
     if frameshift:
         out["codons"] = f"{rendered_ref}/{remaining or '-'}"
-        out["amino_acids"] = f"{aa_ref}/X"
     else:
         rendered_alt = "".join(
             b.upper() if s0 - c0 <= i < s0 - c0 + len(seq) else b
             for i, b in enumerate(remaining)
         ) if seq else (remaining or "-")
         out["codons"] = f"{rendered_ref}/{rendered_alt}"
-        aa_alt = translate((cds[c0:s0] + seq + cds[s0 + ln : c1]).upper())
-        out["amino_acids"] = f"{aa_ref}/{aa_alt or '-'}"
+    # amino acids from the codons string through VEP's pep_allele rule
+    # (whole codons translate, a trailing partial codon appends 'X',
+    # identical sides collapse) — a deletion clipping the incomplete
+    # terminal codon renders the collapsed 'X', not '/X' (reference
+    # amino_acids_for_output; round-10 grid, cds_end_NF arm)
+    pep = pep_allele_string_from_codon_allele_string(out["codons"])
+    if pep is not None:
+        out["amino_acids"] = pep
+    else:
+        aa_ref = translate(ref_span)
+        out["amino_acids"] = (
+            f"{aa_ref}/X" if frameshift
+            else f"{aa_ref}/{translate(remaining.upper()) or '-'}"
+        )
     _deletion_stop_flags(
         out, cds, new_cds, s0, s0 + ln - 1, ln, len(seq), frameshift
     )
@@ -4035,6 +4070,27 @@ def _partial_coding_span_raw(
     )
 
 
+def _partial_span_applies(
+    t: Transcript, vs: int, ve: int, nref: str, nalt: str
+) -> bool:
+    """Whether a failed classification still renders partial CDS bounds —
+    mirrors the reference's two partial_coding_overlap_classification call
+    sites (transcript_consequence.rs:1923, :2079): a COMPLEX indel (the
+    normalized span crosses a real, non-frameshift intron) or a DELETION
+    extending past the genomic CDS into UTR.  Everything else renders no
+    cds/protein positions at all (frameshift-intron spans, equal-length
+    MNVs past the CDS end; round-10 grid)."""
+    if _is_complex_indel(t, vs, ve):
+        return True
+    if (
+        len(nref) > len(nalt)
+        and t.cds_start is not None
+        and t.cds_end is not None
+    ):
+        return vs < t.cds_start or ve > t.cds_end
+    return False
+
+
 def cdna_span_str(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
     """cDNA_position display string (reference ``compute_cdna_position``,
     transcript_consequence.rs:7217-7326): exon-gated span over the spliced
@@ -4262,12 +4318,26 @@ def mirna_structure_field(
     return "&".join(sorted(terms))
 
 
-def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
+def annotation_details(
+    t: Transcript, pos: int, ref: str, alt: str,
+    seqless_positions: str = "reference",
+) -> dict:
     """Typed per-(variant, transcript) annotation columns.  Keys:
     ``exon intron cdna_position cds_position protein_position amino_acids
     codons distance``.  Sequence-dependent values (amino_acids, codons) are
     None without ``cds_sequence`` — the same degradation VEP applies when
-    sequence context is missing."""
+    sequence context is missing.
+
+    ``seqless_positions`` governs CDS/protein POSITIONS on transcripts
+    without ``cds_sequence``:
+
+    * ``'reference'`` (default): None — the reference engine derives
+      positions only from a successful coding classification, which needs
+      the translation; complex/UTR-extending spans still render partial
+      '?' bounds (partial_coding_overlap_classification is geometry-only).
+    * ``'geometric'``: exon-geometry positions (this engine's historical
+      behavior — a strict superset, useful on synthetic caches; the gate
+      oracles exercise it explicitly)."""
     ref = "" if ref in ("-", None) else ref
     alt = "" if alt in ("-", None) else alt
     lo, hi = pos, max(pos, pos + len(ref) - 1)
@@ -4316,18 +4386,22 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
         out["protein_position_str"] = format_coords(p1, p2)
     vs, ve, _r, _a, is_ins = normalize_variant(pos, ref, alt)
     in_tx = (t.start < vs <= t.end) if is_ins else _overlaps(vs, ve, t.start, t.end)
-    if not (is_ins and vs > t.end):
-        # cDNA display: an insertion past the transcript's LAST base has no
-        # mappable right flank and renders no cdna_position (reference,
-        # round-9 differential grid); the before-first-base insertion keeps
-        # its '0-1' boundary form (compute_flags/cdna battery)
-        out["cdna_position_str"] = cdna_span_str(t, pos, ref, alt)
-    if not in_tx:  # up/downstream: DISTANCE column
+    if not in_tx:  # up/downstream: DISTANCE column, and NO cdna_position —
+        # the engine computes compute_cdna_position only for rows whose
+        # variant overlaps the transcript (reference
+        # evaluate_variant_with_context variant_overlaps_tx gate; an
+        # insertion at the transcript's first or past its last base is an
+        # up/downstream row; round-10 grid, miRNA-transcript arm)
         _term, dist = _upstream_downstream_term(t, vs, ve, is_ins, 10**9, 10**9)
         out["distance"] = None if dist is None else int(dist)
         return out
+    out["cdna_position_str"] = cdna_span_str(t, pos, ref, alt)
+    # exon/intron display numbers use the NORMALIZED span — a deletion's
+    # VCF anchor base is not deleted and must not pull in the adjacent
+    # intron (reference which_exon_str/which_intron_str read
+    # variant.start/end; round-10 grid, frameshift-intron arm)
     out["exon"], out["intron"] = exon_intron_numbers(
-        t, lo, hi, is_ins=is_ins, ins_point=vs
+        t, vs, ve, is_ins=is_ins, ins_point=vs
     )
     # a non-insertion touching a base the RefSeq edit machinery DELETED
     # from the transcript has no CDS mapping: the reference suppresses the
@@ -4362,19 +4436,31 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
             out["cdna_position"] = edited_transcript_cdna_index(t, n)
         else:
             out["cdna_position"] = edited_transcript_sequence_cdna_index(t, n)
+    # CDS indices live in the PADDED translateable-sequence space: VEP
+    # prepends N characters when translation starts mid-codon, and every
+    # raw index downstream (display, codon window, c. coordinate) includes
+    # that pad (reference classify_coding_change raw_start_idx =
+    # geometry + leading_n_offset; round-10 grid, cds_start_NF arm)
+    _lead0 = _leading_n(t.cds_sequence) if t.cds_sequence else 0
     off = _cds_first_offset(t, pos, len(ref))
+    if off is not None:
+        off += _lead0
     # transcript-orientation LAST affected base (for span displays); only
     # meaningful for non-insertions
     g_last = (hi if t.strand >= 0 else lo) if ref else None
     last_off = _genomic_to_cds_offset(t, g_last) if g_last is not None else None
+    if last_off is not None:
+        last_off += _lead0
     if off is None:
         nvs0, nve0, nref0, nalt0, nins0 = normalize_variant(pos, ref, alt)
-        if nins0 and nalt0:
-            # pure insertion whose left-flank anchor is outside the CDS
-            # (e.g. the transcript-end boundary on the minus strand):
-            # classification maps the other flank (reference issue #118 /
-            # classify_insertion alternate anchor; round 9, verified on
-            # the edited-transcript differential grid)
+        if nref0 != nalt0 and len(nref0) != len(nalt0):
+            # the classification works on the NORMALIZED event, so an
+            # anchor outside the CDS does not block it: an insertion's
+            # other flank can map (reference issue #118 / classify_insertion
+            # alternate anchor), and a deletion anchored at the last base
+            # of a FRAMESHIFT intron still classifies its exonic deleted
+            # bases (reference treats ≤12bp introns as coding context;
+            # round-10 grid, frameshift-intron arm)
             cls = classify_coding_indel(t, nvs0, nve0, nref0, nalt0, nins0)
             if cls is not None:
                 out["codons"] = cls["codons"]
@@ -4383,16 +4469,20 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
                 out["protein_position"] = cls["protein_position_start"]
                 _set_span_strs(
                     cls["cds_position_start"], cls["cds_position_end"],
-                    prot=(cls["protein_position_start"],
-                          cls["protein_position_end"]),
+                    prot=(
+                        (cls["protein_position_start"],
+                         cls["protein_position_end"])
+                        if nins0 else None
+                    ),
                 )
                 return out
         # boundary-spanning deletion: the NORMALIZED span's coding overlap
         # keeps the known bound and renders '?' on the side the variant
-        # extends past the CDS (reference
-        # partial_coding_overlap_classification; a span with NO coding
-        # overlap — anchor-base-only contact — renders nothing)
-        if not nins0:
+        # extends past the CDS — but ONLY for the shapes where the
+        # reference invokes partial_coding_overlap_classification: a
+        # complex indel (spans a real, non-frameshift intron) or a
+        # deletion extending past the CDS into UTR (round-10 grid)
+        if not nins0 and _partial_span_applies(t, nvs0, nve0, nref0, nalt0):
             span = _partial_coding_span_raw(t, nvs0, nve0)
             if span is not None:
                 _set_span_strs(*span)
@@ -4418,26 +4508,57 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
                     if nins else None
                 ),
             )
-        elif ref:
+        elif ref and _partial_span_applies(t, nvs, nve, nref, nalt):
             # partial spans from the NORMALIZED span's coding overlap —
             # a VCF-anchored deletion's anchor base is NOT deleted
             # (reference partial_coding_overlap_classification; '154-?' on
-            # the edited two-exon boundary deletion, round-9 grid)
+            # the edited two-exon boundary deletion, round-9 grid) —
+            # gated on the complex/UTR-extending shapes the reference
+            # routes there (round-10 grid, frameshift-intron arm)
             span = _partial_coding_span_raw(t, nvs, nve)
             if span is not None:
                 _set_span_strs(*span)
+        if (
+            cls is None
+            and t.cds_sequence is None
+            and seqless_positions != "geometric"
+        ):
+            # reference mode: unclassifiable indel on a sequence-less
+            # transcript carries no typed positions either
+            out["cds_position"] = None
+            out["protein_position"] = None
         return out
-    _set_span_strs(off + 1, None if last_off is None else last_off + 1)
     if t.cds_sequence is None:
+        if seqless_positions == "geometric":
+            # geometric compat: exon-geometry display positions (pinned by
+            # the gate oracles, which pass this mode explicitly)
+            _set_span_strs(off + 1, None if last_off is None else last_off + 1)
+            return out
+        # reference mode: no classification without a translation → no
+        # cds/protein positions, EXCEPT complex spans, which render the
+        # geometry-only partial '?' bounds (reference emits '151-?' for an
+        # intron-crossing MNV on a sequence-less transcript — round-10)
+        out["cds_position"] = None
+        out["protein_position"] = None
+        if len(ref) > 1 and _is_complex_indel(t, lo, hi):
+            span = _partial_coding_span_raw(t, lo, hi)
+            if span is not None:
+                _set_span_strs(*span)
         return out
     if len(ref) > 1:
-        # boundary-crossing MNV: no codon-level rendering (same contiguity
-        # rule as the classification; round 9, differential grid)
+        # boundary-crossing MNV: the classification fails on a
+        # non-contiguous span, so no cds/protein display and no codons —
+        # unless the span is COMPLEX (crosses a real intron), where the
+        # reference keeps partial bounds (round-10 grid)
         _offs = [_genomic_to_cds_offset(t, p) for p in range(lo, hi + 1)]
-        if any(o is None for o in _offs):
-            return out
-        _so = sorted(_offs)
-        if _so[-1] - _so[0] != len(ref) - 1:
+        _so = sorted(o for o in _offs if o is not None)
+        if any(o is None for o in _offs) or (
+            _so and _so[-1] - _so[0] != len(ref) - 1
+        ):
+            if _is_complex_indel(t, lo, hi):
+                span = _partial_coding_span_raw(t, lo, hi)
+                if span is not None:
+                    _set_span_strs(*span)
             return out
     cds = t.cds_sequence.upper()
     var_ref = ref.upper() if t.strand >= 0 else revcomp(ref.upper())
@@ -4446,18 +4567,33 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
     # RefSeq rows) + edited-transcript reference precedence — mirrors
     # _classify_substitution / reference classify_coding_change
     seq_adj = adjust_refseq_cds_sequence_index(t, off, _lead_pad)
+    _off_disp = off
     if seq_adj is not None:
         off = seq_adj
     if off + len(var_ref) > len(cds):
+        # substitution reaching past the cached (trimmed / incomplete) CDS:
+        # the classification rejects it, so no display positions either
+        # (reference: cds_position comes only from the CodingClassification;
+        # round-10 grid, cds_end_NF arm)
         return out
     effective_ref = var_ref
     if var_ref and uses_refseq_transcript_reference(t):
         edited = edited_transcript_reference_allele(t, lo, hi, ref)
         if edited is not None and len(edited) == len(var_ref):
             effective_ref = edited.upper()
+    if (
+        cds[off : off + len(var_ref)] != effective_ref
+        and effective_ref == var_ref
+    ):
+        # reference-allele mismatch against the cached CDS: the
+        # classification refuses, so no display positions (reference
+        # returns None from classify_coding_change; measured on the
+        # cds_start_NF probe shapes, round 10)
+        return out
+    _set_span_strs(
+        _off_disp + 1, None if last_off is None else last_off + 1
+    )
     if cds[off : off + len(var_ref)] != effective_ref:
-        if effective_ref == var_ref:
-            return out
         cds = cds[:off] + effective_ref + cds[off + len(var_ref) :]
     new_cds = cds[:off] + var_alt + cds[off + len(var_ref) :]
     c0 = (off // 3) * 3
@@ -4473,8 +4609,21 @@ def annotation_details(t: Transcript, pos: int, ref: str, alt: str) -> dict:
         return "".join(rendered)
 
     out["codons"] = f"{_render(old_codons)}/{_render(new_codons)}"
-    aa_old = translate(old_codons)
-    aa_new = translate(new_codons)
+
+    # amino acids follow VEP's local-peptide rule: whole codons translate,
+    # a trailing partial codon (incomplete terminal codon clipped by the
+    # CDS end) appends 'X' unless the peptide is already a stop, and an
+    # empty window renders '-' (reference local_peptide_from_codon_window,
+    # transcript_consequence.rs:3424-3448; round-10 grid FSIB/NFEA arms)
+    def _local_pep(codon: str) -> str:
+        whole = codon[: len(codon) // 3 * 3]
+        pep = translate(whole) if whole else ""
+        if len(codon) % 3 and pep != "*":
+            pep += "X"
+        return pep or "-"
+
+    aa_old = _local_pep(old_codons)
+    aa_new = _local_pep(new_codons)
     # failed BAM-edit RefSeq rows: the cached translation window is the
     # trusted REF peptide (reference amino_acids_for_output prefers the
     # classified — cached-protein — amino acids on those rows)
@@ -5029,11 +5178,25 @@ def protein_hgvs_data_for_variant(
     # p.Ter97_Leu98insThr with the RE-FRAMED inserted residues, not
     # fsTer; round 9, verified on the differential grid)
     stop_retained_ins = False
-    if not var_ref and frameshift:
-        cls_flags = classify_coding_indel(t, pos + 1, pos, "-", alt, True)
-        stop_retained_ins = bool(cls_flags and cls_flags.get("stop_retained"))
-        if stop_retained_ins:
-            frameshift = False
+    stop_retained_del = False
+    if frameshift:
+        if not var_ref:
+            cls_flags = classify_coding_indel(t, pos + 1, pos, "-", alt, True)
+            stop_retained_ins = bool(
+                cls_flags and cls_flags.get("stop_retained")
+            )
+            if stop_retained_ins:
+                frameshift = False
+        else:
+            # frameshift DELETIONS keep their frameshift flag; the
+            # stop-retained '*'/'*' payload override below (reference
+            # rs:5866-5895) is the only reframe on this arm
+            cls_flags = classify_coding_indel(
+                t, pos, pos + len(ref) - 1, ref, alt or "", False
+            )
+            stop_retained_del = bool(
+                cls_flags and cls_flags.get("stop_retained")
+            )
     prot_old = translate(cds)
     cached = failed_refseq_cached_protein(t, cds)
     if cached is not None:
@@ -5086,6 +5249,37 @@ def protein_hgvs_data_for_variant(
             alt_peptide = new_aas[a0 : min(a1, len(new_aas))] or "X"
         else:
             alt_peptide = _local_peptide_from_codon_window(var_alt)
+    # stop-retained frameshift deletion whose first affected codon is a
+    # stop in BOTH the reference and the (extension-preferred) alternate
+    # translation: the payload collapses to '*'/'*' with frameshift=false —
+    # a zero-shift row then renders p.TerN=, while a 3'-shift replay may
+    # still recompute the alt window to p.TerNTerextTer? (reference
+    # classify_coding_change override, rs:5866-5895; round-10 grid)
+    if frameshift and stop_retained_del:
+        hgvs_new = preferred if preferred is not None else translate(new_cds)
+        if (
+            ci0 < len(prot_old)
+            and prot_old[ci0] == "*"
+            and ci0 < len(hgvs_new)
+            and hgvs_new[ci0] == "*"
+        ):
+            return ProteinHgvs(
+                start=ci0 + 1,
+                end=ci0 + 1,
+                ref_peptide="*",
+                alt_peptide="*",
+                ref_translation=ref_translation,
+                alt_translation=hgvs_new,
+                alt_translation_extension=(
+                    preferred
+                    if preferred is not None
+                    else translated_alt_protein_for_hgvs(t, new_cds)
+                ),
+                frameshift=False,
+                start_lost="start_lost" in terms,
+                stop_lost="stop_lost" in terms,
+                native_refseq=refseq_has_edited_sequence_state(t),
+            )
     return ProteinHgvs(
         start=p_start,
         end=p_end,
@@ -5478,7 +5672,14 @@ def hgvs_c(
     r = ref if t.strand >= 0 else revcomp(ref)
     a = alt if t.strand >= 0 else revcomp(alt)
     cds = t.cds_sequence.upper() if t.cds_sequence else None
-    cpos = off + 1
+    # leading-N phase pad: SEQUENCE operations (3'-shift, dup detection,
+    # base reads) index the PADDED cds string; indel c. COORDINATES render
+    # unpadded (reference notation_to_hgvsc_coords works in cdna space),
+    # while the SNV c. coordinate is the padded display cds position
+    # (reference format_hgvsc kind='>' uses the engine's cds_position
+    # string; round-10 grid, cds_start_NF arm)
+    _cl = _leading_n(t.cds_sequence) if t.cds_sequence else 0
+    cpos = off + _cl + 1
     if len(r) == 1 and len(a) == 1:
         # live RefSeq transcript state (mapper segments / _rna_edits): the
         # exon-geometry CDS offset is NOT the HGVS coordinate — route
@@ -5491,11 +5692,18 @@ def hgvs_c(
             base = _cds_relative_notation(t, pos)
             if base is not None:
                 return f"{t.transcript_id}:{pfx}{base}{r}>{a}"
+        if cds is not None and cpos > len(cds):
+            # geometry says coding but the cached CDS is shorter (trimmed /
+            # incomplete terminal codon): the classification rejects it and
+            # the coordinate falls back to the cDNA walk — c.*N past the
+            # cached stop (reference format_hgvsc uses the display
+            # cds_position only when present; round-10 grid, cds_end_NF arm)
+            return _per_end_render()
         return f"{t.transcript_id}:c.{cpos}{r}>{a}"
     if len(r) == 0:  # pure insertion between the two flanking bases
-        # 0-based CDS index the inserted seq lands before: the anchor base
-        # (genomic pos) is the 5' flank on +, the 3' flank on −
-        ins_at = off + 1 if t.strand >= 0 else off
+        # 0-based PADDED CDS index the inserted seq lands before: the anchor
+        # base (genomic pos) is the 5' flank on +, the 3' flank on −
+        ins_at = (off + _cl) + 1 if t.strand >= 0 else (off + _cl)
         seq = a.upper()
         if cds is not None:
             # insertion 3'-shift: roll the insertion point right while the
@@ -5510,19 +5718,25 @@ def hgvs_c(
             # dup: inserted seq equals the bases immediately 5' of the
             # (shifted) site → name the most-3' existing copy
             ln = len(seq)
-            if ins_at - ln >= 0 and cds[ins_at - ln : ins_at] == seq:
-                span = f"{ins_at - ln + 1}_{ins_at}" if ln > 1 else f"{ins_at}"
+            if ins_at - ln >= _cl and cds[ins_at - ln : ins_at] == seq:
+                lo1, hi1 = ins_at - ln + 1 - _cl, ins_at - _cl
+                span = f"{lo1}_{hi1}" if ln > 1 else f"{hi1}"
                 return f"{t.transcript_id}:c.{span}dup"
-        return f"{t.transcript_id}:c.{ins_at}_{ins_at + 1}ins{seq}"
+        ins_c = ins_at - _cl
+        return f"{t.transcript_id}:c.{ins_c}_{ins_c + 1}ins{seq}"
     if len(a) == 0:  # pure deletion
-        start0, seq = (off, r.upper())
+        start0, seq = (off + _cl, r.upper())
         if cds is not None and cds[start0 : start0 + len(seq)] == seq:
             start0, seq = _shift3(cds, start0, seq)
-        cstart, cend = start0 + 1, start0 + len(seq)
+        cstart, cend = start0 + 1 - _cl, start0 + len(seq) - _cl
         span = f"{cstart}_{cend}" if cend > cstart else f"{cstart}"
         return f"{t.transcript_id}:c.{span}del"
-    cend = cpos + len(r) - 1
-    span = f"{cpos}_{cend}" if cend > cpos else f"{cpos}"
+    # delins/inversion spans render in UNPADDED cdna-derived coordinates
+    # (reference notation_to_hgvsc_coords — only the SNV kind reads the
+    # padded display cds position)
+    c1 = off + 1
+    cend = c1 + len(r) - 1
+    span = f"{c1}_{cend}" if cend > c1 else f"{c1}"
     if len(r) == len(a) and revcomp(r) == a:
         # same-length reverse-complement block: inversion (reference
         # hgvs_variant_notation inv kind, hgvs.rs:761-763)

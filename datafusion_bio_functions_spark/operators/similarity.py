@@ -371,9 +371,16 @@ def _blocked_near_dup_pairs(
         ]
     )
     keep = ["id", "__v", "__blk"] + ([scope_col] if scope_col else [])
-    rep = v.select(*keep, F.explode(pair_structs).alias("__p")).select(
-        *keep, F.col("__p.bi").alias("bi"), F.col("__p.bj").alias("bj")
-    )
+    if n_blocks == 1:
+        # single-block shortcut (small corpora / narrow clusters): every
+        # row already meets every other in the (0,0) group — skip the
+        # replication explode entirely.  The GEMM task and its slab loop
+        # are identical, so the result is byte-equal to the general path.
+        rep = v.select(*keep, F.lit(0).alias("bi"), F.lit(0).alias("bj"))
+    else:
+        rep = v.select(*keep, F.explode(pair_structs).alias("__p")).select(
+            *keep, F.col("__p.bi").alias("bi"), F.col("__p.bj").alias("bj")
+        )
 
     thr = float(threshold)
 

@@ -936,8 +936,16 @@ def annotate_vep(
     hgvs_options=None,
     vep_options=None,
     allowed_failed: int = 0,
+    seqless_positions: str = "reference",
 ) -> DataFrame:
     """Annotation pipeline: known-variant lookup + consequence assignment.
+
+    ``seqless_positions``: CDS/protein position policy for transcripts
+    WITHOUT a cached CDS sequence — ``'reference'`` (default) emits None
+    like the reference engine (positions require a successful coding
+    classification); ``'geometric'`` emits exon-geometry positions (this
+    engine's historical superset; the gate oracles pin it explicitly).
+    See functions.consequence.annotation_details.
 
     ``vep_options`` (codon engine): a mapping of VEP colocated-variant
     switches ``{'check_existing'/'af'/'af_1kg'/'af_gnomade'/'af_gnomadg'/
@@ -1077,6 +1085,7 @@ def annotate_vep(
             hgvs_flags=HgvsFlags.from_options(hgvs_options),
             vep_flags=VepFlags.from_options(vep_options),
             vcf_chrom_forms=_chrom_forms(vcf),
+            seqless_positions=seqless_positions,
         )
     if any(
         x is not None
@@ -1256,6 +1265,7 @@ def _annotate_codon(
     hgvs_flags: "HgvsFlags | None" = None,
     vep_flags: "VepFlags | None" = None,
     vcf_chrom_forms: "frozenset | None" = None,
+    seqless_positions: str = "reference",
 ) -> DataFrame:
     """Variant×transcript pairing (broadcast range join on chrom) + per-pair
     classification through ``functions.consequence.classify`` in one
@@ -1496,6 +1506,8 @@ def _annotate_codon(
     # engine-level 3'-shift switch, captured into the Arrow closure
     # (reference new_with_hgvs_shift, transcript_consequence.rs:7791-7795)
     _shift_hgvs = hgvs_flags.shift_hgvs if hgvs_flags is not None else True
+    # sequence-less position compat, captured into the Arrow closure
+    _seqless_positions = seqless_positions
 
     # no type hints: scalar pandas UDF (Series... -> DataFrame for a struct
     # return); string hints would fail to resolve against the local import
@@ -1629,7 +1641,9 @@ def _annotate_codon(
                 if tr.cds_sequence is not None
                 else None
             )
-            det = cq.annotation_details(tr, p, r, a)
+            det = cq.annotation_details(
+                tr, p, r, a, seqless_positions=_seqless_positions
+            )
             for k_ in _detail_keys:
                 out[k_].append(det[k_])
             vs_, ve_, ref_n, _alt_n, _ins = cq.normalize_variant(p, r, a)
@@ -2944,10 +2958,10 @@ def regulatory_features(
     / motif context tables): overlap each variant with
 
     * ``regulatory`` ``(chrom, start, end, feature_id [, feature_type])`` →
-      ``regulatory_region_variant`` (feature_type ``TF_binding_site`` →
-      ``TF_binding_site_variant``),
+      ``regulatory_region_variant`` for EVERY type — feature_type (incl.
+      ``TF_binding_site``) feeds only the BIOTYPE column,
     * ``motifs`` ``(chrom, start, end, feature_id)`` →
-      ``TF_binding_site_variant``.
+      ``TF_binding_site_variant`` (the only source of that term).
 
     A deletion that fully encompasses a regulatory feature additionally
     emits ``regulatory_region_ablation`` (VEP feature_ablation =
@@ -3023,9 +3037,14 @@ def regulatory_features(
             hits.select(
                 *vcf.columns,
                 "feature_id",
-                F.when(F.col("__ft") == "TF_binding_site", "TF_binding_site_variant")
-                .otherwise("regulatory_region_variant")
-                .alias("feature_term"),
+                # ALL regulatory features emit regulatory_region_variant —
+                # feature_type (incl. TF_binding_site) only feeds BIOTYPE;
+                # TF_binding_site_variant comes exclusively from the motif
+                # table (reference append_regulatory_terms inserts only
+                # RegulatoryRegionVariant, transcript_consequence.rs:
+                # 1458-1516 + test_regulatory_feature_biotype_tf_binding_
+                # site; round-10 feature grid)
+                F.lit("regulatory_region_variant").alias("feature_term"),
                 biotype,
             )
         )

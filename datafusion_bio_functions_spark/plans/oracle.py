@@ -659,3 +659,101 @@ reach (id, r) AS (
 comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
 SELECT {id_col} FROM ({t})
 WHERE {id_col} NOT IN (SELECT id FROM comp WHERE id <> component)"""
+
+
+def lsh_cosine_topk_sql(
+    queries: str,
+    corpus: str,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    multiprobe: bool = True,
+    seed: int = 7,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    """Mirror of ``operators.similarity.lsh_cosine_topk`` — a FULL value
+    oracle for the approximate path: the hyperplane draws are deterministic
+    (``random.Random(seed)``), so they are embedded as DOUBLE list literals
+    and DuckDB recomputes the sign-bit bucket ids, the (table, bucket)
+    candidate equi-join (with Hamming-1 multiprobe on the query side), and
+    the exact cosine rerank.  Every floating dot uses the same sequential
+    left-to-right double summation idiom as :func:`cosine_topk_sql`
+    (list_sum(list_transform(...))) — proven hash-identical to the Spark
+    kernels by the exact-ANN gate rows — so bucket sign decisions and
+    cosines are bit-reproducible."""
+    from ..operators.similarity import _hyperplanes
+
+    tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+
+    def plane_lit(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    def dot_plane(col, p):
+        return (
+            f"list_sum(list_transform(list_zip({col}, {plane_lit(p)}), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+
+    def bucket_expr(col, planes):
+        bits = [
+            f"(CASE WHEN {dot_plane(col, p)} > 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        ]
+        return "(" + " + ".join(bits) + ")"
+
+    c_arms = "\nUNION ALL\n".join(
+        f"SELECT neighbor_id, CAST({t} AS BIGINT) AS tbl, "
+        f"{bucket_expr('__cv', planes)} AS bucket FROM c0"
+        for t, planes in enumerate(tables)
+    )
+    q_arms = "\nUNION ALL\n".join(
+        f"SELECT query_id, CAST({t} AS BIGINT) AS tbl, "
+        f"{bucket_expr('__qv', planes)} AS b0 FROM q0"
+        for t, planes in enumerate(tables)
+    )
+    if multiprobe:
+        probes = "[b0" + "".join(
+            f", xor(b0, {1 << i})" for i in range(n_planes)
+        ) + "]"
+    else:
+        probes = "[b0]"
+    dotexpr = (
+        "list_sum(list_transform(list_zip(q0.__qv, c0.__cv), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+
+    def norm(alias, col):
+        return (
+            f"sqrt(list_sum(list_transform({alias}.{col}, "
+            f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
+
+    return f"""WITH q0 AS (SELECT {query_id} AS query_id, {vec} AS __qv FROM ({queries})
+           WHERE {vec} IS NOT NULL),
+c0 AS (SELECT {corpus_id} AS neighbor_id, {vec} AS __cv FROM ({corpus})
+       WHERE {vec} IS NOT NULL),
+cb AS ({c_arms}),
+qb AS ({q_arms}),
+qp AS (SELECT query_id, tbl, unnest({probes}) AS bucket FROM qb),
+cand AS (
+  SELECT DISTINCT qp.query_id, cb.neighbor_id
+  FROM qp JOIN cb ON qp.tbl = cb.tbl AND qp.bucket = cb.bucket
+  WHERE qp.query_id <> cb.neighbor_id
+),
+sim AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {dotexpr} / ({norm('q0', '__qv')} * {norm('c0', '__cv')}) AS __sim
+  FROM cand
+  JOIN q0 ON q0.query_id = cand.query_id
+  JOIN c0 ON c0.neighbor_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY __sim DESC, neighbor_id ASC) AS rank
+  FROM sim
+)
+SELECT query_id, neighbor_id, __sim AS cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}"""

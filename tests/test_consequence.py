@@ -453,15 +453,21 @@ def test_annotation_details_positions():
     from datafusion_bio_functions_spark.functions.consequence import annotation_details
 
     t = _tx_two_exons(strand=1)
+    # sequence-less transcript, DEFAULT ('reference') mode: cds/protein
+    # positions are None (the reference derives them only from a coding
+    # classification, which needs a translation); cdna stays geometric
     d = annotation_details(t, 1102, "A", "G")
+    assert (d["cdna_position"], d["cds_position"], d["protein_position"]) == (103, None, None)
+    # 'geometric' compat keeps the historical exon-geometry positions
+    d = annotation_details(t, 1102, "A", "G", seqless_positions="geometric")
     # cdna: exon1 offset 102 → 103; cds: 1102-1100=2 → 3; protein codon 1
     assert (d["cdna_position"], d["cds_position"], d["protein_position"]) == (103, 3, 1)
-    d2 = annotation_details(t, 1400, "A", "G")
+    d2 = annotation_details(t, 1400, "A", "G", seqless_positions="geometric")
     # cdna: 251 + (1400-1350) = 301 → 302; cds: 151 + 50 = 201 → 202; aa 68
     assert (d2["cdna_position"], d2["cds_position"], d2["protein_position"]) == (302, 202, 68)
     # minus strand mirrors: spliced total 502, cds total 302
     tm = _tx_two_exons(strand=-1)
-    dm = annotation_details(tm, 1102, "A", "G")
+    dm = annotation_details(tm, 1102, "A", "G", seqless_positions="geometric")
     assert dm["cdna_position"] == 502 - 102  # 400
     assert dm["cds_position"] == 302 - 2     # 300
     # intronic: no positions, intron set

@@ -692,7 +692,10 @@ def test_regulatory_feature_biotype_reference_cases(spark):
     assert rows["ENSR001"].feature_biotype == "promoter"
     assert rows["ENSR002"].feature_biotype == "enhancer"
     assert rows["ENSR004"].feature_biotype == "TF_binding_site"
-    assert rows["ENSR004"].feature_term == "TF_binding_site_variant"
+    # the TERM stays regulatory_region_variant for every regulatory type —
+    # TF_binding_site_variant comes only from motif features (reference
+    # append_regulatory_terms; round-10 feature grid)
+    assert rows["ENSR004"].feature_term == "regulatory_region_variant"
     assert rows["ENSR005"].feature_biotype == "open_chromatin_region"
     # untyped cache -> None (test_regulatory_feature_biotype_none)
     reg_untyped = spark.createDataFrame(
@@ -808,12 +811,16 @@ def test_cds_position_question_mark_reference_cases():
         exons=[(1000, 1010)], cds_start=1000, cds_end=1010,
         cds_sequence="NNGCTGAATGA", cds_start_nf=True,
     )
-    # past the 2-base N pad -> plain number
+    # CDS indices live in PADDED translateable-seq space (reference
+    # classification adds leading_n_offset to every raw index; measured
+    # round 10 via the standalone reference engine: cds '6', protein '2')
     d = cq.annotation_details(padded, 1003, "G", "A")
-    assert d["cds_position_str"] == "4" and d["protein_position_str"] == "2"
-    # inside the pad -> ?-N
+    assert d["cds_position_str"] == "6" and d["protein_position_str"] == "2"
+    # ref-allele mismatch against the padded cds ('N' at the padded read
+    # position): the classification refuses -> no positions (measured:
+    # the reference emits cds=None for this probe)
     d = cq.annotation_details(padded, 1001, "N", "A")
-    assert d["cds_position_str"] == "?-2" and d["protein_position_str"] == "?-1"
+    assert d["cds_position_str"] is None and d["protein_position_str"] is None
     # cds_start_nf without phase padding -> plain number
     unpadded = cq.Transcript(
         transcript_id="T1", chrom="22", start=1000, end=1011, strand=1,
@@ -1043,7 +1050,12 @@ def test_frameshift_insertion_boundary_dash_format():
     )
     c2 = cq.classify_coding_indel(t2, 1004, 1004, "", "TT", True)
     assert c2["codons"].split("/")[0] != "-"
-    assert c2["amino_acids"] == "A/X"
+    # the DISPLAYED amino acids derive from the codons string through
+    # VEP's pep_allele rule ('gct/gTTct' -> 'A/VX'); the reference's
+    # internal class.amino_acids would be 'A/X' but
+    # amino_acids_for_output prefers the codons derivation (measured
+    # round 10: engine row aa='A/VX' for this exact shape)
+    assert c2["amino_acids"] == "A/VX"
 
 
 def test_codon_display_edge_cases():
@@ -2649,18 +2661,23 @@ def test_unknown_bound_coordinate_battery():
                   cds_sequence=cds, cds_start_nf=nf)
 
     # variant past the N-pad: plain coordinates (rs cds_position_no_
-    # question_mark_when_variant_past_n_pad + protein twin)
+    # question_mark_when_variant_past_n_pad + protein twin) — in PADDED
+    # index space ('6', measured round 10 on the reference engine)
     d = cq.annotation_details(mk("NNGCTGAATGA", True, 1010), 1003, "G", "A")
     assert not str(d["cds_position_str"]).startswith("?-")
     assert not str(d["protein_position_str"]).startswith("?-")
+    assert d["cds_position_str"] == "6"
     # cds_start_NF without phase padding: plain "4"
     d = cq.annotation_details(mk("ATGGCTGAATGA", True, 1011), 1003, "G", "A")
     assert d["cds_position_str"] == "4"
     d = cq.annotation_details(mk("ATGGCTGAATGA", False, 1011), 1003, "G", "A")
     assert d["cds_position_str"] == "4"
-    # variant INSIDE the pad: the '?-N' unknown-start format
+    # a ref-mismatching in-pad read refuses classification — no positions
+    # at all (the reference's padded indices can never land INSIDE the
+    # pad, so the '?-N' unknown-start branch stays an engine-internal
+    # guard; measured round 10)
     d = cq.annotation_details(mk("NNGCTGAATGA", True, 1010), 1001, "N", "A")
-    assert str(d["cds_position_str"]).startswith("?-")
+    assert d["cds_position_str"] is None
     # rs cds_to_utr_deletion_keeps_partial_unknown_bounds_on_positive_
     # strand: a deletion running off the CDS 3' end keeps "49-?"/"17-?"
     t = cq.Transcript(transcript_id="P", chrom="1", start=1000, end=1100,
@@ -2796,7 +2813,11 @@ def test_compute_flags_and_cdna_position_battery():
     assert cq.annotation_details(t, 150, "-", "ACG")["cdna_position_str"] == "50-51"
     assert cq.annotation_details(t, 110, "NNNNNN", "")["cdna_position_str"] == "11-16"
     t = mk([(200, 300)])
-    assert cq.annotation_details(t, 200, "-", "ACG")["cdna_position_str"] == "0-1"
+    # the '0-1' boundary form belongs to the cDNA converter itself; the
+    # ENGINE gates it off (an insertion at the transcript's first base is
+    # an up/downstream row with no cdna_position — round-10 grid)
+    assert cq.cdna_span_str(t, 200, "-", "ACG") == "0-1"
+    assert cq.annotation_details(t, 200, "-", "ACG")["cdna_position_str"] is None
 
 
 def test_inserted_stop_and_immediate_codon_battery():

@@ -17,11 +17,6 @@ EXON/INTRON strings, cDNA/CDS/protein position strings, Amino_acids,
 Codons, DISTANCE, HGVSc, HGVSp.
 
 Documented exclusions:
-* ``cds``/``protein`` on the sequence-less transcript (ENSTF): the
-  reference emits None without a translation feature; this engine emits
-  geometric positions (a deliberate superset — the DuckDB gate oracles
-  pin the geometric values, and the reference never sees sequence-less
-  transcripts on real caches).
 * ``known_tail.json``: boundary-shaped residuals (exon/intron-spanning
   MNV/deletion codon fields, insertions at the transcript's last base,
   insertions adjacent to an internal-stop codon — an artifact of the
@@ -136,8 +131,6 @@ def test_reference_grid_parity():
     healed = {}
     for k in sorted(expected):
         for fld in FIELDS:
-            if fld in ("cds", "protein") and k[3] == "ENSTF":
-                continue  # documented geometric-position superset
             same = expected[k][fld] == got[k][fld]
             if k in tail and fld in tail[k]:
                 if same:
@@ -277,4 +270,106 @@ def test_reference_grid_parity_refseq_edited():
     assert not healed, (
         "whitelisted rows now MATCH — shrink known_tail2.json: "
         f"{dict(list(healed.items())[:10])}"
+    )
+
+
+def _transcripts_grid3():
+    txs = []
+    for line in open(os.path.join(FIX, "transcripts3.tsv")):
+        f = line.rstrip("\n").split("\t")
+        exons = [tuple(map(int, seg.split("-"))) for seg in f[10].split(";")]
+        t = cq.Transcript(
+            transcript_id=f[0], chrom=f[1], start=int(f[2]), end=int(f[3]),
+            strand=int(f[4]), biotype=f[5],
+            cds_start=int(f[6]) if f[6] else None,
+            cds_end=int(f[7]) if f[7] else None,
+            cdna_coding_start=int(f[8]) if f[8] else None,
+            cdna_coding_end=int(f[9]) if f[9] else None,
+            exons=exons, spliced_seq=f[11] or None,
+            cds_sequence=f[12] or None,
+            translation_seq=f[13] or None,
+            translation_stable_id=(f"NP_{f[0]}" if f[12] else None),
+        )
+        if len(f) > 21 and f[21]:
+            t.mature_mirna_regions = [
+                tuple(map(int, seg.split("-"))) for seg in f[21].split(";")
+            ]
+        if len(f) > 22:
+            t.cds_start_nf = f[22] == "1"
+        if len(f) > 23:
+            t.cds_end_nf = f[23] == "1"
+        txs.append(t)
+    return txs
+
+
+@pytest.mark.slow
+def test_reference_grid_parity_biotype_arms():
+    """Round-10 extension grid: the biotype / splice-edge / incomplete-CDS
+    arms the round-9 grids did not cover — NMD and polymorphic_pseudogene
+    biotypes, ± strand miRNA transcripts with mature regions
+    (mature_miRNA_variant vs non_coding_transcript_exon_variant
+    suppression), 10 bp FRAMESHIFT introns inside the CDS, cds_start_NF
+    with leading-N phase padding, and cds_end_NF with an incomplete
+    terminal codon — over the shared 1517-variant ladder.  The reference
+    dump (ref_out3.jsonl.gz, produced by the same standalone build of the
+    reference engine) also carries regulatory/motif/miRNA FEATURE rows
+    (REG:*/MOTIF/'-'); those are compared operator-level in
+    test_vep.py — this replay pins the transcript rows.  ZERO whitelist:
+    every field of every row must match."""
+    genome = open(os.path.join(FIX, "genome.txt")).read().strip()
+
+    def fetch(chrom, s, e):
+        return genome[s - 1 : e]
+
+    expected = {}
+    with gzip.open(os.path.join(FIX, "ref_out3.jsonl.gz"), "rt") as fh:
+        for line in fh:
+            r = json.loads(line)
+            tx = r.get("tx")
+            if tx is None or tx.startswith("REG:") or tx in ("MOTIF", "-"):
+                continue  # feature rows: operator-level comparison
+            expected[(r["pos"], r["ref"], r["alt"], tx)] = r
+
+    txs = _transcripts_grid3()
+    got = {}
+    for line in open(os.path.join(FIX, "variants.tsv")):
+        f = line.rstrip("\n").split("\t")
+        pos, ref, alt = int(f[1]), f[3], f[4]
+        sh_f = sh_r = None
+        if len(ref) != len(alt):
+            vr, va = al.vcf_to_vep_allele(ref, alt)
+            vs = al.vep_norm_start(pos, ref, alt)
+            ve = al.vep_norm_end(pos, ref, alt)
+            sh_f = cq.build_hgvs_genomic_shift(fetch, "1", vr, va, vs, ve, 1)
+            sh_r = cq.build_hgvs_genomic_shift(fetch, "1", vr, va, vs, ve, -1)
+        for t in txs:
+            sh = sh_f if t.strand >= 0 else sh_r
+            terms = cq.classify(t, pos, ref, alt, 5000, 5000)
+            if not terms:
+                continue
+            det = cq.annotation_details(t, pos, ref, alt)
+            got[(pos, ref, alt, t.transcript_id)] = {
+                "terms": sorted(terms),
+                "exon": det["exon"], "intron": det["intron"],
+                "cdna": det["cdna_position_str"],
+                "cds": det["cds_position_str"],
+                "protein": det["protein_position_str"],
+                "aa": det["amino_acids"], "codons": det["codons"],
+                "distance": det["distance"],
+                "hgvsc": cq.hgvs_c(t, pos, ref, alt, shift=sh),
+                "hgvsp": cq.protein_hgvs_for_output(
+                    t, pos, ref, alt, sh, terms, shift_hgvs=True
+                ),
+            }
+
+    assert set(expected) == set(got)
+    unexpected = {}
+    for k in sorted(expected):
+        for fld in FIELDS:
+            if expected[k][fld] != got[k][fld]:
+                unexpected.setdefault(k, []).append(
+                    (fld, expected[k][fld], got[k][fld])
+                )
+    assert not unexpected, (
+        f"{len(unexpected)} rows diverged: {dict(list(unexpected.items())[:5])}"
     )

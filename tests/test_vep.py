@@ -213,7 +213,10 @@ def test_regulatory_features(spark):
     }
     assert got == {
         ("1", 100, "ENSR1"): "regulatory_region_variant",
-        ("1", 500, "ENSR2"): "TF_binding_site_variant",
+        # TF_binding_site-typed REGULATORY rows keep regulatory_region_variant
+        # (the type feeds only BIOTYPE; reference
+        # test_regulatory_feature_biotype_tf_binding_site + round-10 grid)
+        ("1", 500, "ENSR2"): "regulatory_region_variant",
         ("1", 100, "MOTIF1"): "TF_binding_site_variant",
     }
     import pytest as _pt
@@ -277,7 +280,10 @@ def test_annotate_vep_full_schema(spark):
         [("TXF", 1000, 1250), ("TXF", 1350, 1600)],
         "transcript_id string, start long, end long",
     )
-    out = annotate_vep(vcf, cache, transcripts=tx, exons=exons, full_schema=True)
+    out = annotate_vep(
+        vcf, cache, transcripts=tx, exons=exons, full_schema=True,
+        seqless_positions="geometric",
+    )
     # 5 vcf + CSQ + most_severe + 93 annotation columns
     assert len(out.columns) == 5 + 2 + 93
     assert out.columns[-6:] == [
