@@ -158,8 +158,26 @@ def gtf_exons(gtf: DataFrame) -> DataFrame:
     )
 
 
+def vcf_sample_names(spark: SparkSession, path: str) -> list[str]:
+    """Sample names from the ``#CHROM`` header line (columns after FORMAT).
+    One bounded driver-side read of the header block — the header is a few
+    KB regardless of body size, so this is scale-safe.  Empty list for
+    sample-less files."""
+    hdr = (
+        spark.read.text(path)
+        .filter(F.col("value").startswith("#CHROM"))
+        .limit(1)
+        .collect()
+    )
+    if not hdr:
+        return []
+    cols = hdr[0][0].rstrip("\n").split("\t")
+    return cols[9:] if len(cols) > 9 else []
+
+
 def read_vcf(
-    spark: SparkSession, path: str, with_genotypes: bool = False
+    spark: SparkSession, path: str, with_genotypes: bool = False,
+    samples: bool = False,
 ) -> DataFrame:
     """Parse a (possibly bgzip-less) VCF text file into the VCF contract
     frame (chrom, start, end, id, ref, alt, qual, filter, info).  ``end`` is
@@ -171,10 +189,19 @@ def read_vcf(
     round-trips): the GT sub-field is looked up by its position in the
     per-row FORMAT field, NULL when the row carries no sample data.
 
+    ``samples=True`` appends the MULTI-sample genotype state the
+    reference sink streams as passthrough columns (``vcf_sink.rs:1-60``):
+    ``format`` (the per-row FORMAT string) and ``genotypes`` — a
+    ``map<sample_name, sample_field>`` carrying every sample's RAW
+    colon-joined field block, keyed by the ``#CHROM`` header names.  The
+    map preserves full FORMAT payloads (GT:DP:GQ...), so a round-trip
+    through :func:`write_vcf` is lossless per sample.
+
     Malformed body lines are SKIPPED, not fatal: blank lines, lines with
     fewer than the 8 fixed VCF columns, and rows whose POS does not parse
     as an integer (one bad line must not kill a 100 TB ingest; ANSI mode
     would otherwise raise on the array index / cast)."""
+    sample_names = vcf_sample_names(spark, path) if samples else []
     lines = spark.read.text(path).filter(
         ~F.col("value").startswith("#") & (F.length(F.trim(F.col("value"))) > 0)
     )
@@ -204,6 +231,18 @@ def read_vcf(
                 F.get(F.split(F.get(p, 9), ":"), gt_idx.cast("int") - 1),
             ).alias("GT")
         )
+    if samples:
+        cols.append(F.get(p, 8).alias("format"))
+        cols.append(
+            F.map_from_arrays(
+                F.array(*[F.lit(s) for s in sample_names]),
+                F.array(*[F.get(p, 9 + i) for i in range(len(sample_names))]),
+            ).alias("genotypes")
+            if sample_names
+            else F.lit(None)
+            .cast("map<string,string>")
+            .alias("genotypes")
+        )
     return lines.filter(F.size(p) >= 8).select(*cols).filter(F.col("start").isNotNull())
 
 
@@ -213,6 +252,9 @@ def write_vcf(
     info_col: str | None = None,
     sample_name: str | None = None,
     gt_col: str = "GT",
+    sample_names: "list[str] | None" = None,
+    genotypes_col: str = "genotypes",
+    format_col: str = "format",
 ) -> None:
     """Serialize the VCF contract frame back to VCF body text (one part per
     partition; the reference's vcf_sink streams batch-wise the same way,
@@ -220,7 +262,15 @@ def write_vcf(
     ``FORMAT``/genotype column pair is appended to every row — the
     reference's output contract (``tests/vcf_output_roundtrip.rs:86-96``):
     the FORMAT field is ``GT`` and a missing/null genotype renders as the
-    VCF missing genotype ``./.``."""
+    VCF missing genotype ``./.``.
+
+    ``sample_names`` switches to MULTI-sample output (the reference sink
+    streams arbitrary passthrough sample columns): per row, the FORMAT
+    string comes from ``format_col`` when present (else ``GT``) and each
+    named sample's field block is read from the ``genotypes_col`` map
+    (``read_vcf(samples=True)``'s shape), missing entries rendering as
+    ``./.``.  Sample column ORDER follows ``sample_names`` — pass the list
+    from :func:`vcf_sample_names` for a faithful round-trip."""
     info = F.col(info_col) if info_col else F.lit(".")
     fields = [
         F.col("chrom"),
@@ -232,7 +282,22 @@ def write_vcf(
         F.coalesce(F.col("filter"), F.lit(".")),
         info,
     ]
-    if sample_name is not None:
+    if sample_names is not None:
+        fmt = (
+            F.coalesce(F.col(format_col), F.lit("GT"))
+            if format_col in df.columns
+            else F.lit("GT")
+        )
+        gmap = (
+            F.col(genotypes_col)
+            if genotypes_col in df.columns
+            else F.lit(None).cast("map<string,string>")
+        )
+        fields += [fmt] + [
+            F.coalesce(F.element_at(gmap, F.lit(s)), F.lit("./."))
+            for s in sample_names
+        ]
+    elif sample_name is not None:
         gt = (
             F.coalesce(F.col(gt_col), F.lit("./."))
             if gt_col in df.columns
@@ -241,6 +306,23 @@ def write_vcf(
         fields += [F.lit("GT"), gt]
     out = df.select(F.concat_ws("\t", *fields).alias("value"))
     out.write.mode("overwrite").text(path)
+    if sample_names is not None:
+        # a faithful multi-sample round-trip needs the #CHROM header line —
+        # read_vcf(samples=True) recovers the sample names from it.  Header
+        # is advisory on non-local filesystems (same policy as
+        # annotate_to_vcf's CSQ header).
+        import os
+
+        try:
+            with open(os.path.join(path, "00_header.vcf"), "w") as fh:
+                fh.write(
+                    "##fileformat=VCFv4.2\n"
+                    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                    + "\t".join(sample_names)
+                    + "\n"
+                )
+        except OSError:
+            pass
 
 
 def annotate_to_vcf(
@@ -250,6 +332,9 @@ def annotate_to_vcf(
     progress=None,
     sample_name: str | None = None,
     gt_col: str = "GT",
+    sample_names: "list[str] | None" = None,
+    genotypes_col: str = "genotypes",
+    format_col: str = "format",
     **annotate_kwargs,
 ) -> int:
     """The reference's ``annotate_to_vcf()`` (``vcf_sink.rs:1-60``): run
@@ -274,23 +359,64 @@ def annotate_to_vcf(
         "info",
         F.when(F.col("CSQ") != "", F.concat(F.lit("CSQ="), F.col("CSQ"))).otherwise("."),
     )
-    # a genotype column on the INPUT frame rides through to the sample
-    # column even when annotate_vep does not project it.  The GT side is
-    # deduplicated on the join keys first — a VCF with duplicate variant
-    # rows would otherwise fan the left join out and silently duplicate
-    # output body lines (one GT per variant key is the sink's contract).
-    if sample_name is not None and gt_col not in out.columns and gt_col in vcf.columns:
+    # genotype state on the INPUT frame rides through to the sample
+    # column(s) even when annotate_vep does not project it.  The GT side
+    # collapses to ONE row per variant key first — a VCF with duplicate
+    # variant rows would otherwise fan the left join out and silently
+    # duplicate output body lines — and the pick is DETERMINISTIC: the
+    # lexicographically smallest genotype payload wins when duplicate keys
+    # carry conflicting genotypes (a malformed input; any stable rule is
+    # defensible, min is reproducible across runs and engines).
+    def _ride_through(cols: list[str]) -> DataFrame:
+        keys = ["chrom", "start", "ref", "alt"]
+        side = vcf.select(*keys, *cols)
+        # canonical ordering key: map columns sort their entries first —
+        # Spark's map serialization order is row-dependent, and the pick
+        # must not hinge on it
+        parts = []
+        for c in cols:
+            dt = dict(side.dtypes)[c]
+            col = F.col(c)
+            parts.append(
+                F.to_json(F.array_sort(F.map_entries(col)))
+                if dt.startswith("map<")
+                else col.cast("string")
+            )
+        ordkey = F.concat_ws("\x1f", *[F.coalesce(p, F.lit("\x7f")) for p in parts])
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy(*keys).orderBy(ordkey.asc_nulls_last())
+        return (
+            side.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    if sample_names is not None:
+        ride = [c for c in (genotypes_col, format_col) if c in vcf.columns]
+        if ride:
+            # ALWAYS re-join the deterministic pick — any copy of these
+            # columns that rode through the annotation rollup carries an
+            # arbitrary row's value for duplicate variant keys
+            out = out.drop(*ride).join(
+                _ride_through(ride),
+                ["chrom", "start", "ref", "alt"],
+                "left",
+            )
+    elif sample_name is not None and gt_col not in out.columns and gt_col in vcf.columns:
         out = out.join(
-            vcf.select("chrom", "start", "ref", "alt", gt_col).dropDuplicates(
-                ["chrom", "start", "ref", "alt"]
-            ),
+            _ride_through([gt_col]),
             ["chrom", "start", "ref", "alt"],
             "left",
         )
     for c in ("id", "qual", "filter"):
         if c not in out.columns:
             out = out.withColumn(c, F.lit("."))
-    write_vcf(out, path, info_col="info", sample_name=sample_name, gt_col=gt_col)
+    write_vcf(
+        out, path, info_col="info", sample_name=sample_name, gt_col=gt_col,
+        sample_names=sample_names, genotypes_col=genotypes_col,
+        format_col=format_col,
+    )
     try:
         # the advertised Format list must agree with the entry layout the
         # body actually carries: codon-engine entries follow
@@ -319,11 +445,13 @@ def annotate_to_vcf(
         # column name (reference tests/vcf_output_roundtrip.rs:17-31,146-156)
         format_line = (
             '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
-            if sample_name is not None
+            if sample_name is not None or sample_names
             else ""
         )
         columns = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
-        if sample_name is not None:
+        if sample_names:
+            columns += "\tFORMAT\t" + "\t".join(sample_names)
+        elif sample_name is not None:
             columns += f"\tFORMAT\t{sample_name}"
         header = (
             "##fileformat=VCFv4.2\n"

@@ -737,3 +737,87 @@ def test_vcf_sink_gt_join_does_not_fan_out_on_duplicate_keys(spark, tmp_path):
     for l in body:
         f = l.split("\t")
         assert f[9] == ("0/1" if f[1] == "100" else "0/0")
+
+
+def test_read_vcf_multi_sample_roundtrip(spark, tmp_path):
+    """N-sample FORMAT support (reference vcf_sink streams arbitrary
+    passthrough sample columns, vcf_sink.rs:1-60): read_vcf(samples=True)
+    recovers the #CHROM sample names into a genotypes map with the RAW
+    colon-joined field blocks, and write_vcf(sample_names=...) emits them
+    back in header order with './.' for missing entries."""
+    from datafusion_bio_functions_spark.sources.readers import (
+        read_vcf, vcf_sample_names, write_vcf,
+    )
+
+    src = tmp_path / "multi.vcf"
+    src.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tHG002\tHG003\tHG004\n"
+        "chr1\t100\trs1\tA\tT\t50\tPASS\t.\tGT:DP\t0/1:12\t1/1:30\t0/0:7\n"
+        "chr1\t200\t.\tC\tG\t.\t.\t.\tGT\t./.\t0/1\t1|1\n"
+    )
+    assert vcf_sample_names(spark, str(src)) == ["HG002", "HG003", "HG004"]
+    df = read_vcf(spark, str(src), samples=True)
+    rows = {r.start: r for r in df.collect()}
+    assert rows[100]["format"] == "GT:DP"
+    assert rows[100]["genotypes"]["HG002"] == "0/1:12"
+    assert rows[100]["genotypes"]["HG004"] == "0/0:7"
+    assert rows[200]["genotypes"]["HG003"] == "0/1"
+
+    out = str(tmp_path / "multi_rt")
+    write_vcf(df, out, sample_names=["HG002", "HG003", "HG004"])
+    back = read_vcf(spark, out, samples=False)
+    assert back.count() == 2
+    import os
+
+    body = []
+    for part in sorted(os.listdir(out)):
+        if part.startswith("part-"):
+            body += [
+                l for l in open(os.path.join(out, part)).read().splitlines() if l
+            ]
+    by_pos = {l.split("\t")[1]: l.split("\t") for l in body}
+    assert by_pos["100"][8:] == ["GT:DP", "0/1:12", "1/1:30", "0/0:7"]
+    assert by_pos["200"][8:] == ["GT", "./.", "0/1", "1|1"]
+
+
+def test_annotate_to_vcf_multi_sample(spark, tmp_path):
+    """annotate_to_vcf(sample_names=...): the genotypes/format columns ride
+    through the annotation, duplicate variant keys collapse
+    DETERMINISTICALLY (lexicographically smallest payload), and the header
+    advertises every sample column."""
+    import os
+
+    from datafusion_bio_functions_spark.sources.readers import annotate_to_vcf
+
+    vcf = spark.createDataFrame(
+        [
+            ("chr1", 100, 100, "A", "T", "GT", {"S1": "0/1", "S2": "1/1"}),
+            # duplicate key with CONFLICTING genotypes: min payload wins
+            ("chr1", 100, 100, "A", "T", "GT", {"S1": "0/0", "S2": "1/1"}),
+            ("chr2", 300, 300, "G", "A", "GT", {"S1": "0/0", "S2": None}),
+        ],
+        "chrom string, start long, end long, ref string, alt string, "
+        "format string, genotypes map<string,string>",
+    )
+    cache = spark.createDataFrame(
+        [("chr1", 100, 100, "rs1", "A/T")],
+        "chrom string, start long, end long, variation_name string, allele_string string",
+    )
+    out = str(tmp_path / "multi_ann")
+    n = annotate_to_vcf(vcf, cache, out, sample_names=["S1", "S2"])
+    assert n == 3
+    body = []
+    for part in sorted(os.listdir(out)):
+        if part.startswith("part-"):
+            body += [
+                l for l in open(os.path.join(out, part)).read().splitlines() if l
+            ]
+    hundreds = [l.split("\t") for l in body if l.split("\t")[1] == "100"]
+    assert len(hundreds) == 2
+    for f in hundreds:  # both annotated rows carry the SAME deterministic pick
+        assert f[8:] == ["GT", "0/0", "1/1"]
+    (three,) = [l.split("\t") for l in body if l.split("\t")[1] == "300"]
+    assert three[8:] == ["GT", "0/0", "./."]
+    header = open(os.path.join(out, "00_header.vcf")).read()
+    assert header.rstrip().endswith("FORMAT\tS1\tS2")
