@@ -111,6 +111,12 @@ def chrom_code(col: "F.Column | str") -> "F.Column":
         F.when(bare.rlike("^([1-9]|1[0-9]|2[0-2])$"), bare.cast("int")),
         F.when(bare == "X", F.lit(23))
         .when(bare == "Y", F.lit(24))
+        # DELIBERATE superset of the reference key encoding: bare 'M'
+        # (UCSC mitochondrial naming without the chr prefix) also maps to
+        # the MT code — a genuine non-UCSC contig literally named 'M'
+        # would sort canonically here where the reference buckets it
+        # NON_CANONICAL.  Pinned by test_chrom_code_truth_table; harmless
+        # for real genomes (no assembly names a nuclear contig 'M').
         .when((bare == "MT") | (bare == "M"), F.lit(25)),
         F.lit(NON_CANONICAL_START),
     ).cast("int")

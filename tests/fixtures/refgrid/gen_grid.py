@@ -1,6 +1,16 @@
 """Generate the shared differential-test grid: synthetic genome, transcripts,
-variants. Emits transcripts.tsv, variants.tsv, genome.txt."""
+variants. Emits transcripts.tsv, transcripts2.tsv, variants.tsv, genome.txt
+to this script's directory (or an argv[1] directory, created if missing)."""
+import os
 import random
+import sys
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else os.path.dirname(os.path.abspath(__file__))
+os.makedirs(OUT, exist_ok=True)
+
+
+def _p(name):
+    return os.path.join(OUT, name)
 
 rng = random.Random(42)
 N = 3000
@@ -67,7 +77,7 @@ TXS.append(mk("ENSTD", -1, "lincRNA", EXONS2))
 TXS.append(mk("ENSTE", 1, "protein_coding", [(1000, 1600)], (1100, 1501)))
 TXS.append(mk("ENSTF", 1, "protein_coding", EXONS2, (1100, 1501), with_seq=False))
 
-with open("/tmp/diffgrid/transcripts.tsv", "w") as f:
+with open(_p("transcripts.tsv"), "w") as f:
     for t in TXS:
         f.write("\t".join([
             t["id"], "1", str(t["start"]), str(t["end"]), str(t["strand"]),
@@ -98,10 +108,10 @@ for pos in range(964, 1630, 11):                  # 2bp MNVs
     variants.append((pos, genome[pos - 1 : pos + 1],
                      nb(genome[pos - 1]) + nb(genome[pos])))
 
-with open("/tmp/diffgrid/variants.tsv", "w") as f:
+with open(_p("variants.tsv"), "w") as f:
     for pos, r, a in variants:
         f.write(f"1\t{pos}\t{pos + len(r) - 1}\t{r}\t{a}\n")
-open("/tmp/diffgrid/genome.txt", "w").write(genome)
+open(_p("genome.txt"), "w").write(genome)
 print("transcripts:", len(TXS), "variants:", len(variants))
 
 # ---- round-9 extension: RefSeq-edited + mapper transcripts -------------
@@ -140,9 +150,7 @@ def emit(tid, mapper):
 
 emit("NM_G.1", mapper=False)
 emit("NM_H.1", mapper=True)
-with open("/tmp/diffgrid/transcripts2.tsv", "w") as f:
-    f.write("\n".join(rows2) + "\n")
-print("extension transcripts:", len(rows2))
+
 
 # ENSTI / NM_I.1: MINUS strand with the same 3-base edit insertion at
 # transcript cdna 151; ENSTJ / NM_J.1: + strand with a DELETION edit
@@ -181,9 +189,7 @@ rows2.append("\t".join([
     "BestRefSeq", "ok", "1", "151-153-0",
     j_canonical_cds, j_ctr, "",
 ]))
-with open("/tmp/diffgrid/transcripts2.tsv", "w") as f:
-    f.write("\n".join(rows2) + "\n")
-print("extension transcripts:", len(rows2))
+
 
 # NM_K.1: + strand TWO-EXON with the 3-base edit inside exon 1 (cdna 151)
 # NM_L.1: + strand two-exon with the edit inside exon 2 (cdna 331)
@@ -209,6 +215,6 @@ for tid, edit_at in (("NM_K.1", 151), ("NM_L.1", 331)):
         "BestRefSeq", "ok", "1", f"{edit_at}-{edit_at - 1}-3",
         can2, ctr2, "",
     ]))
-with open("/tmp/diffgrid/transcripts2.tsv", "w") as f:
+with open(_p("transcripts2.tsv"), "w") as f:
     f.write("\n".join(rows2) + "\n")
 print("extension transcripts:", len(rows2))

@@ -36,7 +36,7 @@ PREVIOUSLY_UNSTAMPED = {
 
 # rows intentionally without a DuckDB oracle (driver records rows-only);
 # annotate_vep_full gained a value oracle in round 9 (VERDICT r8 #3)
-ROWS_ONLY = {"lsh_ann_prod"}
+ROWS_ONLY: set = set()  # round 10: lsh_ann_prod gained a full value oracle
 
 
 def test_queries_gate_row_count():
