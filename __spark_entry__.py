@@ -501,7 +501,118 @@ _GATE_ORDER = [
     "semantic_dedup",
     "hash_split",
     "normalize_text",
+    "annotate_sift",
 ]
+
+
+def _sift_tx(spark, sf_dir):
+    """Coding transcripts WITH sequence for the SIFT/PolyPhen gate row —
+    one per nation row, all sharing the fixed CDS literal the oracle
+    re-translates (plans.oracle.SIFT_GATE_CDS)."""
+    from datafusion_bio_functions_spark.plans.oracle import SIFT_GATE_CDS
+
+    n = _read(spark, sf_dir, "nation")
+    start = (F.col("n_nationkey") * 10000 + 1000).cast("long")
+    L = len(SIFT_GATE_CDS)
+    return n.select(
+        F.concat(F.lit("TXS"), F.col("n_nationkey").cast("string")).alias("transcript_id"),
+        (F.col("n_nationkey") % 3 + 1).cast("string").alias("chrom"),
+        start.alias("start"),
+        (start + L - 1).alias("end"),
+        F.lit(1).alias("strand"),
+        F.lit("protein_coding").alias("biotype"),
+        F.concat(F.lit("G"), F.col("n_nationkey").cast("string")).alias("gene_stable_id"),
+        F.col("n_name").alias("gene_symbol"),
+        start.alias("cds_start"),
+        (start + L - 1).alias("cds_end"),
+        F.lit(SIFT_GATE_CDS).alias("cds_sequence"),
+    )
+
+
+def _sift_variant_parts(spark, sf_dir):
+    """Shared variant derivation of the SIFT gate row: SNVs inside codons
+    2..9 of the fixed CDS, transcript/offset/alt all key-derived so the
+    DuckDB oracle reproduces them exactly."""
+    from datafusion_bio_functions_spark.plans.oracle import SIFT_GATE_CDS
+
+    s = _read(spark, sf_dir, "supplier")
+    cds = SIFT_GATE_CDS
+    n_codons = len(cds) // 3
+    txk = F.col("s_suppkey") % 25
+    cds_off = (F.lit(3) + (F.col("s_suppkey") * 7) % (3 * (n_codons - 2))).cast("long")
+    altk = F.col("s_suppkey") % 3
+    df = s.select(
+        txk.alias("__txk"), cds_off.alias("__off"), altk.alias("__altk")
+    ).withColumn(
+        "ref", F.expr(f"substr('{cds}', CAST(__off + 1 AS INT), 1)")
+    ).withColumn(
+        "alt",
+        F.expr("substr('ACGT', CAST((instr('ACGT', ref) + __altk) % 4 + 1 AS INT), 1)"),
+    )
+    start = (F.col("__txk") * 10000 + 1000 + F.col("__off")).cast("long")
+    return df.select(
+        "__txk", "__off", "ref", "alt",
+        (F.col("__txk") % 3 + 1).cast("string").alias("chrom"),
+        start.alias("start"), start.alias("end"),
+    )
+
+
+def _sift_vcf(spark, sf_dir):
+    return _sift_variant_parts(spark, sf_dir).select(
+        "chrom", "start", "end", "ref", "alt"
+    )
+
+
+def _sift_ctx(spark, sf_dir):
+    """SIFT/PolyPhen context table derived from the SAME supplier keys as
+    the variants — one prediction row per (transcript, protein_position,
+    alt_aa) a variant can produce, scores a pure function of that triple."""
+    from datafusion_bio_functions_spark.functions.consequence import CODON_TABLE
+    from datafusion_bio_functions_spark.plans.oracle import (
+        SIFT_GATE_AAS, SIFT_GATE_CDS,
+    )
+
+    cds = SIFT_GATE_CDS
+    v = _sift_variant_parts(spark, sf_dir)
+    codon_map = F.create_map(
+        *[F.lit(x) for kv in sorted(CODON_TABLE.items()) for x in kv]
+    )
+    v = (
+        v.withColumn(
+            "__ref_codon",
+            F.expr(f"substr('{cds}', CAST(CAST(__off / 3 AS BIGINT) * 3 + 1 AS INT), 3)"),
+        )
+        .withColumn("__coff", (F.col("__off") % 3).cast("int"))
+        .withColumn(
+            "__alt_codon",
+            F.expr(
+                "concat(substr(__ref_codon, 1, __coff), alt, "
+                "substr(__ref_codon, __coff + 2))"
+            ),
+        )
+        .withColumn("__ref_aa", codon_map[F.col("__ref_codon")])
+        .withColumn("__alt_aa", codon_map[F.col("__alt_codon")])
+        .filter(F.col("__ref_aa") != F.col("__alt_aa"))
+    )
+    pp = (F.col("__off") / 3).cast("long") + 1
+    aa_idx = F.instr(F.lit(SIFT_GATE_AAS), F.col("__alt_aa"))
+    sift_score = ((aa_idx * 7 + pp) % 19).cast("double") / 20.0
+    poly_score = ((aa_idx * 11 + pp) % 19).cast("double") / 20.0
+    return v.select(
+        F.concat(F.lit("TXS"), F.col("__txk").cast("string")).alias("transcript_id"),
+        pp.alias("protein_position"),
+        F.col("__alt_aa").alias("alt_aa"),
+        F.when(sift_score < 0.05, "deleterious").otherwise("tolerated").alias(
+            "sift_prediction"
+        ),
+        sift_score.alias("sift_score"),
+        # the SPACE form — annotate_vep's renderer collapses it to the
+        # underscore CSQ display the oracle emits directly
+        F.when(poly_score > 0.9, "probably damaging").otherwise("benign").alias(
+            "polyphen_prediction"
+        ),
+        poly_score.alias("polyphen_score"),
+    ).dropDuplicates(["transcript_id", "protein_position", "alt_aa"])
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -998,6 +1109,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # no CDS sequence, and the geometric position arm is exactly what this
     # row's SQL oracle derives — the engine DEFAULT ('reference') emits
     # None there, matching the reference engine (round-10 compat switch)
+    # SIFT/PolyPhen wiring, VALUE-oracled (round 10): sequence-carrying
+    # synthetic transcripts + a key-derived prediction table; the DuckDB
+    # oracle re-translates the codons and re-renders prediction(score)
+    q["annotate_sift"] = lambda spark, sf: annotate_vep(
+        _sift_vcf(spark, sf),
+        _var_cache(spark, sf),
+        transcripts=_sift_tx(spark, sf),
+        full_schema=True,
+        sift=_sift_ctx(spark, sf),
+    ).select(
+        "chrom", "start", "end", "ref", "alt",
+        F.col("Feature").alias("feature"),
+        F.col("Amino_acids").alias("amino_acids"),
+        F.col("Protein_position").alias("protein_position"),
+        F.col("SIFT").alias("sift"),
+        F.col("PolyPhen").alias("polyphen"),
+    )
     q["annotate_vep_typed"] = lambda spark, sf: annotate_vep(
         _vcf(spark, sf),
         _var_cache(spark, sf),
@@ -1693,6 +1821,7 @@ def oracle_sql() -> dict[str, str]:
     o["lsh_ann_topk"] = osql.cosine_topk_sql(
         "SELECT * FROM embeddings WHERE vec_id < 50", "SELECT * FROM embeddings", k=10
     )
+    o["annotate_sift"] = osql.annotate_sift_sql()
     o["lsh_ann_prod"] = osql.lsh_cosine_topk_sql(
         "SELECT * FROM embeddings WHERE vec_id < 50",
         "SELECT * FROM embeddings",

@@ -757,3 +757,100 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, __sim AS cosine_sim, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}"""
+
+
+#: shared constants of the SIFT/PolyPhen gate row — the Spark query and
+#: this oracle derive transcripts/variants/predictions from the SAME
+#: formulas over the TPC-H keys, so the two engines must agree bit-for-bit
+SIFT_GATE_CDS = "ATGGCTGAAGTTCCACGATTAAGCGGATAA"  # 10 codons: MAEVPRLSG*
+SIFT_GATE_AAS = "ACDEFGHIKLMNPQRSTVWY*"
+
+
+def annotate_sift_sql(
+    nation: str = "SELECT * FROM nation",
+    supplier: str = "SELECT * FROM supplier",
+) -> str:
+    """Mirror of the ``annotate_sift`` gate row: synthetic coding
+    transcripts (one per nation row, a fixed CDS literal), SNV variants
+    derived from supplier keys, and a SIFT/PolyPhen context table derived
+    from the SAME keys — one prediction row per variant's
+    (transcript, protein_position, alt_aa), scores a pure function of that
+    key triple, so coverage is total at every scale factor.  The oracle
+    recomputes the amino-acid substitution from the CDS literal via a
+    generated 64-branch codon CASE and renders VEP's ``prediction(score)``
+    form with spaces collapsed to underscores (reference
+    lookup_sift_polyphen, annotate_provider.rs:2111-2176)."""
+    from ..functions.consequence import CODON_TABLE
+
+    cds = SIFT_GATE_CDS
+    n_codons = len(cds) // 3
+
+    def aa_case(codon_expr: str) -> str:
+        whens = "\n    ".join(
+            f"WHEN '{c}' THEN '{a}'" for c, a in sorted(CODON_TABLE.items())
+        )
+        return f"(CASE {codon_expr} {whens} ELSE 'X' END)"
+
+    alt_codon = (
+        "concat(substr(ref_codon, 1, codon_off), v.alt, "
+        "substr(ref_codon, codon_off + 2))"
+    )
+    aas = SIFT_GATE_AAS
+    return f"""
+WITH n AS ({nation}), s AS ({supplier}),
+txs AS (
+  SELECT concat('TXS', CAST(n_nationkey AS VARCHAR)) AS transcript_id,
+         CAST(n_nationkey % 3 + 1 AS VARCHAR) AS chrom,
+         CAST(n_nationkey * 10000 + 1000 AS BIGINT) AS tx_start
+  FROM n
+),
+v0 AS (
+  SELECT s_suppkey % 25 AS txk,
+         CAST(3 + (s_suppkey * 7) % {3 * (n_codons - 2)} AS BIGINT) AS cds_off,
+         s_suppkey % 3 AS altk
+  FROM s
+),
+v AS (
+  SELECT t.chrom, t.tx_start + v0.cds_off AS start,
+         t.tx_start + v0.cds_off AS "end",
+         substr('{cds}', CAST(v0.cds_off + 1 AS INT), 1) AS ref,
+         substr('ACGT',
+                CAST((strpos('ACGT', substr('{cds}', CAST(v0.cds_off + 1 AS INT), 1))
+                      + v0.altk) % 4 + 1 AS INT), 1) AS alt,
+         t.transcript_id, v0.cds_off
+  FROM v0 JOIN txs t ON t.transcript_id = concat('TXS', CAST(v0.txk AS VARCHAR))
+),
+ann AS (
+  SELECT v.chrom, v.start, v."end", v.ref, v.alt,
+         v.transcript_id AS feature,
+         CAST(v.cds_off // 3 + 1 AS BIGINT) AS protein_position,
+         CAST(v.cds_off % 3 AS INT) AS codon_off,
+         substr('{cds}', CAST((v.cds_off // 3) * 3 + 1 AS INT), 3) AS ref_codon
+  FROM v
+),
+ann2 AS (
+  SELECT *, {aa_case('ref_codon')} AS ref_aa,
+         {aa_case(alt_codon)} AS alt_aa
+  FROM ann v
+),
+scored AS (
+  SELECT *,
+         CASE WHEN ref_aa <> alt_aa THEN
+           CAST((strpos('{aas}', alt_aa) * 7 + protein_position) % 19 AS DOUBLE) / 20.0
+         END AS sift_score,
+         CASE WHEN ref_aa <> alt_aa THEN
+           CAST((strpos('{aas}', alt_aa) * 11 + protein_position) % 19 AS DOUBLE) / 20.0
+         END AS polyphen_score
+  FROM ann2
+)
+SELECT chrom, start, "end", ref, alt, feature,
+       CASE WHEN ref_aa = alt_aa THEN ref_aa
+            ELSE concat(ref_aa, '/', alt_aa) END AS amino_acids,
+       CAST(protein_position AS VARCHAR) AS protein_position,
+       CASE WHEN sift_score IS NOT NULL THEN
+         concat(CASE WHEN sift_score < 0.05 THEN 'deleterious' ELSE 'tolerated' END,
+                '(', CAST(sift_score AS VARCHAR), ')') END AS sift,
+       CASE WHEN polyphen_score IS NOT NULL THEN
+         concat(CASE WHEN polyphen_score > 0.9 THEN 'probably_damaging' ELSE 'benign' END,
+                '(', CAST(polyphen_score AS VARCHAR), ')') END AS polyphen
+FROM scored"""

@@ -40,11 +40,11 @@ ROWS_ONLY: set = set()  # round 10: lsh_ann_prod gained a full value oracle
 
 
 def test_queries_gate_row_count():
-    # 50 stamped + 24 oracle-verified tail rows (substring_dup_spans
+    # 50 stamped + 25 oracle-verified tail rows (substring_dup_spans
     # joined the tail in round 6; repetition_stats/repetition_filter in
     # round 7; lookup_failed/tx_selection/dedup_translations/line_dedup/
-    # semantic_dedup in round 8)
-    assert len(entry_mod.queries()) == 74
+    # semantic_dedup in round 8; annotate_sift in round 10)
+    assert len(entry_mod.queries()) == 75
 
 
 def test_gate_order_is_applied():
@@ -103,6 +103,9 @@ def test_tail_rows_are_twins_of_stamped_families():
         # NFC+control-strip normalization: expression twin of the text
         # scrub/stats family
         "normalize_text": "scrub_pii",
+        # SIFT/PolyPhen context-table wiring of the stamped annotate
+        # family (round 10; value-oracled via annotate_sift_sql)
+        "annotate_sift": "annotate_vep",
     }
     for row in tail:
         assert row in family, f"non-twin row {row} demoted out of the stamp window"
