@@ -177,7 +177,7 @@ def vcf_sample_names(spark: SparkSession, path: str) -> list[str]:
 
 def read_vcf(
     spark: SparkSession, path: str, with_genotypes: bool = False,
-    samples: bool = False,
+    samples: bool = False, split_multiallelic: bool = False,
 ) -> DataFrame:
     """Parse a (possibly bgzip-less) VCF text file into the VCF contract
     frame (chrom, start, end, id, ref, alt, qual, filter, info).  ``end`` is
@@ -196,6 +196,13 @@ def read_vcf(
     colon-joined field block, keyed by the ``#CHROM`` header names.  The
     map preserves full FORMAT payloads (GT:DP:GQ...), so a round-trip
     through :func:`write_vcf` is lossless per sample.
+
+    ``split_multiallelic=True`` explodes comma-separated ALT alleles into
+    one row per alternate (plus an ``alt_index``, 1-based) — the
+    consequence/lookup engines consume single-alt rows, like VEP's own
+    per-allele evaluation.  Sample/genotype columns ride along unchanged
+    (allele re-indexing of GT values is genuinely ambiguous without the
+    full FORMAT semantics and is left to the caller).
 
     Malformed body lines are SKIPPED, not fatal: blank lines, lines with
     fewer than the 8 fixed VCF columns, and rows whose POS does not parse
@@ -243,7 +250,18 @@ def read_vcf(
             .cast("map<string,string>")
             .alias("genotypes")
         )
-    return lines.filter(F.size(p) >= 8).select(*cols).filter(F.col("start").isNotNull())
+    out = lines.filter(F.size(p) >= 8).select(*cols).filter(F.col("start").isNotNull())
+    if split_multiallelic:
+        others = [c for c in out.columns if c != "alt"]
+        out = out.select(
+            *others,
+            F.posexplode(F.split(F.col("alt"), ",")).alias("__ai", "alt"),
+        ).select(
+            *[c if c != "end" else c for c in others],
+            "alt",
+            (F.col("__ai") + 1).cast("int").alias("alt_index"),
+        )
+    return out
 
 
 def write_vcf(

@@ -39,12 +39,21 @@ def main() -> None:
     src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    # large factors: stream the replicated COPY instead of materializing —
+    # row order is irrelevant to every consumer (Spark re-partitions), and
+    # an unbounded buffer at factor=1000 eats >100 GB on lineitem
+    con.execute("SET preserve_insertion_order=false")
+    con.execute("SET memory_limit='24GB'")
+    only = os.environ.get("MAKE_SF_ONLY")
+    tables = OFFSETS if not only else {
+        t: OFFSETS[t] for t in only.split(",") if t in OFFSETS
+    }
     for t in COPY_AS_IS:
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
             f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
         )
-    for t, offs in OFFSETS.items():
+    for t, offs in tables.items():
         repl = ", ".join(
             f"{col} + k.k * {off} AS {col}" for col, off in offs.items()
         )

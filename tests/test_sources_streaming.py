@@ -821,3 +821,20 @@ def test_annotate_to_vcf_multi_sample(spark, tmp_path):
     assert three[8:] == ["GT", "0/0", "./."]
     header = open(os.path.join(out, "00_header.vcf")).read()
     assert header.rstrip().endswith("FORMAT\tS1\tS2")
+
+
+def test_read_vcf_split_multiallelic(spark, tmp_path):
+    """Comma-separated ALT alleles explode into one single-alt row per
+    alternate with a 1-based alt_index — the per-allele shape the
+    consequence/lookup engines consume."""
+    src = tmp_path / "ma.vcf"
+    src.write_text(
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "chr1\t100\trs1\tA\tT,G,ACGT\t.\t.\t.\n"
+        "chr1\t200\t.\tC\tG\t.\t.\t.\n"
+    )
+    rows = read_vcf(spark, str(src), split_multiallelic=True).collect()
+    got = sorted((r.start, r.alt, r.alt_index) for r in rows)
+    assert got == [(100, "ACGT", 3), (100, "G", 2), (100, "T", 1), (200, "G", 1)]
+    # every exploded row keeps the shared fixed fields
+    assert all(r.ref in ("A", "C") and r.chrom == "chr1" for r in rows)
