@@ -658,6 +658,34 @@ def semantic_dedup(
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")).filter(
         F.col("__v").isNotNull()
     )
+    # exact-duplicate collapse (output='keep'/'components'): bit-identical
+    # NON-ZERO vectors have rounded cosine exactly 1.0, so a k-copy clique
+    # contributes O(k²) pairs/edges — at a duplicate-heavy corpus the
+    # components edge set alone exhausts executor memory (round-10 sf100
+    # ladder: 2M rows of 5k distinct vectors → ~400M edges → JVM OOM).
+    # Grouping by the vector VALUE (collision-free) elects the minimum id
+    # per clique as representative, the GEMM/components run on
+    # representatives only, and the result expands linearly: every clique
+    # member shares its representative's component, and the component
+    # label (min rep id) IS the minimum member id, so 'keep' survivors are
+    # IDENTICAL to the exhaustive definition — the gate oracle is
+    # unaffected.  Zero-norm vectors never pair (NaN cosine) and stay
+    # their own representatives.  output='pairs' keeps the exhaustive
+    # path: its output is itself O(k²) by definition.
+    collapse = output in ("keep", "components")
+    if collapse:
+        sq = F.aggregate(
+            "__v", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+        w_vec = Window.partitionBy("__v")
+        v_all = v.withColumn(
+            "__rep",
+            F.when(sq == 0.0, F.col("id")).otherwise(F.min("id").over(w_vec)),
+        ).withColumn(
+            "__csz",
+            F.when(sq == 0.0, F.lit(1)).otherwise(F.count(F.lit(1)).over(w_vec)),
+        )
+        v = v_all.filter(F.col("id") == F.col("__rep")).select("id", "__v")
     sample_size = 10_000
     cnt: int | None = None
     if n_clusters == "auto" or n_blocks == "auto":
@@ -694,9 +722,29 @@ def semantic_dedup(
     from .dedup import connected_components
 
     comps = connected_components(pairs)
+    # expand representative components back over the duplicate cliques:
+    # every clique member takes its representative's component (or the
+    # representative itself when only intra-clique edges exist); a row
+    # participates in the near-dup graph when its rep joined a rep-pair
+    # OR its clique has >1 member
+    expanded = v_all.join(
+        comps.select(
+            F.col("id").alias("__rep"), F.col("component").alias("__comp")
+        ),
+        "__rep",
+        "left",
+    ).withColumn(
+        "__final", F.coalesce(F.col("__comp"), F.col("__rep"))
+    ).withColumn(
+        "__in_graph", F.col("__comp").isNotNull() | (F.col("__csz") > 1)
+    )
     if output == "components":
-        return comps
-    dropped = comps.filter(F.col("id") != F.col("component")).select("id")
+        return expanded.filter(F.col("__in_graph")).select(
+            "id", F.col("__final").alias("component")
+        )
+    dropped = expanded.filter(
+        F.col("__in_graph") & (F.col("id") != F.col("__final"))
+    ).select("id")
     return df.join(
         dropped.withColumnRenamed("id", id_col), id_col, "left_anti"
     )

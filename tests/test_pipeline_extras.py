@@ -672,3 +672,46 @@ def test_normalize_text(spark):
     assert out.iloc[0] == "caf\u00e9"
     assert out.iloc[1] is None and _pd.isna(out.iloc[2])
     assert _text._nfc_udf() is _text._nfc_udf()
+
+
+def test_semantic_dedup_duplicate_clique_collapse(spark):
+    """Round-10 sf100 ladder finding: bit-identical vectors form O(k²)
+    cliques that exhausted executor memory before the exact-duplicate
+    collapse.  The collapsed path must return EXACTLY the exhaustive
+    survivors: one minimum id per duplicate clique, cliques merged with
+    any near-dup components their representative joins, zero-norm vectors
+    (NaN cosine) all surviving."""
+    from pyspark.sql import Row
+
+    from datafusion_bio_functions_spark.operators.similarity import semantic_dedup
+
+    base = [float(i) for i in range(1, 9)]
+    near = [float(i) + (0.001 if i == 1 else 0.0) for i in range(1, 9)]
+    far = [1.0, -2.0, 3.0, -4.0, 5.0, -6.0, 7.0, -8.0]
+    zero = [0.0] * 8
+    rows = [
+        Row(vec_id=1, embedding=base),    # clique A rep
+        Row(vec_id=2, embedding=base),    # clique A copy
+        Row(vec_id=3, embedding=base),    # clique A copy
+        Row(vec_id=4, embedding=near),    # near-dup of clique A (cos ~1)
+        Row(vec_id=5, embedding=far),     # unrelated
+        Row(vec_id=6, embedding=far),     # clique B copy (duplicate of 5)
+        Row(vec_id=7, embedding=zero),    # zero-norm: never pairs
+        Row(vec_id=8, embedding=zero),    # zero-norm: never pairs
+    ]
+    df = spark.createDataFrame(rows)
+    kept = sorted(
+        r.vec_id
+        for r in semantic_dedup(
+            df, threshold=0.99, n_clusters=1, dim=8, output="keep"
+        ).collect()
+    )
+    # component {1,2,3,4} -> min id 1; clique {5,6} -> 5; zeros survive
+    assert kept == [1, 5, 7, 8]
+    comps = {
+        (r.id, r.component)
+        for r in semantic_dedup(
+            df, threshold=0.99, n_clusters=1, dim=8, output="components"
+        ).collect()
+    }
+    assert comps == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5)}
