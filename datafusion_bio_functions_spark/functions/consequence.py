@@ -3622,7 +3622,11 @@ def classify_coding_indel(
     )
     remaining = (cds[c0:s0] + seq + cds[s0 + ln : c1]).lower()
     if frameshift:
-        out["codons"] = f"{rendered_ref}/{remaining or '-'}"
+        # frameshift deletions render the remaining window VERBATIM — an
+        # empty remainder (deletion clipping an incomplete terminal codon)
+        # stays empty, 'T/' not 'T/-' (reference frameshift-deletion codon
+        # arm has no empty-side dash; round-10 grid, cds_end_NF arm)
+        out["codons"] = f"{rendered_ref}/{remaining}"
     else:
         rendered_alt = "".join(
             b.upper() if s0 - c0 <= i < s0 - c0 + len(seq) else b
@@ -3638,10 +3642,12 @@ def classify_coding_indel(
     if pep is not None:
         out["amino_acids"] = pep
     else:
+        # untranslatable window (leading-N pad bases): identical sides
+        # still collapse, like the reference's class-level amino_acids
         aa_ref = translate(ref_span)
+        aa_alt = "X" if frameshift else (translate(remaining.upper()) or "-")
         out["amino_acids"] = (
-            f"{aa_ref}/X" if frameshift
-            else f"{aa_ref}/{translate(remaining.upper()) or '-'}"
+            aa_ref if aa_ref == aa_alt else f"{aa_ref}/{aa_alt}"
         )
     _deletion_stop_flags(
         out, cds, new_cds, s0, s0 + ln - 1, ln, len(seq), frameshift
@@ -3716,9 +3722,15 @@ def _add_coding_terms(
                     terms.add("start_retained_variant")
                 # VEP inframe_insertion containment: the ref peptide must be
                 # a pure prefix OR suffix of the alt peptide; otherwise the
-                # protein_altering_variant catch-all stands alone
-                if "inframe_insertion" in terms and cls["amino_acids"]:
-                    rp, _, ap = cls["amino_acids"].partition("/")
+                # protein_altering_variant catch-all stands alone.  The
+                # peptides derive PER-SIDE from the codons string — the
+                # displayed amino_acids COLLAPSES equal sides ('*' for a
+                # stop-retained insertion), which would break the
+                # containment parse (round-10 grid, multi-intron arm)
+                if "inframe_insertion" in terms and cls["codons"]:
+                    rc_, _, ac_ = cls["codons"].partition("/")
+                    rp = peptide_from_codon_allele(rc_) or ""
+                    ap = peptide_from_codon_allele(ac_) or ""
                     star = ap.find("*")
                     if star >= 0 and star + 1 < len(ap):
                         ap = ap[: star + 1]
@@ -5109,6 +5121,15 @@ def protein_hgvs_data_for_variant(
         return None
     pos, ref, alt = _normalize_for_hgvs(pos, ref, alt)
     off = _cds_first_offset(t, pos, len(ref))
+    if off is None and not ref and alt:
+        # pure insertion whose 5'-genomic flank is intronic/outside: the
+        # OTHER flank can still anchor — VEP's cds_start_exon_boundary
+        # insertions classify through the alternate flank and their HGVSp
+        # payload exists (reference classify_insertion alternate anchor;
+        # round-10 grid: intron-last-base/exon-first-base insertions)
+        other = _genomic_to_cds_offset(t, pos + 1)
+        if other is not None and not (t.strand >= 0 and other == 0):
+            off = other - 1 if t.strand >= 0 else other + 1
     if off is None:
         return None
     # the classification layer's refusal rules apply to the HGVSp payload
@@ -5169,8 +5190,13 @@ def protein_hgvs_data_for_variant(
     # rs:3394-3400, consuming class.amino_acids "-/X" / "-/<pep>"; round 9,
     # verified on the edited-transcript differential grid)
     _ldn = _leading_n(cds)
+    # the codon-boundary decision lives in PADDED sequence space, exactly
+    # like the classification's at_codon_boundary (reference ins_point %
+    # 3 over the leading-N-padded CDS; round-10 grid, minus-strand
+    # cds_start_NF arm: unpadded framing rendered insSer where the
+    # reference reframes to p.Val82dup)
     boundary_ins = (
-        not var_ref and (ins_point - _ldn) % 3 == 0 and ins_point > _ldn
+        not var_ref and ins_point % 3 == 0 and ins_point > _ldn
     )
     # stop-retained insertion: VEP overrides frameshift -> inframe
     # regardless of alt_len % 3 (reference classify_insertion,
@@ -5625,7 +5651,7 @@ def hgvs_c(
         h1 = _split_hgvs_coord(n1)
         h2 = _split_hgvs_coord(n2)
         if n2 != n1 and h1 is not None and h2 is not None:
-            def _key(h):
+            def _key(h, s):
                 head, suffix = h
                 off = 0
                 if suffix:
@@ -5633,8 +5659,11 @@ def hgvs_c(
                         off = int(suffix)
                     except ValueError:
                         off = 0
-                return (head, off)
-            if _key(h1) > _key(h2):
+                # 3'UTR star coordinates sort AFTER every plain coding
+                # coordinate (reference compare_hgvs_positions; round-10
+                # grid: c.366_*2del, not c.*2_366del)
+                return (s.startswith("*"), head, off)
+            if _key(h1, n1) > _key(h2, n2):
                 n1, n2 = n2, n1
         span = f"{n1}_{n2}" if n2 != n1 else f"{n1}"
         if len(a) == 0:
@@ -5701,22 +5730,29 @@ def hgvs_c(
             return _per_end_render()
         return f"{t.transcript_id}:c.{cpos}{r}>{a}"
     if len(r) == 0:  # pure insertion between the two flanking bases
+        # an insertion whose two genomic flanks straddle an exon boundary
+        # names the intronic side with an intron offset (c.71_71+1insT) —
+        # per-end rendering, never the spliced-contiguous pair (round-10
+        # grid, multi-intron arm)
+        if not any(es <= pos and pos + 1 <= ee for es, ee in t.sorted_exons()):
+            return _per_end_render()
         # 0-based PADDED CDS index the inserted seq lands before: the anchor
         # base (genomic pos) is the 5' flank on +, the 3' flank on −
         ins_at = (off + _cl) + 1 if t.strand >= 0 else (off + _cl)
         seq = a.upper()
-        if cds is not None:
-            # insertion 3'-shift: roll the insertion point right while the
-            # base AT the point equals the (rotated) first inserted base —
-            # the event occupies no reference bases, unlike _shift3's
-            # deletion window
+        if cds is not None and shift is None:
+            # NO genomic shift state (no FASTA): a documented cds-space
+            # 3'-roll + dup heuristic over the spliced sequence.  WITH
+            # shift state the genome is the authority — a zero-length
+            # genomic shift means the event does NOT roll (the spliced
+            # cds continues across introns the genome does not; round-10
+            # grid, multi-intron arm), and nonzero shifts ride the
+            # use_genomic_shift path above.
             i, rot = ins_at, list(seq)
             while rot and i < len(cds) and cds[i] == rot[0]:
                 rot.append(rot.pop(0))
                 i += 1
             ins_at, seq = i, "".join(rot)
-            # dup: inserted seq equals the bases immediately 5' of the
-            # (shifted) site → name the most-3' existing copy
             ln = len(seq)
             if ins_at - ln >= _cl and cds[ins_at - ln : ins_at] == seq:
                 lo1, hi1 = ins_at - ln + 1 - _cl, ins_at - _cl
@@ -5726,7 +5762,13 @@ def hgvs_c(
         return f"{t.transcript_id}:c.{ins_c}_{ins_c + 1}ins{seq}"
     if len(a) == 0:  # pure deletion
         start0, seq = (off + _cl, r.upper())
-        if cds is not None and cds[start0 : start0 + len(seq)] == seq:
+        if (
+            shift is None
+            and cds is not None
+            and cds[start0 : start0 + len(seq)] == seq
+        ):
+            # cds-space 3'-roll heuristic — only WITHOUT genomic shift
+            # state (see the insertion arm note)
             start0, seq = _shift3(cds, start0, seq)
         cstart, cend = start0 + 1 - _cl, start0 + len(seq) - _cl
         span = f"{cstart}_{cend}" if cend > cstart else f"{cstart}"
@@ -5933,6 +5975,11 @@ def hgvs_p(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
             ins = "".join(_aa3(x) for x in ins_pep)
             if i == 0:
                 return f"{tid}:p.{_aa3(prot_new[i - k - 1])}?ins{ins}"
+            if i >= len(prot_old):
+                # insertion after the LAST residue: no downstream flank to
+                # name — the legacy walk has no notation for it (the output
+                # dispatch renders these through the formatter pipeline)
+                return None
             return f"{tid}:p.{_aa3(prot_old[i - 1])}{i}_{_aa3(prot_old[i])}{i + 1}ins{ins}"
         # delins: first..last changed old aa replaced
         j_old, j_new = len(prot_old) - 1, len(prot_new) - 1

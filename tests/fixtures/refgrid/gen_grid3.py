@@ -89,6 +89,8 @@ def mk(tid, strand, biotype, exons, cds=None, lead_n=0, trim_tail=0,
         str(cds_start_nf), str(cds_end_nf),               # 22-23 incomplete-CDS flags
     ])
 
+EXONS4 = [(1000, 1120), (1180, 1300), (1360, 1480), (1520, 1600)]
+
 mk("NMDA", 1, "nonsense_mediated_decay", EXONS2, (1100, 1501))
 mk("NMDB", -1, "nonsense_mediated_decay", EXONS2, (1100, 1501))
 mk("MIRA", 1, "miRNA", [(1100, 1200)], mature=[(1120, 1160)])
@@ -98,6 +100,13 @@ mk("FSIB", -1, "protein_coding", EXONS_FSI, (1100, 1501))
 mk("NFPA", 1, "protein_coding", EXONS2, (1100, 1501), lead_n=2, cds_start_nf=1)
 mk("NFEA", 1, "protein_coding", EXONS2, (1100, 1500), trim_tail=1, cds_end_nf=1)
 mk("PPGA", 1, "polymorphic_pseudogene", EXONS2, (1100, 1501))
+# wave 4: MULTI-intron shapes (three introns — donor/acceptor/splice-region
+# families at every boundary, per-end HGVSc across interior introns) and
+# the MINUS-strand incomplete-CDS twins
+mk("QEXA", 1, "protein_coding", EXONS4, (1050, 1572))
+mk("QEXB", -1, "protein_coding", EXONS4, (1050, 1572))
+mk("NFPB", -1, "protein_coding", EXONS2, (1100, 1501), lead_n=2, cds_start_nf=1)
+mk("NFEB", -1, "protein_coding", EXONS2, (1101, 1501), trim_tail=1, cds_end_nf=1)
 
 with open(os.path.join(OUT, "transcripts3.tsv"), "w") as f:
     for r in rows:

@@ -310,7 +310,9 @@ def test_reference_grid_parity_biotype_arms():
     (mature_miRNA_variant vs non_coding_transcript_exon_variant
     suppression), 10 bp FRAMESHIFT introns inside the CDS, cds_start_NF
     with leading-N phase padding, and cds_end_NF with an incomplete
-    terminal codon — over the shared 1517-variant ladder.  The reference
+    terminal codon — over the shared 1517-variant ladder; wave 4 added
+    4-exon (three-intron) coding transcripts on both strands and the
+    minus-strand incomplete-CDS twins (13 transcripts total).  The reference
     dump (ref_out3.jsonl.gz, produced by the same standalone build of the
     reference engine) also carries regulatory/motif/miRNA FEATURE rows
     (REG:*/MOTIF/'-'); those are compared operator-level in
