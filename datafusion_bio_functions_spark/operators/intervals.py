@@ -882,7 +882,26 @@ def merge(
         F.col(c).alias("contig"),
         F.col(s).cast(T.LongType()).alias("pos_start"),
         F.col(e).cast(T.LongType()).alias("pos_end"),
-    ).withColumn("__b", (F.col("pos_start") / chunk_width).cast("long"))
+    )
+    # phase 0 (weak mode): collapse duplicate (contig, start, end) triples
+    # into a weight column BEFORE the sweep.  The hash aggregate combines
+    # map-side, so its shuffle moves only per-partition-distinct rows, and
+    # the phase-1 window then sorts #distinct rows instead of #input rows —
+    # on duplicate-heavy inputs this is the difference between sorting 600 M
+    # and 1.8 M rows (measured sf100: the saturated gate space carries a
+    # 336x duplication factor and the sweep's wall time was ~90% duplicate
+    # sorting).  Dedup-light inputs pay one extra exchange of ~input volume
+    # — bounded, and the chunked path is the data-scale path where the
+    # collapse is the safe default.  Strict mode keeps the raw rows: two
+    # identical zero-length intervals do NOT merge under strict overlap
+    # (s < e fails), so collapsing them would wrongly fuse their islands.
+    if filter_op == "weak":
+        d = d.groupBy("contig", "pos_start", "pos_end").agg(
+            F.count(F.lit(1)).alias("__w")
+        )
+    else:
+        d = d.withColumn("__w", F.lit(1).cast(T.LongType()))
+    d = d.withColumn("__b", (F.col("pos_start") / chunk_width).cast("long"))
     # phase 1: local islands within (contig, bucket)
     wloc = Window.partitionBy("contig", "__b").orderBy("pos_start", "pos_end")
     prev_max = F.max("pos_end").over(wloc.rowsBetween(Window.unboundedPreceding, -1))
@@ -901,7 +920,7 @@ def merge(
     local = isl.groupBy("contig", "__b", "__island").agg(
         F.min("pos_start").alias("pos_start"),
         F.max("pos_end").alias("pos_end"),
-        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("__w").alias("n_intervals"),
     )
     # lazy localCheckpoint: three consumers (bucket summary + final/nonfinal
     # branches) would otherwise each re-run the phase-1 sort+window —
@@ -1022,6 +1041,44 @@ def cluster(
             F.col("pos_end").alias("cluster_end"),
         )
         ids = _global_cluster_ids(extents, c, ["cluster_start", "cluster_end"])
+        # lazy localCheckpoint: the strategy probe below plus the assignment
+        # join would otherwise each re-run the whole merge+numbering DAG
+        ids = ids.localCheckpoint(eager=False)
+        # ── weak-mode broadcast fast path ── extents are disjoint and never
+        # touch, so each row's start lies in exactly ONE extent; when the
+        # extent table is broadcast-small AND thin per contig, a broadcast
+        # hash join on contig + containment filter assigns clusters in pure
+        # whole-stage codegen: NO shuffle of the (data-scale) input at all.
+        # The per-contig cap matters because a BHJ probes every same-contig
+        # extent per row — fine at ≤64, quadratic-ish at 10k.  Saturated
+        # coordinate spaces (the adversarial density case) merge into a
+        # handful of extents per contig, exactly where the binned join's
+        # (contig, bin) shuffle loses all parallelism — measured sf100:
+        # 315 s binned vs scan-bound with this path.  Wide real genomes
+        # (many extents) keep the shuffle-parallel binned join below.
+        if filter_op == "weak" and _fits_broadcast(ids, BROADCAST_GUARD_ROWS):
+            maxper = (
+                ids.groupBy(c).count().agg(F.max("count").alias("m")).collect()[0]["m"]
+                or 0
+            )
+            if maxper <= 64:
+                rid = ids.select(
+                    F.col(c).alias("__cc"),
+                    F.col("cluster"),
+                    F.col("cluster_start"),
+                    F.col("cluster_end"),
+                )
+                return (
+                    df.join(
+                        F.broadcast(rid),
+                        (F.col(c) == F.col("__cc"))
+                        & (F.col("cluster_start") <= F.col(s))
+                        & (F.col(s) <= F.col("cluster_end")),
+                        "inner",
+                    )
+                    .drop("__cc")
+                    .select(*df.columns, "cluster", "cluster_start", "cluster_end")
+                )
         # assignment join on the row's start point: cluster_start <= s <=
         # cluster_end.  In weak mode extents never touch, so each row hits
         # exactly one cluster and no dedupe is needed.  In strict mode two
