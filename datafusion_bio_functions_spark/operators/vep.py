@@ -937,8 +937,21 @@ def annotate_vep(
     vep_options=None,
     allowed_failed: int = 0,
     seqless_positions: str = "reference",
+    reference_genome=None,
 ) -> DataFrame:
     """Annotation pipeline: known-variant lookup + consequence assignment.
+
+    ``reference_genome`` (codon engine): genomic sequence access for the
+    HGVS 3'-shift — the reference REQUIRES a FASTA whenever HGVS output is
+    on (``validate_hgvs_reference_fasta``, ``annotate_provider.rs``
+    Runner::post_setup_checks) and builds per-indel forward/reverse shift
+    state from it (``hgvs.rs build_hgvs_genomic_shift``).  Accepts a
+    ``{chrom: sequence}`` mapping (small genomes / test contigs —
+    broadcast to executors) or a picklable ``fetch(chrom, start, end) ->
+    str`` callable (indexed-FASTA access opened lazily per executor — the
+    100 TB path; 1-based inclusive coordinates).  ``None`` (default) keeps
+    the historical shift-less degradation: HGVS emits unshifted, exactly
+    like this pipeline always has (the reference would refuse to run).
 
     ``seqless_positions``: CDS/protein position policy for transcripts
     WITHOUT a cached CDS sequence — ``'reference'`` (default) emits None
@@ -1086,6 +1099,7 @@ def annotate_vep(
             vep_flags=VepFlags.from_options(vep_options),
             vcf_chrom_forms=_chrom_forms(vcf),
             seqless_positions=seqless_positions,
+            reference_genome=reference_genome,
         )
     if any(
         x is not None
@@ -1266,6 +1280,7 @@ def _annotate_codon(
     vep_flags: "VepFlags | None" = None,
     vcf_chrom_forms: "frozenset | None" = None,
     seqless_positions: str = "reference",
+    reference_genome=None,
 ) -> DataFrame:
     """Variant×transcript pairing (broadcast range join on chrom) + per-pair
     classification through ``functions.consequence.classify`` in one
@@ -1285,7 +1300,7 @@ def _annotate_codon(
             "cdna_coding_start", "cdna_coding_end",
             "source", "bam_edit_status", "has_non_polya_rna_edit",
             "refseq_edits", "cdna_mapper_segments", "refseq_match",
-            "ncrna_structure",
+            "ncrna_structure", "cds_start_nf", "cds_end_nf",
         )
     }
     # RefSeq edited-transcript context (reference TranscriptFeature fields,
@@ -1330,6 +1345,21 @@ def _annotate_codon(
             if opt["refseq_match"]
             else F.lit(None).cast("string")
         ).alias("refseq_match"),
+        # incomplete-CDS flags reach the ENGINE here (N-pad phase handling,
+        # "?-N" coordinate formats — consequence.Transcript.cds_start_nf/
+        # cds_end_nf); the FLAGS display column is assembled separately in
+        # _tx_meta_map (reference keeps the same split: TranscriptFeature
+        # booleans vs flags_str_from_bools)
+        (
+            F.col("cds_start_nf").cast("boolean")
+            if opt["cds_start_nf"]
+            else F.lit(None).cast("boolean")
+        ).alias("nf_s"),
+        (
+            F.col("cds_end_nf").cast("boolean")
+            if opt["cds_end_nf"]
+            else F.lit(None).cast("boolean")
+        ).alias("nf_e"),
     )
     tsel = [
         F.col("transcript_id").alias("__t_id"),
@@ -1508,12 +1538,31 @@ def _annotate_codon(
     _shift_hgvs = hgvs_flags.shift_hgvs if hgvs_flags is not None else True
     # sequence-less position compat, captured into the Arrow closure
     _seqless_positions = seqless_positions
+    # genomic 3'-shift state (reference annotate_provider.rs:4207-4240: one
+    # forward + one reverse build_hgvs_genomic_shift PER INDEL VARIANT from
+    # the FASTA).  A {chrom: seq} mapping ships as a Spark broadcast so the
+    # genome serializes once per executor, not once per task; a callable is
+    # captured directly (indexed-FASTA readers open lazily executor-side).
+    _gen_bc = None
+    _gen_fetch = None
+    if reference_genome is not None:
+        if callable(reference_genome):
+            _gen_fetch = reference_genome
+        else:
+            _gen_bc = looked.sparkSession.sparkContext.broadcast(
+                dict(reference_genome)
+            )
+    # captured by value into the Arrow closure — a relative import inside
+    # the pickled UDF body would not resolve on executors
+    from ..functions.alleles import vcf_to_vep_allele as _vcf_to_vep
+    from ..functions.alleles import vep_norm_end as _norm_e
+    from ..functions.alleles import vep_norm_start as _norm_s
 
     # no type hints: scalar pandas UDF (Series... -> DataFrame for a struct
     # return); string hints would fail to resolve against the local import
     @F.pandas_udf(res_type, F.PandasUDFType.SCALAR)
     def _classify(
-        pos_s, ref_s, alt_s, tid,
+        chrom_s, pos_s, ref_s, alt_s, tid,
         ts, te, strand, biotype,
         cds_s, cds_e, cds_seq, exlist, mirna,
         spliced, cdna, utr3, ccs, cce, refseq_s, tl_prot, tl_sid,
@@ -1522,11 +1571,46 @@ def _annotate_codon(
         out = {"terms": [], "impact": [], "hgvsc": [], "hgvsp": []}
         for k_ in _detail_keys + _refseq_keys:
             out[k_] = []
+        # genomic shift state, memoized per distinct variant within the
+        # batch (the reference builds it once per variant row)
+        _shift_memo: dict = {}
+
+        def _shift_pair(chrom, p, r, a):
+            if (_gen_bc is None and _gen_fetch is None) or len(r) == len(a):
+                return (None, None)
+            key = (chrom, p, r, a)
+            pair = _shift_memo.get(key)
+            if pair is not None:
+                return pair
+            if _gen_fetch is not None:
+                fetch = _gen_fetch
+            else:
+                genome = _gen_bc.value
+
+                def fetch(c, s, e):
+                    seq = genome.get(c)
+                    if seq is None:
+                        alt_c = c[3:] if c.startswith("chr") else "chr" + c
+                        seq = genome.get(alt_c, "")
+                    return seq[s - 1 : e]
+
+            chrom_n = chrom[3:] if chrom.startswith("chr") else chrom
+            vr, va = _vcf_to_vep(r, a)
+            vs = _norm_s(p, r, a)
+            ve = _norm_e(p, r, a)
+            pair = (
+                cq.build_hgvs_genomic_shift(fetch, chrom_n, vr, va, vs, ve, 1),
+                cq.build_hgvs_genomic_shift(fetch, chrom_n, vr, va, vs, ve, -1),
+            )
+            _shift_memo[key] = pair
+            return pair
+
         # list-zip iteration + a per-batch Transcript cache: a pairing batch
         # repeats each transcript across many variants, and .iloc-per-row
         # access dominates otherwise (sf1 bench: 94 s → ~10 s)
         tr_cache: dict = {}
         rows = zip(
+            chrom_s.tolist(),
             pos_s.tolist(), ref_s.tolist(), alt_s.tolist(), tid.tolist(),
             ts.tolist(), te.tolist(), strand.tolist(), biotype.tolist(),
             cds_s.tolist(), cds_e.tolist(), cds_seq.tolist(), exlist.tolist(),
@@ -1540,7 +1624,7 @@ def _annotate_codon(
             tl_prot.tolist(), tl_sid.tolist(),
             tl_canon_cds.tolist(), tl_canon_prot.tolist(), ncrna.tolist(),
         )
-        for (p, r, a, t_id, tsv, tev, stv, btv, csv_, cev, seqv, ex, mir,
+        for (chv, p, r, a, t_id, tsv, tev, stv, btv, csv_, cev, seqv, ex, mir,
              spl, cdn, u3, ccsv, ccev, rsq, tlp, tls, tlcc, tlcp,
              ncv) in rows:
             if t_id is None or pd.isna(tsv):
@@ -1568,6 +1652,8 @@ def _annotate_codon(
                     refseq_kw["has_non_polya_rna_edit"] = bool(
                         _opt(rsq.get("np_edit")) or False
                     )
+                    refseq_kw["cds_start_nf"] = bool(_opt(rsq.get("nf_s")) or False)
+                    refseq_kw["cds_end_nf"] = bool(_opt(rsq.get("nf_e")) or False)
                     edits_arr = rsq.get("edits")
                     segs_arr = rsq.get("segs")
                     if edits_arr is not None and len(edits_arr) > 0:
@@ -1626,17 +1712,26 @@ def _annotate_codon(
             ms = cq.most_severe(terms)
             out["terms"].append(terms if terms else None)
             out["impact"].append(cq.SO_IMPACT.get(ms) if ms else None)
-            out["hgvsc"].append(cq.hgvs_c(tr, p, r, a))
+            # genomic shift state: FASTA-derived when reference_genome is
+            # given (the reference's only mode — it refuses HGVS without a
+            # FASTA), None otherwise (this pipeline's historical shift-less
+            # degradation).  Strand picks the forward/reverse build
+            # (annotate_provider.rs:4207-4240).
+            if _shift_hgvs and len(r) != len(a):
+                sh_f, sh_r = _shift_pair(str(chv), p, r, a)
+                sh = sh_f if int(stv) >= 0 else sh_r
+            else:
+                sh = None
+            out["hgvsc"].append(cq.hgvs_c(tr, p, r, a, shift=sh))
             # the reference's HGVSp OUTPUT dispatch (transcript_consequence
             # .rs:4807-5010), not bare hgvs_p: suppresses protein notation
             # for non-coding original terms and replays edited-RefSeq
-            # transcript-sequence shifts; genomic shift state is None — it
-            # is FASTA-derived and this pipeline runs without a FASTA.
+            # transcript-sequence shifts.
             # Sequence-less transcripts can never yield HGVSp (hgvs_p's
             # first guard) — skip the dispatch's normalize/shift prechecks
             out["hgvsp"].append(
                 cq.protein_hgvs_for_output(
-                    tr, p, r, a, None, terms, shift_hgvs=_shift_hgvs
+                    tr, p, r, a, sh, terms, shift_hgvs=_shift_hgvs
                 )
                 if tr.cds_sequence is not None
                 else None
@@ -1682,7 +1777,7 @@ def _annotate_codon(
     paired = paired.withColumn(
         "__res",
         _classify(
-            pos, F.col("ref"), F.col("alt"), F.col("__t_id"),
+            F.col("chrom"), pos, F.col("ref"), F.col("alt"), F.col("__t_id"),
             F.col("__t_start"), F.col("__t_end"), F.col("__t_strand"),
             F.col("__t_biotype"), F.col("__t_cds_start"), F.col("__t_cds_end"),
             F.col("__t_cds_seq"), F.col("__t_exons"), F.col("__t_mirna"),
@@ -1873,6 +1968,14 @@ def _annotate_codon(
         # indexing a NULL map yields NULL → ''
         return F.coalesce(F.col("__t_meta")[F.lit(key)], F.lit(""))
 
+    # ENSP = the transcript's translation stable id (reference writer reads
+    # tx.translation_stable_id, annotate_provider.rs:4297-4299): the
+    # transcripts table's own `ensp` column when present, else the
+    # translations table's stable_id (the same TranslationFeature field)
+    _ensp = F.coalesce(
+        F.col("__t_meta")[F.lit("ENSP")], F.col("__tl_sid"), F.lit("")
+    )
+
     entry_p1 = F.concat_ws(
         "|",
         # every slot coalesces: a NULL in concat_ws silently DROPS the
@@ -1962,7 +2065,7 @@ def _annotate_codon(
             _m("TSL"),
             _m("APPRIS"),
             _m("CCDS"),
-            _m("ENSP"),
+            _ensp,
             csq_escape_col(F.col("__t_meta")[F.lit("SWISSPROT")]),
             csq_escape_col(F.col("__t_meta")[F.lit("TREMBL")]),
             _m("UNIPARC"),
@@ -1995,7 +2098,7 @@ def _annotate_codon(
             _m("TSL"),
             _m("MANE_SELECT"),
             _m("MANE_PLUS_CLINICAL"),
-            _m("ENSP"),
+            _ensp,
             _m("GENE_PHENO"),
             _m("CCDS"),
             # SWISSPROT/TREMBL are the two metadata fields the reference
@@ -2079,61 +2182,131 @@ def _annotate_codon(
     )
 
     # context-feature arms (reference regulatory/motif/structural context):
-    # each overlapped feature becomes its own CSQ entry in the rollup
+    # schema per frame: *vcf_cols, __vep_alt, feature_id, feature_biotype,
+    # feature_terms (rank-sorted array — one CSQ ENTRY may carry several
+    # '&'-joined terms, e.g. regulatory_region_ablation&regulatory_region_
+    # variant), __ftype (the reference FeatureType label)
     feat_frames = []
+    _term_sorted = F.transform(
+        F.array_sort(
+            F.collect_set(
+                F.format_string(
+                    "%02d|%s", rank_map[F.col("feature_term")], F.col("feature_term")
+                )
+            )
+        ),
+        lambda x: F.substring_index(x, "|", -1),
+    )
     if regulatory is not None or motifs is not None:
-        feat_frames.append(
-            regulatory_features(
-                variants, regulatory, motifs,
-                chrom_normalize=bool(
-                    len(
-                        _vforms
-                        | _chrom_forms(
-                            regulatory if regulatory is not None else motifs
-                        )
-                        | (_chrom_forms(motifs) if motifs is not None else set())
+        rf = regulatory_features(
+            variants, regulatory, motifs,
+            chrom_normalize=bool(
+                len(
+                    _vforms
+                    | _chrom_forms(
+                        regulatory if regulatory is not None else motifs
                     )
-                    > 1
-                ),
-            ).select(
-                *vcf_cols, "__vep_alt", "feature_id", "feature_term"
+                    | (_chrom_forms(motifs) if motifs is not None else set())
+                )
+                > 1
+            ),
+        )
+        # one entry per (variant, regulatory feature): ablation+variant
+        # terms fuse into the SAME entry (reference append_regulatory_terms
+        # pushes ONE TranscriptConsequence with the ordered term set)
+        feat_frames.append(
+            rf.filter(F.col("feature_term") != "TF_binding_site_variant")
+            .groupBy(
+                *vcf_cols, "__vep_alt", "feature_id", "feature_biotype"
+            )
+            .agg(_term_sorted.alias("feature_terms"))
+            .select(
+                *vcf_cols, "__vep_alt", "feature_id", "feature_biotype",
+                "feature_terms",
+                F.lit("RegulatoryFeature").alias("__ftype"),
+            )
+        )
+        # motif entries collapse to ONE per variant with NO feature id —
+        # the reference's append_tfbs_terms is an any() over the motif
+        # table pushing a single id-less MotifFeature row
+        # (transcript_consequence.rs:1573-1621; CSQ Feature slot renders
+        # tc.transcript_id=None as '')
+        feat_frames.append(
+            rf.filter(F.col("feature_term") == "TF_binding_site_variant")
+            .groupBy(*vcf_cols, "__vep_alt")
+            .agg(_term_sorted.alias("feature_terms"))
+            .select(
+                *vcf_cols, "__vep_alt",
+                F.lit(None).cast("string").alias("feature_id"),
+                F.lit(None).cast("string").alias("feature_biotype"),
+                "feature_terms",
+                F.lit("MotifFeature").alias("__ftype"),
             )
         )
     if structural is not None:
+        st = structural_terms(
+            variants, structural,
+            chrom_normalize=bool(
+                len(_vforms | _chrom_forms(structural)) > 1
+            ),
+        )
+        _st_type = (
+            F.when(
+                F.col("feature_term").startswith("regulatory_region"),
+                "RegulatoryFeature",
+            )
+            .when(F.col("feature_term").startswith("TFBS"), "MotifFeature")
+            .otherwise(F.lit(""))
+        )
         feat_frames.append(
-            structural_terms(
-                variants, structural,
-                chrom_normalize=bool(
-                    len(_vforms | _chrom_forms(structural)) > 1
-                ),
-            ).select(
+            st.select(
                 *vcf_cols,
                 "__vep_alt",
                 F.lit(None).cast("string").alias("feature_id"),
-                "feature_term",
+                F.lit(None).cast("string").alias("feature_biotype"),
+                F.array(F.col("feature_term")).alias("feature_terms"),
+                _st_type.alias("__ftype"),
             )
         )
     if mirnas is not None:
-        # mature-miRNA context table (annotate_provider.rs:3378-3440):
-        # id column mirna_id, falling back to feature_id, then "mirna"
+        # mature-miRNA context table (annotate_provider.rs:3378-3440): the
+        # reference's append_mirna_terms is an any() over the table pushing
+        # a single DEFAULT TranscriptConsequence — FeatureType::None (rank
+        # 3, empty Feature_type/Feature slots), no id — and the overlap is
+        # feature_overlaps in minimized coordinates
         _check_contract(mirnas, ("chrom", "start", "end"), "mirnas")
-        mid = (
-            F.col("mirna_id")
-            if "mirna_id" in mirnas.columns
-            else (
-                F.col("feature_id")
-                if "feature_id" in mirnas.columns
-                else F.lit("mirna")
-            )
+        from ..functions.alleles import (
+            vep_allele_udf, vep_norm_end_udf, vep_norm_start_udf,
         )
+
         mi = mirnas.select(
             F.col("chrom").alias("__fc"),
             F.col("start").cast("long").alias("__fs"),
             F.col("end").cast("long").alias("__fe"),
-            mid.cast("string").alias("feature_id"),
         )
-        vpos = F.col("start").cast("long")
-        vend_ = F.col("end").cast("long")
+        vpos_r = F.col("start").cast("long")
+        vend_r = F.col("end").cast("long")
+        _pn = (
+            (F.col("ref") == "-") | (F.col("alt") == "-")
+            | (F.length(F.coalesce(F.col("ref"), F.lit(""))) == 0)
+            | (F.length(F.coalesce(F.col("alt"), F.lit(""))) == 0)
+        )
+        vpos = F.when(_pn, vpos_r).otherwise(
+            vep_norm_start_udf(vpos_r, F.col("ref"), F.col("alt"))
+        )
+        vend_ = F.when(_pn, vend_r).otherwise(
+            vep_norm_end_udf(vpos_r, F.col("ref"), F.col("alt"))
+        )
+        _ins = F.when(
+            _pn,
+            (F.col("ref") == "-")
+            | (F.length(F.coalesce(F.col("ref"), F.lit(""))) == 0),
+        ).otherwise(
+            F.substring_index(
+                vep_allele_udf(F.col("ref"), F.col("alt")), "/", 1
+            )
+            == "-"
+        )
         feat_frames.append(
             variants.join(
                 F.broadcast(mi),
@@ -2142,11 +2315,18 @@ def _annotate_codon(
                     if len(_vforms | _chrom_forms(mirnas)) > 1
                     else F.col("chrom") == F.col("__fc")
                 )
-                & (vpos <= F.col("__fe"))
-                & (vend_ >= F.col("__fs")),
-            ).select(
-                *vcf_cols, "__vep_alt", "feature_id",
-                F.lit("mature_miRNA_variant").alias("feature_term"),
+                & F.when(_ins, (vpos > F.col("__fs")) & (vpos <= F.col("__fe"))).otherwise(
+                    (vpos <= F.col("__fe")) & (vend_ >= F.col("__fs"))
+                ),
+            )
+            .groupBy(*vcf_cols, "__vep_alt")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .select(
+                *vcf_cols, "__vep_alt",
+                F.lit(None).cast("string").alias("feature_id"),
+                F.lit(None).cast("string").alias("feature_biotype"),
+                F.array(F.lit("mature_miRNA_variant")).alias("feature_terms"),
+                F.lit("").alias("__ftype"),
             )
         )
     if feat_frames:
@@ -2156,21 +2336,23 @@ def _annotate_codon(
         impact_map = F.create_map(
             *[F.lit(x) for term, imp in SO_TERMS_BY_RANK for x in (term, imp)]
         )
-        f_impact = impact_map[F.col("feature_term")]
+        # entry impact = most severe of the entry's terms = first after the
+        # rank sort (reference most_severe_term over tc.terms)
+        f_top = F.element_at(F.col("feature_terms"), 1)
+        f_impact = impact_map[f_top]
         # feature entries in the same 74-field layout: SYMBOL/Gene empty,
-        # Feature_type from the term family, Feature = the feature id
-        f_type = (
-            F.when(F.col("feature_term") == "TF_binding_site_variant", "MotifFeature")
-            .when(F.col("feature_term") == "regulatory_region_variant", "RegulatoryFeature")
-            .otherwise(F.lit(""))
-        )
+        # Feature_type the reference label, Feature = the feature id (empty
+        # for motif/mirna rows like the reference's transcript_id=None),
+        # BIOTYPE = the regulatory feature_type (biotype_override)
         f_p1 = F.concat_ws(
             "|",
             F.coalesce(F.col("__vep_alt"), F.lit("")),
-            F.col("feature_term"), F.coalesce(f_impact, F.lit("")),
-            F.lit(""), F.lit(""), f_type,
+            F.concat_ws("&", F.col("feature_terms")),
+            F.coalesce(f_impact, F.lit("")),
+            F.lit(""), F.lit(""), F.col("__ftype"),
             csq_escape_col(F.col("feature_id")),
-            *[F.lit("")] * 10,
+            F.coalesce(F.col("feature_biotype"), F.lit("")),
+            *[F.lit("")] * 9,
         )
         f_p2 = F.concat_ws(
             "|",
@@ -2178,9 +2360,7 @@ def _annotate_codon(
             variant_class_col(F.col("ref"), F.col("alt")),
             *[F.lit("")] * _empty_e2_post,
         )
-        f_best_term = F.format_string(
-            "%02d|%s", rank_map[F.col("feature_term")], F.col("feature_term")
-        )
+        f_best_term = F.format_string("%02d|%s", rank_map[f_top], f_top)
         ns, nl, ni = (
             F.lit(None).cast("string"),
             F.lit(None).cast("long"),
@@ -2188,9 +2368,10 @@ def _annotate_codon(
         )
         f_struct = F.struct(
             F.col("feature_id").alias("feature"),
-            ns.alias("gene"), ns.alias("symbol"), ns.alias("biotype"),
+            ns.alias("gene"), ns.alias("symbol"),
+            F.col("feature_biotype").alias("biotype"),
             f_impact.alias("impact"), ns.alias("hgvsc"), ns.alias("hgvsp"),
-            F.array(F.col("feature_term")).alias("terms"),
+            F.col("feature_terms").alias("terms"),
             ni.alias("strand"), ns.alias("exon"), ns.alias("intron"),
             nl.alias("cdna_position"), nl.alias("cds_position"),
             nl.alias("protein_position"), ns.alias("amino_acids"),
@@ -2207,8 +2388,8 @@ def _annotate_codon(
         # MotifFeature(2) < None(3) (reference FeatureType::rank,
         # feature_type_rank_matches_vep_concat_order)
         f_rank = (
-            F.when(f_type == "RegulatoryFeature", 1)
-            .when(f_type == "MotifFeature", 2)
+            F.when(F.col("__ftype") == "RegulatoryFeature", 1)
+            .when(F.col("__ftype") == "MotifFeature", 2)
             .otherwise(3)
         )
         pre = pre.unionByName(
@@ -2981,22 +3162,51 @@ def regulatory_features(
     _check_contract(vcf, VCF_REQUIRED, "vcf")
     if regulatory is None and motifs is None:
         raise ValueError("at least one of regulatory/motifs is required")
-    pos, vend = F.col("start").cast("long"), F.col("end").cast("long")
+    raw_pos, raw_end = F.col("start").cast("long"), F.col("end").cast("long")
     has_alleles = "ref" in vcf.columns and "alt" in vcf.columns
     is_deletion = (
         (F.length("ref") > F.length("alt")) | (F.col("alt") == "-")
         if has_alleles
         else F.lit(False)
     )
-    # VEP's insertion overlap is STRICT: an insertion at the feature start
-    # boundary does not touch it (transcript_consequence.rs
-    # regulatory_insertion_at_feature_boundary_excluded); SNVs/deletions
-    # use the normal closed-interval overlap
-    is_insertion = (
-        (F.col("ref") == "-") | (F.length(F.coalesce(F.col("ref"), F.lit(""))) == 0)
-        if has_alleles
-        else F.lit(False)
-    )
+    # feature_overlaps (transcript_consequence.rs:2997-3003) runs in the
+    # VEP-MINIMIZED coordinate space — VariantInput::from_vcf prefix/suffix
+    # trims before any feature check, so an anchored deletion's anchor base
+    # touching a feature's last base does NOT hit it.  Anchored VCF alleles
+    # are normalized here (vep_norm Arrow UDFs); pre-normalized input
+    # (ref '-'/'' insertions) passes through untouched.
+    if has_alleles:
+        from ..functions.alleles import (
+            vep_allele_udf, vep_norm_end_udf, vep_norm_start_udf,
+        )
+
+        pre_norm = (
+            (F.col("ref") == "-") | (F.col("alt") == "-")
+            | (F.length(F.coalesce(F.col("ref"), F.lit(""))) == 0)
+            | (F.length(F.coalesce(F.col("alt"), F.lit(""))) == 0)
+        )
+        pos = F.when(pre_norm, raw_pos).otherwise(
+            vep_norm_start_udf(raw_pos, F.col("ref"), F.col("alt"))
+        )
+        vend = F.when(pre_norm, raw_end).otherwise(
+            vep_norm_end_udf(raw_pos, F.col("ref"), F.col("alt"))
+        )
+        # VEP's insertion overlap is STRICT: an insertion at the feature
+        # start boundary does not touch it (transcript_consequence.rs
+        # regulatory_insertion_at_feature_boundary_excluded)
+        is_insertion = F.when(
+            pre_norm,
+            (F.col("ref") == "-")
+            | (F.length(F.coalesce(F.col("ref"), F.lit(""))) == 0),
+        ).otherwise(
+            F.substring_index(
+                vep_allele_udf(F.col("ref"), F.col("alt")), "/", 1
+            )
+            == "-"
+        )
+    else:
+        pos, vend = raw_pos, raw_end
+        is_insertion = F.lit(False)
 
     def _feat_overlap(fs: "F.Column", fe: "F.Column") -> "F.Column":
         return F.when(is_insertion, (pos > fs) & (pos <= fe)).otherwise(

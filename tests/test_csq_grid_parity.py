@@ -1,0 +1,176 @@
+"""CSQ-STRING differential-grid replay (round 11): the reference's full
+per-variant CSQ assembly — entry sort order (Transcript < RegulatoryFeature
+< MotifFeature < None, then feature id), '&'-joined terms, IMPACT from the
+entry's most severe term, the 74-field default ensembl layout, ENSP from
+the translation stable id, regulatory feature_type as BIOTYPE, id-less
+motif/miRNA feature entries, FASTA-backed HGVS 3'-shift, hgvsp output
+escaping, and the most_severe rollup — diffed STRING-EQUAL per variant.
+
+``fixtures/refgrid/ref_out4.jsonl.gz`` was produced by the same standalone
+build of the reference engine as the other grids (see fixtures README)
+extended with the reference's CSQ writer logic (``annotate_provider.rs``
+:4156-4240 sorted permutation + most_severe, :4499-4513 default 74-field
+arm, :4515-4527 placeholder, :5318-5337 impact/variant-class labels,
+:2418-2449 hgvsp output transform), run over the COMBINED grid1+grid3
+context (19 transcripts + grid-3 regulatory/motif/miRNA features) with
+FASTA-derived genomic shift state from ``genome.txt`` — the reference's
+only reachable HGVS mode (it refuses ``--hgvs`` without a FASTA,
+``validate_hgvs_reference_fasta``).
+
+This side runs the SHIPPING ``annotate_vep`` (codon engine) end-to-end —
+Spark DataFrames in, CSQ strings out — with ``reference_genome`` supplying
+the same FASTA bytes.  ZERO whitelist: every variant's full CSQ string and
+most_severe_consequence must match byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures", "refgrid")
+
+
+def _load_context(spark):
+    from pyspark.sql import types as T
+
+    tx_rows, ex_rows, tl_rows = [], [], []
+    for path in (f"{FIX}/transcripts.tsv", f"{FIX}/transcripts3.tsv"):
+        for line in open(path):
+            f = line.rstrip("\n").split("\t")
+            tid = f[0]
+            for seg in f[10].split(";"):
+                s, e = map(int, seg.split("-"))
+                ex_rows.append((tid, s, e))
+            mir = (
+                [
+                    {"s": int(seg.split("-")[0]), "e": int(seg.split("-")[1])}
+                    for seg in f[21].split(";")
+                ]
+                if len(f) > 21 and f[21]
+                else None
+            )
+            tx_rows.append(
+                (
+                    tid, f[1], int(f[2]), int(f[3]), int(f[4]), f[5],
+                    int(f[6]) if f[6] else None, int(f[7]) if f[7] else None,
+                    int(f[8]) if f[8] else None, int(f[9]) if f[9] else None,
+                    f[11] or None, f[12] or None, mir,
+                    len(f) > 22 and f[22] == "1", len(f) > 23 and f[23] == "1",
+                )
+            )
+            if f[12]:
+                tl_rows.append((tid, f[12], f[13] or None, f"NP_{tid}"))
+    tx = spark.createDataFrame(
+        tx_rows,
+        T.StructType(
+            [
+                T.StructField("transcript_id", T.StringType()),
+                T.StructField("chrom", T.StringType()),
+                T.StructField("start", T.LongType()),
+                T.StructField("end", T.LongType()),
+                T.StructField("strand", T.IntegerType()),
+                T.StructField("biotype", T.StringType()),
+                T.StructField("cds_start", T.LongType(), True),
+                T.StructField("cds_end", T.LongType(), True),
+                T.StructField("cdna_coding_start", T.LongType(), True),
+                T.StructField("cdna_coding_end", T.LongType(), True),
+                T.StructField("spliced_seq", T.StringType(), True),
+                T.StructField("cds_sequence", T.StringType(), True),
+                T.StructField(
+                    "mature_mirna_regions",
+                    T.ArrayType(
+                        T.StructType(
+                            [
+                                T.StructField("s", T.LongType()),
+                                T.StructField("e", T.LongType()),
+                            ]
+                        )
+                    ),
+                    True,
+                ),
+                T.StructField("cds_start_nf", T.BooleanType()),
+                T.StructField("cds_end_nf", T.BooleanType()),
+            ]
+        ),
+    )
+    ex = spark.createDataFrame(ex_rows, "transcript_id string, start long, end long")
+    tl = spark.createDataFrame(
+        tl_rows,
+        "transcript_id string, cds_sequence string, translation_seq string, "
+        "stable_id string",
+    )
+    reg_rows, mot_rows, mir_rows = [], [], []
+    for line in open(f"{FIX}/features3.tsv"):
+        f = line.rstrip("\n").split("\t")
+        s, e = int(f[2]), int(f[3])
+        if f[0] == "reg":
+            reg_rows.append(("1", s, e, f[1], f[4] if len(f) > 4 and f[4] else None))
+        elif f[0] == "motif":
+            mot_rows.append(("1", s, e, f[1]))
+        elif f[0] == "mirna":
+            mir_rows.append(("1", s, e, f[1]))
+    reg = spark.createDataFrame(
+        reg_rows,
+        "chrom string, start long, end long, feature_id string, feature_type string",
+    )
+    mot = spark.createDataFrame(
+        mot_rows, "chrom string, start long, end long, feature_id string"
+    )
+    mirf = spark.createDataFrame(
+        mir_rows, "chrom string, start long, end long, mirna_id string"
+    )
+    return tx, ex, tl, reg, mot, mirf
+
+
+@pytest.mark.slow
+def test_csq_string_grid_parity(spark):
+    from datafusion_bio_functions_spark.operators.vep import annotate_vep
+
+    tx, ex, tl, reg, mot, mirf = _load_context(spark)
+    v_rows = []
+    for line in open(f"{FIX}/variants.tsv"):
+        f = line.rstrip("\n").split("\t")
+        v_rows.append((f[0], int(f[1]), int(f[2]), f[3], f[4]))
+    vcf = spark.createDataFrame(
+        v_rows, "chrom string, start long, end long, ref string, alt string"
+    )
+    cache = spark.createDataFrame(
+        [],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string",
+    )
+    out = annotate_vep(
+        vcf, cache, transcripts=tx, exons=ex, regulatory=reg, motifs=mot,
+        mirnas=mirf, translations=tl,
+        # a reference run without colocated-variant flags: the whole
+        # Existing_variation / frequency block renders empty
+        vep_options={},
+        reference_genome={"1": open(f"{FIX}/genome.txt").read().strip()},
+    )
+    got = {
+        (r["start"], r["ref"], r["alt"]): (r["most_severe_consequence"], r["CSQ"])
+        for r in out.select(
+            "start", "ref", "alt", "most_severe_consequence", "CSQ"
+        ).collect()
+    }
+
+    expected = {}
+    with gzip.open(f"{FIX}/ref_out4.jsonl.gz", "rt") as fh:
+        for line in fh:
+            r = json.loads(line)
+            expected[(r["pos"], r["ref"], r["alt"])] = (r["most"], r["csq"])
+
+    assert set(expected) == set(got)
+    diverged = {
+        k: {"ref": expected[k], "got": got[k]}
+        for k in sorted(expected)
+        if expected[k] != got[k]
+    }
+    assert not diverged, (
+        f"{len(diverged)} variants diverged from the reference CSQ replay: "
+        f"{dict(list(diverged.items())[:3])}"
+    )

@@ -441,7 +441,15 @@ def test_annotate_vep_mirna_and_translations_tables(spark):
     }
     assert out[1103].most_severe_consequence == "missense_variant"
     assert out[5000].most_severe_consequence == "mature_miRNA_variant"
-    assert "MIR33" in out[5000].CSQ
+    # the reference's append_mirna_terms pushes a single DEFAULT
+    # TranscriptConsequence — no feature id, FeatureType::None — so the CSQ
+    # entry renders with EMPTY Feature_type/Feature slots
+    # (transcript_consequence.rs:1624-1640; round-11 CSQ grid replay)
+    mir_entry = [e for e in out[5000].CSQ.split(",") if "mature_miRNA_variant" in e]
+    assert len(mir_entry) == 1
+    fields = mir_entry[0].split("|")
+    assert fields[1] == "mature_miRNA_variant" and fields[5] == "" and fields[6] == ""
+    assert "MIR33" not in out[5000].CSQ
 
 
 def test_annotate_vep_sift_table(spark):
@@ -1809,10 +1817,14 @@ def test_csq_entries_grouped_by_feature_type_then_sorted_by_id(spark):
     entries = [dict(zip(fields, e.split("|"))) for e in out.CSQ.split(",")]
     types = [e["Feature_type"] for e in entries]
     ids = [e["Feature"] for e in entries]
-    assert types == ["Transcript"] * 3 + ["RegulatoryFeature"] * 2 + ["MotifFeature"] * 2
+    # motif hits collapse to ONE id-less MotifFeature entry per variant —
+    # the reference's append_tfbs_terms is an any() over the motif table
+    # pushing a single TranscriptConsequence with transcript_id=None
+    # (transcript_consequence.rs:1573-1621; round-11 CSQ grid replay)
+    assert types == ["Transcript"] * 3 + ["RegulatoryFeature"] * 2 + ["MotifFeature"]
     assert ids[:3] == ["ENST00000100000", "ENST00000500000", "ENST00000900000"]
     assert ids[3:5] == ["ENSR0001", "ENSR0009"]
-    assert ids[5:] == ["ENSM0001", "ENSM0002"]
+    assert ids[5:] == [""]
 
 
 def test_cache_ingest_dedup_rules(spark):
