@@ -1524,6 +1524,10 @@ def _annotate_codon(
             # variant's cDNA span (reference mirna_structure_field,
             # annotate_provider.rs:1991-2090)
             T.StructField("mirna_struct", T.StringType(), True),
+            # --everything HGVS_OFFSET: the exposed genomic-shift length
+            # when HGVSc consumed it (reference hgvsc_offset_for_output,
+            # hgvs.rs:326-345) — non-NULL only with reference_genome
+            T.StructField("hgvs_offset", T.LongType(), True),
         ]
     )
     _detail_keys = (
@@ -1531,7 +1535,9 @@ def _annotate_codon(
         "protein_position", "amino_acids", "codons", "distance",
         "cdna_position_str", "cds_position_str", "protein_position_str",
     )
-    _refseq_keys = ("given_ref", "used_ref", "refseq_offset", "mirna_struct")
+    _refseq_keys = (
+        "given_ref", "used_ref", "refseq_offset", "mirna_struct", "hgvs_offset",
+    )
 
     # engine-level 3'-shift switch, captured into the Arrow closure
     # (reference new_with_hgvs_shift, transcript_consequence.rs:7791-7795)
@@ -1772,6 +1778,19 @@ def _annotate_codon(
                 if cs0 is not None and cs0 > 0:
                     mir_s = cq.mirna_structure_field(str(ncv), str(btv), cs0, ce0)
             out["mirna_struct"].append(mir_s)
+            # HGVS_OFFSET mirrors the per-transcript HGVSc shift decision
+            # (reference writer, annotate_provider.rs:4318-4343): VEP-
+            # minimized alleles, USED_REF preferred when present
+            if sh is not None:
+                vr_m, va_m = _vcf_to_vep(r, a)
+                out["hgvs_offset"].append(
+                    cq.hgvsc_offset_for_output(
+                        tr, out["used_ref"][-1] or vr_m, va_m,
+                        out["hgvsc"][-1], sh,
+                    )
+                )
+            else:
+                out["hgvs_offset"].append(None)
         return pd.DataFrame(out)
 
     paired = paired.withColumn(
@@ -1848,10 +1867,13 @@ def _annotate_codon(
             _s("polyphen_score", "double"),
         ).dropDuplicates(["__s_tx", "__s_pp", "__s_aa"])
         aa = F.col("__res.amino_acids")
-        # single-AA substitutions with a non-range protein position only
-        # (the reference parses the position string and skips spans)
+        # the reference gate is exactly "two '/'-parts, each length 1" plus
+        # a non-range integer protein position (lookup_sift_polyphen,
+        # annotate_provider.rs:2121-2137) — NOT letters-only: a boundary
+        # insertion's '-/T' or 'X/I' single-char form still looks up (the
+        # '-' side simply never matches a matrix row)
         alt_aa = F.when(
-            aa.rlike(r"^[A-Z*]/[A-Z*]$")
+            aa.rlike(r"^[^/]/[^/]$")
             & F.col("__res.protein_position_str").rlike(r"^[0-9]+$"),
             F.substring(aa, 3, 1),
         )
@@ -2076,7 +2098,9 @@ def _annotate_codon(
             _e(F.col("__e_polyphen")),
             _e(F.when(_is_coding, F.col("__e_domains"))),
             _e(F.col("__res.mirna_struct")),
-            F.lit(""),                     # HGVS_OFFSET (no FASTA shift)
+            # HGVS_OFFSET: the exposed genomic-shift length (empty without
+            # reference_genome, the shift-less degradation)
+            _e(F.col("__res.hgvs_offset")),
         )
         # intergenic/feature entries: 3 leading empties, VARIANT_CLASS,
         # then the remaining slots empty

@@ -174,3 +174,189 @@ def test_csq_string_grid_parity(spark):
         f"{len(diverged)} variants diverged from the reference CSQ replay: "
         f"{dict(list(diverged.items())[:3])}"
     )
+
+
+SIFT_PREDS = {
+    0: "tolerated", 1: "deleterious",
+    2: "tolerated - low confidence", 3: "deleterious - low confidence",
+}
+POLY_PREDS = {
+    4: "benign", 5: "possibly damaging", 6: "probably damaging", 7: "unknown",
+}
+
+
+@pytest.mark.slow
+def test_csq_everything_grid_parity(spark):
+    """Grid 5: the ``--everything`` 80-field CSQ arm — per-entry SIFT /
+    PolyPhen predictions from the relational prediction matrices
+    (``sift5.tsv`` — the reference's CompactPrediction store semantics,
+    ``kv_cache/sift_store.rs`` + ``lookup_sift_polyphen``,
+    ``annotate_provider.rs:2111-2176``), DOMAINS from protein features
+    (``lookup_domains`` incl. the insertion start/end swap), miRNA
+    dot-bracket structure terms, HGVS_OFFSET from the FASTA shift, the
+    generic MANE derivation, APPRIS abbreviation, CANONICAL / TSL / CCDS /
+    UniProt metadata, and csq_escape on SWISSPROT/TREMBL — byte-equal per
+    variant against the reference replay (``ref_out5.jsonl.gz``)."""
+    from datafusion_bio_functions_spark.operators.vep import annotate_vep
+
+    meta = {}
+    for line in open(f"{FIX}/meta5.tsv"):
+        f = line.rstrip("\n").split("\t")
+        meta[f[0]] = f
+
+    from pyspark.sql import types as T
+
+    tx_rows, ex_rows, tl_rows = [], [], []
+    for path in (f"{FIX}/transcripts.tsv", f"{FIX}/transcripts3.tsv"):
+        for line in open(path):
+            f = line.rstrip("\n").split("\t")
+            tid = f[0]
+            for seg in f[10].split(";"):
+                s, e = map(int, seg.split("-"))
+                ex_rows.append((tid, s, e))
+            mir = (
+                [
+                    {"s": int(seg.split("-")[0]), "e": int(seg.split("-")[1])}
+                    for seg in f[21].split(";")
+                ]
+                if len(f) > 21 and f[21]
+                else None
+            )
+            m = meta[tid]
+            tx_rows.append(
+                (
+                    tid, f[1], int(f[2]), int(f[3]), int(f[4]), f[5],
+                    int(f[6]) if f[6] else None, int(f[7]) if f[7] else None,
+                    int(f[8]) if f[8] else None, int(f[9]) if f[9] else None,
+                    f[11] or None, f[12] or None, mir,
+                    len(f) > 22 and f[22] == "1", len(f) > 23 and f[23] == "1",
+                    m[1] == "1", int(m[2]) if m[2] else None, m[3] or None,
+                    m[4] or None, m[5] or None, m[6] or None, m[7] or None,
+                    m[8] or None, m[9] or None, m[10] or None, m[11] or None,
+                    m[12] or None,
+                )
+            )
+            if f[12]:
+                tl_rows.append((tid, f[12], f[13] or None, f"NP_{tid}"))
+    tx = spark.createDataFrame(
+        tx_rows,
+        T.StructType(
+            [
+                T.StructField("transcript_id", T.StringType()),
+                T.StructField("chrom", T.StringType()),
+                T.StructField("start", T.LongType()),
+                T.StructField("end", T.LongType()),
+                T.StructField("strand", T.IntegerType()),
+                T.StructField("biotype", T.StringType()),
+                T.StructField("cds_start", T.LongType(), True),
+                T.StructField("cds_end", T.LongType(), True),
+                T.StructField("cdna_coding_start", T.LongType(), True),
+                T.StructField("cdna_coding_end", T.LongType(), True),
+                T.StructField("spliced_seq", T.StringType(), True),
+                T.StructField("cds_sequence", T.StringType(), True),
+                T.StructField(
+                    "mature_mirna_regions",
+                    T.ArrayType(
+                        T.StructType(
+                            [
+                                T.StructField("s", T.LongType()),
+                                T.StructField("e", T.LongType()),
+                            ]
+                        )
+                    ),
+                    True,
+                ),
+                T.StructField("cds_start_nf", T.BooleanType()),
+                T.StructField("cds_end_nf", T.BooleanType()),
+                T.StructField("is_canonical", T.BooleanType()),
+                T.StructField("tsl", T.IntegerType(), True),
+                T.StructField("mane_select", T.StringType(), True),
+                T.StructField("mane_plus_clinical", T.StringType(), True),
+                T.StructField("appris", T.StringType(), True),
+                T.StructField("ccds", T.StringType(), True),
+                T.StructField("swissprot", T.StringType(), True),
+                T.StructField("trembl", T.StringType(), True),
+                T.StructField("uniparc", T.StringType(), True),
+                T.StructField("uniprot_isoform", T.StringType(), True),
+                T.StructField("gene_pheno", T.StringType(), True),
+                T.StructField("ncrna_structure", T.StringType(), True),
+            ]
+        ),
+    )
+    ex = spark.createDataFrame(ex_rows, "transcript_id string, start long, end long")
+    tl = spark.createDataFrame(
+        tl_rows,
+        "transcript_id string, cds_sequence string, translation_seq string, "
+        "stable_id string",
+    )
+    sift_rows = []
+    for line in open(f"{FIX}/sift5.tsv"):
+        f = line.rstrip("\n").split("\t")
+        sift_rows.append(
+            (
+                f[0], int(f[1]), f[2],
+                SIFT_PREDS[int(f[3])], float(f[4]),
+                POLY_PREDS[int(f[5])], float(f[6]),
+            )
+        )
+    sift = spark.createDataFrame(
+        sift_rows,
+        "transcript_id string, protein_position long, alt_aa string, "
+        "sift_prediction string, sift_score double, "
+        "polyphen_prediction string, polyphen_score double",
+    )
+    dom_rows = []
+    for line in open(f"{FIX}/domains5.tsv"):
+        f = line.rstrip("\n").split("\t")
+        dom_rows.append(
+            (
+                f[0], int(f[1]), int(f[2]), f[3] or None,
+                f[4] if len(f) > 4 and f[4] else None,
+            )
+        )
+    dom = spark.createDataFrame(
+        dom_rows,
+        "transcript_id string, start long, end long, analysis string, "
+        "hseqname string",
+    )
+    _, _, _, reg, mot, mirf = _load_context(spark)
+
+    v_rows = []
+    for line in open(f"{FIX}/variants.tsv"):
+        f = line.rstrip("\n").split("\t")
+        v_rows.append((f[0], int(f[1]), int(f[2]), f[3], f[4]))
+    vcf = spark.createDataFrame(
+        v_rows, "chrom string, start long, end long, ref string, alt string"
+    )
+    cache = spark.createDataFrame(
+        [],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string",
+    )
+    out = annotate_vep(
+        vcf, cache, transcripts=tx, exons=ex, regulatory=reg, motifs=mot,
+        mirnas=mirf, translations=tl, sift=sift, domains=dom,
+        csq_everything=True, vep_options={},
+        reference_genome={"1": open(f"{FIX}/genome.txt").read().strip()},
+    )
+    got = {
+        (r["start"], r["ref"], r["alt"]): (r["most_severe_consequence"], r["CSQ"])
+        for r in out.select(
+            "start", "ref", "alt", "most_severe_consequence", "CSQ"
+        ).collect()
+    }
+    expected = {}
+    with gzip.open(f"{FIX}/ref_out5.jsonl.gz", "rt") as fh:
+        for line in fh:
+            r = json.loads(line)
+            expected[(r["pos"], r["ref"], r["alt"])] = (r["most"], r["csq"])
+    assert set(expected) == set(got)
+    diverged = {
+        k: {"ref": expected[k], "got": got[k]}
+        for k in sorted(expected)
+        if expected[k] != got[k]
+    }
+    assert not diverged, (
+        f"{len(diverged)} variants diverged from the --everything replay: "
+        f"{dict(list(diverged.items())[:3])}"
+    )
