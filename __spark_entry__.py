@@ -420,8 +420,8 @@ RANGE_JOIN_STMT = (
 # operator), every one of which was driver-stamped green in BOTH
 # CORRECTNESS_r03.json and CORRECTNESS_r04.json (see git history) and
 # remains covered by pytest boundary/partition-invariance tests and the
-# bench sweep.  The list has since grown with new oracled rows (74 as of
-# round 10 — every entry carries a value oracle); if the driver's cap ever
+# bench sweep.  The list has since grown with new oracled rows (75 as of
+# round 11 — every entry carries a value oracle); if the driver's cap ever
 # lifts, the tail rows are stamped again automatically.
 # ---------------------------------------------------------------------------
 _GATE_ORDER = [

@@ -3,14 +3,22 @@ VEP 115 golden output committed in the reference
 (`vep-benchmark/data/golden/`, driven by `tests/vcf_roundtrip_golden.rs` and
 `golden_benchmark.rs:1-40`).
 
-Like the reference's `vcf_passthrough.rs:19`, the harness SKIPS when the
+Like the reference's `vcf_passthrough.rs:19`, the LFS arm SKIPS when the
 git-LFS fixtures are not hydrated (the files are then LFS pointer stubs).
 On this checkout they are un-hydrated pointers and there is no network to
-fetch them, so engine parity is instead pinned by
-``tests/test_consequence_parity.py`` — truth tables derived from the
-reference's own VEP-115-verified in-module engine tests
-(`transcript_consequence.rs` test module), which cover the same rule
-surface the golden diff would exercise.
+fetch them.
+
+**Mini-golden arm (round 11, ALWAYS runs)**: the committed-golden gap is
+closed by ``test_mini_golden_vcf_end_to_end`` below — a VCF-file-in →
+``read_vcf`` → ``annotate_to_vcf`` → VCF-file-out → reparse loop over the
+1000 lead variants of the differential grid, diffed byte-equal against
+the REFERENCE-ENGINE-produced CSQ strings committed in
+``fixtures/refgrid/ref_out4.jsonl.gz`` (see the fixtures README: the
+reference's own engine + CSQ writer, compiled standalone).  This
+exercises the same end-to-end surface the LFS golden would — VCF parse,
+annotation, INFO fold, VCF serialization — against a golden the repo
+actually carries.  Engine-rule parity is additionally pinned by
+``tests/test_consequence_parity.py`` truth tables.
 """
 
 from __future__ import annotations
@@ -86,3 +94,84 @@ def test_golden_gate_reports_skip_reason():
     assert exists, "reference golden directory missing entirely"
     if not hydrated:
         pytest.skip("golden fixtures present but not hydrated (LFS pointers) — harness armed")
+
+
+def test_mini_golden_vcf_end_to_end(spark, tmp_path):
+    """Committed-golden VCF loop: write the grid's lead 1000 variants as a
+    VCF file, run read_vcf → annotate_to_vcf (full grid context + FASTA
+    shift) → reparse the emitted VCF, and require the CSQ INFO payload to
+    be BYTE-EQUAL to the reference-engine-produced strings pinned in
+    ref_out4.jsonl.gz.  This is the golden-benchmark shape
+    (vcf_roundtrip_golden.rs) against a golden this repo carries."""
+    import gzip
+    import json
+    import os
+
+    from datafusion_bio_functions_spark.sources.readers import (
+        annotate_to_vcf, read_vcf,
+    )
+    from tests.test_csq_grid_parity import FIX, _load_context
+
+    golden = {}
+    with gzip.open(f"{FIX}/ref_out4.jsonl.gz", "rt") as fh:
+        for line in fh:
+            r = json.loads(line)
+            golden[(r["pos"], r["ref"], r["alt"])] = r["csq"]
+
+    # input VCF: first 1000 distinct grid variants, VCF-shaped
+    seen, body = set(), []
+    for line in open(f"{FIX}/variants.tsv"):
+        f = line.rstrip("\n").split("\t")
+        key = (int(f[1]), f[3], f[4])
+        if key in seen:
+            continue
+        seen.add(key)
+        body.append(f"1\t{f[1]}\t.\t{f[3]}\t{f[4]}\t.\t.\t.")
+        if len(body) == 1000:
+            break
+    inp = tmp_path / "mini_input.vcf"
+    inp.write_text(
+        "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        + "\n".join(body) + "\n"
+    )
+
+    vcf = read_vcf(spark, str(inp))
+    tx, ex, tl, reg, mot, mirf = _load_context(spark)
+    cache = spark.createDataFrame(
+        [],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string",
+    )
+    outdir = tmp_path / "annotated"
+    n = annotate_to_vcf(
+        vcf, cache, str(outdir),
+        transcripts=tx, exons=ex, regulatory=reg, motifs=mot, mirnas=mirf,
+        translations=tl, vep_options={},
+        reference_genome={"1": open(f"{FIX}/genome.txt").read().strip()},
+    )
+    assert n == 1000
+
+    got = {}
+    for part in sorted(os.listdir(outdir)):
+        if part.startswith(("00_header", ".", "_")) or part.endswith(".crc"):
+            continue
+        for line in (outdir / part).read_text().splitlines():
+            if not line.strip() or line.startswith("#"):
+                continue
+            f = line.split("\t")
+            csq = ""
+            for kv in f[7].split(";"):
+                if kv.startswith("CSQ="):
+                    csq = kv[4:]
+            got[(int(f[1]), f[3], f[4])] = csq
+
+    assert len(got) == 1000
+    diverged = {
+        k: {"golden": golden[k], "got": got[k]}
+        for k in got
+        if golden.get(k) != got[k]
+    }
+    assert not diverged, (
+        f"{len(diverged)} variants diverged from the committed mini-golden: "
+        f"{dict(list(diverged.items())[:3])}"
+    )
