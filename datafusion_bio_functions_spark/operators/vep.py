@@ -250,14 +250,23 @@ def lookup_variants(
         else F.col("chrom") == F.col("__c_chrom")
     )
     if extended_probes:
-        # overlap the normalized span (insertions: start>end → use min/max);
-        # strict (coordinate-system mismatch) shrinks the probe by one per
-        # side, the reference's FilterOp encoding
+        # VEP's variation-tabix visibility window: a candidate is exposed
+        # only when its START falls inside ``[start-1, end+1]`` of the
+        # probe's ACTIVE compare coordinates (min/max handles the
+        # insertion start>end encoding) — the reference applies this
+        # prefilter after candidate collection so LONG existing variants
+        # that begin before the query window are never exposed to the
+        # allele matcher (existing_start_is_visible_to_input_row,
+        # variant_lookup_exec.rs:401-416 + existing_start_visibility_
+        # matches_variation_tabix_query_window).  Visibility implies span
+        # overlap, so this single predicate replaces the old overlap test.
+        # strict (coordinate-system mismatch) shrinks the window by one
+        # per side, the reference's FilterOp encoding.
         shrink = 0 if filter_op == "weak" else 1
-        lo = F.least(F.col("__vstart"), F.col("__vend"))
-        hi = F.greatest(F.col("__vstart"), F.col("__vend"))
-        coord = (F.col("__c_start") <= hi + 1 - shrink) & (
-            F.col("__c_end") >= lo - 1 + shrink
+        lo = F.least(F.col("__vstart") - 1, F.col("__vend") + 1)
+        hi = F.greatest(F.col("__vstart") - 1, F.col("__vend") + 1)
+        coord = (F.col("__c_start") >= lo + shrink) & (
+            F.col("__c_start") <= hi - shrink
         )
     else:
         coord = (F.col("__c_start") == F.col("__vstart")) & (
