@@ -838,3 +838,156 @@ def test_read_vcf_split_multiallelic(spark, tmp_path):
     assert got == [(100, "ACGT", 3), (100, "G", 2), (100, "T", 1), (200, "G", 1)]
     # every exploded row keeps the shared fixed fields
     assert all(r.ref in ("A", "C") and r.chrom == "chr1" for r in rows)
+
+
+def test_streaming_overlap_incremental_microbatches(spark, tmp_path):
+    """True MULTI-micro-batch e2e (round 11): the reads stream arrives as
+    three separate files processed one per trigger (maxFilesPerTrigger=1),
+    and the appended union across all micro-batches equals the batch
+    interval_join over the full input.  Proves the stream-static overlap
+    is correct INCREMENTALLY, not just on a single availableNow batch."""
+    from datafusion_bio_functions_spark.operators.intervals import interval_join
+    from datafusion_bio_functions_spark.streaming.overlap_stream import (
+        streaming_overlap,
+    )
+
+    anno = spark.createDataFrame(
+        [("chr1", 30, 120), ("chr1", 500, 700), ("chr2", 1, 7)],
+        "contig string, pos_start long, pos_end long",
+    )
+    chunks = [
+        [("chr1", i * 40 + 1, i * 40 + 60) for i in range(10)],
+        [("chr1", 480, 520), ("chr2", 5, 9)],
+        [("chr1", 650, 800), ("chr2", 100, 100)],
+    ]
+    src = tmp_path / "reads_inc"
+    src.mkdir()
+    all_rows = []
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(
+            rows, "contig string, pos_start long, pos_end long"
+        ).coalesce(1).write.parquet(str(src / f"part{i}"))
+        all_rows += rows
+    reads = spark.createDataFrame(
+        all_rows, "contig string, pos_start long, pos_end long"
+    )
+    want = sorted(map(tuple, interval_join(reads, anno, bin_width=64).collect()))
+
+    stream = (
+        spark.readStream.schema(reads.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "part*"))
+    )
+    q = (
+        streaming_overlap(stream, anno, bin_width=64)
+        .writeStream.format("memory").queryName("ovl_inc")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_inc"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 3, [p["numInputRows"] for p in q.recentProgress]
+    got = sorted(map(tuple, spark.sql("SELECT * FROM ovl_inc").collect()))
+    assert got == want and len(got) > 0
+
+
+def test_streaming_event_counts_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark enforcement across micro-batch RUNS (checkpoint restart):
+    a row arriving after the persisted watermark has passed its window is
+    DROPPED; on-time windows finalize with the correct counts.  Run 1
+    advances the watermark to 10:30; run 2 delivers a click at 09:00
+    (window already expired -> dropped) plus a fresh row; run 3 flushes.
+    The append-mode output must contain the 10:00 click window with n=1
+    (the late 09:00 click never lands anywhere) and NO 09:00 window."""
+    src = tmp_path / "ev_inc"
+    src.mkdir()
+    sink = str(tmp_path / "ev_sink")
+    schema = "ts timestamp, event_type string, value double"
+
+    def feed(name, rows):
+        spark.createDataFrame(
+            [(r[0], r[1], r[2]) for r in rows], "ts string, event_type string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src / "f*"))
+        q = (
+            streaming_event_counts(stream)
+            .writeStream.format("parquet").option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_ev"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+
+    feed("f1", [("2026-01-01 10:10:00", "click", 1.0),
+                ("2026-01-01 12:30:00", "view", 2.0)])
+    run()  # watermark -> 10:30 (12:30 - 2h)
+    feed("f2", [("2026-01-01 09:00:00", "click", 99.0),   # LATE: dropped
+                ("2026-01-01 14:00:00", "view", 3.0)])
+    run()  # late row dropped; watermark -> 12:00
+    feed("f3", [("2026-01-01 16:00:00", "view", 4.0)])
+    run()  # flushes windows closed at 12:00 (10:00 click, 11:00.. none)
+
+    rows = {
+        (str(r.window_start), r.event_type): (r.n, r.value_sum)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert rows[("2026-01-01 10:00:00", "click")] == (1, 1.0)
+    assert not any(k[0].startswith("2026-01-01 09:") for k in rows)
+
+
+def test_streaming_event_join_state_across_microbatches(spark, tmp_path):
+    """Stream-stream join STATE across micro-batches: the impression
+    arrives in batch 1, its click only in batch 2 (maxFilesPerTrigger=1)
+    — the pair must still join through the state store, and the processed
+    batch count proves the sides really arrived separately."""
+    from datafusion_bio_functions_spark.streaming.depth_stream import (
+        streaming_event_join,
+    )
+
+    schema = "user_id long, ts timestamp, tag string"
+    srcs = {}
+    for side in ("imp", "clk"):
+        d = tmp_path / side
+        d.mkdir()
+        srcs[side] = d
+
+    def feed(side, name, rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts string, tag string"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+            str(srcs[side] / name)
+        )
+
+    feed("imp", "f1", [(1, "2026-01-01 10:00:00", "imp_a"),
+                       (5, "2026-01-01 20:00:00", "imp_wm")])
+    feed("clk", "f1", [(9, "2026-01-01 10:00:00", "noise")])
+    feed("clk", "f2", [(1, "2026-01-01 10:30:00", "click_in"),
+                       (8, "2026-01-01 20:00:00", "wm")])
+
+    sl = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(srcs["imp"] / "f*"))
+    )
+    sr = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(srcs["clk"] / "f*"))
+    )
+    q = (
+        streaming_event_join(sl, sr, max_delay="1 hour")
+        .writeStream.format("memory").queryName("evjoin_inc")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_evj"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
+    rows = [
+        (r.l_user_id, r.r_tag)
+        for r in spark.sql("SELECT * FROM evjoin_inc").collect()
+    ]
+    assert rows == [(1, "click_in")]
