@@ -96,6 +96,37 @@ def read_bed(
     )
 
 
+def load_fasta(path: str) -> dict[str, str]:
+    """Load a (plain or gzip-compressed) FASTA file into a ``{chrom: seq}``
+    mapping for ``annotate_vep(reference_genome=...)`` — the driver-side
+    analogue of the reference's indexed-FASTA reader
+    (``annotate_provider.rs`` ``hgvs_reference_reader`` /
+    ``validate_hgvs_reference_fasta``).  The contig name is the first
+    whitespace-delimited token of each ``>`` header, like samtools.
+
+    The whole genome is held in driver memory and broadcast once to the
+    executors — fine up to a few GB (a human genome is ~3 GB).  For larger
+    references, or to avoid the driver copy entirely, pass a picklable
+    ``fetch(chrom, start, end)`` callable to ``reference_genome`` that
+    opens an indexed FASTA lazily per executor instead."""
+    import gzip as _gzip
+
+    opener = _gzip.open if path.endswith((".gz", ".bgz")) else open
+    seqs: dict[str, list[str]] = {}
+    cur: list[str] | None = None
+    with opener(path, "rt") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                name = line[1:].split()[0]
+                cur = seqs.setdefault(name, [])
+            elif cur is not None:
+                cur.append(line)
+    return {name: "".join(parts) for name, parts in seqs.items()}
+
+
 def _gtf_attr(attrs: "F.Column", key: str) -> "F.Column":
     return F.regexp_extract(attrs, key + r' "([^"]*)"', 1)
 

@@ -382,11 +382,19 @@ def _eval_udtf(spark: SparkSession, name: str, args: list[object]) -> DataFrame:
                 f"annotate_vep() unknown options_json keys: {sorted(bad)}"
             )
         if "reference_fasta_path" in opts:
-            raise BioSqlError(
-                "annotate_vep() reference_fasta_path is not supported: this "
-                "engine derives HGVS from the transcript CDS model; load the "
-                "FASTA-derived context into the transcripts table instead"
-            )
+            # the reference REQUIRES this whenever HGVS flags are on
+            # (validate_hgvs_reference_fasta); here it feeds the genomic
+            # 3'-shift state via annotate_vep(reference_genome=...) — the
+            # FASTA loads driver-side once and broadcasts
+            from .sources.readers import load_fasta
+
+            fasta_path = opts.pop("reference_fasta_path")
+            try:
+                opts["reference_genome"] = load_fasta(fasta_path)
+            except OSError as e:
+                raise BioSqlError(
+                    f"annotate_vep() reference_fasta_path unreadable: {e}"
+                ) from e
         for k in _layout_noops:
             opts.pop(k, None)
         if "translations_sift_table" in opts:

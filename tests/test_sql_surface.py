@@ -293,22 +293,32 @@ def test_annotate_vep_udtf_shift_hgvs_key_accepted(spark, vep_views):
     assert got.count() == 2
 
 
-def test_annotate_vep_udtf_reference_layout_keys(spark, vep_views):
+def test_annotate_vep_udtf_reference_layout_keys(spark, vep_views, tmp_path):
     """The reference's physical-layout options_json keys are tolerated
     no-ops (partitioned/use_fjall/buffer_size — Spark owns those
     decisions), translations_sift_table maps onto the sift= context arm,
-    and reference_fasta_path gets a targeted error, not 'unknown key'."""
+    and reference_fasta_path loads the FASTA into the genomic 3'-shift
+    state (round 11: previously a targeted rejection; the reference
+    REQUIRES the key whenever HGVS output is on)."""
     got = bio_sql(
         spark,
         "SELECT start FROM annotate_vep('sqlvcf', 'sqlcache', "
         "'{\"partitioned\": true, \"use_fjall\": false, \"buffer_size\": 50000}')",
     )
     assert got.count() == 2
-    with pytest.raises(BioSqlError, match="reference_fasta_path"):
+    fa = tmp_path / "ref.fa"
+    fa.write_text(">1 test contig\n" + "N" * 3000 + "\n")
+    got = bio_sql(
+        spark,
+        "SELECT start FROM annotate_vep('sqlvcf', 'sqlcache', "
+        f"'{{\"reference_fasta_path\": \"{fa}\"}}')",
+    )
+    assert got.count() == 2
+    with pytest.raises(BioSqlError, match="unreadable"):
         bio_sql(
             spark,
             "SELECT * FROM annotate_vep('sqlvcf', 'sqlcache', "
-            "'{\"reference_fasta_path\": \"/x.fa\"}')",
+            "'{\"reference_fasta_path\": \"/nonexistent/x.fa\"}')",
         )
 
 
