@@ -3206,8 +3206,11 @@ def regulatory_features(
     # VEP-MINIMIZED coordinate space — VariantInput::from_vcf prefix/suffix
     # trims before any feature check, so an anchored deletion's anchor base
     # touching a feature's last base does NOT hit it.  Anchored VCF alleles
-    # are normalized here (vep_norm Arrow UDFs); pre-normalized input
-    # (ref '-'/'' insertions) passes through untouched.
+    # are normalized ONCE in a projection BEFORE the join (the three Arrow
+    # UDFs fuse into a single ArrowEvalPython pass; an expression inlined
+    # into each join branch would run the Arrow round-trip once per
+    # feature table).  Pre-normalized input (ref '-'/'' insertions) passes
+    # through untouched.
     if has_alleles:
         from ..functions.alleles import (
             vep_allele_udf, vep_norm_end_udf, vep_norm_start_udf,
@@ -3218,122 +3221,123 @@ def regulatory_features(
             | (F.length(F.coalesce(F.col("ref"), F.lit(""))) == 0)
             | (F.length(F.coalesce(F.col("alt"), F.lit(""))) == 0)
         )
-        pos = F.when(pre_norm, raw_pos).otherwise(
-            vep_norm_start_udf(raw_pos, F.col("ref"), F.col("alt"))
-        )
-        vend = F.when(pre_norm, raw_end).otherwise(
-            vep_norm_end_udf(raw_pos, F.col("ref"), F.col("alt"))
-        )
-        # VEP's insertion overlap is STRICT: an insertion at the feature
-        # start boundary does not touch it (transcript_consequence.rs
-        # regulatory_insertion_at_feature_boundary_excluded)
-        is_insertion = F.when(
-            pre_norm,
-            (F.col("ref") == "-")
-            | (F.length(F.coalesce(F.col("ref"), F.lit(""))) == 0),
-        ).otherwise(
-            F.substring_index(
-                vep_allele_udf(F.col("ref"), F.col("alt")), "/", 1
+        v = vcf.select(
+            "*",
+            F.when(pre_norm, raw_pos)
+            .otherwise(vep_norm_start_udf(raw_pos, F.col("ref"), F.col("alt")))
+            .alias("__nvs"),
+            F.when(pre_norm, raw_end)
+            .otherwise(vep_norm_end_udf(raw_pos, F.col("ref"), F.col("alt")))
+            .alias("__nve"),
+            # VEP's insertion overlap is STRICT: an insertion at the
+            # feature start boundary does not touch it
+            # (transcript_consequence.rs
+            # regulatory_insertion_at_feature_boundary_excluded)
+            F.when(
+                pre_norm,
+                (F.col("ref") == "-")
+                | (F.length(F.coalesce(F.col("ref"), F.lit(""))) == 0),
             )
-            == "-"
+            .otherwise(
+                F.substring_index(
+                    vep_allele_udf(F.col("ref"), F.col("alt")), "/", 1
+                )
+                == "-"
+            )
+            .alias("__nins"),
         )
     else:
-        pos, vend = raw_pos, raw_end
-        is_insertion = F.lit(False)
-
-    def _feat_overlap(fs: "F.Column", fe: "F.Column") -> "F.Column":
-        return F.when(is_insertion, (pos > fs) & (pos <= fe)).otherwise(
-            (pos <= fe) & (vend >= fs)
+        v = vcf.select(
+            "*",
+            raw_pos.alias("__nvs"),
+            raw_end.alias("__nve"),
+            F.lit(False).alias("__nins"),
         )
-    parts = []
+    pos, vend = F.col("__nvs"), F.col("__nve")
+    feat_overlap = F.when(
+        F.col("__nins"), (pos > F.col("__fs")) & (pos <= F.col("__fe"))
+    ).otherwise((pos <= F.col("__fe")) & (vend >= F.col("__fs")))
+
+    # ONE tagged broadcast table for both feature kinds → ONE join (the
+    # two-join shape paid the normalization and the probe twice)
+    feat_parts = []
     if regulatory is not None:
         _check_contract(regulatory, ("chrom", "start", "end", "feature_id"), "regulatory")
         has_type = "feature_type" in regulatory.columns
-        reg = regulatory.select(
-            F.col("chrom").alias("__fc"),
-            F.col("start").cast("long").alias("__fs"),
-            F.col("end").cast("long").alias("__fe"),
-            F.col("feature_id").alias("feature_id"),
-            (F.col("feature_type") if has_type else F.lit("regulatory_region")).alias("__ft"),
-        ).dropDuplicates(["feature_id"])
-        # biotype_override: the feature_type verbatim when the cache is
-        # typed, NULL otherwise (reference regulatory_with_type vs
-        # regulatory test constructors)
-        biotype = (
-            F.col("__ft") if has_type else F.lit(None).cast("string")
-        ).alias("feature_biotype")
-        _norm = (
-            chrom_normalize
-            if chrom_normalize is not None
-            else _chrom_forms_differ(vcf, regulatory)
-        )
-        _fc_eq = (
-            _chrom_key(F.col("chrom")) == _chrom_key(F.col("__fc"))
-            if _norm
-            else F.col("chrom") == F.col("__fc")
-        )
-        hits = vcf.join(
-            F.broadcast(reg),
-            _fc_eq & _feat_overlap(F.col("__fs"), F.col("__fe")),
-        )
-        parts.append(
-            hits.select(
-                *vcf.columns,
-                "feature_id",
-                # ALL regulatory features emit regulatory_region_variant —
-                # feature_type (incl. TF_binding_site) only feeds BIOTYPE;
-                # TF_binding_site_variant comes exclusively from the motif
-                # table (reference append_regulatory_terms inserts only
-                # RegulatoryRegionVariant, transcript_consequence.rs:
-                # 1458-1516 + test_regulatory_feature_biotype_tf_binding_
-                # site; round-10 feature grid)
-                F.lit("regulatory_region_variant").alias("feature_term"),
-                biotype,
-            )
-        )
-        parts.append(
-            hits.filter(
-                is_deletion & (pos <= F.col("__fs")) & (vend >= F.col("__fe"))
-            ).select(
-                *vcf.columns,
-                "feature_id",
-                F.lit("regulatory_region_ablation").alias("feature_term"),
-                biotype,
-            )
+        feat_parts.append(
+            regulatory.select(
+                F.col("chrom").alias("__fc"),
+                F.col("start").cast("long").alias("__fs"),
+                F.col("end").cast("long").alias("__fe"),
+                F.col("feature_id").alias("feature_id"),
+                # biotype_override: the feature_type verbatim when the
+                # cache is typed, NULL otherwise (reference
+                # regulatory_with_type vs regulatory test constructors)
+                (
+                    F.col("feature_type").cast("string")
+                    if has_type
+                    else F.lit(None).cast("string")
+                ).alias("feature_biotype"),
+                F.lit("reg").alias("__fkind"),
+            ).dropDuplicates(["feature_id"])
         )
     if motifs is not None:
         _check_contract(motifs, ("chrom", "start", "end", "feature_id"), "motifs")
-        mot = motifs.select(
-            F.col("chrom").alias("__fc"),
-            F.col("start").cast("long").alias("__fs"),
-            F.col("end").cast("long").alias("__fe"),
-            F.col("feature_id").alias("feature_id"),
-        )
-        _mnorm = (
-            chrom_normalize
-            if chrom_normalize is not None
-            else _chrom_forms_differ(vcf, motifs)
-        )
-        _mc_eq = (
-            _chrom_key(F.col("chrom")) == _chrom_key(F.col("__fc"))
-            if _mnorm
-            else F.col("chrom") == F.col("__fc")
-        )
-        parts.append(
-            vcf.join(
-                F.broadcast(mot),
-                _mc_eq & _feat_overlap(F.col("__fs"), F.col("__fe")),
-            ).select(
-                *vcf.columns,
-                "feature_id",
-                F.lit("TF_binding_site_variant").alias("feature_term"),
+        feat_parts.append(
+            motifs.select(
+                F.col("chrom").alias("__fc"),
+                F.col("start").cast("long").alias("__fs"),
+                F.col("end").cast("long").alias("__fe"),
+                F.col("feature_id").alias("feature_id"),
                 F.lit(None).cast("string").alias("feature_biotype"),
+                F.lit("motif").alias("__fkind"),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    feats = feat_parts[0]
+    for p in feat_parts[1:]:
+        feats = feats.unionByName(p)
+    _norm = (
+        chrom_normalize
+        if chrom_normalize is not None
+        else any(
+            _chrom_forms_differ(vcf, t)
+            for t in (regulatory, motifs)
+            if t is not None
+        )
+    )
+    _fc_eq = (
+        _chrom_key(F.col("chrom")) == _chrom_key(F.col("__fc"))
+        if _norm
+        else F.col("chrom") == F.col("__fc")
+    )
+    hits = v.join(F.broadcast(feats), _fc_eq & feat_overlap)
+    # term fan-out from the single hit set:
+    # * reg rows → regulatory_region_variant for EVERY type — feature_type
+    #   (incl. TF_binding_site) only feeds BIOTYPE; TF_binding_site_variant
+    #   comes exclusively from the motif table (reference
+    #   append_regulatory_terms inserts only RegulatoryRegionVariant,
+    #   transcript_consequence.rs:1458-1516; round-10 feature grid)
+    # * deletions fully covering a reg feature add
+    #   regulatory_region_ablation (VEP complete_overlap_feature AND
+    #   deletion)
+    term = F.when(
+        F.col("__fkind") == "motif", F.lit("TF_binding_site_variant")
+    ).otherwise(F.lit("regulatory_region_variant"))
+    base = hits.select(
+        *vcf.columns, "feature_id", term.alias("feature_term"), "feature_biotype"
+    )
+    abl = hits.filter(
+        (F.col("__fkind") == "reg")
+        & is_deletion
+        & (pos <= F.col("__fs"))
+        & (vend >= F.col("__fe"))
+    ).select(
+        *vcf.columns,
+        "feature_id",
+        F.lit("regulatory_region_ablation").alias("feature_term"),
+        "feature_biotype",
+    )
+    return base.unionByName(abl)
 
 
 def structural_terms(
