@@ -6031,3 +6031,29 @@ def hgvs_p(t: Transcript, pos: int, ref: str, alt: str) -> str | None:
     if j < len(ref_walk):
         return f"{tid}:p.{_aa3(ref_walk[j])}{j + 1}del"
     return None
+
+
+def shifted_deletion_uses_protein_hgvs_reference(
+    t: Transcript,
+    alt_n: str,
+    ref_n: str,
+    shift: "HgvsShift | None",
+    terms: list[str],
+    shift_hgvs: bool = True,
+) -> bool:
+    """Whether USED_REF should report the 3'-shifted deleted bases: the
+    protein-HGVS path consumed the shift — pure deletion, original terms
+    coding, nonzero shift, and BOTH shifted display endpoints map into the
+    CDS (reference shifted_deletion_uses_protein_hgvs_reference,
+    transcript_consequence.rs:7459-7480).  ``alt_n``/``ref_n`` are the
+    normalize_variant outputs ('' encodes the reference's '-')."""
+    if not shift_hgvs or not original_terms_allow_protein_hgvs(terms):
+        return False
+    if alt_n not in ("", "-") or ref_n in ("", "-", None):
+        return False
+    if shift is None or shift.shift_length == 0:
+        return False
+    return (
+        genomic_to_cds_index(t, shift.display_start()) is not None
+        and genomic_to_cds_index(t, shift.display_end()) is not None
+    )

@@ -1758,8 +1758,21 @@ def _annotate_codon(
                 out[k_].append(det[k_])
             vs_, ve_, ref_n, _alt_n, _ins = cq.normalize_variant(p, r, a)
             given = ref_n.upper() if ref_n else None
+            # USED_REF reports the 3'-SHIFTED deleted bases when the
+            # protein-HGVS path consumed the shift (reference
+            # shifted_deletion_uses_protein_hgvs_reference,
+            # transcript_consequence.rs:7459-7480 → used_ref_for_
+            # transcript_variant's use_shifted_deleted_ref arm)
+            use_sref = (
+                sh is not None
+                and cq.shifted_deletion_uses_protein_hgvs_reference(
+                    tr, _alt_n, ref_n, sh, terms, shift_hgvs=_shift_hgvs
+                )
+            )
             used = (
-                cq.used_ref_for_transcript_variant(tr, vs_, ve_, ref_n)
+                cq.used_ref_for_transcript_variant(
+                    tr, vs_, ve_, ref_n, _alt_n, sh, use_sref
+                )
                 if given is not None
                 else None
             )

@@ -360,3 +360,162 @@ def test_csq_everything_grid_parity(spark):
         f"{len(diverged)} variants diverged from the --everything replay: "
         f"{dict(list(diverged.items())[:3])}"
     )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "mode,fixture,width",
+    [("refseq", "ref_out6.jsonl.gz", 78), ("merged", "ref_out6m.jsonl.gz", 79)],
+)
+def test_csq_refseq_mode_grid_parity(spark, mode, fixture, width):
+    """Grid 6: the refseq (78-field) and merged (79-field) CSQ provenance
+    layouts over the grid-2 RefSeq-EDITED transcripts — the SOURCE slot
+    replaced by (or joined with) the five-field REFSEQ_MATCH /
+    [SOURCE] / REFSEQ_OFFSET / GIVEN_REF / USED_REF / BAM_EDIT splice
+    (reference per-mode writer arms, annotate_provider.rs:4475-4498),
+    byte-equal per variant against the reference replay.  Pins the
+    shifted-deletion USED_REF rule (the protein-HGVS path's consumed
+    shift reports the 3'-shifted deleted bases —
+    shifted_deletion_uses_protein_hgvs_reference, transcript_
+    consequence.rs:7459-7480), the edited-transcript reference allele,
+    BAM_EDIT uppercasing, and the cumulative REFSEQ_OFFSET
+    (refseq_misalignment_offset over the rna-edit deltas).  The one
+    documented reference PANIC variant (known_tail2.json) is excluded,
+    as in the grid-2 field replay."""
+    from pyspark.sql import types as T
+
+    from datafusion_bio_functions_spark.operators.vep import annotate_vep
+
+    tx_rows, ex_rows, tl_rows = [], [], []
+    for line in open(f"{FIX}/transcripts2.tsv"):
+        f = line.rstrip("\n").split("\t")
+        tid = f[0]
+        for seg in f[10].split(";"):
+            s, e = map(int, seg.split("-"))
+            ex_rows.append((tid, s, e))
+        edits = [
+            {
+                "start": int(p[0]), "end": int(p[1]),
+                "replacement_len": int(p[2]), "skip_refseq_offset": False,
+            }
+            for p in (e.split("-") for e in f[17].split(";") if e)
+        ] or None
+        segs = [
+            {
+                "genomic_start": int(p[0]), "genomic_end": int(p[1]),
+                "cdna_start": int(p[2]), "cdna_end": int(p[3]), "ori": int(p[4]),
+            }
+            for p in (
+                e.split("-")
+                for e in (f[20].split(";") if len(f) > 20 and f[20] else [])
+            )
+        ] or None
+        tx_rows.append(
+            (
+                tid, f[1], int(f[2]), int(f[3]), int(f[4]), f[5],
+                int(f[6]), int(f[7]), int(f[8]), int(f[9]),
+                f[11] or None, f[12] or None,
+                f[14] or None, f[15] or None, f[16] == "1", edits, segs,
+            )
+        )
+        tl_rows.append(
+            (tid, f[12], f[13] or None, f"NP_{tid}", f[18] or None, f[19] or None)
+        )
+    edits_t = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("start", T.LongType()),
+                T.StructField("end", T.LongType()),
+                T.StructField("replacement_len", T.LongType()),
+                T.StructField("skip_refseq_offset", T.BooleanType()),
+            ]
+        )
+    )
+    segs_t = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("genomic_start", T.LongType()),
+                T.StructField("genomic_end", T.LongType()),
+                T.StructField("cdna_start", T.LongType()),
+                T.StructField("cdna_end", T.LongType()),
+                T.StructField("ori", T.IntegerType()),
+            ]
+        )
+    )
+    tx = spark.createDataFrame(
+        tx_rows,
+        T.StructType(
+            [
+                T.StructField("transcript_id", T.StringType()),
+                T.StructField("chrom", T.StringType()),
+                T.StructField("start", T.LongType()),
+                T.StructField("end", T.LongType()),
+                T.StructField("strand", T.IntegerType()),
+                T.StructField("biotype", T.StringType()),
+                T.StructField("cds_start", T.LongType()),
+                T.StructField("cds_end", T.LongType()),
+                T.StructField("cdna_coding_start", T.LongType()),
+                T.StructField("cdna_coding_end", T.LongType()),
+                T.StructField("spliced_seq", T.StringType(), True),
+                T.StructField("cds_sequence", T.StringType(), True),
+                T.StructField("source", T.StringType(), True),
+                T.StructField("bam_edit_status", T.StringType(), True),
+                T.StructField("has_non_polya_rna_edit", T.BooleanType()),
+                T.StructField("refseq_edits", edits_t, True),
+                T.StructField("cdna_mapper_segments", segs_t, True),
+            ]
+        ),
+    )
+    ex = spark.createDataFrame(ex_rows, "transcript_id string, start long, end long")
+    tl = spark.createDataFrame(
+        tl_rows,
+        "transcript_id string, cds_sequence string, translation_seq string, "
+        "stable_id string, cds_sequence_canonical string, "
+        "translation_seq_canonical string",
+    )
+    panics = {tuple(p) for p in json.load(open(f"{FIX}/known_tail2.json"))["panics"]}
+    v_rows = []
+    for line in open(f"{FIX}/variants.tsv"):
+        f = line.rstrip("\n").split("\t")
+        if (int(f[1]), f[3], f[4]) in panics:
+            continue
+        v_rows.append((f[0], int(f[1]), int(f[2]), f[3], f[4]))
+    vcf = spark.createDataFrame(
+        v_rows, "chrom string, start long, end long, ref string, alt string"
+    )
+    cache = spark.createDataFrame(
+        [],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string",
+    )
+    out = annotate_vep(
+        vcf, cache, transcripts=tx, exons=ex, translations=tl,
+        csq_mode=mode, vep_options={},
+        reference_genome={"1": open(f"{FIX}/genome.txt").read().strip()},
+    )
+    got = {
+        (r["start"], r["ref"], r["alt"]): (r["most_severe_consequence"], r["CSQ"])
+        for r in out.select(
+            "start", "ref", "alt", "most_severe_consequence", "CSQ"
+        ).collect()
+    }
+    expected = {}
+    with gzip.open(f"{FIX}/{fixture}", "rt") as fh:
+        for line in fh:
+            r = json.loads(line)
+            if r["most"] == "PANIC":
+                continue
+            expected[(r["pos"], r["ref"], r["alt"])] = (r["most"], r["csq"])
+    assert set(expected) == set(got)
+    for k, (_, csq) in got.items():
+        for e in csq.split(","):
+            assert len(e.split("|")) == width, (mode, k, len(e.split("|")))
+    diverged = {
+        k: {"ref": expected[k], "got": got[k]}
+        for k in sorted(expected)
+        if expected[k] != got[k]
+    }
+    assert not diverged, (
+        f"{len(diverged)} variants diverged from the {mode}-mode replay: "
+        f"{dict(list(diverged.items())[:3])}"
+    )
