@@ -110,7 +110,10 @@ SO_TERMS_BY_RANK: list[tuple[str, str]] = [
     ("coding_transcript_variant", "MODIFIER"),
     ("upstream_gene_variant", "MODIFIER"),
     ("downstream_gene_variant", "MODIFIER"),
-    ("TFBS_ablation", "MODIFIER"),
+    # TFBS_ablation is MODERATE in the reference's SO table (so_terms.rs
+    # impact(): TfbsAblation => Moderate — VEP 115's calibration);
+    # TFBS_amplification stays MODIFIER (round-11 grid-7 SV arm)
+    ("TFBS_ablation", "MODERATE"),
     ("TFBS_amplification", "MODIFIER"),
     ("TF_binding_site_variant", "MODIFIER"),
     ("regulatory_region_ablation", "MODIFIER"),

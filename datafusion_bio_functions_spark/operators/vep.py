@@ -2243,52 +2243,26 @@ def _annotate_codon(
         ),
         lambda x: F.substring_index(x, "|", -1),
     )
-    if regulatory is not None or motifs is not None:
-        rf = regulatory_features(
-            variants, regulatory, motifs,
-            chrom_normalize=bool(
-                len(
-                    _vforms
-                    | _chrom_forms(
-                        regulatory if regulatory is not None else motifs
+    def _rank_sort_arr(arr: "F.Column") -> "F.Column":
+        # distinct terms → SO-rank order (an entry's '&'-join order)
+        return F.transform(
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        arr,
+                        lambda x: F.format_string("%02d|%s", rank_map[x], x),
                     )
-                    | (_chrom_forms(motifs) if motifs is not None else set())
                 )
-                > 1
             ),
+            lambda x: F.substring_index(x, "|", -1),
         )
-        # one entry per (variant, regulatory feature): ablation+variant
-        # terms fuse into the SAME entry (reference append_regulatory_terms
-        # pushes ONE TranscriptConsequence with the ordered term set)
-        feat_frames.append(
-            rf.filter(F.col("feature_term") != "TF_binding_site_variant")
-            .groupBy(
-                *vcf_cols, "__vep_alt", "feature_id", "feature_biotype"
-            )
-            .agg(_term_sorted.alias("feature_terms"))
-            .select(
-                *vcf_cols, "__vep_alt", "feature_id", "feature_biotype",
-                "feature_terms",
-                F.lit("RegulatoryFeature").alias("__ftype"),
-            )
-        )
-        # motif entries collapse to ONE per variant with NO feature id —
-        # the reference's append_tfbs_terms is an any() over the motif
-        # table pushing a single id-less MotifFeature row
-        # (transcript_consequence.rs:1573-1621; CSQ Feature slot renders
-        # tc.transcript_id=None as '')
-        feat_frames.append(
-            rf.filter(F.col("feature_term") == "TF_binding_site_variant")
-            .groupBy(*vcf_cols, "__vep_alt")
-            .agg(_term_sorted.alias("feature_terms"))
-            .select(
-                *vcf_cols, "__vep_alt",
-                F.lit(None).cast("string").alias("feature_id"),
-                F.lit(None).cast("string").alias("feature_biotype"),
-                "feature_terms",
-                F.lit("MotifFeature").alias("__ftype"),
-            )
-        )
+
+    _vkeys = [*vcf_cols, "__vep_alt"]
+    # structural-variant term sets split by feature family (reference
+    # append_*_terms: reg-kind SV terms merge INTO the regulatory entries,
+    # TFBS-kind into the single motif entry, transcript/generic-kind fuse
+    # into one id-less default entry — transcript_consequence.rs:1380-1770)
+    sv_reg = sv_tfbs = sv_tx = None
     if structural is not None:
         st = structural_terms(
             variants, structural,
@@ -2296,22 +2270,149 @@ def _annotate_codon(
                 len(_vforms | _chrom_forms(structural)) > 1
             ),
         )
-        _st_type = (
-            F.when(
-                F.col("feature_term").startswith("regulatory_region"),
-                "RegulatoryFeature",
+
+        def _sv_fam(cond) -> DataFrame:
+            return (
+                st.filter(cond)
+                .groupBy(*_vkeys)
+                .agg(F.collect_set("feature_term").alias("__sv_terms"))
             )
-            .when(F.col("feature_term").startswith("TFBS"), "MotifFeature")
-            .otherwise(F.lit(""))
+
+        sv_reg = _sv_fam(F.col("feature_term").startswith("regulatory_region_"))
+        sv_tfbs = _sv_fam(F.col("feature_term").startswith("TFBS_"))
+        sv_tx = _sv_fam(
+            F.col("feature_term").isin(
+                "transcript_ablation", "transcript_amplification",
+                "feature_elongation", "feature_truncation",
+            )
         )
+    if regulatory is not None or motifs is not None or sv_reg is not None:
+        if regulatory is not None or motifs is not None:
+            rf = regulatory_features(
+                variants, regulatory, motifs,
+                chrom_normalize=bool(
+                    len(
+                        _vforms
+                        | _chrom_forms(
+                            regulatory if regulatory is not None else motifs
+                        )
+                        | (_chrom_forms(motifs) if motifs is not None else set())
+                    )
+                    > 1
+                ),
+            )
+        else:
+            rf = None
+        # one entry per (variant, regulatory feature): ablation+variant
+        # terms fuse into the SAME entry (reference append_regulatory_terms
+        # pushes ONE TranscriptConsequence with the ordered term set),
+        # PLUS the variant's regulatory-kind SV terms (sv_terms.clone() is
+        # seeded into every per-feature term set)
+        reg_g = (
+            rf.filter(F.col("feature_term") != "TF_binding_site_variant")
+            .groupBy(*_vkeys, "feature_id", "feature_biotype")
+            .agg(_term_sorted.alias("feature_terms"))
+            if rf is not None
+            else None
+        )
+        if reg_g is not None and sv_reg is not None:
+            reg_g = reg_g.join(F.broadcast(sv_reg), _vkeys, "left").withColumn(
+                "feature_terms",
+                _rank_sort_arr(
+                    F.concat(
+                        F.col("feature_terms"),
+                        F.coalesce(F.col("__sv_terms"), F.array()),
+                    )
+                ),
+            ).drop("__sv_terms")
+        if reg_g is not None:
+            feat_frames.append(
+                reg_g.select(
+                    *_vkeys, "feature_id", "feature_biotype", "feature_terms",
+                    F.lit("RegulatoryFeature").alias("__ftype"),
+                )
+            )
+        if sv_reg is not None:
+            # reg-SV terms with NO overlapped regulatory feature emit one
+            # standalone id-less RegulatoryFeature entry (reference
+            # append_regulatory_terms' !matched_regulatory arm)
+            standalone = (
+                sv_reg.join(
+                    reg_g.select(*_vkeys).distinct(), _vkeys, "left_anti"
+                )
+                if reg_g is not None
+                else sv_reg
+            )
+            feat_frames.append(
+                standalone.select(
+                    *_vkeys,
+                    F.lit(None).cast("string").alias("feature_id"),
+                    F.lit(None).cast("string").alias("feature_biotype"),
+                    _rank_sort_arr(F.col("__sv_terms")).alias("feature_terms"),
+                    F.lit("RegulatoryFeature").alias("__ftype"),
+                )
+            )
+        # motif entries collapse to ONE per variant with NO feature id —
+        # the reference's append_tfbs_terms is an any() over the motif
+        # table pushing a single id-less MotifFeature row whose term set
+        # ALSO carries the variant's TFBS-kind SV terms
+        # (transcript_consequence.rs:1573-1621; CSQ Feature slot renders
+        # tc.transcript_id=None as '')
+        mot_hit = (
+            rf.filter(F.col("feature_term") == "TF_binding_site_variant")
+            .groupBy(*_vkeys)
+            .agg(F.lit(True).alias("__mhit"))
+            if rf is not None
+            else None
+        )
+        if mot_hit is not None and sv_tfbs is not None:
+            mot_all = mot_hit.join(F.broadcast(sv_tfbs), _vkeys, "full")
+        elif mot_hit is not None:
+            mot_all = mot_hit.withColumn(
+                "__sv_terms", F.lit(None).cast("array<string>")
+            )
+        elif sv_tfbs is not None:
+            mot_all = sv_tfbs.withColumn("__mhit", F.lit(None).cast("boolean"))
+        else:
+            mot_all = None
+        if mot_all is not None:
+            feat_frames.append(
+                mot_all.select(
+                    *_vkeys,
+                    F.lit(None).cast("string").alias("feature_id"),
+                    F.lit(None).cast("string").alias("feature_biotype"),
+                    _rank_sort_arr(
+                        F.concat(
+                            F.when(
+                                F.coalesce(F.col("__mhit"), F.lit(False)),
+                                F.array(F.lit("TF_binding_site_variant")),
+                            ).otherwise(F.array().cast("array<string>")),
+                            F.coalesce(F.col("__sv_terms"), F.array()),
+                        )
+                    ).alias("feature_terms"),
+                    F.lit("MotifFeature").alias("__ftype"),
+                )
+            )
+    if sv_tx is not None:
+        # transcript/generic-kind SV terms fuse into ONE id-less default
+        # entry per variant (FeatureType::None), emitted only when the
+        # variant's chromosome carries transcripts at all (the reference's
+        # has_transcripts_on_chrom gate) — a broadcast left-semi join
+        # against the transcript table's chrom set, no driver collect
+        tchroms = transcripts.select(
+            _chrom_key(F.col("chrom")).alias("__tc")
+        ).distinct()
         feat_frames.append(
-            st.select(
-                *vcf_cols,
-                "__vep_alt",
+            sv_tx.join(
+                F.broadcast(tchroms),
+                _chrom_key(F.col("chrom")) == F.col("__tc"),
+                "left_semi",
+            ).select(
+                *_vkeys,
                 F.lit(None).cast("string").alias("feature_id"),
                 F.lit(None).cast("string").alias("feature_biotype"),
-                F.array(F.col("feature_term")).alias("feature_terms"),
-                _st_type.alias("__ftype"),
+                _rank_sort_arr(F.col("__sv_terms")).alias("feature_terms"),
+                F.lit("").alias("__ftype"),
             )
         )
     if mirnas is not None:
@@ -3415,7 +3516,30 @@ def structural_terms(
         )
         .where(F.col("feature_term").isNotNull())
     )
-    pos, vend = F.col("start").cast("long"), F.col("end").cast("long")
+    raw_pos, raw_end = F.col("start").cast("long"), F.col("end").cast("long")
+    # SV overlap runs in the VEP-MINIMIZED coordinate space like every
+    # engine-level check (plain overlaps() on VariantInput.start/end,
+    # transcript_consequence.rs:1384/1548/1698 — no insertion special
+    # case); anchored alleles normalize once in a projection
+    if "ref" in vcf.columns and "alt" in vcf.columns:
+        from ..functions.alleles import vep_norm_end_udf, vep_norm_start_udf
+
+        pre_norm = (
+            (F.col("ref") == "-") | (F.col("alt") == "-")
+            | (F.length(F.coalesce(F.col("ref"), F.lit(""))) == 0)
+            | (F.length(F.coalesce(F.col("alt"), F.lit(""))) == 0)
+        )
+        v = vcf.select(
+            "*",
+            F.when(pre_norm, raw_pos)
+            .otherwise(vep_norm_start_udf(raw_pos, F.col("ref"), F.col("alt")))
+            .alias("__svs"),
+            F.when(pre_norm, raw_end)
+            .otherwise(vep_norm_end_udf(raw_pos, F.col("ref"), F.col("alt")))
+            .alias("__sve"),
+        )
+    else:
+        v = vcf.select("*", raw_pos.alias("__svs"), raw_end.alias("__sve"))
     _fc_eq = (
         _chrom_key(F.col("chrom")) == _chrom_key(F.col("__fc"))
         if (
@@ -3425,10 +3549,19 @@ def structural_terms(
         )
         else F.col("chrom") == F.col("__fc")
     )
+    # VariantInput::from_vcf encodes a pure insertion as the POINT
+    # (new_start, new_start) — the insertion point itself, NOT the
+    # (start, start-1) pair the vep_norm functions emit
+    # (transcript_consequence.rs:89-96: "Pure insertion: the affected
+    # position is the insertion point itself").  An insertion at the base
+    # AFTER a feature's last base therefore does NOT hit it, while one at
+    # the last base does.  span = [vs, max(vs, ve)].
+    _lo = F.col("__svs")
+    _hi = F.greatest(F.col("__svs"), F.col("__sve"))
     return (
-        vcf.join(
+        v.join(
             F.broadcast(sv),
-            _fc_eq & (pos <= F.col("__fe")) & (vend >= F.col("__fs")),
+            _fc_eq & (_lo <= F.col("__fe")) & (_hi >= F.col("__fs")),
         )
         .select(*vcf.columns, "feature_term")
         .distinct()

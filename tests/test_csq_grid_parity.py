@@ -519,3 +519,88 @@ def test_csq_refseq_mode_grid_parity(spark, mode, fixture, width):
         f"{len(diverged)} variants diverged from the {mode}-mode replay: "
         f"{dict(list(diverged.items())[:3])}"
     )
+
+
+@pytest.mark.slow
+def test_csq_structural_variant_grid_parity(spark):
+    """Grid 7: STRUCTURAL-VARIANT feature context (``features7.tsv`` = the
+    grid-3 features + sv rows) through the full CSQ assembly — the
+    reference's SV merge semantics (transcript_consequence.rs:1380-1770):
+    regulatory-kind SV terms fuse INTO each overlapped regulatory entry
+    ('&'-joined with regulatory_region_variant) or emit one standalone
+    id-less RegulatoryFeature entry when no feature overlaps; TFBS-kind
+    terms join the single id-less motif entry; transcript/generic-kind
+    terms fuse into ONE default (rank-3) entry gated on the chromosome
+    carrying transcripts.  Also pins the VariantInput insertion POINT
+    encoding for SV overlap (an insertion after a feature's last base
+    misses it; transcript_consequence.rs:89-96) and the TFBS_ablation
+    MODERATE impact (so_terms.rs).  ZERO whitelist, byte-equal per
+    variant against ref_out7.jsonl.gz."""
+    from datafusion_bio_functions_spark.operators.vep import annotate_vep
+
+    tx, ex, tl, _, _, _ = _load_context(spark)
+    reg_rows, mot_rows, mir_rows, sv_rows = [], [], [], []
+    for line in open(f"{FIX}/features7.tsv"):
+        f = line.rstrip("\n").split("\t")
+        s, e = int(f[2]), int(f[3])
+        if f[0] == "reg":
+            reg_rows.append(("1", s, e, f[1], f[4] if len(f) > 4 and f[4] else None))
+        elif f[0] == "motif":
+            mot_rows.append(("1", s, e, f[1]))
+        elif f[0] == "mirna":
+            mir_rows.append(("1", s, e, f[1]))
+        elif f[0] == "sv":
+            sv_rows.append(("1", s, e, f[4], f[5], f[1]))
+    reg = spark.createDataFrame(
+        reg_rows,
+        "chrom string, start long, end long, feature_id string, feature_type string",
+    )
+    mot = spark.createDataFrame(
+        mot_rows, "chrom string, start long, end long, feature_id string"
+    )
+    mirf = spark.createDataFrame(
+        mir_rows, "chrom string, start long, end long, mirna_id string"
+    )
+    svf = spark.createDataFrame(
+        sv_rows,
+        "chrom string, start long, end long, feature_kind string, "
+        "event_kind string, feature_id string",
+    )
+    v_rows = []
+    for line in open(f"{FIX}/variants.tsv"):
+        f = line.rstrip("\n").split("\t")
+        v_rows.append((f[0], int(f[1]), int(f[2]), f[3], f[4]))
+    vcf = spark.createDataFrame(
+        v_rows, "chrom string, start long, end long, ref string, alt string"
+    )
+    cache = spark.createDataFrame(
+        [],
+        "chrom string, start long, end long, variation_name string, "
+        "allele_string string",
+    )
+    out = annotate_vep(
+        vcf, cache, transcripts=tx, exons=ex, regulatory=reg, motifs=mot,
+        mirnas=mirf, structural=svf, translations=tl, vep_options={},
+        reference_genome={"1": open(f"{FIX}/genome.txt").read().strip()},
+    )
+    got = {
+        (r["start"], r["ref"], r["alt"]): (r["most_severe_consequence"], r["CSQ"])
+        for r in out.select(
+            "start", "ref", "alt", "most_severe_consequence", "CSQ"
+        ).collect()
+    }
+    expected = {}
+    with gzip.open(f"{FIX}/ref_out7.jsonl.gz", "rt") as fh:
+        for line in fh:
+            r = json.loads(line)
+            expected[(r["pos"], r["ref"], r["alt"])] = (r["most"], r["csq"])
+    assert set(expected) == set(got)
+    diverged = {
+        k: {"ref": expected[k], "got": got[k]}
+        for k in sorted(expected)
+        if expected[k] != got[k]
+    }
+    assert not diverged, (
+        f"{len(diverged)} variants diverged from the SV replay: "
+        f"{dict(list(diverged.items())[:3])}"
+    )
