@@ -64,6 +64,14 @@ def get_or_create_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # PySpark 4 call-site capture for error context costs ~4 extra py4j
+        # round-trips (conf.get + PySparkCurrentOrigin set/clear) per
+        # DataFrame/Column API call; plan-heavy operators (annotate_vep:
+        # ~6k API calls) spend multiple DRIVER seconds per build on it.
+        # Production driver setting, scale-independent (guide §5: the
+        # driver should do almost no work).  Measured (r11, warm build):
+        # annotate_vep_typed 4.63 -> 1.95 s, nearest 1.25 -> 0.48 s.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # single-JVM local mode: UI/event bookkeeping across hundreds of tiny
         # jobs otherwise accumulates into multi-second driver GC pauses
         .config("spark.ui.enabled", "false")
