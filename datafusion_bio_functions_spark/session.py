@@ -54,6 +54,18 @@ def get_or_create_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing in parallelismFirst mode floors partitions at
+        # minPartitionSize (default 1 MiB) — a byte proxy that serializes
+        # compute-bound stages: a shuffle carrying <1 MiB/core of rows into
+        # an Arrow/pandas kernel (pair-cosine rerank, consequence classify,
+        # block GEMM) coalesces to ONE task no matter how expensive each
+        # row is.  64 KiB keeps byte-based coalescing for I/O-bound stages
+        # while letting small compute-heavy shuffles use the cores; at data
+        # scale partitions are far above either floor so the knob is inert.
+        # Measured (r11, sf0.1): UDF-heavy 8-query subset 18.5 -> 14.9 s
+        # (semantic_dedup -1.3, minhash -0.7, lsh rerank rows -0.4 each);
+        # 14 small scan-bound queries unchanged within noise.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 10k-row default Arrow batches fragment grouped-UDF input into
