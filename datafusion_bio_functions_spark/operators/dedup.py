@@ -975,6 +975,15 @@ def ngram_jaccard_dedup(
 #: after the first round, so the crossover is where edge volume (not
 #: round count) dominates.
 _CC_STAR_THRESHOLD = 2_000_000
+#: Canonical edge sets at or below this size short-circuit to a driver-side
+#: union-find under ``algorithm='auto'`` (two long columns — a few MB
+#: collected, the same bounded-collect budget as the CollectLeft interval
+#: guards).  Every distributed CC round costs a join + aggregate + eager
+#: checkpoint + count (~7 scheduler jobs); on a small graph the loop is
+#: pure per-job latency — measured r11: the sf0.1 components gate row spent
+#: ~25 of its 35 jobs in the loop for a graph that union-finds in
+#: microseconds.  Above the guard the shuffle-parallel loops run unchanged.
+_CC_DRIVER_MAX_EDGES = 100_000
 
 
 def connected_components(
@@ -1025,7 +1034,10 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     if algorithm == "auto":
-        algorithm = "star" if canon.count() > _CC_STAR_THRESHOLD else "label"
+        n_edges = canon.count()
+        if n_edges <= _CC_DRIVER_MAX_EDGES:
+            return _cc_driver(canon)
+        algorithm = "star" if n_edges > _CC_STAR_THRESHOLD else "label"
     if algorithm == "star":
         return _cc_star(canon, max_iter)
     edges = canon.select(
@@ -1074,6 +1086,40 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(component diameter exceeds the cap — raise max_iter)"
+    )
+
+
+def _cc_driver(canon: DataFrame) -> DataFrame:
+    """Union-find over a guard-bounded canonical edge set, collected to the
+    driver.  Output contract identical to the distributed paths: one
+    ``(id, component)`` row per node touched by a real edge, component =
+    minimum id of its component."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in canon.collect():
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min root so the root IS the component minimum
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    rows = [(n, find(n)) for n in parent]
+    return canon.sparkSession.createDataFrame(
+        rows, "id long, component long"
     )
 
 

@@ -1056,12 +1056,23 @@ def cluster(
         # (contig, bin) shuffle loses all parallelism — measured sf100:
         # 315 s binned vs scan-bound with this path.  Wide real genomes
         # (many extents) keep the shuffle-parallel binned join below.
-        if filter_op == "weak" and _fits_broadcast(ids, BROADCAST_GUARD_ROWS):
-            maxper = (
-                ids.groupBy(c).count().agg(F.max("count").alias("m")).collect()[0]["m"]
-                or 0
+        if filter_op == "weak":
+            # ONE stats job answers both fast-path gates (total extents ≤
+            # broadcast guard, ≤64 extents/contig) — the checkpoint is
+            # materialized by whichever consumer runs first, so splitting
+            # this into a bounded _fits_broadcast probe plus a separate
+            # maxper aggregate paid an extra scheduler round-trip for no
+            # scan savings (r11 probe-fusion)
+            stats = (
+                ids.groupBy(c)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .agg(F.sum("__n").alias("t"), F.max("__n").alias("m"))
+                .collect()[0]
             )
-            if maxper <= 64:
+            if (
+                (stats["t"] or 0) <= BROADCAST_GUARD_ROWS
+                and (stats["m"] or 0) <= 64
+            ):
                 rid = ids.select(
                     F.col(c).alias("__cc"),
                     F.col("cluster"),
@@ -1172,13 +1183,17 @@ def complement(
     df, (c, s, e) = _normalize(df, cols)
     m = merge(df, min_dist=min_dist, cols=(c, s, e), filter_op=filter_op,
               algorithm=merge_algorithm, chunk_width=chunk_width)
-    # NOTE: m is consumed by 2-3 branches below and its window stages do
-    # re-run per consumer — but they run over the MERGED islands (genome-
-    # bounded, not input-sized), so the duplication is cheap at every
-    # scale; a localCheckpoint barrier here measured net-negative (2.45 vs
-    # 2.25 s at sf0.1).  The input-sized scan+aggregation IS exchange-
-    # reused.  Contrast cluster(), whose duplicated windows ran over the
-    # full input and DO warrant the checkpoint.
+    # m is consumed by 2-3 branches below (before/tail gaps + the view-only
+    # probe): without a barrier each union branch re-ran the input-sized
+    # sort+window of the merge (measured r11: 15.9 s of task time in the
+    # final stage at sf0.1 — AQE does not exchange-reuse the post-shuffle
+    # window stages).  A lazy localCheckpoint truncates the lineage to the
+    # merged islands (genome-bounded rows), so every branch reads the
+    # materialized islands instead.  Re-measured net-POSITIVE once the
+    # r11 driver-side fixes cut checkpoint planning cost (2.50 -> 1.85 s);
+    # the round-7 measurement that removed it predates those.
+
+    m = m.localCheckpoint(eager=False)
 
     if view is not None:
         view, (vc, vs, ve) = _normalize(view, view_cols)

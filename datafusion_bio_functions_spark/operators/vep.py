@@ -1475,8 +1475,19 @@ def _annotate_codon(
     # classification depends only on the variant, not on which cache rows
     # matched it — pair DISTINCT variants with transcripts so a variant
     # with many colocated cache records costs the consequence engine once
+    # explicit repartition on the distinct keys, pinned at the configured
+    # shuffle parallelism: the deduped variants flow into the classify
+    # Arrow kernel, whose cost is per ROW, but AQE coalesces this exchange
+    # by BYTES — a sub-megabyte variant set collapsed to one task and ran
+    # the whole consequence engine serially (measured r11: 1.7 s on 1 task
+    # at sf0.1).  A user-specified partition count is exempt from AQE
+    # coalescing; the count is the session's shuffle parallelism (the same
+    # exchange a bare .distinct() would plan), so cluster configs behave
+    # identically at scale.
+    _np = int(looked.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     variants = (
         looked.select(*vcf_cols)
+        .repartition(_np, *vcf_cols)
         .distinct()
         # the VEP-minimized alt is an Arrow-UDF round-trip: compute it ONCE
         # per distinct variant here — the CSQ Allele slot (per-pair frame),

@@ -152,8 +152,31 @@ def test_connected_components_non_convergence_raises(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
     )
+    # algorithm pinned: under 'auto' a guard-bounded edge set now resolves
+    # through the driver union-find fast path without iterating
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=1)
+        connected_components(chain, max_iter=1, algorithm="label")
+
+
+def test_connected_components_driver_fast_path_equals_label(spark):
+    from datafusion_bio_functions_spark.operators.dedup import (
+        _CC_DRIVER_MAX_EDGES,
+        connected_components,
+    )
+
+    # chain + clique + self-pair + duplicate edges + isolated pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (5, 6), (6, 7), (9, 9), (2, 1), (10, 11)],
+        "id_a long, id_b long",
+    )
+    assert pairs.count() <= _CC_DRIVER_MAX_EDGES  # auto takes the driver path
+    fast = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    slow = {
+        (r.id, r.component)
+        for r in connected_components(pairs, algorithm="label").collect()
+    }
+    assert fast == slow
+    assert fast == {(1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (7, 5), (10, 10), (11, 10)}
 
 
 def test_dedup_clusters_assignment(spark):
