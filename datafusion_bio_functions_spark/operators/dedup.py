@@ -124,33 +124,68 @@ def substring_dup_spans(
         .select(F.col(id_col), _norm_text(text_col).alias("__norm"))
         .filter(F.length("__norm") >= window)
     )
+    if output == "spans":
+        wins = norm.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.length("__norm") - (window - 1), F.lit(stride)
+                    ),
+                    lambda i: F.struct(
+                        i.alias("win_pos"),
+                        F.xxhash64(F.col("__norm").substr(i, F.lit(window))).alias(
+                            "win_hash"
+                        ),
+                    ),
+                )
+            ).alias("__w"),
+        ).select(id_col, F.col("__w.win_pos"), F.col("__w.win_hash"))
+        dup_hashes = (
+            wins.groupBy("win_hash")
+            .agg(F.countDistinct(id_col).alias("__nd"))
+            .filter(F.col("__nd") >= 2)
+            .select("win_hash")
+        )
+        return wins.join(dup_hashes, "win_hash", "left_semi").select(
+            id_col, "win_pos", "win_hash"
+        )
+    # doc_stats: positions are never emitted, so the explode can carry bare
+    # hashes and — the big one — run ONCE.  The old shape computed the
+    # exploded-window subtree three times (countDistinct aggregate, the
+    # semi-join probe, and the per-doc totals); total_windows is a pure
+    # function of the normalized length (the sequence arithmetic), and the
+    # dup test folds into groupBy(hash, doc) + per-hash count + groupBy(doc)
+    # — partial map-side aggregation collapses within-doc repeats before
+    # the first exchange (guide §2.3/§2.4).
     wins = norm.select(
-        id_col,
+        F.col(id_col),
         F.explode(
             F.transform(
                 F.sequence(
                     F.lit(1), F.length("__norm") - (window - 1), F.lit(stride)
                 ),
-                lambda i: F.struct(
-                    i.alias("win_pos"),
-                    F.xxhash64(F.col("__norm").substr(i, F.lit(window))).alias(
-                        "win_hash"
-                    ),
-                ),
+                lambda i: F.xxhash64(F.col("__norm").substr(i, F.lit(window))),
             )
-        ).alias("__w"),
-    ).select(id_col, F.col("__w.win_pos"), F.col("__w.win_hash"))
-    dup_hashes = (
-        wins.groupBy("win_hash")
-        .agg(F.countDistinct(id_col).alias("__nd"))
-        .filter(F.col("__nd") >= 2)
-        .select("win_hash")
+        ).alias("win_hash"),
     )
-    flagged = wins.join(dup_hashes, "win_hash", "left_semi")
-    if output == "spans":
-        return flagged.select(id_col, "win_pos", "win_hash")
-    totals = wins.groupBy(id_col).agg(F.count(F.lit(1)).alias("total_windows"))
-    dups = flagged.groupBy(id_col).agg(F.count(F.lit(1)).alias("dup_windows"))
+    grp = wins.groupBy("win_hash", id_col).agg(F.count(F.lit(1)).alias("__c"))
+    # rows are distinct (hash, doc) pairs, so count(*) per hash == the old
+    # countDistinct(doc); a window keeps hot boilerplate hashes spillable
+    # instead of materializing per-hash doc lists
+    wnd = Window.partitionBy("win_hash")
+    dups = (
+        grp.withColumn("__nd", F.count(F.lit(1)).over(wnd))
+        .filter(F.col("__nd") >= 2)
+        .groupBy(id_col)
+        .agg(F.sum("__c").alias("dup_windows"))
+    )
+    totals = norm.select(
+        F.col(id_col),
+        (
+            F.floor((F.length("__norm") - F.lit(window)) / F.lit(stride)) + 1
+        ).cast("long").alias("total_windows"),
+    )
     return (
         totals.join(dups, id_col, "left")
         .select(
