@@ -19,6 +19,7 @@ import random
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -48,28 +49,131 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
+def _stack_vectors(s: pd.Series) -> np.ndarray:
+    """(n, dim) float64 matrix from a pandas Series of fixed-length vectors
+    (grouped-map path: the group frame is a row-filtered batch slice, so the
+    per-row ndarray views are not contiguous and a copy is unavoidable).
+    Pure conversion — bit-identical values; every summation-order contract
+    lives in the kernels themselves."""
+    if len(s) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    return np.vstack(s.to_numpy()).astype(np.float64, copy=False)
+
+
+#: Per-worker grow-only scratch buffers for the hot-path batch kernels.
+#: Fresh large allocations are pathologically expensive in sandboxed hosts
+#: (measured r11 on this Firecracker sandbox: ~40 µs per faulted page — a
+#: 51 MB ``astype`` allocation costs ~0.5 s, ``np.copyto`` into a warm
+#: buffer 18 ms), and glibc returns big blocks to the kernel on free, so
+#: per-batch temporaries re-fault every batch.  Python UDF workers are
+#: single-threaded and reused across batches (spark.python.worker.reuse
+#: default), so one keyed slot per argument position is race-free; slots
+#: are slab-sized (``_KERNEL_SLAB`` rows), not batch-sized, so the one-time
+#: fault cost is a few MB per worker.
+_POOL: dict[str, np.ndarray] = {}
+
+#: Rows per inner kernel slab: pooled scratch stays L2/L3-resident (and
+#: page-fault-warm) no matter how large the Arrow batch is.  Row-wise
+#: kernels are row-independent, so slabbing cannot change any per-row
+#: summation order.
+_KERNEL_SLAB = 8192
+
+
+def _pooled(key: str, size: int) -> np.ndarray:
+    buf = _POOL.get(key)
+    if buf is None or buf.size < size:
+        buf = np.empty(size, dtype=np.float64)
+        _POOL[key] = buf
+    return buf[:size]
+
+
+def _list_matrix(arr: "pa.Array") -> np.ndarray:
+    """(n, dim) matrix view of an Arrow ``list<float|double>`` column in its
+    NATIVE dtype, zero-copy: the list array's flat values buffer is viewed
+    and reshaped (measured r11: the pandas Series route costs ~13 µs/row of
+    per-element unboxing — ~1.3 s per 100 k×64 batch, the dominant cost of
+    every rerank/bucket/assign stage — vs ~0.05 ms for this view).  Falls
+    back to a float64 per-row copy for ragged/nullable layouts.  Callers
+    must treat the result as READ-ONLY, and kernels that need double math
+    over a float32 view widen per-column with ``dtype=np.float64`` ufuncs —
+    the identical exact per-element upcast the JVM expression path applies
+    via ``cast("double")``."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if arr.null_count == 0 and pa.types.is_list(arr.type):
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + n + 1
+        ]
+        d = int(offs[1] - offs[0]) if n else 0
+        if d > 0 and (np.diff(offs) == d).all():
+            vals = arr.values
+            if vals.null_count == 0:
+                if pa.types.is_float64(vals.type):
+                    np_type = np.float64
+                elif pa.types.is_float32(vals.type):
+                    np_type = np.float32
+                else:
+                    np_type = None
+                if np_type is not None:
+                    flat = np.frombuffer(vals.buffers()[1], dtype=np_type)
+                    lo = vals.offset + int(offs[0])
+                    return flat[lo : lo + n * d].reshape(n, d)
+    return np.array(arr.to_pylist(), dtype=np.float64)
+
+
+def _int_matrix_to_lists(ids: np.ndarray) -> "pa.ListArray":
+    """Arrow ``list`` column from an (n, m) integer matrix — one C-level
+    reshape instead of materializing n Python lists."""
+    n, m = ids.shape
+    return pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32)),
+        pa.array(ids.reshape(-1)),
+    )
+
+
 def _pair_cosine_kernel():
-    """Arrow-vectorized pair cosine that is bit-identical to
+    """Arrow-native pair cosine that is bit-identical to
     ``dot(a,b)/(l2_norm(a)*l2_norm(b))``: the per-row folds run as
     column-sweeps of sequential double adds — the same IEEE operation
     order as the JVM ``aggregate`` expression, so oracle value-hashes are
     unchanged while the 64-deep interpreted expression tree (the bench
-    hotspot at sf1) becomes ~10 numpy ops per batch."""
+    hotspot at sf1) becomes ~10 numpy ops per batch.  ``arrow_udf`` keeps
+    both directions of the Python boundary zero-copy (guide §4): the list
+    inputs arrive as one flat buffer (``_list_matrix``) and the double
+    result leaves as one buffer."""
     from pyspark.sql import types as T
 
-    @F.pandas_udf(T.DoubleType())
-    def pair_cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
-        x = np.array(qv.tolist(), dtype=np.float64)
-        y = np.array(cv.tolist(), dtype=np.float64)
+    @F.arrow_udf(T.DoubleType())
+    def pair_cos(qv: pa.Array, cv: pa.Array) -> pa.Array:
+        x = _list_matrix(qv)
+        y = _list_matrix(cv)
         n, d = x.shape
-        acc = np.zeros(n)
-        qn = np.zeros(n)
-        cn = np.zeros(n)
-        for j in range(d):  # strict left-to-right summation per row
-            acc = acc + x[:, j] * y[:, j]
-            qn = qn + x[:, j] * x[:, j]
-            cn = cn + y[:, j] * y[:, j]
-        return pd.Series(acc / (np.sqrt(qn) * np.sqrt(cn)))
+        res = np.empty(n, dtype=np.float64)
+        slab = _KERNEL_SLAB
+        acc = _pooled("pc_acc", slab)
+        qn = _pooled("pc_qn", slab)
+        cn = _pooled("pc_cn", slab)
+        tmp = _pooled("pc_tmp", slab)
+        for i0 in range(0, n, slab):
+            xs = x[i0 : i0 + slab]
+            ys = y[i0 : i0 + slab]
+            m = xs.shape[0]
+            a, q, c, t = acc[:m], qn[:m], cn[:m], tmp[:m]
+            a[:] = 0.0
+            q[:] = 0.0
+            c[:] = 0.0
+            for j in range(d):  # strict left-to-right summation per row
+                np.multiply(xs[:, j], ys[:, j], out=t, dtype=np.float64)
+                a += t
+                np.multiply(xs[:, j], xs[:, j], out=t, dtype=np.float64)
+                q += t
+                np.multiply(ys[:, j], ys[:, j], out=t, dtype=np.float64)
+                c += t
+            res[i0 : i0 + m] = a / (np.sqrt(q) * np.sqrt(c))
+        return pa.array(res, type=pa.float64())
 
     return pair_cos
 
@@ -159,26 +263,44 @@ def lsh_cosine_topk(
     tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
 
     def _buckets_kernel():
-        """Per-table sign-bit bucket ids, Arrow-vectorized.  The plane dots
+        """Per-table sign-bit bucket ids, Arrow-native.  The plane dots
         use the same strict left-to-right summation as ``_bucket_expr``, so
         every sign decision (and therefore every bucket id) is identical to
-        the JVM expression path — only ~n_tables·n_planes·dim column sweeps
-        per batch instead of an interpreted expression per (row, plane)."""
+        the JVM expression path — only ~dim column sweeps per batch instead
+        of an interpreted expression per (row, plane)."""
         mat = np.array([p for planes in tables for p in planes], dtype=np.float64)
 
-        @F.pandas_udf(T.ArrayType(T.LongType()))
-        def buckets(v: pd.Series) -> pd.Series:
-            x = np.array(v.tolist(), dtype=np.float64)
+        @F.arrow_udf(T.ArrayType(T.LongType()))
+        def buckets(v: pa.Array) -> pa.Array:
+            x = _list_matrix(v)
             n, d = x.shape
+            if n == 0:
+                return pa.array([], type=pa.list_(pa.int64()))
+            # j-major accumulation: acc[row, p] receives x[row, j] * mat[p, j]
+            # in the SAME left-to-right j order as the per-plane loop (one
+            # float64 multiply + add per (row, plane, j), identical IEEE
+            # sequence per accumulator — sign-exact vs the JVM expression),
+            # but with n_tables*n_planes fewer interpreter rounds
+            tp = n_tables * n_planes
+            slab = _KERNEL_SLAB
             ids = np.zeros((n, n_tables), dtype=np.int64)
-            for t in range(n_tables):
-                for i in range(n_planes):
-                    p = mat[t * n_planes + i]
-                    acc = np.zeros(n)
-                    for j in range(d):  # strict order — sign-exact
-                        acc = acc + x[:, j] * p[j]
-                    ids[:, t] |= (acc > 0).astype(np.int64) << i
-            return pd.Series(list(ids))
+            acc = _pooled("bk_acc", slab * tp)
+            tmp = _pooled("bk_tmp", slab * tp)
+            for i0 in range(0, n, slab):
+                xs = x[i0 : i0 + slab]
+                m = xs.shape[0]
+                a = acc[: m * tp].reshape(m, tp)
+                t_ = tmp[: m * tp].reshape(m, tp)
+                a[:] = 0.0
+                for j in range(d):  # strict order — sign-exact
+                    np.multiply(xs[:, j : j + 1], mat[:, j], out=t_, dtype=np.float64)
+                    a += t_
+                bits = a > 0
+                out = ids[i0 : i0 + m]
+                for t in range(n_tables):
+                    for i in range(n_planes):
+                        out[:, t] |= bits[:, t * n_planes + i].astype(np.int64) << i
+            return _int_matrix_to_lists(ids)
 
         return buckets
 
@@ -392,8 +514,8 @@ def _blocked_near_dup_pairs(
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
             )
-        ma = np.array(a_rows["__v"].tolist(), dtype=np.float64)
-        mb = np.array(b_rows["__v"].tolist(), dtype=np.float64)
+        ma = _stack_vectors(a_rows["__v"])
+        mb = _stack_vectors(b_rows["__v"])
         ids_a = a_rows["id"].to_numpy()
         ids_b = b_rows["id"].to_numpy()
         na = np.linalg.norm(ma, axis=1)
@@ -492,13 +614,17 @@ def train_ivf_centroids(
     and search stay fully distributed."""
     import numpy as np
 
+    # Arrow-path driver fetch: same bounded sample, same row order as
+    # .collect(), but no per-row py4j Row materialization (measured r11:
+    # ~0.4 s saved per training call at the 10k default)
     sample = (
         corpus.select(F.col(vec_col).alias("v"))
         .filter(F.col("v").isNotNull())
         .limit(sample_size)
-        .collect()
+        .toArrow()
     )
-    x = np.array([r.v for r in sample], dtype=np.float64)
+    # float64 training matrix, exactly as the py4j Row path produced
+    x = np.asarray(_list_matrix(sample.column("v")), dtype=np.float64)
     if len(x) < n_centroids:
         raise ValueError(f"need >= {n_centroids} sample vectors, got {len(x)}")
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
@@ -521,13 +647,23 @@ def _centroid_assign_kernel(cent: "np.ndarray", n: int):
     Shared by the IVF search path and ``semantic_dedup``."""
     from pyspark.sql import types as T
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def assign(v: pd.Series) -> pd.Series:
-        x = np.array(v.tolist(), dtype=np.float64)
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        sims = x @ cent.T
-        top = np.argsort(-sims, axis=1)[:, :n]
-        return pd.Series(list(top.astype("int32")))
+    @F.arrow_udf(T.ArrayType(T.IntegerType()))
+    def assign(v: pa.Array) -> pa.Array:
+        xv = _list_matrix(v)
+        rows, d = xv.shape
+        if rows == 0:
+            return pa.array([], type=pa.list_(pa.int32()))
+        top = np.empty((rows, min(n, len(cent))), dtype=np.int32)
+        slab = _KERNEL_SLAB
+        xbuf = _pooled("as_x", slab * d)
+        for i0 in range(0, rows, slab):
+            m = min(slab, rows - i0)
+            x = xbuf[: m * d].reshape(m, d)
+            np.copyto(x, xv[i0 : i0 + m])  # exact float32→float64 upcast
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            sims = x @ cent.T
+            top[i0 : i0 + m] = np.argsort(-sims, axis=1)[:, : top.shape[1]]
+        return _int_matrix_to_lists(top)
 
     return assign
 
