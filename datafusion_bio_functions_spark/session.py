@@ -37,6 +37,84 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _install_py4j_reflection_cache() -> None:
+    """Memoize py4j's JVMView / JavaClass attribute resolution.
+
+    Every ``jvm.<name>`` and ``JavaClass.<member>`` access sends an uncached
+    py4j REFLECTION command to the driver JVM.  Against Spark's classpath each
+    costs ~1-2.5 ms (measured: ``r u functions`` 1.0 ms, ``r m functions col``
+    2.5 ms per call), and PySpark's DataFrame API re-resolves
+    ``jvm.functions.<fn>`` on *every* ``F.*`` call — plan-heavy query builds
+    pay thousands of them (guide §5: the driver should do almost no work;
+    §7.3 driver-side planning cost).  Class and static-member *metadata* is
+    immutable for the life of a JVM, so resolve once and reuse:
+
+    - ``JVMView.__getattr__`` results (``JavaClass`` / ``JavaPackage``) are
+      cached per (gateway client, view id, name); ``java_import`` invalidates
+      the view cache since it can change how a bare name resolves.
+    - ``JavaClass.__getattr__`` results are cached on the instance, but only
+      for ``JavaMember`` (static methods) and nested ``JavaClass`` — static
+      *field* reads still round-trip every time because field values change.
+
+    py4j itself already memoizes ``JavaMember`` objects per ``JavaObject``
+    (java_gateway.py: ``self._methods[name] = JavaMember(...)``), so reusing
+    member/class handles is the library's own established pattern; this only
+    extends it to the static/view side.  Failures are never cached.
+    """
+    import sys
+
+    from py4j import java_gateway as jg
+
+    if getattr(jg, "_bio_reflection_cache_installed", False):
+        return
+    jg._bio_reflection_cache_installed = True
+
+    view_cache: dict = {}
+
+    orig_view_getattr = jg.JVMView.__getattr__
+
+    def cached_view_getattr(self, name):
+        key = (id(self._gateway_client), self._id, name)
+        hit = view_cache.get(key)
+        if hit is not None:
+            return hit
+        result = orig_view_getattr(self, name)
+        if isinstance(result, (jg.JavaClass, jg.JavaPackage)):
+            view_cache[key] = result
+        return result
+
+    jg.JVMView.__getattr__ = cached_view_getattr
+
+    orig_java_import = jg.java_import
+
+    def invalidating_java_import(jvm_view, import_str):
+        view_cache.clear()
+        return orig_java_import(jvm_view, import_str)
+
+    jg.java_import = invalidating_java_import
+    # Modules that bound java_import by value before this patch (pyspark's
+    # java_gateway / streaming modules) must see the invalidating wrapper too.
+    for mod in list(sys.modules.values()):
+        if mod is not None and getattr(mod, "java_import", None) is orig_java_import:
+            mod.java_import = invalidating_java_import
+
+    orig_class_getattr = jg.JavaClass.__getattr__
+
+    def cached_class_getattr(self, name):
+        cache = self.__dict__.get("_bio_member_cache")
+        if cache is None:
+            cache = self.__dict__["_bio_member_cache"] = {}
+        hit = cache.get(name)
+        if hit is not None:
+            return hit
+        result = orig_class_getattr(self, name)
+        if isinstance(result, (jg.JavaMember, jg.JavaClass)):
+            cache[name] = result
+        return result
+
+    jg.JavaClass.__getattr__ = cached_class_getattr
+
+
 def get_or_create_session(
     app_name: str = "datafusion-bio-functions-spark",
     master: str | None = None,
@@ -49,6 +127,7 @@ def get_or_create_session(
     Arrow-batched pandas UDFs).
     """
     cpus = default_parallelism()
+    _install_py4j_reflection_cache()
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
