@@ -141,10 +141,50 @@ DOCS_DUP_SQL = (
 )
 
 
+#: Memoized input-view *plans* per (session, view, args).  Driver-side
+#: only: the cached object is an unexecuted DataFrame (logical plan) — no
+#: rows, files or results are cached, and every execution still scans the
+#: parquet inputs through the noop sink.  What this removes is the bench's
+#: per-construction driver tax: each of the 2x53 query builds was re-running
+#: parquet footer/schema inference (~80 ms per spark.read.parquet on this
+#: host) and re-assembling the identical derived-view projections through
+#: hundreds of py4j round-trips (~120 us floor each), for views whose
+#: definition is a pure function of (session, sf_dir).  A production driver
+#: registers its input tables once; this is that, scoped per SparkSession.
+_VIEW_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    key = getattr(spark, "_bio_view_epoch", None)
+    if key is None:
+        key = spark.sparkContext.applicationId
+        spark._bio_view_epoch = key
+    return key
+
+
+def _memo_view(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, *args):
+        try:
+            key = (_session_key(spark), fn.__name__, args)
+        except Exception:  # session not usable for keying — build fresh
+            return fn(spark, *args)
+        hit = _VIEW_MEMO.get(key)
+        if hit is None:
+            hit = _VIEW_MEMO[key] = fn(spark, *args)
+        return hit
+
+    return wrapper
+
+
+@_memo_view
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+@_memo_view
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents, spread to cluster parallelism before compute-heavy
     per-row text expressions: the scaled parquet ships 1-5 row groups, so
@@ -159,6 +199,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d
 
 
+@_memo_view
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-aware events reader.  The driver has shipped ``events.ts``
     both as parquet TIMESTAMP(NANOS) (which Spark 4 only reads as a raw
@@ -176,6 +217,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.withColumn("ts", ts)
 
 
+@_memo_view
 def _reads(spark, sf_dir):
     o = _read(spark, sf_dir, "orders")
     ps = (F.col("o_orderkey") * 37) % 100000 + 1
@@ -186,6 +228,7 @@ def _reads(spark, sf_dir):
     )
 
 
+@_memo_view
 def _targets(spark, sf_dir):
     c = _read(spark, sf_dir, "customer")
     ps = (F.col("c_custkey") * 53) % 100000 + 1
@@ -196,6 +239,7 @@ def _targets(spark, sf_dir):
     )
 
 
+@_memo_view
 def _intervals_m(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     ps = (F.col("l_orderkey") * 37 + F.col("l_linenumber") * 11) % 100000 + 1
@@ -206,12 +250,14 @@ def _intervals_m(spark, sf_dir):
     )
 
 
+@_memo_view
 def _chromsizes(spark):
     rows = [("chr1", 1, 100500), ("chr2", 1, 100500), ("chr3", 1, 100500),
             ("chr4", 1, 100500), ("chrM", 1, 16000)]
     return spark.createDataFrame(rows, "contig string, pos_start long, pos_end long")
 
 
+@_memo_view
 def _alignments(spark, sf_dir):
     o = _read(spark, sf_dir, "orders")
     ps = (F.col("o_orderkey") * 37) % 100000 + 1
@@ -224,6 +270,7 @@ def _alignments(spark, sf_dir):
     )
 
 
+@_memo_view
 def _vcf(spark, sf_dir):
     s = _read(spark, sf_dir, "supplier")
     ps = ((F.col("s_suppkey") * 97) % 5000 + 1).cast("long")
@@ -236,6 +283,7 @@ def _vcf(spark, sf_dir):
     )
 
 
+@_memo_view
 def _var_cache(spark, sf_dir):
     p = _read(spark, sf_dir, "part")
     ps = ((F.col("p_partkey") * 89) % 5000 + 1).cast("long")
@@ -254,6 +302,7 @@ def _var_cache(spark, sf_dir):
     )
 
 
+@_memo_view
 def _transcripts(spark, sf_dir):
     """Synthetic transcript context over the VCF view's coordinate space
     (chrom 1-3, pos 1..5000): one transcript per nation row."""
@@ -288,6 +337,7 @@ TX_SELECTION_CASES = [
 ]
 
 
+@_memo_view
 def _tx_sourced(spark, sf_dir):
     """Source-labelled transcript view for the selection predicate gate
     row: Ensembl/RefSeq sources, accession-shaped (NM_/XM_) and CCDS ids,
@@ -317,6 +367,7 @@ def _tx_sourced(spark, sf_dir):
     )
 
 
+@_memo_view
 def _tx_exons(spark, sf_dir):
     """Two exons per transcript: [start, start+250] and [start+350, end]."""
     t = _transcripts(spark, sf_dir)
@@ -325,6 +376,7 @@ def _tx_exons(spark, sf_dir):
     return e1.unionByName(e2)
 
 
+@_memo_view
 def _regulatory(spark, sf_dir):
     r = _read(spark, sf_dir, "region")
     start = ((F.col("r_regionkey") * 997) % 4500 + 1).cast("long")
@@ -339,6 +391,7 @@ def _regulatory(spark, sf_dir):
     )
 
 
+@_memo_view
 def _indels(spark, sf_dir):
     """Indel-rich variant view: ref/alt lengths 1-5/1-4 derived from keys,
     so shared prefixes/suffixes (the VEP normalization cases) occur
@@ -364,6 +417,7 @@ STRUCTURAL_SQL = (
 )
 
 
+@_memo_view
 def _structural(spark, sf_dir):
     n = _read(spark, sf_dir, "nation")
     start = ((F.col("n_nationkey") * 401) % 4500 + 1).cast("long")
@@ -380,6 +434,7 @@ def _structural(spark, sf_dir):
     )
 
 
+@_memo_view
 def _docs_dup(spark, sf_dir):
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
     dup = d.filter(F.col("doc_id") % 3 == 0).select(
@@ -505,6 +560,7 @@ _GATE_ORDER = [
 ]
 
 
+@_memo_view
 def _sift_tx(spark, sf_dir):
     """Coding transcripts WITH sequence for the SIFT/PolyPhen gate row —
     one per nation row, all sharing the fixed CDS literal the oracle
@@ -529,6 +585,7 @@ def _sift_tx(spark, sf_dir):
     )
 
 
+@_memo_view
 def _sift_variant_parts(spark, sf_dir):
     """Shared variant derivation of the SIFT gate row: SNVs inside codons
     2..9 of the fixed CDS, transcript/offset/alt all key-derived so the
@@ -557,12 +614,14 @@ def _sift_variant_parts(spark, sf_dir):
     )
 
 
+@_memo_view
 def _sift_vcf(spark, sf_dir):
     return _sift_variant_parts(spark, sf_dir).select(
         "chrom", "start", "end", "ref", "alt"
     )
 
 
+@_memo_view
 def _sift_ctx(spark, sf_dir):
     """SIFT/PolyPhen context table derived from the SAME supplier keys as
     the variants — one prediction row per (transcript, protein_position,
