@@ -1040,10 +1040,6 @@ def cluster(
             F.col("pos_start").alias("cluster_start"),
             F.col("pos_end").alias("cluster_end"),
         )
-        ids = _global_cluster_ids(extents, c, ["cluster_start", "cluster_end"])
-        # lazy localCheckpoint: the strategy probe below plus the assignment
-        # join would otherwise each re-run the whole merge+numbering DAG
-        ids = ids.localCheckpoint(eager=False)
         # ── weak-mode broadcast fast path ── extents are disjoint and never
         # touch, so each row's start lies in exactly ONE extent; when the
         # extent table is broadcast-small AND thin per contig, a broadcast
@@ -1057,14 +1053,18 @@ def cluster(
         # 315 s binned vs scan-bound with this path.  Wide real genomes
         # (many extents) keep the shuffle-parallel binned join below.
         if filter_op == "weak":
+            # lazy localCheckpoint on the PRE-numbering extents: the stats
+            # probe materializes the merge DAG once; the fast-path collect
+            # (or the fallback numbering + assignment join) reads it back.
+            # Checkpointing before the numbering subtree means the probe no
+            # longer executes the rank-window/count/offset/join chain at
+            # all — on the fast path that chain is replaced by a driver
+            # sort (r11: ~5 scheduler jobs fewer per run).
+            extents = extents.localCheckpoint(eager=False)
             # ONE stats job answers both fast-path gates (total extents ≤
-            # broadcast guard, ≤64 extents/contig) — the checkpoint is
-            # materialized by whichever consumer runs first, so splitting
-            # this into a bounded _fits_broadcast probe plus a separate
-            # maxper aggregate paid an extra scheduler round-trip for no
-            # scan savings (r11 probe-fusion)
+            # broadcast guard, ≤64 extents/contig) — r11 probe-fusion
             stats = (
-                ids.groupBy(c)
+                extents.groupBy(c)
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .agg(F.sum("__n").alias("t"), F.max("__n").alias("m"))
                 .collect()[0]
@@ -1073,11 +1073,29 @@ def cluster(
                 (stats["t"] or 0) <= BROADCAST_GUARD_ROWS
                 and (stats["m"] or 0) <= 64
             ):
-                rid = ids.select(
-                    F.col(c).alias("__cc"),
-                    F.col("cluster"),
-                    F.col("cluster_start"),
-                    F.col("cluster_end"),
+                # driver-side numbering: the extent set is ≤ the bounded-
+                # collect guard and already checkpoint-materialized, so
+                # collect it and assign the global dense ids with a local
+                # sort — identical ordering to _global_cluster_ids
+                # ((contig, cluster_start, cluster_end); Python str
+                # comparison is code-point order, which equals Spark's
+                # UTF-8 binary order, and ASC NULLS FIRST is reproduced by
+                # the (x is not None, x) key; extents are disjoint per
+                # contig so there are no ties).
+                rows = extents.collect()
+                rows.sort(
+                    key=lambda r: tuple((x is not None, x) for x in (r[0], r[1], r[2]))
+                )
+                rid = df.sparkSession.createDataFrame(
+                    [(r[0], i, r[1], r[2]) for i, r in enumerate(rows)],
+                    T.StructType(
+                        [
+                            T.StructField("__cc", extents.schema[0].dataType, True),
+                            T.StructField("cluster", T.LongType(), False),
+                            T.StructField("cluster_start", T.LongType(), True),
+                            T.StructField("cluster_end", T.LongType(), True),
+                        ]
+                    ),
                 )
                 return (
                     df.join(
@@ -1090,6 +1108,11 @@ def cluster(
                     .drop("__cc")
                     .select(*df.columns, "cluster", "cluster_start", "cluster_end")
                 )
+        ids = _global_cluster_ids(extents, c, ["cluster_start", "cluster_end"])
+        # lazy localCheckpoint: in strict mode the extents are not
+        # checkpointed above, and the assignment join below must not re-run
+        # the whole merge+numbering DAG per consumer
+        ids = ids.localCheckpoint(eager=False)
         # assignment join on the row's start point: cluster_start <= s <=
         # cluster_end.  In weak mode extents never touch, so each row hits
         # exactly one cluster and no dedupe is needed.  In strict mode two
