@@ -635,10 +635,20 @@ def minhash_dedup(
         groups = None
         reps = content
     # shingling + signatures are the expensive stage and feed three
-    # consumers (band join + two shingle joins) — materialize once; the
-    # cache is released when the returned DataFrame is garbage-collected
-    # (repeated calls in one session must not accumulate cached signatures)
-    sigs = minhash_signature(reps, text_col, num_perm, shingle_k, seed, gram=gram).persist()
+    # consumers (band join + two shingle joins).  A lazy .persist() does
+    # NOT deduplicate that work: AQE submits the three consumer stages
+    # CONCURRENTLY, and each computes the signature UDF before any cache
+    # block is published (measured r11: three parallel 2.2 s
+    # ArrowEvalPython stages over the same corpus in one run).  An eager
+    # localCheckpoint is the real barrier — the kernel runs exactly once
+    # and every consumer reads the materialized blocks (MEMORY_AND_DISK,
+    # freed when the returned plan is GC'd); this is also the 100 TB
+    # shape: signature passes are write-once/read-many in any minhash
+    # pipeline, and computing the dominant per-doc kernel 3x is 3x the
+    # cluster bill.
+    sigs = minhash_signature(
+        reps, text_col, num_perm, shingle_k, seed, gram=gram
+    ).localCheckpoint(eager=True)
     cand = minhash_lsh_candidates(sigs, id_col, num_perm, bands)
     shingle_side = sigs.select(F.col(id_col), F.col("shingles"))
     verified = (
