@@ -1965,12 +1965,25 @@ def _nearest_radius(
     # provably complete across chunks; farther results go to the fallback
     prad = padded.select(F.col("__pid").alias("pid"), "__rad")
     res = res.join(prad, "pid").filter(F.col("dist") <= F.col("__rad"))
+    try:
+        fb_key = (
+            _plan_key(left), lc, ls, le, _plan_key(right), rc, rs, re_,
+            k, include_overlaps, filter_op, radius, shrink,
+        )
+    except Exception:  # pragma: no cover - connect-mode frame
+        fb_key = None
+    # persist only when the bounded fallback probe below will actually run
+    # (memo miss) — on a memoized fb_empty=True replay the probe is
+    # skipped, the fallback branch is dead, and the only duplicate work
+    # the cache would save is the post-shuffle top-k window over the small
+    # result set (the expensive kernel sits above the distinct exchange,
+    # which IS reused).  The unconditional persist cost a CacheManager
+    # registration per build plus a cache write of every partition per run.
+    fb_known_empty = fb_key is not None and _NEAREST_FB_MEMO.get(fb_key) is True
     wk = Window.partitionBy("pid").orderBy("dist", "s", "e", "lid")
-    topk = (
-        res.withColumn("__rk", F.row_number().over(wk))
-        .filter(F.col("__rk") <= k)
-        .persist()
-    )
+    topk = res.withColumn("__rk", F.row_number().over(wk)).filter(F.col("__rk") <= k)
+    if not fb_known_empty:
+        topk = topk.persist()
     counts = topk.groupBy("pid").agg(F.count(F.lit(1)).alias("__n"))
     solved_pids = counts.filter(F.col("__n") >= k).select(F.col("pid").alias("__pid"))
     winners = topk.join(
@@ -2000,13 +2013,6 @@ def _nearest_radius(
     # the radius kernel emits shrunk-coordinate distances; the cogroup
     # fallback already rawifies its own, so adjust only the solved side
     solved = _rawify_strict_distance(solved, shrink, compute_distance)
-    try:
-        fb_key = (
-            _plan_key(left), lc, ls, le, _plan_key(right), rc, rs, re_,
-            k, include_overlaps, filter_op, radius, shrink,
-        )
-    except Exception:  # pragma: no cover - connect-mode frame
-        fb_key = None
     if fb_key is not None and fb_key in _NEAREST_FB_MEMO:
         fb_empty = _NEAREST_FB_MEMO[fb_key]
     else:
@@ -2024,7 +2030,8 @@ def _nearest_radius(
             filter_op=filter_op, algorithm="cogroup",
         )
         out = solved.unionByName(fallback)
-    weakref.finalize(out, _unpersist_quietly, topk)
+    if not fb_known_empty:
+        weakref.finalize(out, _unpersist_quietly, topk)
     return out
 
 
