@@ -799,6 +799,10 @@ def _auto_chunk_width(df: DataFrame, s: str, e: str) -> int:
 #: window vs 3.7 s chunked; sf1: 6.6 s window vs 2.6 s chunked).
 SWEEP_WINDOW_MAX_ROWS = 2_000_000
 
+#: cluster(window): materialize the islands checkpoint eagerly (see the
+#: in-function comment; module-level so tests/A-B harnesses can flip it)
+_CLUSTER_WINDOW_EAGER_CKPT = True
+
 
 def _resolve_sweep_algorithm(df: DataFrame, algorithm: str) -> str:
     """``auto`` resolves the merge/cluster sweep strategy from the
@@ -1160,11 +1164,13 @@ def cluster(
             f"cluster algorithm must be 'window' or 'chunked', got {algorithm!r}"
         )
     isl = _with_island(df, c, s, e, min_dist, filter_op)
-    # lazy localCheckpoint: TWO consumers (the extents aggregate and the
-    # final row join) would otherwise each re-run the islands windows —
-    # exchange reuse does not cover post-shuffle Window stages (same
-    # pattern as the chunked-merge bucket summary above)
-    isl = isl.localCheckpoint(eager=False)
+    # EAGER localCheckpoint: three consumers (extents aggregate, id-rank
+    # chain, final row join) are submitted concurrently by the scheduler,
+    # and a lazy checkpoint materializes once per in-flight consumer before
+    # any block is published — measured three identical 1.55 s-CPU window
+    # stages per run at sf0.1 (the same race 01dd774 fixed for minhash).
+    # The eager barrier runs the islands window exactly once.
+    isl = isl.localCheckpoint(eager=_CLUSTER_WINDOW_EAGER_CKPT)
     # one aggregation yields extents AND the per-cluster row for id ranking —
     # replaces two (c, island)-partitioned windows plus a distinct (3
     # shuffles) with one agg + one join
