@@ -163,6 +163,15 @@ def get_or_create_session(
         # driver should do almost no work).  Measured (r11, warm build):
         # annotate_vep_typed 4.63 -> 1.95 s, nearest 1.25 -> 0.48 s.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # The whole-stage-codegen class name embeds the codegen stage ID by
+        # default; under AQE the ID depends on runtime stage-materialization
+        # order, so re-running the same plan generates textually different
+        # sources and the Janino compile cache never hits — measured 15-28
+        # recompiles (~1.2 s serial driver wall) on EVERY warm annotate_vep
+        # run, visible as a 1.3 s zero-task gap in the stage timeline.
+        # Dropping the ID from the class name makes generated source
+        # deterministic: 2 recompiles/run.  Debug-naming nicety only.
+        .config("spark.sql.codegen.useIdInClassName", "false")
         # single-JVM local mode: UI/event bookkeeping across hundreds of tiny
         # jobs otherwise accumulates into multi-second driver GC pauses
         .config("spark.ui.enabled", "false")

@@ -186,10 +186,22 @@ def main() -> None:
             si = e["Stage Info"]
             sid = si["Stage ID"]
             dur = (si.get("Completion Time", 0) - si.get("Submission Time", 0)) / 1000.0
+            scopes = []
+            for ri in si.get("RDD Info", []):
+                sc = ri.get("Scope")
+                if sc:
+                    try:
+                        nm = json.loads(sc).get("name", "")
+                        if nm and nm not in scopes:
+                            scopes.append(nm)
+                    except Exception:
+                        pass
             stage_info[sid] = dict(
                 name=si.get("Stage Name", "")[:90],
                 tasks=si.get("Number of Tasks", 0),
                 wall_s=round(dur, 3),
+                sub=si.get("Submission Time", 0),
+                scopes=",".join(scopes[:6])[:110],
             )
     # task metrics per stage
     stage_task = {}
@@ -215,13 +227,15 @@ def main() -> None:
         sids = sorted({s for j in jids for s in job_stages.get(j, [])})
         done = [s for s in sids if s in stage_info]
         print(f"    run2: {len(jids)} jobs, {len(sids)} stages ({len(done)} executed)")
+        t0 = min((stage_info[s]["sub"] for s in done), default=0)
         for s in done:
             si = stage_info[s]
             tt = stage_task.get(s, {})
             print(
-                f"    stage {s:>4} tasks={si['tasks']:>3} wall={si['wall_s']:>7.3f}"
+                f"    stage {s:>4} t+{(si['sub'] - t0) / 1000.0:>6.3f} tasks={si['tasks']:>3}"
+                f" wall={si['wall_s']:>7.3f}"
                 f" taskrun={tt.get('run', 0):>8.2f} gc={tt.get('gc', 0):>5.2f}"
-                f" fetchwait={tt.get('fetch', 0):>5.2f}  {si['name']}"
+                f" fetchwait={tt.get('fetch', 0):>5.2f}  {si['scopes'] or si['name']}"
             )
     print("\nJSON:", json.dumps(results))
     sessmod.get_or_create_session = orig
