@@ -186,16 +186,42 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @_memo_view
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings, spread to cluster parallelism like ``_docs``: the scaled
-    parquet ships ONE row group, so the corpus-side Arrow kernels (centroid
-    assign, bucket hash, pair cosine) otherwise run on a single task when
-    the planner broadcasts the query side (measured sf0.1: ivf search
-    1.0 s serial).  At data scale the guard is inert."""
+    """embeddings, spread before the corpus-side Arrow kernels (centroid
+    assign, bucket hash, pair cosine): the scaled parquet ships ONE row
+    group, so the raw scan runs the kernels on a single task when the
+    planner broadcasts the query side (measured sf0.1: ivf search 1.0 s
+    serial).  The spread count is SIZE-DERIVED, not the core count: every
+    Python-kernel task pays a fixed runner-startup cost (~0.25 s measured
+    on this host), so splitting a sub-MB corpus 32 ways burns ~8 s of CPU
+    per kernel stage for no wall win.  One task per 64 KiB of input — the
+    same per-task byte floor the session's AQE coalescing uses
+    (coalescePartitions.minPartitionSize=64k) — caps the overhead while
+    still unserializing the kernels; at data scale the input is far above
+    64 KiB x cores, the min() takes over and the rule is inert (full
+    cluster parallelism).  Measured (r11 s4, warm min-of-3): ivf_ann_topk
+    3.81 -> 1.24 s, lsh_ann_prod 1.79 -> 1.30, similarity_topk 0.81 ->
+    0.73 vs the previous cores-count spread."""
     d = _read(spark, sf_dir, "embeddings")
     p = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < p:
-        d = d.repartition(p)
+    n = max(1, min(p, _input_bytes(sf_dir, "embeddings") // (64 * 1024) or 1))
+    if d.rdd.getNumPartitions() < n:
+        d = d.repartition(n)
     return d
+
+
+def _input_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of one input table (file or directory of parts)."""
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
 
 
 @_memo_view
