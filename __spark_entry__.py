@@ -897,19 +897,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         words = F.split(F.col("text"), " ")
         n = F.ceil(F.size(words) / F.lit(6)).cast("int")
+        # hand line_dedup the line ARRAY directly (lines_col): joining the
+        # lines with "\n" only for the operator to re-split them paid one
+        # full join+regex-split pass over the corpus; elements are 6-word
+        # slices of a space-split, so none can match the "\n" separator
+        # and the passthrough is exactly split(array_join(.)) — results
+        # identical (gate-verified)
         lined = d.select(
             "doc_id",
-            F.array_join(
-                F.transform(
-                    F.sequence(F.lit(0), n - 1),
-                    lambda i: F.array_join(
-                        F.slice(words, i * F.lit(6) + F.lit(1), F.lit(6)), " "
-                    ),
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * F.lit(6) + F.lit(1), F.lit(6)), " "
                 ),
-                "\n",
-            ).alias("text"),
+            ).alias("lines"),
         )
-        return line_dedup(lined).select(
+        return line_dedup(lined, lines_col="lines").select(
             F.col("doc_id").cast("long").alias("doc_id"),
             "text",
             F.col("n_lines").cast("long").alias("n_lines"),

@@ -1275,6 +1275,7 @@ def line_dedup(
     sep: str = "\n",
     min_words: int = 1,
     join_sep: str = "\n",
+    lines_col: str | None = None,
 ) -> DataFrame:
     """Corpus-level LINE deduplication, the C4 recipe (Raffel et al. 2020
     §2.2: "we discarded all but one of any three-sentence span occurring
@@ -1303,9 +1304,19 @@ def line_dedup(
     (``sep`` is a regex and can't be inverted — set ``join_sep`` when
     splitting on a custom pattern).  Output: ``(id, text, n_lines,
     n_kept)``.
+
+    ``lines_col``: callers that already hold the line ARRAY (e.g. a view
+    that assembled lines and would otherwise ``array_join`` them only for
+    this function to re-``split``) can pass it directly and skip one
+    full join+regex-split pass over the corpus.  The caller asserts the
+    array equals ``split(array_join(arr, join_sep), sep)`` — i.e. no
+    element matches ``sep`` — exactly as ``text_col`` input implies.
     """
     docs = _ensure_parallelism(docs)
-    arr = F.split(F.col(text_col), sep, -1)
+    if lines_col is not None:
+        arr = F.col(lines_col)
+    else:
+        arr = F.split(F.col(text_col), sep, -1)
     sentinel = F.struct(
         F.lit(-1).alias("__ln"), F.lit(None).cast("string").alias("__line")
     )
@@ -1336,7 +1347,13 @@ def line_dedup(
         .withColumn(
             "__el",
             F.coalesce(
+                # min_words <= 1 short-circuit: a non-blank trimmed line
+                # always has >= 1 whitespace-word, so the per-line regex
+                # split (a full pass over every character of the corpus)
+                # is provably redundant and skipped
                 (F.length(F.trim(F.col("__line"))) > 0)
+                if min_words <= 1
+                else (F.length(F.trim(F.col("__line"))) > 0)
                 & (
                     F.size(F.split(F.trim(F.col("__line")), r"\s+", -1))
                     >= min_words

@@ -599,6 +599,33 @@ def test_line_dedup_c4_semantics(spark):
     assert out3[2].text == "red fish" and out3[2].n_lines == 2
 
 
+def test_line_dedup_lines_col_passthrough(spark):
+    """lines_col (pre-split array input) is row-identical to the text_col
+    path on the same corpus — the passthrough skips the join+re-split pass,
+    never changes results.  Includes blank / short / duplicate lines and a
+    fully-deduplicated doc."""
+    from pyspark.sql import functions as F
+
+    from datafusion_bio_functions_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, ["shared line one", "unique alpha", ""]),
+        (2, ["shared line one", "unique beta"]),
+        (3, ["shared line one"]),
+        (4, ["x", "unique gamma", "x"]),
+    ]
+    arr = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    txt = arr.select("doc_id", F.array_join("lines", "\n").alias("text"))
+    via_text = sorted(
+        tuple(r) for r in line_dedup(txt).collect()
+    )
+    via_lines = sorted(
+        tuple(r) for r in line_dedup(arr, lines_col="lines").collect()
+    )
+    assert via_text == via_lines
+    assert via_lines[2][1] == ""  # doc 3 fully deduplicated, survives empty
+
+
 def test_multimodal_missing_column_message(spark):
     """A missing content/meta column raises a clear driver-side ValueError
     naming the column, not an opaque Python-worker KeyError."""
