@@ -292,9 +292,11 @@ def _intervals_m(spark, sf_dir):
 
 @_memo_view
 def _chromsizes(spark):
+    from datafusion_bio_functions_spark.session import local_frame
+
     rows = [("chr1", 1, 100500), ("chr2", 1, 100500), ("chr3", 1, 100500),
             ("chr4", 1, 100500), ("chrM", 1, 16000)]
-    return spark.createDataFrame(rows, "contig string, pos_start long, pos_end long")
+    return local_frame(spark, rows, "contig string, pos_start long, pos_end long")
 
 
 @_memo_view

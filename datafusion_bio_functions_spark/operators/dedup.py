@@ -1163,9 +1163,9 @@ def _cc_driver(canon: DataFrame) -> DataFrame:
             else:
                 parent[ra] = rb
     rows = [(n, find(n)) for n in parent]
-    return canon.sparkSession.createDataFrame(
-        rows, "id long, component long"
-    )
+    from ..session import local_frame
+
+    return local_frame(canon.sparkSession, rows, "id long, component long")
 
 
 def _cc_star(canon: DataFrame, max_iter: int) -> DataFrame:

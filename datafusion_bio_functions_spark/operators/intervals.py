@@ -1090,7 +1090,10 @@ def cluster(
                 rows.sort(
                     key=lambda r: tuple((x is not None, x) for x in (r[0], r[1], r[2]))
                 )
-                rid = df.sparkSession.createDataFrame(
+                from ..session import local_frame
+
+                rid = local_frame(
+                    df.sparkSession,
                     [(r[0], i, r[1], r[2]) for i, r in enumerate(rows)],
                     T.StructType(
                         [

@@ -470,7 +470,10 @@ def _read_bam_split(
     brefs = sc.broadcast(refs_by_file)
     bhdr = sc.broadcast(header_len_by_file)
 
-    split_df = spark.createDataFrame(
+    from ..session import local_frame
+
+    split_df = local_frame(
+        spark,
         [(i, *s) for i, s in enumerate(splits)],
         "sid long, path string, lo long, hi long, file_len long, first boolean",
     ).repartition(max(len(splits), 1), "sid")
