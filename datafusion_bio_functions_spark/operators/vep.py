@@ -278,9 +278,24 @@ def lookup_variants(
     # then restore unmatched VCF rows by left-joining hits back on a row id.
     v = v.withColumn("__vid", F.monotonically_increasing_id())
     if broadcast_vcf is None:
-        broadcast_vcf = (
-            vcf.limit(VCF_BROADCAST_GUARD_ROWS + 1).count() <= VCF_BROADCAST_GUARD_ROWS
-        )
+        # memoized like _chrom_forms: the bounded guard count is a Spark
+        # job on the driver's critical path and every annotate_vep build
+        # re-runs it for the same VCF plan (measured r11: 0.16 s per build)
+        try:
+            from .intervals import _plan_key
+
+            gkey = _plan_key(vcf)
+        except Exception:
+            gkey = None
+        if gkey is not None and gkey in _VCF_GUARD_MEMO:
+            broadcast_vcf = _VCF_GUARD_MEMO[gkey]
+        else:
+            broadcast_vcf = (
+                vcf.limit(VCF_BROADCAST_GUARD_ROWS + 1).count()
+                <= VCF_BROADCAST_GUARD_ROWS
+            )
+            if gkey is not None:
+                _VCF_GUARD_MEMO[gkey] = broadcast_vcf
     probe = F.broadcast(v) if broadcast_vcf else v
     hits = (
         probe.join(c, chrom_eq & coord, "inner")
@@ -641,6 +656,9 @@ class HgvsFlags:
 #: memoized contig-prefix form sets, keyed like the interval-probe memos
 #: (semantic plan hash + input-file fingerprint)
 _CHROM_FORM_MEMO: dict = {}
+
+#: lookup_variants broadcast-guard verdicts, keyed like _CHROM_FORM_MEMO
+_VCF_GUARD_MEMO: dict = {}
 
 
 def _chrom_forms(df: DataFrame) -> frozenset:
