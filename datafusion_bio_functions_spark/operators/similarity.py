@@ -668,6 +668,109 @@ def _centroid_assign_kernel(cent: "np.ndarray", n: int):
     return assign
 
 
+def _ivf_list_search_kernel(k: int):
+    """Cogrouped per-inverted-list search: (queries slice, corpus list) →
+    list-local top-``k`` (query_id, neighbor_id, __sim) rows.
+
+    Bit-exactness contract (the similarity feeds a value oracle): per
+    query the dot/norm folds run as float64 column sweeps in ascending
+    column order — the identical IEEE operation sequence as
+    ``_pair_cosine_kernel`` (and therefore the JVM ``aggregate``
+    expression), and corpus/query norms computed once per list/row equal
+    the per-pair recomputation because the per-element order is the same.
+    Selection replicates the downstream Spark ordering
+    ``desc(__sim), asc(neighbor_id)`` exactly — NaN sorts GREATEST
+    descending (Spark double order), ties break on the id — so the local
+    top-k provably contains every global top-k row; pairs where either
+    id is NULL are dropped, matching the join formulation's
+    ``query_id != neighbor_id`` null semantics."""
+    import pyarrow.compute as pc
+
+    def search(left: "pa.Table", right: "pa.Table") -> "pa.Table":
+        qid_col = left.column("query_id") if left.num_rows else None
+        nid_col = right.column("neighbor_id") if right.num_rows else None
+        out_ids_q: list = []
+        out_ids_n: list = []
+        out_sims: list = []
+        if left.num_rows and right.num_rows:
+            Q = _list_matrix(left.column("__qv").combine_chunks())
+            C = _list_matrix(right.column("__cv").combine_chunks())
+            g, d = Q.shape
+            m = C.shape[0]
+            nid_arr = nid_col.combine_chunks()
+            nid_valid_base = pc.is_valid(nid_arr)
+            # corpus norms: one ascending-column float64 sweep per list —
+            # identical per-element op order to the per-pair recomputation
+            cn = np.zeros(m, dtype=np.float64)
+            tc = np.empty(m, dtype=np.float64)
+            for j in range(d):
+                np.multiply(C[:, j], C[:, j], out=tc, dtype=np.float64)
+                cn += tc
+            cn_sqrt = np.sqrt(cn)
+            acc = np.empty(m, dtype=np.float64)
+            kk = max(k, 1)
+            qids = qid_col.combine_chunks()
+            for i in range(g):
+                if not qids[i].is_valid:
+                    continue  # NULL query id: != is NULL, pair dropped
+                qrow = Q[i]
+                qn = 0.0
+                acc[:] = 0.0
+                for j in range(d):
+                    x = np.float64(qrow[j])
+                    np.multiply(C[:, j], x, out=tc, dtype=np.float64)
+                    acc += tc
+                    qn += x * x
+                sims = acc / (np.sqrt(qn) * cn_sqrt)
+                valid = pc.and_(
+                    nid_valid_base, pc.not_equal(nid_arr, qids[i])
+                ).to_numpy(zero_copy_only=False)
+                valid = np.asarray(valid, dtype=object) == True  # noqa: E712
+                vidx = np.nonzero(valid)[0]
+                if len(vidx) == 0:
+                    continue
+                vs = sims[vidx]
+                # Spark double order: NaN is GREATEST, so it leads desc
+                key1 = np.where(np.isnan(vs), np.inf, vs)
+                if len(vidx) > kk:
+                    bound = np.partition(key1, len(key1) - kk)[len(key1) - kk]
+                    cand = vidx[key1 >= bound]
+                else:
+                    cand = vidx
+                nid_py = nid_arr.take(pa.array(cand, type=pa.int64())).to_pylist()
+                order = sorted(
+                    range(len(cand)),
+                    key=lambda r: (
+                        0 if np.isnan(sims[cand[r]]) else 1,
+                        0.0 if np.isnan(sims[cand[r]]) else -sims[cand[r]],
+                        nid_py[r],
+                    ),
+                )[:kk]
+                for r in order:
+                    out_ids_q.append(i)
+                    out_ids_n.append(int(cand[r]))
+                    out_sims.append(float(sims[cand[r]]))
+        if not out_sims:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=left.schema.field("query_id").type),
+                    "neighbor_id": pa.array([], type=right.schema.field("neighbor_id").type),
+                    "__sim": pa.array([], type=pa.float64()),
+                }
+            )
+        take_q = pa.array(out_ids_q, type=pa.int64())
+        take_n = pa.array(out_ids_n, type=pa.int64())
+        return pa.table(
+            {
+                "query_id": qid_col.take(take_q),
+                "neighbor_id": nid_col.take(take_n),
+                "__sim": pa.array(out_sims, type=pa.float64()),
+            }
+        )
+
+    return search
+
+
 def ivf_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -689,9 +792,24 @@ def ivf_cosine_topk(
     vs ``lsh_cosine_topk``: IVF adapts to the data distribution (learned
     centroids) where LSH is data-oblivious; at 100 TB the corpus shuffles
     once on ``centroid_id`` (`n_centroids` scales to √N lists) and queries
-    touch `nprobe/n_centroids` of the data.  Assignment is an Arrow-batched
-    numpy matmul, rerank is the exact JVM dot product, so recall degrades
-    only by list truncation — verified against ``cosine_topk`` in tests.
+    touch `nprobe/n_centroids` of the data.
+
+    Search is a COGROUPED per-list GEMM (r11 optimization): corpus rows
+    and probing queries cogroup on ``centroid_id`` and one Arrow task per
+    list computes every query's similarities against the whole list plus
+    a list-local top-k — each corpus vector crosses the Python boundary
+    ONCE per list membership instead of once per matching query (the
+    previous equi-join materialized |q|·|list| candidate rows, each
+    carrying BOTH vectors: ~50× the bytes at the bench shape, and the
+    duplication factor grows with queries-per-list at scale).  The JVM
+    window then ranks the ≤ nprobe·k survivors per query exactly as
+    before.  The kernel's per-element float64 column sweeps replicate the
+    pair-cosine kernel's strict left-to-right summation, so similarity
+    VALUES are bit-identical to the join formulation and the SQL oracle
+    (equality with ``cosine_topk`` under candidate-complete parameters is
+    gate- and test-pinned); local top-k selection replicates Spark's
+    ordering exactly, including NaN-greatest descending sims and
+    null-id pair dropping.
     """
     from pyspark.sql import types as T
 
@@ -711,13 +829,17 @@ def ivf_cosine_topk(
     ).filter(F.col("__qv").isNotNull()).withColumn(
         "centroid_id", F.explode(_centroid_assign_kernel(cent, nprobe)(F.col("__qv")))
     )
-    cand = (
-        q.join(c, "centroid_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "__qv", "neighbor_id", "__cv")
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", q.schema["query_id"].dataType, True),
+            T.StructField("neighbor_id", c.schema["neighbor_id"].dataType, True),
+            T.StructField("__sim", T.DoubleType(), True),
+        ]
     )
-    sim = cand.withColumn(
-        "__sim", _pair_cosine_kernel()(F.col("__qv"), F.col("__cv"))
+    sim = (
+        q.groupBy("centroid_id")
+        .cogroup(c.groupBy("centroid_id"))
+        .applyInArrow(_ivf_list_search_kernel(k), schema=out_schema)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
     return (

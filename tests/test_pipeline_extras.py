@@ -94,6 +94,85 @@ def test_consequence_regions_truth_table(spark):
     assert term(2000 + 5001, strand=-1) is None
 
 
+def test_ivf_cogroup_search_equals_join_formulation(spark):
+    """The r11 cogrouped per-list GEMM search must be ROW-IDENTICAL
+    (including bit-exact sims) to the original candidate-join formulation
+    on adversarial data: exact duplicate vectors (sim ties broken by id),
+    zero vectors (NaN sims — Spark orders NaN greatest descending), and
+    a query id missing from the corpus."""
+    import random as _rnd
+
+    import pyspark.sql.functions as SF
+    from pyspark.sql import Window as W
+
+    from datafusion_bio_functions_spark.operators.similarity import (
+        _centroid_assign_kernel,
+        _pair_cosine_kernel,
+        ivf_cosine_topk,
+        train_ivf_centroids,
+    )
+    import numpy as _np
+    import warnings
+
+    rnd = _rnd.Random(99)
+    rows = []
+    for i in range(120):
+        base = [rnd.gauss(0, 1) for _ in range(8)]
+        rows.append((i, base))
+        if i % 7 == 0:
+            rows.append((i + 1000, list(base)))  # exact duplicate: tie
+    rows.append((5000, [0.0] * 8))  # zero vector: NaN sims
+    rows.append((5001, [0.0] * 8))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter((SF.col("vec_id") % 10 == 0) | (SF.col("vec_id") >= 5000))
+    k, n_centroids, nprobe = 4, 4, 2
+    cents = train_ivf_centroids(df, n_centroids, 8, "embedding", seed=7)
+
+    def join_formulation():
+        cent = _np.array(cents, dtype=_np.float64)
+        c = df.select(
+            SF.col("vec_id").alias("neighbor_id"), SF.col("embedding").alias("__cv")
+        ).withColumn("centroid_id", _centroid_assign_kernel(cent, 1)(SF.col("__cv"))[0])
+        qq = q.select(
+            SF.col("vec_id").alias("query_id"), SF.col("embedding").alias("__qv")
+        ).withColumn(
+            "centroid_id", SF.explode(_centroid_assign_kernel(cent, nprobe)(SF.col("__qv")))
+        )
+        sim = (
+            qq.join(c, "centroid_id")
+            .filter(SF.col("query_id") != SF.col("neighbor_id"))
+            .withColumn("__sim", _pair_cosine_kernel()(SF.col("__qv"), SF.col("__cv")))
+        )
+        w = W.partitionBy("query_id").orderBy(SF.desc("__sim"), SF.asc("neighbor_id"))
+        return (
+            sim.withColumn("rank", SF.row_number().over(w))
+            .filter(SF.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id",
+                SF.col("__sim").alias("cosine_sim"),
+                SF.col("rank").cast("long").alias("rank"),
+            )
+        )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # zero-vector 0/0 RuntimeWarnings
+        expected = sorted(
+            (r.query_id, r.rank, r.neighbor_id, repr(r.cosine_sim))
+            for r in join_formulation().collect()
+        )
+        got = sorted(
+            (r.query_id, r.rank, r.neighbor_id, repr(r.cosine_sim))
+            for r in ivf_cosine_topk(
+                q, df, k=k, n_centroids=n_centroids, nprobe=nprobe,
+                centroids=cents,
+            ).collect()
+        )
+    assert got == expected
+    # zero-vector queries DID produce NaN rows and they rank first
+    nan_rows = [t for t in got if t[0] >= 5000]
+    assert nan_rows and all(t[3] == "nan" for t in nan_rows)
+
+
 def test_ivf_cosine_topk_recall(spark):
     import random as _rnd
 
