@@ -245,11 +245,17 @@ def lsh_cosine_topk(
     corpus_id: str = "vec_id",
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
+    rerank: str = "cogroup",
 ) -> DataFrame:
     """Approximate top-k: ``n_tables`` independent random-hyperplane tables
     of ``n_planes`` sign bits each; equi-join on (table, bucket) — queries
     additionally probe all Hamming-1 buckets per table when ``multiprobe`` —
     then exact cosine rerank over the unioned candidates.
+
+    ``rerank='cogroup'`` (default): per-(table, bucket) GEMM search inside a
+    cogrouped Arrow task, candidates deduped on their bit-identical
+    similarity afterwards; ``'join'`` keeps the candidate-pair formulation
+    (differential-test twin) — both produce identical rows.
 
     Recall ≈ 1-(1-p^k)^L for per-plane agreement p = 1-θ/π; tune
     (n_planes, n_tables) to the similarity regime.  The exact
@@ -326,17 +332,62 @@ def lsh_cosine_topk(
     )
     # candidate dedupe carries ids only — vectors re-attach after the
     # distinct so the 64-dim payloads never shuffle through it
-    cand_ids = (
-        qp.select("query_id", "table", "bucket")
-        .join(c.select("neighbor_id", "table", "bucket"), ["table", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
-    cand = cand_ids.join(q0, "query_id").join(c0, "neighbor_id")
-    sim = cand.withColumn(
-        "__sim", _pair_cosine_kernel()(F.col("__qv"), F.col("__cv"))
-    )
+    if rerank == "cogroup":
+        # r12: cogrouped per-(table, bucket) GEMM rerank — the ivf_cosine_topk
+        # recipe (guide §8/§4) applied to the LSH bucket join.  One Arrow task
+        # per probed bucket computes every probing query's similarities
+        # against the bucket's corpus slice plus a bucket-local top-k; a
+        # candidate seen in several tables/probes is deduped AFTER the kernel
+        # on its (bit-identical) similarity.  vs the join formulation: each
+        # corpus vector crosses the Python boundary once per (table, bucket)
+        # membership (n_tables replicas, bounded and explicit) instead of
+        # once per matching candidate pair, and each query vector once per
+        # probe instead of once per surviving candidate — at 100 TB the
+        # candidate-pair attach joins were the dominant payload shuffle.
+        # Correctness: the kernel's local top-k provably contains every
+        # global top-k row (a bucket's candidate set is a subset of the
+        # query's candidate union, so global winners rank at least as high
+        # locally); similarities are bit-identical float64 column sweeps
+        # (same contract as _pair_cosine_kernel, pinned by the cogroup≡join
+        # differential test), so the min() dedup is exact.  The explicit
+        # repartitions pin the cogroup exchanges (user repartitions are
+        # exempt from AQE byte-coalescing, which folded this sub-MB shuffle
+        # to one serial task at bench scale) and satisfy the cogroup's
+        # clustering requirement, so no extra exchange is added.
+        from pyspark.sql import types as T  # noqa: PLC0415
+
+        p = queries.sparkSession.sparkContext.defaultParallelism
+        qk = qp.repartition(p, "table", "bucket")
+        ck = c.repartition(p, "table", "bucket")
+        out_schema = T.StructType(
+            [
+                T.StructField("query_id", qp.schema["query_id"].dataType, True),
+                T.StructField("neighbor_id", c.schema["neighbor_id"].dataType, True),
+                T.StructField("__sim", T.DoubleType(), True),
+            ]
+        )
+        sim = (
+            qk.groupBy("table", "bucket")
+            .cogroup(ck.groupBy("table", "bucket"))
+            .applyInArrow(_ivf_list_search_kernel(k), schema=out_schema)
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.min("__sim").alias("__sim"))
+        )
+    elif rerank == "join":
+        # candidate-pair formulation (kept as the differential-test twin)
+        cand_ids = (
+            qp.select("query_id", "table", "bucket")
+            .join(c.select("neighbor_id", "table", "bucket"), ["table", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        cand = cand_ids.join(q0, "query_id").join(c0, "neighbor_id")
+        sim = cand.withColumn(
+            "__sim", _pair_cosine_kernel()(F.col("__qv"), F.col("__cv"))
+        )
+    else:
+        raise ValueError(f"rerank must be 'cogroup' or 'join', got {rerank!r}")
     w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
     return (
         sim.withColumn("rank", F.row_number().over(w))
@@ -669,20 +720,26 @@ def _centroid_assign_kernel(cent: "np.ndarray", n: int):
 
 
 def _ivf_list_search_kernel(k: int):
-    """Cogrouped per-inverted-list search: (queries slice, corpus list) →
-    list-local top-``k`` (query_id, neighbor_id, __sim) rows.
+    """Cogrouped per-cell search: (queries slice, corpus slice) →
+    cell-local top-``k`` (query_id, neighbor_id, __sim) rows.  Shared by
+    ``ivf_cosine_topk`` (cell = inverted list) and ``lsh_cosine_topk``
+    (cell = (table, bucket)).
 
-    Bit-exactness contract (the similarity feeds a value oracle): per
-    query the dot/norm folds run as float64 column sweeps in ascending
-    column order — the identical IEEE operation sequence as
+    Bit-exactness contract (the similarity feeds a value oracle): all
+    dot/norm folds run as float64 column sweeps in ascending column
+    order — the identical IEEE operation sequence as
     ``_pair_cosine_kernel`` (and therefore the JVM ``aggregate``
-    expression), and corpus/query norms computed once per list/row equal
-    the per-pair recomputation because the per-element order is the same.
-    Selection replicates the downstream Spark ordering
-    ``desc(__sim), asc(neighbor_id)`` exactly — NaN sorts GREATEST
-    descending (Spark double order), ties break on the id — so the local
-    top-k provably contains every global top-k row; pairs where either
-    id is NULL are dropped, matching the join formulation's
+    expression); each per-pair product chain is element-independent, so
+    sweeping the whole (queries × corpus) slab at once (r12: one
+    broadcast multiply per column instead of a per-query Python loop —
+    the loop cost ~130 small numpy calls per (query, cell) visit) leaves
+    every per-pair value bit-identical.  Corpus/query norms computed once
+    per cell/row equal the per-pair recomputation because the per-element
+    order is the same.  Selection replicates the downstream Spark
+    ordering ``desc(__sim), asc(neighbor_id)`` exactly — NaN sorts
+    GREATEST descending (Spark double order), ties break on the id — so
+    the local top-k provably contains every global top-k row; pairs where
+    either id is NULL are dropped, matching the join formulation's
     ``query_id != neighbor_id`` null semantics."""
     import pyarrow.compute as pc
 
@@ -698,8 +755,19 @@ def _ivf_list_search_kernel(k: int):
             g, d = Q.shape
             m = C.shape[0]
             nid_arr = nid_col.combine_chunks()
-            nid_valid_base = pc.is_valid(nid_arr)
-            # corpus norms: one ascending-column float64 sweep per list —
+            nid_valid = (
+                pc.is_valid(nid_arr).to_numpy(zero_copy_only=False).astype(bool)
+            )
+            # null-safe integer view for the per-query != filter (fill value
+            # only lands on rows nid_valid already masks out); non-integer
+            # ids fall back to the per-query pyarrow compare below
+            nid_np = None
+            if pa.types.is_integer(nid_arr.type):
+                nid_np = np.asarray(
+                    nid_arr.fill_null(0).to_numpy(zero_copy_only=False),
+                    dtype=np.int64,
+                )
+            # corpus norms: one ascending-column float64 sweep per cell —
             # identical per-element op order to the per-pair recomputation
             cn = np.zeros(m, dtype=np.float64)
             tc = np.empty(m, dtype=np.float64)
@@ -707,49 +775,97 @@ def _ivf_list_search_kernel(k: int):
                 np.multiply(C[:, j], C[:, j], out=tc, dtype=np.float64)
                 cn += tc
             cn_sqrt = np.sqrt(cn)
-            acc = np.empty(m, dtype=np.float64)
+            # query norms: same sweep over the query slab — per element the
+            # identical float64 multiply/add chain as the former per-query
+            # scalar fold
+            qn = np.zeros(g, dtype=np.float64)
+            tq = np.empty(g, dtype=np.float64)
+            for j in range(d):
+                np.multiply(Q[:, j], Q[:, j], out=tq, dtype=np.float64)
+                qn += tq
+            qn_sqrt = np.sqrt(qn)
             kk = max(k, 1)
             qids = qid_col.combine_chunks()
-            for i in range(g):
-                if not qids[i].is_valid:
-                    continue  # NULL query id: != is NULL, pair dropped
-                qrow = Q[i]
-                qn = 0.0
+            qid_valid = (
+                pc.is_valid(qids).to_numpy(zero_copy_only=False).astype(bool)
+            )
+            qid_py = qids.to_pylist()
+            fast_ids = nid_np is not None and pa.types.is_integer(qids.type)
+            # slab the query side so the (slab × corpus) accumulator stays
+            # ~32 MB regardless of cell width (pooled, page-fault-warm)
+            gs = max(1, (4 << 20) // max(m, 1))
+            for s0 in range(0, g, gs):
+                s1 = min(s0 + gs, g)
+                gm = s1 - s0
+                Qs = Q[s0:s1]
+                acc = _pooled("ls_acc", gm * m).reshape(gm, m)
+                tmp = _pooled("ls_tmp", gm * m).reshape(gm, m)
                 acc[:] = 0.0
-                for j in range(d):
-                    x = np.float64(qrow[j])
-                    np.multiply(C[:, j], x, out=tc, dtype=np.float64)
-                    acc += tc
-                    qn += x * x
-                sims = acc / (np.sqrt(qn) * cn_sqrt)
-                valid = pc.and_(
-                    nid_valid_base, pc.not_equal(nid_arr, qids[i])
-                ).to_numpy(zero_copy_only=False)
-                valid = np.asarray(valid, dtype=object) == True  # noqa: E712
-                vidx = np.nonzero(valid)[0]
-                if len(vidx) == 0:
-                    continue
-                vs = sims[vidx]
-                # Spark double order: NaN is GREATEST, so it leads desc
-                key1 = np.where(np.isnan(vs), np.inf, vs)
-                if len(vidx) > kk:
-                    bound = np.partition(key1, len(key1) - kk)[len(key1) - kk]
-                    cand = vidx[key1 >= bound]
-                else:
-                    cand = vidx
-                nid_py = nid_arr.take(pa.array(cand, type=pa.int64())).to_pylist()
-                order = sorted(
-                    range(len(cand)),
-                    key=lambda r: (
-                        0 if np.isnan(sims[cand[r]]) else 1,
-                        0.0 if np.isnan(sims[cand[r]]) else -sims[cand[r]],
-                        nid_py[r],
-                    ),
-                )[:kk]
-                for r in order:
-                    out_ids_q.append(i)
-                    out_ids_n.append(int(cand[r]))
-                    out_sims.append(float(sims[cand[r]]))
+                for j in range(d):  # strict left-to-right per-pair sums
+                    np.multiply(
+                        Qs[:, j, None], C[:, j], out=tmp, dtype=np.float64
+                    )
+                    acc += tmp
+                for i in range(s0, s1):
+                    if not qid_valid[i]:
+                        continue  # NULL query id: != is NULL, pair dropped
+                    # same per-element ops as the per-query fold:
+                    # acc / (sqrt(qn) * cn_sqrt)
+                    sims = acc[i - s0] / (qn_sqrt[i] * cn_sqrt)
+                    # Spark double order: NaN is GREATEST, so it leads desc
+                    key1 = np.where(np.isnan(sims), np.inf, sims)
+                    if fast_ids:
+                        # pure-numpy selection (r12): cosine is bounded, so
+                        # -inf is a safe invalid sentinel; the boundary
+                        # gathers EVERY candidate tied at the k-th key and
+                        # lexsort((nid, -key)) realizes the exact
+                        # (desc sim NaN-greatest, asc id) order
+                        valid = nid_valid & (nid_np != int(qid_py[i]))
+                        nv = int(np.count_nonzero(valid))
+                        if nv == 0:
+                            continue
+                        key2 = np.where(valid, key1, -np.inf)
+                        kk2 = min(kk, nv)
+                        if m > kk2:
+                            bound = np.partition(key2, m - kk2)[m - kk2]
+                            cand = np.nonzero(key2 >= bound)[0]
+                        else:
+                            cand = np.nonzero(valid)[0]
+                        order = np.lexsort((nid_np[cand], -key2[cand]))[:kk2]
+                        sel = cand[order]
+                        out_ids_q.extend([i] * len(sel))
+                        out_ids_n.extend(int(x) for x in sel)
+                        out_sims.extend(float(sims[x]) for x in sel)
+                        continue
+                    valid = pc.and_(
+                        pc.is_valid(nid_arr), pc.not_equal(nid_arr, qids[i])
+                    ).to_numpy(zero_copy_only=False)
+                    valid = np.asarray(valid, dtype=object) == True  # noqa: E712
+                    vidx = np.nonzero(valid)[0]
+                    if len(vidx) == 0:
+                        continue
+                    vs = sims[vidx]
+                    key1v = key1[vidx]
+                    if len(vidx) > kk:
+                        bound = np.partition(key1v, len(key1v) - kk)[len(key1v) - kk]
+                        cand = vidx[key1v >= bound]
+                    else:
+                        cand = vidx
+                    nid_py = nid_arr.take(
+                        pa.array(cand, type=pa.int64())
+                    ).to_pylist()
+                    order = sorted(
+                        range(len(cand)),
+                        key=lambda r: (
+                            0 if np.isnan(sims[cand[r]]) else 1,
+                            0.0 if np.isnan(sims[cand[r]]) else -sims[cand[r]],
+                            nid_py[r],
+                        ),
+                    )[:kk]
+                    for r in order:
+                        out_ids_q.append(i)
+                        out_ids_n.append(int(cand[r]))
+                        out_sims.append(float(sims[cand[r]]))
         if not out_sims:
             return pa.table(
                 {

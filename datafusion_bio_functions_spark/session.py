@@ -144,7 +144,18 @@ def get_or_create_session(
         # Measured (r11, sf0.1): UDF-heavy 8-query subset 18.5 -> 14.9 s
         # (semantic_dedup -1.3, minhash -0.7, lsh rerank rows -0.4 each);
         # 14 small scan-bound queries unchanged within noise.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        #
+        # r12: the floor is BACK AT ITS 1 MiB DEFAULT.  The driver's round-11
+        # scaling data showed the session-wide 64 KiB floor de-coalesced
+        # every tiny JVM shuffle: 16 small queries regressed >10% and the
+        # worst ran FASTER at 8 cores than at 32 (repetition_stats 0.35,
+        # simhash 0.53, line_dedup 0.63 ...).  The serial-kernel hazard the
+        # floor targeted is now fixed where it lives: explicit repartition
+        # pins on the exchanges that feed per-row-expensive Python kernels
+        # (vep classify, ivf cogroup, lsh rerank candidates, semantic_dedup
+        # GEMM groups — user repartitions are exempt from AQE coalescing),
+        # plus the _embeddings/_docs input spreads.  At 100 TB either floor
+        # is inert (partitions far above both).
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 10k-row default Arrow batches fragment grouped-UDF input into

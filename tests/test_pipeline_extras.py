@@ -173,6 +173,50 @@ def test_ivf_cogroup_search_equals_join_formulation(spark):
     assert nan_rows and all(t[3] == "nan" for t in nan_rows)
 
 
+def test_lsh_cogroup_rerank_equals_join_formulation(spark):
+    """The r12 cogrouped per-(table, bucket) GEMM rerank must be
+    ROW-IDENTICAL (including bit-exact sims) to the candidate-join
+    formulation on adversarial data: exact duplicate vectors (sim ties
+    broken by id), zero vectors (NaN sims, Spark-greatest), and candidates
+    reachable through several tables/probes (the cross-cell dedup path)."""
+    import random as _rnd
+    import warnings
+
+    import pyspark.sql.functions as SF
+
+    from datafusion_bio_functions_spark.operators.similarity import (
+        lsh_cosine_topk,
+    )
+
+    rnd = _rnd.Random(42)
+    rows = []
+    for i in range(120):
+        base = [rnd.gauss(0, 1) for _ in range(8)]
+        rows.append((i, base))
+        if i % 7 == 0:
+            rows.append((i + 1000, list(base)))  # exact duplicate: tie
+    rows.append((5000, [0.0] * 8))  # zero vector: NaN sims
+    rows.append((5001, [0.0] * 8))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter((SF.col("vec_id") % 10 == 0) | (SF.col("vec_id") >= 5000))
+    # small n_planes + several tables + multiprobe maximizes candidates
+    # seen through MULTIPLE cells — the dedup the cogroup must reproduce
+    common = dict(k=4, dim=8, n_planes=3, n_tables=3, multiprobe=True, seed=5)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # zero-vector 0/0 RuntimeWarnings
+        expected = sorted(
+            (r.query_id, r.rank, r.neighbor_id, repr(r.cosine_sim))
+            for r in lsh_cosine_topk(q, df, rerank="join", **common).collect()
+        )
+        got = sorted(
+            (r.query_id, r.rank, r.neighbor_id, repr(r.cosine_sim))
+            for r in lsh_cosine_topk(q, df, rerank="cogroup", **common).collect()
+        )
+    assert got == expected
+    nan_rows = [t for t in got if t[0] >= 5000]
+    assert nan_rows and all(t[3] == "nan" for t in nan_rows)
+
+
 def test_ivf_cosine_topk_recall(spark):
     import random as _rnd
 
