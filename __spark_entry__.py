@@ -203,7 +203,12 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.73 vs the previous cores-count spread."""
     d = _read(spark, sf_dir, "embeddings")
     p = spark.sparkContext.defaultParallelism
-    n = max(1, min(p, _input_bytes(sf_dir, "embeddings") // (64 * 1024) or 1))
+    b = _input_bytes(sf_dir, "embeddings")
+    # size probe unavailable (non-local sf_dir, OSError): fall back to the
+    # full-parallelism spread rather than 1 — silently skipping the spread
+    # would reintroduce the serial single-task kernel this guard exists to
+    # fix (r11 ADVICE)
+    n = max(1, min(p, b // (64 * 1024) or 1)) if b > 0 else p
     if d.rdd.getNumPartitions() < n:
         d = d.repartition(n)
     return d
@@ -901,10 +906,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n = F.ceil(F.size(words) / F.lit(6)).cast("int")
         # hand line_dedup the line ARRAY directly (lines_col): joining the
         # lines with "\n" only for the operator to re-split them paid one
-        # full join+regex-split pass over the corpus; elements are 6-word
-        # slices of a space-split, so none can match the "\n" separator
-        # and the passthrough is exactly split(array_join(.)) — results
-        # identical (gate-verified)
+        # full join+regex-split pass over the corpus.  The DuckDB oracle
+        # (oracle_sql()["line_dedup"]) slices the space-split VERBATIM —
+        # lines are 6-word chunks whatever bytes the words carry — so the
+        # passthrough is the oracle-faithful form: on a corpus whose words
+        # embedded a literal "\n" the old join+re-split path would DIVERGE
+        # from the oracle (re-splitting such lines) while lines_col keeps
+        # matching it (r12; pinned by
+        # test_line_dedup_lines_col_with_embedded_newline)
         lined = d.select(
             "doc_id",
             F.transform(

@@ -63,9 +63,24 @@ def _install_py4j_reflection_cache() -> None:
     """
     import sys
 
+    import py4j
     from py4j import java_gateway as jg
 
     if getattr(jg, "_bio_reflection_cache_installed", False):
+        return
+    # Version guard (r12): the patch assumes py4j 0.10.x resolution
+    # semantics — JVMView/JavaClass resolve static metadata through
+    # __getattr__ and java_import mutates the view server-side.  A future
+    # py4j that changes any of those would make the memo silently wrong,
+    # so skip installing (pure slowdown, never corruption) when the
+    # version family or the patched surfaces are not the validated ones.
+    if not str(getattr(py4j, "__version__", "")).startswith("0.10."):
+        return
+    if not (
+        "__getattr__" in jg.JVMView.__dict__
+        and "__getattr__" in jg.JavaClass.__dict__
+        and callable(getattr(jg, "java_import", None))
+    ):
         return
     jg._bio_reflection_cache_installed = True
 
@@ -211,15 +226,22 @@ def local_frame(spark: SparkSession, rows, schema):
     path for empty input or types pandas cannot round-trip."""
     if rows:
         try:
-            import pandas as pd
+            import pyarrow as pa
             from pyspark.sql import types as T
+            from pyspark.sql.pandas.types import to_arrow_schema
 
             if isinstance(schema, T.StructType):
-                names = schema.fieldNames()
+                st = schema
             else:
-                names = [f.strip().split()[0] for f in str(schema).split(",")]
-            pdf = pd.DataFrame(rows, columns=names)
-            return spark.createDataFrame(pdf, schema)
+                st = T.StructType.fromDDL(str(schema))
+            names = st.fieldNames()
+            # pyarrow (not pandas) keeps Python ints exact and None -> null:
+            # a pandas frame promotes a nullable int column to float64,
+            # silently corrupting longs above 2^53 (r11 ADVICE)
+            tbl = pa.Table.from_pylist(
+                [dict(zip(names, r)) for r in rows], schema=to_arrow_schema(st)
+            )
+            return spark.createDataFrame(tbl, schema)
         except Exception:
             pass
     return spark.createDataFrame(rows, schema)

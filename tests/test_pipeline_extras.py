@@ -861,3 +861,38 @@ def test_semantic_dedup_duplicate_clique_collapse(spark):
         ).collect()
     }
     assert comps == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5)}
+
+
+def test_local_frame_exact_long_with_nulls(spark):
+    """local_frame must keep int64 values above 2^53 exact when the column
+    also carries None (the pandas route promoted such columns to float64
+    and silently lost precision — r11 ADVICE); None must land as NULL."""
+    from pyspark.sql import types as T
+
+    from datafusion_bio_functions_spark.session import local_frame
+
+    big = (1 << 60) + 12345  # not representable in float64
+    rows = [("a", big, None), ("b", None, 7), (None, big + 1, 8)]
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), True),
+            T.StructField("v", T.LongType(), True),
+            T.StructField("w", T.LongType(), True),
+        ]
+    )
+    key = lambda t: tuple((x is not None, x) for x in t)  # noqa: E731
+    got = sorted(
+        (tuple(r) for r in local_frame(spark, rows, schema).collect()), key=key
+    )
+    assert got == sorted(rows, key=key)
+
+
+def test_py4j_reflection_cache_installed():
+    """The validated py4j version family must have the reflection cache
+    installed (the r12 version guard skips silently on anything else —
+    assert we are not losing the optimization unnoticed)."""
+    import py4j
+    from py4j import java_gateway as jg
+
+    assert str(py4j.__version__).startswith("0.10.")
+    assert getattr(jg, "_bio_reflection_cache_installed", False)

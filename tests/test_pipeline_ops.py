@@ -626,6 +626,36 @@ def test_line_dedup_lines_col_passthrough(spark):
     assert via_lines[2][1] == ""  # doc 3 fully deduplicated, survives empty
 
 
+def test_line_dedup_lines_col_with_embedded_newline(spark):
+    """A line element containing a literal separator is kept VERBATIM by the
+    lines_col path — the authoritative semantics (the bench's DuckDB oracle
+    slices the space-split verbatim, newlines and all), whereas the
+    text_col round-trip would re-split it.  Pins the r11 ADVICE divergence
+    case: the two input forms are NOT equivalent on such data, and the
+    lines_col result is the contract."""
+    from pyspark.sql import functions as F
+
+    from datafusion_bio_functions_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, ["plain shared line", "weird\nmiddle token"]),
+        (2, ["plain shared line", "weird\nmiddle token"]),
+        (3, ["solo line"]),
+    ]
+    arr = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    out = {r.doc_id: r for r in line_dedup(arr, lines_col="lines").collect()}
+    # first occurrences win as WHOLE elements: doc 1 keeps both lines
+    # (re-joined with the separator), doc 2 loses both to doc 1
+    assert out[1].text == "plain shared line\nweird\nmiddle token"
+    assert out[1].n_lines == 2 and out[1].n_kept == 2
+    assert out[2].text == "" and out[2].n_kept == 0 and out[2].n_lines == 2
+    assert out[3].text == "solo line"
+    # and the text_col round-trip DOES diverge here (documented, by design):
+    txt = arr.select("doc_id", F.array_join("lines", "\n").alias("text"))
+    via_text = {r.doc_id: r for r in line_dedup(txt).collect()}
+    assert via_text[1].n_lines == 3  # the embedded \n became a line break
+
+
 def test_multimodal_missing_column_message(spark):
     """A missing content/meta column raises a clear driver-side ValueError
     naming the column, not an opaque Python-worker KeyError."""
