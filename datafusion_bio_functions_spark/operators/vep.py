@@ -106,6 +106,52 @@ def csq_escape_col(c: "F.Column") -> "F.Column":
     return F.when(s == "-", F.lit("")).otherwise(escaped)
 
 
+# ── SQL-text twins of the CSQ slot builders (r12) ──────────────────────────
+# The CSQ entry assembly is ~850 Column-API calls per build, each costing a
+# py4j round trip (~0.7 ms measured) — ~0.6 s of pure DRIVER socket wait per
+# annotate_vep build (guide §5: the driver should do almost no work).  The
+# mechanical concat_ws spans are therefore assembled as SQL TEXT and parsed
+# with ONE F.expr call per span.  Each helper mirrors its Column twin
+# operator-for-operator (same functions, same argument order), so the
+# resulting Catalyst tree — and every rendered byte — is identical; the CSQ
+# grid parity batteries (grids 1-7) pin that.
+
+
+def _sql_e(x: str) -> str:
+    """SQL twin of the ``_e`` slot coalesce: render NULL as ''."""
+    return f"coalesce(cast({x} as string), '')"
+
+
+def _sql_m(key: str) -> str:
+    """SQL twin of the ``_m`` __t_meta map slot."""
+    return f"coalesce(__t_meta['{key}'], '')"
+
+
+def _sql_esc(x: str) -> str:
+    """SQL twin of :func:`csq_escape_col` (same regexp chain, '-' empties)."""
+    s = f"coalesce(cast({x} as string), '')"
+    esc = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"{s}, ',', '&'), '\\\\|', '&'), ';', '%3B'), '\\\\s', '_')"
+    )
+    return f"(case when {s} = '-' then '' else {esc} end)"
+
+
+def _sql_variant_class(ref: str = "ref", alt: str = "alt") -> str:
+    """SQL twin of :func:`variant_class_col`."""
+    r = f"(case when {ref} in ('-') then '' else coalesce({ref}, '') end)"
+    a = f"(case when {alt} in ('-') then '' else coalesce({alt}, '') end)"
+    return (
+        f"(case when length({r}) = 1 and length({a}) = 1 then 'SNV' "
+        f"when length({r}) = 0 or (length({a}) > length({r}) "
+        f"and startswith({a}, {r})) then 'insertion' "
+        f"when length({a}) = 0 or (length({r}) > length({a}) "
+        f"and startswith({r}, {a})) then 'deletion' "
+        f"when length({r}) = length({a}) then 'substitution' "
+        f"else 'indel' end)"
+    )
+
+
 def _check_requested_columns(df: DataFrame, columns: Sequence[str], what: str) -> None:
     """Clear error naming any projected column absent from the cache
     (schema_contract.rs validate_requested_columns)."""
@@ -320,10 +366,16 @@ def _so_rank_map() -> "F.Column":
     equivalent ``map_from_arrays(array(lit...), ...)`` tree costs ~84 py4j
     round-trips per build (terms are fixed identifiers — no quoting
     hazard); this is a single ``F.expr`` call."""
+    return F.expr(_so_rank_map_sql())
+
+
+def _so_rank_map_sql() -> str:
+    """SQL text of the term → rank map literal (for embedding in larger
+    one-parse expressions)."""
     pairs = ", ".join(
         f"'{t}', {i + 1}" for i, (t, _) in enumerate(SO_TERMS_BY_RANK)
     )
-    return F.expr(f"map({pairs})")
+    return f"map({pairs})"
 
 # ---------------------------------------------------------------------------
 # full VEP annotation layout (reference annotate_provider.rs:145-707:
@@ -2049,29 +2101,35 @@ def _annotate_codon(
         F.col("__t_meta")[F.lit("ENSP")], F.col("__tl_sid"), F.lit("")
     )
 
-    entry_p1 = F.concat_ws(
-        "|",
-        # every slot coalesces: a NULL in concat_ws silently DROPS the
-        # field and shifts the whole layout.  The Allele slot carries the
-        # VEP-MINIMIZED alt (reference writer renders vep_allele,
-        # annotate_provider.rs:3977/4076), not the raw VCF alt
-        _e(F.col("__vep_alt")),
-        F.concat_ws("&", F.col("__terms")),
-        _e(F.col("__res.impact")),
-        csq_escape_col(F.col("__t_symbol")),
-        csq_escape_col(F.col("__t_gene")),
-        F.lit("Transcript"),
-        csq_escape_col(F.col("__t_id")),
-        _e(F.col("__t_biotype")),
-        _e(F.col("__res.exon")),
-        _e(F.col("__res.intron")),
-        csq_escape_col(F.col("__hgvsc")),
-        csq_escape_col(F.col("__hgvsp")),
-        _e(F.col("__res.cdna_position_str")),
-        _e(F.col("__res.cds_position_str")),
-        _e(F.col("__res.protein_position_str")),
-        _e(F.col("__res.amino_acids")),
-        _e(F.col("__res.codons")),
+    # ONE SQL-text parse instead of ~80 Column-API round trips (r12; see the
+    # _sql_* helpers).  Slot list byte-identical to the former Column form:
+    # every slot coalesces — a NULL in concat_ws silently DROPS the field
+    # and shifts the whole layout; the Allele slot carries the VEP-MINIMIZED
+    # alt (reference writer renders vep_allele, annotate_provider.rs:3977).
+    entry_p1 = F.expr(
+        "concat_ws('|', "
+        + ", ".join(
+            [
+                _sql_e("__vep_alt"),
+                "concat_ws('&', __terms)",
+                _sql_e("__res.impact"),
+                _sql_esc("__t_symbol"),
+                _sql_esc("__t_gene"),
+                "'Transcript'",
+                _sql_esc("__t_id"),
+                _sql_e("__t_biotype"),
+                _sql_e("__res.exon"),
+                _sql_e("__res.intron"),
+                _sql_esc("__hgvsc"),
+                _sql_esc("__hgvsp"),
+                _sql_e("__res.cdna_position_str"),
+                _sql_e("__res.cds_position_str"),
+                _sql_e("__res.protein_position_str"),
+                _sql_e("__res.amino_acids"),
+                _sql_e("__res.codons"),
+            ]
+        )
+        + ")"
     )
     # SOURCE-slot span by cache mode (reference per-mode writer arms,
     # annotate_provider.rs:4444-4475 + csq_field_names_for_mode): the
@@ -2081,28 +2139,30 @@ def _annotate_codon(
     _roff = F.when(
         F.col("__hgvsc").isNotNull(), F.col("__res.refseq_offset")
     )
+    _roff_sql = "(case when __hgvsc is not null then __res.refseq_offset end)"
     if csq_mode == "refseq":
         src_span = [
-            _e(F.col("__t_refseq.refseq_match")),
-            _e(_roff),
-            _e(F.col("__res.given_ref")),
-            _e(F.col("__res.used_ref")),
-            _e(F.upper(F.col("__t_refseq.bam"))),
+            _sql_e("__t_refseq.refseq_match"),
+            _sql_e(_roff_sql),
+            _sql_e("__res.given_ref"),
+            _sql_e("__res.used_ref"),
+            _sql_e("upper(__t_refseq.bam)"),
         ]
     elif csq_mode == "merged":
         src_span = [
-            _e(F.col("__t_refseq.refseq_match")),
-            _e(F.col("__t_refseq.src")),
-            _e(_roff),
-            _e(F.col("__res.given_ref")),
-            _e(F.col("__res.used_ref")),
-            _e(F.upper(F.col("__t_refseq.bam"))),
+            _sql_e("__t_refseq.refseq_match"),
+            _sql_e("__t_refseq.src"),
+            _sql_e(_roff_sql),
+            _sql_e("__res.given_ref"),
+            _sql_e("__res.used_ref"),
+            _sql_e("upper(__t_refseq.bam)"),
         ]
     elif csq_everything:
         src_span = []                      # --everything drops the SOURCE slot
     else:
-        src_span = [F.lit("")]             # SOURCE (ensembl mode: empty)
+        src_span = ["''"]                  # SOURCE (ensembl mode: empty)
     n_src = len(src_span)
+    _ensp_sql = "coalesce(__t_meta['ENSP'], __tl_sid, '')"
     if csq_everything:
         # --everything entry span (reference writer arm, annotate_provider
         # .rs:4318-4455): VARIANT_CLASS follows FLAGS, generic MANE derives
@@ -2113,75 +2173,87 @@ def _annotate_codon(
         # HGVS_OFFSET mirrors the FASTA-derived genomic-shift hash → empty
         # without a FASTA; the refseq/merged provenance splice lands before
         # GENE_PHENO (csq_field_names_for_mode everything arm)
-        _msel = F.col("__t_meta")[F.lit("MANE_SELECT")]
-        _mplus = F.col("__t_meta")[F.lit("MANE_PLUS_CLINICAL")]
-        mane_generic = (
-            F.when(_msel.isNotNull() & (_msel != ""), "MANE_Select")
-            .when(_mplus.isNotNull() & (_mplus != ""), "MANE_Plus_Clinical")
-            .otherwise("")
+        _mane_sql = (
+            "(case when __t_meta['MANE_SELECT'] is not null "
+            "and __t_meta['MANE_SELECT'] != '' then 'MANE_Select' "
+            "when __t_meta['MANE_PLUS_CLINICAL'] is not null "
+            "and __t_meta['MANE_PLUS_CLINICAL'] != '' then 'MANE_Plus_Clinical' "
+            "else '' end)"
         )
-        _is_coding = F.col("__res.cds_position_str").isNotNull() & (
-            F.col("__res.cds_position_str") != ""
+        _coding_domains_sql = (
+            "(case when __res.cds_position_str is not null "
+            "and __res.cds_position_str != '' then __e_domains end)"
         )
-        entry_p2 = F.concat_ws(
-            "|",
-            _e(F.col("__res.distance")),   # DISTANCE
-            _e(F.col("__t_strand")),       # STRAND ('1' / '-1')
-            _m("FLAGS"),
-            variant_class_col(F.col("ref"), F.col("alt")),
-            _m("SYMBOL_SOURCE"),
-            _m("HGNC_ID"),
-            _m("CANONICAL"),
-            mane_generic,
-            _m("MANE_SELECT"),
-            _m("MANE_PLUS_CLINICAL"),
-            _m("TSL"),
-            _m("APPRIS"),
-            _m("CCDS"),
-            _ensp,
-            csq_escape_col(F.col("__t_meta")[F.lit("SWISSPROT")]),
-            csq_escape_col(F.col("__t_meta")[F.lit("TREMBL")]),
-            _m("UNIPARC"),
-            _m("UNIPROT_ISOFORM"),
-            *src_span,
-            _m("GENE_PHENO"),
-            _e(F.col("__e_sift")),
-            _e(F.col("__e_polyphen")),
-            _e(F.when(_is_coding, F.col("__e_domains"))),
-            _e(F.col("__res.mirna_struct")),
-            # HGVS_OFFSET: the exposed genomic-shift length (empty without
-            # reference_genome, the shift-less degradation)
-            _e(F.col("__res.hgvs_offset")),
+        entry_p2 = F.expr(
+            "concat_ws('|', "
+            + ", ".join(
+                [
+                    _sql_e("__res.distance"),   # DISTANCE
+                    _sql_e("__t_strand"),       # STRAND ('1' / '-1')
+                    _sql_m("FLAGS"),
+                    _sql_variant_class(),
+                    _sql_m("SYMBOL_SOURCE"),
+                    _sql_m("HGNC_ID"),
+                    _sql_m("CANONICAL"),
+                    _mane_sql,
+                    _sql_m("MANE_SELECT"),
+                    _sql_m("MANE_PLUS_CLINICAL"),
+                    _sql_m("TSL"),
+                    _sql_m("APPRIS"),
+                    _sql_m("CCDS"),
+                    _ensp_sql,
+                    _sql_esc("__t_meta['SWISSPROT']"),
+                    _sql_esc("__t_meta['TREMBL']"),
+                    _sql_m("UNIPARC"),
+                    _sql_m("UNIPROT_ISOFORM"),
+                    *src_span,
+                    _sql_m("GENE_PHENO"),
+                    _sql_e("__e_sift"),
+                    _sql_e("__e_polyphen"),
+                    _sql_e(_coding_domains_sql),
+                    _sql_e("__res.mirna_struct"),
+                    # HGVS_OFFSET: the exposed genomic-shift length (empty
+                    # without reference_genome, the shift-less degradation)
+                    _sql_e("__res.hgvs_offset"),
+                ]
+            )
+            + ")"
         )
         # intergenic/feature entries: 3 leading empties, VARIANT_CLASS,
         # then the remaining slots empty
         _empty_e2_pre, _empty_e2_post = 3, 20 + n_src
     else:
-        entry_p2 = F.concat_ws(
-            "|",
-            _e(F.col("__res.distance")),       # DISTANCE
-            _e(F.col("__t_strand")),           # STRAND ('1' / '-1')
-            _m("FLAGS"),
-            _m("SYMBOL_SOURCE"),
-            _m("HGNC_ID"),
-            # MOTIF_NAME..TRANSCRIPTION_FACTORS: always empty, like the
-            # reference (motif consequence data not exposed)
-            F.lit(""), F.lit(""), F.lit(""), F.lit(""), F.lit(""),
-            *src_span,
-            variant_class_col(F.col("ref"), F.col("alt")),
-            _m("CANONICAL"),
-            _m("TSL"),
-            _m("MANE_SELECT"),
-            _m("MANE_PLUS_CLINICAL"),
-            _ensp,
-            _m("GENE_PHENO"),
-            _m("CCDS"),
-            # SWISSPROT/TREMBL are the two metadata fields the reference
-            # csq_escape()s in the writer (annotate_provider.rs:4309-4313)
-            csq_escape_col(F.col("__t_meta")[F.lit("SWISSPROT")]),
-            csq_escape_col(F.col("__t_meta")[F.lit("TREMBL")]),
-            _m("UNIPARC"),
-            _m("UNIPROT_ISOFORM"),
+        entry_p2 = F.expr(
+            "concat_ws('|', "
+            + ", ".join(
+                [
+                    _sql_e("__res.distance"),       # DISTANCE
+                    _sql_e("__t_strand"),           # STRAND ('1' / '-1')
+                    _sql_m("FLAGS"),
+                    _sql_m("SYMBOL_SOURCE"),
+                    _sql_m("HGNC_ID"),
+                    # MOTIF_NAME..TRANSCRIPTION_FACTORS: always empty, like
+                    # the reference (motif consequence data not exposed)
+                    "''", "''", "''", "''", "''",
+                    *src_span,
+                    _sql_variant_class(),
+                    _sql_m("CANONICAL"),
+                    _sql_m("TSL"),
+                    _sql_m("MANE_SELECT"),
+                    _sql_m("MANE_PLUS_CLINICAL"),
+                    _ensp_sql,
+                    _sql_m("GENE_PHENO"),
+                    _sql_m("CCDS"),
+                    # SWISSPROT/TREMBL are the two metadata fields the
+                    # reference csq_escape()s in the writer
+                    # (annotate_provider.rs:4309-4313)
+                    _sql_esc("__t_meta['SWISSPROT']"),
+                    _sql_esc("__t_meta['TREMBL']"),
+                    _sql_m("UNIPARC"),
+                    _sql_m("UNIPROT_ISOFORM"),
+                ]
+            )
+            + ")"
         )
         _empty_e2_pre, _empty_e2_post = 10 + n_src, 11
     with_entry = paired.withColumn(
@@ -2191,59 +2263,59 @@ def _annotate_codon(
     ).withColumn(
         # rank-prefixed term so a plain min() picks the most severe one
         "__best_term",
-        F.when(
-            F.col("__terms").isNotNull(),
-            F.array_min(
-                F.transform(
-                    F.col("__terms"),
-                    lambda x: F.format_string("%02d|%s", rank_map[x], x),
-                )
-            ),
+        F.expr(
+            "case when __terms is not null then array_min(transform("
+            f"__terms, x -> format_string('%02d|%s', {_so_rank_map_sql()}[x],"
+            " x))) end"
         ),
     ).withColumn(
         # deterministic min_by key: transcript_id breaks ties when two
         # transcripts share the same most-severe term
         "__best_key",
-        F.when(
-            F.col("__terms").isNotNull(),
-            F.concat_ws("|", F.col("__best_term"), F.col("__t_id")),
+        F.expr(
+            "case when __terms is not null "
+            "then concat_ws('|', __best_term, __t_id) end"
         ),
     )
 
-    best_struct = F.when(
-        F.col("__terms").isNotNull(),
-        F.struct(
-            F.col("__t_id").alias("feature"),
-            F.col("__t_gene").alias("gene"),
-            F.col("__t_symbol").alias("symbol"),
-            F.col("__t_biotype").alias("biotype"),
-            F.col("__res.impact").alias("impact"),
-            F.col("__hgvsc").alias("hgvsc"),
-            F.col("__hgvsp").alias("hgvsp"),
-            F.col("__terms").alias("terms"),
-            F.col("__t_strand").alias("strand"),
-            F.col("__res.exon").alias("exon"),
-            F.col("__res.intron").alias("intron"),
-            F.col("__res.cdna_position").alias("cdna_position"),
-            F.col("__res.cds_position").alias("cds_position"),
-            F.col("__res.protein_position").alias("protein_position"),
-            F.col("__res.amino_acids").alias("amino_acids"),
-            F.col("__res.codons").alias("codons"),
-            F.col("__res.distance").alias("distance"),
-            F.col("__res.cdna_position_str").alias("cdna_position_str"),
-            F.col("__res.cds_position_str").alias("cds_position_str"),
-            F.col("__res.protein_position_str").alias("protein_position_str"),
-            F.col("__res.given_ref").alias("given_ref"),
-            F.col("__res.used_ref").alias("used_ref"),
-            _roff.alias("refseq_offset"),
-            F.upper(F.col("__t_refseq.bam")).alias("bam_edit"),
-            F.col("__t_refseq.src").alias("source"),
-            F.col("__t_refseq.refseq_match").alias("refseq_match"),
-            F.col("__e_sift").alias("sift"),
-            F.col("__e_polyphen").alias("polyphen"),
-            F.col("__e_domains").alias("domains"),
-            F.col("__t_meta").alias("meta"),
-        ),
+    best_struct = F.expr(
+        "case when __terms is not null then named_struct("
+        + ", ".join(
+            f"'{name}', {src}"
+            for name, src in [
+                ("feature", "__t_id"),
+                ("gene", "__t_gene"),
+                ("symbol", "__t_symbol"),
+                ("biotype", "__t_biotype"),
+                ("impact", "__res.impact"),
+                ("hgvsc", "__hgvsc"),
+                ("hgvsp", "__hgvsp"),
+                ("terms", "__terms"),
+                ("strand", "__t_strand"),
+                ("exon", "__res.exon"),
+                ("intron", "__res.intron"),
+                ("cdna_position", "__res.cdna_position"),
+                ("cds_position", "__res.cds_position"),
+                ("protein_position", "__res.protein_position"),
+                ("amino_acids", "__res.amino_acids"),
+                ("codons", "__res.codons"),
+                ("distance", "__res.distance"),
+                ("cdna_position_str", "__res.cdna_position_str"),
+                ("cds_position_str", "__res.cds_position_str"),
+                ("protein_position_str", "__res.protein_position_str"),
+                ("given_ref", "__res.given_ref"),
+                ("used_ref", "__res.used_ref"),
+                ("refseq_offset", _roff_sql),
+                ("bam_edit", "upper(__t_refseq.bam)"),
+                ("source", "__t_refseq.src"),
+                ("refseq_match", "__t_refseq.refseq_match"),
+                ("sift", "__e_sift"),
+                ("polyphen", "__e_polyphen"),
+                ("domains", "__e_domains"),
+                ("meta", "__t_meta"),
+            ]
+        )
+        + ") end"
     )
     pre = (
         with_entry.withColumn("__best_struct", best_struct)
@@ -2509,56 +2581,74 @@ def _annotate_codon(
         feats = feat_frames[0]
         for fdf in feat_frames[1:]:
             feats = feats.unionByName(fdf)
-        impact_map = F.create_map(
-            *[F.lit(x) for term, imp in SO_TERMS_BY_RANK for x in (term, imp)]
-        )
+        _impact_map_sql = "map(" + ", ".join(
+            f"'{term}', '{imp}'" for term, imp in SO_TERMS_BY_RANK
+        ) + ")"
         # entry impact = most severe of the entry's terms = first after the
         # rank sort (reference most_severe_term over tc.terms)
-        f_top = F.element_at(F.col("feature_terms"), 1)
-        f_impact = impact_map[f_top]
+        _f_top_sql = "element_at(feature_terms, 1)"
         # feature entries in the same 74-field layout: SYMBOL/Gene empty,
         # Feature_type the reference label, Feature = the feature id (empty
         # for motif/mirna rows like the reference's transcript_id=None),
         # BIOTYPE = the regulatory feature_type (biotype_override)
-        f_p1 = F.concat_ws(
-            "|",
-            F.coalesce(F.col("__vep_alt"), F.lit("")),
-            F.concat_ws("&", F.col("feature_terms")),
-            F.coalesce(f_impact, F.lit("")),
-            F.lit(""), F.lit(""), F.col("__ftype"),
-            csq_escape_col(F.col("feature_id")),
-            F.coalesce(F.col("feature_biotype"), F.lit("")),
-            *[F.lit("")] * 9,
+        f_p1 = F.expr(
+            "concat_ws('|', "
+            + ", ".join(
+                [
+                    "coalesce(__vep_alt, '')",
+                    "concat_ws('&', feature_terms)",
+                    f"coalesce({_impact_map_sql}[{_f_top_sql}], '')",
+                    "''", "''", "__ftype",
+                    _sql_esc("feature_id"),
+                    "coalesce(feature_biotype, '')",
+                ]
+                + ["''"] * 9
+            )
+            + ")"
         )
-        f_p2 = F.concat_ws(
-            "|",
-            *[F.lit("")] * _empty_e2_pre,
-            variant_class_col(F.col("ref"), F.col("alt")),
-            *[F.lit("")] * _empty_e2_post,
+        f_p2 = F.expr(
+            "concat_ws('|', "
+            + ", ".join(
+                ["''"] * _empty_e2_pre
+                + [_sql_variant_class()]
+                + ["''"] * _empty_e2_post
+            )
+            + ")"
         )
-        f_best_term = F.format_string("%02d|%s", rank_map[f_top], f_top)
-        ns, nl, ni = (
-            F.lit(None).cast("string"),
-            F.lit(None).cast("long"),
-            F.lit(None).cast("int"),
+        f_best_term = F.expr(
+            f"format_string('%02d|%s', {_so_rank_map_sql()}[{_f_top_sql}], "
+            f"{_f_top_sql})"
         )
-        f_struct = F.struct(
-            F.col("feature_id").alias("feature"),
-            ns.alias("gene"), ns.alias("symbol"),
-            F.col("feature_biotype").alias("biotype"),
-            f_impact.alias("impact"), ns.alias("hgvsc"), ns.alias("hgvsp"),
-            F.col("feature_terms").alias("terms"),
-            ni.alias("strand"), ns.alias("exon"), ns.alias("intron"),
-            nl.alias("cdna_position"), nl.alias("cds_position"),
-            nl.alias("protein_position"), ns.alias("amino_acids"),
-            ns.alias("codons"), nl.alias("distance"),
-            ns.alias("cdna_position_str"), ns.alias("cds_position_str"),
-            ns.alias("protein_position_str"),
-            ns.alias("given_ref"), ns.alias("used_ref"),
-            nl.alias("refseq_offset"), ns.alias("bam_edit"),
-            ns.alias("source"), ns.alias("refseq_match"),
-            ns.alias("sift"), ns.alias("polyphen"), ns.alias("domains"),
-            F.lit(None).cast("map<string,string>").alias("meta"),
+        _ns, _nl, _ni = (
+            "cast(null as string)",
+            "cast(null as bigint)",
+            "cast(null as int)",
+        )
+        f_struct = F.expr(
+            "named_struct("
+            + ", ".join(
+                f"'{name}', {src}"
+                for name, src in [
+                    ("feature", "feature_id"),
+                    ("gene", _ns), ("symbol", _ns),
+                    ("biotype", "feature_biotype"),
+                    ("impact", f"{_impact_map_sql}[{_f_top_sql}]"),
+                    ("hgvsc", _ns), ("hgvsp", _ns),
+                    ("terms", "feature_terms"),
+                    ("strand", _ni), ("exon", _ns), ("intron", _ns),
+                    ("cdna_position", _nl), ("cds_position", _nl),
+                    ("protein_position", _nl), ("amino_acids", _ns),
+                    ("codons", _ns), ("distance", _nl),
+                    ("cdna_position_str", _ns), ("cds_position_str", _ns),
+                    ("protein_position_str", _ns),
+                    ("given_ref", _ns), ("used_ref", _ns),
+                    ("refseq_offset", _nl), ("bam_edit", _ns),
+                    ("source", _ns), ("refseq_match", _ns),
+                    ("sift", _ns), ("polyphen", _ns), ("domains", _ns),
+                    ("meta", "cast(null as map<string,string>)"),
+                ]
+            )
+            + ")"
         )
         # concat group rank: Transcript(0) < RegulatoryFeature(1) <
         # MotifFeature(2) < None(3) (reference FeatureType::rank,
@@ -2616,18 +2706,24 @@ def _annotate_codon(
         F.max(F.when(F.col("__is_tx"), 1).otherwise(0)).alias("__has_tx"),
         F.first("__vep_alt").alias("__ig_alt"),
     )
-    def _ig_p1(alt_col) -> "F.Column":
-        return F.concat_ws(
-            "|", F.coalesce(alt_col, F.lit("")),
-            F.lit("intergenic_variant"), F.lit("MODIFIER"),
-            *[F.lit("")] * 14,
+    def _sql_ig_p1(alt: str) -> str:
+        return (
+            "concat_ws('|', "
+            + ", ".join(
+                [f"coalesce({alt}, '')", "'intergenic_variant'", "'MODIFIER'"]
+                + ["''"] * 14
+            )
+            + ")"
         )
 
-    ig_p1 = _ig_p1(F.col("__vep_alt"))
-    ig_p2 = F.concat_ws(
-        "|", *[F.lit("")] * _empty_e2_pre,
-        variant_class_col(F.col("ref"), F.col("alt")),
-        *[F.lit("")] * _empty_e2_post,
+    ig_p2_sql = (
+        "concat_ws('|', "
+        + ", ".join(
+            ["''"] * _empty_e2_pre
+            + [_sql_variant_class()]
+            + ["''"] * _empty_e2_post
+        )
+        + ")"
     )
     if feat_frames:
         # reference fallback: feature-only variants still carry the
@@ -2642,8 +2738,8 @@ def _annotate_codon(
                         F.struct(
                             F.lit(3).alias("r"),
                             F.lit("").alias("fid"),
-                            _ig_p1(F.col("__ig_alt")).alias("e1"),
-                            ig_p2.alias("e2"),
+                            F.expr(_sql_ig_p1("__ig_alt")).alias("e1"),
+                            F.expr(ig_p2_sql).alias("e2"),
                         )
                     ),
                 ),
@@ -2767,87 +2863,83 @@ def _annotate_codon(
         if (csq_everything or vf.everything)
         else VEP_CSQ_SUPPRESSED_AF_COLS
     )
-    af_strs = []
+    _o_of_c = {c: o for o, c in _fp}
+    af_strs_sql = []
     for o, c in VEP_FREQUENCY_COLUMNS:
         if (
             c not in af_by_cache
             or c in _suppressed
             or not vf.af_group_enabled(_af_flag_group(o))
         ):
-            af_strs.append(F.lit(""))
+            af_strs_sql.append("''")
         elif c == "AF":
             # NULL must be guarded explicitly: format_string('%.4f', NULL)
             # returns the literal string 'null' (Java Formatter), not SQL
             # NULL, so a bare coalesce never fires
-            af_strs.append(
-                F.when(
-                    af_num[c].isNotNull(),
-                    F.format_string("%.4f", af_num[c]),
-                ).otherwise(F.lit(""))
+            oc = _o_of_c[c]
+            af_strs_sql.append(
+                f"(case when `__csq_afn_{oc}` is not null "
+                f"then format_string('%.4f', `__csq_afn_{oc}`) else '' end)"
             )
         else:
-            af_strs.append(F.coalesce(af_by_cache[c], F.lit("")))
+            af_strs_sql.append(f"coalesce(`__csq_af_{_o_of_c[c]}`, '')")
     # MAX_AF over sub-population columns only, short pop names; comparisons
     # in double, but the RENDERED value is the winning column's raw string
     # (the reference emits the raw cache slice)
     _sp = [(o, c) for o, c in _fp if c not in VEP_CSQ_GLOBAL_AF_COLS]
     if _sp and vf.max_af:
-        _vals = [af_num[c] for _, c in _sp]
-        _mx = F.greatest(*_vals) if len(_vals) > 1 else _vals[0]
-        max_af_s = F.coalesce(
-            *[
-                F.when(af_num[c] == _mx, af_by_cache[c])
-                for _, c in _sp
-            ],
-            F.lit(""),
+        if len(_sp) > 1:
+            _mx_sql = (
+                "greatest(" + ", ".join(f"`__csq_afn_{o}`" for o, _ in _sp) + ")"
+            )
+        else:
+            _mx_sql = f"`__csq_afn_{_sp[0][0]}`"
+        max_af_sql = (
+            "coalesce("
+            + ", ".join(
+                f"(case when `__csq_afn_{o}` = {_mx_sql} "
+                f"then `__csq_af_{o}` end)"
+                for o, _ in _sp
+            )
+            + ", '')"
         )
-        max_pops_s = F.concat_ws(
-            "&",
-            F.filter(
-                F.array(*[
-                    F.when(af_num[c] == _mx, F.lit(c))
-                    for _, c in _sp
-                ]),
-                lambda x: x.isNotNull(),
-            ),
+        max_pops_sql = (
+            "concat_ws('&', filter(array("
+            + ", ".join(
+                f"(case when `__csq_afn_{o}` = {_mx_sql} then '{c}' end)"
+                for o, c in _sp
+            )
+            + "), x -> x is not null))"
         )
     else:
-        max_af_s, max_pops_s = F.lit(""), F.lit("")
-    batch3 = F.concat_ws(
-        "|",
-        *af_strs,
-        max_af_s,
-        max_pops_s,
-        (
-            F.coalesce(F.col("__csq_clin"), F.lit(""))
-            if vf.check_existing
-            else F.lit("")
-        ),
-        F.lit(""), F.lit(""), F.lit(""),  # SOMATIC / PHENO / PUBMED
-        # --everything: the MOTIF block moves to the trailing five slots
-        # (always empty, like the reference's `{batch3_suffix}|||||`)
-        *([F.lit("")] * 5 if csq_everything else []),
-    )
-    ev_s = (
-        F.coalesce(F.col("__csq_ev"), F.lit(""))
-        if vf.check_existing
-        else F.lit("")
-    )
-    intergenic = F.lit("intergenic_variant")
-    csq_col = (
-        F.when(
-            F.size("__entries") > 0,
-            F.array_join(
-                F.transform(
-                    F.col("__entries"),
-                    lambda x: F.concat_ws("|", x["e1"], ev_s, x["e2"], batch3),
-                ),
-                ",",
-            ),
+        max_af_sql, max_pops_sql = "''", "''"
+    batch3_sql = (
+        "concat_ws('|', "
+        + ", ".join(
+            af_strs_sql
+            + [
+                max_af_sql,
+                max_pops_sql,
+                "coalesce(__csq_clin, '')" if vf.check_existing else "''",
+                "''", "''", "''",  # SOMATIC / PHENO / PUBMED
+                # --everything: the MOTIF block moves to the trailing five
+                # slots (always empty, like the reference's
+                # `{batch3_suffix}|||||`)
+                *(["''"] * 5 if csq_everything else []),
+            ]
         )
-        .otherwise(F.concat_ws("|", ig_p1, ev_s, ig_p2, batch3))
-        .alias("CSQ")
+        + ")"
     )
+    ev_sql = "coalesce(__csq_ev, '')" if vf.check_existing else "''"
+    intergenic = F.lit("intergenic_variant")
+    # the whole CSQ render — per-entry splice lambda, intergenic fallback,
+    # Batch-3 suffix — is ONE SQL parse (formerly ~300 Column round trips)
+    csq_col = F.expr(
+        "case when size(__entries) > 0 then array_join(transform(__entries, "
+        f"x -> concat_ws('|', x.e1, {ev_sql}, x.e2, {batch3_sql})), ',') "
+        f"else concat_ws('|', {_sql_ig_p1('__vep_alt')}, {ev_sql}, "
+        f"{ig_p2_sql}, {batch3_sql}) end"
+    ).alias("CSQ")
     ms_col = F.coalesce(F.col("__ms"), intergenic).alias("most_severe_consequence")
     _ev_typed = (
         F.coalesce(F.col("variation_name"), F.lit(""))

@@ -220,6 +220,46 @@ def test_simhash_dedup(spark):
     assert all(3 not in p for p in found)
 
 
+def test_simhash_arrow_kernel_equals_sql_expression(spark):
+    """The r12 vectorized arrow simhash (factorize + reduceat voting) must
+    be BIT-IDENTICAL to the all-JVM md5 expression tree on adversarial
+    inputs: null text, empty text, repeated/multi-space tokens, unicode,
+    a sign-bit-exercising corpus, and a doc long enough to span the
+    doc-slab boundary logic."""
+    from datafusion_bio_functions_spark.operators.dedup import (
+        _simhash64_arrow_udf,
+        simhash64,
+    )
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "a  b   c"),  # consecutive spaces -> empty tokens
+        (5, "Héllo WÖRLD ünïcode"),
+        (6, "repeat repeat repeat repeat distinct"),
+        (7, " ".join(f"tok{i % 97}" for i in range(5000))),
+        (8, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.a, r.b)
+        for r in df.select(
+            "doc_id",
+            _simhash64_arrow_udf()(F.col("text")).alias("a"),
+            simhash64("text", hash_method="md5").alias("b"),
+        ).collect()
+    }
+    # null text: the SQL expression yields NULL, the arrow kernel hashes ""
+    # (callers coalesce nulls to a sentinel BEFORE either path — compare
+    # the empty-string doc instead)
+    assert got[1][0] == got[2][1]
+    for doc_id, (a, b) in got.items():
+        if doc_id == 1:
+            continue
+        assert a == b, f"doc {doc_id}: arrow {a} != sql {b}"
+
+
 def test_connected_components_star_matches_label(spark):
     """Large-star/small-star contraction must produce identical
     (id, component) labels to min-label propagation on every graph shape;
