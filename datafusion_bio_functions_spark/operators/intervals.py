@@ -1967,13 +1967,25 @@ def _nearest_radius(
              "s": out_s, "e": out_e}
         )
 
+    # pin the cogroup exchanges (r12): the (contig, chunk) shuffle carries
+    # sub-MB rows at small inputs, so AQE byte-coalescing folds it to ONE
+    # post-shuffle partition and the searchsorted kernel runs serially; a
+    # user repartition on the cogroup keys satisfies its clustering
+    # requirement (no extra exchange) and is exempt from coalescing.
+    _p = lch.sparkSession.sparkContext.defaultParallelism
     res = (
-        lch.groupBy("__kc", "__chunk")
-        .cogroup(pch.groupBy("__kc", "__chunk"))
+        lch.repartition(_p, "__kc", "__chunk")
+        .groupBy("__kc", "__chunk")
+        .cogroup(pch.repartition(_p, "__kc", "__chunk").groupBy("__kc", "__chunk"))
         .applyInPandas(kernel, "pid long, lid long, dist long, s long, e long")
     )
-    # a pair met in two chunks is emitted twice with identical values
-    res = res.distinct()
+    # a pair met in two chunks is emitted twice with identical values.
+    # Dedup AND the top-k window share ONE pid-partitioned exchange (r12):
+    # hash-partitioning by pid co-locates every duplicate tuple, so the
+    # dropDuplicates aggregate needs no exchange of its own, and its output
+    # keeps the pid partitioning the row_number window below requires —
+    # the former res.distinct() + window pair planned two exchanges.
+    res = res.repartition(_p, "pid").dropDuplicates()
     # correctness rule: only candidates within the probe's radius are
     # provably complete across chunks; farther results go to the fallback
     prad = padded.select(F.col("__pid").alias("pid"), "__rad")
