@@ -900,6 +900,7 @@ def ivf_cosine_topk(
     corpus_id: str = "vec_id",
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
+    list_split: int = 1,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows are bucketed by nearest coarse
     centroid (one shuffle key per inverted list); each query probes its
@@ -926,6 +927,18 @@ def ivf_cosine_topk(
     gate- and test-pinned); local top-k selection replicates Spark's
     ordering exactly, including NaN-greatest descending sims and
     null-id pair dropping.
+
+    Memory caveat & ``list_split``: cogroup materializes each (inverted
+    list, probing queries) group in ONE worker's memory, so a hot/skewed
+    list can exceed executor memory where the old equi-join streamed.
+    ``list_split=s > 1`` salts the corpus side into ``s`` chunks per list
+    (queries replicate per chunk — bounded, explicit): per-group corpus
+    memory drops to |list|/s while results stay IDENTICAL (each pair meets
+    in exactly one chunk; per-chunk top-k is still a superset of the
+    global top-k — pinned by test).  Size ``s`` so |list|/s rows of
+    vectors fit a worker comfortably; the default 1 keeps the minimal
+    plan for well-balanced lists (n_centroids ∝ √N keeps lists
+    executor-sized by construction).
     """
     from pyspark.sql import types as T
 
@@ -952,11 +965,35 @@ def ivf_cosine_topk(
             T.StructField("__sim", T.DoubleType(), True),
         ]
     )
-    sim = (
-        q.groupBy("centroid_id")
-        .cogroup(c.groupBy("centroid_id"))
-        .applyInArrow(_ivf_list_search_kernel(k), schema=out_schema)
-    )
+    if list_split > 1:
+        # hot-list guard (r12, from the r11 ADVICE): cogroup applyInArrow
+        # materializes each (list, probing queries) group IN MEMORY in one
+        # Python worker, so a skewed/hot inverted list OOMs where the old
+        # equi-join streamed.  Salting the CORPUS side into ``list_split``
+        # chunks (queries replicate per chunk) bounds the group to
+        # |list|/split corpus rows; each (query, neighbor) pair still meets
+        # in exactly ONE (centroid, chunk) cell — the neighbor carries one
+        # salt — so per-cell top-k stays a provable superset of the global
+        # top-k and no cross-cell dedup is needed.  Query bytes multiply by
+        # ``list_split`` (bounded, explicit — the LSH n_tables trade).
+        s = int(list_split)
+        ck = c.withColumn(
+            "__salt", F.pmod(F.hash(F.col("neighbor_id")), F.lit(s))
+        )
+        qk = q.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+        )
+        sim = (
+            qk.groupBy("centroid_id", "__salt")
+            .cogroup(ck.groupBy("centroid_id", "__salt"))
+            .applyInArrow(_ivf_list_search_kernel(k), schema=out_schema)
+        )
+    else:
+        sim = (
+            q.groupBy("centroid_id")
+            .cogroup(c.groupBy("centroid_id"))
+            .applyInArrow(_ivf_list_search_kernel(k), schema=out_schema)
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
     return (
         sim.withColumn("rank", F.row_number().over(w))

@@ -173,6 +173,49 @@ def test_ivf_cogroup_search_equals_join_formulation(spark):
     assert nan_rows and all(t[3] == "nan" for t in nan_rows)
 
 
+def test_ivf_list_split_equals_unsplit(spark):
+    """list_split (the r12 hot-list memory guard: corpus salted into
+    chunks, queries replicated) must be ROW-IDENTICAL to the unsplit
+    cogroup, ties/NaN/duplicates included."""
+    import random as _rnd
+    import warnings
+
+    import pyspark.sql.functions as SF
+
+    from datafusion_bio_functions_spark.operators.similarity import (
+        ivf_cosine_topk,
+        train_ivf_centroids,
+    )
+
+    rnd = _rnd.Random(17)
+    rows = []
+    for i in range(150):
+        base = [rnd.gauss(0, 1) for _ in range(8)]
+        rows.append((i, base))
+        if i % 6 == 0:
+            rows.append((i + 1000, list(base)))  # duplicates: ties
+    rows.append((5000, [0.0] * 8))  # zero vector: NaN sims
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter((SF.col("vec_id") % 10 == 0) | (SF.col("vec_id") >= 5000))
+    cents = train_ivf_centroids(df, 4, 8, "embedding", seed=7)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        base_rows = sorted(
+            (r.query_id, r.rank, r.neighbor_id, repr(r.cosine_sim))
+            for r in ivf_cosine_topk(
+                q, df, k=4, n_centroids=4, nprobe=2, centroids=cents
+            ).collect()
+        )
+        split_rows = sorted(
+            (r.query_id, r.rank, r.neighbor_id, repr(r.cosine_sim))
+            for r in ivf_cosine_topk(
+                q, df, k=4, n_centroids=4, nprobe=2, centroids=cents,
+                list_split=3,
+            ).collect()
+        )
+    assert split_rows == base_rows
+
+
 def test_lsh_cogroup_rerank_equals_join_formulation(spark):
     """The r12 cogrouped per-(table, bucket) GEMM rerank must be
     ROW-IDENTICAL (including bit-exact sims) to the candidate-join
