@@ -226,22 +226,47 @@ def local_frame(spark: SparkSession, rows, schema):
     path for empty input or types pandas cannot round-trip."""
     if rows:
         try:
-            import pyarrow as pa
             from pyspark.sql import types as T
-            from pyspark.sql.pandas.types import to_arrow_schema
 
             if isinstance(schema, T.StructType):
                 st = schema
             else:
                 st = T.StructType.fromDDL(str(schema))
             names = st.fieldNames()
-            # pyarrow (not pandas) keeps Python ints exact and None -> null:
-            # a pandas frame promotes a nullable int column to float64,
-            # silently corrupting longs above 2^53 (r11 ADVICE)
-            tbl = pa.Table.from_pylist(
-                [dict(zip(names, r)) for r in rows], schema=to_arrow_schema(st)
-            )
-            return spark.createDataFrame(tbl, schema)
+            # pandas promotes a nullable int column to float64 (None->NaN),
+            # silently corrupting longs above 2^53 (r11 ADVICE).  The
+            # corruption needs BOTH a None and a >2^53 value in the same
+            # int column — probe for that (O(rows) driver-side, and rows
+            # here are already bounded by the collect guards) and route
+            # only the risky frames through pyarrow.  The pandas route
+            # stays the default: the pa.Table createDataFrame path was
+            # measured ~+0.45 s per cluster_chunked run (its local data is
+            # re-converted per execution), while the pandas one-batch path
+            # is the r11-measured fast form.
+            _int_t = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+            exact_needed = False
+            for i, f in enumerate(st.fields):
+                if not isinstance(f.dataType, _int_t):
+                    continue
+                col = [r[i] for r in rows]
+                if any(v is None for v in col) and any(
+                    v is not None and abs(v) > (1 << 53) for v in col
+                ):
+                    exact_needed = True
+                    break
+            if exact_needed:
+                import pyarrow as pa
+                from pyspark.sql.pandas.types import to_arrow_schema
+
+                tbl = pa.Table.from_pylist(
+                    [dict(zip(names, r)) for r in rows],
+                    schema=to_arrow_schema(st),
+                )
+                return spark.createDataFrame(tbl, schema)
+            import pandas as pd
+
+            pdf = pd.DataFrame(rows, columns=names)
+            return spark.createDataFrame(pdf, schema)
         except Exception:
             pass
     return spark.createDataFrame(rows, schema)
