@@ -180,10 +180,12 @@ def clear_probe_caches() -> None:
     from .dedup import _COLLAPSE_MEMO
 
     _COLLAPSE_MEMO.clear()
+    from .similarity import _SEM_COUNT_MEMO
     from .vep import _CHROM_FORM_MEMO, _VCF_GUARD_MEMO
 
     _CHROM_FORM_MEMO.clear()
     _VCF_GUARD_MEMO.clear()
+    _SEM_COUNT_MEMO.clear()
 
 
 def _auto_bin_width(l: DataFrame, ls: str, le: str, r: DataFrame, rs: str, re_: str) -> int:

@@ -60,6 +60,11 @@ def _stack_vectors(s: pd.Series) -> np.ndarray:
     return np.vstack(s.to_numpy()).astype(np.float64, copy=False)
 
 
+#: per-session memo of semantic_dedup's auto-knob count probe (same
+#: semantic-plan + file-listing keying as the interval guards; cleared by
+#: intervals.clear_probe_caches)
+_SEM_COUNT_MEMO: dict = {}
+
 #: Per-worker grow-only scratch buffers for the hot-path batch kernels.
 #: Fresh large allocations are pathologically expensive in sandboxed hosts
 #: (measured r11 on this Firecracker sandbox: ~40 µs per faulted page — a
@@ -1103,8 +1108,24 @@ def semantic_dedup(
         # one count job shared by both auto knobs, sized from the
         # NULL-FILTERED frame (the rows that actually enter the pair
         # stage) — reuses the scan's aggregate pushdown on parquet, one
-        # upstream execution otherwise
-        cnt = v.count()
+        # upstream execution otherwise.  Memoized per semantic plan +
+        # file listing (r12; the same key discipline as the interval
+        # guards — cleared by clear_probe_caches), so repeated builds
+        # over the same corpus skip the job entirely.
+        try:
+            from .intervals import _plan_key
+
+            memo_key = _plan_key(v)
+        except Exception:  # connect-mode frame — probe fresh
+            memo_key = None
+        if memo_key is not None and memo_key in _SEM_COUNT_MEMO:
+            cnt = _SEM_COUNT_MEMO[memo_key]
+        else:
+            cnt = v.count()
+            if memo_key is not None:
+                if len(_SEM_COUNT_MEMO) > 1024:
+                    _SEM_COUNT_MEMO.clear()
+                _SEM_COUNT_MEMO[memo_key] = cnt
     if n_clusters == "auto":
         # Capped at 4096 lists so the trainer's bounded sample stays
         # >= ~40 vectors per centroid (the standard IVF training floor) —
