@@ -1302,40 +1302,39 @@ def _tx_meta_map(t: DataFrame) -> "F.Column":
     table (VEP_TX_META_COLUMNS), plus FLAGS assembled from the
     cds_start_nf/cds_end_nf booleans (reference flags_str_from_bools,
     annotate_provider.rs:5360-5375) and CANONICAL from is_canonical."""
-    keys, vals = [], []
+    entries: list[tuple[str, str]] = []
     for out_name, col in VEP_TX_META_COLUMNS:
         if col in t.columns:
-            keys.append(F.lit(out_name))
-            v = F.col(col).cast("string")
+            v = f"cast(`{col}` as string)"
             if out_name == "APPRIS":
                 # reference format_appris: principalN -> PN, alternativeN
                 # -> AN, else passthrough (all-occurrence replace, like the
-                # reference's str::replace)
-                from datafusion_bio_functions_spark.functions.consequence import (
-                    format_appris_col,
-                )
-
-                v = format_appris_col(v)
-            vals.append(v)
+                # reference's str::replace — the SQL twin of
+                # functions.consequence.format_appris_col)
+                v = f"replace(replace({v}, 'principal', 'P'), 'alternative', 'A')"
+            entries.append((out_name, v))
     if "cds_start_nf" in t.columns or "cds_end_nf" in t.columns:
         nf_s = (
-            F.when(F.col("cds_start_nf").cast("boolean"), "cds_start_NF")
+            "(case when cast(cds_start_nf as boolean) then 'cds_start_NF' end)"
             if "cds_start_nf" in t.columns
-            else F.lit(None).cast("string")
+            else "cast(null as string)"
         )
         nf_e = (
-            F.when(F.col("cds_end_nf").cast("boolean"), "cds_end_NF")
+            "(case when cast(cds_end_nf as boolean) then 'cds_end_NF' end)"
             if "cds_end_nf" in t.columns
-            else F.lit(None).cast("string")
+            else "cast(null as string)"
         )
-        keys.append(F.lit("FLAGS"))
-        vals.append(F.nullif(F.concat_ws("&", nf_s, nf_e), F.lit("")))
+        entries.append(("FLAGS", f"nullif(concat_ws('&', {nf_s}, {nf_e}), '')"))
     if "is_canonical" in t.columns:
-        keys.append(F.lit("CANONICAL"))
-        vals.append(F.when(F.col("is_canonical").cast("boolean"), "YES"))
-    if not keys:
-        return F.lit(None).cast("map<string,string>")
-    return F.map_from_arrays(F.array(*keys), F.array(*vals))
+        entries.append(
+            ("CANONICAL", "(case when cast(is_canonical as boolean) then 'YES' end)")
+        )
+    if not entries:
+        return F.expr("cast(null as map<string,string>)")
+    # ONE parse instead of ~4 Column round trips per present meta column
+    keys = ", ".join(f"'{k}'" for k, _ in entries)
+    vals = ", ".join(v for _, v in entries)
+    return F.expr(f"map_from_arrays(array({keys}), array({vals}))")
 
 
 def _annotate_codon(
@@ -1397,48 +1396,33 @@ def _annotate_codon(
         "array<struct<genomic_start:bigint,genomic_end:bigint,"
         "cdna_start:bigint,cdna_end:bigint,ori:int>>"
     )
-    refseq_ctx = F.struct(
-        (F.col("source") if opt["source"] else F.lit(None).cast("string")).alias("src"),
-        (
-            F.col("bam_edit_status")
-            if opt["bam_edit_status"]
-            else F.lit(None).cast("string")
-        ).alias("bam"),
-        (
-            F.col("has_non_polya_rna_edit").cast("boolean")
-            if opt["has_non_polya_rna_edit"]
-            else F.lit(None).cast("boolean")
-        ).alias("np_edit"),
-        (
-            F.col("refseq_edits").cast(_edits_t)
-            if opt["refseq_edits"]
-            else F.lit(None).cast(_edits_t)
-        ).alias("edits"),
-        (
-            F.col("cdna_mapper_segments").cast(_segs_t)
-            if opt["cdna_mapper_segments"]
-            else F.lit(None).cast(_segs_t)
-        ).alias("segs"),
-        (
-            F.col("refseq_match")
-            if opt["refseq_match"]
-            else F.lit(None).cast("string")
-        ).alias("refseq_match"),
-        # incomplete-CDS flags reach the ENGINE here (N-pad phase handling,
-        # "?-N" coordinate formats — consequence.Transcript.cds_start_nf/
-        # cds_end_nf); the FLAGS display column is assembled separately in
-        # _tx_meta_map (reference keeps the same split: TranscriptFeature
-        # booleans vs flags_str_from_bools)
-        (
-            F.col("cds_start_nf").cast("boolean")
-            if opt["cds_start_nf"]
-            else F.lit(None).cast("boolean")
-        ).alias("nf_s"),
-        (
-            F.col("cds_end_nf").cast("boolean")
-            if opt["cds_end_nf"]
-            else F.lit(None).cast("boolean")
-        ).alias("nf_e"),
+    # ONE parse for the whole context struct (r12 round-trip cut); the
+    # incomplete-CDS flags reach the ENGINE here (N-pad phase handling,
+    # "?-N" coordinate formats — consequence.Transcript.cds_start_nf/
+    # cds_end_nf); the FLAGS display column is assembled separately in
+    # _tx_meta_map (reference keeps the same split: TranscriptFeature
+    # booleans vs flags_str_from_bools)
+    def _ctx_field(name: str, col: str, typ: str) -> str:
+        return (
+            f"cast(`{col}` as {typ})" if opt[col] else f"cast(null as {typ})"
+        )
+
+    refseq_ctx = F.expr(
+        "named_struct("
+        + ", ".join(
+            f"'{alias}', {sql}"
+            for alias, sql in [
+                ("src", _ctx_field("src", "source", "string")),
+                ("bam", _ctx_field("bam", "bam_edit_status", "string")),
+                ("np_edit", _ctx_field("np_edit", "has_non_polya_rna_edit", "boolean")),
+                ("edits", _ctx_field("edits", "refseq_edits", _edits_t)),
+                ("segs", _ctx_field("segs", "cdna_mapper_segments", _segs_t)),
+                ("refseq_match", _ctx_field("refseq_match", "refseq_match", "string")),
+                ("nf_s", _ctx_field("nf_s", "cds_start_nf", "boolean")),
+                ("nf_e", _ctx_field("nf_e", "cds_end_nf", "boolean")),
+            ]
+        )
+        + ")"
     )
     tsel = [
         F.col("transcript_id").alias("__t_id"),
